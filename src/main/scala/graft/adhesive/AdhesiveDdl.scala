@@ -1,0 +1,121 @@
+package graft.adhesive
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** The `CREATE FUNCTION` DDL surface (grammar per the reference's README
+  * examples, `/root/reference/README.md:19-40`, and its statement handling,
+  * `src/fusion.rs:28-58`):
+  *
+  * {{{
+  * CREATE [OR REPLACE] FUNCTION name(TYPE, ...) RETURNS TYPE
+  *   [LANGUAGE JAVA|CLASS] AS '<java source | fully.qualified.ClassName>'
+  * }}}
+  *
+  * Semantics:
+  *   - language defaults to JAVA when omitted (`src/fusion.rs:31-35`);
+  *   - a missing body is the reference's "class name or class definition
+  *     should be provided" error (`src/fusion.rs:57`);
+  *   - `''` inside the quoted body unescapes to `'` (standard SQL string
+  *     literal rules, as DataFusion's parser applies to the body literal).
+  */
+object AdhesiveDdl {
+
+  sealed trait Language
+  case object LangJava extends Language
+  case object LangClass extends Language
+
+  case class CreateFunctionStatement(
+      name: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      language: Language,
+      body: String,
+      deterministic: Boolean = false)
+
+  private val WithBody =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+'((?:[^']|'')*)'\s*;?\s*$""".r
+
+  private val WithoutBody =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:DETERMINISTIC\s*)?(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
+
+  /** Try to parse `sqlText` as adhesive DDL. Returns None when the text is
+    * not a `CREATE FUNCTION ... RETURNS ...` statement at all (so Spark's own
+    * parser — including its native `CREATE FUNCTION ... AS 'fqn' USING JAR`,
+    * which has no RETURNS clause — still sees it).
+    */
+  def parse(sqlText: String): Option[CreateFunctionStatement] = sqlText match {
+    case WithBody(name, args, ret, det, lang, body) =>
+      Some(CreateFunctionStatement(
+        name,
+        parseArgTypes(args),
+        parseType(ret),
+        parseLanguage(lang),
+        body.replace("''", "'"),
+        deterministic = det != null))
+    case WithoutBody(_, _, _, _) =>
+      // Parses as our DDL but has no AS '<body>' clause — reference error
+      // message parity (src/fusion.rs:57).
+      throw new AdhesiveException(
+        "class name or class definition should be provided")
+    case _ => None
+  }
+
+  /** Execute adhesive DDL against a session directly — the programmatic
+    * path (reference E3, `src/jvm.rs:287-301`) for sessions built without
+    * [[AdhesiveSparkExtensions]].
+    *
+    * @return true if the statement was adhesive DDL and was executed.
+    */
+  def execute(spark: SparkSession, sqlText: String): Boolean =
+    parse(sqlText) match {
+      case Some(stmt) => run(spark, stmt); true
+      case None       => false
+    }
+
+  def run(spark: SparkSession, stmt: CreateFunctionStatement): Unit =
+    stmt.language match {
+      case LangJava =>
+        AdhesiveRegistry.registerJavaSource(
+          spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
+          deterministic = stmt.deterministic)
+      case LangClass =>
+        AdhesiveRegistry.registerClass(
+          spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
+          deterministic = stmt.deterministic)
+    }
+
+  private def parseLanguage(lang: String): Language =
+    Option(lang).map(_.toLowerCase(Locale.ROOT)) match {
+      case None | Some("java") => LangJava // default language = JAVA
+      case Some("class")       => LangClass
+      case Some(other) =>
+        throw new AdhesiveException(s"language '$other' not supported; " +
+          "supported: JAVA, CLASS")
+    }
+
+  private def parseArgTypes(args: String): Seq[DataType] = {
+    val trimmed = args.trim
+    if (trimmed.isEmpty) Seq.empty
+    else trimmed.split(',').toIndexedSeq.map(t => parseType(t.trim))
+  }
+
+  private[adhesive] def parseType(t: String): DataType =
+    t.trim.toUpperCase(Locale.ROOT) match {
+      case "BIGINT" | "LONG"            => LongType
+      case "INT" | "INTEGER"            => IntegerType
+      case "SMALLINT" | "SHORT"         => ShortType
+      case "TINYINT" | "BYTE"           => ByteType
+      case "FLOAT" | "REAL"             => FloatType
+      case "DOUBLE"                     => DoubleType
+      case "STRING" | "VARCHAR" | "TEXT" => StringType
+      case "BOOLEAN" | "BOOL"           => BooleanType
+      case "DATE"                       => DateType
+      case "TIMESTAMP"                  => TimestampType
+      case "BINARY"                     => BinaryType
+      case other =>
+        throw new AdhesiveException(s"type $other not supported (to be added)")
+    }
+}

@@ -1,0 +1,68 @@
+package graft.adhesive
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Classloader over an in-memory bytecode map (the executor-side half of
+  * runtime compilation). Parent-first for everything not in the map, so user
+  * classes resolve Spark/this-library types normally.
+  */
+class BytecodeClassLoader(bytecode: Map[String, Array[Byte]], parent: ClassLoader)
+    extends ClassLoader(parent) {
+  override def findClass(name: String): Class[_] =
+    bytecode.get(name) match {
+      case Some(bytes) => defineClass(name, bytes, 0, bytes.length)
+      case None        => throw new ClassNotFoundException(name)
+    }
+}
+
+/** Per-JVM cache of instantiated user functions: one instance per
+  * fully-qualified class name, created via the no-arg constructor on first
+  * use and reused across all rows, batches, and tasks in that JVM. This
+  * mirrors the reference's deliberate design — default-ctor instantiation
+  * (`/root/reference/src/jvm.rs:84-93`) pinned with a JNI global ref reused
+  * across invocations (`src/jvm.rs:93-102`).
+  *
+  * Because every `LANGUAGE JAVA` registration gets a fresh random package
+  * ([[SourceRewriter]]), the FQN key is unique per registration, so a
+  * re-registered function never picks up a stale cached instance. Classes
+  * are never unloaded (the reference inherits the same leak —
+  * `Compiler.java:22` "add class unloading at some point").
+  */
+object AdhesiveInstances {
+
+  private val cache = new ConcurrentHashMap[String, Adhesive]()
+
+  /** Get-or-create the singleton instance of `fqn`. An empty `bytecode` map
+    * means a classpath class (`LANGUAGE CLASS` path — reference
+    * `src/jvm.rs:63-109`); a non-empty map means runtime-compiled source
+    * shipped from the driver.
+    *
+    * Performs the `instanceof Adhesive` check the reference left as a TODO
+    * (`src/jvm.rs:78-81`).
+    */
+  def instance(fqn: String, bytecode: Map[String, Array[Byte]]): Adhesive =
+    cache.computeIfAbsent(fqn, { _ =>
+      val parent = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(classOf[Adhesive].getClassLoader)
+      val cls =
+        if (bytecode.isEmpty) {
+          try Class.forName(fqn, true, parent)
+          catch {
+            case e: ClassNotFoundException =>
+              throw new AdhesiveException(s"class '$fqn' not found on the classpath", e)
+          }
+        } else {
+          new BytecodeClassLoader(bytecode, parent).loadClass(fqn)
+        }
+      if (!classOf[Adhesive].isAssignableFrom(cls)) {
+        throw new AdhesiveException(
+          s"class '$fqn' does not extend ${classOf[Adhesive].getName}")
+      }
+      try cls.getDeclaredConstructor().newInstance().asInstanceOf[Adhesive]
+      catch {
+        case e: NoSuchMethodException =>
+          throw new AdhesiveException(
+            s"class '$fqn' has no public no-arg constructor", e)
+      }
+    })
+}

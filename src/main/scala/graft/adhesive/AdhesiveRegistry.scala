@@ -1,0 +1,117 @@
+package graft.adhesive
+
+import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, ScalaUDF}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Registration seam: turns a compiled/located [[Adhesive]] subclass into a
+  * session-registered SQL function with the reference's semantics.
+  *
+  * Pipeline parity with `/root/reference/src/fusion.rs:22-80`:
+  *   - runtime compile (`LANGUAGE JAVA`) or classpath lookup
+  *     (`LANGUAGE CLASS`), both validated eagerly at DDL time by
+  *     instantiating once on the driver (reference binds + instantiates at
+  *     DDL time too, `src/jvm.rs:63-109`);
+  *   - exact signature, no coercion ([[StrictArg]];
+  *     `Signature::exact`, `src/fusion.rs:72`);
+  *   - `Volatility::Volatile` ⇒ `.asNondeterministic()` — never
+  *     constant-folded or CSE'd (`src/fusion.rs:72`);
+  *   - struct-packed positional arguments: a call `f(e1, …, eN)` packs its
+  *     arguments into one struct and the user reads them positionally from a
+  *     `Row` (`src/jvm.rs:221-238`);
+  *   - return-type matrix {BIGINT, INT, FLOAT, DOUBLE} — the types the
+  *     reference's Java bridge declares (`Adhesive.java:79-199`); anything
+  *     else is a DDL-time error (`src/fusion.rs:86`).
+  */
+object AdhesiveRegistry {
+
+  /** Return types wired end-to-end — the reference's Java-side type matrix
+    * (`Adhesive.java:79-199`; Rust side wires only Int64,
+    * `src/fusion.rs:83-91`).
+    */
+  private val SupportedReturnTypes: Set[DataType] =
+    Set(LongType, IntegerType, FloatType, DoubleType)
+
+  /** Compile inline Java source and register it (the `LANGUAGE JAVA` path). */
+  def registerJavaSource(
+      spark: SparkSession,
+      name: String,
+      source: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      nonNullable: Boolean = false,
+      deterministic: Boolean = false): Unit = {
+    val (rewritten, fqn) = SourceRewriter.rewrite(source)
+    val bytecode = InMemoryJavaCompiler.compile(fqn, rewritten)
+    AdhesiveInstances.instance(fqn, bytecode) // eager DDL-time validation
+    register(spark, name, fqn, bytecode, argTypes, returnType, nonNullable,
+      deterministic)
+  }
+
+  /** Register an existing classpath class (the `LANGUAGE CLASS` path). */
+  def registerClass(
+      spark: SparkSession,
+      name: String,
+      className: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      nonNullable: Boolean = false,
+      deterministic: Boolean = false): Unit = {
+    AdhesiveInstances.instance(className, Map.empty) // lookup + instanceof check
+    register(spark, name, className, Map.empty, argTypes, returnType,
+      nonNullable, deterministic)
+  }
+
+  private def register(
+      spark: SparkSession,
+      name: String,
+      fqn: String,
+      bytecode: Map[String, Array[Byte]],
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      nonNullable: Boolean,
+      deterministic: Boolean): Unit = {
+    if (!SupportedReturnTypes.contains(returnType)) {
+      throw new AdhesiveException(
+        s"return type ${returnType.sql} not supported (to be added); " +
+          "supported: BIGINT, INT, FLOAT, DOUBLE")
+    }
+    val adhesiveUdf = new AdhesiveUdf(name, fqn, bytecode)
+    // Scala 2.13 lambdas are serializable; the closure carries only the
+    // (fqn, bytecode) pair inside AdhesiveUdf — see its scaladoc for why.
+    val callFn: Row => Any = (r: Row) => adhesiveUdf.call(r)
+
+    val builder = (exprs: Seq[Expression]) => {
+      if (exprs.length != argTypes.length) {
+        throw new AdhesiveException(
+          s"adhesive function '$name' takes ${argTypes.length} argument(s), " +
+            s"got ${exprs.length}")
+      }
+      val checked = exprs.zip(argTypes).zipWithIndex.map {
+        case ((e, dt), i) => StrictArg(e, dt, name, i)
+      }
+      // Direct Catalyst ScalaUDF over the packed argument struct. With no
+      // input/output encoders, Spark's CatalystTypeConverters hand the user
+      // a GenericRowWithSchema (positional getters — the reference's row
+      // contract) and convert the boxed result back.
+      // udfDeterministic defaults to false — the reference's
+      // Volatility::Volatile (src/fusion.rs:72); DDL can opt in to
+      // DETERMINISTIC (needed to call the function directly inside an
+      // aggregate, which Spark forbids for nondeterministic expressions).
+      // nullable=false mirrors computeNonNull*.
+      ScalaUDF(
+        function = callFn,
+        dataType = returnType,
+        children = Seq(CreateStruct(checked.toList)),
+        inputEncoders = Seq(None),
+        outputEncoder = None,
+        udfName = Some(name),
+        nullable = !nonNullable,
+        udfDeterministic = deterministic)
+    }
+    spark.asInstanceOf[ClassicSparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "java_udf")
+  }
+}

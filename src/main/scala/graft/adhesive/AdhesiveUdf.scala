@@ -1,0 +1,41 @@
+package graft.adhesive
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.api.java.UDF1
+
+/** The serializable data-path closure: what actually ships to executors.
+  *
+  * Holds only the FQN and (for runtime-compiled functions) the bytecode map
+  * — both plainly serializable — and materializes the user instance lazily
+  * per executor JVM via [[AdhesiveInstances]]. This solves the distribution
+  * problem the reference only sketched (`FunctionDefinition::Class
+  * { byte_code, fqn }`, "to be used later for function serialization" —
+  * `/root/reference/src/fusion.rs:142-153`): in a distributed Spark job the
+  * *class* of a captured instance would not be loadable on executors, so we
+  * ship the bytes and define the class on first call instead.
+  *
+  * Invocation granularity matches the reference's effective semantics: one
+  * `compute(Row)` call per input row (`Adhesive.java:68-70`), here from
+  * within Spark's whole-stage-generated code with no FFI hop.
+  */
+class AdhesiveUdf(
+    val functionName: String,
+    val fqn: String,
+    val bytecode: Map[String, Array[Byte]])
+    extends UDF1[Row, Any] with Serializable {
+
+  @transient private lazy val inst: Adhesive =
+    AdhesiveInstances.instance(fqn, bytecode)
+
+  override def call(row: Row): Any =
+    try inst.compute(row)
+    catch {
+      case e: AdhesiveException => throw e
+      case e: Exception =>
+        // Fail the query, keeping the user message + function name
+        // (reference parity for "exceptions fail the query",
+        // src/jvm.rs:316-330, improving on its lost messages).
+        throw new AdhesiveExecutionException(
+          s"adhesive function '$functionName' failed: ${e.getMessage}", e)
+    }
+}

@@ -1,0 +1,43 @@
+package graft.adhesive
+
+import scala.util.Random
+
+/** Rewrites user-supplied Java source before compilation: extracts the class
+  * name and prepends a random, per-registration package declaration so that
+  * re-registering a function with the same class name never collides in the
+  * (never-unloaded) classloader world.
+  *
+  * Semantics mirror the reference's `update_java_code`
+  * (`/root/reference/src/util.rs:24-36`): class-name extraction via the
+  * regex `class\s+(\w+)` (`src/util.rs:14`) and a random 6-lowercase-letter
+  * package suffix (`src/util.rs:7-11`). Like the reference, source that
+  * already carries a `package` declaration is not supported for
+  * `LANGUAGE JAVA` bodies (use `LANGUAGE CLASS` for pre-packaged classes).
+  */
+object SourceRewriter {
+
+  private val ClassName = """class\s+(\w+)""".r
+
+  private[adhesive] val GeneratedPackagePrefix = "graft.adhesive.generated.p"
+
+  /** Random package name, unique per registration with overwhelming
+    * probability (26^6 ≈ 3.1e8 suffixes).
+    */
+  def randomPackage(): String = {
+    val suffix = Iterator.continually(Random.nextInt(26)).take(6)
+      .map(i => ('a' + i).toChar).mkString
+    GeneratedPackagePrefix + suffix
+  }
+
+  /** @return (rewritten source with package declaration prepended,
+    *         fully-qualified class name)
+    */
+  def rewrite(source: String): (String, String) = {
+    val name = ClassName.findFirstMatchIn(source).map(_.group(1)).getOrElse {
+      throw new AdhesiveCompileException(
+        "Can't compile function: no `class <Name>` found in function body")
+    }
+    val pkg = randomPackage()
+    (s"package $pkg;\n$source", s"$pkg.$name")
+  }
+}

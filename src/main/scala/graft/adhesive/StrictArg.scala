@@ -1,0 +1,46 @@
+package graft.adhesive
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.DataType
+
+/** Analysis-time exact-signature enforcement for adhesive functions.
+  *
+  * The reference registers its UDFs with `Signature::exact(...)` — no
+  * implicit coercion; a mistyped argument is a *plan-time* error
+  * (`/root/reference/src/fusion.rs:72`). Spark's own UDF machinery would
+  * happily insert casts (SURVEY §7.4 H3), so each argument of a registered
+  * function call is wrapped in this zero-cost pass-through expression whose
+  * only job is to fail analysis when the resolved argument type differs from
+  * the declared one. Eval and codegen delegate to the child — the wrapper
+  * vanishes from the generated code.
+  */
+case class StrictArg(
+    child: Expression,
+    expected: DataType,
+    functionName: String,
+    pos: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"adhesive function '$functionName' expects argument ${pos + 1} of " +
+        s"exact type ${expected.sql}, got ${child.dataType.sql} " +
+        "(no implicit coercion; cast explicitly)")
+
+  override def eval(input: InternalRow): Any = child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StrictArg =
+    copy(child = newChild)
+}

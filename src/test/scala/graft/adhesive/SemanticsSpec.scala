@@ -1,0 +1,200 @@
+package graft.adhesive
+
+import graft.TestSpark
+import org.apache.spark.SparkException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic-invariant tests (SURVEY §7.5): null slots, exception
+  * propagation, exact signatures, volatility, error paths.
+  */
+class SemanticsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def fixture(): Unit =
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("a", "b")
+      .createOrReplaceTempView("t")
+
+  test("null return produces a null output slot (reference Adhesive.java:94-99)") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_null(BIGINT) RETURNS BIGINT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class NullOnEven extends Adhesive {
+        |  public Object compute(Row row) {
+        |    long v = row.getLong(0);
+        |    return (v % 2 == 0) ? null : Long.valueOf(v);
+        |  }
+        |}
+        |'""".stripMargin)
+    val out = spark.sql("SELECT f_null(a) AS v FROM t ORDER BY a").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(1L), None, Some(3L), None))
+  }
+
+  test("a throwing function fails the query with the function name in the error") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_throws(BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS 'graft.adhesive.example.AlwaysThrowsExample'""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql("SELECT f_throws(a) FROM t").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("f_throws") && all.contains("deliberate failure"))
+  }
+
+  test("exact signature: mistyped argument fails analysis, no implicit cast") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_exact(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql("SELECT f_exact(a, 'nope') FROM t").collect()
+    }
+    assert(e.getMessage.contains("exact type"))
+    // INT literal is not BIGINT: exact means exact.
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT f_exact(a, 5) FROM t").collect()
+    }
+    assert(e2.getMessage.contains("exact type"))
+    // And the properly-typed call works.
+    val ok = spark.sql("SELECT f_exact(a, CAST(5 AS BIGINT)) AS v FROM t ORDER BY a")
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(6L, 7L, 8L, 9L))
+  }
+
+  test("wrong arity is rejected") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_arity(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    val e = intercept[Exception] { spark.sql("SELECT f_arity(a) FROM t").collect() }
+    assert(e.getMessage.contains("takes 2 argument(s)"))
+  }
+
+  test("registered functions are volatile: marked nondeterministic in the plan") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_vol(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    val df = spark.sql("SELECT f_vol(a, b) FROM t")
+    val hasNondeterministic = df.queryExecution.analyzed.expressions
+      .exists(e => e.exists(!_.deterministic))
+    assert(hasNondeterministic,
+      "adhesive UDF must be nondeterministic (Volatility::Volatile parity)")
+  }
+
+  test("DETERMINISTIC opt-in allows direct use inside aggregates") {
+    fixture()
+    // Volatile default: rejected inside an aggregate.
+    spark.sql(
+      """CREATE FUNCTION f_vol_agg(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    intercept[Exception] {
+      spark.sql("SELECT sum(f_vol_agg(a, b)) FROM t").collect()
+    }
+    // DETERMINISTIC opt-in: allowed.
+    spark.sql(
+      """CREATE FUNCTION f_det(BIGINT, BIGINT) RETURNS BIGINT DETERMINISTIC
+        |LANGUAGE CLASS AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    val s = spark.sql("SELECT sum(f_det(a, b)) AS s FROM t").head().getLong(0)
+    assert(s == (11L + 22L + 33L + 44L))
+  }
+
+  test("unsupported return type errors at DDL time (src/fusion.rs:86)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE FUNCTION f_badret(BIGINT) RETURNS STRING LANGUAGE CLASS
+          |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("missing body errors: 'class name or class definition should be provided'") {
+    val e = intercept[Exception] {
+      spark.sql("CREATE FUNCTION f_nobody(BIGINT) RETURNS BIGINT LANGUAGE JAVA")
+    }
+    assert(e.getMessage.contains("class name or class definition should be provided"))
+  }
+
+  test("unknown class errors at DDL time (src/jvm.rs:303-314)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE FUNCTION f_missing(BIGINT) RETURNS BIGINT LANGUAGE CLASS
+          |AS 'com.example.DoesNotExist'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("a class not extending Adhesive is rejected (the TODO'd instanceof check)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE FUNCTION f_notadhesive(BIGINT) RETURNS BIGINT LANGUAGE CLASS
+          |AS 'java.lang.String'""".stripMargin)
+    }
+    assert(e.getMessage.contains("does not extend"))
+  }
+
+  test("compile failure surfaces at DDL time with diagnostics") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE FUNCTION f_badsrc(BIGINT) RETURNS BIGINT AS '
+          |public class Broken extends NothingThatExists {
+          |  public Object compute(org.apache.spark.sql.Row row) { return 1L; }
+          |}
+          |'""".stripMargin)
+    }
+    assert(e.getMessage.contains("Can't compile function"))
+  }
+
+  test("SQL '' escaping inside the body unescapes to a single quote") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_quote(BIGINT) RETURNS BIGINT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class Quoted extends Adhesive {
+        |  // a char literal: ''x'' must survive the SQL string round-trip
+        |  public Object compute(Row row) { return (long) ''x''; }
+        |}
+        |'""".stripMargin)
+    val out = spark.sql("SELECT f_quote(a) AS v FROM t WHERE a = 1").head().getLong(0)
+    assert(out == 'x'.toLong)
+  }
+
+  test("INT / FLOAT / DOUBLE return types are wired end-to-end (type matrix)") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_int(BIGINT) RETURNS INT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class ToInt extends Adhesive {
+        |  public Object compute(Row row) { return (int) row.getLong(0); }
+        |}
+        |'""".stripMargin)
+    spark.sql(
+      """CREATE FUNCTION f_double(DOUBLE) RETURNS DOUBLE AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class Halve extends Adhesive {
+        |  public Object compute(Row row) { return row.getDouble(0) / 2.0; }
+        |}
+        |'""".stripMargin)
+    spark.sql(
+      """CREATE FUNCTION f_float(FLOAT) RETURNS FLOAT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class FNeg extends Adhesive {
+        |  public Object compute(Row row) { return -row.getFloat(0); }
+        |}
+        |'""".stripMargin)
+    assert(spark.sql("SELECT f_int(CAST(7 AS BIGINT)) AS v").head().getInt(0) == 7)
+    assert(spark.sql("SELECT f_double(CAST(3.0 AS DOUBLE)) AS v").head().getDouble(0) == 1.5)
+    assert(spark.sql("SELECT f_float(CAST(2.5 AS FLOAT)) AS v").head().getFloat(0) == -2.5f)
+  }
+}
