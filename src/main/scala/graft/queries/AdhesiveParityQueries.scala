@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.adhesive.AdhesiveDdl
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.RelationalQueries.Q
+
+/** Reference-parity queries: the reference's own end-to-end surface
+  * (`/root/reference/examples/adhesive.rs:21-49`, `tests/factory.rs:21-75`)
+  * — `CREATE FUNCTION` DDL in both languages followed by a projection that
+  * calls the function — recast over the harness tables (FIXTURES.md §3).
+  * DDL goes through [[AdhesiveDdl.execute]] so these queries work on any
+  * session, extension-installed or not.
+  */
+object AdhesiveParityQueries {
+
+  private val MulDdl =
+    """CREATE OR REPLACE FUNCTION graft_mul(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class Multiply extends Adhesive {
+      |  public Object compute(Row row) {
+      |    return row.getLong(0) * row.getLong(1);
+      |  }
+      |}
+      |'""".stripMargin
+
+  private val AddClassDdl =
+    """CREATE OR REPLACE FUNCTION graft_add(BIGINT, BIGINT) RETURNS BIGINT
+      |LANGUAGE CLASS AS 'graft.adhesive.example.BasicAddExample'""".stripMargin
+
+  private val NullCaseDdl =
+    """CREATE OR REPLACE FUNCTION graft_nullcase(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class NullCase extends Adhesive {
+      |  public Object compute(Row row) {
+      |    if (row.getLong(1) % 3 == 0) return null;
+      |    return row.getLong(0) * 2;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** `SELECT a, b, f1(a, b) FROM t` with f1 = a*b (LANGUAGE JAVA), the
+    * reference's golden query (`tests/factory.rs:39-51`), over lineitem.
+    */
+  val mulJava: Q = Q(
+    "aq_mul_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, MulDdl)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey".as("a"), $"l_partkey".as("b"),
+          call_function("graft_mul", $"l_orderkey", $"l_partkey").as("product"))
+        .orderBy($"a", $"b")
+    },
+    Some("""SELECT l_orderkey AS a, l_partkey AS b,
+      l_orderkey * l_partkey AS product FROM lineitem ORDER BY a, b"""))
+
+  /** f2 = a+b via LANGUAGE CLASS (`tests/factory.rs:54-75`), over orders. */
+  val addClass: Q = Q(
+    "aq_add_class",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, AddClassDdl)
+      Tables.orders(s, d)
+        .select($"o_orderkey".as("a"), $"o_custkey".as("b"),
+          call_function("graft_add", $"o_orderkey", $"o_custkey").as("total"))
+        .orderBy($"a")
+    },
+    Some("""SELECT o_orderkey AS a, o_custkey AS b,
+      o_orderkey + o_custkey AS total FROM orders ORDER BY a"""))
+
+  /** Null-in-slot semantics (`Adhesive.java:94-99`): compute returns null on
+    * a predicate; oracle is the equivalent CASE WHEN (FIXTURES.md §3).
+    */
+  val nullCase: Q = Q(
+    "aq_null_case",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, NullCaseDdl)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          call_function("graft_nullcase", $"l_suppkey", $"l_orderkey").as("v"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_suppkey * 2 END AS v
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val all: Seq[Q] = Seq(mulJava, addClass, nullCase)
+
+  /** Flagship: the reference parity query on the smoke scale factor. */
+  def entry(spark: SparkSession): DataFrame =
+    mulJava.build(spark, "/root/testdata/sf0.001")
+}

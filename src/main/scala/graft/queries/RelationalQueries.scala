@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The inherited relational surface (SURVEY §2b), exercised TPC-H-style over
+  * the driver's tables — scans, filters, projections, hash/broadcast joins,
+  * semi/anti joins, aggregations (plain, distinct, rollup, cube), windows,
+  * sort/limit/top-k, set ops, scalar function library, subqueries. Each
+  * query is declarative DataFrame code (Catalyst plans it; filters and
+  * column pruning reach the parquet scan) paired with a DuckDB oracle that
+  * must hash-match (see [[Tables]] for the cross-engine determinism rules).
+  */
+object RelationalQueries {
+
+  case class Q(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  import Tables._
+
+  private val q1 = Q(
+    "q1_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"),
+          asDec(sum(dec2($"l_extendedprice")), 2).as("sum_base_price"),
+          asDec(sum((dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
+            .cast(DecimalType(18, 4))), 4).as("sum_disc_price"),
+          asDec(sum(((dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
+            .cast(DecimalType(18, 4)) * (lit(1) + dec2($"l_tax")))
+            .cast(DecimalType(18, 6))), 6).as("sum_charge"),
+          (sum(dec2($"l_quantity")).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q3 = Q(
+    "q3_shipping_priority",
+    (s, d) => {
+      import s.implicits._
+      val cut = to_timestamp(lit("1998-01-01"))
+      customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .join(orders(s, d), $"c_custkey" === $"o_custkey")
+        .filter($"o_orderdate" < cut)
+        .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .filter($"l_shipdate" > cut)
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(asDec(sum((dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
+          .cast(DecimalType(18, 4))), 4).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val q5 = Q(
+    "q5_local_supplier_volume",
+    (s, d) => {
+      import s.implicits._
+      val cust = customer(s, d)
+      val supp = supplier(s, d)
+      lineitem(s, d)
+        .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+          $"o_orderdate" < to_timestamp(lit("1997-01-01")))
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(asDec(sum((dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
+          .cast(DecimalType(18, 4))), 4).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""SELECT n_name,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  private val q6 = Q(
+    "q6_forecast_revenue",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1997-01-01")) &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(asDec(sum((dec2($"l_extendedprice") * dec2($"l_discount"))
+          .cast(DecimalType(18, 4))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
+
+  private val qSemi = Q(
+    "q_semi_join",
+    (s, d) => {
+      import s.implicits._
+      val o96 = orders(s, d)
+        .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+          $"o_orderdate" < to_timestamp(lit("1997-01-01")))
+      customer(s, d).filter($"c_mktsegment" === "MACHINERY")
+        .join(o96, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      ORDER BY c_custkey"""))
+
+  private val qAnti = Q(
+    "q_anti_join",
+    (s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  private val qOuter = Q(
+    "q_outer_join_counts",
+    (s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          asDec(sum(coalesce(dec2($"o_totalprice"), lit(0))), 2).as("total_spent"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+      CAST(sum(coalesce(CAST(o_totalprice AS DECIMAL(18,2)), 0)) AS DECIMAL(38,2)) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  private val qWindowTopN = Q(
+    "q_window_topn",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"c_mktsegment", $"rn")
+    },
+    Some("""SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey) t
+      WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))
+
+  private val qWindowRunning = Q(
+    "q_window_running_sum",
+    (s, d) => {
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+      // the full composite below is, making the running sum deterministic.
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity",
+          asDec(sum(dec2($"l_quantity")).over(w), 2).as("running_qty"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+           OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
+
+  private val qWindowLag = Q(
+    "q_window_lag_events",
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"event_id", $"user_id", ldiv("ts", 1000000L).as("ts_ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      ev.select($"event_id", $"user_id",
+          ($"ts_ms" - lag($"ts_ms", 1).over(w)).as("ms_since_prev"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS ms_since_prev
+      FROM events ORDER BY event_id"""))
+
+  private val qRollup = Q(
+    "q_rollup",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  private val qCube = Q(
+    "q_cube",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""))
+
+  private val qSetOps = Q(
+    "q_set_ops",
+    (s, d) => {
+      import s.implicits._
+      def custkeysIn(year: Int): DataFrame =
+        orders(s, d)
+          .filter($"o_orderdate" >= to_timestamp(lit(f"$year-01-01")) &&
+            $"o_orderdate" < to_timestamp(lit(f"${year + 1}-01-01")))
+          .select($"o_custkey").distinct()
+      custkeysIn(1995).intersect(custkeysIn(1996))
+        .union(custkeysIn(1997)).distinct()
+        .except(custkeysIn(1998))
+        .orderBy($"o_custkey")
+    },
+    Some("""WITH y AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders)
+      (SELECT o_custkey FROM y WHERE yr = 1995
+       INTERSECT SELECT o_custkey FROM y WHERE yr = 1996
+       UNION SELECT o_custkey FROM y WHERE yr = 1997)
+      EXCEPT SELECT o_custkey FROM y WHERE yr = 1998
+      ORDER BY o_custkey"""))
+
+  private val qDistinctAgg = Q(
+    "q_distinct_agg",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_orderkey) AS n_orders,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val qTopK = Q(
+    "q_topk_orders",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
+  private val qScalarFuncs = Q(
+    "q_scalar_funcs",
+    (s, d) => {
+      import s.implicits._
+      part(s, d).select(
+        $"p_partkey",
+        upper(substring($"p_name", 1, 10)).as("name_prefix"),
+        length($"p_name").cast(LongType).as("name_len"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        abs($"p_size" - 25).cast(LongType).as("size_dist"),
+        floor($"p_retailprice").as("price_floor"),
+        ceil($"p_retailprice").as("price_ceil"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      upper(substr(p_name, 1, 10)) AS name_prefix,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      concat(p_brand, '#', p_type) AS brand_type,
+      CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+      CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil
+      FROM part ORDER BY p_partkey"""))
+
+  private val qDateFuncs = Q(
+    "q_date_funcs",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select(year($"o_orderdate").cast(LongType).as("yr"),
+          month($"o_orderdate").cast(LongType).as("mo"))
+        .groupBy($"yr", $"mo")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"yr", $"mo")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n
+      FROM orders GROUP BY yr, mo ORDER BY yr, mo"""))
+
+  private val qCaseWhen = Q(
+    "q_case_buckets",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select(when($"o_totalprice" < 50000, "low")
+          .when($"o_totalprice" < 150000, "mid")
+          .otherwise("high").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'high' END AS bucket, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  private val qHaving = Q(
+    "q_having",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+      GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey"""))
+
+  private val qScalarSubquery = Q(
+    "q_scalar_subquery",
+    (s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+      val maxPrice = o.agg(max($"o_totalprice")).first().getDouble(0)
+      o.filter($"o_totalprice" > maxPrice * 0.95)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.95
+      ORDER BY o_orderkey"""))
+
+  private val qExistsCorr = Q(
+    "q_exists_correlated",
+    (s, d) => {
+      import s.implicits._
+      val heavy = lineitem(s, d).filter($"l_quantity" >= 49)
+      part(s, d)
+        .join(heavy, $"p_partkey" === $"l_partkey", "left_semi")
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 49)
+      ORDER BY p_partkey"""))
+
+  private val qDimJoin = Q(
+    "q_region_volume",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .join(supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_items"),
+          asDec(sum(dec2($"l_extendedprice")), 2).as("volume"))
+        .orderBy($"r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  private val qPivot = Q(
+    "q_pivot_events",
+    (s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          count(when($"event_type" === "click", 1)).as("n_click"),
+          count(when($"event_type" === "view", 1)).as("n_view"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+          count(when($"event_type" === "error", 1)).as("n_error"),
+          count(when($"event_type" === "signup", 1)).as("n_signup"),
+          asDec(sum(dec2($"value")), 2).as("total_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      count(*) FILTER (WHERE event_type = 'error') AS n_error,
+      count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  private val qRegexp = Q(
+    "q_regexp_json",
+    (s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select(regexp_extract($"props", "\"k\": (\\d+)", 1)
+          .cast(LongType).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    },
+    Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+      count(*) AS n FROM events GROUP BY k ORDER BY k"""))
+
+  private val qMinMax = Q(
+    "q_minmax_stats",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .agg(min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"),
+          min($"l_shipdate").as("first_ship"),
+          max($"l_shipdate").as("last_ship"),
+          min($"l_orderkey").as("min_key"),
+          max($"l_orderkey").as("max_key"))
+        .orderBy($"l_linestatus")
+    },
+    Some("""SELECT l_linestatus, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+      min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  val all: Seq[Q] = Seq(
+    q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
+    qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
+    qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
+    qPivot, qRegexp, qMinMax)
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Table loaders + cross-engine determinism helpers.
+  *
+  * Every oracle-checked query must produce values that are bit-identical
+  * between Spark and the DuckDB oracle. The two rules that make that true:
+  *
+  *   1. **Money math in decimals, not doubles.** Floating-point SUM is
+  *      evaluation-order-dependent, and Spark's partition order differs from
+  *      DuckDB's scan order. Casting inputs to exact DECIMAL before
+  *      aggregation makes the result order-independent and identical in both
+  *      engines. Averages are then derived as exact-decimal-sum → double →
+  *      divide (deterministic), never as avg(double).
+  *
+  *   2. **Total ordering.** Every query ends with an ORDER BY whose key set
+  *      makes any remaining row permutation consist only of fully identical
+  *      rows.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is nanosecond-unit parquet, which Spark 4 refuses by
+    * default; read it as a raw long (ns since epoch). DuckDB truncates the
+    * same column to µs, so cross-engine comparisons use
+    * `ts div 1000[000]` (µs/ms) on the Spark side vs `epoch_us/epoch_ms`
+    * on the DuckDB side.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+  }
+
+  /** Exact decimal view of a double column (see rule 1 above). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Pin an aggregated decimal to a fixed cross-engine result type. */
+  def asDec(c: Column, scale: Int): Column = c.cast(DecimalType(38, scale))
+
+  /** Integer division on longs (Spark's `/` on longs is double division,
+    * which loses precision above 2^53 — fatal for epoch-nanos). `try_divide`
+    * is also double; SQL `div` is the true integral division.
+    */
+  def ldiv(col: String, by: Long): Column = F.expr(s"$col div $by")
+}
