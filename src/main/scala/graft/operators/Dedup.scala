@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.queries.RelationalQueries.Q
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication operators (north-star): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash — the standard toolkit for near-dup removal in LLM training-data
+  * pipelines.
+  *
+  * Scale design (the 100 TB shape, tested at sf scale):
+  *   - candidate generation is always a *join on a blocking key* (shared
+  *     shingle, LSH band bucket) — never an O(n²) cross join;
+  *   - shingling/hashing are narrow per-doc transforms;
+  *   - the only shuffles are the candidate joins and the final group-bys,
+  *     all on keys with bounded fan-out (at web scale one would additionally
+  *     cap shingle document-frequency to bound join fan-out — noted per
+  *     operator).
+  *
+  * Cross-engine hashing: both engines derive a 32-bit integer from
+  * `md5(token)` hex (Spark `conv(hex,16,10)`, DuckDB `('0x'||hex)::BIGINT`),
+  * so MinHash/SimHash signatures are bit-identical and fully oracle-checkable
+  * — no reliance on engine-native hash functions, which never match across
+  * engines.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase text (shared normal form). */
+  private val Norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val NormDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Distinct word 3-gram shingles; docs with <3 tokens carry no shingle. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split(expr(Norm), " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingles"))
+  }
+
+  private val ShinglesDuck =
+    s"""SELECT doc_id,
+       list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w)-1) ]) AS shingles
+       FROM (SELECT doc_id, string_split($NormDuck, ' ') AS w FROM documents)
+       WHERE len(w) >= 3"""
+
+  /** 32-bit token hash, identical in both engines (see object scaladoc). */
+  private def hSpark(tok: String) =
+    s"CAST(conv(substring(md5($tok), 1, 8), 16, 10) AS BIGINT)"
+  private def hDuck(tok: String) =
+    s"(('0x' || substr(md5($tok), 1, 8))::BIGINT)"
+
+  // ---------------------------------------------------------------- exact
+
+  val exact: Q = Q(
+    "dd_exact",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5(expr(Norm)).as("content_hash"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"content_hash")
+    },
+    Some(s"""SELECT md5($NormDuck) AS content_hash,
+      min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. Candidates come from an
+    * explode + self-join on the shingle (docs sharing >= 1 shingle) — the
+    * MapReduce-scalable shape; the DuckDB oracle computes ground-truth
+    * pairwise Jaccard, so a hash-match also proves the candidate join loses
+    * no qualifying pair. At web scale, cap shingle document-frequency to
+    * bound the join fan-out (a df-capped shingle can only be dropped safely
+    * when τ·|shingles| exceeds the cap — here sf-scale needs no cap).
+    */
+  val ngramJaccard: Q = Q(
+    "dd_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val sh = shingleDf(s, d).cache()
+      val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+      val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
+      ex.as("x").join(ex.as("y"),
+          $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("n", "nb"), "b_id")
+        .select($"a_id", $"b_id",
+          ($"n_common".cast(DoubleType) / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+        .filter($"jaccard" >= 0.6)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""WITH sh AS ($ShinglesDuck)
+      SELECT a_id, b_id, jaccard FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""))
+
+  // --------------------------------------------------------- MinHash + LSH
+
+  private val A = Seq(1777L, 2203L, 3407L, 4001L, 5303L, 6121L, 7001L, 8011L)
+  private val B = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
+  private val P = 2147483647L // 2^31 - 1; a*h < 2^46, no 64-bit overflow
+
+  private def mhSpark(j: Int): String =
+    s"array_min(transform(shingles, s -> (${hSpark("s")} * ${A(j)} + ${B(j)}) % $P))"
+  private def mhDuck(j: Int): String =
+    s"list_min(list_transform(shingles, s -> (${hDuck("s")} * ${A(j)} + ${B(j)}) % $P))"
+
+  private def signatureDf(s: SparkSession, d: String): DataFrame = {
+    val cols = (0 until 8).map(j => expr(mhSpark(j)).as(s"mh$j"))
+    shingleDf(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  private val SignatureDuck: String = {
+    val cols = (0 until 8).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")
+    s"SELECT doc_id, $cols FROM sh"
+  }
+
+  /** Per-doc MinHash signature (8 permutations of the universal-hash family
+    * (a·h + b) mod (2^31−1)) — the sketch that makes near-dup detection
+    * linear-ish at scale. Bit-identical across engines.
+    */
+  val minhashSignatures: Q = Q(
+    "dd_minhash_signatures",
+    (s, d) => signatureDf(s, d).orderBy(col("doc_id")),
+    Some(s"""WITH sh AS ($ShinglesDuck)
+      $SignatureDuck ORDER BY doc_id"""))
+
+  /** LSH candidate pairs: 4 bands × 2 rows over the 8-slot signature; a
+    * pair is a candidate iff some band matches exactly (bucket join per
+    * band — the scale path: each band join shuffles on a compound key with
+    * bounded bucket sizes); candidates are then verified with true Jaccard
+    * >= 0.6 against the shingle sets.
+    */
+  val minhashLsh: Q = Q(
+    "dd_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val sig = signatureDf(s, d).cache()
+      val bands = (0 until 4).map { bnd =>
+        val k0 = s"mh${2 * bnd}"
+        val k1 = s"mh${2 * bnd + 1}"
+        sig.as("x").join(sig.as("y"),
+            col(s"x.$k0") === col(s"y.$k0") &&
+              col(s"x.$k1") === col(s"y.$k1") &&
+              $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      }
+      val cand = bands.reduce(_ union _).distinct()
+      val sh = shingleDf(s, d)
+      val withSets = cand
+        .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
+        .select($"a_id", $"b_id",
+          size(array_intersect($"sa", $"sb")).as("ni"),
+          size($"sa").as("na"), size($"sb").as("nb"))
+      withSets
+        .select($"a_id", $"b_id",
+          ($"ni".cast(DoubleType) / ($"na" + $"nb" - $"ni")).as("jaccard"))
+        .filter($"jaccard" >= 0.6)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val bandCond = (0 until 4).map { bnd =>
+        s"(a.mh${2 * bnd} = b.mh${2 * bnd} AND a.mh${2 * bnd + 1} = b.mh${2 * bnd + 1})"
+      }.mkString(" OR ")
+      s"""WITH sh AS ($ShinglesDuck),
+        sig AS ($SignatureDuck),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond))
+        SELECT a_id, b_id, jaccard FROM (
+          SELECT c.a_id, c.b_id,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+              (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+          FROM cand c JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id)
+        WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""
+    })
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over distinct-token 32-bit hashes: per bit, tokens vote
+    * ±1; the bit is set when the vote is >= 0. Near-dup docs land within a
+    * small Hamming distance. Pure per-doc expression work — no shuffle at
+    * all before the presentation sort.
+    */
+  val simhash: Q = Q(
+    "dd_simhash",
+    (s, d) => {
+      import s.implicits._
+      val thSpark =
+        s"transform(array_distinct(split($Norm, ' ')), t -> ${hSpark("t")})"
+      val bits = (0 until 32).map { b =>
+        val vote = s"aggregate(th, CAST(0 AS BIGINT), " +
+          s"(acc, h) -> acc + (CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        s"(CASE WHEN ($vote) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      Tables.documents(s, d)
+        .select($"doc_id", expr(thSpark).as("th"))
+        .select($"doc_id", expr(bits.mkString(" + ")).as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val bits = (0 until 32).map { b =>
+        val vote = s"list_sum(list_transform(th, " +
+          s"h -> CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        s"(CASE WHEN ($vote) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }
+      s"""WITH f AS (
+        SELECT doc_id,
+          list_transform(list_distinct(string_split($NormDuck, ' ')),
+                         t -> ${hDuck("t")}) AS th
+        FROM documents)
+        SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
+        FROM f ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashSignatures, minhashLsh, simhash)
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.queries.RelationalQueries.Q
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Multimodal-column plumbing (north-star): media payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extract runs as a
+  * partition-local transform over the binary batches. The container has no
+  * image/audio codecs, so the decode step is a clearly-marked DETERMINISTIC
+  * STUB ([[stubDecode]]) — the Spark-side plumbing (schema, binary column,
+  * partition-local batch processing, feature schema) is real and tested.
+  *
+  * Scale shape: decode is a narrow per-partition map — no shuffle; at
+  * 100 TB the only knobs are input split size and executor memory for the
+  * largest payload, both orthogonal to this operator's correctness.
+  */
+object Multimodal {
+
+  /** Typed metadata + payload view over `documents` (text bytes stand in
+    * for media bytes; a real pipeline would read image/audio files the same
+    * way — `binary` payload + metadata struct).
+    */
+  def mediaDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id",
+      encode($"text", "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        octet_length($"text").cast(LongType).as("byte_len"),
+        $"source".as("origin")).as("meta"))
+  }
+
+  /** DETERMINISTIC DECODE STUB — stands in for a real media decoder
+    * (image decode / audio resample / frame sample). Computes an 8-bin
+    * byte-value histogram normalized by payload length: deterministic,
+    * schema-shaped like a real feature extractor (fixed-width float
+    * vector), and cheap enough to run in tests.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](8)
+    if (payload == null || payload.isEmpty) return bins
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) >>> 5) += 1f
+      i += 1
+    }
+    var b = 0
+    while (b < 8) { bins(b) /= payload.length; b += 1 }
+    bins
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** Partition-local decode + feature extraction over the binary column —
+    * the real plumbing around the stubbed decoder.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val encoder = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("doc_id"), payload.length.toLong,
+            stubDecode(payload))
+        }
+      }(encoder)
+  }
+
+  /** Oracle-checked metadata projection (the part DuckDB can mirror). */
+  val binaryStats: Q = Q(
+    "mm_binary_stats",
+    (s, d) => {
+      import s.implicits._
+      mediaDf(s, d).select(
+        $"doc_id",
+        $"meta.mime".as("mime"),
+        $"meta.byte_len".as("byte_len"),
+        $"meta.origin".as("origin"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, 'text/plain' AS mime,
+      CAST(strlen(text) AS BIGINT) AS byte_len, source AS origin
+      FROM documents ORDER BY doc_id"""))
+
+  /** Feature extraction through the stub decoder; the stub is not
+    * SQL-expressible in DuckDB, so this entry takes the driver's weaker
+    * rows-only check (and is golden-tested in MultimodalSpec instead).
+    */
+  val featureExtract: Q = Q(
+    "mm_feature_extract",
+    (s, d) => {
+      import s.implicits._
+      extractFeatures(mediaDf(s, d))
+        .select($"doc_id", $"byte_len",
+          $"features".getItem(0).as("f0"),
+          $"features".getItem(1).as("f1"),
+          $"features".getItem(2).as("f2"),
+          $"features".getItem(3).as("f3"))
+        .orderBy($"doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(binaryStats, featureExtract)
+}

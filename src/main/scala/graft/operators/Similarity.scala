@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.cosine_similarity
+import graft.queries.RelationalQueries.Q
+import graft.queries.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (north-star): brute-force
+  * cosine top-k as the exact baseline, plus a random-hyperplane LSH
+  * bucketing as the scale path (candidates only within a bucket — the join
+  * is on the bucket key, never all-pairs), plus embedding-cosine near-dup
+  * pairs blocked by label.
+  *
+  * The 100 TB shape: queries are broadcast (small side), candidates stream
+  * through partitions once; LSH turns the all-pairs problem into a bucket
+  * join whose fan-out is controlled by the number of hyperplanes. The
+  * cosine kernel is the codegen'd [[graft.functions.CosineSimilarity]]
+  * expression.
+  *
+  * DuckDB oracles mirror the double arithmetic element-by-element in index
+  * order, so scores compare bit-exactly.
+  */
+object Similarity {
+
+  /** DuckDB sequential-sum cosine between two float-list columns. */
+  private def cosDuck(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+       (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+        sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))"""
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors: broadcast the
+    * query side, one pass over candidates, per-query top-k via window.
+    */
+  val bruteforceTopK: Q = Q(
+    "ann_bruteforce_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val cands = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val scored = cands.crossJoin(broadcast(queries))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          cosine_similarity($"qe", $"ce").as("score"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank", $"cid", $"score")
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+      s AS (SELECT qid, cid, ${cosDuck("qe", "ce")} AS score
+            FROM q, c WHERE qid != cid),
+      r AS (SELECT qid, cid, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+            FROM s)
+      SELECT qid, rank, cid, score FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  // ------------------------------------------------ random-hyperplane LSH
+
+  /** Deterministic integer hyperplane weights w(p, j) ∈ [-2, 2]. */
+  private def weight(p: Int): String => String =
+    j => s"(((7*$p + 11*$j) % 5) - 2)"
+
+  private val Dim = 64
+  private val Planes = 8
+
+  private def bucketExprSpark: String = {
+    val bits = (0 until Planes).map { p =>
+      val w = weight(p)("j")
+      val dot = s"aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
+        s"(acc, j) -> acc + CAST(embedding[j] AS DOUBLE) * CAST($w AS DOUBLE))"
+      s"(CASE WHEN ($dot) >= 0.0 THEN ${1 << p} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  private def bucketExprDuck: String = {
+    val bits = (0 until Planes).map { p =>
+      val w = weight(p)("j")
+      val dot = s"list_sum(list_transform(range($Dim), " +
+        s"j -> embedding[j+1]::DOUBLE * ($w)::DOUBLE))"
+      s"(CASE WHEN ($dot) >= 0.0 THEN ${1 << p} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  private def bucketsDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr(bucketExprSpark).as("bucket"))
+
+  /** Per-vector LSH bucket id (sign pattern over 8 fixed hyperplanes). */
+  val lshBuckets: Q = Q(
+    "ann_lsh_buckets",
+    (s, d) => bucketsDf(s, d).select(col("vec_id"), col("bucket"))
+      .orderBy(col("vec_id")),
+    Some(s"""SELECT vec_id, $bucketExprDuck AS bucket
+      FROM embeddings ORDER BY vec_id"""))
+
+  /** Approximate top-3 neighbors from within the same LSH bucket only —
+    * the scale path: a self-join on the bucket key replaces the all-pairs
+    * cross join of the brute-force baseline.
+    */
+  val lshTopK: Q = Q(
+    "ann_lsh_topk",
+    (s, d) => {
+      import s.implicits._
+      val b = bucketsDf(s, d).cache()
+      val pairs = b.select($"vec_id".as("qid"), $"bucket", $"embedding".as("qe"))
+        .join(b.select($"vec_id".as("cid"), $"bucket", $"embedding".as("ce")),
+          "bucket")
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      pairs.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid", $"score")
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket FROM embeddings),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   ${cosDuck("q.embedding", "c.embedding")} AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+      r AS (SELECT qid, cid, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+            FROM s)
+      SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** Embedding-cosine near-dup pairs, blocked by label (same-label pairs
+    * only — blocking keys bound the candidate set at scale).
+    */
+  val cosineNearDup: Q = Q(
+    "dd_embedding_cosine",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding")
+      e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
+        .join(e.select($"vec_id".as("b_id"), $"label", $"embedding".as("eb")),
+          "label")
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          cosine_similarity($"ea", $"eb").as("score"))
+        .filter($"score" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      ${cosDuck("a.embedding", "b.embedding")} AS score
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
+      ORDER BY a_id, b_id"""))
+
+  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, cosineNearDup)
+}

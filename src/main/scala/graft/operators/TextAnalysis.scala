@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.queries.RelationalQueries.Q
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star, BASELINE.json): token counting, quality scoring, language
+  * ID, document fingerprinting — all per-document narrow transforms (no
+  * shuffle except the final presentation sort), so they scale linearly with
+  * input splits at 100 TB.
+  *
+  * Cross-engine determinism: every score is arithmetic on exact integer
+  * counts (or ratios thereof) — no transcendentals, no order-dependent
+  * float aggregation (see [[Tables]] rules).
+  */
+object TextAnalysis {
+
+  /** `lower → trim → collapse whitespace` — the shared normal form. */
+  private val normSpark = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val normDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  val tokenCount: Q = Q(
+    "ta_token_count",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"),
+          length($"text").cast(LongType).as("n_chars_obs"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_obs
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality score: linear combination of exact counts — stopword ratio,
+    * mean token length, document length. (A real pipeline would tune the
+    * weights; the operator shape — cheap per-doc features combined into one
+    * scalar used for corpus filtering — is the point.)
+    */
+  val qualityScore: Q = Q(
+    "ta_quality_score",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("w"),
+          length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
+        .select($"doc_id",
+          size($"w").cast(LongType).as("n_tokens"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast(LongType).as("n_stop"),
+          $"n_letters")
+        .select($"doc_id", $"n_tokens", $"n_stop",
+          (($"n_stop".cast(DoubleType) / $"n_tokens") * 0.4 +
+            ($"n_letters".cast(DoubleType) / $"n_tokens") * 0.01 +
+            $"n_tokens".cast(DoubleType) * 0.0001).as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS w,
+        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_letters
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS n_stop,
+        (CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS DOUBLE) / len(w)) * 0.4
+          + (CAST(n_letters AS DOUBLE) / len(w)) * 0.01
+          + CAST(len(w) AS DOUBLE) * 0.0001 AS quality
+      FROM f ORDER BY doc_id"""))
+
+  /** Language ID via stopword-hit-ratio heuristic (n-gram-free variant:
+    * the corpus vocabulary is synthetic, so function-word evidence is the
+    * only signal; the operator shape matches a real n-gram classifier —
+    * per-doc token scan, no shuffle).
+    */
+  val langId: Q = Q(
+    "ta_lang_id",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          split(lower(trim($"text")), "\\s+").as("w"))
+        .select($"doc_id", $"lang",
+          size($"w").cast(LongType).as("n_tokens"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast(LongType).as("n_stop"))
+        .select($"doc_id", $"lang",
+          when($"n_tokens" === 0, "empty")
+            .when($"n_stop".cast(DoubleType) / $"n_tokens" >= 0.05, "en")
+            .otherwise("unknown").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS n_stop
+      FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN n_tokens = 0 THEN 'empty'
+             WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 'en'
+             ELSE 'unknown' END AS lang_pred
+      FROM f ORDER BY doc_id"""))
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key (a content-defined fingerprint; the
+    * rolling-hash variant lives in [[graft.functions.RollingHash]]).
+    */
+  val fingerprint: Q = Q(
+    "ta_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", md5(expr(normSpark)).as("fp"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id, md5($normDuck) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.VectorFunctions.cosine_similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantics tests for the north-star operators at sf0.001 (the
+  * full oracle gate runs at sf0.01 via graft.Verify + DuckDB).
+  */
+class NorthStarSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sfDir
+
+  test("cosine_similarity: orthogonal → 0, parallel → 1, zero vector → null") {
+    val df = Seq(
+      (1L, Array(1f, 0f), Array(0f, 1f)),
+      (2L, Array(1f, 2f), Array(2f, 4f)),
+      (3L, Array(0f, 0f), Array(1f, 1f)),
+      (4L, Array(3f, 4f), Array(3f, 4f))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", cosine_similarity($"a", $"b").as("c"))
+      .orderBy($"id").collect()
+    assert(out(0).getDouble(1) == 0.0)
+    assert(math.abs(out(1).getDouble(1) - 1.0) < 1e-15)
+    assert(out(2).isNullAt(1))
+    assert(math.abs(out(3).getDouble(1) - 1.0) < 1e-15)
+  }
+
+  test("cosine_similarity rejects mismatched element types at analysis") {
+    val df = Seq((Array(1f, 2f), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(cosine_similarity($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("cosine_similarity"))
+  }
+
+  test("exact dedup groups by content hash") {
+    val out = Dedup.exact.build(spark, sf)
+    assert(out.count() > 0)
+    // no exact dups planted → every group has one copy
+    assert(out.filter($"n_copies" > 1).count() == 0)
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = Dedup.minhashSignatures.build(spark, sf).collect()
+    val b = Dedup.minhashSignatures.build(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ngram jaccard and minhash LSH agree on near-dup pairs at sf0.001") {
+    val exact = Dedup.ngramJaccard.build(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh.build(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be verified true pairs")
+    assert(exact.nonEmpty, "expected planted near-dups in documents")
+    assert(lsh == exact, "4x2 banding at tau=0.6 should recover all pairs here")
+  }
+
+  test("simhash of near-dup pairs is close in Hamming distance") {
+    val sh = Dedup.simhash.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard.build(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val dists = pairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b))
+    }
+    // near-dups differ in a handful of tokens → expect << 16 of 32 bits
+    assert(dists.forall(_ <= 10),
+      s"near-dup simhash Hamming distances should be small, got ${dists.toSeq}")
+  }
+
+  test("text analysis: token counts and fingerprints line up") {
+    val tc = TextAnalysis.tokenCount.build(spark, sf)
+    assert(tc.filter($"n_tokens" <= 0).count() == 0)
+    val fp = TextAnalysis.fingerprint.build(spark, sf)
+    assert(fp.select("fp").distinct().count() == fp.count(),
+      "no exact dups planted → fingerprints unique")
+  }
+
+  test("multimodal stub decode: 8-bin byte histogram sums to ~1") {
+    val f = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
+    assert(f.length == 8)
+    assert(math.abs(f.sum - 1.0f) < 1e-5)
+    // deterministic
+    assert(f.toSeq == Multimodal.stubDecode("hello world".getBytes("UTF-8")).toSeq)
+  }
+
+  test("multimodal feature extraction runs partition-local over binary payloads") {
+    val out = Multimodal.featureExtract.build(spark, sf)
+    assert(out.count() > 0)
+    val row = out.orderBy($"doc_id").first()
+    assert(row.getLong(1) > 0) // byte_len
+  }
+}
