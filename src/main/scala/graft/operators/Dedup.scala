@@ -119,9 +119,9 @@ object Dedup {
   private def mhDuck(j: Int): String =
     s"list_min(list_transform(shingles, s -> (${hDuck("s")} * ${A(j)} + ${B(j)}) % $P))"
 
-  private def signatureDf(s: SparkSession, d: String): DataFrame = {
+  private def signatureDf(sh: DataFrame): DataFrame = {
     val cols = (0 until 8).map(j => expr(mhSpark(j)).as(s"mh$j"))
-    shingleDf(s, d).select(col("doc_id") +: cols: _*)
+    sh.select(col("doc_id") +: cols: _*)
   }
 
   private val SignatureDuck: String = {
@@ -135,7 +135,7 @@ object Dedup {
     */
   val minhashSignatures: Q = Q(
     "dd_minhash_signatures",
-    (s, d) => signatureDf(s, d).orderBy(col("doc_id")),
+    (s, d) => signatureDf(shingleDf(s, d)).orderBy(col("doc_id")),
     Some(s"""WITH sh AS ($ShinglesDuck)
       $SignatureDuck ORDER BY doc_id"""))
 
@@ -149,7 +149,8 @@ object Dedup {
     "dd_minhash_lsh",
     (s, d) => {
       import s.implicits._
-      val sig = signatureDf(s, d).cache()
+      val sh = shingleDf(s, d).cache() // shared by signatures + verification
+      val sig = signatureDf(sh).cache()
       val bands = (0 until 4).map { bnd =>
         val k0 = s"mh${2 * bnd}"
         val k1 = s"mh${2 * bnd + 1}"
@@ -160,7 +161,6 @@ object Dedup {
           .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       }
       val cand = bands.reduce(_ union _).distinct()
-      val sh = shingleDf(s, d)
       val withSets = cand
         .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
         .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")

@@ -31,5 +31,50 @@ object EventWindows {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
-  val all: Seq[Q] = Seq(hourly)
+  /** Gap-based sessionization (30-minute inactivity gap), batch form: the
+    * lag-flag-cumsum idiom. Each user's events are ordered by (ts, id), a
+    * new session starts when the gap from the previous event exceeds the
+    * threshold, and the running count of session starts numbers the
+    * sessions. Shuffles once on user_id; everything else is window work
+    * within the partition. The streaming twin with explicit state lives in
+    * [[graft.streaming.EventStreamPipeline.sessionize]].
+    */
+  val sessionize: Q = Q(
+    "ev_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val GapMs = 1800000L
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", expr("ts div 1000000").as("ts_ms"))
+      val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val flagged = ev.withColumn("new_session",
+        when(lag($"ts_ms", 1).over(byTime).isNull ||
+          $"ts_ms" - lag($"ts_ms", 1).over(byTime) > GapMs, 1L).otherwise(0L))
+      flagged
+        .withColumn("session_id", sum($"new_session").over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ts_ms").as("session_start_ms"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      f AS (
+        SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      g AS (
+        SELECT user_id, ts_ms,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f)
+      SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+        count(*) AS n_events
+      FROM g GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  val all: Seq[Q] = Seq(hourly, sessionize)
 }

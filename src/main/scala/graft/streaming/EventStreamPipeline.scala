@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming form of the event analytics: the same hourly
   * windowed aggregation as the batch query `ev_window_hourly`
@@ -47,5 +48,48 @@ object EventStreamPipeline {
         sum($"value".cast(DecimalType(18, 2))).as("total_value"))
       .select($"window.start".as("window_start"), $"event_type", $"n",
         $"total_value")
+  }
+
+  case class Event(event_id: Long, ts: Long, user_id: Long)
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  case class Session(user_id: Long, session_start_ms: Long, n_events: Long)
+
+  val SessionGapMs = 1800000L
+
+  /** Gap-based sessionization with explicit per-user state
+    * (`flatMapGroupsWithState`): closed sessions are emitted as they
+    * complete; the open session rides in the group state across
+    * micro-batches. This is the custom-state form of the batch
+    * `ev_sessionize` query — state per key is one small record, so state
+    * store size is O(active users), independent of stream length.
+    */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), expr("ts div 1000000").as("ts"), col("user_id"))
+      .as[Event]
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            open = open match {
+              case Some(s) if e.ts - s.lastMs <= SessionGapMs =>
+                Some(s.copy(lastMs = e.ts, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.startMs, s.n)
+                Some(OpenSession(e.ts, e.ts, 1))
+              case None =>
+                Some(OpenSession(e.ts, e.ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
   }
 }

@@ -40,4 +40,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stateful sessionization: closed stream sessions = batch sessions minus open tails") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.sessionize(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_stream")
+        .select($"user_id", $"session_start_ms", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      // Batch twin over the same data; the stream never closes each user's
+      // final session (it stays in state), so drop the last session per user.
+      val batchAll = graft.operators.EventWindows.sessionize
+        .build(spark, TestSpark.sfDir)
+        .select($"user_id", $"session_start_ms", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+      val expected = batchAll.toSet -- lastPerUser
+
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
