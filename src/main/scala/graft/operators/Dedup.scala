@@ -114,19 +114,24 @@ object Dedup {
   private val B = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
   private val P = 2147483647L // 2^31 - 1; a*h < 2^46, no 64-bit overflow
 
+  // Hash each shingle ONCE into an int array, then apply the 8 affine
+  // permutations to the cached hashes — not 8 md5 evaluations per shingle.
   private def mhSpark(j: Int): String =
-    s"array_min(transform(shingles, s -> (${hSpark("s")} * ${A(j)} + ${B(j)}) % $P))"
+    s"array_min(transform(hh, h -> (h * ${A(j)} + ${B(j)}) % $P))"
   private def mhDuck(j: Int): String =
-    s"list_min(list_transform(shingles, s -> (${hDuck("s")} * ${A(j)} + ${B(j)}) % $P))"
+    s"list_min(list_transform(hh, h -> (h * ${A(j)} + ${B(j)}) % $P))"
 
   private def signatureDf(sh: DataFrame): DataFrame = {
     val cols = (0 until 8).map(j => expr(mhSpark(j)).as(s"mh$j"))
-    sh.select(col("doc_id") +: cols: _*)
+    sh.select(col("doc_id"),
+        expr(s"transform(shingles, s -> ${hSpark("s")})").as("hh"))
+      .select(col("doc_id") +: cols: _*)
   }
 
   private val SignatureDuck: String = {
     val cols = (0 until 8).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")
-    s"SELECT doc_id, $cols FROM sh"
+    s"""SELECT doc_id, $cols FROM
+       (SELECT doc_id, list_transform(shingles, s -> ${hDuck("s")}) AS hh FROM sh)"""
   }
 
   /** Per-doc MinHash signature (8 permutations of the universal-hash family

@@ -485,9 +485,41 @@ object RelationalQueries {
       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => {
+      // explicit GROUPING SETS is SQL-only surface; still Spark SQL planning
+      lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM graft_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  private val qPercentiles = Q(
+    "q_percentiles",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+          expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS qty_p50,
+      quantile_cont(l_quantity, 0.9) AS qty_p90,
+      quantile_cont(l_extendedprice, 0.5) AS price_p50
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
-    qPivot, qRegexp, qMinMax)
+    qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles)
 }

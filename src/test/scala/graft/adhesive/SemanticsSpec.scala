@@ -167,6 +167,23 @@ class SemanticsSpec extends AnyFunSuite {
     assert(out == 'x'.toLong)
   }
 
+  test("STRING and mixed argument types flow through the packed Row") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_strlen(STRING, BIGINT) RETURNS BIGINT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class StrLenPlus extends Adhesive {
+        |  public Object compute(Row row) {
+        |    return (long) row.getString(0).length() + row.getLong(1);
+        |  }
+        |}
+        |'""".stripMargin)
+    val out = spark.sql(
+      "SELECT f_strlen('hello', a) AS v FROM t ORDER BY a").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(6L, 7L, 8L, 9L))
+  }
+
   test("INT / FLOAT / DOUBLE return types are wired end-to-end (type matrix)") {
     fixture()
     spark.sql(
