@@ -26,6 +26,7 @@ object AdhesiveDdl {
   sealed trait Language
   case object LangJava extends Language
   case object LangClass extends Language
+  case object LangScala extends Language
 
   case class CreateFunctionStatement(
       name: String,
@@ -35,8 +36,15 @@ object AdhesiveDdl {
       body: String,
       deterministic: Boolean = false)
 
-  private val WithBody =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+'((?:[^']|'')*)'\s*;?\s*$""".r
+  // Three body forms: '…' (SQL '' escaping), "…" (the reference README's
+  // LANGUAGE CLASS example quotes the class name this way, README.md:36-40),
+  // and $$…$$ dollar-quoting (raw, no escapes — the form the reference
+  // intended but left broken, src/fusion.rs:52-56).
+  private val Prefix =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
+  private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'\s*;?\s*$""").r
+  private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"\s*;?\s*$""").r
+  private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$\s*;?\s*$""").r
 
   private val WithoutBody =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:DETERMINISTIC\s*)?(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
@@ -47,14 +55,12 @@ object AdhesiveDdl {
     * which has no RETURNS clause — still sees it).
     */
   def parse(sqlText: String): Option[CreateFunctionStatement] = sqlText match {
-    case WithBody(name, args, ret, det, lang, body) =>
-      Some(CreateFunctionStatement(
-        name,
-        parseArgTypes(args),
-        parseType(ret),
-        parseLanguage(lang),
-        body.replace("''", "'"),
-        deterministic = det != null))
+    case WithBodyDollar(name, args, ret, det, lang, body) =>
+      Some(statement(name, args, ret, det, lang, body))
+    case WithBodySingle(name, args, ret, det, lang, body) =>
+      Some(statement(name, args, ret, det, lang, body.replace("''", "'")))
+    case WithBodyDouble(name, args, ret, det, lang, body) =>
+      Some(statement(name, args, ret, det, lang, body.replace("\"\"", "\"")))
     case WithoutBody(_, _, _, _) =>
       // Parses as our DDL but has no AS '<body>' clause — reference error
       // message parity (src/fusion.rs:57).
@@ -62,6 +68,11 @@ object AdhesiveDdl {
         "class name or class definition should be provided")
     case _ => None
   }
+
+  private def statement(name: String, args: String, ret: String,
+      det: String, lang: String, body: String): CreateFunctionStatement =
+    CreateFunctionStatement(name, parseArgTypes(args), parseType(ret),
+      parseLanguage(lang), body, deterministic = det != null)
 
   /** Execute adhesive DDL against a session directly — the programmatic
     * path (reference E3, `src/jvm.rs:287-301`) for sessions built without
@@ -81,6 +92,10 @@ object AdhesiveDdl {
         AdhesiveRegistry.registerJavaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           deterministic = stmt.deterministic)
+      case LangScala =>
+        AdhesiveRegistry.registerScalaSource(
+          spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
+          deterministic = stmt.deterministic)
       case LangClass =>
         AdhesiveRegistry.registerClass(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
@@ -91,9 +106,10 @@ object AdhesiveDdl {
     Option(lang).map(_.toLowerCase(Locale.ROOT)) match {
       case None | Some("java") => LangJava // default language = JAVA
       case Some("class")       => LangClass
+      case Some("scala")       => LangScala
       case Some(other) =>
         throw new AdhesiveException(s"language '$other' not supported; " +
-          "supported: JAVA, CLASS")
+          "supported: JAVA, SCALA, CLASS")
     }
 
   private def parseArgTypes(args: String): Seq[DataType] = {

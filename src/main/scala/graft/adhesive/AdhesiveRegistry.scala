@@ -49,6 +49,25 @@ object AdhesiveRegistry {
       deterministic)
   }
 
+  /** Compile inline Scala source and register it (the `LANGUAGE SCALA`
+    * path — an extension beyond the reference's Java-only surface; the
+    * same mangling/distribution/caching pipeline applies).
+    */
+  def registerScalaSource(
+      spark: SparkSession,
+      name: String,
+      source: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      nonNullable: Boolean = false,
+      deterministic: Boolean = false): Unit = {
+    val (rewritten, fqn) = SourceRewriter.rewrite(source)
+    val bytecode = InMemoryScalaCompiler.compile(fqn, rewritten)
+    AdhesiveInstances.instance(fqn, bytecode)
+    register(spark, name, fqn, bytecode, argTypes, returnType, nonNullable,
+      deterministic)
+  }
+
   /** Register an existing classpath class (the `LANGUAGE CLASS` path). */
   def registerClass(
       spark: SparkSession,

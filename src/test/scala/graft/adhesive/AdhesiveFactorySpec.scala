@@ -76,6 +76,46 @@ class AdhesiveFactorySpec extends AnyFunSuite {
     assert(spark.sql("SELECT f_redef(CAST(1 AS BIGINT)) AS v").head().getLong(0) == 101L)
   }
 
+  test("double-quoted class body: the reference README's LANGUAGE CLASS form") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_dq(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS "graft.adhesive.example.BasicAddExample"""".stripMargin)
+    val out = spark.sql("SELECT f_dq(a, b) AS v FROM t ORDER BY a")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(11L, 22L, 33L, 44L))
+  }
+
+  test("dollar-quoted body needs no quote escaping (the form the reference TODO'd)") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_dollar(BIGINT) RETURNS BIGINT AS $$
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class Dollar extends Adhesive {
+        |  public Object compute(Row row) { return (long) 'x' + row.getLong(0); }
+        |}
+        |$$""".stripMargin)
+    val out = spark.sql("SELECT f_dollar(a) AS v FROM t WHERE a = 1").head().getLong(0)
+    assert(out == 'x'.toLong + 1)
+  }
+
+  test("LANGUAGE SCALA: inline Scala source compiled and invoked") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_scala(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE SCALA AS $$
+        |import graft.adhesive.Adhesive
+        |import org.apache.spark.sql.Row
+        |class ScalaMax extends Adhesive {
+        |  override def compute(row: Row): Object =
+        |    java.lang.Long.valueOf(math.max(row.getLong(0), row.getLong(1)))
+        |}
+        |$$""".stripMargin)
+    val out = spark.sql("SELECT f_scala(a, b) AS v FROM t ORDER BY a")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(10L, 20L, 30L, 40L))
+  }
+
   test("DataFrame API path: call_function resolves the registered function") {
     fixture()
     spark.sql(
