@@ -232,5 +232,32 @@ object Dedup {
         FROM f ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashSignatures, minhashLsh, simhash)
+  /** The end-use of near-dup detection: the deduplicated corpus. Greedy
+    * survivor rule — within every qualifying pair, the lower doc_id
+    * survives; a doc is dropped iff it appears as the higher side of some
+    * pair. (Full connected-component canonicalization is an iterative
+    * join-until-fixpoint on the same pair list.)
+    */
+  val survivors: Q = Q(
+    "dd_survivors",
+    (s, d) => {
+      import s.implicits._
+      val drops = ngramJaccard.build(s, d).select($"b_id".as("doc_id"))
+      Tables.documents(s, d)
+        .join(drops, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH sh AS ($ShinglesDuck),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_id, source FROM documents
+      WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.6)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashSignatures, minhashLsh,
+    simhash, survivors)
 }

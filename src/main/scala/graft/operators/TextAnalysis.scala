@@ -28,11 +28,15 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select($"doc_id",
           size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"),
+          // BPE-ish pre-tokenization: word runs + single punctuation marks
+          size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+            .cast(LongType).as("n_tokens_bpe"),
           length($"text").cast(LongType).as("n_chars_obs"))
         .orderBy($"doc_id")
     },
     Some("""SELECT doc_id,
       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe,
       CAST(length(text) AS BIGINT) AS n_chars_obs
       FROM documents ORDER BY doc_id"""))
 
