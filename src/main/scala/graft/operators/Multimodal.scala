@@ -75,6 +75,30 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Feature "resize": downsample a feature vector by averaging adjacent
+    * bins (the stub analogue of image resize / audio resample).
+    */
+  def resizeFeatures(features: Array[Float], outBins: Int): Array[Float] = {
+    require(outBins > 0 && features.length % outBins == 0,
+      s"cannot resize ${features.length} bins to $outBins")
+    val factor = features.length / outBins
+    Array.tabulate(outBins) { i =>
+      var s = 0f
+      var j = 0
+      while (j < factor) { s += features(i * factor + j); j += 1 }
+      s / factor
+    }
+  }
+
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th one (the stub analogue of video frame sampling).
+    */
+  def sampleFrames(payload: Array[Byte], frameSize: Int = 64,
+      stride: Int = 2): Seq[Array[Byte]] =
+    payload.grouped(frameSize).zipWithIndex
+      .collect { case (f, i) if i % stride == 0 => f }
+      .toSeq
+
   /** Oracle-checked metadata projection (the part DuckDB can mirror). */
   val binaryStats: Q = Q(
     "mm_binary_stats",
@@ -109,5 +133,33 @@ object Multimodal {
     },
     None)
 
-  val all: Seq[Q] = Seq(binaryStats, featureExtract)
+  /** Frame-sampling stats computed from the REAL frame sampler output; the
+    * DuckDB oracle derives the same numbers in closed form (frame counts
+    * from byte length), so a hash-match verifies the sampler's geometry.
+    */
+  val frameSample: Q = Q(
+    "mm_frame_sample",
+    (s, d) => {
+      val spark = s
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", LongType, nullable = false),
+        StructField("first_frame_len", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      mediaDf(s, d).select("doc_id", "payload")
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val frames = sampleFrames(r.getAs[Array[Byte]]("payload"))
+            Row(r.getAs[Long]("doc_id"), frames.length.toLong,
+              frames.headOption.map(_.length.toLong).getOrElse(0L))
+          }
+        }(enc)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      ((strlen(text) + 63) // 64 + 1) // 2 AS n_frames,
+      least(64, strlen(text)) AS first_frame_len
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureExtract, frameSample)
 }

@@ -16,8 +16,21 @@ class BucketedJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def dropManaged(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a crashed previous run can leave the location behind with no catalog entry
+    val loc = java.nio.file.Paths.get("spark-warehouse", name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val sf = TestSpark.sfDir
+    dropManaged("li_bucketed")
+    dropManaged("o_bucketed")
     Tables.lineitem(spark, sf).write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")

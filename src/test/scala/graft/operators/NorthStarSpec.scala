@@ -89,6 +89,14 @@ class NorthStarSpec extends AnyFunSuite {
     assert(f.toSeq == Multimodal.stubDecode("hello world".getBytes("UTF-8")).toSeq)
   }
 
+  test("multimodal resize averages adjacent bins; frame sampler keeps every 2nd frame") {
+    val r = Multimodal.resizeFeatures(Array(1f, 3f, 5f, 7f), 2)
+    assert(r.toSeq == Seq(2f, 6f))
+    val frames = Multimodal.sampleFrames(Array.fill[Byte](200)(1), frameSize = 64, stride = 2)
+    // frames of 64,64,64,8 → sampled indices 0 and 2
+    assert(frames.map(_.length) == Seq(64, 64))
+  }
+
   test("multimodal feature extraction runs partition-local over binary payloads") {
     val out = Multimodal.featureExtract.build(spark, sf)
     assert(out.count() > 0)
