@@ -130,6 +130,68 @@ object Similarity {
             FROM s)
       SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF cell assignment: nearest centroid by cosine from a deterministic
+    * 16-vector codebook (the first 16 vectors — a real pipeline would
+    * k-means a sample; the operator shape is identical). The codebook is
+    * broadcast; assignment is one narrow pass over the vectors.
+    */
+  private def cellsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cscore".desc, $"centroid_id")
+    emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"centroid_id",
+        cosine_similarity($"embedding", $"centroid").as("cscore"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"centroid_id".as("cell"))
+  }
+
+  private val CellsDuck =
+    s"""SELECT vec_id, embedding, centroid_id AS cell FROM (
+       SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+       FROM embeddings e,
+            (SELECT vec_id AS centroid_id, embedding AS centroid
+             FROM embeddings WHERE vec_id < 16) c) WHERE rn = 1"""
+
+  /** IVF top-3: probe only the query's own cell (nprobe=1) — the inverted-
+    * file scale path: each query scans one cell, not the corpus.
+    */
+  val ivfTopK: Q = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      import s.implicits._
+      val cells = cellsDf(s, d).cache()
+      val pairs = cells
+        .select($"vec_id".as("qid"), $"cell", $"embedding".as("qe"))
+        .filter($"qid" < 10)
+        .join(cells.select($"vec_id".as("cid"), $"cell", $"embedding".as("ce")),
+          "cell")
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      pairs.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid", $"score")
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH cells AS ($CellsDuck),
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   ${cosDuck("q.embedding", "c.embedding")} AS score
+            FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+            WHERE q.vec_id < 10),
+      r AS (SELECT qid, cid, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+            FROM s)
+      SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** Embedding-cosine near-dup pairs, blocked by label (same-label pairs
     * only — blocking keys bound the candidate set at scale).
     */
@@ -155,5 +217,5 @@ object Similarity {
       WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, cosineNearDup)
+  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK, cosineNearDup)
 }

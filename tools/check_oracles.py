@@ -39,8 +39,12 @@ def main(out_dir, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
