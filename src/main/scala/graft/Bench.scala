@@ -6,8 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Queries are fully
   * materialized through the `noop` sink — `.count()` would let Catalyst
   * prune projections and drop sorts, under-measuring the real work.
+  *
+  * The headline `value` sums a FIXED set of queries (frozen in round 1) so
+  * the number stays comparable across rounds even as new operators add
+  * queries; the `queries` map still carries every query's time.
   */
 object Bench {
+
+  /** Frozen round-1 headline set — do not change across rounds. */
+  val Headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q_window_running_sum", "q_distinct_agg",
+    "aq_mul_java", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
+    "ann_bruteforce_topk", "ta_quality_score", "ev_sessionize")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,8 +47,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(r => Headline.contains(r._1)).map(_._2).sum
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
