@@ -517,9 +517,24 @@ object RelationalQueries {
       quantile_cont(l_extendedprice, 0.5) AS price_p50
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, d) => {
+      import s.implicits._
+      // HLL sketches: engines' estimators differ, so no SQL oracle — the
+      // driver records its rows-only check; ApproxSpec bounds the error
+      // against exact counts instead.
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_partkey").as("approx_parts"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
-    qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles)
+    qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct)
 }
