@@ -517,6 +517,67 @@ object RelationalQueries {
       quantile_cont(l_extendedprice, 0.5) AS price_p50
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val qWindowMisc = Q(
+    "q_window_misc",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, d)
+        .filter($"o_orderkey" < 2000)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          lead($"o_orderkey", 1).over(w).as("next_key"),
+          first_value($"o_orderkey").over(w).as("top_key"))
+        .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      lead(o_orderkey, 1) OVER w AS next_key,
+      first_value(o_orderkey) OVER w AS top_key
+      FROM orders WHERE o_orderkey < 2000
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, rnk, o_orderkey"""))
+
+  private val qScalarFuncs2 = Q(
+    "q_scalar_funcs2",
+    (s, d) => {
+      import s.implicits._
+      part(s, d).select(
+        $"p_partkey",
+        lpad($"p_brand", 12, "_").as("brand_pad"),
+        regexp_replace($"p_name", " ", "-").as("name_dashed"),
+        reverse($"p_type").as("type_rev"),
+        greatest($"p_size", lit(10)).cast(LongType).as("size_floor10"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      lpad(p_brand, 12, '_') AS brand_pad,
+      replace(p_name, ' ', '-') AS name_dashed,
+      reverse(p_type) AS type_rev,
+      CAST(greatest(p_size, 10) AS BIGINT) AS size_floor10
+      FROM part ORDER BY p_partkey"""))
+
+  private val qDateArith = Q(
+    "q_date_arith",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          datediff($"l_shipdate", $"o_orderdate").cast(LongType).as("ship_lag_days"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"ship_lag_days")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      date_diff('day', o_orderdate, l_shipdate) AS ship_lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, ship_lag_days"""))
+
   private val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, d) => {
@@ -536,5 +597,6 @@ object RelationalQueries {
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
-    qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct)
+    qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
+    qWindowMisc, qScalarFuncs2, qDateArith)
 }
