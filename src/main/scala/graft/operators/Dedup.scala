@@ -32,7 +32,7 @@ object Dedup {
   private val NormDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** Distinct word 3-gram shingles; docs with <3 tokens carry no shingle. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingleDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", split(expr(Norm), " ").as("w"))
@@ -80,25 +80,46 @@ object Dedup {
     * bound the join fan-out (a df-capped shingle can only be dropped safely
     * when τ·|shingles| exceeds the cap — here sf-scale needs no cap).
     */
+  /** Reusable near-dup pair finder over a (doc_id, shingles) frame.
+    *
+    * @param maxShingleDf the 100 TB knob: shingles occurring in more than
+    *        this many documents are excluded from CANDIDATE GENERATION
+    *        (they explode the self-join fan-out quadratically) — but NOT
+    *        from the Jaccard verification, which always uses the full
+    *        shingle sets. A qualifying pair is only lost if it shares no
+    *        sub-cap shingle at all; near-dups share many rare shingles
+    *        (JaccardDfCapSpec verifies zero loss at cap=50 here).
+    */
+  def jaccardPairs(sh: DataFrame, tau: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val ex = maxShingleDf match {
+      case Some(cap) =>
+        val rare = exAll.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select(col("sh"))
+        exAll.join(rare, "sh")
+      case None => exAll
+    }
+    ex.as("x").join(ex.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_cand")).drop("n_cand")
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   val ngramJaccard: Q = Q(
     "dd_ngram_jaccard",
     (s, d) => {
-      import s.implicits._
       val sh = shingleDf(s, d).cache()
-      val sizes = sh.select($"doc_id", size($"shingles").as("n"))
-      val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
-      ex.as("x").join(ex.as("y"),
-          $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(sizes.withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("n", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("n", "nb"), "b_id")
-        .select($"a_id", $"b_id",
-          ($"n_common".cast(DoubleType) / ($"na" + $"nb" - $"n_common")).as("jaccard"))
-        .filter($"jaccard" >= 0.6)
-        .orderBy($"a_id", $"b_id")
+      jaccardPairs(sh, 0.6).orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH sh AS ($ShinglesDuck)
       SELECT a_id, b_id, jaccard FROM (
