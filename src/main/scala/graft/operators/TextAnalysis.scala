@@ -125,5 +125,23 @@ object TextAnalysis {
     Some(s"""SELECT doc_id, md5($normDuck) AS fp
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint)
+  /** Rolling-hash fingerprint via the codegen'd
+    * [[graft.functions.RollingHash]] expression — the incremental variant
+    * (Rabin-Karp family) of [[fingerprint]]. The hash is engine-internal
+    * (not SQL-portable), so this entry takes the driver's rows-only check;
+    * determinism and collision behavior are covered in NorthStarSpec.
+    */
+  val rollingFingerprint: Q = Q(
+    "ta_rolling_fingerprint",
+    (s, d) => {
+      import graft.functions.RollingHash.rolling_hash
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", rolling_hash(expr(normSpark)).as("rfp"))
+        .orderBy($"doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
+    rollingFingerprint)
 }

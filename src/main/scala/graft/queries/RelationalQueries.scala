@@ -13,6 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning reach the parquet scan) paired with a DuckDB oracle that
   * must hash-match (see [[Tables]] for the cross-engine determinism rules).
   */
+/** Typed-Dataset row for the q_typed_pipeline query. */
+case class LineSlim(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 object RelationalQueries {
 
   case class Q(
@@ -578,6 +581,40 @@ object RelationalQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, ship_lag_days"""))
 
+  private val qArrayAgg = Q(
+    "q_array_agg",
+    (s, d) => {
+      import s.implicits._
+      // array aggregation + string aggregation with pinned element order
+      nation(s, d)
+        .groupBy($"n_regionkey")
+        .agg(sort_array(collect_list($"n_name")).as("nations"),
+          concat_ws(",", sort_array(collect_list($"n_name"))).as("nation_csv"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_regionkey")
+    },
+    Some("""SELECT n_regionkey,
+      list(n_name ORDER BY n_name) AS nations,
+      string_agg(n_name, ',' ORDER BY n_name) AS nation_csv,
+      count(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  private val qTypedPipeline = Q(
+    "q_typed_pipeline",
+    (s, d) => {
+      import s.implicits._
+      // typed Dataset surface: case-class Encoder, lambda filter, groupByKey
+      val ds = lineitem(s, d)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag").as[LineSlim]
+      ds.filter(_.l_quantity > 30.0)
+        .groupByKey(_.l_returnflag)
+        .count()
+        .toDF("l_returnflag", "n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+      WHERE l_quantity > 30.0 GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, d) => {
@@ -598,5 +635,5 @@ object RelationalQueries {
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
-    qWindowMisc, qScalarFuncs2, qDateArith)
+    qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline)
 }

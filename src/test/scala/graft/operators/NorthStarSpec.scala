@@ -73,6 +73,20 @@ class NorthStarSpec extends AnyFunSuite {
       s"near-dup simhash Hamming distances should be small, got ${dists.toSeq}")
   }
 
+  test("rolling hash: deterministic, order-sensitive, matches interpreted eval") {
+    import graft.functions.RollingHash
+    val h1 = RollingHash.hashBytes("hello world".getBytes("UTF-8"))
+    assert(h1 == RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+    assert(h1 != RollingHash.hashBytes("world hello".getBytes("UTF-8")))
+    // codegen path through a DataFrame equals the direct computation
+    val df = Seq(("hello world", 1)).toDF("s", "i")
+    val viaExpr = df.select(RollingHash.rolling_hash($"s")).head().getLong(0)
+    assert(viaExpr == h1)
+    // distinct docs → distinct fingerprints at this scale
+    val fp = TextAnalysis.rollingFingerprint.build(spark, sf)
+    assert(fp.select("rfp").distinct().count() == fp.count())
+  }
+
   test("text analysis: token counts and fingerprints line up") {
     val tc = TextAnalysis.tokenCount.build(spark, sf)
     assert(tc.filter($"n_tokens" <= 0).count() == 0)
