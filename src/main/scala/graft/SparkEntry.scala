@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusCuration, Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{AdhesiveParityQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -18,7 +18,7 @@ object SparkEntry {
   private def allQueries: Seq[RelationalQueries.Q] =
     AdhesiveParityQueries.all ++ RelationalQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
-      EventWindows.all
+      EventWindows.all ++ CorpusCuration.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

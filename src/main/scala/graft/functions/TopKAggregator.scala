@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, functions}
+
+/** Exact top-k values per group as a typed [[Aggregator]] — the custom
+  * aggregation seam (user-defined aggregate functions) of the engine.
+  * The buffer holds at most k elements, so partial aggregation ships k
+  * doubles per group per partition regardless of group size — the
+  * map-side-combine shape that keeps exact top-k cheap at scale (contrast
+  * with collect_list + sort, whose buffers grow with group size).
+  */
+class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+  require(k > 0)
+
+  override def zero: Seq[Double] = Vector.empty
+
+  override def reduce(buf: Seq[Double], v: Double): Seq[Double] =
+    if (buf.size < k) (buf :+ v).sortBy(-_)
+    else if (v > buf.last) (buf.init :+ v).sortBy(-_)
+    else buf
+
+  override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+    (a ++ b).sortBy(-_).take(k)
+
+  override def finish(r: Seq[Double]): Seq[Double] = r
+
+  override def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}
+
+object TopKAggregator {
+  /** Untyped-DataFrame form: `df.groupBy(...).agg(top_k(3)($"x"))`. */
+  def top_k(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    functions.udaf(new TopKDoubles(k), ExpressionEncoder[Double]())
+}

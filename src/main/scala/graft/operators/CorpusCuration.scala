@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.queries.RelationalQueries.Q
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The composed training-data pipeline: near-dup removal + language filter
+  * + quality threshold in one corpus-curation pass — the end-to-end shape
+  * the individual north-star operators exist for. Every stage is the
+  * already-oracled building block (survivor anti-join, stopword lang-ID,
+  * exact-count quality score), so the composition is oracle-checkable too.
+  */
+object CorpusCuration {
+
+  val curate: Q = Q(
+    "pipe_corpus_curation",
+    (s, d) => {
+      import s.implicits._
+      // stage 1: drop near-dups (greedy survivor rule over jaccard pairs)
+      val survivors = Dedup.survivors.build(s, d).select($"doc_id")
+      // stage 2+3: language + quality from exact counts
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          split(lower(trim($"text")), "\\s+").as("w"),
+          length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
+        .select($"doc_id", $"source",
+          size($"w").cast(LongType).as("n_tokens"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast(LongType).as("n_stop"),
+          $"n_letters")
+        .select($"doc_id", $"source", $"n_tokens",
+          ($"n_stop".cast(DoubleType) / $"n_tokens").as("stop_ratio"),
+          (($"n_stop".cast(DoubleType) / $"n_tokens") * 0.4 +
+            ($"n_letters".cast(DoubleType) / $"n_tokens") * 0.01 +
+            $"n_tokens".cast(DoubleType) * 0.0001).as("quality"))
+      scored
+        .join(survivors, "doc_id")
+        .filter($"stop_ratio" >= 0.05 && $"quality" >= 0.05)
+        .select($"doc_id", $"source", $"n_tokens", $"quality")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH sh AS (${Dedup.ShinglesDuck}),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      scored AS (
+        SELECT doc_id, source,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          (CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS DOUBLE) / len(w)) * 0.4
+            + (CAST(n_letters AS DOUBLE) / len(w)) * 0.01
+            + CAST(len(w) AS DOUBLE) * 0.0001 AS quality
+        FROM (SELECT doc_id, source,
+                string_split_regex(lower(trim(text)), '\\s+') AS w,
+                CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_letters
+              FROM documents))
+      SELECT doc_id, source, n_tokens, quality FROM scored
+      WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.6)
+        AND stop_ratio >= 0.05 AND quality >= 0.05
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(curate)
+}

@@ -42,7 +42,7 @@ object Dedup {
         .as("shingles"))
   }
 
-  private val ShinglesDuck =
+  private[operators] val ShinglesDuck =
     s"""SELECT doc_id,
        list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                        for i in range(1, len(w)-1) ]) AS shingles

@@ -615,6 +615,20 @@ object RelationalQueries {
     Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
       WHERE l_quantity > 30.0 GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val qTopKAgg = Q(
+    "q_topk_agg",
+    (s, d) => {
+      import graft.functions.TopKAggregator.top_k
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(top_k(3)($"l_extendedprice").as("top3_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top3_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, d) => {
@@ -635,5 +649,6 @@ object RelationalQueries {
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
-    qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline)
+    qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
+    qTopKAgg)
 }
