@@ -76,5 +76,40 @@ object EventWindows {
       FROM g GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
-  val all: Seq[Q] = Seq(hourly, sessionize)
+  /** Conversion funnel: users whose first 'signup' is followed by a
+    * 'purchase' within 7 days. Self-join shape on user_id with an
+    * event-time range predicate — at scale both sides shuffle once on the
+    * same key, and the range filter runs within the co-partitioned join.
+    */
+  val funnel: Q = Q(
+    "ev_funnel",
+    (s, d) => {
+      import s.implicits._
+      val WeekMs = 7L * 24 * 3600 * 1000
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", expr("ts div 1000000").as("ts_ms"))
+      val signups = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts_ms").as("signup_ms"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_ms".as("purchase_ms"))
+      signups.join(purchases, "user_id")
+        .filter($"purchase_ms" >= $"signup_ms" &&
+          $"purchase_ms" <= $"signup_ms" + WeekMs)
+        .groupBy($"user_id", $"signup_ms")
+        .agg(count(lit(1)).as("n_purchases_7d"),
+          min($"purchase_ms").as("first_purchase_ms"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      s AS (SELECT user_id, min(ts_ms) AS signup_ms FROM e
+            WHERE event_type = 'signup' GROUP BY user_id),
+      p AS (SELECT user_id, ts_ms AS purchase_ms FROM e WHERE event_type = 'purchase')
+      SELECT s.user_id, s.signup_ms,
+        count(*) AS n_purchases_7d, min(p.purchase_ms) AS first_purchase_ms
+      FROM s JOIN p ON s.user_id = p.user_id
+        AND p.purchase_ms >= s.signup_ms
+        AND p.purchase_ms <= s.signup_ms + 604800000
+      GROUP BY s.user_id, s.signup_ms ORDER BY s.user_id"""))
+
+  val all: Seq[Q] = Seq(hourly, sessionize, funnel)
 }

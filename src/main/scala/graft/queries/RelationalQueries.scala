@@ -615,6 +615,27 @@ object RelationalQueries {
     Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
       WHERE l_quantity > 30.0 GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val qSetOpsAll = Q(
+    "q_set_ops_all",
+    (s, d) => {
+      import s.implicits._
+      // multiset (ALL) variants: keep duplicates through the set operation
+      val flags95 = lineitem(s, d)
+        .filter($"l_shipdate" < to_timestamp(lit("1997-01-01")))
+        .select($"l_returnflag")
+      val flags96 = lineitem(s, d)
+        .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")))
+        .select($"l_returnflag")
+      flags95.intersectAll(flags96)
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n_intersect_all"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_intersect_all FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        INTERSECT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01')
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val qTopKAgg = Q(
     "q_topk_agg",
     (s, d) => {
@@ -650,5 +671,5 @@ object RelationalQueries {
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
-    qTopKAgg)
+    qTopKAgg, qSetOpsAll)
 }
