@@ -279,6 +279,36 @@ object Dedup {
       WHERE doc_id NOT IN (SELECT b_id FROM pairs WHERE jaccard >= 0.6)
       ORDER BY doc_id"""))
 
+  /** Asymmetric near-dup: containment (overlap coefficient
+    * |A∩B| / min(|A|,|B|) ≥ 0.9) catches docs that quote or embed another
+    * doc even when symmetric Jaccard stays low. Same shingle-join candidate
+    * shape as [[jaccardPairs]].
+    */
+  val containment: Q = Q(
+    "dd_containment",
+    (s, d) => {
+      import s.implicits._
+      val sh = shingleDf(s, d).cache()
+      val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
+      ex.as("x").join(ex.as("y"),
+          $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
+        .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
+        .select($"a_id", $"b_id",
+          (size(array_intersect($"sa", $"sb")).cast(DoubleType) /
+            least(size($"sa"), size($"sb"))).as("containment"))
+        .filter($"containment" >= 0.9)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""WITH sh AS ($ShinglesDuck)
+      SELECT a_id, b_id, containment FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            least(len(a.shingles), len(b.shingles)) AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE containment >= 0.9 ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashSignatures, minhashLsh,
-    simhash, survivors)
+    simhash, survivors, containment)
 }
