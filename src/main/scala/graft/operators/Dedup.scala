@@ -72,15 +72,10 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Near-dup pairs by word-3-gram Jaccard >= 0.6. Candidates come from an
-    * explode + self-join on the shingle (docs sharing >= 1 shingle) — the
-    * MapReduce-scalable shape; the DuckDB oracle computes ground-truth
-    * pairwise Jaccard, so a hash-match also proves the candidate join loses
-    * no qualifying pair. At web scale, cap shingle document-frequency to
-    * bound the join fan-out (a df-capped shingle can only be dropped safely
-    * when τ·|shingles| exceeds the cap — here sf-scale needs no cap).
-    */
-  /** Reusable near-dup pair finder over a (doc_id, shingles) frame.
+  /** Reusable near-dup pair finder: candidates from an explode + self-join
+    * on the shingle (docs sharing >= 1 candidate shingle — the
+    * MapReduce-scalable shape, never an all-pairs cross join), verified
+    * with exact Jaccard over the full shingle sets.
     *
     * @param maxShingleDf the 100 TB knob: shingles occurring in more than
     *        this many documents are excluded from CANDIDATE GENERATION
@@ -115,6 +110,10 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Word-3-gram Jaccard >= 0.6 pairs, uncapped — the DuckDB oracle is
+    * ground-truth pairwise Jaccard, so a hash-match also proves the
+    * candidate join loses no qualifying pair.
+    */
   val ngramJaccard: Q = Q(
     "dd_ngram_jaccard",
     (s, d) => {
