@@ -192,6 +192,89 @@ object Similarity {
             FROM s)
       SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Multi-probe IVF: queries probe their 2 nearest cells (nprobe=2) —
+    * the standard recall/cost dial; corpus vectors stay in their 1 home
+    * cell, so index size is unchanged and only the query fan-out doubles.
+    */
+  val ivfNprobe2: Q = Q(
+    "ann_ivf_nprobe2",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+      val w = Window.partitionBy($"vec_id")
+        .orderBy($"cscore".desc, $"centroid_id")
+      val ranked = emb.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"embedding", $"centroid_id",
+          cosine_similarity($"embedding", $"centroid").as("cscore"))
+        .withColumn("rn", row_number().over(w))
+      val home = ranked.filter($"rn" === 1)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"),
+          $"centroid_id".as("cell"))
+      val probes = ranked.filter($"rn" <= 2 && $"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"centroid_id".as("cell"))
+      val pairs = probes.join(home, "cell")
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+        .distinct() // a candidate may appear via both probed cells
+      val tk = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      pairs.withColumn("rank", row_number().over(tk))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid", $"score")
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH ranked AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+        FROM embeddings e,
+             (SELECT vec_id AS centroid_id, embedding AS centroid
+              FROM embeddings WHERE vec_id < 16) c),
+      home AS (SELECT vec_id AS cid, embedding AS ce, centroid_id AS cell
+               FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, embedding AS qe, centroid_id AS cell
+                 FROM ranked WHERE rn <= 2 AND vec_id < 10),
+      s AS (SELECT DISTINCT qid, cid, ${cosDuck("qe", "ce")} AS score
+            FROM probes JOIN home USING (cell) WHERE qid != cid),
+      r AS (SELECT qid, cid, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+            FROM s)
+      SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** The SQL-registration path for the custom cosine expression: the same
+    * brute-force top-k expressed entirely in SQL after
+    * `VectorFunctions.register` — custom Catalyst expressions are
+    * first-class SQL functions, like the dynamic-UDF DDL path.
+    */
+  val sqlTopK: Q = Q(
+    "ann_sql_topk",
+    (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM graft_embeddings
+                   WHERE vec_id >= 10 AND vec_id < 20),
+        c AS (SELECT vec_id AS cid, embedding AS ce FROM graft_embeddings),
+        sc AS (SELECT qid, cid, cosine_similarity(qe, ce) AS score
+               FROM q CROSS JOIN c WHERE qid != cid),
+        r AS (SELECT qid, cid, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+              FROM sc)
+        SELECT qid, rank, cid, score FROM r WHERE rank <= 3
+        ORDER BY qid, rank""")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id >= 10 AND vec_id < 20),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+      sc AS (SELECT qid, cid, ${cosDuck("qe", "ce")} AS score
+             FROM q CROSS JOIN c WHERE qid != cid),
+      r AS (SELECT qid, cid, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+            FROM sc)
+      SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** Embedding-cosine near-dup pairs, blocked by label (same-label pairs
     * only — blocking keys bound the candidate set at scale).
     */
@@ -217,5 +300,6 @@ object Similarity {
       WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK, cosineNearDup)
+  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
+    ivfNprobe2, sqlTopK, cosineNearDup)
 }
