@@ -308,6 +308,81 @@ object Dedup {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       WHERE containment >= 0.9 ORDER BY a_id, b_id"""))
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashSignatures, minhashLsh,
-    simhash, survivors, containment)
+  /** Character-5-gram Jaccard — the char-level twin of [[ngramJaccard]]
+    * (robust to tokenization differences; catches dups across punctuation
+    * and spacing edits that word shingles miss). Same candidate-join shape
+    * via [[jaccardPairs]].
+    */
+  val chargramJaccard: Q = Q(
+    "dd_chargram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", expr(Norm).as("t"))
+        .filter(length($"t") >= 5)
+        .select($"doc_id", array_distinct(expr(
+          "transform(sequence(1, length(t)-4), i -> substring(t, i, 5))"))
+          .as("shingles"))
+        .cache()
+      jaccardPairs(sh, 0.6).orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id,
+          list_distinct([ substr(t, i, 5) for i in range(1, length(t)-3) ]) AS shingles
+        FROM (SELECT doc_id, $NormDuck AS t FROM documents)
+        WHERE length(t) >= 5)
+      SELECT a_id, b_id, jaccard FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""))
+
+  /** SimHash near-dup pairs with Hamming distance <= 3, using pigeonhole
+    * blocking: split the 32-bit signature into 4 bytes — any pair within
+    * Hamming 3 must agree exactly on at least one byte, so candidates come
+    * from 4 equality joins on single bytes (bounded fan-out at scale),
+    * then bit_count verifies the true distance. No all-pairs stage.
+    */
+  val simhashPairs: Q = Q(
+    "dd_simhash_pairs",
+    (s, d) => {
+      import s.implicits._
+      val sig = simhash.build(s, d).select($"doc_id", $"simhash").cache()
+      val withBytes = sig.select($"doc_id", $"simhash",
+        expr("simhash % 256").as("b0"),
+        expr("(simhash div 256) % 256").as("b1"),
+        expr("(simhash div 65536) % 256").as("b2"),
+        expr("(simhash div 16777216) % 256").as("b3"))
+      val cand = (0 until 4).map { i =>
+        withBytes.as("x").join(withBytes.as("y"),
+            col(s"x.b$i") === col(s"y.b$i") && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+            $"x.simhash".as("ha"), $"y.simhash".as("hb"))
+      }.reduce(_ union _).distinct()
+      cand.select($"a_id", $"b_id",
+          expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val simhashSql = simhash.oracle.get.replace("ORDER BY doc_id", "")
+      s"""WITH sig AS ($simhashSql),
+        b AS (SELECT doc_id, simhash,
+               simhash % 256 AS b0, (simhash // 256) % 256 AS b1,
+               (simhash // 65536) % 256 AS b2, (simhash // 16777216) % 256 AS b3
+              FROM sig),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                 x.simhash AS ha, y.simhash AS hb
+          FROM b x JOIN b y ON x.doc_id < y.doc_id
+            AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+        SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        ORDER BY a_id, b_id"""
+    })
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, chargramJaccard,
+    minhashSignatures, minhashLsh, simhash, simhashPairs, survivors,
+    containment)
 }
