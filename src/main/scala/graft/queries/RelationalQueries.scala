@@ -636,6 +636,28 @@ object RelationalQueries {
         SELECT l_returnflag FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01')
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val qJoinRange = Q(
+    "q_join_range",
+    (s, d) => {
+      import s.implicits._
+      // equi-join on the key plus a residual range predicate (shipped
+      // within 90 days of ordering): the mixed-condition join shape —
+      // shuffle on the equi key, range evaluated inside the joined stream
+      lineitem(s, d)
+        .join(orders(s, d), $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= date_add($"o_orderdate".cast(DateType), 90)
+            .cast(TimestampType))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_shipped_90d"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_shipped_90d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val qTopKAgg = Q(
     "q_topk_agg",
     (s, d) => {
@@ -671,5 +693,5 @@ object RelationalQueries {
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
-    qTopKAgg, qSetOpsAll)
+    qTopKAgg, qSetOpsAll, qJoinRange)
 }
