@@ -687,11 +687,33 @@ object RelationalQueries {
     },
     None)
 
+  private val qNullHandling = Q(
+    "q_null_handling",
+    (s, d) => {
+      import s.implicits._
+      // the tables carry no nulls, so manufacture them: NULLIF on a value
+      // bucket, then exercise null-aware grouping / counting / coalesce
+      lineitem(s, d)
+        .select(nullif($"l_returnflag", lit("N")).as("flag_or_null"),
+          $"l_quantity")
+        .groupBy($"flag_or_null")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"flag_or_null").as("n_nonnull_key"),
+          coalesce(max($"flag_or_null"), lit("<null>")).as("key_disp"))
+        .orderBy($"flag_or_null".asc_nulls_first)
+    },
+    Some("""SELECT nullif(l_returnflag, 'N') AS flag_or_null,
+      count(*) AS n_rows,
+      count(nullif(l_returnflag, 'N')) AS n_nonnull_key,
+      coalesce(max(nullif(l_returnflag, 'N')), '<null>') AS key_disp
+      FROM lineitem GROUP BY 1
+      ORDER BY flag_or_null ASC NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
-    qTopKAgg, qSetOpsAll, qJoinRange)
+    qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling)
 }
