@@ -111,5 +111,44 @@ object EventWindows {
         AND p.purchase_ms <= s.signup_ms + 604800000
       GROUP BY s.user_id, s.signup_ms ORDER BY s.user_id"""))
 
-  val all: Seq[Q] = Seq(hourly, sessionize, funnel)
+  /** As-of join, Spark-first: for every purchase, the user's latest view
+    * at-or-before it. Instead of a per-row range join (quadratic blowup on
+    * hot users), union both event kinds into one stream per user and
+    * carry the last view timestamp forward with an IGNORE NULLS window —
+    * one shuffle on user_id, one sort, linear scan. This is the scalable
+    * shape for as-of/temporal joins when the probe and build sides share
+    * a partition key.
+    */
+  val asof: Q = Q(
+    "ev_asof_last_view",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"user_id", $"event_type",
+          expr("ts div 1000000").as("ts_ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_view_ms",
+          last(when($"event_type" === "view", $"ts_ms"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"ts_ms".as("purchase_ms"), $"last_view_ms")
+        .orderBy($"purchase_id")
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      carried AS (
+        SELECT event_id, user_id, event_type, ts_ms,
+          last_value(CASE WHEN event_type = 'view' THEN ts_ms END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ms
+        FROM ev)
+      SELECT event_id AS purchase_id, user_id, ts_ms AS purchase_ms, last_view_ms
+      FROM carried WHERE event_type = 'purchase' ORDER BY purchase_id"""))
+
+  val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof)
 }
