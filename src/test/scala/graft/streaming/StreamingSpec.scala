@@ -41,6 +41,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enriched with a batch dimension") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ss")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    // static dimension computed in batch: each user's modal event type bucket
+    val staticDim = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count($"event_id").as("lifetime_events"))
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+      .join(staticDim, "user_id") // stream-static equi join
+      .groupBy($"lifetime_events")
+      .agg(org.apache.spark.sql.functions.count($"event_id").as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every event joins its user's lifetime count, so each group's n
+      // equals lifetime_events * (#users with that count)
+      val expected = staticDim.groupBy($"lifetime_events")
+        .agg(org.apache.spark.sql.functions.count($"user_id").as("nu"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(0) * r.getLong(1)).toMap
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: closed stream sessions = batch sessions minus open tails") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
     java.nio.file.Files.copy(
