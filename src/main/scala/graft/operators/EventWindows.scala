@@ -150,5 +150,30 @@ object EventWindows {
       SELECT event_id AS purchase_id, user_id, ts_ms AS purchase_ms, last_view_ms
       FROM carried WHERE event_type = 'purchase' ORDER BY purchase_id"""))
 
-  val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof)
+  /** Value-based (RANGE) window frame: per user, how many of their events
+    * fell in the trailing hour at each event — the rolling-rate primitive
+    * (rate limiting, burst detection). RANGE frames bound by the ordering
+    * value, so ties are handled identically in both engines.
+    */
+  val rollingRate: Q = Q(
+    "ev_rolling_rate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val HourMs = 3600000L
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id", expr("ts div 1000000").as("ts_ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
+        .rangeBetween(-HourMs, 0)
+      ev.select($"event_id", $"user_id", $"ts_ms",
+          count(lit(1)).over(w).as("events_last_hour"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        AS events_last_hour
+      FROM events ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate)
 }
