@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards: the properties that make these queries scale must
+  * survive refactors — filters reaching the parquet scan, pruned read
+  * schemas, broadcast dimensions, top-k without a global sort.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  private def planString(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: all predicates pushed to the scan, read schema pruned") {
+    val df = graft.SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no parquet scan found"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    val readSchema = scan.metadata("ReadSchema")
+    assert(!readSchema.contains("l_orderkey"),
+      s"pruned columns must not be read: $readSchema")
+  }
+
+  test("q3: top-10 via TakeOrderedAndProject, not a global sort") {
+    val p = planString("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q_region_volume: dimension joins broadcast") {
+    val p = planString("q_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("ann_bruteforce_topk: query side broadcast, cosine in the plan") {
+    val p = planString("ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(p.toLowerCase.contains("cosinesimilarity"))
+  }
+
+  test("ta_token_count: narrow per-doc transform, no shuffle before the sort") {
+    val p = planString("ta_token_count")
+    // exactly one Exchange: the presentation orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected no extra shuffles, plan:\n${p.take(1500)}")
+  }
+}
