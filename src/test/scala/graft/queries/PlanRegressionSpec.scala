@@ -19,15 +19,12 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("q6: all predicates pushed to the scan, read schema pruned") {
     val df = graft.SparkEntry.queries("q6_forecast_revenue")(spark, sf)
-    val scan = df.queryExecution.executedPlan.collectLeaves()
-      .collectFirst {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-      }.getOrElse(fail("no parquet scan found"))
-    val pushed = scan.metadata("PushedFilters")
-    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
-    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
-    val readSchema = scan.metadata("ReadSchema")
-    assert(!readSchema.contains("l_orderkey"),
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    val readSchema = p.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_orderkey"),
       s"pruned columns must not be read: $readSchema")
   }
 
