@@ -25,6 +25,14 @@ class SessionScopeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("f_dropme"))
   }
 
+  test("registered functions are visible in the SQL catalog (SHOW FUNCTIONS)") {
+    spark.sql(
+      """CREATE FUNCTION f_visible(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
+        |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    val listed = spark.sql("SHOW USER FUNCTIONS").collect().map(_.getString(0))
+    assert(listed.exists(_.endsWith("f_visible")), listed.mkString(", "))
+  }
+
   test("a sibling session does not see another session's functions") {
     spark.sql(
       """CREATE FUNCTION f_scoped(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
