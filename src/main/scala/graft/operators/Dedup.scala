@@ -422,7 +422,59 @@ object Dedup {
         ORDER BY a_id, b_id"""
     })
 
+  /** Connected-component canonicalization: every doc maps to the minimum
+    * doc_id reachable through near-dup pairs (transitively), so A~B~C all
+    * canonicalize to min(A,B,C) even when A~C was never directly detected.
+    * Implemented as min-label propagation — a loop of `O(component
+    * diameter)` join+groupBy rounds, each a bounded shuffle on doc_id (the
+    * standard distributed CC shape; near-dup components are tiny, so the
+    * loop converges in 2-3 rounds). The driver-side loop only checks a
+    * convergence count per round. Oracle: recursive CTE reachability.
+    */
+  val clusters: Q = Q(
+    "dd_clusters",
+    (s, d) => {
+      import s.implicits._
+      val sh = shingleDf(s, d).cache()
+      val pr = jaccardPairs(sh, 0.6).select($"a_id", $"b_id").cache()
+      val sym = pr.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pr.select($"b_id".as("src"), $"a_id".as("dst"))).cache()
+      var labels = Tables.documents(s, d)
+        .select($"doc_id", $"doc_id".as("canonical_id")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val propagated = labels
+          .join(sym, $"doc_id" === $"src")
+          .select($"dst".as("doc_id"), $"canonical_id")
+        val next = labels.union(propagated)
+          .groupBy($"doc_id")
+          .agg(min($"canonical_id").as("canonical_id"))
+          .cache()
+        changed = next.join(
+            labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+          .filter($"canonical_id" < $"old").count()
+        labels = next
+      }
+      labels.orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE sh AS ($ShinglesDuck),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
+      e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      canon AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src)
+      SELECT d.doc_id, least(d.doc_id, coalesce(c.m, d.doc_id)) AS canonical_id
+      FROM documents d LEFT JOIN canon c USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, simhash, simhashPairs, survivors,
-    containment)
+    containment, clusters)
 }
