@@ -474,7 +474,49 @@ object Dedup {
       FROM documents d LEFT JOIN canon c USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Sketch-accuracy readout: for every true near-dup pair, the
+    * MinHash-estimated Jaccard (fraction of agreeing signature slots)
+    * alongside the exact value — the per-pair view of the estimator the
+    * LSH path relies on. An 8-slot signature is deliberately coarse
+    * (slot agreement ∈ {0, ⅛, …, 1}); production sizes the signature to
+    * the tolerated estimation error.
+    */
+  val minhashAccuracy: Q = Q(
+    "dd_minhash_accuracy",
+    (s, d) => {
+      import s.implicits._
+      val sh = shingleDf(s, d).cache()
+      val sig = signatureDf(sh)
+      val pr = jaccardPairs(sh, 0.6)
+      val sa = sig.toDF("a_id" +: (0 until 8).map(j => s"amh$j"): _*)
+      val sb = sig.toDF("b_id" +: (0 until 8).map(j => s"bmh$j"): _*)
+      val agree = (0 until 8).map(j =>
+        when(col(s"amh$j") === col(s"bmh$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      pr.join(sa, "a_id").join(sb, "b_id")
+        .select($"a_id", $"b_id", $"jaccard",
+          (agree.cast(DoubleType) / 8).as("jaccard_est"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val agree = (0 until 8).map(j =>
+        s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS ($ShinglesDuck),
+        sig AS ($SignatureDuck),
+        pairs AS (
+          SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+            CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+              (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+          FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        SELECT p.a_id, p.b_id, p.jaccard,
+          CAST($agree AS DOUBLE) / 8 AS jaccard_est
+        FROM pairs p JOIN sig a ON a.doc_id = p.a_id
+                     JOIN sig b ON b.doc_id = p.b_id
+        WHERE p.jaccard >= 0.6
+        ORDER BY p.a_id, p.b_id"""
+    })
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, simhash, simhashPairs, survivors,
-    containment, clusters)
+    containment, clusters, minhashAccuracy)
 }

@@ -709,11 +709,23 @@ object RelationalQueries {
       FROM lineitem GROUP BY 1
       ORDER BY flag_or_null ASC NULLS FIRST"""))
 
+  private val qPagination = Q(
+    "q_pagination",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .offset(100).limit(25)
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 100"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
-    qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling)
+    qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination)
 }
