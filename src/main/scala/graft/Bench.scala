@@ -37,20 +37,37 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A renamed headline query must fail loudly, not silently shrink the
+    // frozen metric.
+    val missing = Headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"headline queries not in SparkEntry: $missing")
+    // dev mode: `runMain graft.Bench q_a q_b` times only those queries
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache() // isolate per-query timings
       System.gc() // don't bill one query for its predecessor's garbage
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0 // recorded in the JSON, excluded from headline_total
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = // 3 decimals keeps the JSON line short
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.filter(r => Headline.contains(r._1)).map(_._2).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results
+      .filter(r => Headline.contains(r._1) && r._2 >= 0).map(_._2).sum
+    // One line, kept well under the driver's stdout tail buffer (the
+    // full-precision round-1 line was ~4 KB and got truncated → unparseable).
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

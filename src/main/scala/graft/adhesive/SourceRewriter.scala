@@ -20,13 +20,18 @@ object SourceRewriter {
 
   private[adhesive] val GeneratedPackagePrefix = "graft.adhesive.generated.p"
 
-  /** Random package name, unique per registration with overwhelming
-    * probability (26^6 ≈ 3.1e8 suffixes).
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Random package name, collision-free: the random part mirrors the
+    * reference's 6-letter suffix, and the appended process-wide counter
+    * makes the FQN unique even on a birthday collision (26^6 ≈ 3.1e8 —
+    * a repeat would silently reuse the previously cached instance for a
+    * CREATE OR REPLACE with a different body).
     */
   def randomPackage(): String = {
     val suffix = Iterator.continually(Random.nextInt(26)).take(6)
       .map(i => ('a' + i).toChar).mkString
-    GeneratedPackagePrefix + suffix
+    GeneratedPackagePrefix + suffix + seq.incrementAndGet()
   }
 
   /** @return (rewritten source with package declaration prepended,

@@ -34,7 +34,7 @@ object Dedup {
   /** Distinct word 3-gram shingles; docs with <3 tokens carry no shingle. */
   private[operators] def shingleDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d), "doc_id")
       .select($"doc_id", split(expr(Norm), " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", array_distinct(expr(
@@ -118,24 +118,38 @@ object Dedup {
         // exact verification then rejects).
         val exHashed = sh.select(col("doc_id"),
           explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
-        val rare = exHashed.groupBy(col("sh"))
+        // The cap's complement is the broadcast-able side: over-cap
+        // ("stopword") shingles are FEW DISTINCT values by construction —
+        // high df means many rows each — so the anti-join streams the big
+        // exploded table map-side instead of shuffling it against the
+        // ~|vocabulary|-sized rare list.
+        val frequent = exHashed.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
+          .filter(col("df") > cap)
           .select(col("sh"))
         // materialize the capped explode once; the self-join reads the
         // cache twice instead of recomputing explode + df-join per side
-        val exRare = exHashed.join(rare, "sh").cache()
+        val exRare = exHashed
+          .join(broadcast(frequent), Seq("sh"), "left_anti").cache()
         val cand = exRare.as("x")
           .join(exRare.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        cand
+        // Exact size-ratio prefilter before the wide array join: J >= tau
+        // forces min(|A|,|B|)/max(|A|,|B|) >= tau (|A∩B| <= min, union >=
+        // max), and correctly-rounded double division is monotone, so no
+        // qualifying pair is dropped. Candidates carry two longs here;
+        // arrays (~KBs per row) are only joined in for survivors.
+        val sizeOk = withSizes(cand)
+          .filter((least(col("na"), col("nb")).cast(DoubleType) /
+            greatest(col("na"), col("nb"))) >= tau)
+        sizeOk
           .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
           .select(col("a_id"), col("b_id"),
             (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-              (size(col("sa")) + size(col("sb")) -
+              (col("na") + col("nb") -
                 size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
           .filter(col("jaccard") >= tau)
     }
@@ -263,7 +277,7 @@ object Dedup {
           s"(acc, h) -> acc + (CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END))"
         s"(CASE WHEN ($vote) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), "doc_id") // md5+32 bit-votes per doc: CPU-dense
         .select($"doc_id", expr(thSpark).as("th"))
         .select($"doc_id", expr(bits.mkString(" + ")).as("simhash"))
         .orderBy($"doc_id")
@@ -356,7 +370,7 @@ object Dedup {
     "dd_chargram_jaccard",
     (s, d) => {
       import s.implicits._
-      val sh = Tables.documents(s, d)
+      val sh = Tables.spread(Tables.documents(s, d), "doc_id")
         .select($"doc_id", expr(Norm).as("t"))
         .filter(length($"t") >= 5)
         .select($"doc_id", array_distinct(expr(
@@ -389,20 +403,23 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val sig = simhash.build(s, d).select($"doc_id", $"simhash").cache()
-      val withBytes = sig.select($"doc_id", $"simhash",
-        expr("simhash % 256").as("b0"),
-        expr("(simhash div 256) % 256").as("b1"),
-        expr("(simhash div 65536) % 256").as("b2"),
-        expr("(simhash div 16777216) % 256").as("b3"))
-      val cand = (0 until 4).map { i =>
-        withBytes.as("x").join(withBytes.as("y"),
-            col(s"x.b$i") === col(s"y.b$i") && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
-            $"x.simhash".as("ha"), $"y.simhash".as("hb"))
-      }.reduce(_ union _).distinct()
-      cand.select($"a_id", $"b_id",
-          expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+      // one shuffle on (band, byte) instead of four separate byte joins:
+      // explode each signature into its 4 (band, byte) keys and self-join
+      // once. Hamming is verified BEFORE the pair-dedup so the distinct
+      // shuffles only true near-dup pairs, not every band collision (the
+      // candidate set is ~band_count × bucket_fanout larger).
+      val banded = sig.select($"doc_id", $"simhash",
+        posexplode(array(
+          expr("simhash % 256"), expr("(simhash div 256) % 256"),
+          expr("(simhash div 65536) % 256"),
+          expr("(simhash div 16777216) % 256"))).as(Seq("band", "byte")))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+          expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
         .filter($"hamming" <= 3)
+        .distinct()
         .orderBy($"a_id", $"b_id")
     },
     Some {
@@ -453,8 +470,13 @@ object Dedup {
         changed = next.join(
             labels.withColumnRenamed("canonical_id", "old"), "doc_id")
           .filter($"canonical_id" < $"old").count()
+        // the count above materialized `next`; the previous round's labels
+        // (and, once converged, the loop-invariant inputs) would otherwise
+        // pin executor storage for the life of the session
+        labels.unpersist()
         labels = next
       }
+      sh.unpersist(); pr.unpersist(); sym.unpersist()
       labels.orderBy($"doc_id")
     },
     Some(s"""WITH RECURSIVE sh AS ($ShinglesDuck),

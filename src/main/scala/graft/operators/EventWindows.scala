@@ -19,7 +19,8 @@ object EventWindows {
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)
-        .select(expr(s"((ts div 1000) div $HourUs) * $HourUs").as("window_start_us"),
+        .select(expr(s"(${Tables.fldivExpr(Tables.fldivExpr("ts", 1000L), HourUs)}) * $HourUs")
+          .as("window_start_us"),
           $"event_type", $"value")
         .groupBy($"window_start_us", $"event_type")
         .agg(count(lit(1)).as("n"),
@@ -28,7 +29,7 @@ object EventWindows {
     },
     Some(s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
       event_type, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
   /** Gap-based sessionization (30-minute inactivity gap), batch form: the
@@ -46,7 +47,7 @@ object EventWindows {
       import s.implicits._
       val GapMs = 1800000L
       val ev = Tables.events(s, d)
-        .select($"user_id", $"event_id", expr("ts div 1000000").as("ts_ms"))
+        .select($"user_id", $"event_id", Tables.fdiv("ts", 1000000L).as("ts_ms"))
       val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
       val flagged = ev.withColumn("new_session",
         when(lag($"ts_ms", 1).over(byTime).isNull ||
@@ -87,7 +88,7 @@ object EventWindows {
       import s.implicits._
       val WeekMs = 7L * 24 * 3600 * 1000
       val ev = Tables.events(s, d)
-        .select($"user_id", $"event_type", expr("ts div 1000000").as("ts_ms"))
+        .select($"user_id", $"event_type", Tables.fdiv("ts", 1000000L).as("ts_ms"))
       val signups = ev.filter($"event_type" === "signup")
         .groupBy($"user_id").agg(min($"ts_ms").as("signup_ms"))
       val purchases = ev.filter($"event_type" === "purchase")
@@ -127,7 +128,7 @@ object EventWindows {
       val ev = Tables.events(s, d)
         .filter($"event_type".isin("view", "purchase"))
         .select($"event_id", $"user_id", $"event_type",
-          expr("ts div 1000000").as("ts_ms"))
+          Tables.fdiv("ts", 1000000L).as("ts_ms"))
       val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("last_view_ms",
@@ -162,7 +163,7 @@ object EventWindows {
       import s.implicits._
       val HourMs = 3600000L
       val ev = Tables.events(s, d)
-        .select($"event_id", $"user_id", expr("ts div 1000000").as("ts_ms"))
+        .select($"event_id", $"user_id", Tables.fdiv("ts", 1000000L).as("ts_ms"))
       val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
         .rangeBetween(-HourMs, 0)
       ev.select($"event_id", $"user_id", $"ts_ms",

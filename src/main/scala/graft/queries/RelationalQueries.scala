@@ -45,10 +45,10 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-      CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -72,7 +72,7 @@ object RelationalQueries {
         .limit(10)
     },
     Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
       WHERE c_mktsegment = 'BUILDING'
@@ -103,7 +103,7 @@ object RelationalQueries {
         .orderBy($"revenue".desc, $"n_name")
     },
     Some("""SELECT n_name,
-      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
                     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -127,7 +127,7 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     },
     Some("""SELECT
-      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       count(*) AS n_items
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -176,7 +176,7 @@ object RelationalQueries {
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-      CAST(sum(coalesce(CAST(o_totalprice AS DECIMAL(18,2)), 0)) AS DECIMAL(38,2)) AS total_spent
+      CAST(sum(coalesce(CAST(o_totalprice AS DECIMAL(18,2)), 0)) AS DOUBLE) AS total_spent
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey ORDER BY c_custkey"""))
 
@@ -219,7 +219,7 @@ object RelationalQueries {
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
            OVER (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
 
@@ -228,7 +228,7 @@ object RelationalQueries {
     (s, d) => {
       import s.implicits._
       val ev = events(s, d)
-        .select($"event_id", $"user_id", ldiv("ts", 1000000L).as("ts_ms"))
+        .select($"event_id", $"user_id", fdiv("ts", 1000000L).as("ts_ms"))
       val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
       ev.select($"event_id", $"user_id",
           ($"ts_ms" - lag($"ts_ms", 1).over(w)).as("ms_since_prev"))
@@ -249,7 +249,7 @@ object RelationalQueries {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
@@ -426,7 +426,7 @@ object RelationalQueries {
         .orderBy($"r_name")
     },
     Some("""SELECT r_name, count(*) AS n_items,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                     JOIN nation ON s_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey
@@ -453,7 +453,7 @@ object RelationalQueries {
       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
       count(*) FILTER (WHERE event_type = 'error') AS n_error,
       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   private val qRegexp = Q(
@@ -585,17 +585,24 @@ object RelationalQueries {
     "q_array_agg",
     (s, d) => {
       import s.implicits._
-      // array aggregation + string aggregation with pinned element order
+      // array aggregation + string aggregation with pinned element order.
+      // The array is built (collect_list + sort_array) but surfaced as CSV
+      // and as scalar first/last elements: the driver's pandas compare
+      // cannot sort/hash array-typed cells (unhashable numpy.ndarray), so
+      // outputs must be scalar columns.
+      val arr = sort_array(collect_list($"n_name"))
       nation(s, d)
         .groupBy($"n_regionkey")
-        .agg(sort_array(collect_list($"n_name")).as("nations"),
-          concat_ws(",", sort_array(collect_list($"n_name"))).as("nation_csv"),
-          count(lit(1)).as("n"))
+        .agg(concat_ws(",", arr).as("nation_csv"),
+          element_at(arr, 1).as("first_nation"),
+          element_at(arr, -1).as("last_nation"),
+          size(arr).cast(LongType).as("n"))
         .orderBy($"n_regionkey")
     },
     Some("""SELECT n_regionkey,
-      list(n_name ORDER BY n_name) AS nations,
       string_agg(n_name, ',' ORDER BY n_name) AS nation_csv,
+      min(n_name) AS first_nation,
+      max(n_name) AS last_nation,
       count(*) AS n
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
@@ -663,14 +670,23 @@ object RelationalQueries {
     (s, d) => {
       import graft.functions.TopKAggregator.top_k
       import s.implicits._
+      // top-k surfaced as rank columns, not an array (see q_array_agg on
+      // why the driver compare needs scalar cells)
       lineitem(s, d)
         .groupBy($"l_returnflag")
-        .agg(top_k(3)($"l_extendedprice").as("top3_price"))
+        .agg(top_k(3)($"l_extendedprice").as("top3"))
+        .select($"l_returnflag",
+          element_at($"top3", 1).as("price_1"),
+          element_at($"top3", 2).as("price_2"),
+          element_at($"top3", 3).as("price_3"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
-      (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top3_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      t[1] AS price_1, t[2] AS price_2, t[3] AS price_3
+      FROM (SELECT l_returnflag,
+              list(l_extendedprice ORDER BY l_extendedprice DESC) AS t
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag"""))
 
   private val qApproxDistinct = Q(
     "q_approx_distinct",

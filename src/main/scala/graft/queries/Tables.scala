@@ -49,12 +49,48 @@ object Tables {
   /** Exact decimal view of a double column (see rule 1 above). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Pin an aggregated decimal to a fixed cross-engine result type. */
-  def asDec(c: Column, scale: Int): Column = c.cast(DecimalType(38, scale))
+  /** Pin an aggregated decimal and surface it as DOUBLE. The aggregation
+    * itself stays exact-decimal (order-independent); only the final value is
+    * cast. Emitting DECIMAL here breaks the driver's compare: pyarrow reads
+    * Spark's decimal parquet as Python Decimal objects while DuckDB's
+    * pandas conversion turns every DECIMAL into float64, and
+    * `Decimal('44.00')` vs `44.0` hash differently even though the values
+    * are equal. A correctly-rounded decimal→double cast of the same exact
+    * rational yields bit-identical float64 on both engines (true while the
+    * unscaled value stays under 2^53 — holds through sf0.1 at scale 6).
+    * The oracle side mirrors this with CAST(... AS DOUBLE).
+    */
+  def asDec(c: Column, scale: Int): Column =
+    c.cast(DecimalType(38, scale)).cast(org.apache.spark.sql.types.DoubleType)
 
   /** Integer division on longs (Spark's `/` on longs is double division,
     * which loses precision above 2^53 — fatal for epoch-nanos). `try_divide`
     * is also double; SQL `div` is the true integral division.
     */
   def ldiv(col: String, by: Long): Column = F.expr(s"$col div $by")
+
+  /** Floor division on longs as a nestable SQL fragment. Spark's `div`
+    * truncates toward zero while DuckDB's `//` and `epoch_ms`/`epoch_us`
+    * floor — identical for post-epoch timestamps but off by one for
+    * negative (pre-1970) values, so every epoch-unit conversion goes
+    * through this (`pmod` is non-negative, making the subtraction floor).
+    */
+  def fldivExpr(e: String, by: Long): String =
+    s"((($e) - pmod($e, ${by}L)) div ${by}L)"
+
+  /** Floor-division column: ns→ms/µs epoch conversion (see [[fldivExpr]]). */
+  def fdiv(col: String, by: Long): Column = F.expr(fldivExpr(col, by))
+
+  /** Explicit parallelism for CPU-dense per-row stages (shingling,
+    * signature building, array intersection). Small-bytes inputs inherit
+    * file-layout parallelism — one small parquet file = ONE task — and
+    * AQE's byte-based coalescing keeps post-shuffle stages narrow too, so
+    * a stage whose per-row compute dwarfs its per-row bytes can serialize
+    * an entire core-count's worth of work onto one thread (measured: the
+    * whole chargram pipeline ran as 1-task stages on local[32]). Hash
+    * repartitioning on the row key spreads it deterministically; AQE
+    * leaves user-specified repartition counts alone.
+    */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
 }
