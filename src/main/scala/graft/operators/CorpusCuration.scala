@@ -62,5 +62,28 @@ object CorpusCuration {
         AND stop_ratio >= 0.05 AND quality >= 0.05
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(curate)
+  /** Deterministic hash-based sampling — the reproducible alternative to
+    * TABLESAMPLE for pipeline experiments: a doc is in the p% sample iff
+    * a stable content-independent hash of its key lands under the
+    * threshold. No shuffle at all (a pure filter, pushed past the scan's
+    * column pruning); the same rows are selected on any cluster layout,
+    * any partitioning, any engine — here proven by the DuckDB oracle
+    * computing the identical md5-derived bucket.
+    */
+  val hashSample: Q = Q(
+    "pipe_hash_sample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10 = 0")
+        )
+        .select($"doc_id", $"source", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source, lang FROM documents
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10 = 0
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(curate, hashSample)
 }

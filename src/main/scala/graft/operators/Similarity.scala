@@ -300,6 +300,38 @@ object Similarity {
       WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
 
+  /** Per-label centroid vectors — the k-means/IVF training step (mean of
+    * member embeddings, one value per (cluster, dimension)). Float
+    * summation is partition-order-dependent, so each component is
+    * quantized to an exact integer (floor(x·1e8), identical on both
+    * engines since float→double is exact and floor is floor, not trunc)
+    * and summed as BIGINT — order-free, partial-aggregatable, one shuffle
+    * on (label, pos). The final divide replays identically in both
+    * engines. posexplode keeps dimension order without carrying arrays
+    * through the shuffle.
+    */
+  val centroids: Q = Q(
+    "ann_centroids",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "e")))
+        .groupBy($"label", $"pos")
+        .agg(sum(expr("CAST(floor(CAST(e AS DOUBLE) * 100000000) AS BIGINT)"))
+          .as("qsum"), count(lit(1)).as("n"))
+        .select($"label", $"pos".cast("long").as("pos"),
+          ($"qsum".cast("double") / lit(100000000.0) / $"n").as("centroid"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""WITH ex AS (
+        SELECT label, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+      SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 100000000) AS BIGINT)) AS DOUBLE)
+          / 100000000.0 / count(*) AS centroid
+      FROM ex GROUP BY label, i ORDER BY label, pos"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
-    ivfNprobe2, sqlTopK, cosineNearDup)
+    ivfNprobe2, sqlTopK, cosineNearDup, centroids)
 }

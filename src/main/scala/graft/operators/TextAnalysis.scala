@@ -142,6 +142,35 @@ object TextAnalysis {
     },
     None)
 
+  /** Corpus-level vocabulary statistics: the top-20 word bigrams by
+    * document frequency — the n-gram-counting building block of tokenizer
+    * training and contamination checks. Explode is a per-row flatMap; the
+    * only shuffle is the count groupBy (map-side combined), and the top-k
+    * is a TakeOrderedAndProject, not a full sort. Ties inside the cutoff
+    * are broken by the gram text, making the LIMIT deterministic.
+    */
+  val topBigrams: Q = Q(
+    "ta_top_bigrams",
+    (s, d) => {
+      import s.implicits._
+      Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", split(expr(normSpark), " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "array_distinct(transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])))"))
+          .as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"n_docs".desc, $"bigram")
+        .limit(20)
+    },
+    Some(s"""SELECT bigram, count(*) AS n_docs FROM (
+        SELECT doc_id, unnest(list_distinct(
+          [ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ])) AS bigram
+        FROM (SELECT doc_id, string_split($normDuck, ' ') AS w FROM documents)
+        WHERE len(w) >= 2)
+      GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    rollingFingerprint)
+    rollingFingerprint, topBigrams)
 }

@@ -737,11 +737,121 @@ object RelationalQueries {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 100"""))
 
+  private val qArgmaxLatest = Q(
+    "q_argmax_latest",
+    (s, d) => {
+      import s.implicits._
+      // the keep-latest-version-per-key dedupe idiom (argmax): window
+      // row_number over a total per-key order, keep rank 1. One shuffle on
+      // the key; at scale this is the standard CDC-compaction shape.
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey".as("latest_order"),
+          $"o_orderdate".as("latest_date"), $"o_totalprice".as("latest_price"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey AS latest_order,
+      o_orderdate AS latest_date, o_totalprice AS latest_price
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      ORDER BY o_custkey"""))
+
+  private val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) => {
+      // wide→long reshape: stack() is Spark's generator-based unpivot (no
+      // shuffle — a per-row flatMap)
+      part(s, d).selectExpr("p_partkey",
+          "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (attr, val)")
+        .orderBy(col("p_partkey"), col("attr"))
+    },
+    Some("""SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+      ORDER BY p_partkey, attr"""))
+
+  private val qExplodedJoin = Q(
+    "q_exploded_join",
+    (s, d) => {
+      import s.implicits._
+      // generator in the FROM position (LATERAL VIEW explode): token-level
+      // rows from a string column, re-aggregated — explode is a per-row
+      // flatMap (no shuffle); only the groupBy shuffles, on the token
+      part(s, d)
+        .select($"p_partkey", explode(split($"p_name", " ")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("n_parts"), min($"p_partkey").as("first_part"))
+        .orderBy($"tok")
+    },
+    Some("""SELECT tok, count(*) AS n_parts, min(p_partkey) AS first_part
+      FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part)
+      GROUP BY tok ORDER BY tok"""))
+
+  private val qMomentStats = Q(
+    "q_moment_stats",
+    (s, d) => {
+      import s.implicits._
+      // variance/stddev via exact decimal moments: avg/stddev over raw
+      // doubles is partition-order-dependent, but n / Σx / Σx² as exact
+      // decimals are order-free, and both engines then evaluate the same
+      // closed-form double expression on identical inputs. The same
+      // moment-sketch shape is how distributed stats merge at scale
+      // (partial-aggregatable, one shuffle).
+      val sq = (dec2($"l_quantity") * dec2($"l_quantity"))
+        .cast(DecimalType(28, 4))
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec2($"l_quantity")).as("s"),
+          sum(sq).as("ss"))
+        .select($"l_returnflag", $"n_rows",
+          ($"s".cast(DoubleType) / $"n_rows").as("mean_qty"),
+          (($"ss".cast(DoubleType) - $"s".cast(DoubleType) * $"s".cast(DoubleType) / $"n_rows")
+            / ($"n_rows" - 1)).as("var_qty"),
+          sqrt(($"ss".cast(DoubleType) - $"s".cast(DoubleType) * $"s".cast(DoubleType) / $"n_rows")
+            / ($"n_rows" - 1)).as("std_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag, count(*) AS n_rows,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+          sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS ss
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n_rows,
+        CAST(s AS DOUBLE) / n_rows AS mean_qty,
+        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_rows) / (n_rows - 1) AS var_qty,
+        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_rows) / (n_rows - 1)) AS std_qty
+      FROM m ORDER BY l_returnflag"""))
+
+  private val qSqlCte = Q(
+    "q_sql_cte",
+    (s, d) => {
+      // the pure-SQL entry point: tables registered as temp views
+      // ([[graft.sources.Catalog]]), the query text handed to spark.sql —
+      // same CTE text runs on both engines
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""WITH region_counts AS (
+          SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey)
+        SELECT r_name, n_nations FROM region
+        JOIN region_counts ON r_regionkey = n_regionkey
+        ORDER BY r_name""")
+    },
+    Some("""WITH region_counts AS (
+        SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey)
+      SELECT r_name, n_nations FROM region
+      JOIN region_counts ON r_regionkey = n_regionkey
+      ORDER BY r_name"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
-    qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination)
+    qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
+    qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte)
 }
