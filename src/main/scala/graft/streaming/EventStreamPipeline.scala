@@ -50,6 +50,19 @@ object EventStreamPipeline {
         $"total_value")
   }
 
+  /** Streaming ingest dedup: at-least-once sources (replayed files,
+    * retried batches) deliver duplicates; collapse to one row per
+    * event_id. `dropDuplicatesWithinWatermark` keys the dedup state by
+    * event_id and evicts entries older than the watermark horizon, so
+    * state is O(events per horizon), not O(stream length) — the shape
+    * that runs indefinitely at ingest scale.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: Long, user_id: Long)
   case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, session_start_ms: Long, n_events: Long)

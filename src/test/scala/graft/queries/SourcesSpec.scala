@@ -24,6 +24,10 @@ class SourcesSpec extends AnyFunSuite {
     n.write.mode("overwrite").json(s"$tmp/nation_json")
     val fromJson = spark.read.schema(n.schema).json(s"$tmp/nation_json")
     assert(fromJson.collect().map(_.toSeq).toSet == n.collect().map(_.toSeq).toSet)
+
+    n.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val fromOrc = spark.read.orc(s"$tmp/nation_orc")
+    assert(fromOrc.collect().map(_.toSeq).toSet == n.collect().map(_.toSeq).toSet)
   }
 
   test("partitioned parquet write prunes partitions on read") {

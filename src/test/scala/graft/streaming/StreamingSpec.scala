@@ -102,4 +102,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming dedup collapses duplicate deliveries to one row per event_id") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    // simulate at-least-once delivery: the same file arrives twice
+    for (i <- 0 to 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+        streamDir.resolve(s"events-00$i.parquet"))
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.dedup(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.length === ids.distinct.length, "duplicates survived")
+      val expected = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+        .select($"event_id").distinct().count()
+      assert(ids.length === expected)
+    } finally q.stop()
+  }
 }
