@@ -51,4 +51,39 @@ class PlanRegressionSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"expected no extra shuffles, plan:\n${p.take(1500)}")
   }
+
+  test("pipe_hash_sample: pure filter — no shuffle except presentation sort, pruned read") {
+    val df = graft.SparkEntry.queries("pipe_hash_sample")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema"))
+      .getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"sampling must not read the payload column: $readSchema")
+    val exec = planString("pipe_hash_sample") // single-listing form
+    val exchanges = "Exchange".r.findAllIn(exec).size
+    assert(exchanges <= 1,
+      s"a filter needs no shuffle beyond the presentation sort:\n${exec.take(1500)}")
+  }
+
+  test("q_argmax_latest: exactly one shuffle (the window key), then local work") {
+    val p = planString("q_argmax_latest")
+    // one hashpartitioning for the window + the presentation range sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"argmax must shuffle once on the key:\n${p.take(1500)}")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(800))
+  }
+
+  test("ann_centroids: partial aggregation before the (label, pos) shuffle") {
+    val p = planString("ann_centroids")
+    assert(p.contains("HashAggregate"), p.take(1200))
+    // partial_sum proves map-side combine: per-partition sums ship, not rows
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("ta_top_bigrams: top-20 via TakeOrderedAndProject, not a global sort") {
+    val p = planString("ta_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
