@@ -144,9 +144,15 @@ object Dedup {
         val sizeOk = withSizes(cand)
           .filter((least(col("na"), col("nb")).cast(DoubleType) /
             greatest(col("na"), col("nb"))) >= tau)
-        sizeOk
-          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+        // join order: broadcast the (two-long) pair list into the array
+        // table, then SHUFFLE-hash the second array join — without the hint
+        // AQE can decide to broadcast the intermediate (pairs + their
+        // KB-sized shingle arrays), serializing hundreds of MB through the
+        // driver
+        sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+          .join(broadcast(sizeOk), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+            .hint("shuffle_hash"), "b_id")
           .select(col("a_id"), col("b_id"),
             (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
               (col("na") + col("nb") -
