@@ -85,5 +85,52 @@ object CorpusCuration {
       WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10 = 0
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(curate, hashSample)
+  /** Benchmark decontamination: drop every training document that shares a
+    * word-5-gram with the eval set (here: the `src0` documents stand in
+    * for a benchmark). The standard shape for removing test-set leakage
+    * from pretraining corpora. Same scalable skeleton as the dedup
+    * operators — explode to (shingle, doc) rows and anti-join on the
+    * shingle key; eval shingles are a broadcast-sized side in practice
+    * (benchmarks are tiny next to the corpus).
+    */
+  val decontaminate: Q = Q(
+    "pipe_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val grams5 =
+        "array_distinct(transform(sequence(0, size(w)-5), i -> " +
+          "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"
+      val docs = Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", $"source",
+          split(expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"), " ").as("w"))
+        .filter(size($"w") >= 5)
+        .select($"doc_id", $"source", explode(expr(grams5)).as("g"))
+      val evalGrams = docs.filter($"source" === "src0")
+        .select($"g").distinct()
+      val contaminated = docs.filter($"source" =!= "src0")
+        .join(broadcast(evalGrams), "g")
+        .select($"doc_id").distinct()
+      Tables.documents(s, d)
+        .filter($"source" =!= "src0")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct(
+          [ w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+            for i in range(1, len(w)-3) ])) AS g
+        FROM (SELECT doc_id, source,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents)
+        WHERE len(w) >= 5),
+      eval_grams AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE source <> 'src0' AND g IN (SELECT g FROM eval_grams))
+      SELECT doc_id, source FROM documents
+      WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(curate, hashSample, decontaminate)
 }

@@ -171,6 +171,29 @@ object TextAnalysis {
         WHERE len(w) >= 2)
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20"""))
 
+  /** Corpus length profile: document counts and bounds per 100-char
+    * bucket — the distribution snapshot a curation pass is tuned against
+    * (truncation thresholds, length filters). Exact integer bucketing
+    * (floor division on a non-negative length); one map-side-combined
+    * groupBy over a handful of buckets.
+    */
+  val lengthHistogram: Q = Q(
+    "ta_length_histogram",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(expr("length(text) div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(length($"text").cast(LongType)).as("min_chars"),
+          max(length($"text").cast(LongType)).as("max_chars"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT CAST(length(text) // 100 AS BIGINT) AS bucket,
+      count(*) AS n_docs,
+      CAST(min(length(text)) AS BIGINT) AS min_chars,
+      CAST(max(length(text)) AS BIGINT) AS max_chars
+      FROM documents GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    rollingFingerprint, topBigrams)
+    rollingFingerprint, topBigrams, lengthHistogram)
 }
