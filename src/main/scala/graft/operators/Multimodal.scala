@@ -115,9 +115,11 @@ object Multimodal {
       CAST(strlen(text) AS BIGINT) AS byte_len, source AS origin
       FROM documents ORDER BY doc_id"""))
 
-  /** Feature extraction through the stub decoder; the stub is not
-    * SQL-expressible in DuckDB, so this entry takes the driver's weaker
-    * rows-only check (and is golden-tested in MultimodalSpec instead).
+  /** Feature extraction through the stub decoder; the stub accumulates in
+    * float32 (not reproducible via DuckDB's double arithmetic — double
+    * rounding differs from direct float32 division in rare cases), so
+    * this entry takes the driver's weaker rows-only check and is
+    * golden-tested in NorthStarSpec instead.
     */
   val featureExtract: Q = Q(
     "mm_feature_extract",

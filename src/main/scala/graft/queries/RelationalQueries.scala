@@ -846,6 +846,32 @@ object RelationalQueries {
       JOIN region_counts ON r_regionkey = n_regionkey
       ORDER BY r_name"""))
 
+  private val qSaltedAgg = Q(
+    "q_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      // two-stage salted aggregation — the skew-mitigation shape for hot
+      // keys: stage 1 shuffles on (key, salt) so one hot key spreads over
+      // 8 reducers; stage 2 re-aggregates the 8 partials per key. The
+      // result is identical to the plain groupBy (which IS the oracle),
+      // proving the decomposition loses nothing. With AQE's skew handling
+      // off or overwhelmed, this is the manual knob (see
+      // operators.SkewJoin for the join-side twin).
+      val salted = events(s, d)
+        .select($"user_id", $"value",
+          (pmod($"event_id", lit(8))).as("salt"))
+        .groupBy($"user_id", $"salt")
+        .agg(count(lit(1)).as("pn"), sum(dec2($"value")).as("pv"))
+      salted
+        .groupBy($"user_id")
+        .agg(sum($"pn").as("n_events"),
+          asDec(sum($"pv"), 2).as("total_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
@@ -853,5 +879,6 @@ object RelationalQueries {
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
-    qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte)
+    qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
+    qSaltedAgg)
 }
