@@ -63,6 +63,31 @@ object EventStreamPipeline {
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time interval condition: each
+    * signup joined to that user's purchases within the following 7 days —
+    * the incremental form of the batch `ev_funnel` correlation. Both
+    * sides carry watermarks and the join condition time-bounds each side
+    * relative to the other, so the state store can evict rows once the
+    * watermark passes the interval — bounded state on unbounded streams.
+    */
+  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id",
+        timestamp_micros(expr("ts div 1000")).as("signup_time"))
+      .withWatermark("signup_time", "1 hour")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    signups.join(purchases, expr(
+      """user_id = p_user_id AND
+         purchase_time >= signup_time AND
+         purchase_time <= signup_time + interval 7 days"""))
+      .select($"user_id", $"signup_time", $"purchase_time")
+  }
+
   case class Event(event_id: Long, ts: Long, user_id: Long)
   case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, session_start_ms: Long, n_events: Long)

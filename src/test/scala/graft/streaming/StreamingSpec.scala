@@ -103,6 +103,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals its batch twin on the full input") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.signupPurchaseJoin(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_stream").collect()
+        .map(_.toSeq).toSet
+      val batch = EventStreamPipeline.signupPurchaseJoin(
+        spark.read.parquet(streamDir.toString))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses duplicate deliveries to one row per event_id") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
     // simulate at-least-once delivery: the same file arrives twice
