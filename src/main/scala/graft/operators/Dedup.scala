@@ -464,8 +464,15 @@ object Dedup {
         .union(pr.select($"b_id".as("src"), $"a_id".as("dst"))).cache()
       var labels = Tables.documents(s, d)
         .select($"doc_id", $"doc_id".as("canonical_id")).cache()
-      var changed = 1L
-      while (changed > 0) {
+      // Convergence probe: min-propagation only ever decreases labels, so
+      // Σ canonical_id strictly decreases iff any label changed — one
+      // cheap aggregate per round instead of a join against the previous
+      // labels (halves the per-round shuffle count).
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum($"canonical_id")).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
         val propagated = labels
           .join(sym, $"doc_id" === $"src")
           .select($"dst".as("doc_id"), $"canonical_id")
@@ -473,12 +480,12 @@ object Dedup {
           .groupBy($"doc_id")
           .agg(min($"canonical_id").as("canonical_id"))
           .cache()
-        changed = next.join(
-            labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-          .filter($"canonical_id" < $"old").count()
-        // the count above materialized `next`; the previous round's labels
-        // (and, once converged, the loop-invariant inputs) would otherwise
-        // pin executor storage for the life of the session
+        val nextSum = labelSum(next) // materializes `next`'s cache
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        // the previous round's labels (and, once converged, the
+        // loop-invariant inputs) would otherwise pin executor storage for
+        // the life of the session
         labels.unpersist()
         labels = next
       }

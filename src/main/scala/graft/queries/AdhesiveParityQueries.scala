@@ -88,7 +88,33 @@ object AdhesiveParityQueries {
       CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_suppkey * 2 END AS v
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
-  val all: Seq[Q] = Seq(mulJava, addClass, nullCase)
+  private val SquareScalaDdl =
+    """CREATE OR REPLACE FUNCTION graft_square(BIGINT) RETURNS BIGINT LANGUAGE SCALA AS $$
+      |import graft.adhesive.Adhesive
+      |import org.apache.spark.sql.Row
+      |class SquareScala extends Adhesive {
+      |  def compute(row: Row): Any = row.getLong(0) * row.getLong(0)
+      |}
+      |$$""".stripMargin
+
+  /** LANGUAGE SCALA (the beyond-reference language branch) through the
+    * same driver-checked surface as the Java/Class queries — inline Scala
+    * source compiled at DDL time, dollar-quoted body form.
+    */
+  val squareScala: Q = Q(
+    "aq_square_scala",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, SquareScalaDdl)
+      Tables.supplier(s, d)
+        .select($"s_suppkey",
+          call_function("graft_square", $"s_suppkey").as("sq"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_suppkey * s_suppkey AS sq
+      FROM supplier ORDER BY s_suppkey"""))
+
+  val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =
