@@ -872,6 +872,59 @@ object RelationalQueries {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  private val qArrayFuncs = Q(
+    "q_array_funcs",
+    (s, d) => {
+      import s.implicits._
+      // the array scalar-function library over tokenized strings — arrays
+      // stay internal (scalar outputs only; see q_array_agg on the driver
+      // compare)
+      part(s, d)
+        .select($"p_partkey", array_sort(split($"p_name", " ")).as("toks"))
+        .select($"p_partkey",
+          size($"toks").cast(LongType).as("n_toks"),
+          element_at($"toks", 1).as("first_tok"),
+          element_at($"toks", -1).as("last_tok"),
+          array_join(slice($"toks", 1, 2), "-").as("first_two"),
+          array_contains($"toks", "green").cast(LongType).as("has_green"),
+          array_position($"toks", "steel").cast(LongType).as("steel_pos"))
+        .orderBy($"p_partkey")
+    },
+    Some("""WITH t AS (
+        SELECT p_partkey, list_sort(string_split(p_name, ' ')) AS toks FROM part)
+      SELECT p_partkey,
+        CAST(len(toks) AS BIGINT) AS n_toks,
+        toks[1] AS first_tok,
+        toks[-1] AS last_tok,
+        array_to_string(toks[1:2], '-') AS first_two,
+        CAST(list_contains(toks, 'green') AS BIGINT) AS has_green,
+        CAST(coalesce(list_position(toks, 'steel'), 0) AS BIGINT) AS steel_pos
+      FROM t ORDER BY p_partkey"""))
+
+  private val qMapStruct = Q(
+    "q_map_struct",
+    (s, d) => {
+      import s.implicits._
+      // MapType + StructType through the engine: build, access by key /
+      // field, emit scalars
+      part(s, d)
+        .select($"p_partkey",
+          map(lit("brand"), $"p_brand", lit("type"), $"p_type").as("attrs"),
+          struct($"p_size".as("size"), $"p_retailprice".as("price")).as("dims"))
+        .select($"p_partkey",
+          element_at($"attrs", "brand").as("brand"),
+          element_at($"attrs", "type").as("typ"),
+          $"dims.size".cast(LongType).as("sz"),
+          $"dims.price".as("price"),
+          size(map_keys($"attrs")).cast(LongType).as("n_keys"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      p_brand AS brand, p_type AS typ,
+      CAST(p_size AS BIGINT) AS sz, p_retailprice AS price,
+      CAST(2 AS BIGINT) AS n_keys
+      FROM part ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
@@ -880,5 +933,5 @@ object RelationalQueries {
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
-    qSaltedAgg)
+    qSaltedAgg, qArrayFuncs, qMapStruct)
 }
