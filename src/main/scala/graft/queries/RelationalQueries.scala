@@ -872,6 +872,31 @@ object RelationalQueries {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  private val qLateral = Q(
+    "q_lateral",
+    (s, d) => {
+      // correlated LATERAL subquery (SQL-level): for every region, the
+      // top nation by customer count — the "top-1 per outer row" shape.
+      // Catalyst decorrelates this into a join + window rather than
+      // re-executing the inner query per row, which is what makes the
+      // construct usable at scale.
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""SELECT r_name, top_nation, n_cust FROM region,
+        LATERAL (
+          SELECT n_name AS top_nation, count(*) AS n_cust
+          FROM nation JOIN customer ON n_nationkey = c_nationkey
+          WHERE n_regionkey = r_regionkey
+          GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 1)
+        ORDER BY r_name""")
+    },
+    Some("""SELECT r_name, top_nation, n_cust FROM region,
+      LATERAL (
+        SELECT n_name AS top_nation, count(*) AS n_cust
+        FROM nation JOIN customer ON n_nationkey = c_nationkey
+        WHERE n_regionkey = r_regionkey
+        GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 1) t
+      ORDER BY r_name"""))
+
   private val qArrayFuncs = Q(
     "q_array_funcs",
     (s, d) => {
@@ -933,5 +958,5 @@ object RelationalQueries {
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
-    qSaltedAgg, qArrayFuncs, qMapStruct)
+    qSaltedAgg, qArrayFuncs, qMapStruct, qLateral)
 }
