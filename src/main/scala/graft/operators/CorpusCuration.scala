@@ -132,5 +132,76 @@ object CorpusCuration {
       WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(curate, hashSample, decontaminate)
+  /** Sequence packing: assign documents to fixed-budget token bins (the
+    * pre-tokenization grouping step that turns a corpus into ~equal-sized
+    * training sequences). Greedy first-fit is inherently sequential, so
+    * the scalable form is cumulative: order documents on a stable key,
+    * running-sum their token counts, and cut a new pack every `budget`
+    * tokens — one window pass, one shuffle. Packs overshoot by at most
+    * one document, the same guarantee streaming packers give.
+    */
+  val tokenPacking: Q = Q(
+    "pipe_token_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val Budget = 2048L
+      val w = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .select($"doc_id", $"n_tokens",
+          expr(s"(cum_tokens - 1) div $Budget").as("pack_id"))
+        .groupBy($"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"pack_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST((sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2048
+            AS BIGINT) AS pack_id
+        FROM t)
+      SELECT pack_id, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY pack_id ORDER BY pack_id"""))
+
+  /** Deterministic train/val/test split — the same stable-hash mechanism
+    * as [[hashSample]] with an 80/10/10 bucket map, reported as per-source
+    * split counts (the reproducibility contract: any engine, any
+    * partitioning, same membership).
+    */
+  val splitCounts: Q = Q(
+    "pipe_split_counts",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+        .select($"source",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "val").otherwise("test").as("split"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"split")
+    },
+    Some("""SELECT source,
+      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      count(*) AS n_docs
+      FROM (SELECT source,
+              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS b
+            FROM documents)
+      GROUP BY 1, 2 ORDER BY source, split"""))
+
+  val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
+    splitCounts)
 }
