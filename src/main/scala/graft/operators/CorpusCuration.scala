@@ -202,6 +202,38 @@ object CorpusCuration {
             FROM documents)
       GROUP BY 1, 2 ORDER BY source, split"""))
 
+  /** Stratified quota sampling: at most K documents per source, membership
+    * decided by the stable per-doc hash (not arrival order), so the sample
+    * is reproducible under any partitioning and any engine. The per-source
+    * rank is a window over source partitions — each stratum sorts
+    * independently after one shuffle on `source`; with skewed strata the
+    * rank-≤-K filter is the thing to push into a per-partition top-K
+    * (as the TakeOrderedAndProject top-k queries do globally).
+    */
+  val quotaSample: Q = Q(
+    "pipe_quota_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val K = 30
+      val byHash = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+        .withColumn("rk", row_number().over(byHash))
+        .filter($"rk" <= K)
+        .select($"source", $"rk".cast(LongType).as("rk"), $"doc_id")
+        .orderBy($"source", $"rk")
+    },
+    Some("""SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                     doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 30 ORDER BY source, rk"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    splitCounts)
+    splitCounts, quotaSample)
 }

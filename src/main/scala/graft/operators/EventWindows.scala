@@ -176,5 +176,75 @@ object EventWindows {
         AS events_last_hour
       FROM events ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate)
+  /** Cohort retention: users grouped by their first-active day, counted
+    * again on each later day they return, reported as (cohort_day,
+    * day_offset, n_users) for offsets 0–7. Two shuffles — the per-user
+    * min (map-side combined) and the cohort re-aggregation; the join back
+    * to activity is on user_id, the same key the first aggregate already
+    * hashed on. All day math is integral floor division on epoch values.
+    */
+  val retention: Q = Q(
+    "ev_retention",
+    (s, d) => {
+      import s.implicits._
+      val DayUs = 86400L * 1000000L
+      val dayExpr = s"(${Tables.fldivExpr(Tables.fldivExpr("ts", 1000L), DayUs)})"
+      val ev = Tables.events(s, d)
+        .select($"user_id", expr(dayExpr).as("day"))
+        .distinct()
+      val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .select($"user_id", $"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .filter($"day_offset" <= 7)
+        // ev is already distinct (user_id, day), so each user contributes
+        // one row per offset — plain count, no count-distinct expand
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+    Some("""WITH ev AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+        count(*) AS n_users
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.day - c.cohort_day <= 7
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+
+  /** Top event-type transitions: each user's time-ordered event sequence
+    * viewed as (prev_type → next_type) bigrams, counted corpus-wide —
+    * the path-analysis primitive (next-action prediction, funnel
+    * discovery). One shuffle on user_id for the lag window, then a
+    * map-side-combined count over the tiny type×type key space; the
+    * top-k is a TakeOrderedAndProject. (event_id breaks timestamp ties,
+    * so the sequence — and the counts — are deterministic.)
+    */
+  val eventPaths: Q = Q(
+    "ev_event_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type",
+          Tables.fdiv("ts", 1000000L).as("ts_ms"))
+        .withColumn("prev_type", lag($"event_type", 1).over(byTime))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"prev_type", $"event_type")
+        .limit(20)
+    },
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts), event_id) AS prev_type
+        FROM events)
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+      ORDER BY n DESC, prev_type, event_type LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
+    retention, eventPaths)
 }

@@ -194,6 +194,133 @@ object TextAnalysis {
       CAST(max(length(text)) AS BIGINT) AS max_chars
       FROM documents GROUP BY 1 ORDER BY bucket"""))
 
+  /** Tokenizer vocabulary build: the top-500 tokens by corpus frequency,
+    * assigned contiguous ids. Two stages, both distributed: a map-side-
+    * combined token count (explode + groupBy), then a distributed top-k
+    * (TakeOrderedAndProject — no global sort); only the surviving 500 rows
+    * see the id-assigning window, so the single-partition window is over a
+    * constant-size set regardless of corpus size. Ties broken by token
+    * text, making both the cutoff and the ids deterministic.
+    */
+  val vocab: Q = Q(
+    "ta_vocab",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val top = Tables.spread(Tables.documents(s, d), "doc_id")
+        .select(explode(split(expr(normSpark), " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(500)
+      top.select($"token", $"n",
+          (row_number().over(Window.orderBy($"n".desc, $"token")) - 1)
+            .cast(LongType).as("token_id"))
+        .orderBy($"token_id")
+    },
+    Some(s"""WITH c AS (
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split($normDuck, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 500)
+      SELECT token, n,
+        CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id
+      FROM c ORDER BY token_id"""))
+
+  /** Repetition-based quality signals (the Gopher-style filters): fraction
+    * of tokens taken by the single most frequent word, and the
+    * distinct-token ratio. Computed in the scale-right shape — explode,
+    * count per (doc, word), re-aggregate per doc — two map-side-combined
+    * shuffles on keys that grow with the corpus, never a per-doc quadratic
+    * scan. All ratios are exact-integer divisions done identically on both
+    * engines.
+    */
+  val repetition: Q = Q(
+    "ta_repetition",
+    (s, d) => {
+      import s.implicits._
+      Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          max($"c").as("top_count"),
+          count(lit(1)).as("n_distinct"))
+        .select($"doc_id", $"n_tokens", $"top_count", $"n_distinct",
+          ($"top_count".cast(DoubleType) / $"n_tokens").as("top_word_frac"),
+          ($"n_distinct".cast(DoubleType) / $"n_tokens").as("distinct_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, token, count(*) AS c FROM (
+          SELECT doc_id, unnest(string_split($normDuck, ' ')) AS token
+          FROM documents)
+        WHERE token <> '' GROUP BY doc_id, token),
+      a AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(max(c) AS BIGINT) AS top_count,
+          count(*) AS n_distinct
+        FROM w GROUP BY doc_id)
+      SELECT doc_id, n_tokens, top_count, n_distinct,
+        CAST(top_count AS DOUBLE) / n_tokens AS top_word_frac,
+        CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+      FROM a ORDER BY doc_id"""))
+
+  /** Per-document top-3 salient terms by tf·idf. The idf here is the
+    * *linear* inverse document frequency `N/df` rather than `ln(N/df)`:
+    * `ln` is not guaranteed correctly-rounded (Java Math.log vs libm may
+    * differ in the last ulp), while `tf * N / df` is a pure
+    * correctly-rounded IEEE chain — bit-identical across engines. The
+    * shape is the real one: doc-frequency join against per-doc term
+    * counts, window top-k per doc.
+    */
+  val tfidf: Q = Q(
+    "ta_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables.spread(Tables.documents(s, d), "doc_id")
+      // one row per (doc, token) with its in-doc count; df derives from it
+      val perDoc = docs
+        .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val df = perDoc.groupBy($"token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(countDistinct($"doc_id").as("n_docs"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"token")
+      perDoc.join(df, "token")
+        .crossJoin(broadcast(nDocs)) // 1-row scalar, no driver collect
+        .select($"doc_id", $"token", $"tf", $"df",
+          ($"tf".cast(DoubleType) * $"n_docs" / $"df").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank".cast(LongType).as("rank"), $"token",
+          $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, unnest(string_split($normDuck, ' ')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token <> '' GROUP BY doc_id, token),
+      df AS (
+        SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf) GROUP BY token),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+          CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS score,
+          row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df DESC,
+                     tf.token) AS rank
+        FROM tf JOIN df USING (token))
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+      FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    rollingFingerprint, topBigrams, lengthHistogram)
+    rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
+    tfidf)
 }

@@ -950,6 +950,80 @@ object RelationalQueries {
       CAST(2 AS BIGINT) AS n_keys
       FROM part ORDER BY p_partkey"""))
 
+  /** Pearson correlation / covariance per group, built from exact decimal
+    * moment sums so the result is order-independent (Spark's builtin
+    * `corr` aggregates doubles and is partition-order dependent — fine
+    * numerically, unusable for bit-exact oracles). Only the final formula
+    * runs in double: every step there (mul, div, sqrt) is correctly
+    * rounded IEEE, so both engines produce identical bits. One map-side-
+    * combined shuffle over the group keys at any scale.
+    */
+  private val qCorr = Q(
+    "q_corr_stats",
+    (s, d) => {
+      import s.implicits._
+      val x = dec2($"l_quantity")
+      val y = dec2($"l_extendedprice")
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DecimalType(38, 2)).as("sx"),
+          sum(y).cast(DecimalType(38, 2)).as("sy"),
+          sum((x * x).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sxx"),
+          sum((y * y).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("syy"),
+          sum((x * y).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sxy"))
+        .select($"l_returnflag", $"n",
+          (($"sxy".cast(DoubleType) - $"sx".cast(DoubleType) * $"sy".cast(DoubleType) / $"n") / $"n")
+            .as("covar_pop"),
+          (($"sxy".cast(DoubleType) - $"sx".cast(DoubleType) * $"sy".cast(DoubleType) / $"n") /
+            sqrt(($"sxx".cast(DoubleType) - $"sx".cast(DoubleType) * $"sx".cast(DoubleType) / $"n") *
+                 ($"syy".cast(DoubleType) - $"sy".cast(DoubleType) * $"sy".cast(DoubleType) / $"n")))
+            .as("corr"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (sxy - sx * sy / n) / n AS covar_pop,
+        (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+      FROM m ORDER BY l_returnflag"""))
+
+  /** Error-safe arithmetic: `try_divide` / `try_cast` return NULL where
+    * strict evaluation would raise — the ANSI-mode-friendly form of the
+    * reference's null-on-error UDF semantics (Adhesive.java:93-99 returns
+    * null through the same path). The oracle mirrors with NULLIF /
+    * TRY_CAST. Pure per-row projection, no shuffle.
+    */
+  private val qTryArith = Q(
+    "q_try_arith",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_orderkey" <= 1000)
+        .select($"l_orderkey", $"l_linenumber".cast(LongType).as("l_linenumber"),
+          $"l_partkey", $"l_suppkey", $"l_quantity",
+          expr("try_divide(l_extendedprice, CAST(CAST(l_quantity AS BIGINT) % 3 AS DOUBLE))")
+            .as("unit3"),
+          expr("try_cast(concat('x', CAST(l_partkey AS STRING)) AS BIGINT)").as("bad_cast"),
+          expr("try_cast(CAST(l_suppkey AS STRING) AS BIGINT)").as("good_cast"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_quantity")
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_partkey, l_suppkey, l_quantity,
+        l_extendedprice / CAST(NULLIF(CAST(l_quantity AS BIGINT) % 3, 0) AS DOUBLE) AS unit3,
+        TRY_CAST('x' || CAST(l_partkey AS VARCHAR) AS BIGINT) AS bad_cast,
+        TRY_CAST(CAST(l_suppkey AS VARCHAR) AS BIGINT) AS good_cast
+      FROM lineitem WHERE l_orderkey <= 1000
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
@@ -958,5 +1032,5 @@ object RelationalQueries {
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
-    qSaltedAgg, qArrayFuncs, qMapStruct, qLateral)
+    qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith)
 }

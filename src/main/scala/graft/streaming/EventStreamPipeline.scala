@@ -130,4 +130,47 @@ object EventStreamPipeline {
           closed.result().iterator
       }
   }
+
+  /** Incremental upsert into a keyed serving table via `foreachBatch` +
+    * `Trigger.AvailableNow`: per-type running totals, merged key-wise each
+    * micro-batch. This is the generic sink pattern for stores without
+    * native streaming support (JDBC, KV, table formats) — the batch
+    * writer runs inside the streaming query with exactly-once tracking
+    * from the checkpoint. AvailableNow drains the backlog to completion
+    * and stops: the scheduled-incremental form (cron-driven catch-up)
+    * used when a resident streaming cluster isn't warranted.
+    *
+    * The merge here collects the updated keys to the driver — sound
+    * because the key space is the handful of event types (grouped totals,
+    * not raw rows); a large key space would MERGE INTO a real table
+    * format instead. Totals aggregate exact decimals so re-merging is
+    * order-independent.
+    */
+  def upsertTypeTotals(spark: SparkSession, srcDir: String,
+      targetDir: String, checkpointDir: String): Unit = {
+    import spark.implicits._
+    val updates = readEvents(spark, srcDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+          .as("total_value"))
+    val q = updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val target = new java.io.File(targetDir)
+        val existing =
+          if (target.exists()) s.read.parquet(targetDir).collect() else Array.empty[org.apache.spark.sql.Row]
+        val updated = batch.collect()
+        val updatedKeys = updated.map(_.getString(0)).toSet
+        val merged = existing.filterNot(r => updatedKeys(r.getString(0))) ++ updated
+        s.createDataFrame(s.sparkContext.parallelize(merged.toSeq, 1),
+          batch.schema).write.mode("overwrite").parquet(targetDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -127,6 +127,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + AvailableNow upsert converges to the batch totals and stops") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-upsert")
+    // two arriving files: the upsert must merge across micro-batches
+    for (i <- 0 to 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+        streamDir.resolve(s"events-00$i.parquet"))
+    val target = java.nio.file.Files.createTempDirectory("graft-upsert-t")
+      .resolve("totals").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-c").toString
+
+    // AvailableNow + awaitTermination: returns only once the backlog drains
+    EventStreamPipeline.upsertTypeTotals(
+      spark, streamDir.toString, target, ckpt)
+
+    val served = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val expected = spark.read.parquet(streamDir.toString)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"value".cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("total_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(served == expected)
+    assert(served.nonEmpty)
+
+    // restart with the same checkpoint: nothing new to process, totals stable
+    EventStreamPipeline.upsertTypeTotals(
+      spark, streamDir.toString, target, ckpt)
+    val after = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(after == served)
+  }
+
   test("streaming dedup collapses duplicate deliveries to one row per event_id") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
     // simulate at-least-once delivery: the same file arrives twice
