@@ -96,10 +96,11 @@ object AdhesiveRegistry {
         s"return type ${returnType.sql} not supported (to be added); " +
           "supported: BIGINT, INT, FLOAT, DOUBLE")
     }
-    val adhesiveUdf = new AdhesiveUdf(name, fqn, bytecode)
-    // Scala 2.13 lambdas are serializable; the closure carries only the
-    // (fqn, bytecode) pair inside AdhesiveUdf — see its scaladoc for why.
-    val callFn: Row => Any = (r: Row) => adhesiveUdf.call(r)
+    // AdhesiveUdf is itself the serializable Row => Any closure (carries
+    // only the (fqn, bytecode) pair — see its scaladoc); passing the
+    // instance, not a wrapping lambda, lets AdhesiveConstantFolding
+    // recognize adhesive calls in the plan by instance type.
+    val callFn: Row => Any = new AdhesiveUdf(name, fqn, bytecode)
 
     val builder = (exprs: Seq[Expression]) => {
       if (exprs.length != argTypes.length) {

@@ -62,6 +62,10 @@ class AdhesiveSqlParser(delegate: ParserInterface) extends ParserInterface {
   * `--conf spark.sql.extensions=graft.adhesive.AdhesiveSparkExtensions`.
   */
 class AdhesiveSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new AdhesiveSqlParser(delegate))
+    // runs in the user-provided-rules batch, after Spark's own constant
+    // folding has turned literal-valued subtrees into Literals
+    ext.injectOptimizerRule(_ => AdhesiveConstantFolding)
+  }
 }

@@ -22,7 +22,11 @@ class AdhesiveUdf(
     val functionName: String,
     val fqn: String,
     val bytecode: Map[String, Array[Byte]])
-    extends UDF1[Row, Any] with Serializable {
+    extends UDF1[Row, Any] with (Row => Any) with Serializable {
+
+  // Function1 view, passed directly as ScalaUDF.function so the optimizer
+  // can recognize adhesive calls by instance type (AdhesiveConstantFolding)
+  override def apply(row: Row): Any = call(row)
 
   @transient private lazy val inst: Adhesive =
     AdhesiveInstances.instance(fqn, bytecode)

@@ -26,6 +26,9 @@ case class StrictArg(
 
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
+  // pass-through: a literal argument stays visibly foldable, so
+  // AdhesiveConstantFolding can fold deterministic calls over constants
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == expected) TypeCheckResult.TypeCheckSuccess
