@@ -846,6 +846,43 @@ object RelationalQueries {
       JOIN region_counts ON r_regionkey = n_regionkey
       ORDER BY r_name"""))
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): generate the month
+    * calendar spanning the order history, then left-join monthly order
+    * counts — the gap-filling pattern that surfaces zero-activity months
+    * a plain GROUP BY silently drops. The recursion is a driver-side
+    * 80-iteration loop over one-row frames (bounded by
+    * spark.sql.cteRecursionLevelLimit, default 100); the real work — the
+    * join + aggregate against the fact table — stays one distributed
+    * pass. Same query text on both engines.
+    */
+  private val qRecursiveCte = Q(
+    "q_recursive_cte",
+    (s, d) => {
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""WITH RECURSIVE months(month_start) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(month_start, 1) FROM months
+          WHERE month_start < DATE '2001-08-01')
+        SELECT CAST(m.month_start AS TIMESTAMP) AS month_start,
+          count(o.o_orderkey) AS n_orders,
+          CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        FROM months m LEFT JOIN orders o
+          ON CAST(date_trunc('MONTH', o.o_orderdate) AS DATE) = m.month_start
+        GROUP BY m.month_start ORDER BY month_start""")
+    },
+    Some("""WITH RECURSIVE months(month_start) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE month_start < DATE '2001-08-01')
+      SELECT CAST(m.month_start AS TIMESTAMP) AS month_start,
+        count(o.o_orderkey) AS n_orders,
+        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+      FROM months m LEFT JOIN orders o
+        ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
+      GROUP BY m.month_start ORDER BY month_start"""))
+
   private val qSaltedAgg = Q(
     "q_salted_agg",
     (s, d) => {
@@ -974,12 +1011,16 @@ object RelationalQueries {
           sum((y * y).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("syy"),
           sum((x * y).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("sxy"))
         .select($"l_returnflag", $"n",
+          // the final double chain can differ by 1 ulp across engines
+          // (C compilers may contract a - b*c into FMA; the JVM never
+          // does) — pin both outputs through a fixed-scale decimal so
+          // last-ulp noise rounds away identically on both sides
           (($"sxy".cast(DoubleType) - $"sx".cast(DoubleType) * $"sy".cast(DoubleType) / $"n") / $"n")
-            .as("covar_pop"),
+            .cast(DecimalType(26, 8)).cast(DoubleType).as("covar_pop"),
           (($"sxy".cast(DoubleType) - $"sx".cast(DoubleType) * $"sy".cast(DoubleType) / $"n") /
             sqrt(($"sxx".cast(DoubleType) - $"sx".cast(DoubleType) * $"sx".cast(DoubleType) / $"n") *
                  ($"syy".cast(DoubleType) - $"sy".cast(DoubleType) * $"sy".cast(DoubleType) / $"n")))
-            .as("corr"))
+            .cast(DecimalType(16, 14)).cast(DoubleType).as("corr"))
         .orderBy($"l_returnflag")
     },
     Some("""WITH m AS (
@@ -991,8 +1032,9 @@ object RelationalQueries {
           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
-        (sxy - sx * sy / n) / n AS covar_pop,
-        (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+        CAST(CAST((sxy - sx * sy / n) / n AS DECIMAL(26,8)) AS DOUBLE) AS covar_pop,
+        CAST(CAST((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+          AS DECIMAL(16,14)) AS DOUBLE) AS corr
       FROM m ORDER BY l_returnflag"""))
 
   /** Error-safe arithmetic: `try_divide` / `try_cast` return NULL where
@@ -1032,5 +1074,6 @@ object RelationalQueries {
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
-    qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith)
+    qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith,
+    qRecursiveCte)
 }
