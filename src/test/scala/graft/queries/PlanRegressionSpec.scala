@@ -86,4 +86,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = planString("ta_top_bigrams")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("ev_event_paths: top-20 transitions via TakeOrderedAndProject") {
+    val p = planString("ev_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("ta_tfidf: corpus-size scalar joins in as a broadcast, not a shuffle") {
+    val p = planString("ta_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+  }
+
+  test("ta_vocab: map-side combine feeds the distributed top-k") {
+    val p = planString("ta_vocab")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected partial aggregation:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("pipe_split_counts: split assignment aggregates map-side, no row shuffle") {
+    val p = planString("pipe_split_counts")
+    // rows reduce to (source, split) partials before the only data shuffle
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("q_recursive_cte: fact-side aggregation keeps partial/final shape") {
+    val p = planString("q_recursive_cte")
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("UnionLoop") || p.contains("Recursion") ||
+      p.contains("CTE"), s"expected a recursive node:\n${p.take(1500)}")
+  }
 }
