@@ -22,6 +22,9 @@ object Explain {
       .config("spark.sql.extensions", "graft.adhesive.AdhesiveSparkExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // semi-join reduction for non-broadcastable selective joins; the
+      // default size gates keep it dormant at test scale (RuntimeFilterSpec)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val targets =
