@@ -332,6 +332,42 @@ object Similarity {
           / 100000000.0 / count(*) AS centroid
       FROM ex GROUP BY label, i ORDER BY label, pos"""))
 
+  /** Symmetric int8 quantization per vector — the memory side of ANN at
+    * scale (4× smaller vectors, SIMD-friendly dot products; what a 100 TB
+    * embedding store actually serves). Per-vector scale = max|x|/127;
+    * codes = round(x/scale), computed as floor(v + 0.5) because SQL
+    * `round` half-case rules differ across engines while floor is exact.
+    * All narrow per-row work; float→double casts are exact, so both
+    * engines quantize identically. Codes for the first 4 dims are
+    * surfaced as scalar columns (array outputs break the driver compare).
+    */
+  val quantizeInt8: Q = Q(
+    "ann_quantize_int8",
+    (s, d) => {
+      import s.implicits._
+      def code(i: Int) =
+        expr(s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) / scale + 0.5d) AS BIGINT)")
+          .as(s"q$i")
+      Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0d")
+            .as("scale"))
+        .filter($"scale" > 0)
+        .select($"vec_id", $"scale", code(1), code(2), code(3), code(4),
+          size($"embedding").cast("long").as("n_dims"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id, scale,
+        CAST(floor(CAST(embedding[1] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q1,
+        CAST(floor(CAST(embedding[2] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q2,
+        CAST(floor(CAST(embedding[3] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q3,
+        CAST(floor(CAST(embedding[4] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q4,
+        CAST(len(embedding) AS BIGINT) AS n_dims
+      FROM (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM embeddings)
+      WHERE scale > 0 ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
-    ivfNprobe2, sqlTopK, cosineNearDup, centroids)
+    ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8)
 }
