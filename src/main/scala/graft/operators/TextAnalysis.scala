@@ -282,16 +282,20 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val docs = Tables.spread(Tables.documents(s, d), "doc_id")
-      // one row per (doc, token) with its in-doc count; df derives from it
+      // one row per (doc, token) with its in-doc count; df then comes
+      // from a window count over the token partition — one scan, one
+      // explode, no second aggregate + join (the join form re-reads and
+      // re-shingles the whole corpus to build the df table)
       val perDoc = docs
         .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
         .filter($"token" =!= "")
         .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val df = perDoc.groupBy($"token").agg(count(lit(1)).as("df"))
+      val withDf = perDoc.withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"token")))
       val nDocs = docs.agg(countDistinct($"doc_id").as("n_docs"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"score".desc, $"token")
-      perDoc.join(df, "token")
+      withDf
         .crossJoin(broadcast(nDocs)) // 1-row scalar, no driver collect
         .select($"doc_id", $"token", $"tf", $"df",
           ($"tf".cast(DoubleType) * $"n_docs" / $"df").as("score"))
