@@ -178,10 +178,11 @@ object EventWindows {
 
   /** Cohort retention: users grouped by their first-active day, counted
     * again on each later day they return, reported as (cohort_day,
-    * day_offset, n_users) for offsets 0–7. Two shuffles — the per-user
-    * min (map-side combined) and the cohort re-aggregation; the join back
-    * to activity is on user_id, the same key the first aggregate already
-    * hashed on. All day math is integral floor division on epoch values.
+    * day_offset, n_users) for offsets 0–7. One scan: events collapse to
+    * distinct user-days, the cohort day is a window `min` over the
+    * user_id partition (no self-aggregate + join, which would re-scan the
+    * input), then one re-aggregation over the tiny cohort×offset key
+    * space. All day math is integral floor division on epoch values.
     */
   val retention: Q = Q(
     "ev_retention",
@@ -189,11 +190,12 @@ object EventWindows {
       import s.implicits._
       val DayUs = 86400L * 1000000L
       val dayExpr = s"(${Tables.fldivExpr(Tables.fldivExpr("ts", 1000L), DayUs)})"
-      val ev = Tables.events(s, d)
+      Tables.events(s, d)
         .select($"user_id", expr(dayExpr).as("day"))
         .distinct()
-      val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-      ev.join(cohorts, "user_id")
+        .withColumn("cohort_day",
+          min($"day").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id")))
         .select($"user_id", $"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
         .filter($"day_offset" <= 7)
         // ev is already distinct (user_id, day), so each user contributes
