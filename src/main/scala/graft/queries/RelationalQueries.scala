@@ -469,6 +469,29 @@ object RelationalQueries {
     Some("""SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
       count(*) AS n FROM events GROUP BY k ORDER BY k"""))
 
+  /** Semi-structured JSON through Spark 4's VARIANT type: `parse_json`
+    * once, then typed path extraction (`variant_get`) — the
+    * schema-on-read path for event properties that beats per-field regex
+    * or repeated from_json at scale (one parse, binary-encoded access).
+    * The DuckDB oracle uses its native JSON extraction; both engines
+    * reduce to the same typed values.
+    */
+  private val qVariant = Q(
+    "q_json_variant",
+    (s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          $"event_type")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"k")
+    },
+    Some("""SELECT CAST(props->>'k' AS BIGINT) AS k, count(*) AS n,
+        count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY k ORDER BY k"""))
+
   private val qMinMax = Q(
     "q_minmax_stats",
     (s, d) => {
@@ -1075,5 +1098,5 @@ object RelationalQueries {
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
     qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith,
-    qRecursiveCte)
+    qRecursiveCte, qVariant)
 }
