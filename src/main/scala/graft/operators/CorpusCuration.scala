@@ -234,6 +234,42 @@ object CorpusCuration {
         FROM documents)
       WHERE rk <= 30 ORDER BY source, rk"""))
 
+  /** Importance-weighted sampling — the data-mixing primitive (upweight
+    * long/high-quality documents without a global pass): keep doc iff
+    * hash(doc_id) mod M < weight(doc)·M, all in integers, so membership
+    * is deterministic under any partitioning and engine. Here weight =
+    * min(1, n_tokens/500) — longer documents kept proportionally more
+    * often; per-source keep-rates report the realized mixture. A narrow
+    * filter + one aggregation; no shuffle of raw rows beyond the
+    * (source)-keyed partials.
+    */
+  val weightedSample: Q = Q(
+    "pipe_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000")
+            .as("h"),
+          size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"))
+        .select($"source", $"n_tokens",
+          ($"h" < least(lit(10000L), $"n_tokens" * 20L)).as("kept"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_tokens").otherwise(0L)).as("kept_tokens"))
+        .orderBy($"source")
+    },
+    Some("""WITH w AS (
+        SELECT source,
+          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS h,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN h < least(10000, n_tokens * 20) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN h < least(10000, n_tokens * 20) THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM w GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    splitCounts, quotaSample)
+    splitCounts, quotaSample, weightedSample)
 }
