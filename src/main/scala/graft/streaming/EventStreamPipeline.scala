@@ -131,6 +131,61 @@ object EventStreamPipeline {
       }
   }
 
+  /** Gap-based sessionization on the `transformWithState` API (Spark 4's
+    * successor to `flatMapGroupsWithState`): state lives in named, typed
+    * handles (`ValueState`) backed by the RocksDB state store, so per-key
+    * state is spillable and checkpointed incrementally — the shape for
+    * very large active-key populations where the in-memory HDFS-backed
+    * store would OOM. Same session semantics as [[sessionize]]; the spec
+    * proves the two APIs produce identical closed sessions.
+    */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      var cur = if (open.exists()) Some(open.get()) else None
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        cur = cur match {
+          case Some(s) if e.ts - s.lastMs <= SessionGapMs =>
+            Some(s.copy(lastMs = e.ts, n = s.n + 1))
+          case Some(s) =>
+            closed += Session(userId, s.startMs, s.n)
+            Some(OpenSession(e.ts, e.ts, 1))
+          case None =>
+            Some(OpenSession(e.ts, e.ts, 1))
+        }
+      }
+      cur.foreach(open.update)
+      closed.result().iterator
+    }
+  }
+
+  /** [[sessionize]] re-expressed on transformWithState (see
+    * [[SessionProcessor]]). Requires the RocksDB state store provider.
+    */
+  def sessionizeTws(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    events
+      .select(col("event_id"), expr("ts div 1000000").as("ts"), col("user_id"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Incremental upsert into a keyed serving table via `foreachBatch` +
     * `Trigger.AvailableNow`: per-type running totals, merged key-wise each
     * micro-batch. This is the generic sink pattern for stores without

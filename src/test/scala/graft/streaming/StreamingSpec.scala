@@ -127,6 +127,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState twin") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-tws")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+        streamDir.resolve("events-000.parquet"))
+      val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+      val q = EventStreamPipeline.sessionizeTws(stream)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("tws_sessions")
+        .start()
+      try {
+        q.processAllAvailable()
+        val tws = spark.table("tws_sessions")
+          .select($"user_id", $"session_start_ms", $"n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // same closed-session semantics as the older state API: batch
+        // sessions minus each user's never-closed tail
+        val batchAll = graft.operators.EventWindows.sessionize
+          .build(spark, TestSpark.sfDir)
+          .select($"user_id", $"session_start_ms", $"n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+        assert(tws == batchAll.toSet -- lastPerUser)
+        assert(tws.nonEmpty)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("foreachBatch + AvailableNow upsert converges to the batch totals and stops") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-upsert")
     // two arriving files: the upsert must merge across micro-batches
