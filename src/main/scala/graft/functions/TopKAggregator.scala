@@ -34,4 +34,12 @@ object TopKAggregator {
   /** Untyped-DataFrame form: `df.groupBy(...).agg(top_k(3)($"x"))`. */
   def top_k(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     functions.udaf(new TopKDoubles(k), ExpressionEncoder[Double]())
+
+  /** SQL registration: `SELECT <name>(x) … GROUP BY …` — the UDAF made
+    * available to pure-SQL users alongside the scalar registrations in
+    * [[graft.functions.VectorFunctions.register]].
+    */
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+      k: Int): Unit =
+    spark.udf.register(name, top_k(k))
 }

@@ -24,4 +24,19 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(v == expect)
   }
+
+  test("custom UDAF registers for pure SQL and matches the DataFrame form") {
+    import spark.implicits._
+    Catalog.registerAll(spark, TestSpark.sfDir)
+    graft.functions.TopKAggregator.register(spark, "top_k3", 3)
+    val viaSql = spark.sql(
+      "SELECT l_returnflag, top_k3(l_quantity) AS top FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val viaDf = graft.queries.Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.TopKAggregator.top_k(3)($"l_quantity").as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql == viaDf)
+    assert(viaSql.values.forall(_.size == 3))
+  }
 }
