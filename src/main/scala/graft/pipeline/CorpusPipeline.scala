@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.operators.CorpusCuration
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Observation, SparkSession}
+
+/** The operators composed into one executable training-data job:
+  *
+  *   curate (near-dup survivors + language + quality)
+  *     → deterministic train/val/test split (stable hash)
+  *     → token-budget sequence packing (per split)
+  *     → sharded parquet write partitioned by split
+  *
+  * Every stage is the already-oracled building block from
+  * [[graft.operators]]; this object is the "a user could run their whole
+  * pipeline on this library" artifact. Accounting comes from
+  * `Dataset.observe` — collected during the single write pass, no second
+  * scan. Output layout: `<outDir>/corpus/split=<train|val|test>/…` with
+  * columns (doc_id, source, n_tokens, pack_id, text).
+  */
+object CorpusPipeline {
+
+  case class Report(
+      nInput: Long,
+      nCurated: Long,
+      tokensOut: Long,
+      splits: Map[String, Long])
+
+  val TokenBudget = 2048L
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sfDir)
+    val nInput = docs.count()
+
+    // stage 1: curation — survivors with quality/lang gates (oracled as
+    // pipe_corpus_curation); re-attach text for the output corpus
+    val curated = CorpusCuration.curate.build(spark, sfDir)
+      .select($"doc_id", $"n_tokens")
+      .join(docs.select($"doc_id", $"source", $"text"), "doc_id")
+
+    // stage 2: stable-hash split (same rule as pipe_split_counts: any
+    // engine, any partitioning, same membership)
+    val withSplit = curated
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val").otherwise("test"))
+      .drop("bucket")
+
+    // stage 3: token packing per split (cumulative cut, as
+    // pipe_token_packing; the window partitions by split so each split
+    // packs independently)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"split").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = withSplit
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum_tokens - 1) div $TokenBudget").cast(LongType))
+      .drop("cum_tokens")
+
+    // stage 4: sharded write + single-pass accounting
+    val obs = Observation()
+    packed
+      .observe(obs,
+        count(lit(1)).as("n_curated"),
+        sum($"n_tokens").as("tokens_out"))
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+
+    val splits = spark.read.parquet(s"$outDir/corpus")
+      .groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    Report(
+      nInput = nInput,
+      nCurated = obs.get("n_curated").asInstanceOf[Long],
+      tokensOut = obs.get("tokens_out").asInstanceOf[Long],
+      splits = splits)
+  }
+
+  /** `runMain graft.pipeline.CorpusPipeline <sfDir> <outDir>` — prints a
+    * one-line JSON report.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir, outDir)
+    val splitsJson = r.splits.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"n_input":${r.nInput},"n_curated":${r.nCurated},""" +
+      s""""tokens_out":${r.tokensOut},"splits":$splitsJson}""")
+    spark.stop()
+  }
+}
