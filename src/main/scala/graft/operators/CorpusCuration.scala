@@ -136,9 +136,10 @@ object CorpusCuration {
     * pre-tokenization grouping step that turns a corpus into ~equal-sized
     * training sequences). Greedy first-fit is inherently sequential, so
     * the scalable form is cumulative: order documents on a stable key,
-    * running-sum their token counts, and cut a new pack every `budget`
-    * tokens — one window pass, one shuffle. Packs overshoot by at most
-    * one document, the same guarantee streaming packers give.
+    * running-sum their token counts with a distributed prefix sum
+    * (range-partition → parallel per-partition windows → per-partition
+    * offsets), and cut a new pack every `budget` tokens. Packs overshoot
+    * by at most one document, the same guarantee streaming packers give.
     */
   val tokenPacking: Q = Q(
     "pipe_token_packing",
@@ -146,12 +147,34 @@ object CorpusCuration {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val Budget = 2048L
-      val w = Window.orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      // Distributed prefix sum — a global ORDER BY window would pull the
+      // whole corpus onto ONE partition (WindowExec "No Partition
+      // Defined"). Instead: range-partition on the ordering key, running
+      // sum WITHIN each partition (parallel windows), then add each
+      // partition's prefix offset, computed from the per-partition
+      // subtotals (<= #partitions rows — bounded by cluster size, not
+      // data size). The cumulative values are partitioning-invariant, so
+      // the result is identical to the single-window form the oracle
+      // computes.
+      val sized = Tables.documents(s, d)
         .select($"doc_id",
           size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"))
-        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
+        .withColumn("pid", spark_partition_id())
+      val nParts = s.sparkContext.defaultParallelism
+      val subtotals = sized.groupBy($"pid")
+        .agg(sum($"n_tokens").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // offsets(p) = tokens in partitions before p; empty partitions
+      // contribute 0 (they produce no subtotal row)
+      val offsets = (0 until nParts)
+        .scanLeft(0L)((acc, pid) => acc + subtotals.getOrElse(pid, 0L))
+      val offCol = (1 until nParts).foldLeft(lit(0L)) { (acc, pid) =>
+        when($"pid" === pid, offsets(pid)).otherwise(acc) }
+      val w = Window.partitionBy($"pid").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sized
+        .withColumn("cum_tokens", sum($"n_tokens").over(w) + offCol)
         .select($"doc_id", $"n_tokens",
           expr(s"(cum_tokens - 1) div $Budget").as("pack_id"))
         .groupBy($"pack_id")
