@@ -52,17 +52,35 @@ object CorpusPipeline {
           .when($"bucket" < 90, "val").otherwise("test"))
       .drop("bucket")
 
-    // stage 3: token packing per split (cumulative cut, as
-    // pipe_token_packing; the window partitions by split so each split
-    // packs independently)
+    // stage 3: token packing per split — the distributed prefix-sum
+    // shape (as pipe_token_packing): a plain per-split window would pull
+    // each split onto ONE partition. Range-partition on (split, doc_id),
+    // window within (split, partition), then add per-(split, partition)
+    // prefix offsets computed from the tiny subtotal list.
+    val nParts = spark.sparkContext.defaultParallelism
+    val ranged = withSplit
+      .repartitionByRange(nParts, $"split", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+    val subtotals = ranged.groupBy($"split", $"pid")
+      .agg(sum($"n_tokens").as("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offsets = subtotals.keys.groupBy(_._1).flatMap { case (split, keys) =>
+      val pids = keys.map(_._2).toSeq.sorted
+      val offs = pids.scanLeft(0L)((acc, p) => acc + subtotals((split, p)))
+      pids.zip(offs).map { case (p, off) => (split, p) -> off }
+    }
+    val offCol = offsets.filter(_._2 != 0L).foldLeft(lit(0L)) {
+      case (acc, ((split, pid), off)) =>
+        when($"split" === split && $"pid" === pid, off).otherwise(acc)
+    }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"split").orderBy($"doc_id")
+      .partitionBy($"split", $"pid").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val packed = withSplit
-      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+    val packed = ranged
+      .withColumn("cum_tokens", sum($"n_tokens").over(w) + offCol)
       .withColumn("pack_id", expr(s"(cum_tokens - 1) div $TokenBudget").cast(LongType))
-      .drop("cum_tokens")
+      .drop("cum_tokens", "pid")
 
     // stage 4: sharded write + single-pass accounting
     val obs = Observation()
