@@ -237,13 +237,24 @@ object Dedup {
           .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       }
       val cand = bands.reduce(_ union _).distinct()
-      val withSets = cand
+      // Exact size-ratio prefilter before the wide array join: J >= 0.6
+      // forces min(|A|,|B|)/max(|A|,|B|) >= 0.6 (same proof as in
+      // [[jaccardPairs]]), and the check costs two ints per candidate.
+      // Band collisions between genuinely-dissimilar docs grow ~n²·P(r=2
+      // false positive) — measured 1.3k/16k/407k at 5k/20k/100k docs on
+      // the 31-word synthetic vocabulary — so cheap rejection before
+      // array_intersect is what keeps verification off the critical path.
+      val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+      val sizeOk = cand
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .filter((least($"na", $"nb").cast(DoubleType) /
+          greatest($"na", $"nb")) >= 0.6)
+      sizeOk
         .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
         .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
         .select($"a_id", $"b_id",
-          size(array_intersect($"sa", $"sb")).as("ni"),
-          size($"sa").as("na"), size($"sb").as("nb"))
-      withSets
+          size(array_intersect($"sa", $"sb")).as("ni"), $"na", $"nb")
         .select($"a_id", $"b_id",
           ($"ni".cast(DoubleType) / ($"na" + $"nb" - $"ni")).as("jaccard"))
         .filter($"jaccard" >= 0.6)
