@@ -86,7 +86,8 @@ object Dedup {
     *        (JaccardDfCapSpec verifies zero loss at cap=50 here).
     */
   def jaccardPairs(sh: DataFrame, tau: Double,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None,
+      verifyWithFullSets: Boolean = true): DataFrame = {
     val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     def withSizes(pairs: DataFrame): DataFrame = pairs
@@ -110,54 +111,82 @@ object Dedup {
               .as("jaccard"))
           .filter(col("jaccard") >= tau)
       case Some(cap) =>
-        // Capped: the join count only covers sub-cap shingles, so the true
-        // intersection must come from the full sets — but only for the
-        // (small) candidate pair list the capped join produced. Candidate
-        // generation runs on 64-bit shingle hashes (narrower shuffle than
-        // 5-char strings; a hash collision can only ADD a candidate, which
-        // exact verification then rejects).
-        val exHashed = sh.select(col("doc_id"),
-          explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
-        // The cap's complement is the broadcast-able side: over-cap
-        // ("stopword") shingles are FEW DISTINCT values by construction —
-        // high df means many rows each — so the anti-join streams the big
-        // exploded table map-side instead of shuffling it against the
-        // ~|vocabulary|-sized rare list.
-        val frequent = exHashed.groupBy(col("sh"))
+        // Capped: the self-join runs only over sub-cap shingles (over-cap
+        // "stopword" shingles explode fan-out ~df² while carrying no dedup
+        // signal), and the join count is corrected back to the EXACT
+        // intersection with the per-doc over-cap shingle arrays — tiny by
+        // construction (few distinct high-df shingles exist), so the
+        // correction is a size(array_intersect) over short arrays, not a
+        // re-intersection of the full shingle sets. No verification pass
+        // at all. A qualifying pair is only lost if it shares no sub-cap
+        // shingle (near-dups share many rare shingles; the uncapped
+        // oracle's hash-match proves zero loss at the tested taus).
+        val frequent = exAll.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select(col("sh"))
-        // materialize the capped explode once; the self-join reads the
-        // cache twice instead of recomputing explode + df-join per side
-        val exRare = exHashed
+        // The cap's complement is the broadcast-able side: high df means
+        // many ROWS each but FEW distinct values, so the anti-join streams
+        // the big exploded table map-side.
+        val exRare = exAll
           .join(broadcast(frequent), Seq("sh"), "left_anti").cache()
-        val cand = exRare.as("x")
+        val overCap = exAll.join(broadcast(frequent), Seq("sh"))
+          .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("over"))
+        val counted = exRare.as("x")
           .join(exRare.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        // Exact size-ratio prefilter before the wide array join: J >= tau
-        // forces min(|A|,|B|)/max(|A|,|B|) >= tau (|A∩B| <= min, union >=
-        // max), and correctly-rounded double division is monotone, so no
-        // qualifying pair is dropped. Candidates carry two longs here;
-        // arrays (~KBs per row) are only joined in for survivors.
-        val sizeOk = withSizes(cand)
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("ni_rare"))
+        // Exact size-ratio prefilter BEFORE the correction join: J >= tau
+        // forces min(|A|,|B|)/max(|A|,|B|) >= tau, and the check costs two
+        // ints — only surviving candidates pay the over-array intersect
+        // (for char-grams the over-cap arrays are hundreds of entries, so
+        // correcting unfiltered candidates would re-create the cost the
+        // cap exists to avoid).
+        val sizeOk = withSizes(counted)
           .filter((least(col("na"), col("nb")).cast(DoubleType) /
             greatest(col("na"), col("nb"))) >= tau)
-        // join order: broadcast the (two-long) pair list into the array
-        // table, then SHUFFLE-hash the second array join — without the hint
-        // AQE can decide to broadcast the intermediate (pairs + their
-        // KB-sized shingle arrays), serializing hundreds of MB through the
-        // driver
-        sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-          .join(broadcast(sizeOk), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
-            .hint("shuffle_hash"), "b_id")
-          .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-              (col("na") + col("nb") -
-                size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
-          .filter(col("jaccard") >= tau)
+        if (verifyWithFullSets) {
+          // Default: robust regardless of over-cap density. When over-cap
+          // shingles dominate each document (small vocabularies, char
+          // grams), the per-doc over arrays of the correction branch
+          // approach the full sets and its join costs MORE than
+          // re-verification (measured: dd_survivors 2.6s vs 49s at 100k
+          // generated docs). Verify the prefiltered candidates
+          // against the full shingle sets instead: broadcast the
+          // (two-long) pair list into the array table, then SHUFFLE-hash
+          // the second array join — without the hint AQE can decide to
+          // broadcast the intermediate (pairs + their KB-sized arrays)
+          // through the driver.
+          sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+            .join(broadcast(sizeOk.select(col("a_id"), col("b_id"),
+              col("na"), col("nb"))), "a_id")
+            .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+              .hint("shuffle_hash"), "b_id")
+            .select(col("a_id"), col("b_id"),
+              (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+                (col("na") + col("nb") -
+                  size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+            .filter(col("jaccard") >= tau)
+        } else {
+          // Large-vocabulary optimization (opt-in): when over-cap shingles
+          // are FEW per doc — realistic web corpora, where high-df grams
+          // are a thin stopword band — the exact intersection is the
+          // sub-cap join count plus a correction over the short per-doc
+          // over-cap arrays, skipping the full-set verification pass.
+          sizeOk
+            .join(overCap.select(col("doc_id").as("a_id"), col("over").as("oa")),
+              Seq("a_id"), "left")
+            .join(overCap.select(col("doc_id").as("b_id"), col("over").as("ob")),
+              Seq("b_id"), "left")
+            .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+              (col("ni_rare") + when(col("oa").isNull || col("ob").isNull, lit(0))
+                .otherwise(size(array_intersect(col("oa"), col("ob"))))).as("ni"))
+            .select(col("a_id"), col("b_id"),
+              (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+                .as("jaccard"))
+            .filter(col("jaccard") >= tau)
+        }
     }
   }
 
@@ -324,7 +353,10 @@ object Dedup {
     "dd_survivors",
     (s, d) => {
       import s.implicits._
-      val drops = ngramJaccard.build(s, d).select($"b_id".as("doc_id"))
+      // capped pair generation (same pairs — oracle-proven; the uncapped
+      // form is quadratic in shingle df at corpus scale)
+      val drops = jaccardPairs(shingleDf(s, d).cache(), 0.6,
+        maxShingleDf = Some(50L)).select($"b_id".as("doc_id"))
       Tables.documents(s, d)
         .join(drops, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"source")
@@ -470,7 +502,11 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val sh = shingleDf(s, d).cache()
-      val pr = jaccardPairs(sh, 0.6).select($"a_id", $"b_id").cache()
+      // capped candidates (losslessness proven by the oracle hash-match;
+      // uncapped, the pair join fans out ~Σ df² at corpus scale — see
+      // SCALE.md's 100k-doc measurements)
+      val pr = jaccardPairs(sh, 0.6, maxShingleDf = Some(50L))
+        .select($"a_id", $"b_id").cache()
       val sym = pr.select($"a_id".as("src"), $"b_id".as("dst"))
         .union(pr.select($"b_id".as("src"), $"a_id".as("dst"))).cache()
       var labels = Tables.documents(s, d)
@@ -533,7 +569,7 @@ object Dedup {
       import s.implicits._
       val sh = shingleDf(s, d).cache()
       val sig = signatureDf(sh)
-      val pr = jaccardPairs(sh, 0.6)
+      val pr = jaccardPairs(sh, 0.6, maxShingleDf = Some(50L))
       val sa = sig.toDF("a_id" +: (0 until 8).map(j => s"amh$j"): _*)
       val sb = sig.toDF("b_id" +: (0 until 8).map(j => s"bmh$j"): _*)
       val agree = (0 until 8).map(j =>
