@@ -58,8 +58,16 @@ object AdhesiveInstances {
         throw new AdhesiveException(
           s"class '$fqn' does not extend ${classOf[Adhesive].getName}")
       }
-      try cls.getDeclaredConstructor().newInstance().asInstanceOf[Adhesive]
-      catch {
+      try {
+        val ctor = cls.getDeclaredConstructor()
+        // Users writing `class F extends Adhesive` (no `public`) inside a
+        // LANGUAGE JAVA body get a package-private class in the generated
+        // package; without this, reflection rejects it with
+        // IllegalAccessException. (The reference fails the same way —
+        // Compiler.java:57 newInstance() — we accept both forms.)
+        ctor.setAccessible(true)
+        ctor.newInstance().asInstanceOf[Adhesive]
+      } catch {
         case e: NoSuchMethodException =>
           throw new AdhesiveException(
             s"class '$fqn' has no public no-arg constructor", e)

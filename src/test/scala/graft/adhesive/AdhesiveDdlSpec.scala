@@ -55,6 +55,20 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(parse("CREATE FUNCTION h AS 'com.x.C' USING JAR '/j.jar'").isEmpty)
   }
 
+  test("package-private user class instantiates (no `public` on the class)") {
+    val spark = TestSpark.spark
+    spark.sql(
+      """CREATE FUNCTION f_pkgpriv(BIGINT) RETURNS BIGINT AS $$
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |class PkgPriv extends Adhesive {
+        |  public Object compute(Row row) { return row.getLong(0) + 1; }
+        |}
+        |$$""".stripMargin)
+    assert(spark.sql("SELECT f_pkgpriv(CAST(41 AS BIGINT)) AS v")
+      .head().getLong(0) == 42L)
+  }
+
   test("zero-arg function registers and evaluates end-to-end") {
     val spark = TestSpark.spark
     spark.sql(
