@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 125 GiB machine, single-JVM local[32]: 8g forced old-gen churn across
+  // the ~90-query bench marathon (late queries measured 2-3x their
+  // standalone time purely from GC pressure — BENCH_r02 dd_survivors 18.6s
+  // vs 6.6s in a focused run).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
