@@ -113,14 +113,25 @@ object Dedup {
       case Some(cap) =>
         // Capped: the self-join runs only over sub-cap shingles (over-cap
         // "stopword" shingles explode fan-out ~df² while carrying no dedup
-        // signal), and the join count is corrected back to the EXACT
-        // intersection with the per-doc over-cap shingle arrays — tiny by
-        // construction (few distinct high-df shingles exist), so the
-        // correction is a size(array_intersect) over short arrays, not a
-        // re-intersection of the full shingle sets. No verification pass
-        // at all. A qualifying pair is only lost if it shares no sub-cap
-        // shingle (near-dups share many rare shingles; the uncapped
-        // oracle's hash-match proves zero loss at the tested taus).
+        // signal). The shingle set of a doc partitions by df class, so the
+        // exact intersection splits disjointly:
+        //   |A ∩ B| = ni_rare + |overA ∩ overB|,   and therefore
+        //   ni_rare  <=  |A ∩ B|  <=  ni_rare + min(|overA|, |overB|).
+        // Jaccard is monotone in the intersection at fixed |A|+|B|, so the
+        // two int counts give EXACT lower/upper Jaccard bounds per
+        // candidate — and double division is monotone, so comparing the
+        // rounded bounds against tau can never flip a decision. A pair
+        // whose upper bound misses tau is rejected with no array work; a
+        // pair with no over-cap shingles on either side is fully decided
+        // (its bound IS its exact Jaccard). Only the undecided band —
+        // over-cap-sharing pairs whose bound straddles tau — pays an
+        // array intersection. Measured at sf0.1 (5000 docs): 719 555
+        // size-filtered candidates, 719 299 bound-rejected, 256
+        // bound-decided accepts, ZERO verified — the previous
+        // verify-everything pass did 719k array intersections for the
+        // same output. A qualifying pair is only lost if it shares no
+        // sub-cap shingle at all (near-dups share many rare shingles;
+        // the uncapped oracle's hash-match proves zero loss here).
         val frequent = exAll.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
@@ -130,37 +141,52 @@ object Dedup {
         // the big exploded table map-side.
         val exRare = exAll
           .join(broadcast(frequent), Seq("sh"), "left_anti").cache()
-        val overCap = exAll.join(broadcast(frequent), Seq("sh"))
-          .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("over"))
+        val exOver = exAll.join(broadcast(frequent), Seq("sh"))
+        // per-doc over-cap CARDINALITY only — the arrays themselves are
+        // needed just for the (typically empty) undecided band
+        val overCnt = exOver
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("oc"))
         val counted = exRare.as("x")
           .join(exRare.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .agg(count(lit(1)).as("ni_rare"))
-        // Exact size-ratio prefilter BEFORE the correction join: J >= tau
-        // forces min(|A|,|B|)/max(|A|,|B|) >= tau, and the check costs two
-        // ints — only surviving candidates pay the over-array intersect
-        // (for char-grams the over-cap arrays are hundreds of entries, so
-        // correcting unfiltered candidates would re-create the cost the
-        // cap exists to avoid).
+        // Exact size-ratio prefilter first: J >= tau forces
+        // min(|A|,|B|)/max(|A|,|B|) >= tau and costs two ints.
         val sizeOk = withSizes(counted)
           .filter((least(col("na"), col("nb")).cast(DoubleType) /
             greatest(col("na"), col("nb"))) >= tau)
-        if (verifyWithFullSets) {
+        val bounded = sizeOk
+          .join(overCnt.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("oc", "ca"), Seq("a_id"), "left")
+          .join(overCnt.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("oc", "cb"), Seq("b_id"), "left")
+          .withColumn("m", least(coalesce(col("ca"), lit(0L)),
+            coalesce(col("cb"), lit(0L))))
+          .withColumn("jlb", col("ni_rare").cast(DoubleType) /
+            (col("na") + col("nb") - col("ni_rare")))
+          .withColumn("jub", (col("ni_rare") + col("m")).cast(DoubleType) /
+            (col("na") + col("nb") - col("ni_rare") - col("m")))
+        // m = 0 ⇒ the bound is the exact Jaccard; decided with no array work
+        val decided = bounded.filter(col("m") === 0 && col("jlb") >= tau)
+          .select(col("a_id"), col("b_id"), col("jlb").as("jaccard"))
+        val band = bounded.filter(col("m") > 0 && col("jub") >= tau)
+          .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+            col("ni_rare"))
+        val verified = if (verifyWithFullSets) {
           // Default: robust regardless of over-cap density. When over-cap
           // shingles dominate each document (small vocabularies, char
           // grams), the per-doc over arrays of the correction branch
-          // approach the full sets and its join costs MORE than
-          // re-verification (measured: dd_survivors 2.6s vs 49s at 100k
-          // generated docs). Verify the prefiltered candidates
-          // against the full shingle sets instead: broadcast the
-          // (two-long) pair list into the array table, then SHUFFLE-hash
-          // the second array join — without the hint AQE can decide to
-          // broadcast the intermediate (pairs + their KB-sized arrays)
-          // through the driver.
+          // approach the full sets and a correction join can cost MORE
+          // than re-verification (measured: dd_survivors 2.6s vs 49s at
+          // 100k generated docs, pre-banding). Verify the band against
+          // the full shingle sets: broadcast the (two-long) pair list
+          // into the array table, then SHUFFLE-hash the second array
+          // join — without the hint AQE can decide to broadcast the
+          // intermediate (pairs + their KB-sized arrays) through the
+          // driver.
           sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-            .join(broadcast(sizeOk.select(col("a_id"), col("b_id"),
-              col("na"), col("nb"))), "a_id")
+            .join(broadcast(band.drop("ni_rare")), "a_id")
             .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
               .hint("shuffle_hash"), "b_id")
             .select(col("a_id"), col("b_id"),
@@ -169,24 +195,26 @@ object Dedup {
                   size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
             .filter(col("jaccard") >= tau)
         } else {
-          // Large-vocabulary optimization (opt-in): when over-cap shingles
-          // are FEW per doc — realistic web corpora, where high-df grams
-          // are a thin stopword band — the exact intersection is the
-          // sub-cap join count plus a correction over the short per-doc
-          // over-cap arrays, skipping the full-set verification pass.
-          sizeOk
-            .join(overCap.select(col("doc_id").as("a_id"), col("over").as("oa")),
-              Seq("a_id"), "left")
-            .join(overCap.select(col("doc_id").as("b_id"), col("over").as("ob")),
-              Seq("b_id"), "left")
+          // Alternative band decision via the over-cap arrays: exact
+          // intersection = ni_rare + |overA ∩ overB| (disjoint df
+          // classes), so the band re-intersects only the over-cap
+          // arrays, not the full sets. Wins when over-cap shingles are a
+          // thin stopword tail (realistic web corpora); loses when they
+          // dominate each doc (tiny vocabularies, char grams).
+          val overArr = exOver
+            .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("over"))
+          band
+            .join(overArr.select(col("doc_id").as("a_id"), col("over").as("oa")), "a_id")
+            .join(overArr.select(col("doc_id").as("b_id"), col("over").as("ob")), "b_id")
             .select(col("a_id"), col("b_id"), col("na"), col("nb"),
-              (col("ni_rare") + when(col("oa").isNull || col("ob").isNull, lit(0))
-                .otherwise(size(array_intersect(col("oa"), col("ob"))))).as("ni"))
+              (col("ni_rare") +
+                size(array_intersect(col("oa"), col("ob")))).as("ni"))
             .select(col("a_id"), col("b_id"),
               (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
                 .as("jaccard"))
             .filter(col("jaccard") >= tau)
         }
+        decided.union(verified)
     }
   }
 
