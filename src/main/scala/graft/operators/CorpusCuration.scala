@@ -293,6 +293,46 @@ object CorpusCuration {
         CAST(sum(CASE WHEN h < least(10000, n_tokens * 20) THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
       FROM w GROUP BY source ORDER BY source"""))
 
+  /** Temperature-flattened source mixture (T = 0.7) — the data-mixing
+    * schedule used when assembling a training corpus from unequally-sized
+    * sources: sampling probability ∝ (share)^T, which upweights small
+    * sources relative to proportional sampling. One tiny aggregate per
+    * source; the per-source weights are fixed-pointed as floor(w·10¹⁴)
+    * BIGINTs so the cross-engine pow() 1-ulp wobble cannot surface and the
+    * normalizing sum is exact integer arithmetic — the final probabilities
+    * are a single correctly-rounded double division on identical operands.
+    */
+  val temperatureMix: Q = Q(
+    "pipe_temperature_mix",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.documents(s, d)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      // single-row aggregates join back broadcast — no driver collect
+      val weighted = counts
+        .crossJoin(broadcast(counts.agg(sum($"n_docs").as("total"))))
+        .select($"source", $"n_docs",
+          expr("CAST(floor(pow(CAST(n_docs AS DOUBLE) / total, 0.7) * 1e14) " +
+            "AS BIGINT)").as("w14"))
+      weighted
+        .crossJoin(broadcast(weighted.agg(sum($"w14").as("z14"))))
+        .select($"source", $"n_docs",
+          ($"w14".cast(DoubleType) / $"z14".cast(DoubleType)).as("p_sample"),
+          floor($"w14".cast(DoubleType) / $"z14".cast(DoubleType) * 1000000)
+            .cast(LongType).as("ppm_budget"))
+        .orderBy($"source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      t AS (SELECT sum(n_docs) AS total FROM c),
+      w AS (SELECT source, n_docs,
+              CAST(floor(pow(CAST(n_docs AS DOUBLE) / total, 0.7) * 1e14) AS BIGINT) AS w14
+            FROM c, t),
+      z AS (SELECT CAST(sum(w14) AS BIGINT) AS z14 FROM w)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(w14 AS DOUBLE) / CAST(z14 AS DOUBLE) AS p_sample,
+        CAST(floor(CAST(w14 AS DOUBLE) / CAST(z14 AS DOUBLE) * 1000000) AS BIGINT) AS ppm_budget
+      FROM w, z ORDER BY source"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    splitCounts, quotaSample, weightedSample)
+    splitCounts, quotaSample, weightedSample, temperatureMix)
 }

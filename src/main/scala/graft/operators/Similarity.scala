@@ -368,6 +368,71 @@ object Similarity {
             FROM embeddings)
       WHERE scale > 0 ORDER BY vec_id"""))
 
+  /** Measured recall@5 of the LSH index against the brute-force ground
+    * truth, per query vector — the accuracy dial every approximate index
+    * must report before it replaces an exact scan. Both sides are
+    * deterministic relational plans, so even the QUALITY measurement is
+    * oracle-checkable. At scale the ground truth is computed once on a
+    * query sample (here: the 10 probe vectors) while the index serves the
+    * full corpus; recall below target → more hyperplanes/probes, not a
+    * bigger scan.
+    */
+  val recallReport: Q = Q(
+    "ann_recall_report",
+    (s, d) => {
+      import s.implicits._
+      val b = bucketsDf(s, d).cache()
+      val probes = b.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"bucket".as("qb"), $"embedding".as("qe"))
+      // ground truth: exact top-5 over all candidates
+      val exact = b.select($"vec_id".as("cid"), $"embedding".as("ce"))
+        .crossJoin(broadcast(probes.select($"qid", $"qe")))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      val truth = exact.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5).select($"qid", $"cid")
+      // approximate: top-5 from within the probe's bucket only
+      val approx = b.select($"vec_id".as("cid"), $"bucket".as("qb"),
+          $"embedding".as("ce"))
+        .join(broadcast(probes), "qb")
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5).select($"qid", $"cid")
+      val hits = truth.join(approx, Seq("qid", "cid"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+      probes.select($"qid")
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)).cast("double") / 5).as("recall_at_5"))
+        .orderBy($"qid")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket FROM embeddings),
+      probes AS (SELECT vec_id AS qid, bucket AS qb, embedding AS qe FROM b WHERE vec_id < 10),
+      ex AS (SELECT p.qid, c.vec_id AS cid,
+               ${cosDuck("p.qe", "c.embedding")} AS score
+             FROM probes p, b c WHERE p.qid != c.vec_id),
+      truth AS (SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER
+            (PARTITION BY qid ORDER BY score DESC, cid) AS rank FROM ex)
+        WHERE rank <= 5),
+      ap AS (SELECT p.qid, c.vec_id AS cid,
+               ${cosDuck("p.qe", "c.embedding")} AS score
+             FROM probes p JOIN b c ON p.qb = c.bucket AND p.qid != c.vec_id),
+      atop AS (SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER
+            (PARTITION BY qid ORDER BY score DESC, cid) AS rank FROM ap)
+        WHERE rank <= 5),
+      hits AS (SELECT t.qid, count(*) AS n_hits
+               FROM truth t JOIN atop a ON t.qid = a.qid AND t.cid = a.cid
+               GROUP BY t.qid)
+      SELECT p.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall_at_5
+      FROM probes p LEFT JOIN hits h ON p.qid = h.qid
+      ORDER BY p.qid"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
-    ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8)
+    ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
+    recallReport)
 }

@@ -127,9 +127,12 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint via the codegen'd
     * [[graft.functions.RollingHash]] expression — the incremental variant
-    * (Rabin-Karp family) of [[fingerprint]]. The hash is engine-internal
-    * (not SQL-portable), so this entry takes the driver's rows-only check;
-    * determinism and collision behavior are covered in NorthStarSpec.
+    * (Rabin-Karp family) of [[fingerprint]]. The oracle replays the exact
+    * recurrence h = (h·257 + byte) mod 2⁶¹−1 in DuckDB — HUGEINT (int128)
+    * carries the 70-bit intermediate product, and for this ASCII corpus
+    * `unicode(char)` equals the UTF-8 byte the Spark expression consumes.
+    * Determinism and collision behavior are additionally covered in
+    * NorthStarSpec.
     */
   val rollingFingerprint: Q = Q(
     "ta_rolling_fingerprint",
@@ -140,7 +143,65 @@ object TextAnalysis {
         .select($"doc_id", rolling_hash(expr(normSpark)).as("rfp"))
         .orderBy($"doc_id")
     },
-    None)
+    Some(s"""SELECT doc_id,
+      CAST(list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+          [CAST(unicode(t[i]) AS HUGEINT) for i in range(1, length(t)+1)]),
+        (acc, x) -> (acc * 257 + x) % CAST(2305843009213693951 AS HUGEINT)
+      ) AS BIGINT) AS rfp
+      FROM (SELECT doc_id, $normDuck AS t FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Corpus-trained bigram language-model score per document — the shape of
+    * perplexity-based quality filtering: train n-gram statistics on the
+    * corpus (two count aggregations), broadcast the model, score each
+    * document by its average conditional bigram probability. The model
+    * tables are Zipf-small relative to the corpus, so scoring is a
+    * broadcast join — one narrow pass at 100 TB; only the count
+    * aggregations shuffle, and both combine map-side. Probabilities are
+    * ratios of exact counts, fixed-pointed as floor(p·10¹⁴) BIGINTs before
+    * summation, so the score is order-independent and cross-engine exact
+    * (no logarithms — avg probability ranks documents the same way at
+    * equal length without trusting libm to round ln identically; and no
+    * double→DECIMAL casts, whose Spark path rounds the SHORTEST string
+    * repr of the double while DuckDB rounds its full binary expansion —
+    * measured to disagree on 41/500 docs).
+    */
+  val bigramLm: Q = Q(
+    "ta_bigram_lm",
+    (s, d) => {
+      import s.implicits._
+      val bg = Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", split(expr(normSpark), " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bg")).cache()
+      val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(split($"bg", " ").getItem(0).as("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val model = c2.join(c1, split($"bg", " ").getItem(0) === $"w1")
+        .select($"bg", floor(($"c2".cast(DoubleType) / $"c1") * 1e14)
+          .cast(LongType).as("p14"))
+      bg.join(broadcast(model), "bg")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"p14").as("sp"))
+        .select($"doc_id", $"n_bigrams",
+          ($"sp".cast(DoubleType) / $"n_bigrams" / 1e14).as("avg_cond_p"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ]) AS bg
+             FROM w WHERE len(w) >= 2),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+      model AS (SELECT c2.bg,
+                  CAST(floor((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e14) AS BIGINT) AS p14
+                FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1)
+      SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(p14) AS DOUBLE) / count(*) / 1e14 AS avg_cond_p
+      FROM bg JOIN model ON bg.bg = model.bg
+      GROUP BY bg.doc_id ORDER BY doc_id"""))
 
   /** Corpus-level vocabulary statistics: the top-20 word bigrams by
     * document frequency — the n-gram-counting building block of tokenizer
@@ -326,5 +387,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
-    tfidf)
+    tfidf, bigramLm)
 }
