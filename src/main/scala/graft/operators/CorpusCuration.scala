@@ -333,6 +333,63 @@ object CorpusCuration {
         CAST(floor(CAST(w14 AS DOUBLE) / CAST(z14 AS DOUBLE) * 1000000) AS BIGINT) AS ppm_budget
       FROM w, z ORDER BY source"""))
 
+  /** Quality-decile stratification — the curriculum/filtering readout:
+    * rank every document by the quality score, cut into 10 equal-count
+    * buckets, and report each bucket's population and quality range. The
+    * ntile window here is a global sort — exact and fine into the
+    * billions of rows per executor-sort, but at the full 100 TB the decile
+    * EDGES would come from `approxQuantile` (or a two-pass fixed-bin
+    * histogram) and the bucket assignment becomes a narrow per-row
+    * comparison against 9 broadcast edges; the reported shape is
+    * identical. Ties cannot straddle buckets: the order is total
+    * (quality, doc_id).
+    */
+  val qualityBuckets: Q = Q(
+    "pipe_quality_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("w"),
+          length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
+        .select($"doc_id",
+          size($"w").cast(LongType).as("n_tokens"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast(LongType).as("n_stop"),
+          $"n_letters")
+        .select($"doc_id", $"n_tokens",
+          (($"n_stop".cast(DoubleType) / $"n_tokens") * 0.4 +
+            ($"n_letters".cast(DoubleType) / $"n_tokens") * 0.01 +
+            $"n_tokens".cast(DoubleType) * 0.0001).as("quality"))
+      scored
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy($"quality", $"doc_id"))
+            .cast(LongType))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"quality").as("q_min"), max($"quality").as("q_max"),
+          sum($"n_tokens").as("tokens"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH f AS (
+        SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS w,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_letters
+        FROM documents),
+      scored AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          (CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS DOUBLE) / len(w)) * 0.4
+            + (CAST(n_letters AS DOUBLE) / len(w)) * 0.01
+            + CAST(len(w) AS DOUBLE) * 0.0001 AS quality
+        FROM f),
+      b AS (SELECT n_tokens, quality,
+              CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS bucket
+            FROM scored)
+      SELECT bucket, count(*) AS n_docs,
+        min(quality) AS q_min, max(quality) AS q_max,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    splitCounts, quotaSample, weightedSample, temperatureMix)
+    splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets)
 }

@@ -156,6 +156,10 @@ object Dedup {
         val sizeOk = withSizes(counted)
           .filter((least(col("na"), col("nb")).cast(DoubleType) /
             greatest(col("na"), col("nb"))) >= tau)
+        // cached: `decided` and `band` are two filters of this one
+        // DataFrame fed into a union — uncached, BOTH branches re-run the
+        // candidate self-join + aggregation (ReusedExchange is not
+        // guaranteed across the union; measured dd_clusters 15s -> 7s)
         val bounded = sizeOk
           .join(overCnt.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("oc", "ca"), Seq("a_id"), "left")
@@ -167,6 +171,7 @@ object Dedup {
             (col("na") + col("nb") - col("ni_rare")))
           .withColumn("jub", (col("ni_rare") + col("m")).cast(DoubleType) /
             (col("na") + col("nb") - col("ni_rare") - col("m")))
+          .cache()
         // m = 0 ⇒ the bound is the exact Jaccard; decided with no array work
         val decided = bounded.filter(col("m") === 0 && col("jlb") >= tau)
           .select(col("a_id"), col("b_id"), col("jlb").as("jaccard"))
@@ -537,14 +542,32 @@ object Dedup {
         .select($"a_id", $"b_id").cache()
       val sym = pr.select($"a_id".as("src"), $"b_id".as("dst"))
         .union(pr.select($"b_id".as("src"), $"a_id".as("dst"))).cache()
-      var labels = Tables.documents(s, d)
-        .select($"doc_id", $"doc_id".as("canonical_id")).cache()
+      // Propagate only over COMPONENT MEMBERS (docs that appear in some
+      // pair): every other doc is trivially its own canonical. The loop's
+      // working set is therefore the near-dup subgraph — at corpus scale
+      // orders of magnitude smaller than the corpus — and the full table
+      // is touched exactly once, by the final left join.
+      // Iterative lineage MUST be truncated per round — the GraphX/MLlib
+      // lesson. cache()+unpersist(prev) is a trap here: non-cascading
+      // uncache drops-and-lazily-recomputes DEPENDENT cache entries, so
+      // unpersisting round N's labels invalidates round N+1's cache and
+      // every later action recomputes an ever-deeper chain all the way
+      // back through the candidate pipeline (measured: the loop + final
+      // join degraded 8s → 21s at sf0.1). An eager localCheckpoint
+      // materializes each round's member-sized label table WITH NO
+      // LINEAGE, so nothing downstream can trigger recomputation and the
+      // loop-invariant caches can be released safely afterwards. (At
+      // cluster scale with executor loss in play, a reliable
+      // checkpoint dir replaces localCheckpoint — same shape.)
+      var labels = sym.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("canonical_id"))
+        .localCheckpoint(true)
       // Convergence probe: min-propagation only ever decreases labels, so
       // Σ canonical_id strictly decreases iff any label changed — one
       // cheap aggregate per round instead of a join against the previous
       // labels (halves the per-round shuffle count).
       def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum($"canonical_id")).head().getLong(0)
+        df.agg(coalesce(sum($"canonical_id"), lit(0L))).head().getLong(0)
       var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {
@@ -554,18 +577,19 @@ object Dedup {
         val next = labels.union(propagated)
           .groupBy($"doc_id")
           .agg(min($"canonical_id").as("canonical_id"))
-          .cache()
-        val nextSum = labelSum(next) // materializes `next`'s cache
+          .localCheckpoint(true) // eager, lineage-free
+        val nextSum = labelSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
-        // the previous round's labels (and, once converged, the
-        // loop-invariant inputs) would otherwise pin executor storage for
-        // the life of the session
-        labels.unpersist()
         labels = next
       }
       sh.unpersist(); pr.unpersist(); sym.unpersist()
-      labels.orderBy($"doc_id")
+      Tables.documents(s, d).select($"doc_id")
+        .join(labels.withColumnRenamed("canonical_id", "member_canonical"),
+          Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"member_canonical", $"doc_id").as("canonical_id"))
+        .orderBy($"doc_id")
     },
     Some(s"""WITH RECURSIVE sh AS ($ShinglesDuck),
       pairs AS (

@@ -103,6 +103,33 @@ class RoundFourQueriesSpec extends AnyFunSuite {
     assert(math.abs(p("small") + p("big") - 1.0) < 1e-12)
   }
 
+  test("pipe_quality_buckets: 10 near-equal buckets tiling the quality range") {
+    val out = run("pipe_quality_buckets").collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 10L))
+    val counts = out.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, "ntile buckets differ by at most 1")
+    val total = Tables.documents(spark, graft.TestSpark.sfDir).count()
+    assert(counts.sum === total)
+    // bucket ranges are ordered and non-overlapping
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2),
+        s"bucket ${lo.getLong(0)} max must not exceed bucket ${hi.getLong(0)} min")
+    }
+  }
+
+  test("dd_clusters canonical ids are closed under the pair relation") {
+    import spark.implicits._
+    val labels = run("dd_clusters")
+    // every doc maps to a canonical <= itself, and paired docs share one
+    assert(labels.filter($"canonical_id" > $"doc_id").count() === 0)
+    val pairs = run("dd_ngram_jaccard").select($"a_id", $"b_id")
+    val la = labels.toDF("a_id", "ca")
+    val lb = labels.toDF("b_id", "cb")
+    val broken = pairs.join(la, "a_id").join(lb, "b_id")
+      .filter($"ca" =!= $"cb").count()
+    assert(broken === 0, "directly-paired docs must share a canonical id")
+  }
+
   test("ta_rolling_fingerprint matches the reference recurrence on a known string") {
     import graft.functions.RollingHash
     val s = "abc"
