@@ -156,10 +156,16 @@ object Dedup {
         val sizeOk = withSizes(counted)
           .filter((least(col("na"), col("nb")).cast(DoubleType) /
             greatest(col("na"), col("nb"))) >= tau)
-        // cached: `decided` and `band` are two filters of this one
+        // The upper-bound filter rejects the overwhelming bulk of
+        // candidates (719 299 of 719 555 at sf0.1) BEFORE the cache, so
+        // the cached survivor table holds only accepts + band. The cache
+        // matters because `decided` and `band` are two filters of this
         // DataFrame fed into a union — uncached, BOTH branches re-run the
         // candidate self-join + aggregation (ReusedExchange is not
-        // guaranteed across the union; measured dd_clusters 15s -> 7s)
+        // guaranteed across the union; measured dd_clusters 15s -> 7s) —
+        // while caching BEFORE the reject filter materializes the whole
+        // candidate set (measured dd_survivors 13 -> 23s at 100k
+        // tiny-vocab docs, where candidates are ~n²-dense).
         val bounded = sizeOk
           .join(overCnt.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("oc", "ca"), Seq("a_id"), "left")
@@ -171,11 +177,13 @@ object Dedup {
             (col("na") + col("nb") - col("ni_rare")))
           .withColumn("jub", (col("ni_rare") + col("m")).cast(DoubleType) /
             (col("na") + col("nb") - col("ni_rare") - col("m")))
+          .filter(col("jub") >= tau)
           .cache()
-        // m = 0 ⇒ the bound is the exact Jaccard; decided with no array work
-        val decided = bounded.filter(col("m") === 0 && col("jlb") >= tau)
+        // m = 0 ⇒ jlb = jub = the exact Jaccard, and it passed the jub
+        // filter — decided with no array work
+        val decided = bounded.filter(col("m") === 0)
           .select(col("a_id"), col("b_id"), col("jlb").as("jaccard"))
-        val band = bounded.filter(col("m") > 0 && col("jub") >= tau)
+        val band = bounded.filter(col("m") > 0)
           .select(col("a_id"), col("b_id"), col("na"), col("nb"),
             col("ni_rare"))
         val verified = if (verifyWithFullSets) {
