@@ -115,11 +115,14 @@ object Multimodal {
       CAST(strlen(text) AS BIGINT) AS byte_len, source AS origin
       FROM documents ORDER BY doc_id"""))
 
-  /** Feature extraction through the stub decoder; the stub accumulates in
-    * float32 (not reproducible via DuckDB's double arithmetic — double
-    * rounding differs from direct float32 division in rare cases), so
-    * this entry takes the driver's weaker rows-only check and is
-    * golden-tested in NorthStarSpec instead.
+  /** Feature extraction through the stub decoder. The stub normalizes the
+    * 8-bin byte histogram in FLOAT32; the oracle reproduces the identical
+    * bits because DuckDB's REAL division is the same single
+    * correctly-rounded IEEE float32 operation on the same exact-integer
+    * operands (counts and lengths are < 2²⁴, so their float
+    * representations are exact) — verified bit-for-bit over the corpus.
+    * The payload is the UTF-8 encoding of an ASCII corpus, so
+    * `unicode(char)` equals the byte the JVM histogram bins on.
     */
   val featureExtract: Q = Q(
     "mm_feature_extract",
@@ -133,7 +136,15 @@ object Multimodal {
           $"features".getItem(3).as("f3"))
         .orderBy($"doc_id")
     },
-    None)
+    Some("""WITH b AS (SELECT doc_id, strlen(text) AS n,
+        [unicode(text[i]) // 32 for i in range(1, strlen(text)+1)] AS bins
+      FROM documents)
+      SELECT doc_id, CAST(n AS BIGINT) AS byte_len,
+        CAST(len(list_filter(bins, x -> x = 0)) AS REAL) / CAST(n AS REAL) AS f0,
+        CAST(len(list_filter(bins, x -> x = 1)) AS REAL) / CAST(n AS REAL) AS f1,
+        CAST(len(list_filter(bins, x -> x = 2)) AS REAL) / CAST(n AS REAL) AS f2,
+        CAST(len(list_filter(bins, x -> x = 3)) AS REAL) / CAST(n AS REAL) AS f3
+      FROM b ORDER BY doc_id"""))
 
   /** Frame-sampling stats computed from the REAL frame sampler output; the
     * DuckDB oracle derives the same numbers in closed form (frame counts
