@@ -628,7 +628,9 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val sh = shingleDf(s, d).cache()
-      val sig = signatureDf(sh)
+      // cached: sa and sb are two renames of the same signature table —
+      // uncached, the md5 + 8-permutation pass over the corpus runs twice
+      val sig = signatureDf(sh).cache()
       val pr = jaccardPairs(sh, 0.6, maxShingleDf = Some(50L))
       val sa = sig.toDF("a_id" +: (0 until 8).map(j => s"amh$j"): _*)
       val sb = sig.toDF("b_id" +: (0 until 8).map(j => s"bmh$j"): _*)
