@@ -118,4 +118,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("UnionLoop") || p.contains("Recursion") ||
       p.contains("CTE"), s"expected a recursive node:\n${p.take(1500)}")
   }
+
+  test("ta_bigram_lm: the trained model joins in as a broadcast") {
+    val p = planString("ta_bigram_lm")
+    // scoring pass = doc bigrams ⋈ broadcast(model); a shuffled scoring
+    // join would move the corpus instead of the Zipf-small model
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("ta_bigram_lm: scan reads only doc_id and text") {
+    val df = graft.SparkEntry.queries("ta_bigram_lm")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source") && !readSchema.contains("lang"),
+      s"expected pruned read schema, got: $readSchema")
+  }
+
+  test("ann_recall_report: probes broadcast to both the exact and LSH sides") {
+    val p = planString("ann_recall_report")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"expected probe broadcasts on both sides:\n${p.take(2000)}")
+  }
+
+  test("mm_feature_extract: decode is a narrow map — no shuffle before the sort") {
+    val p = planString("mm_feature_extract")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // one range partitioning for the presentation orderBy, nothing else
+    assert(exchanges <= 2, s"decode must not shuffle:\n${p.take(1500)}")
+  }
 }
