@@ -390,6 +390,43 @@ object CorpusCuration {
         CAST(sum(n_tokens) AS BIGINT) AS tokens
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  /** Output-shard manifest: docs are hash-assigned to 16 shards (the
+    * webdataset/tar-shard layout step before training), and the manifest
+    * reports each shard's document count, token total, and byte total —
+    * what a loader needs to plan epochs. The stable md5 bucket makes shard
+    * membership reproducible on any engine/partitioning (same mechanism as
+    * [[hashSample]]); at scale the write itself is
+    * `df.write.partitionBy("shard")` with this exact key, and the manifest
+    * is the same one-pass map-side-combined aggregate over 16 keys.
+    */
+  val shardManifest: Q = Q(
+    "pipe_shard_manifest",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 16")
+            .as("shard"),
+          size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"),
+          $"n_chars", $"doc_id")
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"),
+          sum($"n_chars").as("bytes"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"shard")
+    },
+    Some("""WITH t AS (
+        SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 16 AS shard,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          n_chars, doc_id
+        FROM documents)
+      SELECT shard, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        CAST(sum(n_chars) AS BIGINT) AS bytes,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM t GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets)
+    splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
+    shardManifest)
 }

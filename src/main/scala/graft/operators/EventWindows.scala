@@ -247,6 +247,87 @@ object EventWindows {
       GROUP BY prev_type, event_type
       ORDER BY n DESC, prev_type, event_type LIMIT 20"""))
 
+  /** Last-touch attribution: each purchase is credited to the nearest
+    * preceding non-purchase event of the same user ('direct' when the
+    * purchase is the user's first event). The carry-forward is the same
+    * IGNORE-NULLS window idiom as [[asof]] with a `1 PRECEDING` frame end
+    * (the purchase itself must not self-attribute) — one shuffle on
+    * user_id, then a tiny channel-keyed aggregate. Revenue sums as exact
+    * decimals (order-free), surfaced as double.
+    */
+  val attribution: Q = Q(
+    "ev_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          Tables.fdiv("ts", 1000000L).as("ts_ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_touch",
+          last(when($"event_type" =!= "purchase", $"event_type"),
+            ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"last_touch", lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Tables.asDec(sum(Tables.dec2($"value")), 2).as("total_value"))
+        .orderBy($"channel")
+    },
+    Some("""WITH e AS (
+        SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+        FROM events),
+      c AS (
+        SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+            IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        FROM e)
+      SELECT coalesce(last_touch, 'direct') AS channel,
+        count(*) AS n_purchases,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM c WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel"""))
+
+  /** Daily-volume anomaly days per event type — the monitoring readout over
+    * an event stream (traffic spikes, incident detection). The outlier
+    * test |n − μ| > 2σ is evaluated entirely in integer arithmetic:
+    * with D days, S = Σn, SS = Σn², the test is
+    * (n·D − S)² > 4·(SS·D − S²) — both sides exact BIGINTs, so no float
+    * mean/stddev ever exists to diverge between engines (at 100 TB daily
+    * counts the squared terms need DECIMAL(38,0), same shape). One
+    * map-side-combined daily count, one tiny per-type stats aggregate
+    * joined back broadcast-sized.
+    */
+  val anomaly: Q = Q(
+    "ev_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val DayUs = 86400L * 1000000L
+      val dayExpr = s"(${Tables.fldivExpr(Tables.fldivExpr("ts", 1000L), DayUs)})"
+      val daily = Tables.events(s, d)
+        .select($"event_type", expr(dayExpr).as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("d"), sum($"n").as("s"),
+          sum($"n" * $"n").as("ss"))
+      daily.join(broadcast(stats), "event_type")
+        .filter(($"n" * $"d" - $"s") * ($"n" * $"d" - $"s") >
+          lit(4L) * ($"ss" * $"d" - $"s" * $"s"))
+        .select($"event_type", $"day", $"n")
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS d, sum(n) AS s, sum(n*n) AS ss
+        FROM daily GROUP BY 1)
+      SELECT daily.event_type, day, n
+      FROM daily JOIN stats ON daily.event_type = stats.event_type
+      WHERE (n*d - s)*(n*d - s) > 4*(ss*d - s*s)
+      ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
-    retention, eventPaths)
+    retention, eventPaths, attribution, anomaly)
 }

@@ -432,7 +432,144 @@ object Similarity {
       FROM probes p LEFT JOIN hits h ON p.qid = h.qid
       ORDER BY p.qid"""))
 
+  // ------------------------------------------------ product quantization
+
+  private val SubDim = 16 // 64 dims / 4 subspaces
+  private val NSub = 4
+
+  /** Sequential-sum squared L2 between subspace `m` of two vector columns
+    * (Spark side; double arithmetic element-by-element in index order).
+    */
+  private def subDistSpark(a: String, b: String, m: Int): String = {
+    val diff = s"(CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))"
+    s"aggregate(sequence(${m * SubDim}, ${m * SubDim + SubDim - 1}), " +
+      s"CAST(0.0 AS DOUBLE), (acc, j) -> acc + $diff * $diff)"
+  }
+
+  /** DuckDB mirror of [[subDistSpark]] (1-based list indexing). */
+  private def subDistDuck(a: String, b: String, mExpr: String): String = {
+    val diff = s"($a[j + ($mExpr)*$SubDim + 1]::DOUBLE - $b[j + ($mExpr)*$SubDim + 1]::DOUBLE)"
+    s"list_sum(list_transform(range($SubDim), j -> $diff * $diff))"
+  }
+
+  /** Per-(vector, subspace) distances to every codeword: vectors cross the
+    * broadcast 16-entry codebook (the first 16 vectors — a real pipeline
+    * k-means a sample; the operator shape is identical), each pair
+    * exploding into 4 per-subspace squared-L2 rows.
+    */
+  private def pqSubDists(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("code_id"), $"embedding".as("cw"))
+    val distStructs = (0 until NSub).map { m =>
+      s"named_struct('m', CAST($m AS BIGINT), 'dist', ${subDistSpark("embedding", "cw", m)})"
+    }.mkString("array(", ", ", ")")
+    emb.crossJoin(broadcast(cb))
+      .select($"vec_id", $"code_id", explode(expr(distStructs)).as("md"))
+      .select($"vec_id", $"code_id", $"md.m".as("m"), $"md.dist".as("dist"))
+  }
+
+  /** Nearest codeword per (vector, subspace) — the PQ code table. */
+  private def pqCodesDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code_id")
+    pqSubDists(s, d).withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"m", $"code_id".as("code"))
+  }
+
+  private val PqCodesDuck =
+    s"""SELECT vec_id, m, code_id AS code FROM (
+         SELECT e.vec_id, mm.m, cb.code_id,
+           row_number() OVER (PARTITION BY e.vec_id, mm.m
+             ORDER BY ${subDistDuck("e.embedding", "cb.cw", "mm.m")}, cb.code_id) AS rn
+         FROM embeddings e,
+              (SELECT vec_id AS code_id, embedding AS cw
+               FROM embeddings WHERE vec_id < 16) cb,
+              (SELECT unnest(range($NSub)) AS m) mm)
+       WHERE rn = 1"""
+
+  /** Product-quantization code assignment: each 64-dim vector compresses to
+    * 4 codebook ids (one per 16-dim subspace, nearest codeword by squared
+    * L2) — the 16× memory-compression step a 100 TB embedding store runs
+    * before serving. The codebook is broadcast; assignment is one narrow
+    * pass (argmin per subspace via window over 16 candidates). Codes
+    * surface as 4 scalar columns.
+    */
+  val pqCodes: Q = Q(
+    "ann_pq_codes",
+    (s, d) => {
+      import s.implicits._
+      pqCodesDf(s, d)
+        .groupBy($"vec_id")
+        .agg(max(when($"m" === 0, $"code")).as("c0"),
+          max(when($"m" === 1, $"code")).as("c1"),
+          max(when($"m" === 2, $"code")).as("c2"),
+          max(when($"m" === 3, $"code")).as("c3"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH codes AS ($PqCodesDuck)
+      SELECT vec_id,
+        max(CASE WHEN m = 0 THEN code END) AS c0,
+        max(CASE WHEN m = 1 THEN code END) AS c1,
+        max(CASE WHEN m = 2 THEN code END) AS c2,
+        max(CASE WHEN m = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** PQ asymmetric-distance top-3: queries keep full precision, candidates
+    * are their 4 PQ codes, and each query precomputes a 4×16 lookup table
+    * of subspace distances to every codeword — candidate distance is then
+    * 4 LUT lookups, never a 64-dim scan. The LUT (10 queries × 64 entries)
+    * is broadcast; the candidate side joins on (subspace, code) and
+    * aggregates. Per-entry distances are fixed-pointed to BIGINTs before
+    * the 4-way sum so the grouped aggregation is order-free (same device
+    * as ann_centroids); ranking ties break on cid.
+    */
+  val pqTopK: Q = Q(
+    "ann_pq_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cb = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("code_id"), $"embedding".as("cw"))
+      val lutStructs = (0 until NSub).map { m =>
+        s"named_struct('m', CAST($m AS BIGINT), 'dq8', " +
+          s"CAST(floor(${subDistSpark("qe", "cw", m)} * 100000000) AS BIGINT))"
+      }.mkString("array(", ", ", ")")
+      val lut = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cb))
+        .select($"qid", $"code_id".as("k"), explode(expr(lutStructs)).as("md"))
+        .select($"qid", $"k", $"md.m".as("lm"), $"md.dq8".as("dq8"))
+      val adc = pqCodesDf(s, d)
+        .join(broadcast(lut), $"m" === $"lm" && $"code" === $"k")
+        .filter($"qid" =!= $"vec_id")
+        .groupBy($"qid", $"vec_id".as("cid"))
+        .agg(sum($"dq8").as("adc8"))
+      val w = Window.partitionBy($"qid").orderBy($"adc8", $"cid")
+      adc.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid",
+          ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH codes AS ($PqCodesDuck),
+      cb AS (SELECT vec_id AS code_id, embedding AS cw
+             FROM embeddings WHERE vec_id < 16),
+      lut AS (SELECT q.vec_id AS qid, cb.code_id AS k, mm.m,
+                CAST(floor(${subDistDuck("q.embedding", "cb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
+              FROM embeddings q, cb, (SELECT unnest(range($NSub)) AS m) mm
+              WHERE q.vec_id < 10),
+      adc AS (SELECT lut.qid, c.vec_id AS cid, sum(dq8) AS adc8
+              FROM codes c JOIN lut ON c.m = lut.m AND c.code = lut.k
+              WHERE lut.qid != c.vec_id GROUP BY 1, 2),
+      r AS (SELECT qid, cid, adc8, row_number() OVER
+              (PARTITION BY qid ORDER BY adc8, cid) AS rank FROM adc)
+      SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
+      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
     ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport)
+    recallReport, pqCodes, pqTopK)
 }

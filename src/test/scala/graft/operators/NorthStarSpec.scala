@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.TestSpark
 import graft.functions.VectorFunctions.cosine_similarity
+import org.apache.spark.sql.functions.{count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke + semantics tests for the north-star operators at sf0.001 (the
@@ -139,5 +140,72 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.count() > 0)
     val row = out.orderBy($"doc_id").first()
     assert(row.getLong(1) > 0) // byte_len
+  }
+
+  test("PQ codes: codebook vectors self-code; all codes in [0, 16)") {
+    val codes = Similarity.pqCodes.build(spark, sf).collect()
+    codes.foreach { r =>
+      (1 to 4).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) < 16,
+          s"code out of range: $r")
+      }
+    }
+    // a codebook vector's nearest codeword in every subspace is itself
+    codes.filter(_.getLong(0) < 16).foreach { r =>
+      (1 to 4).foreach(i => assert(r.getLong(i) == r.getLong(0),
+        s"codebook vector should self-code: $r"))
+    }
+  }
+
+  test("PQ ADC top-k: 3 ranked rows per query, distance non-decreasing") {
+    val rows = Similarity.pqTopK.build(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q: expected 3 rows")
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)),
+        s"query $q: adc_dist not monotone in rank")
+    }
+  }
+
+  test("attribution channels partition all purchases") {
+    import graft.queries.Tables
+    val out = EventWindows.attribution.build(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(total == purchases, s"attributed $total of $purchases purchases")
+    assert(out.map(_.getString(0)).forall(c =>
+      Set("click", "view", "signup", "error", "direct")(c)))
+  }
+
+  test("anomaly days deviate from their type's daily mean by > 2 sigma") {
+    import graft.queries.Tables
+    val daily = Tables.events(spark, sf)
+      .select($"event_type", Tables.fdiv("ts", 86400L * 1000000000L).as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stats: Map[String, (Double, Double)] =
+      daily.groupBy(_._1).map { case (t, rs) =>
+        val ns = rs.map(_._3.toDouble)
+        val mu = ns.sum / ns.size
+        val sigma = math.sqrt(ns.map(x => (x - mu) * (x - mu)).sum / ns.size)
+        t -> ((mu, sigma))
+      }
+    val flagged = EventWindows.anomaly.build(spark, sf).collect()
+    flagged.foreach { r =>
+      val (mu, sigma) = stats(r.getString(0))
+      assert(math.abs(r.getLong(2).toDouble - mu) > 2 * sigma,
+        s"flagged non-anomaly: $r (mu=$mu sigma=$sigma)")
+    }
+  }
+
+  test("shard manifest covers the whole corpus with 16 shards") {
+    import graft.queries.Tables
+    val out = CorpusCuration.shardManifest.build(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    out.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 }
