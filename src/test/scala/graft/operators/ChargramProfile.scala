@@ -57,6 +57,44 @@ object ChargramProfile {
     val overCnt = exOver.groupBy($"doc_id").agg(count(lit(1)).as("oc"))
     println("[prof] overCnt docs " + overCnt.count())
     lap("overCnt")
+    // inlined jaccardPairs(cap=50) with laps
+    val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+    val sizeOk = counted
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .filter((least($"na", $"nb").cast(DoubleType) /
+        greatest($"na", $"nb")) >= 0.6)
+    println("[prof] sizeOk " + sizeOk.count())
+    lap("sizeOk")
+    val bounded = sizeOk
+      .join(overCnt.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("oc", "ca"), Seq("a_id"), "left")
+      .join(overCnt.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("oc", "cb"), Seq("b_id"), "left")
+      .withColumn("m", least(coalesce($"ca", lit(0L)), coalesce($"cb", lit(0L))))
+      .withColumn("jlb", $"ni_rare".cast(DoubleType) / ($"na" + $"nb" - $"ni_rare"))
+      .withColumn("jub", ($"ni_rare" + $"m").cast(DoubleType) /
+        ($"na" + $"nb" - $"ni_rare" - $"m"))
+      .filter($"jub" >= 0.6)
+      .cache()
+    println("[prof] bounded " + bounded.count())
+    lap("bounded+cache")
+    val band = bounded.filter($"m" > 0)
+      .select($"a_id", $"b_id", $"na", $"nb", $"ni_rare")
+    println("[prof] band " + band.count())
+    lap("band count")
+    val verified = sh.select($"doc_id".as("a_id"), $"shingles".as("sa"))
+      .join(broadcast(band.drop("ni_rare")), "a_id")
+      .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb"))
+        .hint("shuffle_hash"), "b_id")
+      .select($"a_id", $"b_id",
+        (size(array_intersect($"sa", $"sb")).cast(DoubleType) /
+          ($"na" + $"nb" - size(array_intersect($"sa", $"sb")))).as("jaccard"))
+      .filter($"jaccard" >= 0.6)
+    println("[prof] verified " + verified.count())
+    lap("verified")
     spark.stop()
   }
 }
