@@ -426,7 +426,69 @@ object CorpusCuration {
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM t GROUP BY shard ORDER BY shard"""))
 
+  /** Per-source dataset card — the summary table published alongside a
+    * training corpus: document/token/byte volume, language spread,
+    * exact-duplicate rate, and mean quality, per source. Composes the
+    * already-oracled signals in ONE pass over the corpus plus one tiny
+    * per-source aggregate; the dup flag is a window count over the
+    * content hash (same shuffle key the exact-dedup operator uses). Mean
+    * quality is fixed-pointed (floor(q·10¹²) BIGINT) before summing so
+    * the per-source mean is order-free and cross-engine exact.
+    */
+  val datasetCard: Q = Q(
+    "pipe_dataset_card",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val byHash = Window.partitionBy($"h")
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"n_chars",
+          md5(expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')")).as("h"),
+          split(trim($"text"), "\\s+").as("w"),
+          length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
+        .select($"source", $"lang", $"n_chars", $"h",
+          size($"w").cast(LongType).as("n_tokens"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast(LongType).as("n_stop"),
+          $"n_letters")
+        .withColumn("is_dup", (count(lit(1)).over(byHash) > 1).cast(LongType))
+        .withColumn("q12", floor(
+          (($"n_stop".cast(DoubleType) / $"n_tokens") * 0.4 +
+            ($"n_letters".cast(DoubleType) / $"n_tokens") * 0.01 +
+            $"n_tokens".cast(DoubleType) * 0.0001) * 1e12).cast(LongType))
+      scored.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens"),
+          sum($"n_chars").as("bytes"),
+          countDistinct($"lang").as("n_langs"),
+          sum($"is_dup").as("n_dup_docs"),
+          (sum($"q12").cast(DoubleType) / count(lit(1)) / 1e12).as("mean_quality"))
+        .orderBy($"source")
+    },
+    Some("""WITH f AS (
+        SELECT doc_id, source, lang, n_chars,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+          string_split_regex(trim(text), '\s+') AS w,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_letters
+        FROM documents),
+      scored AS (
+        SELECT source, lang, n_chars,
+          CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END AS is_dup,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(floor((
+            (CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS DOUBLE) / len(w)) * 0.4
+            + (CAST(n_letters AS DOUBLE) / len(w)) * 0.01
+            + CAST(len(w) AS DOUBLE) * 0.0001) * 1e12) AS BIGINT) AS q12
+        FROM f)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        CAST(sum(n_chars) AS BIGINT) AS bytes,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        CAST(sum(q12) AS DOUBLE) / count(*) / 1e12 AS mean_quality
+      FROM scored GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
-    shardManifest)
+    shardManifest, datasetCard)
 }

@@ -201,6 +201,19 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset card totals reconcile with the corpus") {
+    import graft.queries.Tables
+    val out = CorpusCuration.datasetCard.build(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    assert(out.map(_.getLong(3)).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum($"n_chars")).head().getLong(0))
+    out.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1)) // dups <= docs
+      assert(r.getDouble(6) > 0)           // mean quality positive
+    }
+  }
+
   test("shard manifest covers the whole corpus with 16 shards") {
     import graft.queries.Tables
     val out = CorpusCuration.shardManifest.build(spark, sf).collect()
