@@ -150,4 +150,46 @@ class PlanRegressionSpec extends AnyFunSuite {
     // one range partitioning for the presentation orderBy, nothing else
     assert(exchanges <= 2, s"decode must not shuffle:\n${p.take(1500)}")
   }
+
+  test("ann_pq_topk: codebook and per-query LUT join in as broadcasts") {
+    val p = planString("ann_pq_topk")
+    // candidates must stream against broadcast lookup tables — a shuffled
+    // LUT join would move the (corpus-sized) code table per query batch
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"expected codebook + LUT broadcasts:\n${p.take(2000)}")
+  }
+
+  test("ev_attribution: one user_id shuffle feeds the window, channels aggregate map-side") {
+    val p = planString("ev_attribution")
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected partial aggregation over channels:\n${p.take(1500)}")
+  }
+
+  test("ev_anomaly: per-type stats join back as a broadcast") {
+    val p = planString("ev_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats side (|event types| rows) must broadcast:\n${p.take(1500)}")
+  }
+
+  test("pipe_shard_manifest: shard totals aggregate map-side") {
+    val p = planString("pipe_shard_manifest")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected map-side combine over 16 shard keys:\n${p.take(1500)}")
+  }
+
+  test("pipe_dataset_card: per-source card aggregates map-side after the hash window") {
+    val p = planString("pipe_dataset_card")
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected partial aggregation per source:\n${p.take(1500)}")
+  }
+
+  test("dd_prefix_jaccard: candidate pairs broadcast into array verification") {
+    val p = planString("dd_prefix_jaccard")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair list (two longs per row) must broadcast into the array table:\n${p.take(2000)}")
+  }
 }
