@@ -174,5 +174,53 @@ object Multimodal {
       least(64, strlen(text)) AS first_frame_len
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats, featureExtract, frameSample)
+  /** Decode → resize, chained partition-locally (the image-thumbnail /
+    * audio-downsample shape): the 8-bin stub features are averaged down to
+    * 4 bins by [[resizeFeatures]] inside the same narrow pass — no
+    * shuffle anywhere before the presentation sort. The oracle replays
+    * the float32 arithmetic: each output bin is one REAL addition and one
+    * exact power-of-two division on bit-identical inputs, so the result
+    * matches bit-for-bit like mm_feature_extract.
+    */
+  val resize: Q = Q(
+    "mm_resize",
+    (s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("resized", ArrayType(FloatType, containsNull = false),
+          nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      mediaDf(s, d).select("doc_id", "payload")
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            Row(r.getAs[Long]("doc_id"),
+              resizeFeatures(stubDecode(payload), 4))
+          }
+        }(enc)
+        .select($"doc_id",
+          $"resized".getItem(0).as("r0"), $"resized".getItem(1).as("r1"),
+          $"resized".getItem(2).as("r2"), $"resized".getItem(3).as("r3"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, strlen(text) AS n,
+        [unicode(text[i]) // 32 for i in range(1, strlen(text)+1)] AS bins
+      FROM documents),
+      f AS (SELECT doc_id,
+        CAST(len(list_filter(bins, x -> x = 0)) AS REAL) / CAST(n AS REAL) AS f0,
+        CAST(len(list_filter(bins, x -> x = 1)) AS REAL) / CAST(n AS REAL) AS f1,
+        CAST(len(list_filter(bins, x -> x = 2)) AS REAL) / CAST(n AS REAL) AS f2,
+        CAST(len(list_filter(bins, x -> x = 3)) AS REAL) / CAST(n AS REAL) AS f3,
+        CAST(len(list_filter(bins, x -> x = 4)) AS REAL) / CAST(n AS REAL) AS f4,
+        CAST(len(list_filter(bins, x -> x = 5)) AS REAL) / CAST(n AS REAL) AS f5,
+        CAST(len(list_filter(bins, x -> x = 6)) AS REAL) / CAST(n AS REAL) AS f6,
+        CAST(len(list_filter(bins, x -> x = 7)) AS REAL) / CAST(n AS REAL) AS f7
+      FROM b)
+      SELECT doc_id,
+        (f0 + f1) / 2 AS r0, (f2 + f3) / 2 AS r1,
+        (f4 + f5) / 2 AS r2, (f6 + f7) / 2 AS r3
+      FROM f ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureExtract, frameSample, resize)
 }
