@@ -76,6 +76,26 @@ class AdhesiveFactorySpec extends AnyFunSuite {
     assert(spark.sql("SELECT f_redef(CAST(1 AS BIGINT)) AS v").head().getLong(0) == 101L)
   }
 
+  test("DROP TEMPORARY FUNCTION completes the lifecycle: dropped name unresolvable") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_drop(BIGINT) RETURNS BIGINT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class Dropper extends Adhesive {
+        |  public Object compute(Row row) { return row.getLong(0); }
+        |}
+        |'""".stripMargin)
+    assert(spark.sql("SELECT f_drop(CAST(7 AS BIGINT)) AS v").head().getLong(0) == 7L)
+    // adhesive functions live in the session registry like any temp
+    // function, so Spark's own DROP path removes them — no custom DDL
+    spark.sql("DROP TEMPORARY FUNCTION f_drop")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT f_drop(CAST(7 AS BIGINT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("f_drop"))
+  }
+
   test("double-quoted class body: the reference README's LANGUAGE CLASS form") {
     fixture()
     spark.sql(
