@@ -203,6 +203,31 @@ object TextAnalysis {
       FROM bg JOIN model ON bg.bg = model.bg
       GROUP BY bg.doc_id ORDER BY doc_id"""))
 
+  /** Deny-list scrubbing — the PII-redaction shape (emails, phone numbers,
+    * IDs are regex deny-lists in production; this corpus carries none, so
+    * two corpus words stand in for the pattern). Counts hits and reports
+    * the post-redaction length per document; a narrow per-row transform
+    * with zero shuffle beyond the presentation sort. The oracle proves
+    * Java-regex and RE2 agree on the word-boundary pattern — the parity
+    * that makes a deny-list portable across engines.
+    */
+  val denylistScrub: Q = Q(
+    "ta_denylist_scrub",
+    (s, d) => {
+      import s.implicits._
+      val pat = "\\\\b(customer|value)\\\\b"
+      Tables.documents(s, d)
+        .select($"doc_id",
+          expr(s"regexp_count(text, '$pat')").cast(LongType).as("n_hits"),
+          length(expr(s"regexp_replace(text, '$pat', '[TERM]')"))
+            .cast(LongType).as("scrubbed_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\b(customer|value)\b')) AS BIGINT) AS n_hits,
+      CAST(length(regexp_replace(text, '\b(customer|value)\b', '[TERM]', 'g')) AS BIGINT) AS scrubbed_len
+      FROM documents ORDER BY doc_id"""))
+
   /** Corpus-level vocabulary statistics: the top-20 word bigrams by
     * document frequency — the n-gram-counting building block of tokenizer
     * training and contamination checks. Explode is a per-row flatMap; the
@@ -387,5 +412,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
-    tfidf, bigramLm)
+    tfidf, bigramLm, denylistScrub)
 }
