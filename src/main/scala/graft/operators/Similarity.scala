@@ -569,7 +569,57 @@ object Similarity {
       SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
       FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Cross-modal cluster profile: join the embedding store to the text
+    * corpus (vec_id → doc_id — embeddings exist for a subset of documents,
+    * the usual shape of a partially-embedded corpus) and report each
+    * cluster label's volume and text-quality profile — the readout that
+    * decides which semantic clusters to keep, downweight, or re-embed.
+    * One broadcast-able join (the embedded subset is the small side at
+    * scale) plus a per-label aggregate; quality means are fixed-pointed
+    * BIGINTs so the per-cluster mean is order-free and cross-engine exact.
+    */
+  val clusterQuality: Q = Q(
+    "ann_cluster_quality",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("w"),
+          length(regexp_replace($"text", "\\s+", ""))
+            .cast("long").as("n_letters"))
+        .select($"doc_id", size($"w").cast("long").as("n_tokens"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast("long").as("n_stop"), $"n_letters")
+        .select($"doc_id", $"n_tokens",
+          floor((($"n_stop".cast("double") / $"n_tokens") * 0.4 +
+            ($"n_letters".cast("double") / $"n_tokens") * 0.01 +
+            $"n_tokens".cast("double") * 0.0001) * 1e12)
+            .cast("long").as("q12"))
+      Tables.embeddings(s, d)
+        .select($"vec_id".as("doc_id"), $"label".cast("long").as("label"))
+        .join(docs, "doc_id")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"),
+          (sum($"q12").cast("double") / count(lit(1)) / 1e12)
+            .as("mean_quality"))
+        .orderBy($"label")
+    },
+    Some("""WITH q AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(floor((
+            (CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS DOUBLE) / len(w)) * 0.4
+            + (CAST(n_letters AS DOUBLE) / len(w)) * 0.01
+            + CAST(len(w) AS DOUBLE) * 0.0001) * 1e12) AS BIGINT) AS q12
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_letters
+              FROM documents)),
+      e AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label FROM embeddings)
+      SELECT label, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        CAST(sum(q12) AS DOUBLE) / count(*) / 1e12 AS mean_quality
+      FROM e JOIN q USING (doc_id)
+      GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
     ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport, pqCodes, pqTopK)
+    recallReport, pqCodes, pqTopK, clusterQuality)
 }
