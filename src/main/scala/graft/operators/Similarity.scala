@@ -619,7 +619,56 @@ object Similarity {
       FROM e JOIN q USING (doc_id)
       GROUP BY label ORDER BY label"""))
 
+  /** Semantic dedup (the SemDeDup shape): within each cluster label, drop
+    * the higher-id member of every near-duplicate embedding pair, then
+    * report per-cluster kept/dropped counts and surviving token volume
+    * from the joined text corpus. Label blocking bounds the pair join at
+    * scale exactly as in [[cosineNearDup]] (any corpus-partitioning key —
+    * language, source, IVF cell — plays the same role); the greedy
+    * lower-id-wins survivor rule is the same deterministic rule the
+    * shingle-dedup survivors use. Composes three oracled building blocks
+    * into the one-pass curation readout a training run consumes.
+    */
+  val semanticDedup: Q = Q(
+    "pipe_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label"), $"embedding")
+      val drops = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
+        .join(e.select($"vec_id".as("b_id"), $"label", $"embedding".as("eb")),
+          "label")
+        .filter($"a_id" < $"b_id")
+        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+        .select($"b_id".as("vec_id")).distinct()
+      val tokens = Tables.documents(s, d)
+        .select($"doc_id".as("vec_id"),
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      e.join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+        .join(tokens, "vec_id")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
+          sum(when($"dropped".isNull, $"n_tokens").otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy($"label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+               FROM embeddings),
+      drops AS (SELECT DISTINCT b.vec_id
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35),
+      t AS (SELECT doc_id AS vec_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents)
+      SELECT e.label, count(*) AS n_members,
+        CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN d.vec_id IS NULL THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id
+             JOIN t ON e.vec_id = t.vec_id
+      GROUP BY e.label ORDER BY e.label"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
     ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport, pqCodes, pqTopK, clusterQuality)
+    recallReport, pqCodes, pqTopK, clusterQuality, semanticDedup)
 }
