@@ -201,6 +201,34 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("deny-list scrub: zero hits leaves the length unchanged") {
+    import graft.queries.Tables
+    val out = TextAnalysis.denylistScrub.build(spark, sf)
+    val lens = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+    val joined = out.join(lens, "doc_id").collect()
+    joined.filter(_.getLong(1) == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"unredacted doc changed length: $r")
+    }
+    assert(joined.exists(_.getLong(1) > 0), "expected some hits on corpus words")
+  }
+
+  test("semantic dedup reconciles with the raw near-dup pair list") {
+    import graft.queries.Tables
+    val out = Similarity.semanticDedup.build(spark, sf).collect()
+    val members = Tables.embeddings(spark, sf)
+      .groupBy($"label").agg(count(lit(1))).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == members(r.getLong(0)), s"member count: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"dropped > members: $r")
+    }
+    val dropped = Similarity.cosineNearDup.build(spark, sf)
+      .select($"b_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == dropped,
+      "dropped total must equal distinct b-side of the pair list")
+  }
+
   test("dataset card totals reconcile with the corpus") {
     import graft.queries.Tables
     val out = CorpusCuration.datasetCard.build(spark, sf).collect()
