@@ -91,11 +91,89 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over one subspace [start, start+len) of two
+  * float/double vectors — the product-quantization kernel (codebook
+  * assignment and ADC LUT construction both reduce to it). A native
+  * codegen expression for the same reason as [[CosineSimilarity]]: the
+  * `aggregate(sequence(...))` higher-order-function formulation is
+  * CodegenFallback (interpreted per row, allocating a lambda frame per
+  * element), while this compiles to a tight primitive loop. Elements are
+  * widened to double and accumulated in index order — bit-identical to
+  * the sequential-sum SQL the DuckDB oracles replay. Null when either
+  * vector is too short for the subspace.
+  */
+case class SubspaceSqDist(left: Expression, right: Expression,
+    start: Int, len: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _                                          => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"subspace_sqdist expects two arrays of float or double with the " +
+          s"same element type, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  private lazy val isFloat = elemType(left).contains(FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() < start + len || b.numElements() < start + len)
+      return null
+    var acc = 0.0
+    var i = start
+    while (i < start + len) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val end = start + len
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+       |if ($a.numElements() < $end || $b.numElements() < $end) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  double acc = 0.0;
+       |  for (int i = $start; i < $end; i++) {
+       |    double d = (double) $a.$getter(i) - (double) $b.$getter(i);
+       |    acc += d * d;
+       |  }
+       |  ${ev.value} = acc;
+       |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubspaceSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level API: `cosine_similarity($"a", $"b")`. */
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level API: squared L2 over [start, start+len) of two vectors. */
+  def subspace_sqdist(a: Column, b: Column, start: Int, len: Int): Column =
+    ColumnBridge.column(SubspaceSqDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), start, len))
 
   /** SQL registration: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -5,7 +5,7 @@ import graft.queries.RelationalQueries.Q
 import graft.queries.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over the `embeddings` table (north-star): brute-force
   * cosine top-k as the exact baseline, plus a random-hyperplane LSH
@@ -437,14 +437,14 @@ object Similarity {
   private val SubDim = 16 // 64 dims / 4 subspaces
   private val NSub = 4
 
-  /** Sequential-sum squared L2 between subspace `m` of two vector columns
-    * (Spark side; double arithmetic element-by-element in index order).
+  /** Subspace squared L2 — the codegen'd
+    * [[graft.functions.SubspaceSqDist]] kernel (the HOF
+    * `aggregate(sequence(...))` form is CodegenFallback: interpreted per
+    * row with a lambda frame per element; same sequential double
+    * arithmetic, so oracle values are unchanged).
     */
-  private def subDistSpark(a: String, b: String, m: Int): String = {
-    val diff = s"(CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))"
-    s"aggregate(sequence(${m * SubDim}, ${m * SubDim + SubDim - 1}), " +
-      s"CAST(0.0 AS DOUBLE), (acc, j) -> acc + $diff * $diff)"
-  }
+  private def subDist(a: Column, b: Column, m: Int): Column =
+    graft.functions.VectorFunctions.subspace_sqdist(a, b, m * SubDim, SubDim)
 
   /** DuckDB mirror of [[subDistSpark]] (1-based list indexing). */
   private def subDistDuck(a: String, b: String, mExpr: String): String = {
@@ -462,11 +462,12 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val cb = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("code_id"), $"embedding".as("cw"))
-    val distStructs = (0 until NSub).map { m =>
-      s"named_struct('m', CAST($m AS BIGINT), 'dist', ${subDistSpark("embedding", "cw", m)})"
-    }.mkString("array(", ", ", ")")
+    val distStructs = array((0 until NSub).map { m =>
+      struct(lit(m.toLong).as("m"),
+        subDist($"embedding", $"cw", m).as("dist"))
+    }: _*)
     emb.crossJoin(broadcast(cb))
-      .select($"vec_id", $"code_id", explode(expr(distStructs)).as("md"))
+      .select($"vec_id", $"code_id", explode(distStructs).as("md"))
       .select($"vec_id", $"code_id", $"md.m".as("m"), $"md.dist".as("dist"))
   }
 
@@ -533,14 +534,14 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cb = emb.filter($"vec_id" < 16)
         .select($"vec_id".as("code_id"), $"embedding".as("cw"))
-      val lutStructs = (0 until NSub).map { m =>
-        s"named_struct('m', CAST($m AS BIGINT), 'dq8', " +
-          s"CAST(floor(${subDistSpark("qe", "cw", m)} * 100000000) AS BIGINT))"
-      }.mkString("array(", ", ", ")")
+      val lutStructs = array((0 until NSub).map { m =>
+        struct(lit(m.toLong).as("m"),
+          floor(subDist($"qe", $"cw", m) * 100000000L).cast("long").as("dq8"))
+      }: _*)
       val lut = emb.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
         .crossJoin(broadcast(cb))
-        .select($"qid", $"code_id".as("k"), explode(expr(lutStructs)).as("md"))
+        .select($"qid", $"code_id".as("k"), explode(lutStructs).as("md"))
         .select($"qid", $"k", $"md.m".as("lm"), $"md.dq8".as("dq8"))
       val adc = pqCodesDf(s, d)
         .join(broadcast(lut), $"m" === $"lm" && $"code" === $"k")

@@ -142,6 +142,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(row.getLong(1) > 0) // byte_len
   }
 
+  test("subspace_sqdist: known distances, subspace offsets, short-array null") {
+    import graft.functions.VectorFunctions.subspace_sqdist
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f, 4f), Array(1f, 2f, 5f, 1f)),
+      (2L, Array(1f, 2f), Array(3f, 4f))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id",
+      subspace_sqdist($"a", $"b", 0, 2).as("d01"),
+      subspace_sqdist($"a", $"b", 2, 2).as("d23"))
+      .orderBy($"id").collect()
+    assert(out(0).getDouble(1) == 0.0)
+    assert(out(0).getDouble(2) == 13.0) // (3-5)^2 + (4-1)^2
+    assert(out(1).getDouble(1) == 8.0)  // (1-3)^2 + (2-4)^2
+    assert(out(1).isNullAt(2))          // arrays too short for [2,4)
+  }
+
   test("PQ codes: codebook vectors self-code; all codes in [0, 16)") {
     val codes = Similarity.pqCodes.build(spark, sf).collect()
     codes.foreach { r =>
