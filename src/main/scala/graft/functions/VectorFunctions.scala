@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -164,11 +164,85 @@ case class SubspaceSqDist(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id: the sign pattern of `planes` dot
+  * products against the deterministic integer hyperplane family
+  * w(p, j) = ((7p + 11j) mod 5) − 2, packed into a long. One codegen'd
+  * pass computes all planes (the HOF formulation folds the array once per
+  * plane, interpreted); per-plane accumulation is sequential in j with
+  * double arithmetic, so bucket ids are bit-identical to the
+  * list_sum-per-plane replay the DuckDB oracles use. Null for arrays
+  * shorter than `dim`.
+  */
+case class LshBucket(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects an array of float or double, got ${t.sql}")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @inline private def weight(p: Int, j: Int): Double = ((7 * p + 11 * j) % 5) - 2
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < dim) return null
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += x * weight(p, j)
+        j += 1
+      }
+      if (dot >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+       |if ($a.numElements() < $dim) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  long bucket = 0L;
+       |  for (int p = 0; p < $planes; p++) {
+       |    double dot = 0.0;
+       |    for (int j = 0; j < $dim; j++) {
+       |      dot += (double) $a.$getter(j) * (double) (((7 * p + 11 * j) % 5) - 2);
+       |    }
+       |    if (dot >= 0.0) bucket |= (1L << p);
+       |  }
+       |  ${ev.value} = bucket;
+       |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level API: `cosine_similarity($"a", $"b")`. */
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level API: packed hyperplane-sign LSH bucket id. */
+  def lsh_bucket(v: Column, planes: Int, dim: Int): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(v), planes, dim))
 
   /** Column-level API: squared L2 over [start, start+len) of two vectors. */
   def subspace_sqdist(a: Column, b: Column, start: Int, len: Int): Column =

@@ -69,16 +69,6 @@ object Similarity {
   private val Dim = 64
   private val Planes = 8
 
-  private def bucketExprSpark: String = {
-    val bits = (0 until Planes).map { p =>
-      val w = weight(p)("j")
-      val dot = s"aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
-        s"(acc, j) -> acc + CAST(embedding[j] AS DOUBLE) * CAST($w AS DOUBLE))"
-      s"(CASE WHEN ($dot) >= 0.0 THEN ${1 << p} ELSE 0 END)"
-    }
-    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
-  }
-
   private def bucketExprDuck: String = {
     val bits = (0 until Planes).map { p =>
       val w = weight(p)("j")
@@ -89,9 +79,13 @@ object Similarity {
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
 
+  // the codegen'd [[graft.functions.LshBucket]] one-pass kernel; the HOF
+  // fold-per-plane form is CodegenFallback (same arithmetic, interpreted)
   private def bucketsDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(bucketExprSpark).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
+          .as("bucket"))
 
   /** Per-vector LSH bucket id (sign pattern over 8 fixed hyperplanes). */
   val lshBuckets: Q = Q(

@@ -158,6 +158,21 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out(1).isNullAt(2))          // arrays too short for [2,4)
   }
 
+  test("lsh_bucket: packs plane signs; null for short arrays") {
+    import graft.functions.VectorFunctions.lsh_bucket
+    val df = Seq(
+      (1L, Array.fill(4)(1f)),    // all-positive dots where weights sum > 0
+      (2L, Array.fill(2)(1f))     // too short for dim=4
+    ).toDF("id", "v")
+    val out = df.select($"id", lsh_bucket($"v", 3, 4).as("b"))
+      .orderBy($"id").collect()
+    // plane p dot = sum_j w(p,j): p=0 -> (-2)+(-1)+0+1 = -2 (bit off)
+    // p=1 -> w=(7+11j)%5-2 -> j=0:0, j=1:1, j=2:2, j=3:-2 -> 1 (bit on)
+    // p=2 -> (14+11j)%5-2 -> j=0:2, j=1:-2, j=2:-1, j=3:0 -> -1 (bit off)
+    assert(out(0).getLong(1) == 2L, s"expected bucket 2: ${out(0)}")
+    assert(out(1).isNullAt(1))
+  }
+
   test("PQ codes: codebook vectors self-code; all codes in [0, 16)") {
     val codes = Similarity.pqCodes.build(spark, sf).collect()
     codes.foreach { r =>
