@@ -614,6 +614,104 @@ object Similarity {
       FROM e JOIN q USING (doc_id)
       GROUP BY label ORDER BY label"""))
 
+  /** IVF-PQ top-3 — the composed FAISS-style index a 100 TB vector store
+    * actually serves: coarse IVF cells bound the search to one cell
+    * (nprobe=1), and within the cell candidates are represented only by
+    * PQ codes of their RESIDUALS (vector − cell centroid), the standard
+    * trick that concentrates quantization precision where vectors
+    * actually differ. The residual codebook is 16 deterministic entries
+    * (residuals of vectors 16–31; a real pipeline k-means residual
+    * samples); queries build a per-(query, subspace, codeword) LUT over
+    * their own residual, and each same-cell candidate costs 4 fixed-point
+    * LUT lookups — never a raw-vector read. Everything after the cached
+    * cell assignment is broadcast joins and one per-query top-k shuffle.
+    */
+  val ivfPqTopK: Q = Q(
+    "ann_ivfpq_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+      val w = Window.partitionBy($"vec_id")
+        .orderBy($"cscore".desc, $"centroid_id")
+      val cells = emb.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"embedding", $"centroid_id",
+          cosine_similarity($"embedding", $"centroid").as("cscore"), $"centroid")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"centroid_id".as("cell"),
+          expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+            .as("r"))
+        .cache()
+      val rcb = cells.filter($"vec_id" >= 16 && $"vec_id" < 32)
+        .select($"vec_id".as("code_id"), $"r".as("cw"))
+      val distStructs = array((0 until NSub).map { m =>
+        struct(lit(m.toLong).as("m"), subDist($"r", $"cw", m).as("dist"))
+      }: _*)
+      val codes = cells.crossJoin(broadcast(rcb))
+        .select($"vec_id", $"cell", $"code_id", explode(distStructs).as("md"))
+        .select($"vec_id", $"cell", $"code_id", $"md.m".as("m"), $"md.dist".as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code_id")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cell", $"m", $"code_id".as("code"))
+      val lutStructs = array((0 until NSub).map { m =>
+        struct(lit(m.toLong).as("m"),
+          floor(subDist($"qr", $"cw", m) * 100000000L).cast("long").as("dq8"))
+      }: _*)
+      val lut = cells.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+        .crossJoin(broadcast(rcb))
+        .select($"qid", $"qcell", $"code_id".as("k"), explode(lutStructs).as("md"))
+        .select($"qid", $"qcell", $"k", $"md.m".as("lm"), $"md.dq8".as("dq8"))
+      val adc = codes
+        .join(broadcast(lut),
+          $"cell" === $"qcell" && $"m" === $"lm" && $"code" === $"k")
+        .filter($"qid" =!= $"vec_id")
+        .groupBy($"qid", $"vec_id".as("cid"))
+        .agg(sum($"dq8").as("adc8"))
+      val tk = Window.partitionBy($"qid").orderBy($"adc8", $"cid")
+      adc.withColumn("rank", row_number().over(tk))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid",
+          ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH cellsc AS (
+        SELECT vec_id, embedding, cell, centroid FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell, c.centroid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
+          FROM embeddings e,
+               (SELECT vec_id AS centroid_id, embedding AS centroid
+                FROM embeddings WHERE vec_id < 16) c) WHERE rn = 1),
+      res AS (SELECT vec_id, cell,
+                list_transform(list_zip(embedding, centroid),
+                  p -> p[1]::DOUBLE - p[2]::DOUBLE) AS r
+              FROM cellsc),
+      rcb AS (SELECT vec_id AS code_id, r AS cw FROM res
+              WHERE vec_id >= 16 AND vec_id < 32),
+      sub AS (SELECT res.vec_id, res.cell, rcb.code_id, mm.m,
+                ${subDistDuck("res.r", "rcb.cw", "mm.m")} AS dist
+              FROM res, rcb, (SELECT unnest(range($NSub)) AS m) mm),
+      codes AS (SELECT vec_id, cell, m, code_id AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY dist, code_id) AS rn FROM sub) WHERE rn = 1),
+      lut AS (SELECT res.vec_id AS qid, res.cell AS qcell, rcb.code_id AS k,
+                mm.m,
+                CAST(floor(${subDistDuck("res.r", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
+              FROM res, rcb, (SELECT unnest(range($NSub)) AS m) mm
+              WHERE res.vec_id < 10),
+      adc AS (SELECT lut.qid, c.vec_id AS cid, sum(dq8) AS adc8
+              FROM codes c JOIN lut
+                ON c.cell = lut.qcell AND c.m = lut.m AND c.code = lut.k
+              WHERE lut.qid != c.vec_id GROUP BY 1, 2),
+      rk AS (SELECT qid, cid, adc8, row_number() OVER
+               (PARTITION BY qid ORDER BY adc8, cid) AS rank FROM adc)
+      SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
+      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** Semantic dedup (the SemDeDup shape): within each cluster label, drop
     * the higher-id member of every near-duplicate embedding pair, then
     * report per-cluster kept/dropped counts and surviving token volume
@@ -665,5 +763,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
     ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport, pqCodes, pqTopK, clusterQuality, semanticDedup)
+    recallReport, pqCodes, pqTopK, ivfPqTopK, clusterQuality, semanticDedup)
 }

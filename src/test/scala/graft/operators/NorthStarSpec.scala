@@ -200,6 +200,19 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ ADC top-k: 3 same-cell rows per query, distance non-decreasing") {
+    val rows = Similarity.ivfPqTopK.build(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q: expected 3 rows")
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)),
+        s"query $q: adc_dist not monotone in rank")
+      assert(byRank.forall(_.getDouble(3) >= 0.0))
+    }
+  }
+
   test("attribution channels partition all purchases") {
     import graft.queries.Tables
     val out = EventWindows.attribution.build(spark, sf).collect()

@@ -187,6 +187,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"expected partial aggregation per source:\n${p.take(1500)}")
   }
 
+  test("ann_ivfpq_topk: residual codebook and query LUT broadcast; candidates never read raw vectors") {
+    val p = planString("ann_ivfpq_topk")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts >= 2,
+      s"expected codebook + LUT broadcasts:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("dd_prefix_jaccard: candidate pairs broadcast into array verification") {
     val p = planString("dd_prefix_jaccard")
     assert(p.contains("BroadcastHashJoin"),
