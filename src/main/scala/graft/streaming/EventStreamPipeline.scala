@@ -201,6 +201,62 @@ object EventStreamPipeline {
     * format instead. Totals aggregate exact decimals so re-merging is
     * order-independent.
     */
+  /** Streaming anomaly monitor — the incremental twin of the batch
+    * `ev_anomaly` query. The engine maintains running (event_type, day)
+    * counts (update-mode streaming aggregation: each micro-batch emits
+    * only keys whose count changed); `foreachBatch` merges them into the
+    * daily store and re-evaluates the 2σ outlier test over the merged
+    * dailies, publishing the current anomaly set. The test stays in pure
+    * integer arithmetic — (n·D − S)² > 4·(SS·D − S²) — so the monitor's
+    * flags converge to exactly the batch query's rows once the backlog
+    * drains. Per-batch work is O(changed keys) for the merge plus one
+    * aggregate over the (|types|·|days|)-row store; at scale the store is
+    * a real table format and the stats re-aggregation stays tiny because
+    * its input is already day-grain.
+    */
+  def anomalyMonitor(spark: SparkSession, srcDir: String,
+      dailyDir: String, flagsDir: String, checkpointDir: String): Unit = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000L
+    val daily = readEvents(spark, srcDir)
+      .select(col("event_type"),
+        expr(s"(${graft.queries.Tables.fldivExpr(graft.queries.Tables.fldivExpr("ts", 1000L), DayUs)})")
+          .as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val q = daily.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val target = new java.io.File(dailyDir)
+        val existing =
+          if (target.exists()) s.read.parquet(dailyDir).collect()
+          else Array.empty[org.apache.spark.sql.Row]
+        val updated = batch.collect()
+        val updatedKeys = updated.map(r => (r.getString(0), r.getLong(1))).toSet
+        val merged = existing
+          .filterNot(r => updatedKeys((r.getString(0), r.getLong(1)))) ++ updated
+        val mergedDf = s.createDataFrame(
+          s.sparkContext.parallelize(merged.toSeq, 1), batch.schema)
+        mergedDf.write.mode("overwrite").parquet(dailyDir)
+        val stats = mergedDf.groupBy($"event_type".as("et"))
+          .agg(count(lit(1)).as("d"), sum($"n").as("s"),
+            sum($"n" * $"n").as("ss"))
+        mergedDf.join(stats, $"event_type" === $"et")
+          .filter(($"n" * $"d" - $"s") * ($"n" * $"d" - $"s") >
+            lit(4L) * ($"ss" * $"d" - $"s" * $"s"))
+          .select($"event_type", $"day", $"n")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(flagsDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def upsertTypeTotals(spark: SparkSession, srcDir: String,
       targetDir: String, checkpointDir: String): Unit = {
     import spark.implicits._

@@ -200,6 +200,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == served)
   }
 
+  test("streaming anomaly monitor converges to the batch ev_anomaly flags") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-anom")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val dailyDir = java.nio.file.Files.createTempDirectory("graft-anom-d")
+      .resolve("daily").toString
+    val flagsDir = java.nio.file.Files.createTempDirectory("graft-anom-f")
+      .resolve("flags").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anom-c").toString
+
+    EventStreamPipeline.anomalyMonitor(
+      spark, streamDir.toString, dailyDir, flagsDir, ckpt)
+
+    val flags = spark.read.parquet(flagsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventWindows.anomaly
+      .build(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flags == batch,
+      s"monitor flags != batch flags: ${flags.diff(batch)} / ${batch.diff(flags)}")
+    assert(flags.nonEmpty)
+
+    // a second identical delivery re-counts every key; flags must update
+    // (counts double uniformly, so the z-test flags the SAME days)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-001.parquet"))
+    EventStreamPipeline.anomalyMonitor(
+      spark, streamDir.toString, dailyDir, flagsDir, ckpt)
+    val after = spark.read.parquet(flagsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after.map(t => (t._1, t._2)) == flags.map(t => (t._1, t._2)),
+      "doubling every count must flag the same (type, day) set")
+    assert(after.forall(t => flags.contains((t._1, t._2, t._3 / 2))))
+  }
+
   test("streaming dedup collapses duplicate deliveries to one row per event_id") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
     // simulate at-least-once delivery: the same file arrives twice
