@@ -583,12 +583,15 @@ object Dedup {
     "dd_chargram_jaccard",
     (s, d) => {
       import s.implicits._
+      // hash BEFORE distinct: dedup runs on 8-byte longs instead of
+      // 5-char strings, and the distinct string array never materializes
+      // (same set modulo the ~2^-64 collision the oracle would catch)
       val sh = Tables.spread(Tables.documents(s, d), "doc_id")
         .select($"doc_id", expr(Norm).as("t"))
         .filter(length($"t") >= 5)
         .select($"doc_id", expr(
-          "transform(array_distinct(transform(sequence(1, length(t)-4), " +
-            "i -> substring(t, i, 5))), s -> xxhash64(s))")
+          "array_distinct(transform(sequence(1, length(t)-4), " +
+            "i -> xxhash64(substring(t, i, 5))))")
           .as("shingles"))
         .cache()
       jaccardPairs(sh, 0.6, maxShingleDf = Some(400L))
