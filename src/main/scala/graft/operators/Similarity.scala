@@ -124,6 +124,50 @@ object Similarity {
             FROM s)
       SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Multi-probe LSH top-3: each query probes its own bucket plus the 8
+    * Hamming-1 neighbors (one hyperplane sign flipped) — the standard
+    * recall dial that trades 9× query fan-out for coverage of vectors
+    * that fell just across one hyperplane, without touching index size
+    * (candidates stay in their single home bucket; compare IVF nprobe).
+    * Probes explode to 9 keys per query and join on the bucket key —
+    * still never all-pairs.
+    */
+  val lshMultiprobe: Q = Q(
+    "ann_lsh_multiprobe",
+    (s, d) => {
+      import s.implicits._
+      val b = bucketsDf(s, d).cache()
+      val probeArr = array(lit(0L) +: (0 until Planes).map(p =>
+        lit(1L << p)): _*)
+      val probes = b.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          explode(probeArr).as("flip"), $"bucket")
+        .select($"qid", $"qe",
+          ($"bucket".bitwiseXOR($"flip")).as("pbucket"))
+      val pairs = b.select($"vec_id".as("cid"), $"bucket".as("pbucket"),
+          $"embedding".as("ce"))
+        .join(broadcast(probes), "pbucket")
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      pairs.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid", $"score")
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket FROM embeddings),
+      probes AS (SELECT vec_id AS qid, embedding AS qe,
+                   xor(bucket, f.flip) AS pbucket
+                 FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+                 WHERE vec_id < 10),
+      s AS (SELECT p.qid, c.vec_id AS cid,
+                   ${cosDuck("p.qe", "c.embedding")} AS score
+            FROM probes p JOIN b c ON p.pbucket = c.bucket AND p.qid != c.vec_id),
+      r AS (SELECT qid, cid, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+            FROM s)
+      SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF cell assignment: nearest centroid by cosine from a deterministic
@@ -761,7 +805,7 @@ object Similarity {
              JOIN t ON e.vec_id = t.vec_id
       GROUP BY e.label ORDER BY e.label"""))
 
-  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, ivfTopK,
-    ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
+  val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, lshMultiprobe,
+    ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
     recallReport, pqCodes, pqTopK, ivfPqTopK, clusterQuality, semanticDedup)
 }

@@ -200,6 +200,20 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recall dominates single-bucket LSH recall") {
+    def hits(q: graft.queries.RelationalQueries.Q): Int = {
+      val truth = Similarity.bruteforceTopK.build(spark, sf)
+        .filter($"rank" <= 3).select($"qid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      q.build(spark, sf).select($"qid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(truth).size
+    }
+    val single = hits(Similarity.lshTopK)
+    val multi = hits(Similarity.lshMultiprobe)
+    // multiprobe candidates are a superset: recall can only improve
+    assert(multi >= single, s"multiprobe recall $multi < single $single")
+  }
+
   test("IVF-PQ ADC top-k: 3 same-cell rows per query, distance non-decreasing") {
     val rows = Similarity.ivfPqTopK.build(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
