@@ -488,7 +488,69 @@ object CorpusCuration {
         CAST(sum(q12) AS DOUBLE) / count(*) / 1e12 AS mean_quality
       FROM scored GROUP BY source ORDER BY source"""))
 
+  /** Gopher-style rule filter — the published heuristic ruleset shape
+    * (word-count bounds, mean-word-length band, stopword floor, alphabetic
+    * floor), reported as per-source pass counts per rule plus the
+    * all-rules survivor count. Every predicate is evaluated in INTEGER
+    * cross-multiplication (mean len in [3,10] ⇔ 3n ≤ chars ≤ 10n;
+    * stop ratio ≥ 0.06 ⇔ 50·stop ≥ 3·n; alpha ratio ≥ 0.8 ⇔
+    * 5·alpha ≥ 4·n) — no float ratio ever exists, so the decision is
+    * identical on any engine at any scale. One narrow pass + a tiny
+    * per-source aggregate.
+    */
+  val gopherRules: Q = Q(
+    "pipe_gopher_rules",
+    (s, d) => {
+      import s.implicits._
+      val f = Tables.documents(s, d)
+        .select($"source", split(trim($"text"), "\\s+").as("w"),
+          length(regexp_replace($"text", "\\s+", "")).cast(LongType)
+            .as("n_letters"))
+        .select($"source",
+          size($"w").cast(LongType).as("n"),
+          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+            .cast(LongType).as("n_stop"),
+          size(filter($"w", t => t.rlike("[a-z]"))).cast(LongType)
+            .as("n_alpha"),
+          $"n_letters")
+        .select($"source",
+          ($"n" >= 40 && $"n" <= 100000).as("r_len"),
+          ($"n_letters" >= $"n" * 3 && $"n_letters" <= $"n" * 10).as("r_mwl"),
+          ($"n_stop" * 50 >= $"n" * 3).as("r_stop"),
+          ($"n_alpha" * 5 >= $"n" * 4).as("r_alpha"))
+      f.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"r_len", 1L).otherwise(0L)).as("pass_len"),
+          sum(when($"r_mwl", 1L).otherwise(0L)).as("pass_mwl"),
+          sum(when($"r_stop", 1L).otherwise(0L)).as("pass_stop"),
+          sum(when($"r_alpha", 1L).otherwise(0L)).as("pass_alpha"),
+          sum(when($"r_len" && $"r_mwl" && $"r_stop" && $"r_alpha", 1L)
+            .otherwise(0L)).as("pass_all"))
+        .orderBy($"source")
+    },
+    Some("""WITH f AS (
+        SELECT source,
+          CAST(len(w) AS BIGINT) AS n,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS n_stop,
+          CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_letters
+        FROM (SELECT source, text, string_split_regex(trim(text), '\s+') AS w
+              FROM documents)),
+      r AS (SELECT source,
+          (n >= 40 AND n <= 100000) AS r_len,
+          (n_letters >= n * 3 AND n_letters <= n * 10) AS r_mwl,
+          (n_stop * 50 >= n * 3) AS r_stop,
+          (n_alpha * 5 >= n * 4) AS r_alpha
+        FROM f)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_mwl,
+        CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+        CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+        CAST(sum(CASE WHEN r_len AND r_mwl AND r_stop AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+      FROM r GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
-    shardManifest, datasetCard)
+    shardManifest, datasetCard, gopherRules)
 }

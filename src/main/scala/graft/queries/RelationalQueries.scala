@@ -1089,6 +1089,30 @@ object RelationalQueries {
       FROM lineitem WHERE l_orderkey <= 1000
       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
 
+  /** ANSI `LISTAGG ... WITHIN GROUP` (new in Spark 4) — ordered string
+    * aggregation through the SQL-standard syntax, including the DISTINCT
+    * form; equivalent to DuckDB's ordered string_agg. The explicit WITHIN
+    * GROUP order is what makes the concatenation deterministic across
+    * partitionings (an unordered listagg would be partition-order-
+    * dependent and could never hash-match).
+    */
+  private val qListagg = Q(
+    "q_listagg",
+    (s, d) => {
+      nation(s, d).createOrReplaceTempView("graft_listagg_nation")
+      s.sql("""SELECT n_regionkey,
+        listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+        listagg(DISTINCT substring(n_name, -1, 1), '')
+          WITHIN GROUP (ORDER BY substring(n_name, -1, 1)) AS last_chars
+        FROM graft_listagg_nation
+        GROUP BY n_regionkey ORDER BY n_regionkey""")
+    },
+    Some("""SELECT n_regionkey,
+      string_agg(n_name, '|' ORDER BY n_name) AS nations,
+      string_agg(DISTINCT substr(n_name, -1, 1), ''
+        ORDER BY substr(n_name, -1, 1)) AS last_chars
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qOuter, qWindowTopN, qWindowRunning,
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
@@ -1098,5 +1122,5 @@ object RelationalQueries {
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
     qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith,
-    qRecursiveCte, qVariant)
+    qRecursiveCte, qVariant, qListagg)
 }
