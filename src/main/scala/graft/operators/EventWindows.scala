@@ -328,6 +328,44 @@ object EventWindows {
       WHERE (n*d - s)*(n*d - s) > 4*(ss*d - s*s)
       ORDER BY 1, 2"""))
 
+  /** Built-in `session_window` sessionization — the native operator twin
+    * of [[sessionize]]'s hand-rolled lag-flag-cumsum idiom (and of the
+    * streaming state-API variants): same 30-minute gap semantics, one
+    * shuffle on the session key. The oracle replays the gap sessions
+    * relationally, so a hash-match proves the built-in operator and the
+    * window idiom agree row-for-row. Session starts surface as epoch-ms
+    * (the ns→ms conversion uses floor division; see [[Tables.fldivExpr]]).
+    */
+  val sessionWindow: Q = Q(
+    "ev_session_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id",
+          expr(s"timestamp_micros(${Tables.fldivExpr("ts", 1000L)})").as("t"))
+        .groupBy($"user_id", session_window($"t", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          Tables.fdiv("unix_micros(sw.start)", 1000L).as("session_start_ms"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start_ms")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      f AS (
+        SELECT user_id, ts_ms,
+          CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      g AS (
+        SELECT user_id, ts_ms,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM f)
+      SELECT user_id, min(ts_ms) AS session_start_ms, count(*) AS n_events
+      FROM g GROUP BY user_id, session_id
+      ORDER BY user_id, session_start_ms"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
-    retention, eventPaths, attribution, anomaly)
+    retention, eventPaths, attribution, anomaly, sessionWindow)
 }
