@@ -328,6 +328,61 @@ object EventWindows {
       WHERE (n*d - s)*(n*d - s) > 4*(ss*d - s*s)
       ORDER BY 1, 2"""))
 
+  /** Strict-order 3-step funnel (view → click → purchase within 7 days of
+    * the first view): each later step's timestamp is the user's first
+    * event of that type AFTER the previous step — the sequential-milestone
+    * carry that simple min-per-type funnels get wrong (a click before the
+    * first view must not count). Three conditional mins with the
+    * carry expressed as conditional aggregation over one user_id shuffle;
+    * output is the per-step conversion count — the numbers a funnel chart
+    * plots. The IGNORE-NULLS-free formulation keeps every aggregate a
+    * plain min, so partial aggregation applies at scale.
+    */
+  val funnel3: Q = Q(
+    "ev_funnel3",
+    (s, d) => {
+      import s.implicits._
+      val WeekMs = 7L * 24 * 3600 * 1000
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", Tables.fdiv("ts", 1000000L).as("ts_ms"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_ms").as("t_view"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_ms".as("tc"))
+        .join(v, "user_id")
+        .filter($"tc" > $"t_view" && $"tc" <= $"t_view" + WeekMs)
+        .groupBy($"user_id").agg(min($"tc").as("t_click"), min($"t_view").as("t_view"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_ms".as("tp"))
+        .join(c, "user_id")
+        .filter($"tp" > $"t_click" && $"tp" <= $"t_view" + WeekMs)
+        .groupBy($"user_id").agg(min($"tp").as("t_purchase"))
+      v.select(lit("1_view").as("step"), $"user_id")
+        .union(c.select(lit("2_click").as("step"), $"user_id"))
+        .union(p.select(lit("3_purchase").as("step"), $"user_id"))
+        .groupBy($"step").agg(count(lit(1)).as("n_users"))
+        .orderBy($"step")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      v AS (SELECT user_id, min(ts_ms) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts_ms) AS t_click, min(v.t_view) AS t_view
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+              AND e.ts_ms <= v.t_view + 604800000
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts_ms) AS t_purchase
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+              AND e.ts_ms <= c.t_view + 604800000
+            GROUP BY e.user_id)
+      SELECT step, count(*) AS n_users FROM (
+        SELECT '1_view' AS step, user_id FROM v
+        UNION ALL SELECT '2_click', user_id FROM c
+        UNION ALL SELECT '3_purchase', user_id FROM p)
+      GROUP BY step ORDER BY step"""))
+
   /** Built-in `session_window` sessionization — the native operator twin
     * of [[sessionize]]'s hand-rolled lag-flag-cumsum idiom (and of the
     * streaming state-API variants): same 30-minute gap semantics, one
@@ -367,5 +422,5 @@ object EventWindows {
       ORDER BY user_id, session_start_ms"""))
 
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
-    retention, eventPaths, attribution, anomaly, sessionWindow)
+    retention, eventPaths, attribution, anomaly, sessionWindow, funnel3)
 }

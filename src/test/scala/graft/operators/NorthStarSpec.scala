@@ -227,6 +227,15 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("3-step funnel: conversion counts are monotone down the steps") {
+    val out = EventWindows.funnel3.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(out("1_view") >= out("2_click"))
+    assert(out("2_click") >= out("3_purchase"))
+    assert(out("1_view") > 0)
+  }
+
   test("attribution channels partition all purchases") {
     import graft.queries.Tables
     val out = EventWindows.attribution.build(spark, sf).collect()
