@@ -421,6 +421,53 @@ object EventWindows {
       FROM g GROUP BY user_id, session_id
       ORDER BY user_id, session_start_ms"""))
 
+  /** Churn detection — the retention complement: users active in the
+    * window's first span but silent in its final 7 days, bucketed by
+    * lifetime activity. The observation horizon is derived from the DATA
+    * (max event day — deterministic, any engine), not wall-clock; one
+    * aggregate per user, then an integral day comparison and a tiny
+    * bucket rollup. The per-user aggregate and the max-day scalar reuse
+    * the same scan; the scalar joins back as a 1-row broadcast, never a
+    * driver collect.
+    */
+  val churn: Q = Q(
+    "ev_churn",
+    (s, d) => {
+      import s.implicits._
+      val DayUs = 86400L * 1000000L
+      val dayExpr = s"(${Tables.fldivExpr(Tables.fldivExpr("ts", 1000L), DayUs)})"
+      val perUser = Tables.events(s, d)
+        .select($"user_id", expr(dayExpr).as("day"))
+        .groupBy($"user_id")
+        .agg(min($"day").as("first_day"), max($"day").as("last_day"),
+          count(lit(1)).as("n_events"))
+      val horizon = perUser.agg(max($"last_day").as("h"))
+      // activity quartiles via ntile (total order: events, then user_id),
+      // so the report always has 4 populated cohorts at any corpus shape
+      perUser.crossJoin(broadcast(horizon))
+        .withColumn("cohort", ntile(4).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"n_events", $"user_id")).cast("long"))
+        .select($"cohort", ($"last_day" <= $"h" - 7).as("churned"))
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when($"churned", 1L).otherwise(0L)).as("n_churned"))
+        .orderBy($"cohort")
+    },
+    Some("""WITH u AS (
+        SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day,
+          max(epoch_us(ts) // 86400000000) AS last_day,
+          count(*) AS n_events
+        FROM events GROUP BY user_id),
+      h AS (SELECT max(last_day) AS h FROM u),
+      q AS (SELECT n_events, last_day,
+              CAST(ntile(4) OVER (ORDER BY n_events, user_id) AS BIGINT) AS cohort
+            FROM u)
+      SELECT cohort, count(*) AS n_users,
+        CAST(sum(CASE WHEN last_day <= h - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+      FROM q, h GROUP BY cohort ORDER BY cohort"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
-    retention, eventPaths, attribution, anomaly, sessionWindow, funnel3)
+    retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
+    churn)
 }

@@ -158,6 +158,19 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out(1).isNullAt(2))          // arrays too short for [2,4)
   }
 
+  test("subspace_sqdist and lsh_bucket reject non-vector inputs at analysis") {
+    import graft.functions.VectorFunctions.{lsh_bucket, subspace_sqdist}
+    val df = Seq((1L, Array("a", "b"))).toDF("id", "s")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(subspace_sqdist($"s", $"s", 0, 1)).collect()
+    }
+    assert(e1.getMessage.contains("subspace_sqdist expects"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(lsh_bucket($"s", 2, 2)).collect()
+    }
+    assert(e2.getMessage.contains("lsh_bucket expects"))
+  }
+
   test("lsh_bucket: packs plane signs; null for short arrays") {
     import graft.functions.VectorFunctions.lsh_bucket
     val df = Seq(
