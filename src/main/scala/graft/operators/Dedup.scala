@@ -743,6 +743,72 @@ object Dedup {
       FROM documents d LEFT JOIN canon c USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Banding-configuration sweep over the same 8-slot signature: 4 bands
+    * of 2 rows vs 2 bands of 4 rows, reporting candidate volume and
+    * confirmed (J ≥ 0.6) pairs per configuration — the precision/recall
+    * dial every LSH deployment tunes before it replaces an exact join
+    * (more rows per band ⇒ fewer, higher-precision candidates; the
+    * candidate count IS the join cost at scale). 2×4 candidates are a
+    * subset of 4×2 candidates by construction (4 equal consecutive slots
+    * imply both constituent 2-slot bands equal), so confirmed counts are
+    * monotone — spec'd in NorthStarSpec. Counts aggregate map-side; the
+    * report is two rows.
+    */
+  val lshBandSweep: Q = Q(
+    "dd_lsh_band_sweep",
+    (s, d) => {
+      import s.implicits._
+      val sh = shingleDf(s, d).cache()
+      val sig = signatureDf(sh).cache()
+      val sizes = sh.select($"doc_id", size($"shingles").as("n"))
+      def report(name: String, bands: Seq[Seq[Int]]): DataFrame = {
+        val cand = bands.map { slots =>
+          sig.as("x").join(sig.as("y"),
+              slots.map(j => col(s"x.mh$j") === col(s"y.mh$j"))
+                .reduce(_ && _) && $"x.doc_id" < $"y.doc_id")
+            .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+        }.reduce(_ union _).distinct().cache()
+        val confirmed = cand
+          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+          .filter((least($"na", $"nb").cast(DoubleType) /
+            greatest($"na", $"nb")) >= 0.6)
+          .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
+          .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
+          .filter((size(array_intersect($"sa", $"sb")).cast(DoubleType) /
+            (($"na" + $"nb") - size(array_intersect($"sa", $"sb")))) >= 0.6)
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(confirmed.agg(count(lit(1)).as("n_confirmed")))
+          .select(lit(name).as("config"), $"n_candidates", $"n_confirmed")
+      }
+      report("4x2", Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)))
+        .union(report("2x4", Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))))
+        .orderBy($"config")
+    },
+    Some {
+      def duckCand(bands: Seq[Seq[Int]]): String = bands.map { slots =>
+        slots.map(j => s"a.mh$j = b.mh$j").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      def pipeline(name: String, bands: Seq[Seq[Int]]): String =
+        s"""SELECT '$name' AS config,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT a.doc_id, b.doc_id FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND (${duckCand(bands)}))) AS n_candidates,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND (${duckCand(bands)})) c
+            JOIN sh x ON c.a_id = x.doc_id JOIN sh y ON c.b_id = y.doc_id
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+              (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.6)
+             AS n_confirmed"""
+      s"""WITH sh AS ($ShinglesDuck), sig AS ($SignatureDuck)
+        ${pipeline("4x2", Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)))}
+        UNION ALL
+        ${pipeline("2x4", Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)))}
+        ORDER BY config"""
+    })
+
   /** Sketch-accuracy readout: for every true near-dup pair, the
     * MinHash-estimated Jaccard (fraction of agreeing signature slots)
     * alongside the exact value — the per-pair view of the estimator the
@@ -865,6 +931,6 @@ object Dedup {
       SELECT b_id, a_id, jaccard FROM r WHERE rk = 1 ORDER BY b_id"""))
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, prefixJaccard, chargramJaccard,
-    minhashSignatures, minhashLsh, simhash, simhashPairs, survivors,
-    containment, clusters, minhashAccuracy, incremental)
+    minhashSignatures, minhashLsh, lshBandSweep, simhash, simhashPairs,
+    survivors, containment, clusters, minhashAccuracy, incremental)
 }

@@ -213,6 +213,17 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH band sweep: wider bands admit fewer candidates, confirm a subset") {
+    val rows = Dedup.lshBandSweep.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (c42, f42) = rows("4x2")
+    val (c24, f24) = rows("2x4")
+    assert(c24 <= c42, "2x4 candidates must be a subset of 4x2")
+    assert(f24 <= f42)
+    assert(f42 <= c42 && f24 <= c24)
+    assert(c42 > 0)
+  }
+
   test("multi-probe LSH recall dominates single-bucket LSH recall") {
     def hits(q: graft.queries.RelationalQueries.Q): Int = {
       val truth = Similarity.bruteforceTopK.build(spark, sf)
