@@ -467,7 +467,45 @@ object EventWindows {
         CAST(sum(CASE WHEN last_day <= h - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
       FROM q, h GROUP BY cohort ORDER BY cohort"""))
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the engagement
+    * readout every product dashboard serves. Events collapse to distinct
+    * user-days FIRST (the only corpus-sized shuffle); both counts then
+    * run at day grain: DAU is a plain distinct count, WAU joins each day
+    * against its trailing week of user-days (a bounded 7× fan-out of the
+    * tiny user-day table, never of raw events). Stickiness divides the
+    * two exact longs — one correctly-rounded double, identical on both
+    * engines.
+    */
+  val dauWau: Q = Q(
+    "ev_dau_wau",
+    (s, d) => {
+      import s.implicits._
+      val DayUs = 86400L * 1000000L
+      val dayExpr = s"(${Tables.fldivExpr(Tables.fldivExpr("ts", 1000L), DayUs)})"
+      val ud = Tables.events(s, d)
+        .select($"user_id", expr(dayExpr).as("day")).distinct().cache()
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = ud.select($"day".as("d")).distinct()
+        .join(ud, $"day".between($"d" - 6, $"d"))
+        .groupBy($"d").agg(countDistinct($"user_id").as("wau"))
+      dau.join(wau, $"day" === $"d")
+        .select($"day", $"dau", $"wau",
+          ($"dau".cast("double") / $"wau").as("stickiness"))
+        .orderBy($"day")
+    },
+    Some("""WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      wau AS (SELECT d.day AS d, count(DISTINCT ud.user_id) AS wau
+              FROM (SELECT DISTINCT day FROM ud) d
+              JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day)
+      SELECT dau.day, dau.dau, wau.wau,
+        CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.d
+      ORDER BY day"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn)
+    churn, dauWau)
 }
