@@ -45,6 +45,20 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("cosinesimilarity"))
   }
 
+  test("per-group top-k windows get WindowGroupLimit pushdown") {
+    // Catalyst's InferWindowGroupLimit turns `row_number <= k` filters
+    // into partial+final per-partition group limits, so top-k never
+    // materializes a full per-group sort — the property that keeps every
+    // ann_*_topk/window-topn query scalable. Guard it: a rank filter
+    // rewritten in a way the rule can't see would silently revert to
+    // full sorts.
+    for (q <- Seq("q_window_topn", "ann_bruteforce_topk", "ann_pq_topk")) {
+      val p = planString(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost WindowGroupLimit pushdown:\n${p.take(1500)}")
+    }
+  }
+
   test("ta_token_count: narrow per-doc transform, no shuffle before the sort") {
     val p = planString("ta_token_count")
     // exactly one Exchange: the presentation orderBy's range partitioning
