@@ -307,8 +307,14 @@ object Dedup {
       .distinct()
       .filter((least(col("na"), col("nb")).cast(DoubleType) /
         greatest(col("na"), col("nb"))) >= tau)
+    // no broadcast hint on the pair list: on realistic corpora AQE
+    // broadcasts it anyway (it is two longs per candidate), but on
+    // degenerate corpora the candidate set itself can exceed driver
+    // memory (measured: > 1 GiB of pairs at 100k tiny-vocab docs — a
+    // hard broadcast aborts exactly where the join must fall back to a
+    // shuffle)
     sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-      .join(broadcast(cand), "a_id")
+      .join(cand, "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
         .hint("shuffle_hash"), "b_id")
       .select(col("a_id"), col("b_id"),

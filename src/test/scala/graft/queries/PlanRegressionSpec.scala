@@ -209,9 +209,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("dd_prefix_jaccard: candidate pairs broadcast into array verification") {
+  test("dd_prefix_jaccard: verification join stays adaptive (no forced pair-list broadcast)") {
+    // the pair list is two longs per candidate — AQE broadcasts it when
+    // small, but a HARD broadcast aborts on degenerate corpora where the
+    // candidate set outgrows the driver (measured > 1 GiB at 100k
+    // tiny-vocab docs); the plan must keep a join, not a hint-forced
+    // BroadcastExchange of `cand`
     val p = planString("dd_prefix_jaccard")
-    assert(p.contains("BroadcastHashJoin"),
-      s"pair list (two longs per row) must broadcast into the array table:\n${p.take(2000)}")
+    assert(p.contains("Join"), p.take(1500))
+    assert(p.contains("AdaptiveSparkPlan"),
+      s"verification joins must stay AQE-replannable:\n${p.take(1500)}")
   }
 }
