@@ -251,6 +251,15 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("DAU never exceeds trailing-week WAU; stickiness in (0, 1]") {
+    val out = EventWindows.dauWau.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), s"dau > wau: $r")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0, s"stickiness: $r")
+    }
+  }
+
   test("3-step funnel: conversion counts are monotone down the steps") {
     val out = EventWindows.funnel3.build(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
