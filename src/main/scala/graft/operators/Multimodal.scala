@@ -222,5 +222,53 @@ object Multimodal {
         (f4 + f5) / 2 AS r2, (f6 + f7) / 2 AS r3
       FROM f ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(binaryStats, featureExtract, frameSample, resize)
+  /** Frame-level dedup — the video/audio twin of document exact-dedup:
+    * fingerprint every sampled frame (md5 of the frame bytes) and report
+    * per-source frame counts, distinct fingerprints, and the dup rate.
+    * The frame explode is partition-local over the binary payloads; the
+    * only shuffles are the distinct and the per-source rollup, both on
+    * 16-byte fingerprints rather than frame bytes. The oracle replays the
+    * exact framing geometry (64-byte frames, stride 2) with substr on the
+    * UTF-8 text, so a hash-match verifies both the sampler and the
+    * fingerprint pipeline.
+    */
+  val frameDedup: Q = Q(
+    "mm_frame_dedup",
+    (s, d) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = false),
+        StructField("frame_md5", StringType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val media = Tables.documents(s, d).select(
+        $"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
+      media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          sampleFrames(r.getAs[Array[Byte]]("payload")).map { f =>
+            Row(r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(f))
+          }
+        }
+      }(enc)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct($"frame_md5").as("n_distinct"),
+          (lit(1.0) - countDistinct($"frame_md5").cast("double") /
+            count(lit(1))).as("dup_rate"))
+        .orderBy($"source")
+    },
+    Some("""WITH f AS (
+        SELECT doc_id, source,
+          md5(substr(text, (k - 1) * 128 + 1, 64)) AS frame_md5
+        FROM documents,
+          LATERAL (SELECT unnest(range(1,
+            ((strlen(text) + 63) // 64 + 1) // 2 + 1)) AS k))
+      SELECT source, count(*) AS n_frames,
+        CAST(count(DISTINCT frame_md5) AS BIGINT) AS n_distinct,
+        1.0 - CAST(count(DISTINCT frame_md5) AS DOUBLE) / count(*) AS dup_rate
+      FROM f GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(binaryStats, featureExtract, frameSample, resize,
+    frameDedup)
 }
