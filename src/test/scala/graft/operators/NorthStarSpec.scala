@@ -329,6 +329,15 @@ class NorthStarSpec extends AnyFunSuite {
       "dropped total must equal distinct b-side of the pair list")
   }
 
+  test("frame dedup: distinct fingerprints bounded by frame count; rate in [0,1)") {
+    val out = Multimodal.frameDedup.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"distinct > total: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, s"dup_rate: $r")
+    }
+  }
+
   test("dataset card totals reconcile with the corpus") {
     import graft.queries.Tables
     val out = CorpusCuration.datasetCard.build(spark, sf).collect()
