@@ -186,21 +186,45 @@ object EventStreamPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** Incremental upsert into a keyed serving table via `foreachBatch` +
-    * `Trigger.AvailableNow`: per-type running totals, merged key-wise each
-    * micro-batch. This is the generic sink pattern for stores without
-    * native streaming support (JDBC, KV, table formats) — the batch
-    * writer runs inside the streaming query with exactly-once tracking
-    * from the checkpoint. AvailableNow drains the backlog to completion
-    * and stops: the scheduled-incremental form (cron-driven catch-up)
-    * used when a resident streaming cluster isn't warranted.
+  /** Distributed keyed-upsert merge — the `foreachBatch` sink primitive.
+    * The existing snapshot is anti-joined against the batch's keys (rows
+    * whose key the batch re-emitted are superseded), unioned with the
+    * batch, and written as a NEW snapshot directory that is then swapped
+    * into place via the Hadoop FS API. No row ever passes through the
+    * driver, so the pattern holds at any key cardinality: both sides are
+    * partitioned datasets and AQE broadcasts whichever side of the
+    * anti-join is small. The write-then-rename swap is the file-system
+    * stand-in for a table format's atomic MERGE INTO commit (on object
+    * stores a real table format supplies the atomicity; the upsert plan —
+    * anti-join + union — is identical). Re-running a batch after a crash
+    * re-merges the same keys to the same values (updates are full
+    * per-key aggregates, not deltas), so the swap is idempotent and the
+    * checkpoint gives end-to-end exactly-once.
     *
-    * The merge here collects the updated keys to the driver — sound
-    * because the key space is the handful of event types (grouped totals,
-    * not raw rows); a large key space would MERGE INTO a real table
-    * format instead. Totals aggregate exact decimals so re-merging is
-    * order-independent.
+    * @return the merged snapshot, re-read from the swapped-in directory
     */
+  private def mergeSnapshot(batch: DataFrame, targetDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    val s = batch.sparkSession
+    val hconf = s.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    val merged =
+      if (!fs.exists(target)) batch
+      else s.read.parquet(targetDir)
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(batch)
+    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    // swap: retire the old snapshot, promote the staged one
+    val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(target)) fs.rename(target, retired)
+    fs.rename(staging, target)
+    fs.delete(retired, true)
+    s.read.parquet(targetDir)
+  }
+
   /** Streaming anomaly monitor — the incremental twin of the batch
     * `ev_anomaly` query. The engine maintains running (event_type, day)
     * counts (update-mode streaming aggregation: each micro-batch emits
@@ -231,17 +255,8 @@ object EventStreamPipeline {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        val target = new java.io.File(dailyDir)
-        val existing =
-          if (target.exists()) s.read.parquet(dailyDir).collect()
-          else Array.empty[org.apache.spark.sql.Row]
-        val updated = batch.collect()
-        val updatedKeys = updated.map(r => (r.getString(0), r.getLong(1))).toSet
-        val merged = existing
-          .filterNot(r => updatedKeys((r.getString(0), r.getLong(1)))) ++ updated
-        val mergedDf = s.createDataFrame(
-          s.sparkContext.parallelize(merged.toSeq, 1), batch.schema)
-        mergedDf.write.mode("overwrite").parquet(dailyDir)
+        val mergedDf = mergeSnapshot(batch.toDF(), dailyDir,
+          Seq("event_type", "day"))
         val stats = mergedDf.groupBy($"event_type".as("et"))
           .agg(count(lit(1)).as("d"), sum($"n").as("s"),
             sum($"n" * $"n").as("ss"))
@@ -257,6 +272,18 @@ object EventStreamPipeline {
     q.awaitTermination()
   }
 
+  /** Incremental upsert into a keyed serving table via `foreachBatch` +
+    * `Trigger.AvailableNow`: per-type running totals, merged key-wise each
+    * micro-batch through [[mergeSnapshot]] — a fully distributed
+    * anti-join + union, no driver-side state at any key cardinality.
+    * This is the generic sink pattern for stores without native streaming
+    * support — the batch writer runs inside the streaming query with
+    * exactly-once tracking from the checkpoint. AvailableNow drains the
+    * backlog to completion and stops: the scheduled-incremental form
+    * (cron-driven catch-up) used when a resident streaming cluster isn't
+    * warranted. Totals aggregate exact decimals so re-merging is
+    * order-independent.
+    */
   def upsertTypeTotals(spark: SparkSession, srcDir: String,
       targetDir: String, checkpointDir: String): Unit = {
     import spark.implicits._
@@ -270,15 +297,7 @@ object EventStreamPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val target = new java.io.File(targetDir)
-        val existing =
-          if (target.exists()) s.read.parquet(targetDir).collect() else Array.empty[org.apache.spark.sql.Row]
-        val updated = batch.collect()
-        val updatedKeys = updated.map(_.getString(0)).toSet
-        val merged = existing.filterNot(r => updatedKeys(r.getString(0))) ++ updated
-        s.createDataFrame(s.sparkContext.parallelize(merged.toSeq, 1),
-          batch.schema).write.mode("overwrite").parquet(targetDir)
+        mergeSnapshot(batch.toDF(), targetDir, Seq("event_type"))
         ()
       }
       .start()
