@@ -154,11 +154,14 @@ object TextAnalysis {
 
   /** Corpus-trained bigram language-model score per document — the shape of
     * perplexity-based quality filtering: train n-gram statistics on the
-    * corpus (two count aggregations), broadcast the model, score each
-    * document by its average conditional bigram probability. The model
-    * tables are Zipf-small relative to the corpus, so scoring is a
-    * broadcast join — one narrow pass at 100 TB; only the count
-    * aggregations shuffle, and both combine map-side. Probabilities are
+    * corpus (two count aggregations), score each document by its average
+    * conditional bigram probability. The model is one row per DISTINCT
+    * corpus bigram — unbounded at 100 TB (billions of rows) — so the
+    * scoring join carries NO broadcast hint: the scale-safe plan is a
+    * shuffle join on `bg`, and AQE still picks a broadcast at runtime
+    * whenever the model measures small (as it does at test SF). A forced
+    * `broadcast()` here would be a guaranteed OOM at corpus vocabulary
+    * scale. The count aggregations both combine map-side. Probabilities are
     * ratios of exact counts, fixed-pointed as floor(p·10¹⁴) BIGINTs before
     * summation, so the score is order-independent and cross-engine exact
     * (no logarithms — avg probability ranks documents the same way at
@@ -183,7 +186,7 @@ object TextAnalysis {
       val model = c2.join(c1, split($"bg", " ").getItem(0) === $"w1")
         .select($"bg", floor(($"c2".cast(DoubleType) / $"c1") * 1e14)
           .cast(LongType).as("p14"))
-      bg.join(broadcast(model), "bg")
+      bg.join(model, "bg")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum($"p14").as("sp"))
         .select($"doc_id", $"n_bigrams",
@@ -368,16 +371,20 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val docs = Tables.spread(Tables.documents(s, d), "doc_id")
-      // one row per (doc, token) with its in-doc count; df then comes
-      // from a window count over the token partition — one scan, one
-      // explode, no second aggregate + join (the join form re-reads and
-      // re-shingles the whole corpus to build the df table)
+      // one row per (doc, token) with its in-doc count; df comes from a
+      // map-side-combined aggregate + equi-join, NOT a window over the
+      // token partition: a hot token (stopwords hit nearly every doc)
+      // would funnel every one of its rows into a single window task,
+      // while groupBy(token).count() partial-aggregates before the
+      // shuffle and the join back is skew-handled by AQE. perDoc is
+      // cached so df reuses it instead of re-exploding the corpus.
       val perDoc = docs
         .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
         .filter($"token" =!= "")
         .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val withDf = perDoc.withColumn("df",
-        count(lit(1)).over(Window.partitionBy($"token")))
+        .cache()
+      val dfTab = perDoc.groupBy($"token").agg(count(lit(1)).as("df"))
+      val withDf = perDoc.join(dfTab, "token")
       val nDocs = docs.agg(countDistinct($"doc_id").as("n_docs"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"score".desc, $"token")

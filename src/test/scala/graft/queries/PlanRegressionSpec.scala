@@ -112,6 +112,16 @@ class PlanRegressionSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("ta_tfidf: document frequency aggregates map-side, no token-partition window") {
+    // df via count().over(Window.partitionBy(token)) funnels every row of
+    // a hot token (stopwords hit nearly every doc) into one task; the
+    // aggregate+join form partial-aggregates before the shuffle and the
+    // join back is AQE-skew-handled. Pin the map-side combine.
+    val p = planString("ta_tfidf")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected map-side combined df aggregate:\n${p.take(2000)}")
+  }
+
   test("ta_vocab: map-side combine feeds the distributed top-k") {
     val p = planString("ta_vocab")
     assert(p.contains("partial_count") || p.contains("partial_"),
@@ -133,11 +143,20 @@ class PlanRegressionSpec extends AnyFunSuite {
       p.contains("CTE"), s"expected a recursive node:\n${p.take(1500)}")
   }
 
-  test("ta_bigram_lm: the trained model joins in as a broadcast") {
-    val p = planString("ta_bigram_lm")
-    // scoring pass = doc bigrams ⋈ broadcast(model); a shuffled scoring
-    // join would move the corpus instead of the Zipf-small model
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  test("ta_bigram_lm: model join stays adaptive; AQE broadcasts it at test SF") {
+    // the model is one row per DISTINCT corpus bigram — unbounded at
+    // 100 TB — so the scoring join must NOT carry a forced broadcast()
+    // hint (driver OOM at vocabulary scale). The scale-safe shape is an
+    // AQE-replannable join that AQE converts to a broadcast at runtime
+    // whenever the model measures small, as it does at test SF.
+    val df = graft.SparkEntry.queries("ta_bigram_lm")(spark, sf)
+    val initial = df.queryExecution.executedPlan.toString
+    assert(initial.contains("AdaptiveSparkPlan"),
+      s"model join must stay AQE-replannable:\n${initial.take(1500)}")
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should pick a broadcast for the small test-SF model:\n${p.take(2000)}")
   }
 
   test("ta_bigram_lm: scan reads only doc_id and text") {
