@@ -385,11 +385,19 @@ object EventWindows {
 
   /** Built-in `session_window` sessionization — the native operator twin
     * of [[sessionize]]'s hand-rolled lag-flag-cumsum idiom (and of the
-    * streaming state-API variants): same 30-minute gap semantics, one
-    * shuffle on the session key. The oracle replays the gap sessions
-    * relationally, so a hash-match proves the built-in operator and the
-    * window idiom agree row-for-row. Session starts surface as epoch-ms
-    * (the ns→ms conversion uses floor division; see [[Tables.fldivExpr]]).
+    * streaming state-API variants): same 30-minute gap, one shuffle on
+    * the session key. Event times are truncated to epoch-MILLISECONDS
+    * *before* `session_window`, so the engine and the oracle sessionize
+    * the same integers — a µs-precision engine against a ms-precision
+    * oracle diverges for gaps inside (1800000 ms, 1800001 ms): the
+    * engine splits (1800000500 µs > the 30-min gap) while the oracle's
+    * floor-divided gap is exactly 1800000 ms and merges. Boundary rule,
+    * pinned empirically by SessionBoundarySpec: Spark MERGES an event at
+    * exactly session-end (its merge test is eventStart <= currentEnd,
+    * so touching windows coalesce), which is precisely the lag oracle's
+    * strict `> 1800000` new-session comparator — with both sides on ms
+    * integers the built-in operator and [[sessionize]]'s lag idiom agree
+    * on every gap, boundaries included.
     */
   val sessionWindow: Q = Q(
     "ev_session_window",
@@ -397,11 +405,11 @@ object EventWindows {
       import s.implicits._
       Tables.events(s, d)
         .select($"user_id",
-          expr(s"timestamp_micros(${Tables.fldivExpr("ts", 1000L)})").as("t"))
+          expr(s"timestamp_millis(${Tables.fldivExpr("ts", 1000000L)})").as("t"))
         .groupBy($"user_id", session_window($"t", "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"))
         .select($"user_id",
-          Tables.fdiv("unix_micros(sw.start)", 1000L).as("session_start_ms"),
+          expr("unix_millis(sw.start)").as("session_start_ms"),
           $"n_events")
         .orderBy($"user_id", $"session_start_ms")
     },
