@@ -405,27 +405,35 @@ object Dedup {
     * bounded bucket sizes); candidates are then verified with true Jaccard
     * >= 0.6 against the shingle sets.
     */
+  /** Banded LSH candidate generation — shared by [[minhashLsh]] and the
+    * MinhashProfile stage-timing driver so the profiled plan IS the
+    * shipped plan. One shuffle instead of four: explode each 8-slot
+    * signature into its 4 (band, rowPair) keys and self-join ONCE on
+    * (band, key) — the same shape [[simhashPairs]] uses. The per-band
+    * join variant scans and shuffles `sig` 4× and unions before
+    * distinct; this form shuffles the banded rows once and feeds
+    * distinct directly (r4 bench showed the 4-join plan at 5.2s vs
+    * 1.4s — plan diff recorded in SCALE.md).
+    */
+  private[operators] def bandedCandidates(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(bnd =>
+        struct(col(s"mh${2 * bnd}").as("k0"),
+          col(s"mh${2 * bnd + 1}").as("k1"))): _*)).as(Seq("band", "k")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
   val minhashLsh: Q = Q(
     "dd_minhash_lsh",
     (s, d) => {
       import s.implicits._
       val sh = shingleDf(s, d).cache() // shared by signatures + verification
       val sig = signatureDf(sh).cache()
-      // One shuffle instead of four: explode each signature into its 4
-      // (band, rowPair) keys and self-join ONCE on (band, key) — the same
-      // shape [[simhashPairs]] uses. The per-band join variant scans and
-      // shuffles `sig` 4× and unions before distinct; this form shuffles
-      // the banded rows once and feeds distinct directly (r4 bench showed
-      // the 4-join plan at 5.2s vs 1.4s — plan diff recorded in SCALE.md).
-      val banded = sig.select($"doc_id", posexplode(array(
-        (0 until 4).map(bnd =>
-          struct(col(s"mh${2 * bnd}").as("k0"),
-            col(s"mh${2 * bnd + 1}").as("k1"))): _*)).as(Seq("band", "k")))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
-        .distinct()
+      val cand = bandedCandidates(sig)
       // Exact size-ratio prefilter before the wide array join: J >= 0.6
       // forces min(|A|,|B|)/max(|A|,|B|) >= 0.6 (same proof as in
       // [[jaccardPairs]]), and the check costs two ints per candidate.

@@ -198,8 +198,20 @@ object EventStreamPipeline {
     * stores a real table format supplies the atomicity; the upsert plan —
     * anti-join + union — is identical). Re-running a batch after a crash
     * re-merges the same keys to the same values (updates are full
-    * per-key aggregates, not deltas), so the swap is idempotent and the
-    * checkpoint gives end-to-end exactly-once.
+    * per-key aggregates, not deltas), so re-merge is idempotent and, with
+    * the recovery path below, the checkpoint gives at-least-once delivery
+    * with idempotent remerge — effectively exactly-once for these
+    * full-aggregate updates. The swap itself is not atomic on a plain
+    * filesystem: a reader racing the two renames can observe the target
+    * momentarily absent (a real table format supplies that atomicity;
+    * this sink assumes the single-writer/serving-reader split). Crash
+    * safety: every rename's boolean result is checked (Hadoop
+    * `rename` reports failure by returning false, not throwing); a crash
+    * between the two renames leaves the only complete snapshot in
+    * `.staging` (with its `_SUCCESS` marker) or `.old`, and the next
+    * batch's entry path promotes that survivor back to the target before
+    * merging; the retired copy is deleted only after the promoted target
+    * proves readable.
     *
     * @return the merged snapshot, re-read from the swapped-in directory
     */
@@ -209,20 +221,39 @@ object EventStreamPipeline {
     val hconf = s.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"snapshot swap: rename $from -> $to failed")
+    // Recovery: a crash between "retire target" and "promote staging"
+    // leaves no target. The complete survivor is .staging when its
+    // _SUCCESS marker exists (a finished write of the *previous* merge —
+    // prefer it), else .old (the pre-merge snapshot; the checkpoint will
+    // re-deliver the lost batch and the idempotent remerge reconverges).
+    if (!fs.exists(target)) {
+      val stagingComplete = fs.exists(staging) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      if (stagingComplete) renameOrThrow(staging, target)
+      else if (fs.exists(retired)) renameOrThrow(retired, target)
+    }
     val merged =
       if (!fs.exists(target)) batch
       else s.read.parquet(targetDir)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(batch)
-    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     // swap: retire the old snapshot, promote the staged one
-    val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (fs.exists(target)) fs.rename(target, retired)
-    fs.rename(staging, target)
+    if (fs.exists(retired) && !fs.delete(retired, true))
+      throw new java.io.IOException(s"snapshot swap: could not clear $retired")
+    if (fs.exists(target)) renameOrThrow(target, retired)
+    renameOrThrow(staging, target)
+    // verify the promoted snapshot is readable (footer/schema load)
+    // before deleting the only other complete copy
+    val out = s.read.parquet(targetDir)
     fs.delete(retired, true)
-    s.read.parquet(targetDir)
+    out
   }
 
   /** Streaming anomaly monitor — the incremental twin of the batch

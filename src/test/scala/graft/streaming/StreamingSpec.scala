@@ -261,4 +261,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.length === expected)
     } finally q.stop()
   }
+
+  test("snapshot swap recovers from a crash between the two renames") {
+    import org.apache.hadoop.fs.Path
+    // build a snapshot, then simulate the two loss windows the swap has:
+    // target retired but staging not yet promoted (survivor = .old with a
+    // stale copy, or .staging with the complete new copy). The next batch
+    // must promote the survivor instead of rebuilding from its own rows.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-crash")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val target = java.nio.file.Files.createTempDirectory("graft-crash-t")
+      .resolve("totals").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft-crash-c").toString
+    EventStreamPipeline.upsertTypeTotals(spark, streamDir.toString, target, ckpt1)
+    val healthy = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(healthy.nonEmpty)
+
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // window A: crash after rename(target, .old), before rename(.staging,
+    // target) — only .old survives (staging was consumed or incomplete)
+    assert(fs.rename(new Path(target), new Path(target + ".old")))
+    assert(!fs.exists(new Path(target)))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-crash-c2").toString
+    EventStreamPipeline.upsertTypeTotals(spark, streamDir.toString, target, ckpt2)
+    val recovered = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    // the fresh checkpoint re-delivered the same full aggregates, so the
+    // idempotent remerge over the promoted survivor converges to healthy
+    assert(recovered == healthy, "recovery from .old lost merged keys")
+    assert(!fs.exists(new Path(target + ".old")), "retired copy not cleaned up")
+
+    // window B: crash when .staging was completely written (_SUCCESS
+    // present) but target was already retired — staging is the freshest
+    // complete snapshot and must win over .old
+    assert(fs.rename(new Path(target), new Path(target + ".staging")))
+    fs.mkdirs(new Path(target + ".old")) // stale leftover decoy
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft-crash-c3").toString
+    EventStreamPipeline.upsertTypeTotals(spark, streamDir.toString, target, ckpt3)
+    val recovered2 = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(recovered2 == healthy, "recovery from .staging lost merged keys")
+  }
 }
