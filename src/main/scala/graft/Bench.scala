@@ -43,7 +43,6 @@ object Bench {
     // the north-star tables too — the alphabetically-first timed query is
     // an ann_/dd_ one, and cold footer+page reads shouldn't bill to it
     Seq("documents", "embeddings", "events").foreach { t =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.format("noop").mode("overwrite").save()
     }

@@ -21,7 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev mode: `runMain graft.Verify <sf> <out> q_a q_b` dumps only those
+    // dev mode: `runMain graft.Verify <sf> <out> q_a q_b` dumps only those;
+    // a misspelled name must fail loudly, not exit 0 having dumped nothing
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

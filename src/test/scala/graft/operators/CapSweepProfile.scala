@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 // test-scope profiling driver: sbt "Test/runMain graft.operators.CapSweepProfile"
-// Sweeps the chargram df cap and the bounds on/off switch at sf0.1.
+// Times jaccardPairs at sf0.1 with raw-string vs xxhash64'd chargram
+// shingles (2 runs each, fixed df cap 400) - measures what hashing the
+// shingle payload buys the shuffle, not a cap sweep.
 object CapSweepProfile {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
