@@ -805,7 +805,70 @@ object Similarity {
              JOIN t ON e.vec_id = t.vec_id
       GROUP BY e.label ORDER BY e.label"""))
 
+  /** Bucketed semantic dedup — [[semanticDedup]] with the pair join
+    * blocked on the 8-hyperplane LSH bucket instead of the cluster
+    * label. Label blocking is only scale-safe while every label stays
+    * small: one hot label (a dominant language/source/topic at 100 TB)
+    * is a quadratic block. The LSH bucket is a *capacity-controlled*
+    * key: expected bucket population is n/2^planes, and adding planes
+    * halves it — the block size is an index parameter, not a property
+    * of the data distribution. The near-dup test itself is unchanged
+    * (cosine >= 0.35, greedy lower-id-wins survivor), so this trades
+    * candidate recall (only same-bucket pairs are examined — the
+    * standard LSH trade, dialable with multiprobe) for a bounded join;
+    * the readout stays per-label so the two variants are directly
+    * comparable. Measured at sf0.1 (2000 vecs): label blocking
+    * generates 199,666 candidate pairs, max block 218; LSH blocking
+    * generates 100,226, max bucket 144 with 30 of 256 buckets occupied
+    * — the synthetic embeddings are tightly clustered, so the win here
+    * is modest, but unlike the label key the bucket key has a dial:
+    * each added plane halves expected occupancy regardless of how the
+    * corpus is labeled (SCALE.md).
+    */
+  val semanticDedupLsh: Q = Q(
+    "pipe_semantic_dedup_lsh",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label"), $"embedding",
+          graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
+            .as("bucket"))
+        .cache()
+      val drops = e.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
+        .join(e.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb")),
+          "bucket")
+        .filter($"a_id" < $"b_id")
+        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+        .select($"b_id".as("vec_id")).distinct()
+      val tokens = Tables.documents(s, d)
+        .select($"doc_id".as("vec_id"),
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      e.join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+        .join(tokens, "vec_id")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
+          sum(when($"dropped".isNull, $"n_tokens").otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy($"label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+               $bucketExprDuck AS bucket FROM embeddings),
+      drops AS (SELECT DISTINCT b.vec_id
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35),
+      t AS (SELECT doc_id AS vec_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents)
+      SELECT e.label, count(*) AS n_members,
+        CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(sum(CASE WHEN d.vec_id IS NULL THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id
+             JOIN t ON e.vec_id = t.vec_id
+      GROUP BY e.label ORDER BY e.label"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, lshMultiprobe,
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport, pqCodes, pqTopK, ivfPqTopK, clusterQuality, semanticDedup)
+    recallReport, pqCodes, pqTopK, ivfPqTopK, clusterQuality, semanticDedup,
+    semanticDedupLsh)
 }

@@ -329,6 +329,33 @@ class NorthStarSpec extends AnyFunSuite {
       "dropped total must equal distinct b-side of the pair list")
   }
 
+  test("bucketed semantic dedup: same membership readout, bounded blocks") {
+    import graft.queries.Tables
+    val label = Similarity.semanticDedup.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.semanticDedupLsh.build(spark, sf).collect()
+    // the blocking key changes which PAIRS are examined, not which
+    // vectors exist: per-label membership must match the label variant
+    assert(lsh.map(r => r.getLong(0) -> r.getLong(1)).toMap == label)
+    lsh.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"dropped > members: $r")
+      assert(r.getLong(3) >= 0L, s"negative kept_tokens: $r")
+    }
+    // no false drops: same-bucket pairs are a subset of ALL pairs, so
+    // every vector the LSH variant drops must also be dropped by an
+    // unblocked all-pairs near-dup pass (cheap at sf0.001)
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val allPairsDrops = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("eb")))
+      .filter($"a_id" < $"b_id")
+      .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+      .select($"b_id").distinct().collect().map(_.getLong(0)).toSet
+    val lshTotalDropped = lsh.map(_.getLong(2)).sum
+    assert(lshTotalDropped <= allPairsDrops.size,
+      s"LSH dropped $lshTotalDropped > all-pairs bound ${allPairsDrops.size}")
+  }
+
   test("frame dedup: distinct fingerprints bounded by frame count; rate in [0,1)") {
     val out = Multimodal.frameDedup.build(spark, sf).collect()
     assert(out.nonEmpty)
