@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * `src/fusion.rs:28-58`):
   *
   * {{{
-  * CREATE [OR REPLACE] FUNCTION name(TYPE, ...) RETURNS TYPE
-  *   [LANGUAGE JAVA|CLASS] AS '<java source | fully.qualified.ClassName>'
+  * CREATE [OR REPLACE] FUNCTION name(TYPE, ...) RETURNS TYPE [NOT NULL]
+  *   [DETERMINISTIC] [LANGUAGE JAVA|CLASS]
+  *   AS '<java source | fully.qualified.ClassName>'
   * }}}
   *
   * Semantics:
@@ -19,7 +20,13 @@ import org.apache.spark.sql.types._
   *   - a missing body is the reference's "class name or class definition
   *     should be provided" error (`src/fusion.rs:57`);
   *   - `''` inside the quoted body unescapes to `'` (standard SQL string
-  *     literal rules, as DataFusion's parser applies to the body literal).
+  *     literal rules, as DataFusion's parser applies to the body literal);
+  *   - `RETURNS <type> NOT NULL` is the SQL surface of the reference's
+  *     `computeNonNull*` fast path (`java/.../Adhesive.java:105-124`):
+  *     the result column is declared non-nullable so Catalyst elides
+  *     null checks, and a NULL actually returned at runtime fails the
+  *     query (the reference NPEs unboxing the null; here it is a kept
+  *     AdhesiveExecutionException message).
   */
 object AdhesiveDdl {
 
@@ -34,20 +41,21 @@ object AdhesiveDdl {
       returnType: DataType,
       language: Language,
       body: String,
-      deterministic: Boolean = false)
+      deterministic: Boolean = false,
+      nonNullable: Boolean = false)
 
   // Three body forms: '…' (SQL '' escaping), "…" (the reference README's
   // LANGUAGE CLASS example quotes the class name this way, README.md:36-40),
   // and $$…$$ dollar-quoting (raw, no escapes — the form the reference
   // intended but left broken, src/fusion.rs:52-56).
   private val Prefix =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(NOT\s+NULL\s+)?(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
   private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'\s*;?\s*$""").r
   private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"\s*;?\s*$""").r
   private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$\s*;?\s*$""").r
 
   private val WithoutBody =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:DETERMINISTIC\s*)?(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:NOT\s+NULL\s*)?(?:DETERMINISTIC\s*)?(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
 
   /** Try to parse `sqlText` as adhesive DDL. Returns None when the text is
     * not a `CREATE FUNCTION ... RETURNS ...` statement at all (so Spark's own
@@ -55,12 +63,12 @@ object AdhesiveDdl {
     * which has no RETURNS clause — still sees it).
     */
   def parse(sqlText: String): Option[CreateFunctionStatement] = sqlText match {
-    case WithBodyDollar(name, args, ret, det, lang, body) =>
-      Some(statement(name, args, ret, det, lang, body))
-    case WithBodySingle(name, args, ret, det, lang, body) =>
-      Some(statement(name, args, ret, det, lang, body.replace("''", "'")))
-    case WithBodyDouble(name, args, ret, det, lang, body) =>
-      Some(statement(name, args, ret, det, lang, body.replace("\"\"", "\"")))
+    case WithBodyDollar(name, args, ret, nn, det, lang, body) =>
+      Some(statement(name, args, ret, nn, det, lang, body))
+    case WithBodySingle(name, args, ret, nn, det, lang, body) =>
+      Some(statement(name, args, ret, nn, det, lang, body.replace("''", "'")))
+    case WithBodyDouble(name, args, ret, nn, det, lang, body) =>
+      Some(statement(name, args, ret, nn, det, lang, body.replace("\"\"", "\"")))
     case WithoutBody(_, _, _, _) =>
       // Parses as our DDL but has no AS '<body>' clause — reference error
       // message parity (src/fusion.rs:57).
@@ -70,9 +78,10 @@ object AdhesiveDdl {
   }
 
   private def statement(name: String, args: String, ret: String,
-      det: String, lang: String, body: String): CreateFunctionStatement =
+      nn: String, det: String, lang: String, body: String): CreateFunctionStatement =
     CreateFunctionStatement(name, parseArgTypes(args), parseType(ret),
-      parseLanguage(lang), body, deterministic = det != null)
+      parseLanguage(lang), body, deterministic = det != null,
+      nonNullable = nn != null)
 
   /** Execute adhesive DDL against a session directly — the programmatic
     * path (reference E3, `src/jvm.rs:287-301`) for sessions built without
@@ -91,15 +100,15 @@ object AdhesiveDdl {
       case LangJava =>
         AdhesiveRegistry.registerJavaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
-          deterministic = stmt.deterministic)
+          nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
       case LangScala =>
         AdhesiveRegistry.registerScalaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
-          deterministic = stmt.deterministic)
+          nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
       case LangClass =>
         AdhesiveRegistry.registerClass(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
-          deterministic = stmt.deterministic)
+          nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
     }
 
   private def parseLanguage(lang: String): Language =

@@ -100,7 +100,7 @@ object AdhesiveRegistry {
     // only the (fqn, bytecode) pair — see its scaladoc); passing the
     // instance, not a wrapping lambda, lets AdhesiveConstantFolding
     // recognize adhesive calls in the plan by instance type.
-    val callFn: Row => Any = new AdhesiveUdf(name, fqn, bytecode)
+    val callFn: Row => Any = new AdhesiveUdf(name, fqn, bytecode, nonNullable)
 
     val builder = (exprs: Seq[Expression]) => {
       if (exprs.length != argTypes.length) {

@@ -21,7 +21,8 @@ import org.apache.spark.sql.api.java.UDF1
 class AdhesiveUdf(
     val functionName: String,
     val fqn: String,
-    val bytecode: Map[String, Array[Byte]])
+    val bytecode: Map[String, Array[Byte]],
+    val nonNullable: Boolean = false)
     extends UDF1[Row, Any] with (Row => Any) with Serializable {
 
   // Function1 view, passed directly as ScalaUDF.function so the optimizer
@@ -32,8 +33,20 @@ class AdhesiveUdf(
     AdhesiveInstances.instance(fqn, bytecode)
 
   override def call(row: Row): Any =
-    try inst.compute(row)
-    catch {
+    try {
+      val r = inst.compute(row)
+      // RETURNS ... NOT NULL contract: the declared non-nullability lets
+      // Catalyst elide null checks downstream, so a null escaping here
+      // would corrupt, not propagate — fail the query instead (the
+      // reference's computeNonNull* path NPEs unboxing the null,
+      // Adhesive.java:105-124; we keep the function name and a message).
+      if (r == null && nonNullable) {
+        throw new AdhesiveExecutionException(
+          s"adhesive function '$functionName' declared NOT NULL " +
+            "but returned NULL", null)
+      }
+      r
+    } catch {
       case e: AdhesiveException => throw e
       case e: Exception =>
         // Fail the query, keeping the user message + function name

@@ -81,4 +81,62 @@ class AdhesiveDdlSpec extends AnyFunSuite {
         |$$""".stripMargin)
     assert(spark.sql("SELECT f_const() AS v").head().getLong(0) == 42L)
   }
+
+  test("RETURNS ... NOT NULL parses in every position and body form") {
+    val stmt = parse(
+      "CREATE FUNCTION f(BIGINT) RETURNS BIGINT NOT NULL AS 'class X {}'").get
+    assert(stmt.nonNullable && !stmt.deterministic)
+    val both = parse("CREATE FUNCTION f(BIGINT) RETURNS BIGINT NOT NULL " +
+      "DETERMINISTIC LANGUAGE CLASS AS \"a.B\"").get
+    assert(both.nonNullable && both.deterministic && both.language == LangClass)
+    assert(parse("CREATE FUNCTION f() RETURNS INT not null AS $$class Y{}$$")
+      .get.nonNullable)
+    // absent NOT NULL stays nullable
+    assert(!parse("CREATE FUNCTION f(BIGINT) RETURNS BIGINT AS 'class X {}'")
+      .get.nonNullable)
+  }
+
+  test("NOT NULL declares a non-nullable result column (null-check elision)") {
+    val spark = TestSpark.spark
+    spark.sql(
+      """CREATE FUNCTION f_nn_inc(BIGINT) RETURNS BIGINT NOT NULL AS $$
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class NnInc extends Adhesive {
+        |  public Object compute(Row row) { return row.getLong(0) + 1; }
+        |}
+        |$$""".stripMargin)
+    val df = spark.sql("SELECT f_nn_inc(CAST(41 AS BIGINT)) AS v")
+    assert(!df.schema("v").nullable,
+      "NOT NULL must surface as a non-nullable schema field")
+    assert(df.head().getLong(0) == 42L)
+    // the plain form stays nullable — the fast path is opt-in
+    val dfPlain = TestSpark.spark.sql("SELECT f_pkgpriv(CAST(1 AS BIGINT)) AS v")
+    assert(dfPlain.schema("v").nullable)
+  }
+
+  test("returning NULL under NOT NULL fails the query with the kept message") {
+    val spark = TestSpark.spark
+    spark.sql(
+      """CREATE FUNCTION f_nn_bad(BIGINT) RETURNS BIGINT NOT NULL AS $$
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class NnBad extends Adhesive {
+        |  public Object compute(Row row) {
+        |    return row.getLong(0) == 0L ? null : row.getLong(0);
+        |  }
+        |}
+        |$$""".stripMargin)
+    // non-null rows pass through the fast path
+    assert(spark.sql("SELECT f_nn_bad(CAST(7 AS BIGINT)) AS v")
+      .head().getLong(0) == 7L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT f_nn_bad(CAST(0 AS BIGINT)) AS v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("f_nn_bad") && m.contains("NOT NULL")),
+      s"expected kept NOT NULL violation message, got: ${messages(e)}")
+  }
 }
