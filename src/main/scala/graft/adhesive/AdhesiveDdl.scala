@@ -13,6 +13,7 @@ import org.apache.spark.sql.types._
   * CREATE [OR REPLACE] FUNCTION name(TYPE, ...) RETURNS TYPE [NOT NULL]
   *   [DETERMINISTIC] [LANGUAGE JAVA|CLASS]
   *   AS '<java source | fully.qualified.ClassName>'
+  *   [USING JAR '<path>']
   * }}}
   *
   * Semantics:
@@ -26,7 +27,11 @@ import org.apache.spark.sql.types._
   *     the result column is declared non-nullable so Catalyst elides
   *     null checks, and a NULL actually returned at runtime fails the
   *     query (the reference NPEs unboxing the null; here it is a kept
-  *     AdhesiveExecutionException message).
+  *     AdhesiveExecutionException message);
+  *   - `USING JAR '<path>'` (LANGUAGE CLASS only) resolves the class
+  *     from that jar via a cached URLClassLoader — the lazy per-session
+  *     form of the reference's `new_with_jar` boot-classpath jar
+  *     (`src/jvm.rs:44-61`).
   */
 object AdhesiveDdl {
 
@@ -42,7 +47,8 @@ object AdhesiveDdl {
       language: Language,
       body: String,
       deterministic: Boolean = false,
-      nonNullable: Boolean = false)
+      nonNullable: Boolean = false,
+      jarPath: Option[String] = None)
 
   // Three body forms: '…' (SQL '' escaping), "…" (the reference README's
   // LANGUAGE CLASS example quotes the class name this way, README.md:36-40),
@@ -50,9 +56,10 @@ object AdhesiveDdl {
   // intended but left broken, src/fusion.rs:52-56).
   private val Prefix =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(NOT\s+NULL\s+)?(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
-  private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'\s*;?\s*$""").r
-  private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"\s*;?\s*$""").r
-  private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$\s*;?\s*$""").r
+  private val JarTail = """(?:\s+USING\s+JAR\s+'((?:[^']|'')*)')?\s*;?\s*$"""
+  private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'""" + JarTail).r
+  private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"""" + JarTail).r
+  private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$""" + JarTail).r
 
   private val WithoutBody =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:NOT\s+NULL\s*)?(?:DETERMINISTIC\s*)?(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
@@ -63,12 +70,12 @@ object AdhesiveDdl {
     * which has no RETURNS clause — still sees it).
     */
   def parse(sqlText: String): Option[CreateFunctionStatement] = sqlText match {
-    case WithBodyDollar(name, args, ret, nn, det, lang, body) =>
-      Some(statement(name, args, ret, nn, det, lang, body))
-    case WithBodySingle(name, args, ret, nn, det, lang, body) =>
-      Some(statement(name, args, ret, nn, det, lang, body.replace("''", "'")))
-    case WithBodyDouble(name, args, ret, nn, det, lang, body) =>
-      Some(statement(name, args, ret, nn, det, lang, body.replace("\"\"", "\"")))
+    case WithBodyDollar(name, args, ret, nn, det, lang, body, jar) =>
+      Some(statement(name, args, ret, nn, det, lang, body, jar))
+    case WithBodySingle(name, args, ret, nn, det, lang, body, jar) =>
+      Some(statement(name, args, ret, nn, det, lang, body.replace("''", "'"), jar))
+    case WithBodyDouble(name, args, ret, nn, det, lang, body, jar) =>
+      Some(statement(name, args, ret, nn, det, lang, body.replace("\"\"", "\""), jar))
     case WithoutBody(_, _, _, _) =>
       // Parses as our DDL but has no AS '<body>' clause — reference error
       // message parity (src/fusion.rs:57).
@@ -78,10 +85,18 @@ object AdhesiveDdl {
   }
 
   private def statement(name: String, args: String, ret: String,
-      nn: String, det: String, lang: String, body: String): CreateFunctionStatement =
+      nn: String, det: String, lang: String, body: String,
+      jar: String = null): CreateFunctionStatement = {
+    val language = parseLanguage(lang)
+    if (jar != null && language != LangClass) {
+      throw new AdhesiveException(
+        "USING JAR is only supported with LANGUAGE CLASS")
+    }
     CreateFunctionStatement(name, parseArgTypes(args), parseType(ret),
-      parseLanguage(lang), body, deterministic = det != null,
-      nonNullable = nn != null)
+      language, body, deterministic = det != null,
+      nonNullable = nn != null,
+      jarPath = Option(jar).map(_.replace("''", "'")))
+  }
 
   /** Execute adhesive DDL against a session directly — the programmatic
     * path (reference E3, `src/jvm.rs:287-301`) for sessions built without
@@ -108,7 +123,8 @@ object AdhesiveDdl {
       case LangClass =>
         AdhesiveRegistry.registerClass(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
-          nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
+          nonNullable = stmt.nonNullable, deterministic = stmt.deterministic,
+          jarPath = stmt.jarPath)
     }
 
   private def parseLanguage(lang: String): Language =

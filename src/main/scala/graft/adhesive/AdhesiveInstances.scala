@@ -31,6 +31,7 @@ class BytecodeClassLoader(bytecode: Map[String, Array[Byte]], parent: ClassLoade
 object AdhesiveInstances {
 
   private val cache = new ConcurrentHashMap[String, Adhesive]()
+  private val jarLoaders = new ConcurrentHashMap[String, ClassLoader]()
 
   /** Get-or-create the singleton instance of `fqn`. An empty `bytecode` map
     * means a classpath class (`LANGUAGE CLASS` path — reference
@@ -40,12 +41,31 @@ object AdhesiveInstances {
     * Performs the `instanceof Adhesive` check the reference left as a TODO
     * (`src/jvm.rs:78-81`).
     */
-  def instance(fqn: String, bytecode: Map[String, Array[Byte]]): Adhesive =
-    cache.computeIfAbsent(fqn, { _ =>
+  def instance(fqn: String, bytecode: Map[String, Array[Byte]],
+      jarPath: Option[String] = None): Adhesive =
+    cache.computeIfAbsent(jarPath.fold(fqn)(p => s"$fqn@$p"), { _ =>
       val parent = Option(Thread.currentThread().getContextClassLoader)
         .getOrElse(classOf[Adhesive].getClassLoader)
       val cls =
-        if (bytecode.isEmpty) {
+        if (jarPath.isDefined) {
+          // `LANGUAGE CLASS ... USING JAR` — the reference's new_with_jar
+          // boot path (src/jvm.rs:44-61), resolved lazily per JVM instead
+          // of at JVM boot. One URLClassLoader per jar (parent-first, so
+          // the jar's classes see Adhesive itself from the host
+          // classpath). The path must resolve wherever the task runs —
+          // in a cluster deployment that means shared storage or
+          // spark.jars staging, same operational contract as the
+          // reference's boot-classpath jar.
+          val url = new java.io.File(jarPath.get).toURI.toURL
+          val loader = jarLoaders.computeIfAbsent(jarPath.get,
+            _ => new java.net.URLClassLoader(Array(url), parent))
+          try Class.forName(fqn, true, loader)
+          catch {
+            case e: ClassNotFoundException =>
+              throw new AdhesiveException(
+                s"class '$fqn' not found in jar '${jarPath.get}'", e)
+          }
+        } else if (bytecode.isEmpty) {
           try Class.forName(fqn, true, parent)
           catch {
             case e: ClassNotFoundException =>

@@ -68,7 +68,10 @@ object AdhesiveRegistry {
       deterministic)
   }
 
-  /** Register an existing classpath class (the `LANGUAGE CLASS` path). */
+  /** Register an existing class (the `LANGUAGE CLASS` path) — from the
+    * launch classpath, or from an explicit jar (`USING JAR '<path>'`,
+    * the reference's new_with_jar parity, src/jvm.rs:44-61).
+    */
   def registerClass(
       spark: SparkSession,
       name: String,
@@ -76,10 +79,12 @@ object AdhesiveRegistry {
       argTypes: Seq[DataType],
       returnType: DataType,
       nonNullable: Boolean = false,
-      deterministic: Boolean = false): Unit = {
-    AdhesiveInstances.instance(className, Map.empty) // lookup + instanceof check
+      deterministic: Boolean = false,
+      jarPath: Option[String] = None): Unit = {
+    // lookup + instanceof check at DDL time
+    AdhesiveInstances.instance(className, Map.empty, jarPath)
     register(spark, name, className, Map.empty, argTypes, returnType,
-      nonNullable, deterministic)
+      nonNullable, deterministic, jarPath)
   }
 
   private def register(
@@ -90,7 +95,8 @@ object AdhesiveRegistry {
       argTypes: Seq[DataType],
       returnType: DataType,
       nonNullable: Boolean,
-      deterministic: Boolean): Unit = {
+      deterministic: Boolean,
+      jarPath: Option[String] = None): Unit = {
     if (!SupportedReturnTypes.contains(returnType)) {
       throw new AdhesiveException(
         s"return type ${returnType.sql} not supported (to be added); " +
@@ -100,7 +106,7 @@ object AdhesiveRegistry {
     // only the (fqn, bytecode) pair — see its scaladoc); passing the
     // instance, not a wrapping lambda, lets AdhesiveConstantFolding
     // recognize adhesive calls in the plan by instance type.
-    val callFn: Row => Any = new AdhesiveUdf(name, fqn, bytecode, nonNullable)
+    val callFn: Row => Any = new AdhesiveUdf(name, fqn, bytecode, nonNullable, jarPath)
 
     val builder = (exprs: Seq[Expression]) => {
       if (exprs.length != argTypes.length) {

@@ -22,7 +22,8 @@ class AdhesiveUdf(
     val functionName: String,
     val fqn: String,
     val bytecode: Map[String, Array[Byte]],
-    val nonNullable: Boolean = false)
+    val nonNullable: Boolean = false,
+    val jarPath: Option[String] = None)
     extends UDF1[Row, Any] with (Row => Any) with Serializable {
 
   // Function1 view, passed directly as ScalaUDF.function so the optimizer
@@ -30,7 +31,7 @@ class AdhesiveUdf(
   override def apply(row: Row): Any = call(row)
 
   @transient private lazy val inst: Adhesive =
-    AdhesiveInstances.instance(fqn, bytecode)
+    AdhesiveInstances.instance(fqn, bytecode, jarPath)
 
   override def call(row: Row): Any =
     try {
