@@ -170,16 +170,84 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** IVF cell assignment: nearest centroid by cosine from a deterministic
-    * 16-vector codebook (the first 16 vectors — a real pipeline would
-    * k-means a sample; the operator shape is identical). The codebook is
-    * broadcast; assignment is one narrow pass over the vectors.
+  /** Trained 16-entry codebook: 2 seeded Lloyd's iterations (k-means),
+    * deterministic and DuckDB-replayable. Seeds are the first 16 vectors;
+    * each iteration assigns every vector to its nearest centroid by
+    * cosine (ties → lower centroid_id) and re-means the members with the
+    * fixed-point device [[centroids]] proved (floor(v·10⁸) BIGINT sums →
+    * one double divide), so both engines produce bit-identical centroid
+    * arrays; seeds that lose all members simply drop out. At 100 TB the
+    * same plan trains on a SAMPLE (the crossJoin is vectors × 16
+    * broadcast centroids — one narrow pass per iteration; the re-mean
+    * shuffles (centroid, pos) partials, both map-side combined).
+    */
+  private val KmIters = 2
+
+  private[operators] def kmeansCodebook(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val embD = Tables.embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    var cents = embD.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"e".as("centroid"))
+    for (_ <- 1 to KmIters) {
+      val w = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"centroid_id")
+      val assigned = embD.crossJoin(broadcast(cents))
+        .select($"vec_id", $"e", $"centroid_id",
+          cosine_similarity($"e", $"centroid").as("cscore"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      cents = assigned
+        .select($"centroid_id", posexplode($"e").as(Seq("pos", "v")))
+        .groupBy($"centroid_id", $"pos")
+        .agg(sum(expr("CAST(floor(v * 100000000) AS BIGINT)")).as("q"),
+          count(lit(1)).as("n"))
+        .select($"centroid_id", $"pos",
+          ($"q".cast("double") / lit(100000000.0) / $"n").as("cv"))
+        .groupBy($"centroid_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("centroid"))
+    }
+    cents
+  }
+
+  /** DuckDB replay of [[kmeansCodebook]] as a WITH-clause prefix defining
+    * `kcb(centroid_id, centroid)`; consumers write `WITH $KmeansDuck, …`.
+    */
+  private val KmeansDuck: String = {
+    def assign(cTab: String) =
+      s"""SELECT vec_id, e, centroid_id FROM (
+          SELECT v.vec_id, v.e, c.centroid_id,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${cosDuck("v.e", "c.centroid")} DESC, c.centroid_id) AS rn
+          FROM embd v, $cTab c) WHERE rn = 1"""
+    def remean(aTab: String) =
+      s"""SELECT centroid_id, list(cv ORDER BY pos) AS centroid FROM (
+          SELECT centroid_id, i AS pos,
+            CAST(sum(CAST(floor(v * 100000000) AS BIGINT)) AS DOUBLE)
+              / 100000000.0 / count(*) AS cv
+          FROM (SELECT centroid_id, unnest(e) AS v,
+                  generate_subscripts(e, 1) AS i FROM $aTab)
+          GROUP BY centroid_id, i) GROUP BY centroid_id"""
+    s"""embd AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+      kc0 AS (SELECT vec_id AS centroid_id, e AS centroid
+              FROM embd WHERE vec_id < 16),
+      ka1 AS (${assign("kc0")}),
+      kc1 AS (${remean("ka1")}),
+      ka2 AS (${assign("kc1")}),
+      kcb AS (${remean("ka2")})"""
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine from the trained
+    * [[kmeansCodebook]]. The codebook is broadcast; assignment is one
+    * narrow pass over the vectors.
     */
   private def cellsDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centroids = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val centroids = kmeansCodebook(s, d)
     val w = Window.partitionBy($"vec_id")
       .orderBy($"cscore".desc, $"centroid_id")
     emb.crossJoin(broadcast(centroids))
@@ -195,9 +263,7 @@ object Similarity {
        SELECT e.vec_id, e.embedding, c.centroid_id,
          row_number() OVER (PARTITION BY e.vec_id
            ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
-       FROM embeddings e,
-            (SELECT vec_id AS centroid_id, embedding AS centroid
-             FROM embeddings WHERE vec_id < 16) c) WHERE rn = 1"""
+       FROM embeddings e, kcb c) WHERE rn = 1"""
 
   /** IVF top-3: probe only the query's own cell (nprobe=1) — the inverted-
     * file scale path: each query scans one cell, not the corpus.
@@ -220,7 +286,8 @@ object Similarity {
         .select($"qid", $"rank", $"cid", $"score")
         .orderBy($"qid", $"rank")
     },
-    Some(s"""WITH cells AS ($CellsDuck),
+    Some(s"""WITH $KmeansDuck,
+      cells AS ($CellsDuck),
       s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
                    ${cosDuck("q.embedding", "c.embedding")} AS score
             FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
@@ -239,8 +306,9 @@ object Similarity {
     (s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val centroids = emb.filter($"vec_id" < 16)
-        .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val centroids = kmeansCodebook(s, d)
       val w = Window.partitionBy($"vec_id")
         .orderBy($"cscore".desc, $"centroid_id")
       val ranked = emb.crossJoin(broadcast(centroids))
@@ -263,13 +331,12 @@ object Similarity {
         .select($"qid", $"rank", $"cid", $"score")
         .orderBy($"qid", $"rank")
     },
-    Some(s"""WITH ranked AS (
+    Some(s"""WITH $KmeansDuck,
+      ranked AS (
         SELECT e.vec_id, e.embedding, c.centroid_id,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
-        FROM embeddings e,
-             (SELECT vec_id AS centroid_id, embedding AS centroid
-              FROM embeddings WHERE vec_id < 16) c),
+        FROM embeddings e, kcb c),
       home AS (SELECT vec_id AS cid, embedding AS ce, centroid_id AS cell
                FROM ranked WHERE rn = 1),
       probes AS (SELECT vec_id AS qid, embedding AS qe, centroid_id AS cell
@@ -490,16 +557,17 @@ object Similarity {
     s"list_sum(list_transform(range($SubDim), j -> $diff * $diff))"
   }
 
-  /** Per-(vector, subspace) distances to every codeword: vectors cross the
-    * broadcast 16-entry codebook (the first 16 vectors — a real pipeline
-    * k-means a sample; the operator shape is identical), each pair
-    * exploding into 4 per-subspace squared-L2 rows.
+  /** Per-(vector, subspace) distances to every codeword: vectors cross
+    * the broadcast trained [[kmeansCodebook]], each pair exploding into 4
+    * per-subspace squared-L2 rows.
     */
   private def pqSubDists(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val cb = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("code_id"), $"embedding".as("cw"))
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val cb = kmeansCodebook(s, d)
+      .select($"centroid_id".as("code_id"), $"centroid".as("cw"))
     val distStructs = array((0 until NSub).map { m =>
       struct(lit(m.toLong).as("m"),
         subDist($"embedding", $"cw", m).as("dist"))
@@ -524,8 +592,7 @@ object Similarity {
            row_number() OVER (PARTITION BY e.vec_id, mm.m
              ORDER BY ${subDistDuck("e.embedding", "cb.cw", "mm.m")}, cb.code_id) AS rn
          FROM embeddings e,
-              (SELECT vec_id AS code_id, embedding AS cw
-               FROM embeddings WHERE vec_id < 16) cb,
+              (SELECT centroid_id AS code_id, centroid AS cw FROM kcb) cb,
               (SELECT unnest(range($NSub)) AS m) mm)
        WHERE rn = 1"""
 
@@ -548,7 +615,8 @@ object Similarity {
           max(when($"m" === 3, $"code")).as("c3"))
         .orderBy($"vec_id")
     },
-    Some(s"""WITH codes AS ($PqCodesDuck)
+    Some(s"""WITH $KmeansDuck,
+      codes AS ($PqCodesDuck)
       SELECT vec_id,
         max(CASE WHEN m = 0 THEN code END) AS c0,
         max(CASE WHEN m = 1 THEN code END) AS c1,
@@ -570,8 +638,10 @@ object Similarity {
     (s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val cb = emb.filter($"vec_id" < 16)
-        .select($"vec_id".as("code_id"), $"embedding".as("cw"))
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val cb = kmeansCodebook(s, d)
+        .select($"centroid_id".as("code_id"), $"centroid".as("cw"))
       val lutStructs = array((0 until NSub).map { m =>
         struct(lit(m.toLong).as("m"),
           floor(subDist($"qe", $"cw", m) * 100000000L).cast("long").as("dq8"))
@@ -593,9 +663,9 @@ object Similarity {
           ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
         .orderBy($"qid", $"rank")
     },
-    Some(s"""WITH codes AS ($PqCodesDuck),
-      cb AS (SELECT vec_id AS code_id, embedding AS cw
-             FROM embeddings WHERE vec_id < 16),
+    Some(s"""WITH $KmeansDuck,
+      codes AS ($PqCodesDuck),
+      cb AS (SELECT centroid_id AS code_id, centroid AS cw FROM kcb),
       lut AS (SELECT q.vec_id AS qid, cb.code_id AS k, mm.m,
                 CAST(floor(${subDistDuck("q.embedding", "cb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
               FROM embeddings q, cb, (SELECT unnest(range($NSub)) AS m) mm
@@ -675,8 +745,9 @@ object Similarity {
     (s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val centroids = emb.filter($"vec_id" < 16)
-        .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val centroids = kmeansCodebook(s, d)
       val w = Window.partitionBy($"vec_id")
         .orderBy($"cscore".desc, $"centroid_id")
       val cells = emb.crossJoin(broadcast(centroids))
@@ -722,14 +793,13 @@ object Similarity {
           ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
         .orderBy($"qid", $"rank")
     },
-    Some(s"""WITH cellsc AS (
+    Some(s"""WITH $KmeansDuck,
+      cellsc AS (
         SELECT vec_id, embedding, cell, centroid FROM (
           SELECT e.vec_id, e.embedding, c.centroid_id AS cell, c.centroid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rn
-          FROM embeddings e,
-               (SELECT vec_id AS centroid_id, embedding AS centroid
-                FROM embeddings WHERE vec_id < 16) c) WHERE rn = 1),
+          FROM embeddings e, kcb c) WHERE rn = 1),
       res AS (SELECT vec_id, cell,
                 list_transform(list_zip(embedding, centroid),
                   p -> p[1]::DOUBLE - p[2]::DOUBLE) AS r

@@ -186,19 +186,44 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1))
   }
 
-  test("PQ codes: codebook vectors self-code; all codes in [0, 16)") {
+  test("PQ codes: all codes reference surviving trained centroids in [0, 16)") {
     val codes = Similarity.pqCodes.build(spark, sf).collect()
+    val centroidIds = Similarity.kmeansCodebook(spark, sf)
+      .select($"centroid_id").collect().map(_.getLong(0)).toSet
+    assert(centroidIds.nonEmpty && centroidIds.forall(id => id >= 0 && id < 16))
     codes.foreach { r =>
       (1 to 4).foreach { i =>
-        assert(r.getLong(i) >= 0 && r.getLong(i) < 16,
-          s"code out of range: $r")
+        assert(centroidIds.contains(r.getLong(i)),
+          s"code must reference a surviving centroid: $r")
       }
     }
-    // a codebook vector's nearest codeword in every subspace is itself
-    codes.filter(_.getLong(0) < 16).foreach { r =>
-      (1 to 4).foreach(i => assert(r.getLong(i) == r.getLong(0),
-        s"codebook vector should self-code: $r"))
+  }
+
+  test("k-means codebook quantizes at least as well as its raw seeds") {
+    // Lloyd's iterations monotonically reduce total quantization error —
+    // the property that makes the trained codebook worth its cost. Compare
+    // sum over (vector, subspace) of min squared codeword distance.
+    import graft.queries.Tables
+    import graft.functions.VectorFunctions.subspace_sqdist
+    import org.apache.spark.sql.functions.{broadcast, min => fmin, sum => fsum, col, expr}
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"e".as("cw"))
+    val trained = Similarity.kmeansCodebook(spark, sf)
+      .select($"centroid_id".as("cid"), $"centroid".as("cw"))
+    def qErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val dists = emb.crossJoin(broadcast(cb))
+        .select(Seq($"vec_id", $"cid") ++ (0 until 4).map(m =>
+          subspace_sqdist($"e", $"cw", m * 16, 16).as(s"d$m")): _*)
+      (0 until 4).map { m =>
+        dists.groupBy($"vec_id").agg(fmin(col(s"d$m")).as("md"))
+          .agg(fsum($"md")).head().getDouble(0)
+      }.sum
     }
+    val (rawErr, trainedErr) = (qErr(seeds), qErr(trained))
+    assert(trainedErr <= rawErr,
+      s"training must not increase quantization error: $trainedErr > $rawErr")
   }
 
   test("PQ ADC top-k: 3 ranked rows per query, distance non-decreasing") {
