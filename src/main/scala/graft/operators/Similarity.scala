@@ -740,60 +740,78 @@ object Similarity {
     * LUT lookups — never a raw-vector read. Everything after the cached
     * cell assignment is broadcast joins and one per-query top-k shuffle.
     */
+  /** Shared IVF-PQ serving plan. `serveAll = false` serves the 10 probe
+    * queries with a broadcast per-query LUT; `serveAll = true` serves the
+    * WHOLE corpus through the same index — the LUT is then corpus-sized
+    * (one row per (query, codeword, subspace)), so it must NOT be
+    * broadcast: the ADC join shuffles both sides on (cell, m, code) and
+    * AQE re-plans from measured sizes. Per-cell work is |cell|²·NSub,
+    * bounded by the trained codebook's cell capacity — the IVF argument —
+    * never corpus².
+    */
+  private def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val centroids = kmeansCodebook(s, d)
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cscore".desc, $"centroid_id")
+    val cells = emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"centroid_id",
+        cosine_similarity($"embedding", $"centroid").as("cscore"), $"centroid")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"centroid_id".as("cell"),
+        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+          .as("r"))
+      .cache()
+    val rcb = cells.filter($"vec_id" >= 16 && $"vec_id" < 32)
+      .select($"vec_id".as("code_id"), $"r".as("cw"))
+    val distStructs = array((0 until NSub).map { m =>
+      struct(lit(m.toLong).as("m"), subDist($"r", $"cw", m).as("dist"))
+    }: _*)
+    val codes = cells.crossJoin(broadcast(rcb))
+      .select($"vec_id", $"cell", $"code_id", explode(distStructs).as("md"))
+      .select($"vec_id", $"cell", $"code_id", $"md.m".as("m"), $"md.dist".as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code_id")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cell", $"m", $"code_id".as("code"))
+    val lutStructs = array((0 until NSub).map { m =>
+      struct(lit(m.toLong).as("m"),
+        floor(subDist($"qr", $"cw", m) * 100000000L).cast("long").as("dq8"))
+    }: _*)
+    val queries = if (serveAll) cells else cells.filter($"vec_id" < 10)
+    val lut = queries
+      .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+      .crossJoin(broadcast(rcb))
+      .select($"qid", $"qcell", $"code_id".as("k"), explode(lutStructs).as("md"))
+      .select($"qid", $"qcell", $"k", $"md.m".as("lm"), $"md.dq8".as("dq8"))
+    val adc = codes
+      .join(if (serveAll) lut else broadcast(lut),
+        $"cell" === $"qcell" && $"m" === $"lm" && $"code" === $"k")
+      .filter($"qid" =!= $"vec_id")
+      .groupBy($"qid", $"vec_id".as("cid"))
+      .agg(sum($"dq8").as("adc8"))
+    val tk = Window.partitionBy($"qid").orderBy($"adc8", $"cid")
+    adc.withColumn("rank", row_number().over(tk))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"cid",
+        ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
+      .orderBy($"qid", $"rank")
+  }
+
   val ivfPqTopK: Q = Q(
     "ann_ivfpq_topk",
-    (s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .select($"vec_id",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-      val centroids = kmeansCodebook(s, d)
-      val w = Window.partitionBy($"vec_id")
-        .orderBy($"cscore".desc, $"centroid_id")
-      val cells = emb.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"embedding", $"centroid_id",
-          cosine_similarity($"embedding", $"centroid").as("cscore"), $"centroid")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"centroid_id".as("cell"),
-          expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
-            .as("r"))
-        .cache()
-      val rcb = cells.filter($"vec_id" >= 16 && $"vec_id" < 32)
-        .select($"vec_id".as("code_id"), $"r".as("cw"))
-      val distStructs = array((0 until NSub).map { m =>
-        struct(lit(m.toLong).as("m"), subDist($"r", $"cw", m).as("dist"))
-      }: _*)
-      val codes = cells.crossJoin(broadcast(rcb))
-        .select($"vec_id", $"cell", $"code_id", explode(distStructs).as("md"))
-        .select($"vec_id", $"cell", $"code_id", $"md.m".as("m"), $"md.dist".as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code_id")))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cell", $"m", $"code_id".as("code"))
-      val lutStructs = array((0 until NSub).map { m =>
-        struct(lit(m.toLong).as("m"),
-          floor(subDist($"qr", $"cw", m) * 100000000L).cast("long").as("dq8"))
-      }: _*)
-      val lut = cells.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
-        .crossJoin(broadcast(rcb))
-        .select($"qid", $"qcell", $"code_id".as("k"), explode(lutStructs).as("md"))
-        .select($"qid", $"qcell", $"k", $"md.m".as("lm"), $"md.dq8".as("dq8"))
-      val adc = codes
-        .join(broadcast(lut),
-          $"cell" === $"qcell" && $"m" === $"lm" && $"code" === $"k")
-        .filter($"qid" =!= $"vec_id")
-        .groupBy($"qid", $"vec_id".as("cid"))
-        .agg(sum($"dq8").as("adc8"))
-      val tk = Window.partitionBy($"qid").orderBy($"adc8", $"cid")
-      adc.withColumn("rank", row_number().over(tk))
-        .filter($"rank" <= 3)
-        .select($"qid", $"rank", $"cid",
-          ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
-        .orderBy($"qid", $"rank")
-    },
-    Some(s"""WITH $KmeansDuck,
+    (s, d) => ivfPqServe(s, d, serveAll = false),
+    Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10")))
+
+  /** DuckDB replay of [[ivfPqServe]]; `probeFilter` scopes the query side
+    * ("" = serve the whole corpus).
+    */
+  private def ivfPqDuck(probeFilter: String): String =
+    s"""WITH $KmeansDuck,
       cellsc AS (
         SELECT vec_id, embedding, cell, centroid FROM (
           SELECT e.vec_id, e.embedding, c.centroid_id AS cell, c.centroid,
@@ -816,7 +834,7 @@ object Similarity {
                 mm.m,
                 CAST(floor(${subDistDuck("res.r", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
               FROM res, rcb, (SELECT unnest(range($NSub)) AS m) mm
-              WHERE res.vec_id < 10),
+              $probeFilter),
       adc AS (SELECT lut.qid, c.vec_id AS cid, sum(dq8) AS adc8
               FROM codes c JOIN lut
                 ON c.cell = lut.qcell AND c.m = lut.m AND c.code = lut.k
@@ -824,7 +842,20 @@ object Similarity {
       rk AS (SELECT qid, cid, adc8, row_number() OVER
                (PARTITION BY qid ORDER BY adc8, cid) AS rank FROM adc)
       SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
-      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
+
+  /** Full-corpus IVF-PQ serving: every vector is a query answered through
+    * the index (top-3 same-cell neighbors by residual-PQ ADC distance) —
+    * the batch-inference shape of a 100 TB vector store (kNN graphs,
+    * recommendation candidate generation, dedup preselection). Identical
+    * plan to [[ivfPqTopK]] except the per-query LUT is corpus-sized and
+    * therefore NOT broadcast — the ADC join shuffles on (cell, m, code)
+    * with per-cell cost bounded by cell capacity.
+    */
+  val ivfPqServeAll: Q = Q(
+    "ann_ivfpq_serve_all",
+    (s, d) => ivfPqServe(s, d, serveAll = true),
+    Some(ivfPqDuck(probeFilter = "")))
 
   /** Semantic dedup (the SemDeDup shape): within each cluster label, drop
     * the higher-id member of every near-duplicate embedding pair, then
@@ -939,6 +970,6 @@ object Similarity {
 
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, lshMultiprobe,
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport, pqCodes, pqTopK, ivfPqTopK, clusterQuality, semanticDedup,
-    semanticDedupLsh)
+    recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll, clusterQuality,
+    semanticDedup, semanticDedupLsh)
 }
