@@ -113,6 +113,47 @@ object ScalingStudy {
       val tLsh = (System.nanoTime() - t0) / 1e9
 
       println(f"[study] n=$n%-7d capped=$capped%-6d ${tCap}%.1fs  lsh=$lsh%-6d ${tLsh}%.1fs  $tPre")
+
+      // Banding sweep at every size (dd_lsh_band_sweep's 2 configs):
+      // candidate volume, confirmed (J >= 0.6) pairs, and precision /
+      // planted-truth recall — the readout SCALE.md's production banding
+      // rule is based on. Truth = the planted (id-1, id) near-dup pairs
+      // that genuinely verify at J >= 0.6 (computable in O(n), unlike
+      // the all-pairs truth).
+      val planted = corpus(spark, n)
+        .filter($"doc_id" % 20 === 0 && $"doc_id" > 0)
+        .select(($"doc_id" - 1).as("a_id"), $"doc_id".as("b_id"))
+      val shA = sh.select($"doc_id".as("a_id"), $"shingles".as("sa"))
+      val shB = sh.select($"doc_id".as("b_id"), $"shingles".as("sb"))
+      def verified(pairs: DataFrame): DataFrame = pairs
+        .join(shA, "a_id").join(shB, "b_id")
+        .filter((size(array_intersect($"sa", $"sb")).cast("double") /
+          (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
+          >= 0.6)
+        .select($"a_id", $"b_id")
+      val truth = verified(planted).cache()
+      val nTruth = truth.count()
+      for ((name, bands) <- Seq(
+          "4x2" -> Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)),
+          "2x4" -> Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)))) {
+        val t1 = System.nanoTime()
+        val cand = bands.map { slots =>
+          sig.as("x").join(sig.as("y"),
+              slots.map(j => col(s"x.mh$j") === col(s"y.mh$j"))
+                .reduce(_ && _) && $"x.doc_id" < $"y.doc_id")
+            .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+        }.reduce(_ union _).distinct().cache()
+        val nCand = cand.count()
+        val nConf = verified(cand).count()
+        val nHit = cand.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+        val dt = (System.nanoTime() - t1) / 1e9
+        val prec = if (nCand > 0) nConf.toDouble / nCand else 1.0
+        val rec = if (nTruth > 0) nHit.toDouble / nTruth else 1.0
+        println(f"[sweep] n=$n%-7d config=$name cand=$nCand%-8d confirmed=$nConf%-6d " +
+          f"precision=$prec%.4f plantedTruth=$nTruth plantedRecall=$rec%.4f ${dt}%.1fs")
+        cand.unpersist(true)
+      }
+      truth.unpersist(true)
       sh.unpersist(true)
       spark.catalog.clearCache()
     }
