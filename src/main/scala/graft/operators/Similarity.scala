@@ -207,7 +207,10 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
           .as("centroid"))
     }
-    cents
+    // 16 tiny rows, referenced twice by the PQ queries (codes + LUT) and
+    // once per iteration downstream — cache so CacheManager dedupes the
+    // identical training subplans instead of re-running Lloyd's
+    cents.cache()
   }
 
   /** DuckDB replay of [[kmeansCodebook]] as a WITH-clause prefix defining
