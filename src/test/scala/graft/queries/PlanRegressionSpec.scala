@@ -228,6 +228,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("pipe_semantic_dedup_lsh: pair join keys on the bucket, no cartesian product") {
+    val p = planString("pipe_semantic_dedup_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"bucket blocking must be an equi-join:\n${p.take(1500)}")
+    assert(p.contains("bucket"), p.take(1500))
+  }
+
+  test("ann_ivfpq_serve_all: adaptive ADC join (no forced corpus-LUT broadcast), top-k pushed") {
+    // the per-query LUT is corpus-sized in serve-all mode: a hint-forced
+    // broadcast would OOM at scale, so the plan must stay AQE-replannable
+    // and the top-3 must keep the WindowGroupLimit pushdown
+    val p = planString("ann_ivfpq_serve_all")
+    assert(p.contains("AdaptiveSparkPlan"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"),
+      s"serve-all top-3 lost group-limit pushdown:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("dd_prefix_jaccard: verification join stays adaptive (no forced pair-list broadcast)") {
     // the pair list is two longs per candidate — AQE broadcasts it when
     // small, but a HARD broadcast aborts on degenerate corpora where the
