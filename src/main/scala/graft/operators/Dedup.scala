@@ -602,16 +602,18 @@ object Dedup {
     "dd_chargram_jaccard",
     (s, d) => {
       import s.implicits._
-      // hash BEFORE distinct: dedup runs on 8-byte longs instead of
-      // 5-char strings, and the distinct string array never materializes
-      // (same set modulo the ~2^-64 collision the oracle would catch)
+      // one fused codegen pass: code points -> per-window rolling hash ->
+      // inline dedup (CharGramHashes); one allocation per doc instead of
+      // one per window (measured warm at sf0.1: 0.92s vs 1.07s for the
+      // HOF chain; the gap widens with doc length). The hash is an
+      // internal key only - the oracle intersects the original strings,
+      // so a collision would fail the gate, not hide
       val sh = Tables.spread(Tables.documents(s, d), "doc_id")
         .select($"doc_id", expr(Norm).as("t"))
         .filter(length($"t") >= 5)
-        .select($"doc_id", expr(
-          "array_distinct(transform(sequence(1, length(t)-4), " +
-            "i -> xxhash64(substring(t, i, 5))))")
-          .as("shingles"))
+        .select($"doc_id",
+          graft.functions.CharGramHashes.char_gram_hashes($"t", 5)
+            .as("shingles"))
         .cache()
       jaccardPairs(sh, 0.6, maxShingleDf = Some(400L))
         .orderBy(col("a_id"), col("b_id"))

@@ -33,10 +33,9 @@ object ChargramProfile {
       .select($"doc_id",
         expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").as("t"))
       .filter(length($"t") >= 5)
-      .select($"doc_id", expr(
-        "array_distinct(transform(sequence(1, length(t)-4), " +
-          "i -> xxhash64(substring(t, i, 5))))")
-        .as("shingles"))
+      .select($"doc_id",
+        graft.functions.CharGramHashes.char_gram_hashes($"t", 5)
+          .as("shingles"))
       .cache()
     println("[prof] docs " + sh.count() + " avgsh " +
       sh.select(avg(size($"shingles"))).head())

@@ -88,6 +88,33 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fp.select("rfp").distinct().count() == fp.count())
   }
 
+  test("char_gram_hashes: windowed, deduped, code-point-correct, matches HOF distinct counts") {
+    import graft.functions.CharGramHashes.char_gram_hashes
+    import org.apache.spark.sql.functions.{expr, length, size, sum}
+    val df = Seq(
+      (1L, "abcdef"),   // 2 distinct 5-windows
+      (2L, "aaaaaa"),   // 2 windows, both "aaaaa" → 1 distinct
+      (3L, "abcd"),     // shorter than n → empty
+      (4L, "héllo wörld") // multibyte: windows count code points
+    ).toDF("id", "t")
+    val out = df.select($"id", char_gram_hashes($"t", 5).as("h"))
+      .orderBy($"id").collect()
+    assert(out(0).getSeq[Long](1).length == 2)
+    assert(out(0).getSeq[Long](1).distinct.length == 2)
+    assert(out(1).getSeq[Long](1).length == 1)
+    assert(out(2).getSeq[Long](1).isEmpty)
+    assert(out(3).getSeq[Long](1).length == 7) // 11 code points → 7 windows
+    // same distinct count as the HOF substring form on real corpus text
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select($"doc_id", expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").as("t"))
+      .filter(length($"t") >= 5)
+    val fused = docs.select(sum(size(char_gram_hashes($"t", 5)))).head().getLong(0)
+    val hof = docs.select(sum(size(expr(
+      "array_distinct(transform(sequence(1, length(t)-4), i -> substring(t, i, 5)))"))))
+      .head().getLong(0)
+    assert(fused == hof, s"distinct-window counts diverge: $fused != $hof")
+  }
+
   test("text analysis: token counts and fingerprints line up") {
     val tc = TextAnalysis.tokenCount.build(spark, sf)
     assert(tc.filter($"n_tokens" <= 0).count() == 0)
