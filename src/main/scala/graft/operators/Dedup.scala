@@ -951,7 +951,139 @@ object Dedup {
             FROM p WHERE jaccard >= 0.6)
       SELECT b_id, a_id, jaccard FROM r WHERE rk = 1 ORDER BY b_id"""))
 
+  // ------------------------------------------------- duplicated spans
+
+  /** Exact duplicated-span detection — the distributed form of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): instead of one global
+    * suffix array (inherently single-node), mark every word 4-gram that
+    * occurs in ≥ 2 documents, then merge per document the token
+    * positions those 4-grams cover into maximal duplicated spans
+    * (gaps-and-islands over a per-doc window).
+    *
+    * Scale shape: the 4-gram document-frequency is a map-side-combinable
+    * groupBy; marking is an equi-join ON THE N-GRAM — deliberately NOT
+    * broadcast (the n-gram vocabulary is corpus-sized, the same trap
+    * ta_bigram_lm had; AQE may still broadcast when it measures small);
+    * the island merge windows on doc_id, bounded by document length.
+    * Every shuffle key is either the n-gram or the doc_id — no all-pairs
+    * stage anywhere.
+    */
+  private[operators] def dupSpanDf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val n = 4
+    val toks = Tables.spread(Tables.documents(s, d), "doc_id")
+      .select($"doc_id", split(expr(Norm), " ").as("w"))
+      .filter(size($"w") >= n)
+    // (doc_id, pos, ng): the n-gram starting at 0-based token position pos
+    val ngrams = toks.select($"doc_id",
+      posexplode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("pos", "ng")))
+    val dup = ngrams.groupBy($"ng")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= 2).select($"ng")
+    // shuffle join on ng (vocabulary-sized right side — never broadcast)
+    val hits = ngrams.join(dup, "ng")
+      .select($"doc_id", $"pos".cast(LongType).as("pos"),
+        ($"pos" + lit(n - 1)).cast(LongType).as("e"))
+    // a token is "duplicated" iff covered by ≥1 marked n-gram; spans are
+    // maximal runs of duplicated tokens: start a new island only when a
+    // hit begins ≥2 past everything covered so far (≥1 clean token gap)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("prev_end",
+        max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1).otherwise(0))
+      .withColumn("island", sum($"new_island").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"), max($"e").as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"))
+  }
+
+  private val DupSpansDuck =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split($NormDuck, ' ') AS w FROM documents),
+       ngi AS (
+         SELECT doc_id, unnest(generate_series(1, len(w)-3)) AS i, w
+         FROM toks WHERE len(w) >= 4),
+       ng2 AS (
+         SELECT doc_id, i-1 AS pos,
+                w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3] AS ng FROM ngi),
+       dup AS (SELECT ng FROM ng2 GROUP BY ng
+               HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT doc_id, pos, pos + 3 AS e FROM ng2
+                WHERE ng IN (SELECT ng FROM dup)),
+       isl AS (
+         SELECT doc_id, pos, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos - 1
+                THEN 0 ELSE 1 END AS new_island
+         FROM hits),
+       isl2 AS (SELECT doc_id, pos, e,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+       spans AS (
+         SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+                max(e) - min(pos) + 1 AS span_tokens
+         FROM isl2 GROUP BY doc_id, island)"""
+
+  val dupSpans: Q = Q(
+    "dd_dup_spans",
+    (s, d) => {
+      import s.implicits._
+      dupSpanDf(s, d).orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""$DupSpansDuck
+      SELECT doc_id, span_start, span_end, span_tokens FROM spans
+      ORDER BY doc_id, span_start"""))
+
+  /** Corpus-level duplicated-token coverage histogram: per doc, the
+    * fraction of tokens inside duplicated spans, bucketed into deciles
+    * (integer arithmetic end-to-end — no float division feeds a bucket
+    * boundary, so both engines bucket identically). Docs with no
+    * duplicated span land in decile 0 via the left join.
+    */
+  val dupCoverage: Q = Q(
+    "dd_dup_coverage",
+    (s, d) => {
+      import s.implicits._
+      val docTokens = Tables.documents(s, d)
+        .select($"doc_id", size(split(expr(Norm), " ")).cast(LongType).as("n_tokens"))
+      val perDoc = dupSpanDf(s, d)
+        .groupBy($"doc_id").agg(sum($"span_tokens").as("dup_tokens"))
+      docTokens.join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_tokens"))
+        .select($"doc_id", $"n_tokens", $"dup_tokens",
+          least(lit(9L), expr("(dup_tokens * 10) div n_tokens")).as("decile"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"dup_tokens").as("dup_tokens_total"),
+          sum($"n_tokens").as("tokens_total"))
+        .orderBy($"decile")
+    },
+    Some(s"""$DupSpansDuck,
+      doc_tokens AS (
+        SELECT doc_id, len(string_split($NormDuck, ' ')) AS n_tokens
+        FROM documents),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id),
+      j AS (
+        SELECT t.doc_id, t.n_tokens,
+               coalesce(p.dup_tokens, 0) AS dup_tokens
+        FROM doc_tokens t LEFT JOIN per_doc p USING (doc_id))
+      SELECT CAST(least(9, (dup_tokens * 10) // n_tokens) AS BIGINT) AS decile,
+             count(*) AS n_docs,
+             CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens_total,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+      FROM j GROUP BY 1 ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, prefixJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, lshBandSweep, simhash, simhashPairs,
-    survivors, containment, clusters, minhashAccuracy, incremental)
+    survivors, containment, clusters, minhashAccuracy, incremental,
+    dupSpans, dupCoverage)
 }
