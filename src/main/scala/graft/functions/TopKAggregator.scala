@@ -30,6 +30,32 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
 }
 
+/** k smallest long values per group, ascending — same bounded-buffer
+  * map-side-combine shape as [[TopKDoubles]]. Used for posting-list heads
+  * in the inverted index: a stopword's group has ~|corpus| members, but
+  * every partial buffer ships at most k longs, so hot terms cost the same
+  * shuffle bytes as rare ones (contrast collect_set + sort, whose partial
+  * state is the full distinct set — O(df) on the hottest key).
+  */
+class BottomKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k > 0)
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], v: Long): Seq[Long] =
+    if (buf.size < k) (buf :+ v).sorted
+    else if (v < buf.last) (buf.init :+ v).sorted
+    else buf
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).sorted.take(k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 object TopKAggregator {
   /** Untyped-DataFrame form: `df.groupBy(...).agg(top_k(3)($"x"))`. */
   def top_k(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =

@@ -417,7 +417,48 @@ object TextAnalysis {
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
       FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Inverted index (token → df, tf, posting-list head): the backbone of
+    * search-based decontamination and corpus lookup. Two-stage shape with
+    * no hot-key stage: stage 1 groups by (token, doc_id) — high
+    * cardinality, skew-free — producing distinct postings with per-doc
+    * term frequency; stage 2 groups by token, where every aggregate is
+    * map-side combinable with O(1)-bounded partial state: counts, sums,
+    * and a bounded bottom-k aggregator ([[graft.functions.BottomKLongs]])
+    * for the 20 smallest doc_ids. A stopword's full posting list never
+    * materializes in one buffer (the ta_tfidf lesson); at 100 TB the full
+    * lists would be written sharded by term range, and this query is that
+    * job with the write replaced by the bounded head.
+    */
+  val invertedIndex: Q = Q(
+    "ta_inverted_index",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      import s.implicits._
+      val bottomK = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BottomKLongs(20), ExpressionEncoder[Long]())
+      val toks = Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
+      val td = toks.groupBy($"token", $"doc_id")
+        .agg(count(lit(1)).as("tf_doc"))
+      td.groupBy($"token")
+        .agg(count(lit(1)).as("df"),
+          sum($"tf_doc").as("tf"),
+          bottomK($"doc_id").as("postings"))
+        .orderBy($"token")
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, unnest(string_split($normDuck, ' ')) AS token
+        FROM documents),
+      td AS (
+        SELECT token, doc_id, count(*) AS tf_doc
+        FROM tok GROUP BY 1, 2)
+      SELECT token,
+        CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(tf_doc) AS BIGINT) AS tf,
+        (list(doc_id ORDER BY doc_id))[1:20] AS postings
+      FROM td GROUP BY token ORDER BY token"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
-    tfidf, bigramLm, denylistScrub)
+    tfidf, bigramLm, denylistScrub, invertedIndex)
 }
