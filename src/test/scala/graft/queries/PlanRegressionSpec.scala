@@ -246,6 +246,32 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("dd_dup_spans: pruned scan, map-side df aggregate, adaptive marking join") {
+    val p = planString("dd_dup_spans")
+    // only doc_id + text leave the parquet scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned read schema:\n${p.take(2000)}")
+    // n-gram document frequency partial-aggregates before its shuffle
+    assert(p.contains("partial_count"),
+      s"expected map-side combined df aggregate:\n${p.take(2000)}")
+    // the duplicated-set join must stay AQE-replannable — the n-gram
+    // vocabulary is corpus-sized, so a hint-forced broadcast would be the
+    // ta_bigram_lm scale-killer all over again
+    assert(p.contains("AdaptiveSparkPlan"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("ta_inverted_index: both stages partial-aggregate; no token-partition window") {
+    val p = planString("ta_inverted_index")
+    // (token, doc_id) then token — both with map-side partials (the
+    // bounded BottomKLongs UDAF included), so a stopword's posting list
+    // never funnels through one task
+    assert(p.contains("partial_"),
+      s"expected map-side combined aggregates:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"posting heads must come from bounded aggregation, not a window:\n${p.take(2000)}")
+  }
+
   test("dd_prefix_jaccard: verification join stays adaptive (no forced pair-list broadcast)") {
     // the pair list is two longs per candidate — AQE broadcasts it when
     // small, but a HARD broadcast aborts on degenerate corpora where the
