@@ -458,7 +458,46 @@ object TextAnalysis {
         (list(doc_id ORDER BY doc_id))[1:20] AS postings
       FROM td GROUP BY token ORDER BY token"""))
 
+  /** Duplicate-3-gram fraction per document (the Gopher-family repetition
+    * filter `fraction of tokens in duplicated n-grams`): documents that
+    * repeat whole phrases — boilerplate, templated spam, decoding loops —
+    * score high and get culled. Same two-shuffle scale shape as
+    * [[repetition]]: explode trigrams, count per (doc, gram) — high-
+    * cardinality, skew-free — then re-aggregate per doc with O(1) partial
+    * state. Never a per-doc quadratic scan or a collected gram list; the
+    * fraction is a ratio of exact integer counts.
+    */
+  val dupNgrams: Q = Q(
+    "ta_dup_ngrams",
+    (s, d) => {
+      import s.implicits._
+      Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", split(expr(normSpark), " ").as("w"))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_grams"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("n_dup_occ"),
+          count(when($"c" > 1, lit(1))).as("n_dup_grams"))
+        .select($"doc_id", $"n_grams", $"n_dup_occ", $"n_dup_grams",
+          ($"n_dup_occ".cast(DoubleType) / $"n_grams").as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w)-1) ]) AS g
+            FROM w WHERE len(w) >= 3),
+      c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_occ,
+        CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS n_dup_grams,
+        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_frac
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
-    tfidf, bigramLm, denylistScrub, invertedIndex)
+    tfidf, bigramLm, denylistScrub, invertedIndex, dupNgrams)
 }

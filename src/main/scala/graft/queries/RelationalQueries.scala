@@ -569,6 +569,55 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderpriority, rnk, o_orderkey"""))
 
+  /** Window frame coverage beyond [[qWindowMisc]]: a RANGE frame (value-
+    * based — peers are *price neighborhoods*, not row offsets), nth_value
+    * and percent_rank/cume_dist over a deterministic total order, and a
+    * tail frame (CURRENT ROW → UNBOUNDED FOLLOWING). The range-frame sum
+    * stays exact-decimal (order-free inside the frame); percent_rank and
+    * cume_dist are exact integer ratios, correctly rounded identically on
+    * both engines. One shuffle on the partition key serves all three
+    * window specs — same key, Catalyst reuses the partitioning.
+    */
+  private val qWindowFrames = Q(
+    "q_window_frames",
+    (s, d) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      val wRange = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice")
+        .rangeBetween(-1000L, 0L)
+      val wTail = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      orders(s, d)
+        .filter($"o_orderkey" < 2000)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          count(lit(1)).over(wRange).as("n_within_1k"),
+          asDec(sum(dec2($"o_totalprice")).over(wRange), 2).as("sum_within_1k"),
+          nth_value($"o_orderkey", 2).over(wOrd).as("second_key"),
+          percent_rank().over(wOrd).as("pct_rank"),
+          cume_dist().over(wOrd).as("cume"),
+          last($"o_orderkey").over(wTail).as("last_key"))
+        .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+      count(*) OVER wr AS n_within_1k,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS sum_within_1k,
+      nth_value(o_orderkey, 2) OVER wo AS second_key,
+      percent_rank() OVER wo AS pct_rank,
+      cume_dist() OVER wo AS cume,
+      last_value(o_orderkey) OVER wt AS last_key
+      FROM orders WHERE o_orderkey < 2000
+      WINDOW wo AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey),
+             wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW),
+             wt AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
+
   private val qScalarFuncs2 = Q(
     "q_scalar_funcs2",
     (s, d) => {
@@ -1122,5 +1171,5 @@ object RelationalQueries {
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
     qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith,
-    qRecursiveCte, qVariant, qListagg)
+    qRecursiveCte, qVariant, qListagg, qWindowFrames)
 }

@@ -272,6 +272,29 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"posting heads must come from bounded aggregation, not a window:\n${p.take(2000)}")
   }
 
+  test("q_window_frames: one partition exchange serves all three window specs") {
+    val p = planString("q_window_frames")
+    // wRange (price asc) and wOrd/wTail (price desc, key) differ only in
+    // sort order — the o_orderpriority hash partitioning is set up once
+    // and both Window nodes run off it with local re-sorts, no re-shuffle
+    val nHash = "hashpartitioning\\(o_orderpriority".r.findAllIn(p).length
+    assert(nHash == 1,
+      s"expected a single reused partition exchange:\n${p.take(2000)}")
+    assert(p.contains("RangeFrame"), p.take(1500))
+  }
+
+  test("ta_dup_ngrams: both aggregations reuse the spread's doc_id partitioning") {
+    val p = planString("ta_dup_ngrams")
+    // groupBy(doc_id, g) and groupBy(doc_id) both contain doc_id, so the
+    // explicit spread repartition satisfies both — the whole counting
+    // pipeline is one shuffle plus the presentation sort
+    val nHash = "hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(nHash == 1,
+      s"expected only the spread repartition:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"dup fractions must come from aggregation, not a window:\n${p.take(1500)}")
+  }
+
   test("dd_prefix_jaccard: verification join stays adaptive (no forced pair-list broadcast)") {
     // the pair list is two longs per candidate — AQE broadcasts it when
     // small, but a HARD broadcast aborts on degenerate corpora where the
