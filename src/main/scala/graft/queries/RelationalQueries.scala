@@ -618,6 +618,34 @@ object RelationalQueries {
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
 
+  /** Calendar-interval RANGE frame — the trailing-30-day per-customer
+    * spend, the time-windowed aggregate shape batch analytics shares with
+    * the streaming sliding window. The frame bound is an INTERVAL over the
+    * timestamp ORDER BY column (inexpressible through the long-offset
+    * `rangeBetween` API, hence SQL); peers at the same date share one
+    * value-defined frame, so ties cannot make the result order-dependent,
+    * and the in-frame sum stays exact-decimal. One shuffle on o_custkey.
+    */
+  private val qWindowTimeRange = Q(
+    "q_window_time_range",
+    (s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders_wtr")
+      s.sql("""SELECT o_custkey, o_orderkey, o_orderdate,
+        count(*) OVER w AS n_30d,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+        FROM graft_orders_wtr WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+      count(*) OVER w AS n_30d,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
   private val qScalarFuncs2 = Q(
     "q_scalar_funcs2",
     (s, d) => {
@@ -1171,5 +1199,5 @@ object RelationalQueries {
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
     qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith,
-    qRecursiveCte, qVariant, qListagg, qWindowFrames)
+    qRecursiveCte, qVariant, qListagg, qWindowFrames, qWindowTimeRange)
 }

@@ -283,6 +283,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("RangeFrame"), p.take(1500))
   }
 
+  test("q_window_time_range: interval RANGE frame plans as one window shuffle") {
+    val p = planString("q_window_time_range")
+    assert(p.contains("RangeFrame"), p.take(1500))
+    val nHash = "hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    assert(nHash == 1, s"expected one o_custkey window exchange:\n${p.take(2000)}")
+  }
+
   test("ta_dup_ngrams: both aggregations reuse the spread's doc_id partitioning") {
     val p = planString("ta_dup_ngrams")
     // groupBy(doc_id, g) and groupBy(doc_id) both contain doc_id, so the
