@@ -497,7 +497,41 @@ object TextAnalysis {
         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_frac
       FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Unicode canonicalization before fingerprinting — the step that makes
+    * dedup see "é" (U+00E9) and "e"+combining-acute as the same document.
+    * The corpus is ASCII, so the decomposed form is *constructed* (every
+    * 'a' gains a combining ring, U+030A) and then NFC-composed back by the
+    * codegen'd [[graft.functions.UnicodeNormalize]] expression; the md5
+    * over the normalized text proves byte-identical normalization across
+    * engines (Java's Normalizer vs DuckDB's utf8proc — both UAX #15).
+    * Narrow per-row transform, no shuffle beyond the presentation sort.
+    */
+  val unicodeNfc: Q = Q(
+    "ta_unicode_nfc",
+    (s, d) => {
+      import graft.functions.UnicodeNormalize.unicode_normalize
+      import s.implicits._
+      val deco = Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_replace(substring($"text", 1, 80), "a",
+            "a" + Character.toString(0x30A)).as("t"))
+      deco.select($"doc_id",
+          length($"t").cast(LongType).as("n_deco"),
+          length(unicode_normalize($"t", "NFC")).cast(LongType).as("n_nfc"),
+          md5(unicode_normalize($"t", "NFC")).as("fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH deco AS (
+        SELECT doc_id,
+          regexp_replace(substr(text, 1, 80), 'a', 'a' || chr(778), 'g') AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(t) AS BIGINT) AS n_deco,
+        CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
+        md5(nfc_normalize(t)) AS fp
+      FROM deco ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
-    tfidf, bigramLm, denylistScrub, invertedIndex, dupNgrams)
+    tfidf, bigramLm, denylistScrub, invertedIndex, dupNgrams, unicodeNfc)
 }

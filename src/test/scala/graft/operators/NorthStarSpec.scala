@@ -88,6 +88,28 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fp.select("rfp").distinct().count() == fp.count())
   }
 
+  test("unicode_normalize: NFC composes, NFD round-trips, bad form fails at plan time") {
+    import graft.functions.UnicodeNormalize.unicode_normalize
+    val deco = "caf" + "e\u0301" + " a\u030Ab"   // e+acute, a+ring, decomposed
+    val df = Seq((deco, 1)).toDF("s", "i")
+    val nfc = df.select(unicode_normalize($"s", "NFC")).head().getString(0)
+    assert(nfc == "caf\u00E9 \u00E5b", nfc)   // composed forms
+    assert(nfc.length == deco.length - 2)
+    // NFD(NFC(x)) re-decomposes to the canonical decomposition
+    val back = df.select(
+      unicode_normalize(unicode_normalize($"s", "NFC"), "NFD")).head().getString(0)
+    assert(back == deco)
+    // normalization-then-fingerprint makes byte-different same-text docs collide
+    val two = Seq(("caf\u00E9", 1), ("cafe\u0301", 2)).toDF("s", "i")
+    val fps = two.select(org.apache.spark.sql.functions.md5(
+      unicode_normalize($"s", "NFC"))).distinct().count()
+    assert(fps == 1L)
+    // an invalid form is a construction-time error, not a mid-job one
+    intercept[IllegalArgumentException] {
+      unicode_normalize($"s", "NFX")
+    }
+  }
+
   test("char_gram_hashes: windowed, deduped, code-point-correct, matches HOF distinct counts") {
     import graft.functions.CharGramHashes.char_gram_hashes
     import org.apache.spark.sql.functions.{expr, length, size, sum}
