@@ -1082,8 +1082,54 @@ object Dedup {
              CAST(sum(n_tokens) AS BIGINT) AS tokens_total
       FROM j GROUP BY 1 ORDER BY decile"""))
 
+  /** Edit-distance verification of the LSH band candidates — the fuzzy-
+    * match member of the near-dup family (typo-level duplicates that token
+    * Jaccard under-scores: a character edit changes one token entirely but
+    * is one unit of Levenshtein). Candidate generation is the SAME banded
+    * minhash join as [[minhashLsh]] (bounded by band-bucket size, never
+    * all-pairs); only candidate pairs pay the O(len²) DP, and the keep
+    * rule — dist ≤ 20% of the longer doc — is exact integer
+    * cross-multiplication. At 100 TB the verification step would use
+    * Spark's thresholded `levenshtein(l, r, t)` (early-exits the DP row
+    * scan once `t` is exceeded); the unthresholded form here is what
+    * DuckDB can replay exactly, and candidates are already few.
+    */
+  val editVerify: Q = Q(
+    "dd_edit_verify",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", expr(Norm).as("t"))
+      val cand = bandedCandidates(signatureDf(shingleDf(s, d)))
+      cand
+        .join(docs.select($"doc_id".as("a_id"), $"t".as("ta")), "a_id")
+        .join(docs.select($"doc_id".as("b_id"), $"t".as("tb")), "b_id")
+        .select($"a_id", $"b_id",
+          levenshtein($"ta", $"tb").cast(LongType).as("edit_dist"),
+          greatest(length($"ta"), length($"tb")).cast(LongType).as("max_len"))
+        .filter($"edit_dist" * lit(5L) <= $"max_len")
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val bandCond = (0 until 4).map { bnd =>
+        s"(a.mh${2 * bnd} = b.mh${2 * bnd} AND a.mh${2 * bnd + 1} = b.mh${2 * bnd + 1})"
+      }.mkString(" OR ")
+      s"""WITH sh AS ($ShinglesDuck),
+        sig AS ($SignatureDuck),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)),
+        n AS (SELECT doc_id, $NormDuck AS t FROM documents)
+        SELECT a_id, b_id,
+          CAST(levenshtein(x.t, y.t) AS BIGINT) AS edit_dist,
+          CAST(greatest(length(x.t), length(y.t)) AS BIGINT) AS max_len
+        FROM cand JOIN n x ON x.doc_id = cand.a_id
+                  JOIN n y ON y.doc_id = cand.b_id
+        WHERE levenshtein(x.t, y.t) * 5 <= greatest(length(x.t), length(y.t))
+        ORDER BY a_id, b_id"""
+    })
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, prefixJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, lshBandSweep, simhash, simhashPairs,
     survivors, containment, clusters, minhashAccuracy, incremental,
-    dupSpans, dupCoverage)
+    dupSpans, dupCoverage, editVerify)
 }

@@ -88,6 +88,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fp.select("rfp").distinct().count() == fp.count())
   }
 
+  test("dd_edit_verify: pairs satisfy the 20% edit rule and overlap the Jaccard pairs") {
+    val ev = Dedup.editVerify.build(spark, sf).collect()
+    assert(ev.nonEmpty, "planted near-dups should band-collide and verify")
+    ev.foreach { r =>
+      assert(r.getLong(2) * 5 <= r.getLong(3),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) violates the keep rule")
+    }
+    // token-level and character-level verification agree on the planted
+    // near-dups (handful-of-token edits are both high-Jaccard and low-edit)
+    val evPairs = ev.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccard.build(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(evPairs),
+      s"Jaccard pairs missing from edit verification: ${jac.diff(evPairs)}")
+  }
+
   test("unicode_normalize: NFC composes, NFD round-trips, bad form fails at plan time") {
     import graft.functions.UnicodeNormalize.unicode_normalize
     val deco = "caf" + "e\u0301" + " a\u030Ab"   // e+acute, a+ring, decomposed
