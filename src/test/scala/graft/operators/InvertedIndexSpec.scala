@@ -48,6 +48,27 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: TopKDoubles partial merges equal the global top-k") {
+    import graft.functions.TopKDoubles
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
+    import org.scalacheck.Gen
+    val agg = new TopKDoubles(5)
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(-1e12, 1e12))
+      cut <- Gen.chooseNum(0, xs.size)
+    } yield (xs, cut)
+    val prop = forAll(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      merged == xs.sorted(Ordering[Double].reverse).take(5)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("inverted index postings are df-capped sorted doc_id heads") {
     import org.apache.spark.sql.functions.col
     val rows = TextAnalysis.invertedIndex
