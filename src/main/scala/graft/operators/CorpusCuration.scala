@@ -550,7 +550,54 @@ object CorpusCuration {
         CAST(sum(CASE WHEN r_len AND r_mwl AND r_stop AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
       FROM r GROUP BY source ORDER BY source"""))
 
+  /** Epoch-deterministic global shuffle — the training-order permutation:
+    * every document gets a pseudorandom-but-reproducible position (order
+    * by md5 of a seeded key), and positions fold into fixed-size training
+    * batches. Reordering 100 TB is exactly a distributed sort, so the
+    * shape is the one Spark already does well: range-exchange on the hash
+    * key; the *global* position is then within-partition rank + partition
+    * offsets from the ≤ #partitions subtotal rows (the same distributed
+    * prefix-sum device as [[tokenPacking]] — a global ORDER BY window
+    * would serialize the corpus through one task). Positions are
+    * partitioning-invariant, so the single-window oracle replays them
+    * exactly; a different seed string is a different epoch's permutation.
+    */
+  val globalShuffle: Q = Q(
+    "pipe_global_shuffle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val keyed = Tables.documents(s, d)
+        .select($"doc_id",
+          md5(concat(lit("shuf42:"), $"doc_id".cast(StringType))).as("skey"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, $"skey", $"doc_id")
+        .withColumn("pid", spark_partition_id())
+      val nParts = s.sparkContext.defaultParallelism
+      val subtotals = keyed.groupBy($"pid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until nParts)
+        .scanLeft(0L)((acc, pid) => acc + subtotals.getOrElse(pid, 0L))
+      val offCol = (1 until nParts).foldLeft(lit(0L)) { (acc, pid) =>
+        when($"pid" === pid, offsets(pid)).otherwise(acc) }
+      val w = Window.partitionBy($"pid").orderBy($"skey", $"doc_id")
+      keyed
+        .withColumn("pos", row_number().over(w).cast(LongType) - 1L + offCol)
+        .select($"doc_id", $"skey", $"pos",
+          expr("pos div 64").as("batch_id"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH k AS (
+        SELECT doc_id,
+          md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      p AS (
+        SELECT doc_id, skey,
+          CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        FROM k)
+      SELECT doc_id, skey, pos, CAST(pos // 64 AS BIGINT) AS batch_id
+      FROM p ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
-    shardManifest, datasetCard, gopherRules)
+    shardManifest, datasetCard, gopherRules, globalShuffle)
 }

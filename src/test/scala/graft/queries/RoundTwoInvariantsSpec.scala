@@ -31,6 +31,29 @@ class RoundTwoInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_global_shuffle: positions are a permutation, batches full, order is non-trivial") {
+    val rows = run("pipe_global_shuffle").collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until n).toSeq,
+      "positions must be exactly 0..n-1")
+    // every batch is full (64) except possibly the last
+    val byBatch = rows.groupBy(_.getAs[Long]("batch_id"))
+      .view.mapValues(_.length).toMap
+    val lastBatch = byBatch.keys.max
+    byBatch.foreach { case (b, size) =>
+      if (b != lastBatch) assert(size == 64, s"batch $b has $size docs")
+    }
+    // the permutation actually shuffles (not the identity order)
+    val inOrder = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    assert(inOrder.zipWithIndex.count { case (id, i) => id == i } < n / 10,
+      "hash order should displace nearly every document")
+    // reproducible: a second build gives the identical permutation
+    val again = run("pipe_global_shuffle").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[Long]("pos")))
+  }
+
   test("pipe_split_counts: splits cover the corpus with ~80/10/10 mass") {
     val rows = run("pipe_split_counts").collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
