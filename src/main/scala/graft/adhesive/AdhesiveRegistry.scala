@@ -33,6 +33,31 @@ object AdhesiveRegistry {
   private val SupportedReturnTypes: Set[DataType] =
     Set(LongType, IntegerType, FloatType, DoubleType)
 
+  /** DDL-time compile cache, keyed on (language, original source). The
+    * mangled package exists to keep *different* sources from colliding
+    * (`SourceRewriter`); byte-identical source can safely reuse its
+    * previous unique package + bytecode — same behavior, and the per-JVM
+    * instance cache entry stays warm too — so re-running `CREATE [OR
+    * REPLACE] FUNCTION` with an unchanged body (session re-init, retried
+    * jobs, benchmark loops) skips the javac/scalac run entirely. Bounded:
+    * a session registering more than [[CompileCacheMax]] distinct sources
+    * falls back to compile-per-DDL (clear-and-refill keeps the map small
+    * without an LRU dependency).
+    */
+  private val CompileCacheMax = 256
+  private val compileCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (String, Map[String, Array[Byte]])]()
+
+  private[adhesive] def compileCacheSize: Int = compileCache.size
+
+  private def compiledCached(lang: String, source: String)(
+      doCompile: => (String, Map[String, Array[Byte]]))
+      : (String, Map[String, Array[Byte]]) = {
+    if (compileCache.size > CompileCacheMax) compileCache.clear()
+    compileCache.computeIfAbsent((lang, source), _ => doCompile)
+  }
+
   /** Compile inline Java source and register it (the `LANGUAGE JAVA` path). */
   def registerJavaSource(
       spark: SparkSession,
@@ -42,8 +67,10 @@ object AdhesiveRegistry {
       returnType: DataType,
       nonNullable: Boolean = false,
       deterministic: Boolean = false): Unit = {
-    val (rewritten, fqn) = SourceRewriter.rewrite(source)
-    val bytecode = InMemoryJavaCompiler.compile(fqn, rewritten)
+    val (fqn, bytecode) = compiledCached("java", source) {
+      val (rewritten, f) = SourceRewriter.rewrite(source)
+      (f, InMemoryJavaCompiler.compile(f, rewritten))
+    }
     AdhesiveInstances.instance(fqn, bytecode) // eager DDL-time validation
     register(spark, name, fqn, bytecode, argTypes, returnType, nonNullable,
       deterministic)
@@ -61,8 +88,10 @@ object AdhesiveRegistry {
       returnType: DataType,
       nonNullable: Boolean = false,
       deterministic: Boolean = false): Unit = {
-    val (rewritten, fqn) = SourceRewriter.rewrite(source)
-    val bytecode = InMemoryScalaCompiler.compile(fqn, rewritten)
+    val (fqn, bytecode) = compiledCached("scala", source) {
+      val (rewritten, f) = SourceRewriter.rewrite(source)
+      (f, InMemoryScalaCompiler.compile(f, rewritten))
+    }
     AdhesiveInstances.instance(fqn, bytecode)
     register(spark, name, fqn, bytecode, argTypes, returnType, nonNullable,
       deterministic)

@@ -214,4 +214,38 @@ class SemanticsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT f_double(CAST(3.0 AS DOUBLE)) AS v").head().getDouble(0) == 1.5)
     assert(spark.sql("SELECT f_float(CAST(2.5 AS FLOAT)) AS v").head().getFloat(0) == -2.5f)
   }
+
+  test("byte-identical source re-registration hits the compile cache") {
+    val src =
+      """import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class CacheProbe extends Adhesive {
+        |  public Object compute(Row row) { return row.getLong(0) + 100L; }
+        |}""".stripMargin
+    val before = AdhesiveRegistry.compileCacheSize
+    AdhesiveRegistry.registerJavaSource(spark, "f_cache_a", src,
+      Seq(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.LongType)
+    val afterFirst = AdhesiveRegistry.compileCacheSize
+    assert(afterFirst == before + 1, "first registration compiles and caches")
+    // same body under a new name (and an OR REPLACE of the old one):
+    // no second javac run, and both functions answer correctly
+    AdhesiveRegistry.registerJavaSource(spark, "f_cache_b", src,
+      Seq(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.LongType)
+    AdhesiveRegistry.registerJavaSource(spark, "f_cache_a", src,
+      Seq(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.LongType)
+    assert(AdhesiveRegistry.compileCacheSize == afterFirst,
+      "re-registration of identical source must not recompile")
+    assert(spark.sql("SELECT f_cache_a(CAST(1 AS BIGINT)) AS v").head().getLong(0) == 101L)
+    assert(spark.sql("SELECT f_cache_b(CAST(2 AS BIGINT)) AS v").head().getLong(0) == 102L)
+    // a different body is a different cache entry (no false sharing)
+    AdhesiveRegistry.registerJavaSource(spark, "f_cache_c",
+      src.replace("+ 100L", "+ 200L"),
+      Seq(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.LongType)
+    assert(AdhesiveRegistry.compileCacheSize == afterFirst + 1)
+    assert(spark.sql("SELECT f_cache_c(CAST(1 AS BIGINT)) AS v").head().getLong(0) == 201L)
+  }
 }
