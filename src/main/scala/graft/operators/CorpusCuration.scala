@@ -597,7 +597,62 @@ object CorpusCuration {
       SELECT doc_id, skey, pos, CAST(pos // 64 AS BIGINT) AS batch_id
       FROM p ORDER BY doc_id"""))
 
+  /** Split-leakage audit: near-duplicate clusters that span the
+    * train/val/test boundary — the eval-integrity report every split is
+    * checked against (a test doc whose near-dup sits in train leaks the
+    * answer; random splits leak exactly this way, which is why production
+    * pipelines split by cluster or URL, not by document). Composes two
+    * proven parts: [[Dedup.clusterDf]] canonical ids (min-label
+    * propagation over the near-dup subgraph — the loop's working set is
+    * component members, not the corpus) and [[splitCounts]]' stable-hash
+    * 80/10/10 assignment (membership reproducible on any engine, any
+    * partitioning). The audit itself adds one groupBy on canonical_id
+    * (cluster-sized groups; the distinct-split count is over ≤ 3 values)
+    * and one map-side-combinable rollup per split. Per split: doc count,
+    * docs whose cluster crosses a split boundary, and distinct crossing
+    * clusters.
+    */
+  val splitLeakage: Q = Q(
+    "pipe_split_leakage",
+    (s, d) => {
+      import s.implicits._
+      val split = Tables.documents(s, d)
+        .select($"doc_id", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+        .select($"doc_id",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "val").otherwise("test").as("split"))
+      val labeled = Dedup.clusterDf(s, d).join(split, "doc_id")
+      val span = labeled.groupBy($"canonical_id")
+        .agg(countDistinct($"split").as("n_splits"))
+      labeled.join(span, "canonical_id")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_splits" > 1, 1L).otherwise(0L)).as("n_leaky_docs"),
+          countDistinct(when($"n_splits" > 1, $"canonical_id"))
+            .as("n_leaky_clusters"))
+        .orderBy($"split")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.ClustersDuckCtes},
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS b
+              FROM documents)),
+      lab AS (SELECT cl.canonical_id, cl.doc_id, sp.split
+              FROM cl JOIN sp USING (doc_id)),
+      span AS (SELECT canonical_id, count(DISTINCT split) AS n_splits
+               FROM lab GROUP BY canonical_id)
+      SELECT split, count(*) AS n_docs,
+        CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs,
+        CAST(count(DISTINCT CASE WHEN n_splits > 1 THEN canonical_id END) AS BIGINT) AS n_leaky_clusters
+      FROM lab JOIN span USING (canonical_id)
+      GROUP BY split ORDER BY split"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
-    shardManifest, datasetCard, gopherRules, globalShuffle)
+    shardManifest, datasetCard, gopherRules, globalShuffle, splitLeakage)
 }

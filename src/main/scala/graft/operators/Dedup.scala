@@ -686,9 +686,7 @@ object Dedup {
     * loop converges in 2-3 rounds). The driver-side loop only checks a
     * convergence count per round. Oracle: recursive CTE reachability.
     */
-  val clusters: Q = Q(
-    "dd_clusters",
-    (s, d) => {
+  private[operators] def clusterDf(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val sh = hashedShingles(shingleDf(s, d)).cache()
       // capped candidates (losslessness proven by the oracle hash-match;
@@ -745,9 +743,13 @@ object Dedup {
           Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"member_canonical", $"doc_id").as("canonical_id"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""WITH RECURSIVE sh AS ($ShinglesDuck),
+  }
+
+  /** The canonical-id relation as a reusable CTE chain (shared with the
+    * split-leakage audit in [[CorpusCuration]]).
+    */
+  private[operators] val ClustersDuckCtes: String =
+    s"""sh AS ($ShinglesDuck),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b
         ON a.doc_id < b.doc_id
@@ -759,10 +761,19 @@ object Dedup {
         SELECT src, dst FROM e
         UNION
         SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-      canon AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src)
-      SELECT d.doc_id, least(d.doc_id, coalesce(c.m, d.doc_id)) AS canonical_id
-      FROM documents d LEFT JOIN canon c USING (doc_id)
-      ORDER BY d.doc_id"""))
+      canon AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src),
+      cl AS (
+        SELECT d.doc_id, least(d.doc_id, coalesce(c.m, d.doc_id)) AS canonical_id
+        FROM documents d LEFT JOIN canon c USING (doc_id))"""
+
+  val clusters: Q = Q(
+    "dd_clusters",
+    (s, d) => {
+      import s.implicits._
+      clusterDf(s, d).orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $ClustersDuckCtes
+      SELECT doc_id, canonical_id FROM cl ORDER BY doc_id"""))
 
   /** Banding-configuration sweep over the same 8-slot signature: 4 bands
     * of 2 rows vs 2 bands of 4 rows, reporting candidate volume and

@@ -475,4 +475,35 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
     out.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
   }
+
+  test("split leakage reconciles with cluster labels and the split rule") {
+    import graft.queries.Tables
+    import org.apache.spark.sql.functions._
+    val out = CorpusCuration.splitLeakage.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.map(_._1).sum == Tables.documents(spark, sf).count())
+    out.values.foreach { case (n, leakyDocs, leakyClusters) =>
+      assert(leakyDocs <= n)
+      assert(leakyClusters <= leakyDocs) // every leaky cluster has >=1 doc here
+    }
+    // independent replay: clusters spanning >1 split, from the raw labels
+    val split = Tables.documents(spark, sf)
+      .select($"doc_id", (expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .as("b"))
+      .select($"doc_id", when($"b" < 80, "train")
+        .when($"b" < 90, "val").otherwise("test").as("split"))
+    val leakyClusterIds = Dedup.clusterDf(spark, sf).join(split, "doc_id")
+      .groupBy($"canonical_id")
+      .agg(countDistinct($"split").as("ns"))
+      .filter($"ns" > 1)
+    val expectedLeakyDocs = Dedup.clusterDf(spark, sf).join(split, "doc_id")
+      .join(leakyClusterIds.select($"canonical_id"), "canonical_id")
+      .groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._2).toMap ==
+      Map("train" -> 0L, "val" -> 0L, "test" -> 0L) ++ expectedLeakyDocs)
+  }
 }
