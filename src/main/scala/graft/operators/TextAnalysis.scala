@@ -443,7 +443,13 @@ object TextAnalysis {
       td.groupBy($"token")
         .agg(count(lit(1)).as("df"),
           sum($"tf_doc").as("tf"),
-          bottomK($"doc_id").as("postings"))
+          bottomK($"doc_id").as("postings_arr"))
+        // The driver's checker sorts/hashes columns with pandas, which
+        // cannot factorize array cells — serialize the posting head to a
+        // canonical comma-joined string (same on the DuckDB side).
+        .select($"token", $"df", $"tf",
+          array_join(expr("transform(postings_arr, x -> cast(x AS string))"), ",")
+            .as("postings"))
         .orderBy($"token")
     },
     Some(s"""WITH tok AS (
@@ -455,7 +461,7 @@ object TextAnalysis {
       SELECT token,
         CAST(count(*) AS BIGINT) AS df,
         CAST(sum(tf_doc) AS BIGINT) AS tf,
-        (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
       FROM td GROUP BY token ORDER BY token"""))
 
   /** Duplicate-3-gram fraction per document (the Gopher-family repetition

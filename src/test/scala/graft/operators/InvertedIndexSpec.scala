@@ -78,7 +78,9 @@ class InvertedIndexSpec extends AnyFunSuite {
     val r = rows.head
     val df = r.getAs[Long]("df")
     val tf = r.getAs[Long]("tf")
-    val postings = r.getAs[scala.collection.Seq[Long]]("postings").toSeq
+    // Postings travel as a comma-joined string so the driver's pandas
+    // checker can sort/hash the column; parse it back for the invariants.
+    val postings = r.getAs[String]("postings").split(',').map(_.toLong).toSeq
     assert(tf >= df)
     assert(postings == postings.sorted)
     assert(postings.distinct == postings)
