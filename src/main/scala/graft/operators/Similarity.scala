@@ -383,8 +383,13 @@ object Similarity {
             FROM sc)
       SELECT qid, rank, cid, score FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  /** Embedding-cosine near-dup pairs, blocked by label (same-label pairs
-    * only — blocking keys bound the candidate set at scale).
+  /** Embedding-cosine near-dup pairs, blocked by label. COMPARISON
+    * BASELINE, not the production path: label blocking is only scale-safe
+    * while every label stays small — one hot label (a dominant
+    * language/source/topic at 100 TB) is a quadratic block. The
+    * production path is [[cosineNearDupLsh]], whose blocking key has a
+    * capacity dial. Kept oracled so the two variants stay directly
+    * comparable on candidate count and recall.
     */
   val cosineNearDup: Q = Q(
     "dd_embedding_cosine",
@@ -405,6 +410,42 @@ object Similarity {
       ${cosDuck("a.embedding", "b.embedding")} AS score
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
+      ORDER BY a_id, b_id"""))
+
+  /** Embedding-cosine near-dup pairs, blocked by the 8-hyperplane LSH
+    * bucket — the production path ([[cosineNearDup]] is the label-blocked
+    * comparison baseline). The bucket is a *capacity-controlled* blocking
+    * key: expected occupancy is n/2^planes and each added plane halves
+    * it, so the pair-join block size is an index parameter rather than a
+    * property of the corpus's label distribution. Same readout and
+    * threshold as the baseline, so the only delta is candidate
+    * generation: only same-bucket pairs are examined (the standard LSH
+    * recall trade, dialable with multiprobe as in ann_lsh_multiprobe).
+    */
+  val cosineNearDupLsh: Q = Q(
+    "dd_embedding_cosine_lsh",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
+            .as("bucket"))
+      e.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
+        .join(e.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb")),
+          "bucket")
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          cosine_similarity($"ea", $"eb").as("score"))
+        .filter($"score" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket
+               FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ${cosDuck("a.embedding", "b.embedding")} AS score
+      FROM e a JOIN e b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
 
@@ -972,7 +1013,7 @@ object Similarity {
       GROUP BY e.label ORDER BY e.label"""))
 
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, lshMultiprobe,
-    ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, centroids, quantizeInt8,
-    recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll, clusterQuality,
-    semanticDedup, semanticDedupLsh)
+    ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
+    quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
+    clusterQuality, semanticDedup, semanticDedupLsh)
 }

@@ -446,6 +446,24 @@ class NorthStarSpec extends AnyFunSuite {
       s"LSH dropped $lshTotalDropped > all-pairs bound ${allPairsDrops.size}")
   }
 
+  test("LSH-blocked near-dup pairs are a sound subset of unblocked all-pairs") {
+    import graft.queries.Tables
+    val lshPairs = Similarity.cosineNearDupLsh.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val allPairs = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("eb")))
+      .filter($"a_id" < $"b_id")
+      .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocking only prunes candidates — it can never invent a pair
+    assert(lshPairs.subsetOf(allPairs),
+      s"LSH pairs not ⊆ all-pairs: ${(lshPairs -- allPairs).take(5)}")
+    assert(lshPairs.nonEmpty, "expected some same-bucket near-dup pairs")
+  }
+
   test("frame dedup: distinct fingerprints bounded by frame count; rate in [0,1)") {
     val out = Multimodal.frameDedup.build(spark, sf).collect()
     assert(out.nonEmpty)
