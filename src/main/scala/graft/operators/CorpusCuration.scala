@@ -561,6 +561,12 @@ object CorpusCuration {
     * would serialize the corpus through one task). Positions are
     * partitioning-invariant, so the single-window oracle replays them
     * exactly; a different seed string is a different epoch's permutation.
+    * The keyed frame is cached before the subtotal collect: range-boundary
+    * sampling and spark_partition_id are not guaranteed deterministic
+    * across separate executions, so both the subtotal job and the window
+    * job must observe the SAME materialized partitioning — without the
+    * cache a re-execution could assign different pids and produce
+    * duplicate or gapped positions.
     */
   val globalShuffle: Q = Q(
     "pipe_global_shuffle",
@@ -572,6 +578,7 @@ object CorpusCuration {
           md5(concat(lit("shuf42:"), $"doc_id".cast(StringType))).as("skey"))
         .repartitionByRange(s.sparkContext.defaultParallelism, $"skey", $"doc_id")
         .withColumn("pid", spark_partition_id())
+        .cache()
       val nParts = s.sparkContext.defaultParallelism
       val subtotals = keyed.groupBy($"pid").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

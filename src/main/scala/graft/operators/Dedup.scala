@@ -1104,6 +1104,16 @@ object Dedup {
     * Spark's thresholded `levenshtein(l, r, t)` (early-exits the DP row
     * scan once `t` is exceeded); the unthresholded form here is what
     * DuckDB can replay exactly, and candidates are already few.
+    *
+    * ASCII assumption: Spark's `levenshtein` counts Unicode code points
+    * while DuckDB's operates on UTF-8 bytes, so the cross-engine
+    * equivalence holds only because the corpus text is ASCII (where one
+    * code point = one byte). On multibyte input the engines diverge —
+    * "café"→"cafe" is distance 1 in code points but 2 in bytes.
+    * EditDistanceUnicodeSpec pins Spark's code-point semantics on
+    * non-ASCII fixtures; a production pipeline on non-ASCII text would
+    * NFC-normalize first ([[TextAnalysis]]'s `UnicodeNormalize`) and
+    * treat code-point distance as the defined semantics.
     */
   val editVerify: Q = Q(
     "dd_edit_verify",
