@@ -41,23 +41,38 @@ object AdhesiveInstances {
     * Performs the `instanceof Adhesive` check the reference left as a TODO
     * (`src/jvm.rs:78-81`).
     */
+  /** Cache key for a jar-loaded class: the path plus the jar's length and
+    * mtime, so `CREATE OR REPLACE` after swapping the jar file at the same
+    * path gets a fresh loader and a fresh instance instead of silently
+    * serving stale classes. Loaders for superseded versions are kept (not
+    * closed) — in-flight tasks may still hold their classes; the same
+    * never-unload contract as runtime-compiled bytecode.
+    */
+  private def jarVersionKey(path: String): String = {
+    val f = new java.io.File(path)
+    s"$path:${f.length}:${f.lastModified}"
+  }
+
   def instance(fqn: String, bytecode: Map[String, Array[Byte]],
       jarPath: Option[String] = None): Adhesive =
-    cache.computeIfAbsent(jarPath.fold(fqn)(p => s"$fqn@$p"), { _ =>
+    cache.computeIfAbsent(
+      jarPath.fold(fqn)(p => s"$fqn@${jarVersionKey(p)}"), { _ =>
       val parent = Option(Thread.currentThread().getContextClassLoader)
         .getOrElse(classOf[Adhesive].getClassLoader)
       val cls =
         if (jarPath.isDefined) {
           // `LANGUAGE CLASS ... USING JAR` — the reference's new_with_jar
           // boot path (src/jvm.rs:44-61), resolved lazily per JVM instead
-          // of at JVM boot. One URLClassLoader per jar (parent-first, so
-          // the jar's classes see Adhesive itself from the host
-          // classpath). The path must resolve wherever the task runs —
-          // in a cluster deployment that means shared storage or
-          // spark.jars staging, same operational contract as the
-          // reference's boot-classpath jar.
+          // of at JVM boot. One URLClassLoader per jar version
+          // (parent-first, so the jar's classes see Adhesive itself from
+          // the host classpath); the version-stamped key means a replaced
+          // jar at the same path is re-resolved rather than served stale.
+          // The path must resolve wherever the task runs — in a cluster
+          // deployment that means shared storage or spark.jars staging,
+          // same operational contract as the reference's boot-classpath
+          // jar.
           val url = new java.io.File(jarPath.get).toURI.toURL
-          val loader = jarLoaders.computeIfAbsent(jarPath.get,
+          val loader = jarLoaders.computeIfAbsent(jarVersionKey(jarPath.get),
             _ => new java.net.URLClassLoader(Array(url), parent))
           try Class.forName(fqn, true, loader)
           catch {

@@ -39,24 +39,34 @@ object AdhesiveRegistry {
     * previous unique package + bytecode — same behavior, and the per-JVM
     * instance cache entry stays warm too — so re-running `CREATE [OR
     * REPLACE] FUNCTION` with an unchanged body (session re-init, retried
-    * jobs, benchmark loops) skips the javac/scalac run entirely. Bounded:
-    * a session registering more than [[CompileCacheMax]] distinct sources
-    * falls back to compile-per-DDL (clear-and-refill keeps the map small
-    * without an LRU dependency).
+    * jobs, benchmark loops) skips the javac/scalac run entirely.
+    *
+    * Consequence worth naming: byte-identical source registered under
+    * DIFFERENT function names shares one mangled package and therefore
+    * one per-JVM singleton `Adhesive` instance ([[AdhesiveInstances]]).
+    * Adhesive instances are per-class singletons, not per-function — a
+    * stateful subclass observes calls from every function name its
+    * source is registered under. This mirrors how Spark itself shares
+    * `CREATE FUNCTION ... USING JAR` class instances; compute() must be
+    * self-contained per row regardless (executor tasks already share
+    * instances across partitions).
+    *
+    * Bounded by an access-ordered LRU: at [[CompileCacheMax]] entries the
+    * least-recently-used source is evicted, so the hot entries the cache
+    * exists to serve (benchmark loops, session re-init) survive cap
+    * pressure.
     */
   private val CompileCacheMax = 256
   private val compileCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, String), (String, Map[String, Array[Byte]])]()
+    new LruCache[(String, String), (String, Map[String, Array[Byte]])](
+      CompileCacheMax)
 
   private[adhesive] def compileCacheSize: Int = compileCache.size
 
   private def compiledCached(lang: String, source: String)(
       doCompile: => (String, Map[String, Array[Byte]]))
-      : (String, Map[String, Array[Byte]]) = {
-    if (compileCache.size > CompileCacheMax) compileCache.clear()
-    compileCache.computeIfAbsent((lang, source), _ => doCompile)
-  }
+      : (String, Map[String, Array[Byte]]) =
+    compileCache.getOrCompute((lang, source))(doCompile)
 
   /** Compile inline Java source and register it (the `LANGUAGE JAVA` path). */
   def registerJavaSource(

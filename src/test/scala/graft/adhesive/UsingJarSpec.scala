@@ -71,6 +71,38 @@ class UsingJarSpec extends AnyFunSuite {
     assert(e.getMessage.contains("jartest.NoSuch") && e.getMessage.contains(jarPath))
   }
 
+  test("replacing the jar at the same path serves the new class, not stale cache") {
+    val spark = TestSpark.spark
+    val cls = "jartest.Versioned"
+    def versionSource(delta: Long): String =
+      s"""package jartest;
+         |import graft.adhesive.Adhesive;
+         |import org.apache.spark.sql.Row;
+         |public class Versioned extends Adhesive {
+         |  public Object compute(Row row) { return row.getLong(0) + ${delta}L; }
+         |}
+         |""".stripMargin
+    // v1 at a fixed path
+    val path = buildJar(cls, versionSource(1L))
+    spark.sql("CREATE OR REPLACE FUNCTION jar_ver(BIGINT) RETURNS BIGINT " +
+      s"LANGUAGE CLASS AS '$cls' USING JAR '$path'")
+    assert(spark.sql("SELECT jar_ver(CAST(10 AS BIGINT)) AS v")
+      .head().getLong(0) == 11L)
+    // overwrite the SAME path with v2 (different behavior), force a
+    // distinct mtime in case the filesystem clock is coarse
+    val v2 = buildJar(cls, versionSource(2L))
+    java.nio.file.Files.move(java.nio.file.Paths.get(v2),
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val f = new java.io.File(path)
+    assert(f.setLastModified(f.lastModified() + 2000))
+    spark.sql("CREATE OR REPLACE FUNCTION jar_ver(BIGINT) RETURNS BIGINT " +
+      s"LANGUAGE CLASS AS '$cls' USING JAR '$path'")
+    assert(spark.sql("SELECT jar_ver(CAST(10 AS BIGINT)) AS v")
+      .head().getLong(0) == 12L,
+      "re-registration after a jar swap must load the replaced class")
+  }
+
   test("plain LANGUAGE CLASS (no USING JAR) still resolves the launch classpath") {
     val spark = TestSpark.spark
     spark.sql("CREATE OR REPLACE FUNCTION cp_add(BIGINT, BIGINT) RETURNS BIGINT " +
