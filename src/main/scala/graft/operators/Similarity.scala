@@ -792,8 +792,18 @@ object Similarity {
     * AQE re-plans from measured sizes. Per-cell work is |cell|²·NSub,
     * bounded by the trained codebook's cell capacity — the IVF argument —
     * never corpus².
+    *
+    * `nprobe > 1` widens the QUERY side only (the multiprobe dial
+    * [[ivfNprobe2]] proved for plain IVF): each query probes its nprobe
+    * nearest cells, building a separate residual (q − probed centroid)
+    * and ADC LUT per probe. Candidates stay in their single home cell, so
+    * index size and the codes table are unchanged — query fan-out scales
+    * by nprobe, and each (query, candidate) pair still matches via
+    * exactly one probe (the candidate's home cell), so no dedup is
+    * needed.
     */
-  private def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean): DataFrame = {
+  private def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean,
+      nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id",
@@ -826,9 +836,27 @@ object Similarity {
       struct(lit(m.toLong).as("m"),
         floor(subDist($"qr", $"cw", m) * 100000000L).cast("long").as("dq8"))
     }: _*)
-    val queries = if (serveAll) cells else cells.filter($"vec_id" < 10)
+    val queries =
+      if (nprobe == 1)
+        (if (serveAll) cells else cells.filter($"vec_id" < 10))
+          .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+      else {
+        // per-probe residual: the query re-expresses itself relative to
+        // EACH probed cell's centroid, since candidates in that cell are
+        // coded as residuals from that same centroid
+        val pw = Window.partitionBy($"vec_id")
+          .orderBy($"cscore".desc, $"centroid_id")
+        emb.filter($"vec_id" < 10).crossJoin(broadcast(centroids))
+          .select($"vec_id", $"embedding", $"centroid_id",
+            cosine_similarity($"embedding", $"centroid").as("cscore"),
+            $"centroid")
+          .withColumn("rn", row_number().over(pw))
+          .filter($"rn" <= nprobe)
+          .select($"vec_id".as("qid"), $"centroid_id".as("qcell"),
+            expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+              .as("qr"))
+      }
     val lut = queries
-      .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
       .crossJoin(broadcast(rcb))
       .select($"qid", $"qcell", $"code_id".as("k"), explode(lutStructs).as("md"))
       .select($"qid", $"qcell", $"k", $"md.m".as("lm"), $"md.dq8".as("dq8"))
@@ -852,9 +880,30 @@ object Similarity {
     Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10")))
 
   /** DuckDB replay of [[ivfPqServe]]; `probeFilter` scopes the query side
-    * ("" = serve the whole corpus).
+    * ("" = serve the whole corpus); `nprobe > 1` sources the LUT from
+    * per-probe residuals instead of the home-cell residual.
     */
-  private def ivfPqDuck(probeFilter: String): String =
+  private def ivfPqDuck(probeFilter: String, nprobe: Int = 1): String = {
+    val lutCte =
+      if (nprobe == 1)
+        s"""lut AS (SELECT res.vec_id AS qid, res.cell AS qcell, rcb.code_id AS k,
+                mm.m,
+                CAST(floor(${subDistDuck("res.r", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
+              FROM res, rcb, (SELECT unnest(range($NSub)) AS m) mm
+              $probeFilter)"""
+      else
+        s"""probes AS (SELECT vec_id AS qid, centroid_id AS qcell,
+                list_transform(list_zip(embedding, centroid),
+                  p -> p[1]::DOUBLE - p[2]::DOUBLE) AS qr
+              FROM (SELECT e.vec_id, e.embedding, c.centroid_id, c.centroid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC,
+                                 c.centroid_id) AS rn
+                    FROM embeddings e, kcb c)
+              WHERE rn <= $nprobe AND vec_id < 10),
+      lut AS (SELECT p.qid, p.qcell, rcb.code_id AS k, mm.m,
+                CAST(floor(${subDistDuck("p.qr", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
+              FROM probes p, rcb, (SELECT unnest(range($NSub)) AS m) mm)"""
     s"""WITH $KmeansDuck,
       cellsc AS (
         SELECT vec_id, embedding, cell, centroid FROM (
@@ -874,11 +923,7 @@ object Similarity {
       codes AS (SELECT vec_id, cell, m, code_id AS code FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id, m
             ORDER BY dist, code_id) AS rn FROM sub) WHERE rn = 1),
-      lut AS (SELECT res.vec_id AS qid, res.cell AS qcell, rcb.code_id AS k,
-                mm.m,
-                CAST(floor(${subDistDuck("res.r", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
-              FROM res, rcb, (SELECT unnest(range($NSub)) AS m) mm
-              $probeFilter),
+      $lutCte,
       adc AS (SELECT lut.qid, c.vec_id AS cid, sum(dq8) AS adc8
               FROM codes c JOIN lut
                 ON c.cell = lut.qcell AND c.m = lut.m AND c.code = lut.k
@@ -887,6 +932,7 @@ object Similarity {
                (PARTITION BY qid ORDER BY adc8, cid) AS rank FROM adc)
       SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
       FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
+  }
 
   /** Full-corpus IVF-PQ serving: every vector is a query answered through
     * the index (top-3 same-cell neighbors by residual-PQ ADC distance) —
@@ -900,6 +946,88 @@ object Similarity {
     "ann_ivfpq_serve_all",
     (s, d) => ivfPqServe(s, d, serveAll = true),
     Some(ivfPqDuck(probeFilter = "")))
+
+  /** Multiprobe IVF-PQ (nprobe=2): the recall/cost dial [[ivfNprobe2]]
+    * proved for plain IVF, applied to the composed serving index. Each
+    * query probes its 2 nearest cells with a per-probe residual and ADC
+    * LUT; the codes table and index size are unchanged, query fan-out
+    * doubles. The win over nprobe=1: a query near a cell boundary sees
+    * candidates on both sides instead of only its home cell.
+    */
+  val ivfPqNprobe2: Q = Q(
+    "ann_ivfpq_nprobe2",
+    (s, d) => ivfPqServe(s, d, serveAll = false, nprobe = 2),
+    Some(ivfPqDuck(probeFilter = "", nprobe = 2)))
+
+  /** Recall@3 of IVF-PQ at nprobe=1 vs nprobe=2 against the exact
+    * squared-L2 top-3 — the accuracy readout that justifies the
+    * multiprobe dial (the index ranks by ADC distance, an approximation
+    * of squared L2, so L2 is the honest ground truth). Both index runs
+    * and the ground truth are deterministic relational plans
+    * (fixed-point distances), so the QUALITY measurement itself is
+    * oracle-checked, like [[recallReport]] for LSH. The spec asserts the
+    * dominance relation: per query, nprobe=2 hits ⊇-counts nprobe=1.
+    */
+  val ivfPqRecall: Q = Q(
+    "ann_ivfpq_recall",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val fullDist = (0 until NSub)
+        .map(m => subDist($"qe", $"ce", m)).reduce(_ + _)
+      val w = Window.partitionBy($"qid").orderBy($"d8", $"cid")
+      val truth = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+        .crossJoin(broadcast(probes))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid",
+          floor(fullDist * 100000000L).cast("long").as("d8"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3).select($"qid", $"cid")
+      def hits(df: DataFrame, col: String): DataFrame =
+        truth.join(df.select($"qid", $"cid"), Seq("qid", "cid"))
+          .groupBy($"qid").agg(count(lit(1)).as(col))
+      val np1 = hits(ivfPqServe(s, d, serveAll = false, nprobe = 1), "h1")
+      val np2 = hits(ivfPqServe(s, d, serveAll = false, nprobe = 2), "h2")
+      probes.select($"qid")
+        .join(np1, Seq("qid"), "left").join(np2, Seq("qid"), "left")
+        .select($"qid",
+          coalesce($"h1", lit(0L)).as("hits_np1"),
+          coalesce($"h2", lit(0L)).as("hits_np2"),
+          (coalesce($"h1", lit(0L)).cast("double") / 3).as("recall3_np1"),
+          (coalesce($"h2", lit(0L)).cast("double") / 3).as("recall3_np2"))
+        .orderBy($"qid")
+    },
+    Some {
+      val full = (0 until NSub)
+        .map(m => subDistDuck("p.qe", "c.embedding", s"$m")).mkString(" + ")
+      s"""WITH probes AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id < 10),
+        ex AS (SELECT p.qid, c.vec_id AS cid,
+                 CAST(floor(($full) * 100000000) AS BIGINT) AS d8
+               FROM probes p, embeddings c WHERE p.qid != c.vec_id),
+        truth AS (SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER
+              (PARTITION BY qid ORDER BY d8, cid) AS rank FROM ex)
+          WHERE rank <= 3),
+        np1 AS (SELECT qid, cid FROM (${ivfPqDuck("WHERE res.vec_id < 10")})),
+        np2 AS (SELECT qid, cid FROM (${ivfPqDuck("", nprobe = 2)})),
+        h1 AS (SELECT t.qid, count(*) AS h FROM truth t
+               JOIN np1 ON t.qid = np1.qid AND t.cid = np1.cid GROUP BY t.qid),
+        h2 AS (SELECT t.qid, count(*) AS h FROM truth t
+               JOIN np2 ON t.qid = np2.qid AND t.cid = np2.cid GROUP BY t.qid)
+        SELECT p.qid,
+          CAST(coalesce(h1.h, 0) AS BIGINT) AS hits_np1,
+          CAST(coalesce(h2.h, 0) AS BIGINT) AS hits_np2,
+          CAST(coalesce(h1.h, 0) AS DOUBLE) / 3 AS recall3_np1,
+          CAST(coalesce(h2.h, 0) AS DOUBLE) / 3 AS recall3_np2
+        FROM probes p LEFT JOIN h1 ON p.qid = h1.qid
+                      LEFT JOIN h2 ON p.qid = h2.qid
+        ORDER BY p.qid"""
+    })
 
   /** Semantic dedup (the SemDeDup shape): within each cluster label, drop
     * the higher-id member of every near-duplicate embedding pair, then
@@ -1015,5 +1143,5 @@ object Similarity {
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, lshMultiprobe,
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
-    clusterQuality, semanticDedup, semanticDedupLsh)
+    ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh)
 }

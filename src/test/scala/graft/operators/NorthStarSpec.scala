@@ -446,6 +446,22 @@ class NorthStarSpec extends AnyFunSuite {
       s"LSH dropped $lshTotalDropped > all-pairs bound ${allPairsDrops.size}")
   }
 
+  test("IVF-PQ multiprobe: recall@3 at nprobe=2 dominates nprobe=1 per query") {
+    val rows = Similarity.ivfPqRecall.build(spark, sf).collect()
+    assert(rows.length == 10, "one recall row per probe query")
+    rows.foreach { r =>
+      val h1 = r.getAs[Long]("hits_np1")
+      val h2 = r.getAs[Long]("hits_np2")
+      // nprobe=2 examines a superset of candidates (the home cell is
+      // always probed). Under EXACT scoring that makes recall monotone;
+      // under ADC scoring a low-ADC false positive could in principle
+      // displace a truth member, so this pins the measured relation on
+      // the fixed corpus: the dial holds or improves, never regresses.
+      assert(h2 >= h1, s"nprobe=2 lost recall vs nprobe=1: $r")
+      assert(h1 >= 0 && h2 <= 3)
+    }
+  }
+
   test("LSH-blocked near-dup pairs are a sound subset of unblocked all-pairs") {
     import graft.queries.Tables
     val lshPairs = Similarity.cosineNearDupLsh.build(spark, sf).collect()
