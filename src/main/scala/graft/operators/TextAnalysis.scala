@@ -429,6 +429,21 @@ object TextAnalysis {
     * lists would be written sharded by term range, and this query is that
     * job with the write replaced by the bounded head.
     */
+  /** Distinct postings with per-doc term frequency — (token, doc_id,
+    * tf_doc) — the shared stage-1 of [[invertedIndex]] (bounded-head
+    * query) and [[graft.pipeline.CorpusPipeline.writeInvertedIndex]]
+    * (the full sharded write). GroupBy (token, doc_id) is high
+    * cardinality and skew-free.
+    */
+  def postings(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.documents(s, d), "doc_id")
+      .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
+      .groupBy($"token", $"doc_id")
+      .agg(count(lit(1)).as("tf_doc"))
+  }
+
   val invertedIndex: Q = Q(
     "ta_inverted_index",
     (s, d) => {
@@ -436,10 +451,7 @@ object TextAnalysis {
       import s.implicits._
       val bottomK = org.apache.spark.sql.functions.udaf(
         new graft.functions.BottomKLongs(20), ExpressionEncoder[Long]())
-      val toks = Tables.spread(Tables.documents(s, d), "doc_id")
-        .select($"doc_id", explode(split(expr(normSpark), " ")).as("token"))
-      val td = toks.groupBy($"token", $"doc_id")
-        .agg(count(lit(1)).as("tf_doc"))
+      val td = postings(s, d)
       td.groupBy($"token")
         .agg(count(lit(1)).as("df"),
           sum($"tf_doc").as("tf"),

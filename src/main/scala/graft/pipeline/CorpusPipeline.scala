@@ -57,10 +57,15 @@ object CorpusPipeline {
     // each split onto ONE partition. Range-partition on (split, doc_id),
     // window within (split, partition), then add per-(split, partition)
     // prefix offsets computed from the tiny subtotal list.
+    // Cached before the subtotal collect: range-boundary sampling and
+    // spark_partition_id are not deterministic across executions, so the
+    // offsets and the window job must observe the SAME materialized
+    // partitioning (same fix as pipe_global_shuffle).
     val nParts = spark.sparkContext.defaultParallelism
     val ranged = withSplit
       .repartitionByRange(nParts, $"split", $"doc_id")
       .withColumn("pid", spark_partition_id())
+      .cache()
     val subtotals = ranged.groupBy($"split", $"pid")
       .agg(sum($"n_tokens").as("t"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
@@ -102,6 +107,65 @@ object CorpusPipeline {
       splits = splits)
   }
 
+  case class IndexReport(
+      nShards: Int,
+      nPostings: Long,
+      nTerms: Long,
+      maxShardRows: Long)
+
+  /** Full inverted-index write, sharded by term range — the real job the
+    * bounded-head `ta_inverted_index` query stands in for (SCALE.md §Text).
+    * The full posting lists NEVER materialize in memory: postings stay as
+    * (token, doc_id, tf_doc) ROWS that range-exchange on (token, doc_id)
+    * and external-sort within each shard, so a posting list exists only as
+    * a contiguous run of rows in the written file. Task memory is bounded
+    * by the sorter's spill threshold, not by any token's document
+    * frequency — a stopword's postings simply straddle a shard boundary
+    * when the sampled range boundaries land inside its run (which is
+    * exactly what bounds shard size under token skew). Layout:
+    * `<outDir>/inverted/part-*` — one file per shard, rows sorted by
+    * (token, doc_id); `<outDir>/inverted_manifest` — one row per shard
+    * file with its term range, for range-pruned term lookup (a reader
+    * fetches only the shard whose [min_token, max_token] covers the
+    * query term). The manifest is computed from the WRITTEN files — a
+    * second bounded scan, not a re-execution of the build plan.
+    */
+  def writeInvertedIndex(spark: SparkSession, sfDir: String, outDir: String,
+      nShards: Int = 0): IndexReport = {
+    import spark.implicits._
+    val shards =
+      if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
+    val obs = Observation()
+    graft.operators.TextAnalysis.postings(spark, sfDir)
+      .repartitionByRange(shards, $"token", $"doc_id")
+      .sortWithinPartitions($"token", $"doc_id")
+      .observe(obs, count(lit(1)).as("n_postings"))
+      .write.mode("overwrite").parquet(s"$outDir/inverted")
+
+    val manifest = spark.read.parquet(s"$outDir/inverted")
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
+        count(lit(1)).as("n_rows"),
+        count_distinct($"token").as("n_terms"))
+      .orderBy($"min_token")
+      .cache()
+    manifest.write.mode("overwrite").parquet(s"$outDir/inverted_manifest")
+
+    val stats = manifest
+      .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
+        count(lit(1)).as("files"))
+      .head()
+    val report = IndexReport(
+      nShards = stats.getAs[Long]("files").toInt,
+      nPostings = obs.get("n_postings").asInstanceOf[Long],
+      // per-shard distinct sums can double-count a boundary-straddling
+      // term; exact enough for the report, exact in the manifest
+      nTerms = stats.getAs[Long]("terms"),
+      maxShardRows = stats.getAs[Long]("maxRows"))
+    manifest.unpersist()
+    report
+  }
+
   /** `runMain graft.pipeline.CorpusPipeline <sfDir> <outDir>` — prints a
     * one-line JSON report.
     */
@@ -117,10 +181,13 @@ object CorpusPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir, outDir)
+    val ix = writeInvertedIndex(spark, sfDir, outDir)
     val splitsJson = r.splits.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"n_input":${r.nInput},"n_curated":${r.nCurated},""" +
-      s""""tokens_out":${r.tokensOut},"splits":$splitsJson}""")
+      s""""tokens_out":${r.tokensOut},"splits":$splitsJson,""" +
+      s""""index_shards":${ix.nShards},"index_postings":${ix.nPostings},""" +
+      s""""index_terms":${ix.nTerms},"index_max_shard_rows":${ix.maxShardRows}}""")
     spark.stop()
   }
 }

@@ -48,6 +48,18 @@ object ScalingStudyR6 {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[study-r6] n=$n%-7d op=$name%-20s rows=$rows%-9d ${dt}%.1fs")
       }
+
+      // the full sharded inverted-index WRITE (round 7): the real job the
+      // bounded-head query stands in for — timed end-to-end incl. manifest
+      locally {
+        val out = java.nio.file.Files.createTempDirectory(s"graft-ix-$n").toString
+        val t0 = System.nanoTime()
+        val r = graft.pipeline.CorpusPipeline.writeInvertedIndex(spark, dir, out)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val opName = "index_write"
+        println(f"[study-r6] n=$n%-7d op=$opName%-20s rows=${r.nPostings}%-9d " +
+          f"${dt}%.1fs shards=${r.nShards} maxShardRows=${r.maxShardRows}")
+      }
     }
     spark.stop()
   }

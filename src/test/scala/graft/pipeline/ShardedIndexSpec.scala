@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full sharded inverted-index write (CorpusPipeline.writeInvertedIndex)
+  * against the bounded-head query (ta_inverted_index) it stands in for:
+  * the two must agree on every per-token statistic the query reports, and
+  * the shard layout must support range-pruned term lookup.
+  */
+class ShardedIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private lazy val (outDir, report) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    (dir, CorpusPipeline.writeInvertedIndex(spark, sf, dir, nShards = 4))
+  }
+
+  test("manifest term ranges are ordered and support range pruning") {
+    val m = spark.read.parquet(s"$outDir/inverted_manifest")
+      .orderBy("min_token").collect()
+    assert(m.length == report.nShards && m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getAs[String]("min_token") <= r.getAs[String]("max_token"))
+    }
+    // consecutive shard ranges may touch at a boundary-straddling token
+    // but never interleave — the property range-pruned lookup needs
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("max_token") <= b.getAs[String]("min_token"),
+          s"overlapping shard ranges: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("written postings count equals the source (token, doc) pairs") {
+    import spark.implicits._
+    val written = spark.read.parquet(s"$outDir/inverted")
+    val srcCount = graft.operators.TextAnalysis.postings(spark, sf).count()
+    assert(written.count() == srcCount)
+    assert(report.nPostings == srcCount)
+    // every row carries the per-doc term frequency, always positive
+    assert(written.filter($"tf_doc" <= 0).isEmpty)
+  }
+
+  test("full index reproduces the bounded-head query's per-token stats") {
+    import spark.implicits._
+    val fromIndex = spark.read.parquet(s"$outDir/inverted")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"), sum($"tf_doc").as("tf"),
+        array_join(
+          expr("transform(slice(sort_array(collect_list(doc_id)), 1, 20), x -> cast(x AS string))"),
+          ",").as("postings"))
+    val fromQuery = graft.operators.TextAnalysis.invertedIndex.build(spark, sf)
+    // collect_list here is test-scope only (sf0.001); the production read
+    // path never aggregates a full posting list into one buffer
+    val diff = fromIndex.join(fromQuery,
+        Seq("token", "df", "tf", "postings"), "full_outer")
+    assert(fromIndex.count() == fromQuery.count())
+    assert(diff.count() == fromQuery.count(),
+      "full-outer join must collapse to exact per-token agreement")
+  }
+
+  test("shard files are internally sorted by (token, doc_id)") {
+    import spark.implicits._
+    val byFile = spark.read.parquet(s"$outDir/inverted")
+      .select(input_file_name().as("f"), $"token", $"doc_id")
+      .collect().groupBy(_.getString(0))
+    byFile.values.foreach { rows =>
+      val keys = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(keys == keys.sorted,
+        "rows within a shard file must be sorted for contiguous posting runs")
+    }
+  }
+}

@@ -306,4 +306,65 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
     assert(recovered2 == healthy, "recovery from .staging lost merged keys")
   }
+
+  test("fault-injected crash on the promote rename replays to the batch aggregate") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    // Unlike the hand-constructed windows above, this drives a REAL batch
+    // into the crash: a faulty filesystem fails the promote rename of the
+    // two-rename swap mid-run, leaving whatever state the production code
+    // actually leaves, and the replay must converge to the batch twin.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl", classOf[FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-fault")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val localTarget = java.nio.file.Files
+      .createTempDirectory("graft-fault-t").resolve("totals").toString
+    val target = s"faulty://$localTarget"
+
+    // healthy first pass so the crash window has a target to retire
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft-fault-c1").toString
+    EventStreamPipeline.upsertTypeTotals(spark, streamDir.toString, target, ckpt1)
+    val fs = new Path(target).getFileSystem(hconf)
+    assert(fs.exists(new Path(target)))
+
+    // second pass with the fault armed: the merge retires the target,
+    // then the promote rename fails — the query dies mid-swap
+    FaultyRenameFs.failNextPromote.set(true)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-fault-c2").toString
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreamPipeline.upsertTypeTotals(spark, streamDir.toString, target, ckpt2)
+    }
+    assert(!FaultyRenameFs.failNextPromote.get(), "fault must have fired")
+    assert(crash.getCause.getMessage.contains("rename"),
+      s"expected the checked-rename failure, got: ${crash.getCause}")
+    // the real mid-swap state: no target, retired .old, complete .staging
+    assert(!fs.exists(new Path(target)), "crash must land between the renames")
+    assert(fs.exists(new Path(target + ".old")))
+    assert(fs.exists(new Path(target + ".staging", "_SUCCESS")),
+      "staging must be a complete write at the crash point")
+
+    // replay: recovery promotes the survivor, the re-delivered batch
+    // re-merges idempotently, and the snapshot equals the BATCH aggregate
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft-fault-c3").toString
+    EventStreamPipeline.upsertTypeTotals(spark, streamDir.toString, target, ckpt3)
+    val recovered = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val batchTwin = spark.read.parquet(streamDir.toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+          .as("total_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(recovered == batchTwin,
+      "post-crash replay must converge to the batch aggregate")
+    assert(!fs.exists(new Path(target + ".old")) &&
+      !fs.exists(new Path(target + ".staging")),
+      "recovery must leave no orphan snapshot directories")
+  }
 }
