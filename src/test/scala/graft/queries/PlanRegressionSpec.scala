@@ -313,4 +313,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("AdaptiveSparkPlan"),
       s"verification joins must stay AQE-replannable:\n${p.take(1500)}")
   }
+
+  test("dd_embedding_cosine_lsh: pair join is a bucket equi-join, adaptive, never cartesian") {
+    // the production embedding near-dup path: the join must key on the
+    // LSH bucket (capacity-controlled) with no hint-forced broadcast of
+    // a corpus-sized side — AQE picks broadcast only from measured stats
+    val p = planString("dd_embedding_cosine_lsh")
+    assert(p.toLowerCase.contains("lshbucket"),
+      s"bucket key missing from the join plan:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("AdaptiveSparkPlan"), p.take(1500))
+  }
+
+  test("ann_ivfpq_nprobe2: top-k pruned, codebook crosses stay broadcast-sized") {
+    val p = planString("ann_ivfpq_nprobe2")
+    // per-query/per-(vector,subspace) argmins and the final top-3 all get
+    // WindowGroupLimit pushdown — no full per-group sorts
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    // the only nested-loop joins are broadcast codebook crosses (16-row
+    // build sides); an unbroadcast cartesian would be corpus x corpus
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
