@@ -166,6 +166,30 @@ object CorpusPipeline {
     report
   }
 
+  /** Range-pruned term lookup over a [[writeInvertedIndex]] layout: the
+    * manifest (≤ #shards rows — a bounded driver read, same budget as the
+    * prefix-sum subtotals) names the only files whose [min_token,
+    * max_token] range can contain the term, and ONLY those files are
+    * opened. At 100 TB this is the difference between a point lookup
+    * touching one shard and a full-index scan; the served postings are
+    * identical to a full-scan filter by construction (ShardedIndexSpec
+    * proves it). Returns the pruned file list alongside the postings so
+    * callers (and the spec) can observe how much was skipped.
+    */
+  def lookupTerm(spark: SparkSession, indexDir: String, term: String)
+      : (Seq[String], org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val files = spark.read.parquet(s"$indexDir/inverted_manifest")
+      .filter($"min_token" <= term && $"max_token" >= term)
+      .select($"file").collect().map(_.getString(0)).toSeq
+    val postings =
+      if (files.isEmpty)
+        spark.read.parquet(s"$indexDir/inverted").filter(lit(false))
+      else
+        spark.read.parquet(files: _*).filter($"token" === term)
+    (files, postings.orderBy($"doc_id"))
+  }
+
   /** `runMain graft.pipeline.CorpusPipeline <sfDir> <outDir>` — prints a
     * one-line JSON report.
     */

@@ -64,6 +64,31 @@ class ShardedIndexSpec extends AnyFunSuite {
       "full-outer join must collapse to exact per-token agreement")
   }
 
+  test("range-pruned lookup reads a strict subset of shards and misses nothing") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$outDir/inverted")
+    val terms = all.select($"token").distinct()
+      .orderBy($"token").collect().map(_.getString(0))
+    assert(terms.length > 4, "need more terms than shards for pruning to show")
+    var prunedForSome = false
+    for (term <- Seq(terms.head, terms(terms.length / 2), terms.last)) {
+      val (files, postings) = CorpusPipeline.lookupTerm(spark, outDir, term)
+      val expected = all.filter($"token" === term)
+        .select($"doc_id", $"tf_doc").orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = postings.select($"doc_id", $"tf_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"lookup('$term') diverged from full scan")
+      assert(files.nonEmpty && files.length <= report.nShards)
+      if (files.length < report.nShards) prunedForSome = true
+    }
+    assert(prunedForSome,
+      "manifest pruning never skipped a shard — range pruning is inert")
+    // a term outside every range touches zero files and returns empty
+    val (noFiles, empty) = CorpusPipeline.lookupTerm(spark, outDir, "￿")
+    assert(noFiles.isEmpty && empty.isEmpty)
+  }
+
   test("shard files are internally sorted by (token, doc_id)") {
     import spark.implicits._
     val byFile = spark.read.parquet(s"$outDir/inverted")
