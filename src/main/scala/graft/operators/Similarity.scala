@@ -1140,8 +1140,76 @@ object Similarity {
              JOIN t ON e.vec_id = t.vec_id
       GROUP BY e.label ORDER BY e.label"""))
 
+  /** Embedding-space eval-set decontamination — the semantic twin of the
+    * n-gram `pipe_decontaminate`: val/test documents whose EMBEDDING has
+    * a near-duplicate (cosine ≥ 0.35) in the train split leak the answer
+    * to semantic-similarity evals even when no n-gram overlaps (a
+    * paraphrase contaminates embeddings, not shingles). Production
+    * pipelines audit both. Composes two proven parts: the stable-hash
+    * 80/10/10 split (pipe_split_counts — membership reproducible on any
+    * engine/partitioning) and the capacity-controlled LSH bucket join
+    * ([[cosineNearDupLsh]] — never all-pairs; a hot semantic cluster is
+    * spread across buckets by the hyperplane dial, and multiprobe widens
+    * recall when needed). Readout per eval split: doc count,
+    * contaminated count, and the contamination rate an eval-integrity
+    * gate thresholds on.
+    */
+  val embeddingDecontam: Q = Q(
+    "pipe_embedding_decontam",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id",
+          expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+            .as("bucket100"),
+          graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
+            .as("lsh"),
+          $"embedding")
+        .select($"vec_id",
+          when($"bucket100" < 80, "train")
+            .when($"bucket100" < 90, "val").otherwise("test").as("split"),
+          $"lsh", $"embedding")
+      val eval_ = e.filter($"split" =!= "train")
+      val train = e.filter($"split" === "train")
+        .select($"lsh", $"embedding".as("te"), $"vec_id".as("tid"))
+      val contaminated = eval_
+        .join(train, "lsh")
+        .filter($"vec_id" =!= $"tid")
+        .filter(cosine_similarity($"embedding", $"te") >= 0.35)
+        .select($"vec_id", $"split").distinct()
+      eval_.groupBy($"split").agg(count(lit(1)).as("n_docs"))
+        .join(contaminated.groupBy($"split")
+          .agg(count(lit(1)).as("n_contaminated")), Seq("split"), "left")
+        .select($"split", $"n_docs",
+          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+          (coalesce($"n_contaminated", lit(0L)).cast("double") / $"n_docs")
+            .as("contamination_rate"))
+        .orderBy($"split")
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          lsh, embedding
+        FROM (SELECT vec_id,
+                (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT) % 100 AS b,
+                $bucketExprDuck AS lsh, embedding
+              FROM embeddings)),
+      ev AS (SELECT * FROM e WHERE split != 'train'),
+      tr AS (SELECT lsh, embedding AS te, vec_id AS tid FROM e WHERE split = 'train'),
+      cont AS (SELECT DISTINCT ev.vec_id, ev.split
+               FROM ev JOIN tr ON ev.lsh = tr.lsh AND ev.vec_id != tr.tid
+               WHERE ${cosDuck("ev.embedding", "tr.te")} >= 0.35),
+      nc AS (SELECT split, count(*) AS n_contaminated FROM cont GROUP BY split)
+      SELECT ev.split, count(*) AS n_docs,
+        CAST(coalesce(any_value(nc.n_contaminated), 0) AS BIGINT) AS n_contaminated,
+        CAST(coalesce(any_value(nc.n_contaminated), 0) AS DOUBLE) / count(*)
+          AS contamination_rate
+      FROM ev LEFT JOIN nc ON ev.split = nc.split
+      GROUP BY ev.split ORDER BY ev.split"""))
+
   val all: Seq[Q] = Seq(bruteforceTopK, lshBuckets, lshTopK, lshMultiprobe,
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
-    ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh)
+    ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh,
+    embeddingDecontam)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.TestSpark
 import graft.functions.VectorFunctions.cosine_similarity
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{count, countDistinct, expr, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke + semantics tests for the north-star operators at sf0.001 (the
@@ -444,6 +444,39 @@ class NorthStarSpec extends AnyFunSuite {
     val lshTotalDropped = lsh.map(_.getLong(2)).sum
     assert(lshTotalDropped <= allPairsDrops.size,
       s"LSH dropped $lshTotalDropped > all-pairs bound ${allPairsDrops.size}")
+  }
+
+  test("embedding decontamination: LSH-found contamination is a sound subset of all-pairs") {
+    import graft.queries.Tables
+    val out = Similarity.embeddingDecontam.build(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+         r.getAs[Double]("contamination_rate"))).toMap
+    assert(out.keySet == Set("test", "val"))
+    out.foreach { case (split, (n, c, rate)) =>
+      assert(c <= n, s"$split: contaminated > docs")
+      assert(math.abs(rate - c.toDouble / n) < 1e-12)
+    }
+    // independent replay without blocking: every eval doc the LSH path
+    // flags must also be flagged by an exhaustive all-pairs check
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+          .as("b"), $"embedding")
+      .select($"vec_id",
+        when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test")
+          .as("split"), $"embedding")
+    val allPairsCont = e.filter($"split" =!= "train")
+      .crossJoin(e.filter($"split" === "train")
+        .select($"embedding".as("te"), $"vec_id".as("tid")))
+      .filter($"vec_id" =!= $"tid")
+      .filter(cosine_similarity($"embedding", $"te") >= 0.35)
+      .groupBy($"split").agg(countDistinct($"vec_id").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (split, (_, c, _)) =>
+      assert(c <= allPairsCont.getOrElse(split, 0L),
+        s"$split: LSH flagged more than the exhaustive check — unsound")
+    }
   }
 
   test("IVF-PQ multiprobe: recall@3 at nprobe=2 dominates nprobe=1 per query") {
