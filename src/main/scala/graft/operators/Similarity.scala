@@ -449,6 +449,51 @@ object Similarity {
       WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
 
+  /** Multiprobe variant of [[cosineNearDupLsh]]: every vector probes its
+    * own bucket plus the 8 Hamming-1 neighbors, so any pair whose buckets
+    * differ in at most one hyperplane sign is examined — the recall dial
+    * turned one notch. Hamming symmetry means restricting to
+    * `a_id < b_id` on the probe→home join still finds each qualifying
+    * pair exactly once (via the single flip equal to the bucket XOR), so
+    * no distinct is needed. Candidate volume grows by ≤ (planes+1)× while
+    * the join REMAINS a capacity-bounded equi-join; unlike
+    * [[lshMultiprobe]] (10 probe queries, broadcast), the probe side here
+    * is corpus-sized, so NO broadcast hint — AQE plans the exchange.
+    */
+  val cosineNearDupLshMp: Q = Q(
+    "dd_embedding_cosine_lsh_mp",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
+            .as("bucket"))
+      val probeArr = array(lit(0L) +: (0 until Planes).map(p =>
+        lit(1L << p)): _*)
+      val probes = e
+        .select($"vec_id".as("a_id"), $"embedding".as("ea"),
+          explode(probeArr).as("flip"), $"bucket")
+        .select($"a_id", $"ea", ($"bucket".bitwiseXOR($"flip")).as("pbucket"))
+      probes
+        .join(e.select($"vec_id".as("b_id"), $"bucket".as("pbucket"),
+          $"embedding".as("eb")), "pbucket")
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          cosine_similarity($"ea", $"eb").as("score"))
+        .filter($"score" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket
+               FROM embeddings),
+      probes AS (SELECT vec_id AS a_id, embedding AS ea,
+                   xor(bucket, f.flip) AS pbucket
+                 FROM e, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f)
+      SELECT p.a_id, h.vec_id AS b_id,
+        ${cosDuck("p.ea", "h.embedding")} AS score
+      FROM probes p JOIN e h ON p.pbucket = h.bucket AND p.a_id < h.vec_id
+      WHERE ${cosDuck("p.ea", "h.embedding")} >= 0.35
+      ORDER BY a_id, b_id"""))
+
   /** Per-label centroid vectors — the k-means/IVF training step (mean of
     * member embeddings, one value per (cluster, dimension)). Float
     * summation is partition-order-dependent, so each component is
@@ -1211,5 +1256,5 @@ object Similarity {
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
     ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh,
-    embeddingDecontam)
+    embeddingDecontam, cosineNearDupLshMp)
 }

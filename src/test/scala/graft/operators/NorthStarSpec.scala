@@ -511,6 +511,16 @@ class NorthStarSpec extends AnyFunSuite {
     assert(lshPairs.subsetOf(allPairs),
       s"LSH pairs not ⊆ all-pairs: ${(lshPairs -- allPairs).take(5)}")
     assert(lshPairs.nonEmpty, "expected some same-bucket near-dup pairs")
+    // the multiprobe dial: single-bucket ⊆ Hamming-1 multiprobe ⊆ truth,
+    // with strictly better recall on this corpus (boundary pairs whose
+    // buckets differ in exactly one hyperplane sign are recovered)
+    val mpPairs = Similarity.cosineNearDupLshMp.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(mpPairs), "flip=0 probe must retain all single-bucket pairs")
+    assert(mpPairs.subsetOf(allPairs),
+      s"multiprobe pairs not ⊆ all-pairs: ${(mpPairs -- allPairs).take(5)}")
+    assert(mpPairs.size > lshPairs.size,
+      s"multiprobe recovered nothing: ${mpPairs.size} vs ${lshPairs.size}")
   }
 
   test("frame dedup: distinct fingerprints bounded by frame count; rate in [0,1)") {
