@@ -167,27 +167,154 @@ object CorpusPipeline {
   }
 
   /** Range-pruned term lookup over a [[writeInvertedIndex]] layout: the
-    * manifest (≤ #shards rows — a bounded driver read, same budget as the
-    * prefix-sum subtotals) names the only files whose [min_token,
+    * manifests (≤ #shards rows each — a bounded driver read, same budget
+    * as the prefix-sum subtotals) name the only files whose [min_token,
     * max_token] range can contain the term, and ONLY those files are
-    * opened. At 100 TB this is the difference between a point lookup
-    * touching one shard and a full-index scan; the served postings are
-    * identical to a full-scan filter by construction (ShardedIndexSpec
-    * proves it). Returns the pruned file list alongside the postings so
-    * callers (and the spec) can observe how much was skipped.
+    * opened — base shards plus any uncompacted delta shards
+    * ([[appendBatch]]). At 100 TB this is the difference between a point
+    * lookup touching one shard (plus small deltas) and a full-index scan;
+    * the served postings are identical to a full-scan filter by
+    * construction (ShardedIndexSpec proves it). Returns the pruned file
+    * list alongside the postings so callers (and the spec) can observe
+    * how much was skipped.
     */
   def lookupTerm(spark: SparkSession, indexDir: String, term: String)
       : (Seq[String], org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
-    val files = spark.read.parquet(s"$indexDir/inverted_manifest")
-      .filter($"min_token" <= term && $"max_token" >= term)
-      .select($"file").collect().map(_.getString(0)).toSeq
+    def covering(manifestDir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(manifestDir)
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Seq.empty
+      else spark.read.parquet(manifestDir)
+        .filter($"min_token" <= term && $"max_token" >= term)
+        .select($"file").collect().map(_.getString(0)).toSeq
+    }
+    val files = covering(s"$indexDir/inverted_manifest") ++
+      covering(s"$indexDir/delta_manifest")
     val postings =
       if (files.isEmpty)
         spark.read.parquet(s"$indexDir/inverted").filter(lit(false))
       else
         spark.read.parquet(files: _*).filter($"token" === term)
     (files, postings.orderBy($"doc_id"))
+  }
+
+  /** Incremental index maintenance — append a NEW batch of documents'
+    * postings as a range-sharded DELTA instead of rebuilding the base
+    * (a 100 TB index receiving daily batches cannot re-shard the corpus
+    * per arrival). Contract: append-only, batch doc_ids disjoint from
+    * every earlier batch (updates/deletes need tombstones — a table
+    * format's job, out of scope). The delta is range-sharded over ITS
+    * OWN sampled boundaries and manifested separately; [[lookupTerm]]
+    * unions base + delta coverage, so reads stay pruned (one base shard
+    * + at most one small shard per uncompacted batch). Periodic
+    * [[compact]] folds deltas into a re-sharded base, restoring the
+    * one-shard lookup. The same postings rows flow through the same
+    * bounded-memory sort path as the base build.
+    */
+  def appendBatch(spark: SparkSession, indexDir: String, sfDir: String,
+      batchId: String, nShards: Int = 0): IndexReport = {
+    import spark.implicits._
+    val shards =
+      if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
+    val deltaDir = s"$indexDir/delta/batch=$batchId"
+    val obs = Observation()
+    graft.operators.TextAnalysis.postings(spark, sfDir)
+      .repartitionByRange(shards, $"token", $"doc_id")
+      .sortWithinPartitions($"token", $"doc_id")
+      .observe(obs, count(lit(1)).as("n_postings"))
+      .write.mode("errorifexists").parquet(deltaDir)
+
+    val manifest = spark.read.parquet(deltaDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
+        count(lit(1)).as("n_rows"),
+        count_distinct($"token").as("n_terms"))
+      .cache()
+    manifest.write.mode("append").parquet(s"$indexDir/delta_manifest")
+    val stats = manifest
+      .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
+        count(lit(1)).as("files")).head()
+    val report = IndexReport(
+      nShards = stats.getAs[Long]("files").toInt,
+      nPostings = obs.get("n_postings").asInstanceOf[Long],
+      nTerms = stats.getAs[Long]("terms"),
+      maxShardRows = stats.getAs[Long]("maxRows"))
+    manifest.unpersist()
+    report
+  }
+
+  /** Fold all uncompacted deltas into a freshly re-sharded base. The new
+    * base is written to a staging directory and swapped in with checked
+    * renames (the [[graft.streaming.EventStreamPipeline]] snapshot-swap
+    * discipline); deltas and their manifest are removed only after the
+    * promoted base proves readable, so a crash at any point leaves a
+    * lookup-consistent index (either old base + deltas, or new base).
+    *
+    * Reader contract: [[lookupTerm]] results are LAZY DataFrames over the
+    * index files — materialize (collect/write) them before compacting, or
+    * re-issue the lookup after; a lazy result held across a compaction
+    * fails on re-execution because its files were rewritten (file-level
+    * snapshot isolation is a table format's job, same caveat as any
+    * in-place parquet rewrite).
+    */
+  def compact(spark: SparkSession, indexDir: String, nShards: Int = 0)
+      : IndexReport = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(path(s"$indexDir/delta")))
+      throw new IllegalStateException(s"nothing to compact under $indexDir")
+    val shards =
+      if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
+
+    val all = spark.read.parquet(s"$indexDir/inverted")
+      .unionByName(spark.read.parquet(s"$indexDir/delta")
+        .select($"token", $"doc_id", $"tf_doc"))
+    val obs = Observation()
+    all
+      .repartitionByRange(shards, $"token", $"doc_id")
+      .sortWithinPartitions($"token", $"doc_id")
+      .observe(obs, count(lit(1)).as("n_postings"))
+      .write.mode("overwrite").parquet(s"$indexDir/inverted.staging")
+    val manifest = spark.read.parquet(s"$indexDir/inverted.staging")
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
+        count(lit(1)).as("n_rows"),
+        count_distinct($"token").as("n_terms"))
+    // manifest rows name staging files; rewrite to the post-swap paths
+    val swapped = manifest.withColumn("file",
+      regexp_replace($"file", "inverted\\.staging", "inverted"))
+    swapped.write.mode("overwrite")
+      .parquet(s"$indexDir/inverted_manifest.staging")
+
+    def renameOrThrow(a: String, b: String): Unit =
+      if (!fs.rename(path(a), path(b)))
+        throw new java.io.IOException(s"compact swap: rename $a -> $b failed")
+    if (!fs.delete(path(s"$indexDir/inverted.old"), true) &&
+        fs.exists(path(s"$indexDir/inverted.old")))
+      throw new java.io.IOException("compact swap: could not clear .old")
+    renameOrThrow(s"$indexDir/inverted", s"$indexDir/inverted.old")
+    renameOrThrow(s"$indexDir/inverted.staging", s"$indexDir/inverted")
+    renameOrThrow(s"$indexDir/inverted_manifest",
+      s"$indexDir/inverted_manifest.old")
+    renameOrThrow(s"$indexDir/inverted_manifest.staging",
+      s"$indexDir/inverted_manifest")
+    // verify readability before deleting the only other complete copies
+    val check = spark.read.parquet(s"$indexDir/inverted_manifest")
+    val stats = check
+      .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
+        count(lit(1)).as("files")).head()
+    fs.delete(path(s"$indexDir/inverted.old"), true)
+    fs.delete(path(s"$indexDir/inverted_manifest.old"), true)
+    fs.delete(path(s"$indexDir/delta"), true)
+    fs.delete(path(s"$indexDir/delta_manifest"), true)
+    IndexReport(
+      nShards = stats.getAs[Long]("files").toInt,
+      nPostings = obs.get("n_postings").asInstanceOf[Long],
+      nTerms = stats.getAs[Long]("terms"),
+      maxShardRows = stats.getAs[Long]("maxRows"))
   }
 
   /** `runMain graft.pipeline.CorpusPipeline <sfDir> <outDir>` — prints a

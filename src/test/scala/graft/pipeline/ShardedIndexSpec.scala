@@ -89,6 +89,51 @@ class ShardedIndexSpec extends AnyFunSuite {
     assert(noFiles.isEmpty && empty.isEmpty)
   }
 
+  test("delta append + compaction serve the same postings as a full rebuild") {
+    import spark.implicits._
+    // split the corpus into a base half and an arriving batch
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    val baseSf = java.nio.file.Files.createTempDirectory("graft-ix-base").toString
+    val newSf = java.nio.file.Files.createTempDirectory("graft-ix-new").toString
+    docs.filter($"doc_id" <= mid).write.parquet(s"$baseSf/documents.parquet")
+    docs.filter($"doc_id" > mid).write.parquet(s"$newSf/documents.parquet")
+
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ix-inc").toString
+    val base = CorpusPipeline.writeInvertedIndex(spark, baseSf, ixDir, nShards = 4)
+    val delta = CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 2)
+    assert(base.nPostings > 0 && delta.nPostings > 0)
+
+    // ground truth: a from-scratch index over the full corpus
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-ix-full").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, fullDir, nShards = 4)
+
+    def served(dir: String, term: String): Seq[(Long, Long)] =
+      CorpusPipeline.lookupTerm(spark, dir, term)._2
+        .select($"doc_id", $"tf_doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val terms = spark.read.parquet(s"$fullDir/inverted")
+      .select($"token").distinct().orderBy($"token")
+      .collect().map(_.getString(0))
+    val probeTerms = Seq(terms.head, terms(terms.length / 2), terms.last)
+    for (t <- probeTerms)
+      assert(served(ixDir, t) == served(fullDir, t),
+        s"base+delta lookup('$t') != full rebuild")
+
+    // compaction folds the delta in and removes it; lookups unchanged
+    val compacted = CorpusPipeline.compact(spark, ixDir, nShards = 4)
+    assert(compacted.nPostings == base.nPostings + delta.nPostings)
+    val fs = new org.apache.hadoop.fs.Path(ixDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ixDir/delta")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ixDir/delta_manifest")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ixDir/inverted.old")))
+    for (t <- probeTerms)
+      assert(served(ixDir, t) == served(fullDir, t),
+        s"post-compaction lookup('$t') != full rebuild")
+  }
+
   test("shard files are internally sorted by (token, doc_id)") {
     import spark.implicits._
     val byFile = spark.read.parquet(s"$outDir/inverted")
