@@ -258,12 +258,80 @@ object CorpusPipeline {
     * snapshot isolation is a table format's job, same caveat as any
     * in-place parquet rewrite).
     */
+  /** Crash recovery for an interrupted [[compact]] swap — called on every
+    * compact entry; single-writer operational contract (readers during a
+    * crashed compaction run this before serving, same assumption as the
+    * streaming snapshot swap). The `.staging` / `.old` directories fully
+    * determine which window the crash hit:
+    *
+    *   - staged base complete (`_SUCCESS`) and the live base missing →
+    *     ROLL FORWARD: promote staging, swap the staged manifest in,
+    *     delete the folded-in deltas (the staged base includes them by
+    *     construction — serving them again would double postings).
+    *   - live base present and a staged base still present → the swap
+    *     never started (or the staged write died): ROLL BACK by deleting
+    *     staging remnants; deltas stay, the next compact redoes the work.
+    *   - live base present, staged MANIFEST present but staged base gone
+    *     → the base was promoted but the manifest swap didn't finish:
+    *     finish it (the live manifest still points at retired files) and
+    *     delete the deltas.
+    *   - manifest missing with a `.old` survivor → restore it.
+    *
+    * Every terminal state is lookup-consistent: either the old base with
+    * its deltas, or the new base with neither.
+    */
+  def recoverIndex(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def exists(s: String) = fs.exists(path(s))
+    def renameOrThrow(a: String, b: String): Unit =
+      if (!fs.rename(path(a), path(b)))
+        throw new java.io.IOException(s"index recovery: rename $a -> $b failed")
+    val base = s"$indexDir/inverted"
+    val man = s"$indexDir/inverted_manifest"
+    val stagedBaseOk = exists(s"$base.staging/_SUCCESS")
+    var rolledForward = false
+    if (!exists(base)) {
+      if (stagedBaseOk) { renameOrThrow(s"$base.staging", base); rolledForward = true }
+      else if (exists(s"$base.old")) renameOrThrow(s"$base.old", base)
+      else if (exists(base + ".staging") || exists(s"$man.staging"))
+        throw new java.io.IOException(
+          s"index recovery: no complete base survivor under $indexDir")
+    } else if (exists(s"$base.staging")) {
+      // swap never started (or staged write incomplete): roll back
+      fs.delete(path(s"$base.staging"), true)
+      fs.delete(path(s"$man.staging"), true)
+    }
+    if (exists(s"$man.staging") && !exists(s"$base.staging")) {
+      // base promoted, manifest swap unfinished — finish it
+      if (exists(man)) renameOrThrow(man, s"$man.old")
+      renameOrThrow(s"$man.staging", man)
+      rolledForward = true
+    } else if (!exists(man) && exists(s"$man.old")) {
+      renameOrThrow(s"$man.old", man)
+    }
+    if (rolledForward) {
+      // verify the promoted copies serve before discarding survivors
+      spark.read.parquet(man).count()
+      spark.read.parquet(base).schema
+      fs.delete(path(s"$base.old"), true)
+      fs.delete(path(s"$man.old"), true)
+      fs.delete(path(s"$indexDir/delta"), true)
+      fs.delete(path(s"$indexDir/delta_manifest"), true)
+    } else if (!exists(s"$base.staging") && !exists(s"$man.staging")) {
+      fs.delete(path(s"$base.old"), true)
+      fs.delete(path(s"$man.old"), true)
+    }
+  }
+
   def compact(spark: SparkSession, indexDir: String, nShards: Int = 0)
       : IndexReport = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    recoverIndex(spark, indexDir)
     if (!fs.exists(path(s"$indexDir/delta")))
       throw new IllegalStateException(s"nothing to compact under $indexDir")
     val shards =

@@ -134,6 +134,56 @@ class ShardedIndexSpec extends AnyFunSuite {
         s"post-compaction lookup('$t') != full rebuild")
   }
 
+  test("compaction crash on the promote rename recovers to a consistent index") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // real fault injection on the rename seam (same FaultyRenameFs the
+    // streaming snapshot-swap spec uses): the promote rename of
+    // inverted.staging fails mid-compact, and recovery must roll the
+    // completed staging forward — including deleting the folded-in
+    // deltas, or lookups would double-count postings
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl", classOf[graft.streaming.FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val localDir = java.nio.file.Files.createTempDirectory("graft-ix-crash").toString
+    val ixDir = s"faulty://$localDir/ix"
+    CorpusPipeline.writeInvertedIndex(spark, sf, ixDir, nShards = 4)
+    CorpusPipeline.appendBatch(spark, ixDir, sf, "b1", nShards = 2)
+    def serveAll(dir: String): Map[String, Long] = {
+      // postings per token through the pruned lookup path
+      val terms = spark.read.parquet(s"$dir/inverted")
+        .select($"token").distinct().collect().map(_.getString(0))
+      terms.map(t =>
+        t -> CorpusPipeline.lookupTerm(spark, dir, t)._2.count()).toMap
+    }
+    val before = serveAll(ixDir)
+
+    graft.streaming.FaultyRenameFs.failNextPromote.set(true)
+    val e = intercept[java.io.IOException] {
+      CorpusPipeline.compact(spark, ixDir, nShards = 4)
+    }
+    assert(e.getMessage.contains("rename"), e.getMessage)
+    assert(!graft.streaming.FaultyRenameFs.failNextPromote.get, "fault must fire")
+    val fs = new Path(ixDir).getFileSystem(hconf)
+    assert(!fs.exists(new Path(s"$ixDir/inverted")),
+      "crash must land between retire and promote")
+    assert(fs.exists(new Path(s"$ixDir/inverted.staging/_SUCCESS")))
+
+    // recovery rolls the staged base forward and retires the deltas
+    CorpusPipeline.recoverIndex(spark, ixDir)
+    assert(fs.exists(new Path(s"$ixDir/inverted")))
+    assert(!fs.exists(new Path(s"$ixDir/delta")) &&
+      !fs.exists(new Path(s"$ixDir/delta_manifest")),
+      "rolled-forward base already contains the deltas")
+    assert(!fs.exists(new Path(s"$ixDir/inverted.old")) &&
+      !fs.exists(new Path(s"$ixDir/inverted.staging")))
+    assert(serveAll(ixDir) == before,
+      "post-recovery lookups must serve the same postings")
+    // idempotent: a second recovery on the healthy index is a no-op
+    CorpusPipeline.recoverIndex(spark, ixDir)
+    assert(serveAll(ixDir) == before)
+  }
+
   test("shard files are internally sorted by (token, doc_id)") {
     import spark.implicits._
     val byFile = spark.read.parquet(s"$outDir/inverted")
