@@ -181,10 +181,10 @@ object CorpusPipeline {
   def lookupTerm(spark: SparkSession, indexDir: String, term: String)
       : (Seq[String], org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def covering(manifestDir: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(manifestDir)
-      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        Seq.empty
+      if (!fs.exists(new org.apache.hadoop.fs.Path(manifestDir))) Seq.empty
       else spark.read.parquet(manifestDir)
         .filter($"min_token" <= term && $"max_token" >= term)
         .select($"file").collect().map(_.getString(0)).toSeq
@@ -196,15 +196,51 @@ object CorpusPipeline {
         spark.read.parquet(s"$indexDir/inverted").filter(lit(false))
       else
         spark.read.parquet(files: _*).filter($"token" === term)
-    (files, postings.orderBy($"doc_id"))
+    // tombstoned doc_ids ([[deleteDocs]]) are hidden until the next
+    // compaction physically drops them; the tombstone set is small
+    // (deletes since the last compact), so the anti-join broadcasts it —
+    // the postings side never moves
+    val tombDir = s"$indexDir/tombstones"
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
+        postings.join(
+          broadcast(spark.read.parquet(tombDir).select($"doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      else postings
+    (files, live.orderBy($"doc_id"))
+  }
+
+  /** Tombstone delete — the redaction path for the incremental index. A
+    * 100 TB corpus pipeline re-crawls and redacts; rewriting shards per
+    * delete is not an option, so deletes are LOGICAL until the next
+    * [[compact]]: the doc_ids append to `<indexDir>/tombstones` (a tiny
+    * parquet set) and [[lookupTerm]] anti-joins its pruned postings
+    * against them, making the delete visible immediately without touching
+    * any shard. [[compact]] drops tombstoned postings physically while
+    * folding deltas, then retires the tombstones. Idempotent: deleting an
+    * already-deleted (or absent) doc_id is a no-op, and a crashed
+    * deleteDocs retry just re-appends the same ids (the anti-join
+    * de-duplicates). Contract (single-writer, as [[appendBatch]]): a
+    * tombstoned doc_id must not be re-added until a compaction retires
+    * the tombstone — the anti-join would hide (and compact would drop)
+    * the re-added postings along with the old ones.
+    */
+  def deleteDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long])
+      : Unit = {
+    import spark.implicits._
+    recoverIndex(spark, indexDir)
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
   }
 
   /** Incremental index maintenance — append a NEW batch of documents'
     * postings as a range-sharded DELTA instead of rebuilding the base
     * (a 100 TB index receiving daily batches cannot re-shard the corpus
-    * per arrival). Contract: append-only, batch doc_ids disjoint from
-    * every earlier batch (updates/deletes need tombstones — a table
-    * format's job, out of scope). The delta is range-sharded over ITS
+    * per arrival). Contract: batch doc_ids disjoint from every earlier
+    * live batch; deletes/redactions go through [[deleteDocs]] tombstones,
+    * and an update is delete + compact + re-add (re-adding a doc_id whose
+    * tombstone is still pending would hide the new postings too — see
+    * [[deleteDocs]]). The delta is range-sharded over ITS
     * OWN sampled boundaries and manifested separately; [[lookupTerm]]
     * unions base + delta coverage, so reads stay pruned (one base shard
     * + at most one small shard per uncompacted batch). Periodic
@@ -218,30 +254,58 @@ object CorpusPipeline {
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
     val deltaDir = s"$indexDir/delta/batch=$batchId"
-    val obs = Observation()
-    graft.operators.TextAnalysis.postings(spark, sfDir)
-      .repartitionByRange(shards, $"token", $"doc_id")
-      .sortWithinPartitions($"token", $"doc_id")
-      .observe(obs, count(lit(1)).as("n_postings"))
-      .write.mode("errorifexists").parquet(deltaDir)
+    val manDir = s"$indexDir/delta_manifest"
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(s: String) = fs.exists(new org.apache.hadoop.fs.Path(s))
+    recoverIndex(spark, indexDir)
+    // The manifest rows are the batch's COMMIT POINT. A crash between the
+    // delta write and the manifest append leaves orphan delta files no
+    // lookup serves (but a later compact would silently fold in) and, with
+    // errorifexists alone, a retry that fails forever. So on entry:
+    //  - delta dir present WITH manifest rows → the batch committed; the
+    //    retry is an idempotent no-op serving the recorded report.
+    //  - delta dir present WITHOUT manifest rows → orphan from a crashed
+    //    attempt (complete or partial); delete it and rewrite.
+    def committedRows = spark.read.parquet(manDir)
+      .filter($"file".contains(s"/batch=$batchId/"))
+    if (exists(deltaDir) && exists(manDir) && committedRows.limit(1).count() > 0) {
+      val stats = committedRows
+        .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
+          count(lit(1)).as("files"), sum($"n_rows").as("posts")).head()
+      IndexReport(
+        nShards = stats.getAs[Long]("files").toInt,
+        nPostings = stats.getAs[Long]("posts"),
+        nTerms = stats.getAs[Long]("terms"),
+        maxShardRows = stats.getAs[Long]("maxRows"))
+    } else {
+      if (exists(deltaDir))
+        fs.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+      val obs = Observation()
+      graft.operators.TextAnalysis.postings(spark, sfDir)
+        .repartitionByRange(shards, $"token", $"doc_id")
+        .sortWithinPartitions($"token", $"doc_id")
+        .observe(obs, count(lit(1)).as("n_postings"))
+        .write.mode("errorifexists").parquet(deltaDir)
 
-    val manifest = spark.read.parquet(deltaDir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
-        count(lit(1)).as("n_rows"),
-        count_distinct($"token").as("n_terms"))
-      .cache()
-    manifest.write.mode("append").parquet(s"$indexDir/delta_manifest")
-    val stats = manifest
-      .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
-        count(lit(1)).as("files")).head()
-    val report = IndexReport(
-      nShards = stats.getAs[Long]("files").toInt,
-      nPostings = obs.get("n_postings").asInstanceOf[Long],
-      nTerms = stats.getAs[Long]("terms"),
-      maxShardRows = stats.getAs[Long]("maxRows"))
-    manifest.unpersist()
-    report
+      val manifest = spark.read.parquet(deltaDir)
+        .groupBy(input_file_name().as("file"))
+        .agg(min($"token").as("min_token"), max($"token").as("max_token"),
+          count(lit(1)).as("n_rows"),
+          count_distinct($"token").as("n_terms"))
+        .cache()
+      manifest.write.mode("append").parquet(manDir)
+      val stats = manifest
+        .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
+          count(lit(1)).as("files")).head()
+      val report = IndexReport(
+        nShards = stats.getAs[Long]("files").toInt,
+        nPostings = obs.get("n_postings").asInstanceOf[Long],
+        nTerms = stats.getAs[Long]("terms"),
+        maxShardRows = stats.getAs[Long]("maxRows"))
+      manifest.unpersist()
+      report
+    }
   }
 
   /** Fold all uncompacted deltas into a freshly re-sharded base. The new
@@ -276,6 +340,12 @@ object CorpusPipeline {
     *     finish it (the live manifest still points at retired files) and
     *     delete the deltas.
     *   - manifest missing with a `.old` survivor → restore it.
+    *   - live base present, NO staging, but a `.old` survivor → a compact
+    *     finished its swap and crashed mid-cleanup: the live base already
+    *     contains the folded-in deltas (and excludes tombstoned docs), so
+    *     finish the cleanup — delta_manifest, delta, tombstones, and only
+    *     THEN the `.old` markers. The `.old` survivor is what keys this
+    *     state, which is why every cleanup deletes it LAST.
     *
     * Every terminal state is lookup-consistent: either the old base with
     * its deltas, or the new base with neither.
@@ -290,6 +360,11 @@ object CorpusPipeline {
         throw new java.io.IOException(s"index recovery: rename $a -> $b failed")
     val base = s"$indexDir/inverted"
     val man = s"$indexDir/inverted_manifest"
+    // captured at entry: a staging dir present NOW means the swap hadn't
+    // finished, so any deltas are NOT folded into the live base and must
+    // survive a rollback — the cleanup-in-progress branch below is only
+    // safe when no staging existed
+    val hadStaging = exists(s"$base.staging") || exists(s"$man.staging")
     val stagedBaseOk = exists(s"$base.staging/_SUCCESS")
     var rolledForward = false
     if (!exists(base)) {
@@ -315,14 +390,33 @@ object CorpusPipeline {
       // verify the promoted copies serve before discarding survivors
       spark.read.parquet(man).count()
       spark.read.parquet(base).schema
-      fs.delete(path(s"$base.old"), true)
-      fs.delete(path(s"$man.old"), true)
-      fs.delete(path(s"$indexDir/delta"), true)
-      fs.delete(path(s"$indexDir/delta_manifest"), true)
-    } else if (!exists(s"$base.staging") && !exists(s"$man.staging")) {
-      fs.delete(path(s"$base.old"), true)
-      fs.delete(path(s"$man.old"), true)
+      cleanupAfterSwap(fs, indexDir)
+    } else if (!hadStaging &&
+        (exists(s"$base.old") || exists(s"$man.old"))) {
+      // compaction-cleanup-in-progress: swap complete, cleanup interrupted
+      cleanupAfterSwap(fs, indexDir)
     }
+  }
+
+  /** Post-swap cleanup, shared by [[compact]] and [[recoverIndex]]. The
+    * ORDER is the crash contract: delta_manifest first (after it, lookups
+    * serve the new base only — the old order could leave manifest rows
+    * naming deleted files, or a manifest-less delta a later compact would
+    * silently double-fold), then the delta files, then tombstones (already
+    * applied to the new base), and the `.old` markers strictly LAST — they
+    * are what recoverIndex keys on to finish an interrupted cleanup.
+    */
+  private def cleanupAfterSwap(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def deleteOrThrow(s: String): Unit =
+      if (!fs.delete(path(s), true) && fs.exists(path(s)))
+        throw new java.io.IOException(s"compact cleanup: could not delete $s")
+    deleteOrThrow(s"$indexDir/delta_manifest")
+    deleteOrThrow(s"$indexDir/delta")
+    deleteOrThrow(s"$indexDir/tombstones")
+    deleteOrThrow(s"$indexDir/inverted.old")
+    deleteOrThrow(s"$indexDir/inverted_manifest.old")
   }
 
   def compact(spark: SparkSession, indexDir: String, nShards: Int = 0)
@@ -332,14 +426,30 @@ object CorpusPipeline {
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
     recoverIndex(spark, indexDir)
-    if (!fs.exists(path(s"$indexDir/delta")))
+    val hasDelta = fs.exists(path(s"$indexDir/delta"))
+    val hasTombs = fs.exists(path(s"$indexDir/tombstones"))
+    if (!hasDelta && !hasTombs)
       throw new IllegalStateException(s"nothing to compact under $indexDir")
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
 
-    val all = spark.read.parquet(s"$indexDir/inverted")
-      .unionByName(spark.read.parquet(s"$indexDir/delta")
-        .select($"token", $"doc_id", $"tf_doc"))
+    val baseAndDelta =
+      if (hasDelta)
+        spark.read.parquet(s"$indexDir/inverted")
+          .unionByName(spark.read.parquet(s"$indexDir/delta")
+            .select($"token", $"doc_id", $"tf_doc"))
+      else spark.read.parquet(s"$indexDir/inverted")
+    // physical drop of tombstoned postings ([[deleteDocs]]) — the same
+    // broadcast anti-join shape as the lookup path, applied once per
+    // compaction instead of per read
+    val all =
+      if (hasTombs)
+        baseAndDelta.join(
+          broadcast(spark.read.parquet(s"$indexDir/tombstones")
+            .select($"doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+          .select($"token", $"doc_id", $"tf_doc")
+      else baseAndDelta
     val obs = Observation()
     all
       .repartitionByRange(shards, $"token", $"doc_id")
@@ -374,10 +484,7 @@ object CorpusPipeline {
     val stats = check
       .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
         count(lit(1)).as("files")).head()
-    fs.delete(path(s"$indexDir/inverted.old"), true)
-    fs.delete(path(s"$indexDir/inverted_manifest.old"), true)
-    fs.delete(path(s"$indexDir/delta"), true)
-    fs.delete(path(s"$indexDir/delta_manifest"), true)
+    cleanupAfterSwap(fs, indexDir)
     IndexReport(
       nShards = stats.getAs[Long]("files").toInt,
       nPostings = obs.get("n_postings").asInstanceOf[Long],

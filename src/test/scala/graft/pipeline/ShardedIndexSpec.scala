@@ -184,6 +184,157 @@ class ShardedIndexSpec extends AnyFunSuite {
     assert(serveAll(ixDir) == before)
   }
 
+  private def servedPostings(dir: String, term: String): Seq[(Long, Long)] = {
+    import spark.implicits._
+    CorpusPipeline.lookupTerm(spark, dir, term)._2
+      .select($"doc_id", $"tf_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("tombstone delete hides docs immediately; compaction drops them physically") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ix-tomb").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, ixDir, nShards = 4)
+    val all = spark.read.parquet(s"$ixDir/inverted")
+    val terms = all.select($"token").distinct().orderBy($"token")
+      .collect().map(_.getString(0))
+    val probeTerms = Seq(terms.head, terms(terms.length / 2), terms.last)
+    // victims: two docs that actually carry the middle probe term, so the
+    // delete is observable through the pruned lookup
+    val victims = all.filter($"token" === probeTerms(1))
+      .select($"doc_id").distinct().orderBy($"doc_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    assert(victims.size == 2)
+
+    CorpusPipeline.deleteDocs(spark, ixDir, victims)
+    // visible immediately, before any compaction
+    assert(servedPostings(ixDir, probeTerms(1)).forall(p => !victims.contains(p._1)))
+
+    // ground truth: a from-scratch index over the corpus minus the victims
+    val prunedSf = java.nio.file.Files.createTempDirectory("graft-ix-psf").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(!$"doc_id".isin(victims: _*))
+      .write.parquet(s"$prunedSf/documents.parquet")
+    val refDir = java.nio.file.Files.createTempDirectory("graft-ix-ref").toString
+    val ref = CorpusPipeline.writeInvertedIndex(spark, prunedSf, refDir, nShards = 4)
+    for (t <- probeTerms)
+      assert(servedPostings(ixDir, t) == servedPostings(refDir, t),
+        s"tombstoned lookup('$t') != rebuild-without-docs")
+
+    // idempotent: re-deleting the same ids changes nothing
+    CorpusPipeline.deleteDocs(spark, ixDir, victims)
+    assert(servedPostings(ixDir, probeTerms(1)) == servedPostings(refDir, probeTerms(1)))
+
+    // tombstone-only compaction (no pending delta) drops postings physically
+    val rep = CorpusPipeline.compact(spark, ixDir, nShards = 4)
+    val fs = new Path(ixDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$ixDir/tombstones")), "compaction retires tombstones")
+    assert(spark.read.parquet(s"$ixDir/inverted")
+      .filter($"doc_id".isin(victims: _*)).isEmpty,
+      "tombstoned postings must be physically gone after compaction")
+    assert(rep.nPostings == ref.nPostings)
+    for (t <- probeTerms)
+      assert(servedPostings(ixDir, t) == servedPostings(refDir, t),
+        s"post-compaction lookup('$t') != rebuild-without-docs")
+  }
+
+  test("crash inside post-swap cleanup leaves a state recovery can finish") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // the ADVICE scenario: the swap completed (new base live) but cleanup
+    // crashed on its FIRST delete, leaving delta + delta_manifest +
+    // tombstones + .old markers all present. Without the ordered cleanup
+    // and the .old-keyed recovery branch, a lookup double-counts the
+    // folded-in deltas and a later compact double-folds them.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl", classOf[graft.streaming.FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val localDir = java.nio.file.Files.createTempDirectory("graft-ix-clnup").toString
+    val ixDir = s"faulty://$localDir/ix"
+    CorpusPipeline.writeInvertedIndex(spark, sf, ixDir, nShards = 4)
+    CorpusPipeline.appendBatch(spark, ixDir, sf, "b1", nShards = 2)
+    val fs = new Path(ixDir).getFileSystem(hconf)
+    val victims = spark.read.parquet(s"$ixDir/inverted")
+      .select($"doc_id").distinct().orderBy($"doc_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    CorpusPipeline.deleteDocs(spark, ixDir, victims)
+
+    def serveAll(dir: String): Map[String, Long] = {
+      val terms = spark.read.parquet(s"$dir/inverted")
+        .select($"token").distinct().collect().map(_.getString(0))
+      terms.map(t =>
+        t -> CorpusPipeline.lookupTerm(spark, dir, t)._2.count()).toMap
+    }
+    val before = serveAll(ixDir)
+
+    graft.streaming.FaultyRenameFs.failNextDeleteSuffix.set("delta_manifest")
+    val e = intercept[java.io.IOException] {
+      CorpusPipeline.compact(spark, ixDir, nShards = 4)
+    }
+    assert(e.getMessage.contains("injected delete failure"), e.getMessage)
+    assert(graft.streaming.FaultyRenameFs.failNextDeleteSuffix.get() == null,
+      "fault must fire")
+    // the crash state the ADVICE described: new base live, remnants present
+    assert(fs.exists(new Path(s"$ixDir/inverted")) &&
+      fs.exists(new Path(s"$ixDir/inverted.old")) &&
+      fs.exists(new Path(s"$ixDir/delta")) &&
+      fs.exists(new Path(s"$ixDir/delta_manifest")) &&
+      fs.exists(new Path(s"$ixDir/tombstones")))
+
+    CorpusPipeline.recoverIndex(spark, ixDir)
+    for (d <- Seq("delta", "delta_manifest", "tombstones",
+        "inverted.old", "inverted_manifest.old"))
+      assert(!fs.exists(new Path(s"$ixDir/$d")), s"$d must be cleaned up")
+    assert(serveAll(ixDir) == before,
+      "recovered index must serve exactly the pre-compaction live postings")
+    // and a fresh append + compact on the recovered index works end-to-end
+    CorpusPipeline.appendBatch(spark, ixDir, sf, "b2", nShards = 2)
+    CorpusPipeline.compact(spark, ixDir, nShards = 4)
+    assert(!fs.exists(new Path(s"$ixDir/delta")))
+  }
+
+  test("appendBatch recovers a half-appended batch and a committed retry is a no-op") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    val baseSf = java.nio.file.Files.createTempDirectory("graft-ab-base").toString
+    val newSf = java.nio.file.Files.createTempDirectory("graft-ab-new").toString
+    docs.filter($"doc_id" <= mid).write.parquet(s"$baseSf/documents.parquet")
+    docs.filter($"doc_id" > mid).write.parquet(s"$newSf/documents.parquet")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ab-ix").toString
+    CorpusPipeline.writeInvertedIndex(spark, baseSf, ixDir, nShards = 4)
+
+    val r1 = CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 2)
+    val fs = new Path(ixDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: delta files written, manifest append never happened —
+    // the orphan postings must be invisible to lookup and a retry must
+    // rewrite them instead of failing forever on errorifexists
+    fs.delete(new Path(s"$ixDir/delta_manifest"), true)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-ab-full").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, fullDir, nShards = 4)
+    val probe = spark.read.parquet(s"$fullDir/inverted")
+      .select($"token").distinct().orderBy($"token")
+      .collect().map(_.getString(0))
+    val probeTerms = Seq(probe.head, probe(probe.length / 2), probe.last)
+
+    val r2 = CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 2)
+    assert(r2.nPostings == r1.nPostings, "rewritten batch must carry the same postings")
+    for (t <- probeTerms)
+      assert(servedPostings(ixDir, t) == servedPostings(fullDir, t),
+        s"post-recovery lookup('$t') != full rebuild")
+
+    // batch already committed → the retry is an idempotent no-op
+    val r3 = CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 2)
+    assert(r3.nPostings == r1.nPostings && r3.nShards == r2.nShards)
+    val man = spark.read.parquet(s"$ixDir/delta_manifest")
+    assert(man.count() == man.select($"file").distinct().count(),
+      "no duplicate manifest rows after the retry")
+    for (t <- probeTerms)
+      assert(servedPostings(ixDir, t) == servedPostings(fullDir, t))
+  }
+
   test("shard files are internally sorted by (token, doc_id)") {
     import spark.implicits._
     val byFile = spark.read.parquet(s"$outDir/inverted")

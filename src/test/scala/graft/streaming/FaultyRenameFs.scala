@@ -28,8 +28,24 @@ class FaultyRenameFs extends RawLocalFileSystem {
     }
     super.rename(src, dst)
   }
+
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    val suffix = FaultyRenameFs.failNextDeleteSuffix.get()
+    if (suffix != null && p.toString.endsWith(suffix)) {
+      FaultyRenameFs.failNextDeleteSuffix.set(null)
+      throw new java.io.IOException(s"injected delete failure: $p")
+    }
+    super.delete(p, recursive)
+  }
 }
 
 object FaultyRenameFs {
   val failNextPromote = new AtomicBoolean(false)
+  /** When set, the next delete of a path ending with this suffix throws
+    * and disarms — crashes CorpusPipeline.compact inside its post-swap
+    * cleanup (e.g. suffix "delta_manifest" fails the FIRST cleanup
+    * delete, leaving new base + .old markers + full delta remnants).
+    */
+  val failNextDeleteSuffix =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 }
