@@ -578,7 +578,13 @@ object CorpusCuration {
           md5(concat(lit("shuf42:"), $"doc_id".cast(StringType))).as("skey"))
         .repartitionByRange(s.sparkContext.defaultParallelism, $"skey", $"doc_id")
         .withColumn("pid", spark_partition_id())
-        .cache()
+        // localCheckpoint, not cache(): it pins the SAME materialized
+        // partitioning for both consumers (subtotal collect + window job)
+        // by truncating lineage — recompute is impossible, not merely
+        // unlikely — and unlike CacheManager entries its blocks are
+        // released when the plan is GC'd, so a long-lived JVM running all
+        // 145 queries doesn't accumulate pinned storage from this Q
+        .localCheckpoint()
       val nParts = s.sparkContext.defaultParallelism
       val subtotals = keyed.groupBy($"pid").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -69,6 +69,14 @@ object Similarity {
   private val Dim = 64
   private val Planes = 8
 
+  /** DuckDB-side multiprobe flip list, derived from [[Planes]] so the
+    * oracle's probe set can never silently diverge from the Spark side
+    * (which builds the same list as `lit(0L) +: (0 until Planes).map(1L
+    * << _)`).
+    */
+  private def flipListDuck: String =
+    (0L +: (0 until Planes).map(p => 1L << p)).mkString(", ")
+
   private def bucketExprDuck: String = {
     val bits = (0 until Planes).map { p =>
       val w = weight(p)("j")
@@ -158,7 +166,7 @@ object Similarity {
     Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket FROM embeddings),
       probes AS (SELECT vec_id AS qid, embedding AS qe,
                    xor(bucket, f.flip) AS pbucket
-                 FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+                 FROM b, (SELECT unnest([$flipListDuck]) AS flip) f
                  WHERE vec_id < 10),
       s AS (SELECT p.qid, c.vec_id AS cid,
                    ${cosDuck("p.qe", "c.embedding")} AS score
@@ -487,12 +495,87 @@ object Similarity {
                FROM embeddings),
       probes AS (SELECT vec_id AS a_id, embedding AS ea,
                    xor(bucket, f.flip) AS pbucket
-                 FROM e, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f)
+                 FROM e, (SELECT unnest([$flipListDuck]) AS flip) f)
       SELECT p.a_id, h.vec_id AS b_id,
         ${cosDuck("p.ea", "h.embedding")} AS score
       FROM probes p JOIN e h ON p.pbucket = h.bucket AND p.a_id < h.vec_id
       WHERE ${cosDuck("p.ea", "h.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
+
+  /** Recall readout for the embedding near-dup family — the measurement
+    * that justifies promoting [[cosineNearDupLsh]]/[[cosineNearDupLshMp]]
+    * over the exact baseline. One row per method: pair count and recall
+    * against exact truth (unblocked all-pairs at the same threshold).
+    * Both blocked variants examine candidate SUBSETS of the all-pairs
+    * set at the same score threshold, so recall = n_method / n_exact
+    * exactly, no pair-level join needed. The exact side is intentionally
+    * quadratic — it is the measurement harness, not a serving path: at
+    * corpus scale the same readout runs over a fixed-size sample (the
+    * recall estimate needs only enough truth pairs for a tight CI, not
+    * the corpus), while the LSH sides scale as capacity-bounded
+    * equi-joins. Occupancy scaling for the same bucket key is measured
+    * in `LshOccupancyStudy` (SCALE.md).
+    */
+  val embeddingRecall: Q = Q(
+    "dd_embedding_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
+            .as("bucket"))
+      val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"),
+        $"bucket".as("ba"))
+      val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"),
+        $"bucket".as("bb"))
+      val exact = a.crossJoin(b)
+        .filter($"a_id" < $"b_id" &&
+          cosine_similarity($"ea", $"eb") >= 0.35)
+        .select($"a_id", $"b_id")
+      val lsh = a.join(b, $"ba" === $"bb" && $"a_id" < $"b_id")
+        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+        .select($"a_id", $"b_id")
+      // Hamming-1 multiprobe: each qualifying pair matches via exactly
+      // one flip (the bucket XOR), so no distinct — same argument as
+      // cosineNearDupLshMp
+      val probeArr = array(lit(0L) +: (0 until Planes).map(p =>
+        lit(1L << p)): _*)
+      val mp = a.select($"a_id", $"ea", explode(probeArr).as("flip"), $"ba")
+        .select($"a_id", $"ea", ($"ba".bitwiseXOR($"flip")).as("pbucket"))
+        .join(b, $"pbucket" === $"bb" && $"a_id" < $"b_id")
+        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+        .select($"a_id", $"b_id")
+      def cnt(df: DataFrame, m: String): DataFrame =
+        df.agg(count(lit(1)).as("n_pairs")).select(lit(m).as("method"), $"n_pairs")
+      cnt(exact, "exact").unionAll(cnt(lsh, "lsh")).unionAll(cnt(mp, "lsh_mp"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select($"method", $"n_pairs",
+          ($"n_pairs".cast("double") / $"n_exact").as("recall"))
+        .orderBy($"method")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket
+               FROM embeddings),
+      exact AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35),
+      lsh AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM e a JOIN e b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35),
+      probes AS (SELECT vec_id AS a_id, embedding AS ea,
+                   xor(bucket, f.flip) AS pbucket
+                 FROM e, (SELECT unnest([$flipListDuck]) AS flip) f),
+      mp AS (SELECT p.a_id, h.vec_id AS b_id
+             FROM probes p JOIN e h
+               ON p.pbucket = h.bucket AND p.a_id < h.vec_id
+             WHERE ${cosDuck("p.ea", "h.embedding")} >= 0.35),
+      counts AS (
+        SELECT 'exact' AS method, count(*) AS n_pairs FROM exact
+        UNION ALL SELECT 'lsh', count(*) FROM lsh
+        UNION ALL SELECT 'lsh_mp', count(*) FROM mp)
+      SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+        CAST(n_pairs AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+      FROM counts ORDER BY method"""))
 
   /** Per-label centroid vectors — the k-means/IVF training step (mean of
     * member embeddings, one value per (cluster, dimension)). Float
@@ -847,7 +930,7 @@ object Similarity {
     * exactly one probe (the candidate's home cell), so no dedup is
     * needed.
     */
-  private def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean,
+  private[graft] def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean,
       nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -891,7 +974,8 @@ object Similarity {
         // coded as residuals from that same centroid
         val pw = Window.partitionBy($"vec_id")
           .orderBy($"cscore".desc, $"centroid_id")
-        emb.filter($"vec_id" < 10).crossJoin(broadcast(centroids))
+        (if (serveAll) emb else emb.filter($"vec_id" < 10))
+          .crossJoin(broadcast(centroids))
           .select($"vec_id", $"embedding", $"centroid_id",
             cosine_similarity($"embedding", $"centroid").as("cscore"),
             $"centroid")
@@ -1256,5 +1340,5 @@ object Similarity {
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
     ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh,
-    embeddingDecontam, cosineNearDupLshMp)
+    embeddingDecontam, cosineNearDupLshMp, embeddingRecall)
 }

@@ -100,6 +100,12 @@ object CorpusPipeline {
       .groupBy($"split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    // the write consumed `packed`; the cache has served both consumers
+    // (subtotals + window job) and must not outlive the call — a 145-query
+    // bench JVM accumulating pinned storage risks pressure eviction and
+    // nondeterministic-pid recompute elsewhere
+    ranged.unpersist(blocking = false)
+
     Report(
       nInput = nInput,
       nCurated = obs.get("n_curated").asInstanceOf[Long],
@@ -178,7 +184,8 @@ object CorpusPipeline {
     * list alongside the postings so callers (and the spec) can observe
     * how much was skipped.
     */
-  def lookupTerm(spark: SparkSession, indexDir: String, term: String)
+  def lookupTerm(spark: SparkSession, indexDir: String, term: String,
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit)
       : (Seq[String], org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -197,17 +204,53 @@ object CorpusPipeline {
       else
         spark.read.parquet(files: _*).filter($"token" === term)
     // tombstoned doc_ids ([[deleteDocs]]) are hidden until the next
-    // compaction physically drops them; the tombstone set is small
-    // (deletes since the last compact), so the anti-join broadcasts it —
-    // the postings side never moves
+    // compaction physically drops them; while deletes-since-compact stay
+    // under the broadcast bound the anti-join ships the tombstone set and
+    // the postings side never moves. The bound is SELF-ENFORCING, not a
+    // docstring promise: the tombstone row count is read from parquet
+    // footer metadata (no data scan), and past the limit the lookup
+    // degrades gracefully to an un-hinted anti-join (AQE plans the
+    // exchange from measured sizes) and logs that compaction is due —
+    // correctness never depends on the set staying small.
     val tombDir = s"$indexDir/tombstones"
     val live =
-      if (fs.exists(new org.apache.hadoop.fs.Path(tombDir)))
-        postings.join(
-          broadcast(spark.read.parquet(tombDir).select($"doc_id").distinct()),
-          Seq("doc_id"), "left_anti")
-      else postings
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombDir))) {
+        val tomb = spark.read.parquet(tombDir).select($"doc_id").distinct()
+        val nTomb = spark.read.parquet(tombDir).count()
+        if (nTomb <= tombstoneBroadcastLimit)
+          postings.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        else {
+          log.warn(s"tombstone set at $tombDir has $nTomb rows " +
+            s"(> broadcast limit $tombstoneBroadcastLimit); serving via " +
+            "shuffle anti-join — run compact() to restore broadcast lookups")
+          postings.join(tomb, Seq("doc_id"), "left_anti")
+        }
+      } else postings
     (files, live.orderBy($"doc_id"))
+  }
+
+  /** Tombstone rows above which [[lookupTerm]] stops force-broadcasting
+    * the anti-join side and [[deleteDocs]]/[[compactionDue]] report a
+    * compaction as due. 5M ids ≈ 40 MB — comfortably under Spark's 8 GB
+    * broadcast hard cap but large enough that the driver round-trip
+    * starts to matter on every lookup.
+    */
+  val TombstoneBroadcastLimit: Long = 5000000L
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True when the pending tombstone set has outgrown the broadcast
+    * bound — the single-writer's cue to schedule a [[compact]]. Footer
+    * metadata count only; no data scan.
+    */
+  def compactionDue(spark: SparkSession, indexDir: String,
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Boolean = {
+    val tombDir = s"$indexDir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(tombDir)) &&
+      spark.read.parquet(tombDir).count() > tombstoneBroadcastLimit
   }
 
   /** Tombstone delete — the redaction path for the incremental index. A
@@ -231,6 +274,10 @@ object CorpusPipeline {
     recoverIndex(spark, indexDir)
     docIds.toDF("doc_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
+    if (compactionDue(spark, indexDir))
+      log.warn(s"tombstones at $indexDir exceed the broadcast limit " +
+        s"($TombstoneBroadcastLimit); lookups degrade to shuffle " +
+        "anti-joins until compact() runs")
   }
 
   /** Incremental index maintenance — append a NEW batch of documents'

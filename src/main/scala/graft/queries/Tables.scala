@@ -35,15 +35,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is nanosecond-unit parquet, which Spark 4 refuses by
-    * default; read it as a raw long (ns since epoch). DuckDB truncates the
-    * same column to µs, so cross-engine comparisons use
-    * `ts div 1000[000]` (µs/ms) on the Spark side vs `epoch_us/epoch_ms`
-    * on the DuckDB side.
+  /** Schema-adaptive events loader. Every downstream query (the 13 `ev_*`
+    * windows, `q_window_lag_events`, the streaming suite) works on the
+    * ns-long contract: `ts` = epoch nanoseconds as a raw LONG, with all
+    * epoch-unit conversions done via [[fldivExpr]]. The driver's testdata
+    * has shipped `ts` in two physical forms over time — nanosecond-unit
+    * parquet (which Spark 4 only reads under `nanosAsLong`, yielding the
+    * long directly) and native `timestamp[us]` (TIMESTAMP_NTZ in Spark) —
+    * so branch on the actual parquet type and normalize to the contract:
+    *
+    *   - LongType (nanosAsLong path): pass through.
+    *   - Timestamp/TimestampNTZ: `unix_micros(cast(ts as timestamp)) *
+    *     1000L`. The session timezone is UTC in every entry point, so the
+    *     NTZ→TZ cast is lossless, and µs→ns widening is exact.
+    *
+    * DuckDB reads the same column as µs-precision TIMESTAMP either way, so
+    * the oracle side (`epoch_us`/`epoch_ms`) is unchanged. The conversion
+    * is a codegen'd scalar expression on the scan output — no shuffle, no
+    * UDF, and column pruning still reaches the parquet reader.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => // TimestampType or TimestampNTZType
+        raw.withColumn("ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 
   /** Exact decimal view of a double column (see rule 1 above). */

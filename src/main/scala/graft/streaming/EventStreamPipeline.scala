@@ -17,7 +17,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object EventStreamPipeline {
 
-  /** Schema of the events table as read with nanosAsLong (ts = epoch ns). */
+  /** Logical schema of the events stream: ts = epoch ns as a raw long
+    * (the same contract as [[graft.queries.Tables.events]]).
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,12 +28,42 @@ object EventStreamPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events parquet dir as a file stream. */
+  /** Open the events parquet dir as a file stream, normalized to the
+    * ns-long `ts` contract. File streams need an explicit schema, and the
+    * driver's testdata has shipped `ts` both as nanosecond-unit parquet
+    * (long under `nanosAsLong`) and as native `timestamp[us]`, so probe
+    * the physical type with a batch footer read and adapt: declare the
+    * stream schema with the physical type, then (for the timestamp form)
+    * convert to epoch-ns long on the scan output. Downstream windowing is
+    * identical either way.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
+    val physicalTs = spark.read.parquet(dir).schema("ts").dataType
+    val physicalSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = physicalTs)
+      case f => f
+    })
+    val raw = spark.readStream.schema(physicalSchema).parquet(dir)
+    physicalTs match {
+      case LongType => raw
+      case _ => // TimestampType or TimestampNTZType
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
+
+  /** Batch read of an events file directory, normalized to the same
+    * ns-long `ts` contract as [[readEvents]] — the batch twin for
+    * stream-vs-batch equivalence checks and backfills.
+    */
+  def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(dir)
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => // TimestampType or TimestampNTZType
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 
   /** Hourly tumbling-window counts + value totals with a 1-hour watermark.

@@ -495,6 +495,25 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ serveAll composes with nprobe=2: every vector is served, probes widen per query") {
+    import spark.implicits._
+    // serveAll must derive the query set from the parameters, not a
+    // hardcoded probe filter: composing serveAll=true with nprobe=2 has
+    // to serve the WHOLE corpus through the widened probe set
+    val served = Similarity.ivfPqServe(spark, sf, serveAll = true, nprobe = 2)
+      .select($"qid").distinct().count()
+    val corpus = graft.queries.Tables.embeddings(spark, sf).count()
+    // a query whose 3 candidates all fall outside its probed cells can
+    // legitimately serve no rows, but the probe-10 truncation bug served
+    // exactly 10 — require near-full coverage
+    assert(served > corpus * 9 / 10,
+      s"serveAll+nprobe=2 served only $served of $corpus queries")
+    // and the probe-scoped variant still serves exactly its 10 queries
+    val probed = Similarity.ivfPqServe(spark, sf, serveAll = false, nprobe = 2)
+      .select($"qid").distinct().count()
+    assert(probed == 10)
+  }
+
   test("LSH-blocked near-dup pairs are a sound subset of unblocked all-pairs") {
     import graft.queries.Tables
     val lshPairs = Similarity.cosineNearDupLsh.build(spark, sf).collect()

@@ -239,6 +239,43 @@ class ShardedIndexSpec extends AnyFunSuite {
         s"post-compaction lookup('$t') != rebuild-without-docs")
   }
 
+  test("oversized tombstone set: lookup degrades to an un-hinted anti-join, stays correct, flags compaction") {
+    import spark.implicits._
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ix-otomb").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, ixDir, nShards = 4)
+    val all = spark.read.parquet(s"$ixDir/inverted")
+    val term = all.select($"token").distinct().orderBy($"token")
+      .collect().map(_.getString(0)).apply(1)
+    val victims = all.filter($"token" === term)
+      .select($"doc_id").distinct().orderBy($"doc_id")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(victims.size == 3)
+    CorpusPipeline.deleteDocs(spark, ixDir, victims)
+
+    // limit below the tombstone count simulates a set past the broadcast
+    // bound without writing 5M rows
+    val limit = victims.size - 1L
+    assert(CorpusPipeline.compactionDue(spark, ixDir, limit))
+    assert(!CorpusPipeline.compactionDue(spark, ixDir)) // default bound not hit
+
+    val over = CorpusPipeline.lookupTerm(spark, ixDir, term, limit)._2
+    val under = CorpusPipeline.lookupTerm(spark, ixDir, term)._2
+    // the over-limit plan must NOT carry a forced broadcast hint on the
+    // tombstone side (AQE may still choose broadcast from measured sizes —
+    // the point is the driver no longer promises it)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(!hinted(over), "over-limit lookup must drop the broadcast hint")
+    assert(hinted(under), "under-limit lookup keeps the broadcast hint")
+    // both strategies serve identical live postings
+    val served = over.select($"doc_id", $"tf_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == servedPostings(ixDir, term))
+    assert(served.forall(p => !victims.contains(p._1)))
+  }
+
   test("crash inside post-swap cleanup leaves a state recovery can finish") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

@@ -325,6 +325,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("AdaptiveSparkPlan"), p.take(1500))
   }
 
+  test("dd_embedding_cosine_lsh_mp: probe join keys on pbucket, corpus side never broadcast, no cartesian") {
+    // the multiprobe near-dup path: probes are corpus-sized (9 rows per
+    // vector), so unlike ann_lsh_multiprobe's 10-query broadcast the pair
+    // join must be a plain pbucket equi-join that AQE plans from measured
+    // sizes — a hint-forced broadcast of either side aborts at corpus
+    // scale, and a cartesian is corpus x corpus
+    val p = planString("dd_embedding_cosine_lsh_mp")
+    assert(p.contains("pbucket"),
+      s"probe-bucket key missing from the join plan:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("AdaptiveSparkPlan"), p.take(1500))
+    val analyzed = graft.SparkEntry.queries("dd_embedding_cosine_lsh_mp")(spark, sf)
+      .queryExecution.analyzed
+    assert(analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty, "no forced broadcast hint on a corpus-sized side")
+  }
+
+  test("pipe_embedding_decontam: contamination join blocked on the bucket, eval side aggregates map-side") {
+    // decontamination joins eval-set probes to the train corpus through
+    // the LSH bucket key — the plan must show the bucket equi-join (never
+    // cartesian) and keep the final per-split rollup partial-aggregated
+    val p = planString("pipe_embedding_decontam")
+    assert(p.toLowerCase.contains("lshbucket"),
+      s"bucket key missing from the contamination join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_"),
+      s"per-split rollup lost its partial aggregation:\n${p.take(1500)}")
+  }
+
   test("ann_ivfpq_nprobe2: top-k pruned, codebook crosses stay broadcast-sized") {
     val p = planString("ann_ivfpq_nprobe2")
     // per-query/per-(vector,subspace) argmins and the final top-3 all get

@@ -33,7 +33,7 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
 
       val batch = EventStreamPipeline.hourlyAgg(
-        spark.read.parquet(dir).where($"ts".isNotNull))
+        EventStreamPipeline.readEventsBatch(spark, dir).where($"ts".isNotNull))
         .collect().map(_.toSeq).toSet
 
       assert(streamed == batch)
@@ -120,7 +120,7 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = spark.table("ssj_stream").collect()
         .map(_.toSeq).toSet
       val batch = EventStreamPipeline.signupPurchaseJoin(
-        spark.read.parquet(streamDir.toString))
+        EventStreamPipeline.readEventsBatch(spark, streamDir.toString))
         .collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(streamed.nonEmpty)
