@@ -188,7 +188,13 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  @inline private def weight(p: Int, j: Int): Double = ((7 * p + 11 * j) % 5) - 2
+  // The p*j cross-term and a modulus larger than the plane count are both
+  // load-bearing: any weight LINEAR in p under a modulus m < planes makes
+  // planes p and p+m identical hyperplanes (measured in LshOccupancyStudy:
+  // the old ((7p+11j)%5)-2 collapsed 8 planes to 5 distinct ones → 30
+  // occupied buckets instead of ~256, 8.5x the promised occupancy)
+  @inline private def weight(p: Int, j: Int): Double =
+    ((7 * p + 11 * j + 3 * p * j) % 19) - 9
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -220,7 +226,7 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
        |  for (int p = 0; p < $planes; p++) {
        |    double dot = 0.0;
        |    for (int j = 0; j < $dim; j++) {
-       |      dot += (double) $a.$getter(j) * (double) (((7 * p + 11 * j) % 5) - 2);
+       |      dot += (double) $a.$getter(j) * (double) (((7 * p + 11 * j + 3 * p * j) % 19) - 9);
        |    }
        |    if (dot >= 0.0) bucket |= (1L << p);
        |  }

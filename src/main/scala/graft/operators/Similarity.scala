@@ -62,9 +62,12 @@ object Similarity {
 
   // ------------------------------------------------ random-hyperplane LSH
 
-  /** Deterministic integer hyperplane weights w(p, j) ∈ [-2, 2]. */
+  /** Deterministic integer hyperplane weights w(p, j) ∈ [-9, 9] — must
+    * stay bit-identical to [[graft.functions.LshBucket.weight]]; the p*j
+    * cross-term keeps all 8 planes distinct (see the note there).
+    */
   private def weight(p: Int): String => String =
-    j => s"(((7*$p + 11*$j) % 5) - 2)"
+    j => s"(((7*$p + 11*$j + 3*$p*$j) % 19) - 9)"
 
   private val Dim = 64
   private val Planes = 8

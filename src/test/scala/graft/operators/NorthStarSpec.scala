@@ -175,13 +175,23 @@ class NorthStarSpec extends AnyFunSuite {
       hits.sum / hits.size
     }
     val lsh = recall(neighbors(Similarity.lshTopK))
+    val mp = recall(neighbors(Similarity.lshMultiprobe))
     val ivf = recall(neighbors(Similarity.ivfTopK))
     // uniform random 64-dim embeddings are the adversarial case for
     // bucketed ANN (no cluster structure, top-3 cosines barely above
-    // noise); both methods must still beat the random-pick baseline
-    // (3 of ~50 candidates ≈ 0.06)
-    assert(lsh >= 0.1, s"LSH recall@3 too low: $lsh")
-    assert(ivf >= 0.1, s"IVF recall@3 too low: $ivf")
+    // noise). With the honest 256-bucket key (occupancy n/256 ≈ 2 at
+    // n=500 — LshOccupancyStudy) single-probe LSH examines ~2 candidates
+    // per query, so its random-pick baseline is ~3·2/500 ≈ 0.012 and
+    // multiprobe's (9 probes) ~0.05; IVF cells hold ~n/16. Measured on
+    // this fixed corpus: lsh 0.033 (≈3x its baseline), mp 0.10 (≈2x),
+    // ivf 0.83. Floors pin those with margin — each method must keep
+    // beating ITS candidate-volume-scaled random baseline; near-dup
+    // recall (where LSH actually serves) is pinned at ≈1.0 by
+    // dd_embedding_recall and the occupancy study instead.
+    assert(lsh >= 0.03, s"LSH recall@3 below its measured floor: $lsh")
+    assert(mp >= 0.09, s"multiprobe recall@3 below its measured floor: $mp")
+    assert(mp >= lsh, s"multiprobe must not lose to single-probe: $mp < $lsh")
+    assert(ivf >= 0.5, s"IVF recall@3 below its measured floor: $ivf")
   }
 
   test("multimodal stub decode: 8-bin byte histogram sums to ~1") {
@@ -244,10 +254,11 @@ class NorthStarSpec extends AnyFunSuite {
     ).toDF("id", "v")
     val out = df.select($"id", lsh_bucket($"v", 3, 4).as("b"))
       .orderBy($"id").collect()
-    // plane p dot = sum_j w(p,j): p=0 -> (-2)+(-1)+0+1 = -2 (bit off)
-    // p=1 -> w=(7+11j)%5-2 -> j=0:0, j=1:1, j=2:2, j=3:-2 -> 1 (bit on)
-    // p=2 -> (14+11j)%5-2 -> j=0:2, j=1:-2, j=2:-1, j=3:0 -> -1 (bit off)
-    assert(out(0).getLong(1) == 2L, s"expected bucket 2: ${out(0)}")
+    // plane p dot = sum_j w(p,j), w = ((7p+11j+3pj)%19)-9:
+    // p=0 -> j: -9, 2, -6, 5  -> -8 (bit off)
+    // p=1 -> (7+14j)%19-9 -> j: -2, -7, 7, 2 -> 0 (>= 0: bit on)
+    // p=2 -> (14+17j)%19-9 -> j: 5, 3, 1, -1 -> 8 (bit on)
+    assert(out(0).getLong(1) == 6L, s"expected bucket 6: ${out(0)}")
     assert(out(1).isNullAt(1))
   }
 
