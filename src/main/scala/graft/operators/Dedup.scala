@@ -615,6 +615,14 @@ object Dedup {
           graft.functions.CharGramHashes.char_gram_hashes($"t", 5)
             .as("shingles"))
         .cache()
+      // cap=400 is measured, not guessed: on the round-9 corpus the
+      // rarest shingle shared by the WORST true pair has df 289 at sf0.1
+      // (27 at sf0.01), so 400 keeps every J>=0.6 pair (the oracle would
+      // catch a loss) while bounding candidate volume at Σ df² over
+      // df<=400 shingles (~46M at sf0.1 vs 2041 shingles with df up to
+      // 3923 uncapped). Tightening to 200 WOULD drop pairs here — the
+      // char-5-gram df distribution is bimodal and near-dups on this
+      // corpus share mostly mid-df shingles.
       jaccardPairs(sh, 0.6, maxShingleDf = Some(400L))
         .orderBy(col("a_id"), col("b_id"))
     },
