@@ -31,16 +31,31 @@ object Dedup {
   private val Norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
   private val NormDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-  /** Distinct word 3-gram shingles; docs with <3 tokens carry no shingle. */
-  private[operators] def shingleDf(s: SparkSession, d: String): DataFrame = {
+  /** Distinct word 3-gram shingles of any (doc_id, text) frame; docs with
+    * <3 tokens carry no shingle. The frame-based form serves the
+    * streaming ingestion path ([[graft.streaming.StreamingDedupPipeline]])
+    * alongside the table loaders below.
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.spread(Tables.documents(s, d), "doc_id")
+    docs
       .select($"doc_id", split(expr(Norm), " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as("shingles"))
   }
+
+  /** [[shinglesOf]] with the xxhash64 view — the 8-byte-key form the pair
+    * machinery joins on.
+    */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    hashedShingles(shinglesOf(docs))
+
+  /** Distinct word 3-gram shingles; docs with <3 tokens carry no shingle. */
+  private[operators] def shingleDf(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.spread(Tables.documents(s, d), "doc_id"))
 
   private[operators] val ShinglesDuck =
     s"""SELECT doc_id,

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming admission filter must equal the SEQUENTIAL GREEDY over
+  * arrival order: walking docs in (batch, doc_id) order, keep a doc iff
+  * it has no already-kept near-dup (word-3-gram Jaccard ≥ 0.6). The
+  * reference greedy here is computed independently — exact brute-force
+  * all-pairs relation (no df cap, no banding), then a driver-side walk —
+  * so the pipeline's capped candidate generation, store partitioning,
+  * and peeling loop are all under test at once.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Exact near-dup relation on the full corpus: brute-force all-pairs
+    * (fine at 500 docs), uncapped, J ≥ 0.6.
+    */
+  private def exactPairs(): Set[(Long, Long)] = {
+    val sh = graft.operators.Dedup.hashedShinglesOf(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"))
+    val a = sh.select($"doc_id".as("a_id"), $"shingles".as("sa"))
+    val b = sh.select($"doc_id".as("b_id"), $"shingles".as("sb"))
+    a.crossJoin(b).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"sa", $"sb")).as("ni"),
+        size($"sa").as("na"), size($"sb").as("nb"))
+      .filter(($"ni".cast("double") / ($"na" + $"nb" - $"ni")) >= 0.6)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** Driver-side sequential greedy over an explicit arrival order. */
+  private def greedy(order: Seq[Long], pairs: Set[(Long, Long)]): Set[Long] = {
+    val nbrs = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val kept = scala.collection.mutable.Set[Long]()
+    for (d <- order)
+      if (!nbrs.getOrElse(d, Set.empty).exists(kept)) kept += d
+    kept.toSet
+  }
+
+  /** Write the corpus as `nFiles` ordered files (doc_id ranges ascending
+    * with file index) and return the resulting arrival order.
+    */
+  private def splitCorpus(srcDir: java.nio.file.Path, nFiles: Int): Seq[Long] = {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .orderBy($"doc_id").collect()
+    val ids = docs.map(_.getAs[Long]("doc_id")).toSeq
+    val per = (docs.length + nFiles - 1) / nFiles
+    val schema = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").schema
+    docs.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      // the file source wants plain files, not parquet directories:
+      // write single-part, then promote the part file
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-sdd-w$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq, 1), schema)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(f"docs-$i%03d.parquet"))
+      // strictly increasing mtimes pin the file-source arrival order
+      Thread.sleep(1100)
+    }
+    ids
+  }
+
+  test("streamed admission equals sequential greedy over arrival order") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sdd-src")
+    val order = splitCorpus(srcDir, 3)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sdd-st")
+      .resolve("store").toString
+    val keptDir = java.nio.file.Files.createTempDirectory("graft-sdd-k")
+      .resolve("kept").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-c").toString
+
+    StreamingDedupPipeline.ingestDedup(
+      spark, srcDir.toString, storeDir, keptDir, ckpt)
+
+    val streamed = spark.read.option("basePath", keptDir).parquet(keptDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expected = greedy(order, exactPairs())
+    assert(streamed == expected,
+      s"missing=${expected.diff(streamed)} extra=${streamed.diff(expected)}")
+    // the corpus has known near-dups, so the filter must actually drop some
+    assert(streamed.size < order.size, "nothing was rejected")
+    assert(streamed.nonEmpty)
+
+    // store holds exactly the kept docs' shingle rows across batches
+    val storeIds = spark.read.option("basePath", storeDir).parquet(storeDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val shingledKept = graft.operators.Dedup.hashedShinglesOf(
+        spark.read.option("basePath", keptDir).parquet(keptDir))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds == shingledKept)
+
+    // replay with a fresh checkpoint over the same source: deterministic
+    // recompute overwrites every batch partition with identical content
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-sdd-c2").toString
+    StreamingDedupPipeline.ingestDedup(
+      spark, srcDir.toString, storeDir, keptDir, ckpt2)
+    val replayed = spark.read.option("basePath", keptDir).parquet(keptDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(replayed == expected, "replay must be idempotent")
+  }
+
+  test("mid-stream crash replays to the same admitted set") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sddc-src")
+    val order = splitCorpus(srcDir, 2)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sddc-st")
+      .resolve("store").toString
+    val keptDir = java.nio.file.Files.createTempDirectory("graft-sddc-k")
+      .resolve("kept").toString
+
+    // drive batch 0 manually, then simulate a crash DURING batch 1: its
+    // store partition is half-written (no footer) and the checkpoint
+    // never committed
+    val all = spark.read.parquet(srcDir.toString).orderBy($"doc_id")
+    val per = (order.size + 1) / 2
+    val b0 = all.limit(per)
+    val b1ids = order.drop(per)
+    StreamingDedupPipeline.processBatch(b0, 0L, storeDir, keptDir)
+    val crashedPart = new java.io.File(s"$storeDir/batch=1")
+    crashedPart.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$storeDir/batch=1/part-garbage.parquet"),
+      "not a parquet footer".getBytes)
+
+    // the streaming replay (fresh checkpoint sees both files; batch ids
+    // restart at 0 processing file 0 then file 1) must ignore and then
+    // overwrite the garbage partition
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sddc-c").toString
+    StreamingDedupPipeline.ingestDedup(
+      spark, srcDir.toString, storeDir, keptDir, ckpt)
+
+    val streamed = spark.read.option("basePath", keptDir).parquet(keptDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expected = greedy(order, exactPairs())
+    assert(streamed == expected,
+      s"missing=${expected.diff(streamed)} extra=${streamed.diff(expected)}")
+  }
+}
