@@ -194,7 +194,7 @@ object Similarity {
     */
   private val KmIters = 2
 
-  private[operators] def kmeansCodebook(s: SparkSession, d: String): DataFrame = {
+  private[graft] def kmeansCodebook(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val embD = Tables.embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
@@ -933,16 +933,23 @@ object Similarity {
     * exactly one probe (the candidate's home cell), so no dedup is
     * needed.
     */
-  private[graft] def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean,
-      nprobe: Int = 1): DataFrame = {
+  /** Double-cast embedding view (the arithmetic form every IVF/PQ stage
+    * works in).
+    */
+  private[graft] def embDouble(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
-    val centroids = kmeansCodebook(s, d)
+  }
+
+  /** Home-cell assignment + residual per vector: (vec_id, cell, r). */
+  private[graft] def ivfCells(s: SparkSession, emb: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"vec_id")
       .orderBy($"cscore".desc, $"centroid_id")
-    val cells = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .select($"vec_id", $"embedding", $"centroid_id",
         cosine_similarity($"embedding", $"centroid").as("cscore"), $"centroid")
       .withColumn("rn", row_number().over(w))
@@ -950,44 +957,67 @@ object Similarity {
       .select($"vec_id", $"centroid_id".as("cell"),
         expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
           .as("r"))
-      .cache()
-    val rcb = cells.filter($"vec_id" >= 16 && $"vec_id" < 32)
+  }
+
+  /** 16-entry residual codebook from the cell assignments. */
+  private[graft] def residualCodebook(cells: DataFrame): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
+    cells.filter($"vec_id" >= 16 && $"vec_id" < 32)
       .select($"vec_id".as("code_id"), $"r".as("cw"))
+  }
+
+  /** PQ codes of every vector's residual: (vec_id, cell, m, code). */
+  private[graft] def pqCodesFrame(cells: DataFrame, rcb: DataFrame): DataFrame = {
+    val s = cells.sparkSession
+    import s.implicits._
     val distStructs = array((0 until NSub).map { m =>
       struct(lit(m.toLong).as("m"), subDist($"r", $"cw", m).as("dist"))
     }: _*)
-    val codes = cells.crossJoin(broadcast(rcb))
+    cells.crossJoin(broadcast(rcb))
       .select($"vec_id", $"cell", $"code_id", explode(distStructs).as("md"))
       .select($"vec_id", $"cell", $"code_id", $"md.m".as("m"), $"md.dist".as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code_id")))
       .filter($"rn" === 1)
       .select($"vec_id", $"cell", $"m", $"code_id".as("code"))
+  }
+
+  /** Per-probe query residuals: each query vector re-expressed relative
+    * to each of its `nprobe` nearest centroids — (qid, qcell, qr). With
+    * nprobe = 1 this is exactly the home-cell assignment (same score and
+    * tie-break as [[ivfCells]]).
+    */
+  private[graft] def probeResiduals(s: SparkSession, emb: DataFrame,
+      centroids: DataFrame, serveAll: Boolean, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val pw = Window.partitionBy($"vec_id")
+      .orderBy($"cscore".desc, $"centroid_id")
+    (if (serveAll) emb else emb.filter($"vec_id" < 10))
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"centroid_id",
+        cosine_similarity($"embedding", $"centroid").as("cscore"),
+        $"centroid")
+      .withColumn("rn", row_number().over(pw))
+      .filter($"rn" <= nprobe)
+      .select($"vec_id".as("qid"), $"centroid_id".as("qcell"),
+        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+          .as("qr"))
+  }
+
+  /** The ADC serving tail: per-(query, codeword, subspace) fixed-point
+    * LUT, the (cell, m, code) join against the codes table, and the
+    * per-query top-3. `serveAll` switches the LUT from broadcast to an
+    * AQE-planned shuffle (corpus-sized LUT must not be broadcast).
+    */
+  private[graft] def adcTopK(codes: DataFrame, rcb: DataFrame,
+      queries: DataFrame, serveAll: Boolean): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
     val lutStructs = array((0 until NSub).map { m =>
       struct(lit(m.toLong).as("m"),
         floor(subDist($"qr", $"cw", m) * 100000000L).cast("long").as("dq8"))
     }: _*)
-    val queries =
-      if (nprobe == 1)
-        (if (serveAll) cells else cells.filter($"vec_id" < 10))
-          .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
-      else {
-        // per-probe residual: the query re-expresses itself relative to
-        // EACH probed cell's centroid, since candidates in that cell are
-        // coded as residuals from that same centroid
-        val pw = Window.partitionBy($"vec_id")
-          .orderBy($"cscore".desc, $"centroid_id")
-        (if (serveAll) emb else emb.filter($"vec_id" < 10))
-          .crossJoin(broadcast(centroids))
-          .select($"vec_id", $"embedding", $"centroid_id",
-            cosine_similarity($"embedding", $"centroid").as("cscore"),
-            $"centroid")
-          .withColumn("rn", row_number().over(pw))
-          .filter($"rn" <= nprobe)
-          .select($"vec_id".as("qid"), $"centroid_id".as("qcell"),
-            expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
-              .as("qr"))
-      }
     val lut = queries
       .crossJoin(broadcast(rcb))
       .select($"qid", $"qcell", $"code_id".as("k"), explode(lutStructs).as("md"))
@@ -1004,6 +1034,27 @@ object Similarity {
       .select($"qid", $"rank", $"cid",
         ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
       .orderBy($"qid", $"rank")
+  }
+
+  private[graft] def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean,
+      nprobe: Int = 1): DataFrame = {
+    import s.implicits._
+    val emb = embDouble(s, d)
+    val centroids = kmeansCodebook(s, d)
+    val cells = ivfCells(s, emb, centroids).cache()
+    val rcb = residualCodebook(cells)
+    val codes = pqCodesFrame(cells, rcb)
+    val queries =
+      if (nprobe == 1)
+        // home-cell residuals straight from the cached assignment
+        (if (serveAll) cells else cells.filter($"vec_id" < 10))
+          .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+      else
+        // per-probe residual: the query re-expresses itself relative to
+        // EACH probed cell's centroid, since candidates in that cell are
+        // coded as residuals from that same centroid
+        probeResiduals(s, emb, centroids, serveAll, nprobe)
+    adcTopK(codes, rcb, queries, serveAll)
   }
 
   val ivfPqTopK: Q = Q(

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted IVF-PQ vector index — the serving layout the in-memory
+  * `ann_ivfpq_*` queries stand in for. A 100 TB vector store does not
+  * re-train and re-code the corpus per query: the index is built once
+  * (centroids + residual codebook + PQ codes) and point queries touch
+  * only the probed cells — the vector analog of
+  * [[CorpusPipeline.lookupTerm]]'s range-pruned shards.
+  *
+  * Layout under `indexDir/`:
+  *   - `centroids/`  — 16 rows (centroid_id, centroid), the coarse
+  *     quantizer; broadcast-sized by construction.
+  *   - `codebook/`   — 16 rows (code_id, cw), the shared residual
+  *     codebook.
+  *   - `codes/cell=<id>/` — (vec_id, m, code) PQ codes, PARTITIONED BY
+  *     home cell: a probe-mode serve filters on the partition column and
+  *     the parquet source prunes unprobed cells at file-listing time (no
+  *     footer even opened) — at 100 TB this is reading nprobe/16ths of
+  *     the index instead of all of it.
+  *   - `manifest/`   — per-cell row counts (observability + the spec's
+  *     pruning assertions).
+  *
+  * Serving reconstructs query residuals from the stored centroids and
+  * runs the SAME ADC tail as the in-memory path
+  * ([[Similarity.adcTopK]] — one shared implementation, not a replica),
+  * so served results are provably identical (VectorIndexSpec pins
+  * equality for nprobe = 1 and 2, probe and serve-all modes).
+  */
+object VectorIndexPipeline {
+
+  case class VectorIndexReport(nCells: Int, nVectors: Long, maxCellRows: Long)
+
+  /** Train (deterministic 2-iteration Lloyd's, as the ann_* family),
+    * code every vector's residual, and persist the index.
+    */
+  def writeIvfPq(spark: SparkSession, sfDir: String, indexDir: String)
+      : VectorIndexReport = {
+    import spark.implicits._
+    val emb = Similarity.embDouble(spark, sfDir)
+    val centroids = Similarity.kmeansCodebook(spark, sfDir)
+    val cells = Similarity.ivfCells(spark, emb, centroids).cache()
+    val rcb = Similarity.residualCodebook(cells)
+
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    rcb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    Similarity.pqCodesFrame(cells, rcb)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes")
+    cells.unpersist(blocking = false)
+
+    val manifest = spark.read.parquet(s"$indexDir/codes")
+      .groupBy($"cell")
+      .agg(count_distinct($"vec_id").as("n_vectors"), count(lit(1)).as("n_rows"))
+      .orderBy($"cell")
+      .cache()
+    manifest.write.mode("overwrite").parquet(s"$indexDir/manifest")
+    val stats = manifest.agg(
+      count(lit(1)).as("cells"), sum($"n_vectors").as("vecs"),
+      max($"n_rows").as("maxRows")).head()
+    manifest.unpersist()
+    VectorIndexReport(
+      nCells = stats.getAs[Long]("cells").toInt,
+      nVectors = stats.getAs[Long]("vecs"),
+      maxCellRows = stats.getAs[Long]("maxRows"))
+  }
+
+  /** The cell-pruned codes read: filtering on the partition column makes
+    * the parquet source skip unprobed `cell=` directories at listing
+    * time. Exposed separately so the spec can observe the pruning
+    * (`inputFiles` of this frame names only probed cells).
+    */
+  def prunedCodes(spark: SparkSession, indexDir: String,
+      probedCells: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/codes")
+      .filter($"cell".isin(probedCells: _*))
+      .select($"vec_id", $"cell", $"m", $"code")
+  }
+
+  /** Serve top-3 ADC neighbours for the embedding table's query set
+    * through the PERSISTED index: stored centroids assign the probes,
+    * only probed cells are read, and the shared ADC tail scores them.
+    * `serveAll` reads every cell (batch-inference mode — pruning buys
+    * nothing when every cell is probed, and the corpus-sized LUT join
+    * stays un-broadcast exactly as in the in-memory path).
+    */
+  def serveIvfPq(spark: SparkSession, indexDir: String, sfDir: String,
+      serveAll: Boolean = false, nprobe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val emb = Similarity.embDouble(spark, sfDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val rcb = spark.read.parquet(s"$indexDir/codebook")
+    // localCheckpoint, not cache(): the frame feeds both the probed-cell
+    // collect and the ADC join, and its blocks are released with the plan
+    // instead of pinning storage past the call
+    val queries = Similarity
+      .probeResiduals(spark, emb, centroids, serveAll, nprobe)
+      .localCheckpoint()
+    val codes =
+      if (serveAll) spark.read.parquet(s"$indexDir/codes")
+        .select($"vec_id", $"cell", $"m", $"code")
+      else {
+        // the probed-cell set is (queries × nprobe)-sized — a driver
+        // collect of the same budget class as lookupTerm's manifest read
+        val probed = queries.select($"qcell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        prunedCodes(spark, indexDir, probed)
+      }
+    Similarity.adcTopK(codes, rcb, queries, serveAll)
+  }
+}

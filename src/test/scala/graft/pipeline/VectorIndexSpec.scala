@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.TestSpark
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF-PQ index must serve results IDENTICAL to the
+  * in-memory `ivfPqServe` path (same training, same codes, same shared
+  * ADC tail), and probe-mode serving must physically read only the
+  * probed cells' partitions.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sfDir
+
+  private lazy val (ixDir, report) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix").toString
+    (dir, VectorIndexPipeline.writeIvfPq(spark, sf, dir))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("index write covers every vector exactly once across cells") {
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(report.nVectors == nVec)
+    // NSub code rows per vector, each vector in exactly one cell partition
+    val codes = spark.read.parquet(s"$ixDir/codes")
+    assert(codes.count() == nVec * 4)
+    assert(codes.select($"vec_id", $"cell").distinct().count() == nVec)
+    assert(report.nCells > 1, "degenerate single-cell index")
+  }
+
+  test("served-from-disk equals the in-memory path (nprobe=1 and 2, probe mode)") {
+    for (np <- Seq(1, 2)) {
+      val disk = rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf, nprobe = np))
+      val mem = rows(Similarity.ivfPqServe(spark, sf, serveAll = false, nprobe = np))
+      assert(disk == mem, s"nprobe=$np: disk-served != in-memory")
+      assert(disk.nonEmpty)
+    }
+  }
+
+  test("served-from-disk equals the in-memory path (serveAll)") {
+    val disk = rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf, serveAll = true))
+    val mem = rows(Similarity.ivfPqServe(spark, sf, serveAll = true))
+    assert(disk == mem)
+    assert(disk.nonEmpty)
+  }
+
+  test("probe-mode serving reads only the probed cells' partitions") {
+    val emb = Similarity.embDouble(spark, sf)
+    val centroids = spark.read.parquet(s"$ixDir/centroids")
+    val probed = Similarity.probeResiduals(spark, emb, centroids,
+        serveAll = false, nprobe = 1)
+      .select($"qcell").distinct().collect().map(_.getLong(0)).toSeq
+    // the partition column round-trips as the narrowest inferred type
+    val allCells = spark.read.parquet(s"$ixDir/manifest")
+      .select($"cell".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(probed.toSet.subsetOf(allCells))
+    assert(probed.size < allCells.size,
+      "10 probe queries must not cover every cell at this corpus size")
+
+    // input_file_name() at execution time names only files the pruned
+    // scan actually opened (Dataset.inputFiles would list the whole
+    // relation, pre-filter)
+    val files = VectorIndexPipeline.prunedCodes(spark, ixDir, probed)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    val touchedCells = files.map { f =>
+      val m = "cell=(\\d+)".r.findFirstMatchIn(f)
+      assert(m.isDefined, s"code file outside a cell partition: $f")
+      m.get.group(1).toLong
+    }.toSet
+    assert(touchedCells == probed.toSet,
+      s"pruning leaked: read $touchedCells, probed ${probed.toSet}")
+  }
+}
