@@ -16,11 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     quantizer; broadcast-sized by construction.
   *   - `codebook/`   — 16 rows (code_id, cw), the shared residual
   *     codebook.
-  *   - `codes/cell=<id>/` — (vec_id, m, code) PQ codes, PARTITIONED BY
-  *     home cell: a probe-mode serve filters on the partition column and
-  *     the parquet source prunes unprobed cells at file-listing time (no
-  *     footer even opened) — at 100 TB this is reading nprobe/16ths of
-  *     the index instead of all of it.
+  *   - `codes/batch=<id>/cell=<n>/` — (vec_id, m, code) PQ codes,
+  *     PARTITIONED BY arrival batch then home cell: a probe-mode serve
+  *     filters on the cell partition column and the parquet source
+  *     prunes unprobed cells at file-listing time (no footer even
+  *     opened) — at 100 TB this is reading nprobe/16ths of the index
+  *     instead of all of it. New vectors append as their own batch
+  *     ([[appendVectors]]), coded against the STORED quantizer.
   *   - `manifest/`   — per-cell row counts (observability + the spec's
   *     pruning assertions).
   *
@@ -50,9 +52,39 @@ object VectorIndexPipeline {
     rcb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     Similarity.pqCodesFrame(cells, rcb)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/codes")
+      .parquet(s"$indexDir/codes/batch=0")
     cells.unpersist(blocking = false)
+    refreshManifest(spark, indexDir)
+  }
 
+  /** Code a NEW batch of vectors (vec_id, embedding — ids disjoint from
+    * every earlier batch) against the STORED quantizer and append it as
+    * its own batch partition — the [[CorpusPipeline.appendBatch]] shape
+    * for vectors: arrivals never re-train or rewrite the base, and
+    * serving unions batches transparently (cell pruning applies across
+    * all of them — `cell` stays a partition column inside every batch
+    * dir). Codebook drift from a shifting vector distribution is handled
+    * by periodic re-train + rewrite, the compact() analog. Replay-safe:
+    * the batch dir is a deterministic overwrite, as
+    * [[graft.streaming.StreamingDedupPipeline]].
+    */
+  def appendVectors(spark: SparkSession, indexDir: String,
+      newVectors: DataFrame, batchId: String): VectorIndexReport = {
+    import spark.implicits._
+    val emb = newVectors.select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val rcb = spark.read.parquet(s"$indexDir/codebook")
+    val cells = Similarity.ivfCells(spark, emb, centroids)
+    Similarity.pqCodesFrame(cells, rcb)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes/batch=$batchId")
+    refreshManifest(spark, indexDir)
+  }
+
+  private def refreshManifest(spark: SparkSession, indexDir: String)
+      : VectorIndexReport = {
+    import spark.implicits._
     val manifest = spark.read.parquet(s"$indexDir/codes")
       .groupBy($"cell")
       .agg(count_distinct($"vec_id").as("n_vectors"), count(lit(1)).as("n_rows"))

@@ -50,6 +50,39 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(disk.nonEmpty)
   }
 
+  test("appended batch serves identically to coding the full set against the stored quantizer") {
+    // train on the first half only, append the second half as a batch
+    val sfHalf = java.nio.file.Files.createTempDirectory("graft-vix-h").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" < 250)
+      .write.parquet(s"$sfHalf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-a").toString
+    VectorIndexPipeline.writeIvfPq(spark, sfHalf, dir)
+    val second = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" >= 250)
+    val rep = VectorIndexPipeline.appendVectors(spark, dir, second, "1")
+    assert(rep.nVectors == spark.read.parquet(s"$sf/embeddings.parquet").count())
+
+    val disk = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf, nprobe = 1))
+    // reference: the SAME stored quantizer applied to the full table in
+    // memory, through the same shared builders — appending must be
+    // indistinguishable from having coded everything at once
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val rcb = spark.read.parquet(s"$dir/codebook")
+    val embAll = Similarity.embDouble(spark, sf)
+    val codesAll = Similarity.pqCodesFrame(
+      Similarity.ivfCells(spark, embAll, centroids), rcb)
+    val queries = Similarity.probeResiduals(spark, embAll, centroids,
+      serveAll = false, nprobe = 1)
+    val mem = rows(Similarity.adcTopK(codesAll, rcb, queries, serveAll = false))
+    assert(disk == mem, "appended index != from-scratch coding")
+    assert(disk.nonEmpty)
+
+    // a replayed (crashed-and-retried) append overwrites its own batch
+    // dir with identical content
+    VectorIndexPipeline.appendVectors(spark, dir, second, "1")
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf, nprobe = 1)) == disk)
+  }
+
   test("probe-mode serving reads only the probed cells' partitions") {
     val emb = Similarity.embDouble(spark, sf)
     val centroids = spark.read.parquet(s"$ixDir/centroids")
