@@ -1062,6 +1062,25 @@ object Similarity {
     (s, d) => ivfPqServe(s, d, serveAll = false),
     Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10")))
 
+  /** The persisted-index round trip under the driver's oracle: build the
+    * on-disk IVF-PQ layout ([[graft.pipeline.VectorIndexPipeline]]),
+    * then serve the probe queries THROUGH it — stored centroids, stored
+    * codebook, cell-pruned codes read. Shares [[ivfPqTopK]]'s DuckDB
+    * replay because disk==memory is the component's contract
+    * (VectorIndexSpec pins it; this entry makes the driver's correctness
+    * record enforce it every round).
+    */
+  val ivfPqPersisted: Q = Q(
+    "ann_ivfpq_persisted",
+    (s, d) => {
+      val ix = java.nio.file.Files
+        .createTempDirectory("graft-vix-q").toString
+      graft.pipeline.VectorIndexPipeline.writeIvfPq(s, d, ix)
+      graft.pipeline.VectorIndexPipeline.serveIvfPq(s, ix, d,
+        serveAll = false, nprobe = 1)
+    },
+    Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10")))
+
   /** DuckDB replay of [[ivfPqServe]]; `probeFilter` scopes the query side
     * ("" = serve the whole corpus); `nprobe > 1` sources the LUT from
     * per-probe residuals instead of the home-cell residual.
@@ -1394,5 +1413,5 @@ object Similarity {
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
     ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh,
-    embeddingDecontam, cosineNearDupLshMp, embeddingRecall)
+    embeddingDecontam, cosineNearDupLshMp, embeddingRecall, ivfPqPersisted)
 }
