@@ -27,7 +27,7 @@ object ScalingStudy {
     "of")
 
   /** words per doc in [40, 79], word picks md5-derived from (id, i). */
-  private[operators] def corpus(spark: SparkSession, n: Long): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     val vocabArr = s"array(${Vocab.map(w => s"'$w'").mkString(",")})"
     val base = spark.range(n).select($"id".as("doc_id"))
