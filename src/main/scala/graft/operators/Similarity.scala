@@ -505,19 +505,40 @@ object Similarity {
       WHERE ${cosDuck("p.ea", "h.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
 
+  /** Deterministic query-side sample for the recall readout: a vector is
+    * a "query" iff an engine-portable hash of its id (md5 prefix, same
+    * trick as `pipe_hash_sample`) lands in bucket 0 of [[RecallSampleK]].
+    * Content-independent, layout-independent, replayed bit-identically by
+    * the DuckDB oracle.
+    */
+  private val RecallSampleK = 4
+  private def recallSampled(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") %
+      RecallSampleK === 0
+  private def recallSampledDuck(id: String): String =
+    s"((('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT) % $RecallSampleK = 0)"
+
   /** Recall readout for the embedding near-dup family — the measurement
     * that justifies promoting [[cosineNearDupLsh]]/[[cosineNearDupLshMp]]
-    * over the exact baseline. One row per method: pair count and recall
-    * against exact truth (unblocked all-pairs at the same threshold).
-    * Both blocked variants examine candidate SUBSETS of the all-pairs
-    * set at the same score threshold, so recall = n_method / n_exact
-    * exactly, no pair-level join needed. The exact side is intentionally
-    * quadratic — it is the measurement harness, not a serving path: at
-    * corpus scale the same readout runs over a fixed-size sample (the
-    * recall estimate needs only enough truth pairs for a tight CI, not
-    * the corpus), while the LSH sides scale as capacity-bounded
-    * equi-joins. Occupancy scaling for the same bucket key is measured
-    * in `LshOccupancyStudy` (SCALE.md).
+    * over the exact baseline. One row per method: full pair count for the
+    * scalable arms, plus recall estimated on a deterministic hash-sample
+    * of the query side. Both blocked variants examine candidate SUBSETS
+    * of the all-pairs set at the same score threshold, so
+    * recall = n_sampled_method / n_sampled_exact is the exact recall on
+    * the sampled queries and an unbiased estimate of corpus recall.
+    *
+    * Scale shape: ground truth is NOT an all-pairs cross join — the
+    * sampled query side is broadcast and the corpus streams through it
+    * once (BroadcastNestedLoopJoin), i.e. O(n·|sample|) with one corpus
+    * pass and no shuffle. [[RecallSampleK]] holds the sample at a
+    * broadcastable size: at corpus scale it grows with n so the sample
+    * stays ~fixed (the recall CI needs a constant number of truth pairs,
+    * not a constant fraction), which the oracle replays at any K since
+    * the predicate is pure arithmetic on vec_id. The LSH arms stay
+    * full-corpus capacity-bounded equi-joins. Plan-pinned in
+    * `PlanRegressionSpec` (no CartesianProduct; the only nested-loop
+    * join is the broadcast sampled side). Occupancy scaling for the same
+    * bucket key is measured in `LshOccupancyStudy` (SCALE.md).
     */
   val embeddingRecall: Q = Q(
     "dd_embedding_recall",
@@ -531,9 +552,11 @@ object Similarity {
         $"bucket".as("ba"))
       val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"),
         $"bucket".as("bb"))
-      val exact = a.crossJoin(b)
-        .filter($"a_id" < $"b_id" &&
-          cosine_similarity($"ea", $"eb") >= 0.35)
+      // exact truth on the sampled queries only: broadcast the sample,
+      // stream the corpus once — linear, never a cartesian
+      val exact = b.join(broadcast(a.filter(recallSampled($"a_id"))),
+          $"a_id" < $"b_id")
+        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
         .select($"a_id", $"b_id")
       val lsh = a.join(b, $"ba" === $"bb" && $"a_id" < $"b_id")
         .filter(cosine_similarity($"ea", $"eb") >= 0.35)
@@ -548,19 +571,25 @@ object Similarity {
         .join(b, $"pbucket" === $"bb" && $"a_id" < $"b_id")
         .filter(cosine_similarity($"ea", $"eb") >= 0.35)
         .select($"a_id", $"b_id")
+      // n_pairs: everything the arm found; n_sampled: restricted to the
+      // sampled queries (for exact the two coincide by construction)
       def cnt(df: DataFrame, m: String): DataFrame =
-        df.agg(count(lit(1)).as("n_pairs")).select(lit(m).as("method"), $"n_pairs")
+        df.agg(count(lit(1)).as("n_pairs"),
+            count(when(recallSampled($"a_id"), 1)).as("n_sampled"))
+          .select(lit(m).as("method"), $"n_pairs", $"n_sampled")
       cnt(exact, "exact").unionAll(cnt(lsh, "lsh")).unionAll(cnt(mp, "lsh_mp"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .select($"method", $"n_pairs",
-          ($"n_pairs".cast("double") / $"n_exact").as("recall"))
+        .withColumn("recall", $"n_sampled".cast("double") /
+          max(when($"method" === "exact", $"n_sampled"))
+            .over(Window.partitionBy()))
+        .select($"method", $"n_pairs", $"n_sampled", $"recall")
         .orderBy($"method")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding, $bucketExprDuck AS bucket
                FROM embeddings),
       exact AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-                WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35),
+                WHERE ${recallSampledDuck("a.vec_id")}
+                  AND ${cosDuck("a.embedding", "b.embedding")} >= 0.35),
       lsh AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
               FROM e a JOIN e b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -573,11 +602,19 @@ object Similarity {
                ON p.pbucket = h.bucket AND p.a_id < h.vec_id
              WHERE ${cosDuck("p.ea", "h.embedding")} >= 0.35),
       counts AS (
-        SELECT 'exact' AS method, count(*) AS n_pairs FROM exact
-        UNION ALL SELECT 'lsh', count(*) FROM lsh
-        UNION ALL SELECT 'lsh_mp', count(*) FROM mp)
+        SELECT 'exact' AS method, count(*) AS n_pairs,
+               count(*) FILTER (WHERE ${recallSampledDuck("a_id")}) AS n_sampled
+        FROM exact
+        UNION ALL SELECT 'lsh', count(*),
+               count(*) FILTER (WHERE ${recallSampledDuck("a_id")})
+        FROM lsh
+        UNION ALL SELECT 'lsh_mp', count(*),
+               count(*) FILTER (WHERE ${recallSampledDuck("a_id")})
+        FROM mp)
       SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
-        CAST(n_pairs AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+        CAST(n_sampled AS BIGINT) AS n_sampled,
+        CAST(n_sampled AS DOUBLE) /
+          (SELECT n_sampled FROM counts WHERE method = 'exact') AS recall
       FROM counts ORDER BY method"""))
 
   /** Per-label centroid vectors — the k-means/IVF training step (mean of

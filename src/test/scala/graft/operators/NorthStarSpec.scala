@@ -194,6 +194,25 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ivf >= 0.5, s"IVF recall@3 below its measured floor: $ivf")
   }
 
+  test("dd_embedding_recall: sampled truth nonzero, LSH arms bounded by it") {
+    // the recall denominator is the hash-sampled exact pair count — it
+    // must stay nonzero at test SF (a 0/0 recall would be a silent
+    // corpus/sample-K mismatch), and since both LSH arms examine subsets
+    // of the all-pairs set, their sampled counts can never exceed it
+    val rows = Similarity.embeddingRecall.build(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (exactPairs, exactSampled, exactRecall) = rows("exact")
+    assert(exactSampled > 0, "hash-sample selected no truth pairs")
+    assert(exactPairs == exactSampled, "exact arm counts only sampled queries")
+    assert(exactRecall == 1.0)
+    for (m <- Seq("lsh", "lsh_mp")) {
+      val (_, sampled, recall) = rows(m)
+      assert(sampled <= exactSampled, s"$m found pairs outside the truth set")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m recall out of range: $recall")
+    }
+  }
+
   test("multimodal stub decode: 8-bin byte histogram sums to ~1") {
     val f = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     assert(f.length == 8)

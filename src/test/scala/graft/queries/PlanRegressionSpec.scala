@@ -343,6 +343,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     }.isEmpty, "no forced broadcast hint on a corpus-sized side")
   }
 
+  test("dd_embedding_recall: exact truth streams the corpus against a broadcast sample — never a cartesian") {
+    // the ground-truth arm must not be an all-pairs cross join: the only
+    // nested-loop join allowed is the BroadcastNestedLoopJoin whose build
+    // side is the md5-hash-sampled query set (fixed-size by K at corpus
+    // scale), so the exact arm is one corpus pass, O(n * |sample|)
+    val p = planString("dd_embedding_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"recall ground truth reverted to an unblocked cartesian:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.toLowerCase.contains("md5"),
+      s"broadcast side must be the hash-sampled query set:\n${p.take(2000)}")
+  }
+
   test("pipe_embedding_decontam: contamination join blocked on the bucket, eval side aggregates map-side") {
     // decontamination joins eval-set probes to the train corpus through
     // the LSH bucket key — the plan must show the bucket equi-join (never
