@@ -169,12 +169,18 @@ object CorpusCuration {
       // contribute 0 (they produce no subtotal row)
       val offsets = (0 until nParts)
         .scanLeft(0L)((acc, pid) => acc + subtotals.getOrElse(pid, 0L))
-      val offCol = (1 until nParts).foldLeft(lit(0L)) { (acc, pid) =>
-        when($"pid" === pid, offsets(pid)).otherwise(acc) }
+      // ship the (pid -> prefix offset) list back as a broadcast join, not
+      // a per-partition when-chain: at cluster scale (thousands of
+      // partitions) a thousand-branch CASE blows past codegen limits and
+      // falls back to interpreted eval per row, while a broadcast hash
+      // join on the tiny offset frame is O(1) per row at any partition
+      // count
+      val offDf = (0 until nParts).map(p => (p, offsets(p))).toDF("pid", "poffset")
       val w = Window.partitionBy($"pid").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       sized
-        .withColumn("cum_tokens", sum($"n_tokens").over(w) + offCol)
+        .join(broadcast(offDf), "pid")
+        .withColumn("cum_tokens", sum($"n_tokens").over(w) + $"poffset")
         .select($"doc_id", $"n_tokens",
           expr(s"(cum_tokens - 1) div $Budget").as("pack_id"))
         .groupBy($"pack_id")
@@ -590,11 +596,14 @@ object CorpusCuration {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val offsets = (0 until nParts)
         .scanLeft(0L)((acc, pid) => acc + subtotals.getOrElse(pid, 0L))
-      val offCol = (1 until nParts).foldLeft(lit(0L)) { (acc, pid) =>
-        when($"pid" === pid, offsets(pid)).otherwise(acc) }
+      // broadcast-join the offsets, not a per-partition when-chain — see
+      // [[tokenPacking]]: codegen-safe at thousands of partitions
+      val offDf = (0 until nParts).map(p => (p, offsets(p))).toDF("pid", "poffset")
       val w = Window.partitionBy($"pid").orderBy($"skey", $"doc_id")
       keyed
-        .withColumn("pos", row_number().over(w).cast(LongType) - 1L + offCol)
+        .join(broadcast(offDf), "pid")
+        .withColumn("pos",
+          row_number().over(w).cast(LongType) - 1L + $"poffset")
         .select($"doc_id", $"skey", $"pos",
           expr("pos div 64").as("batch_id"))
         .orderBy($"doc_id")

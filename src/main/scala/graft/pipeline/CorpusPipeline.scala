@@ -74,18 +74,24 @@ object CorpusPipeline {
       val offs = pids.scanLeft(0L)((acc, p) => acc + subtotals((split, p)))
       pids.zip(offs).map { case (p, off) => (split, p) -> off }
     }
-    val offCol = offsets.filter(_._2 != 0L).foldLeft(lit(0L)) {
-      case (acc, ((split, pid), off)) =>
-        when($"split" === split && $"pid" === pid, off).otherwise(acc)
-    }
+    // broadcast-join the per-(split, partition) offsets rather than
+    // folding them into a when-chain: one CASE branch per partition is
+    // fine at 32 partitions but blows past codegen limits at cluster
+    // scale (thousands of partitions → thousands of branches →
+    // interpreted eval per row); the offset frame is <= #partitions rows,
+    // always broadcast-sized
+    val offDf = broadcast(offsets.toSeq
+      .map { case ((split, pid), off) => (split, pid, off) }
+      .toDF("split", "pid", "poffset"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"split", $"pid").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val packed = ranged
-      .withColumn("cum_tokens", sum($"n_tokens").over(w) + offCol)
+      .join(offDf, Seq("split", "pid"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w) + $"poffset")
       .withColumn("pack_id", expr(s"(cum_tokens - 1) div $TokenBudget").cast(LongType))
-      .drop("cum_tokens", "pid")
+      .drop("cum_tokens", "pid", "poffset")
 
     // stage 4: sharded write + single-pass accounting
     val obs = Observation()

@@ -272,6 +272,23 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"posting heads must come from bounded aggregation, not a window:\n${p.take(2000)}")
   }
 
+  test("prefix-sum offsets join in as a broadcast, not a per-partition when-chain") {
+    // the (pid -> offset) frame is <= #partitions rows; a when-chain with
+    // one CASE branch per partition blows codegen limits at cluster scale
+    // (thousands of partitions), so the offsets must enter via a
+    // BroadcastHashJoin on pid that stays O(1) per row at any partition
+    // count
+    for (q <- Seq("pipe_token_packing", "pipe_global_shuffle")) {
+      val p = planString(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q offsets must broadcast-join on pid:\n${p.take(2000)}")
+      assert(p.contains("poffset"),
+        s"$q offset column missing from the plan:\n${p.take(2000)}")
+      assert(!p.contains("CASE WHEN (pid"),
+        s"$q reverted to the per-partition when-chain:\n${p.take(2000)}")
+    }
+  }
+
   test("q_window_frames: one partition exchange serves all three window specs") {
     val p = planString("q_window_frames")
     // wRange (price asc) and wOrd/wTail (price desc, key) differ only in
