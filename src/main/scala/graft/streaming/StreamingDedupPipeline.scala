@@ -16,31 +16,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * proven against an independently computed greedy in
   * StreamingDedupSpec.
   *
-  * Scale shape, per stage:
-  *   - The store holds each admitted doc's hashed shingle array,
-  *     partitioned by admitting batch (`batch=<id>/`). The cross-batch
-  *     candidate join is the `dd_incremental` shape: explode both sides
-  *     to (shingle, doc) postings, drop high-df ("stopword") shingles,
-  *     equi-join on the 8-byte shingle hash — shuffle volume driven by
-  *     the incoming batch, never all-pairs. (At index scale the store
-  *     side becomes a maintained posting-list index with per-shingle df —
-  *     [[graft.pipeline.CorpusPipeline.appendBatch]] is that machinery;
-  *     here df is recomputed per batch, which only ever ADMITS more
-  *     candidates than a final-df run would, and the exact verification
-  *     makes extra candidates harmless.)
-  *   - Within-batch greedy is a bounded peeling loop over the batch's
-  *     near-dup subgraph (pairs, not docs): each round decides every doc
-  *     whose smaller-id neighbours are all decided, and the minimum
-  *     undecided doc is always decidable, so rounds ≤ longest dependency
-  *     chain (near-dup chains are cluster-sized, not corpus-sized). Each
-  *     round's survivors are `localCheckpoint`ed — the `dd_clusters`
-  *     iterative-lineage discipline.
-  *   - Replay safety: foreachBatch re-delivers a batch after a crash;
-  *     every write is a deterministic function of (batch content, store
-  *     state strictly below this batch id) into this batch's own
-  *     partition directory with overwrite — a half-written partition from
-  *     the crashed attempt is excluded from reads (store reads filter
-  *     `batch < batchId`) and then overwritten by the replay.
+  * The store is a MAINTAINED POSTING INDEX, not a pile of shingle arrays
+  * the pipeline re-derives per batch (the shape
+  * [[graft.pipeline.CorpusPipeline.appendBatch]] uses for the inverted
+  * index). Three delta-appended tables under `storeDir`, one partition
+  * per admitting batch:
+  *
+  *   - `postings/batch=<id>/` — exploded (sh, doc_id) posting rows of the
+  *     batch's admitted docs: the candidate join reads these directly,
+  *     never re-exploding the accumulated corpus.
+  *   - `df/batch=<id>/` — per-shingle admitted-doc counts: the df cap
+  *     reads this persisted summary instead of re-aggregating every
+  *     stored posting per batch (the old per-batch store-wide shuffle).
+  *   - `shingles/batch=<id>/` — (doc_id, shingles) arrays, read only for
+  *     the exact verification of candidate a_ids.
+  *
+  * Per-batch cost is driven by the INCOMING batch, not the store: df and
+  * posting reads are filtered to the batch's shingle set (batch-sized,
+  * broadcast by AQE), the candidate join is an equi-join on the shingle
+  * key whose store side is df-capped, and verification touches only
+  * candidate a_ids. No store-wide explode, shuffle, or aggregation
+  * happens on any batch. Every [[FoldEvery]]-th batch FOLDS the
+  * accumulated deltas below it into its own partition (the LSM
+  * discipline): reads always touch ≤ [[FoldEvery]] committed partitions,
+  * at the amortized cost of one store rewrite per fold period; dirs below
+  * the fold horizon are dead to every future read and replay, and are
+  * garbage-collected. Measured in StreamingDedupStudy (SCALE.md): flat
+  * per-batch latency as the store grows.
+  *
+  * Within-batch greedy is a bounded peeling loop over the batch's
+  * near-dup subgraph (pairs, not docs): each round decides every doc
+  * whose smaller-id neighbours are all decided, and the minimum
+  * undecided doc is always decidable, so rounds ≤ longest dependency
+  * chain (near-dup chains are cluster-sized, not corpus-sized). Each
+  * round's survivors are `localCheckpoint`ed — the `dd_clusters`
+  * iterative-lineage discipline.
+  *
+  * Replay safety: foreachBatch re-delivers a batch after a crash; every
+  * write is a deterministic function of (batch content, store state
+  * strictly below this batch id) into this batch's own partition
+  * directory with overwrite — a half-written partition from the crashed
+  * attempt is excluded from reads (store reads enumerate committed
+  * `batch < batchId` dirs explicitly) and then overwritten by the
+  * replay. Fold batches only read dirs ≥ their own fold horizon, and
+  * only dirs BELOW that horizon are deleted — the one batch a stream can
+  * replay (the latest) always finds its inputs intact.
   */
 object StreamingDedupPipeline {
 
@@ -48,11 +68,22 @@ object StreamingDedupPipeline {
   val Tau = 0.6
 
   /** df cap for candidate generation (same constant as dd_incremental):
-    * shingles shared by more docs than this carry no dedup signal and
+    * shingles admitted into more docs than this carry no dedup signal and
     * would fan the join out ~Σ df²; the exact verifier keeps the cap
-    * recall-safe for any pair that also shares one rare shingle.
+    * recall-safe for any pair that also shares one rare shingle. df is
+    * counted as DOCS PER SHINGLE across store + batch (postings are
+    * per-doc distinct; the within-batch self-join dedupes (sh, doc)
+    * before counting so both call modes mean the same thing).
     */
   val MaxShingleDf = 50L
+
+  /** Every FoldEvery-th batch rewrites the store deltas below it into its
+    * own partition, bounding read fan-in at FoldEvery dirs. Amortized
+    * write cost: one store rewrite per fold period (the standard LSM
+    * trade); at 100 TB this constant trades ingest write amplification
+    * against lookup fan-in exactly like any LSM level size.
+    */
+  val FoldEvery = 16L
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -62,9 +93,10 @@ object StreamingDedupPipeline {
     StructField("n_chars", LongType)))
 
   /** Drain `srcDir` (AvailableNow) through the greedy admission filter:
-    * admitted docs land in `keptDir/batch=<id>/`, their shingles in
-    * `storeDir/batch=<id>/`. `maxFilesPerTrigger` bounds batch size so a
-    * backlog replays as the same ordered micro-batches.
+    * admitted docs land in `keptDir/batch=<id>/`, the posting-index store
+    * under `storeDir/{postings,df,shingles}/batch=<id>/`.
+    * `maxFilesPerTrigger` bounds batch size so a backlog replays as the
+    * same ordered micro-batches.
     */
   def ingestDedup(spark: SparkSession, srcDir: String, storeDir: String,
       keptDir: String, checkpointDir: String,
@@ -84,21 +116,35 @@ object StreamingDedupPipeline {
   }
 
   /** Verified near-dup pairs between two hashed-shingle frames
-    * (columns: id/shingles aliased per side), J ≥ [[Tau]]. `df` spans
-    * BOTH sides so the cap sees every posting the join would touch.
+    * (columns: id/shingles aliased per side), J ≥ [[Tau]]. df for the cap
+    * is counted over DISTINCT (shingle, doc) postings of both sides, so
+    * when a and b are the same doc set (the within-batch self-join) a
+    * shingle's df means docs-per-shingle — the same constant as
+    * dd_incremental — instead of being silently doubled by the union.
     */
   private def nearDupPairs(a: DataFrame, b: DataFrame): DataFrame = {
     val s = a.sparkSession
     import s.implicits._
     val postA = a.select($"a_id", explode($"sa").as("sh"))
     val postB = b.select($"b_id", explode($"sb").as("sh"))
-    val frequent = postA.select($"sh")
-      .unionAll(postB.select($"sh"))
+    val frequent = postA.select($"sh", $"a_id".as("id"))
+      .unionAll(postB.select($"sh", $"b_id".as("id")))
+      .distinct()
       .groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" > MaxShingleDf).select($"sh")
     val cand = postA.join(broadcast(frequent), Seq("sh"), "left_anti")
       .join(postB.join(broadcast(frequent), Seq("sh"), "left_anti"), "sh")
       .select($"a_id", $"b_id").distinct()
+    verifyPairs(cand, a, b)
+  }
+
+  /** Exact Jaccard verification of candidate (a_id, b_id) pairs against
+    * the sides' shingle arrays.
+    */
+  private def verifyPairs(cand: DataFrame, a: DataFrame, b: DataFrame)
+      : DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
     cand
       .join(a, "a_id").join(b, "b_id")
       .select($"a_id", $"b_id",
@@ -106,6 +152,41 @@ object StreamingDedupPipeline {
         size($"sa").as("na"), size($"sb").as("nb"))
       .filter(($"ni".cast(DoubleType) / ($"na" + $"nb" - $"ni")) >= Tau)
       .select($"a_id", $"b_id")
+  }
+
+  /** Committed store partitions of `root` readable by `batchId`: dirs
+    * `batch=<b>` with foldHorizon ≤ b < batchId. Enumerated explicitly
+    * instead of filtering a root read: a crashed attempt can leave
+    * footer-less part files in its own batch dir, and partition discovery
+    * would trip over them before any batch filter could apply.
+    */
+  private def committedDirs(spark: SparkSession, root: String,
+      batchId: Long): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) Seq.empty
+    else fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") && {
+          val b = p.getName.stripPrefix("batch=").toLong
+          b >= foldHorizon(batchId) && b < batchId
+        }
+      }
+      .map(_.toString)
+  }
+
+  /** The latest fold at or below `batchId - 1`: every committed dir below
+    * it is folded into it and never read again.
+    */
+  private def foldHorizon(batchId: Long): Long =
+    if (batchId <= 0L) 0L else ((batchId - 1) / FoldEvery) * FoldEvery
+
+  private def readOrEmpty(spark: SparkSession, root: String, batchId: Long,
+      empty: => DataFrame): DataFrame = {
+    val dirs = committedDirs(spark, root, batchId)
+    if (dirs.isEmpty) empty
+    else spark.read.option("basePath", root).parquet(dirs: _*)
   }
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
@@ -118,30 +199,51 @@ object StreamingDedupPipeline {
     val docs = batch.localCheckpoint()
     val sh = graft.operators.Dedup.hashedShinglesOf(docs).localCheckpoint()
 
-    // ---- cross-batch rejection: batch docs near-dup of any STORED doc.
-    // Store reads exclude this batch id: a crashed attempt's partition
-    // must not veto its own replay.
-    // enumerate committed partitions explicitly instead of filtering a
-    // root read: a crashed attempt can leave footer-less part files in
-    // its own batch dir, and partition discovery would trip over them
-    // before any batch < batchId filter could apply
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[String] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) Seq.empty
-      else fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)).toSeq
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") &&
-          p.getName.stripPrefix("batch=").toLong < batchId)
-        .map(_.toString)
-    val store =
-      if (committed.isEmpty)
-        sh.filter(lit(false)).select($"doc_id".as("a_id"), $"shingles".as("sa"))
-      else
-        spark.read.option("basePath", storeDir).parquet(committed: _*)
-          .select($"doc_id".as("a_id"), $"shingles".as("sa"))
+    // ---- cross-batch rejection against the maintained posting index:
+    // every store read is filtered to the BATCH's shingle set before any
+    // aggregation or join, so per-batch work scales with the batch, not
+    // the accumulated corpus.
+    val batchPost = sh
+      .select($"doc_id".as("b_id"), explode($"shingles").as("sh"))
+      .localCheckpoint()
+    val batchDf = batchPost.groupBy($"sh").agg(count(lit(1)).as("nb"))
+
+    val storePost = readOrEmpty(spark, s"$storeDir/postings", batchId,
+        batchPost.filter(lit(false)).select($"sh", $"b_id".as("doc_id")))
+      .select($"sh", $"doc_id".as("a_id"))
+    val storeDf = readOrEmpty(spark, s"$storeDir/df", batchId,
+        batchDf.filter(lit(false)).select($"sh", $"nb".as("n")))
+      .select($"sh", $"n")
+
+    // effective df spans store + batch (same cap semantics as before the
+    // index: a shingle frequent across the union is dropped from both
+    // sides); only shingles PRESENT in the batch can matter, so the
+    // store-df read reduces against the batch's shingle list — the fold
+    // discipline has already bounded it to ≤ FoldEvery partitions
+    val storeDfRel = storeDf.join(batchDf.select($"sh"), "sh")
+      .groupBy($"sh").agg(sum($"n").as("ns"))
+    val rare = batchDf.join(storeDfRel, Seq("sh"), "left")
+      .filter($"nb" + coalesce($"ns", lit(0L)) <= MaxShingleDf)
+      .select($"sh")
+      .localCheckpoint()
+
+    // candidate pairs: store postings of rare batch shingles × batch
+    // postings — an equi-join on the 8-byte shingle key; the store side
+    // is df-capped, the batch sides are batch-sized (AQE broadcasts them
+    // from measured stats; no forced hint on the store side)
+    val cand = storePost.join(rare, "sh")
+      .join(batchPost.join(rare, "sh"), "sh")
+      .select($"a_id", $"b_id").distinct()
+
+    // exact verification: shingle arrays only for candidate ids
+    val candA = cand.select($"a_id".as("doc_id")).distinct()
+    val storeArrs = readOrEmpty(spark, s"$storeDir/shingles", batchId,
+        sh.filter(lit(false)))
+      .select($"doc_id", $"shingles")
+      .join(candA, "doc_id")
+      .select($"doc_id".as("a_id"), $"shingles".as("sa"))
     val batchSide = sh.select($"doc_id".as("b_id"), $"shingles".as("sb"))
-    val storeHits = nearDupPairs(store, batchSide)
+    val storeHits = verifyPairs(cand, storeArrs, batchSide)
       .select($"b_id".as("doc_id")).distinct()
     val afterStore = sh.join(storeHits, Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -184,10 +286,51 @@ object StreamingDedupPipeline {
       .join(sh.select($"doc_id"), Seq("doc_id"), "left_anti")
     val admitted = kept.unionAll(unshingled)
 
-    // ---- deterministic, per-batch-partition writes (replay = overwrite)
+    // ---- deterministic, per-batch-partition writes (replay = overwrite).
+    // A fold batch (batchId % FoldEvery == 0) folds every committed delta
+    // below it into its own partition; its readers start at this batch.
+    val keptSh = sh.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+    val keptPost = keptSh
+      .select(explode($"shingles").as("sh"), $"doc_id")
+    val isFold = batchId % FoldEvery == 0L && batchId > 0L
+
     docs.join(admitted, Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
-    sh.join(kept, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+
+    val shinglesOut =
+      if (isFold)
+        readOrEmpty(spark, s"$storeDir/shingles", batchId, keptSh.filter(lit(false)))
+          .select($"doc_id", $"shingles").unionAll(keptSh)
+      else keptSh
+    shinglesOut.write.mode("overwrite")
+      .parquet(s"$storeDir/shingles/batch=$batchId")
+
+    val postOut =
+      if (isFold) storePost.select($"sh", $"a_id".as("doc_id"))
+        .unionAll(keptPost.select($"sh", $"doc_id"))
+      else keptPost.select($"sh", $"doc_id")
+    postOut.write.mode("overwrite")
+      .parquet(s"$storeDir/postings/batch=$batchId")
+
+    val batchKeptDf = keptPost.groupBy($"sh").agg(count(lit(1)).as("n"))
+    val dfOut =
+      if (isFold) storeDf.unionAll(batchKeptDf)
+        .groupBy($"sh").agg(sum($"n").as("n"))
+      else batchKeptDf
+    dfOut.write.mode("overwrite").parquet(s"$storeDir/df/batch=$batchId")
+
+    // dirs below the fold horizon are folded into it: no future batch
+    // (including a replay of THIS batch, which reads ≥ its own horizon)
+    // can read them — garbage-collect
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (root <- Seq("shingles", "postings", "df")) {
+      val rootPath = new org.apache.hadoop.fs.Path(s"$storeDir/$root")
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            p.getName.stripPrefix("batch=").toLong < foldHorizon(batchId))
+          .foreach(p => fs.delete(p, true))
+    }
   }
 }

@@ -92,12 +92,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
 
     // store holds exactly the kept docs' shingle rows across batches
-    val storeIds = spark.read.option("basePath", storeDir).parquet(storeDir)
+    val storeIds = spark.read
+      .option("basePath", s"$storeDir/shingles").parquet(s"$storeDir/shingles")
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     val shingledKept = graft.operators.Dedup.hashedShinglesOf(
         spark.read.option("basePath", keptDir).parquet(keptDir))
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(storeIds == shingledKept)
+
+    // the maintained index reconciles with the shingle arrays: postings
+    // are exactly the exploded kept arrays, df is docs-per-shingle
+    val postings = spark.read.option("basePath", s"$storeDir/postings")
+      .parquet(s"$storeDir/postings")
+    assert(postings.select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == shingledKept)
+    val dfFromPostings = postings.groupBy($"sh")
+      .agg(count(lit(1)).as("expected"))
+    val dfStored = spark.read.option("basePath", s"$storeDir/df")
+      .parquet(s"$storeDir/df")
+      .groupBy($"sh").agg(sum($"n").as("got"))
+    assert(dfFromPostings.join(dfStored, Seq("sh"), "full")
+      .filter($"expected".isNull || $"got".isNull || $"expected" =!= $"got")
+      .count() == 0, "persisted df must equal docs-per-shingle over postings")
 
     // replay with a fresh checkpoint over the same source: deterministic
     // recompute overwrites every batch partition with identical content
@@ -125,11 +141,14 @@ class StreamingDedupSpec extends AnyFunSuite {
     val b0 = all.limit(per)
     val b1ids = order.drop(per)
     StreamingDedupPipeline.processBatch(b0, 0L, storeDir, keptDir)
-    val crashedPart = new java.io.File(s"$storeDir/batch=1")
-    crashedPart.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$storeDir/batch=1/part-garbage.parquet"),
-      "not a parquet footer".getBytes)
+    // half-written partitions in every store table from the crashed attempt
+    for (root <- Seq("shingles", "postings", "df")) {
+      val crashedPart = new java.io.File(s"$storeDir/$root/batch=1")
+      crashedPart.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$storeDir/$root/batch=1/part-garbage.parquet"),
+        "not a parquet footer".getBytes)
+    }
 
     // the streaming replay (fresh checkpoint sees both files; batch ids
     // restart at 0 processing file 0 then file 1) must ignore and then
