@@ -221,8 +221,14 @@ object CorpusPipeline {
     val tombDir = s"$indexDir/tombstones"
     val live =
       if (fs.exists(new org.apache.hadoop.fs.Path(tombDir))) {
+        // one read serves both the limit check and the anti-join: the
+        // distinct set is materialized once (localCheckpoint — blocks are
+        // released when the plan is GC'd, unlike cache()), its count is
+        // the DISTINCT id count, so repeated deletes of the same ids
+        // can't trip the broadcast limit early
         val tomb = spark.read.parquet(tombDir).select($"doc_id").distinct()
-        val nTomb = spark.read.parquet(tombDir).count()
+          .localCheckpoint()
+        val nTomb = tomb.count()
         if (nTomb <= tombstoneBroadcastLimit)
           postings.join(broadcast(tomb), Seq("doc_id"), "left_anti")
         else {
@@ -246,17 +252,33 @@ object CorpusPipeline {
   private lazy val log =
     org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Uncompacted delta batches above which a compaction is due: each
+    * pending batch adds (at most) one shard to every lookup's file list,
+    * so the bound caps lookup read fan-in the way an LSM caps level
+    * count.
+    */
+  val MaxDeltaBatches: Int = 16
+
   /** True when the pending tombstone set has outgrown the broadcast
-    * bound — the single-writer's cue to schedule a [[compact]]. Footer
-    * metadata count only; no data scan.
+    * bound (footer metadata count only — pessimistic under re-deletes,
+    * which merely compacts early) or the uncompacted delta count has
+    * outgrown the lookup fan-in bound. [[appendBatch]] and [[deleteDocs]]
+    * run the compaction themselves when this trips; it stays public as
+    * the idle-time scheduling cue.
     */
   def compactionDue(spark: SparkSession, indexDir: String,
-      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Boolean = {
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit,
+      maxDeltaBatches: Int = MaxDeltaBatches): Boolean = {
     val tombDir = s"$indexDir/tombstones"
+    val deltaDir = s"$indexDir/delta"
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(tombDir)) &&
+    val tombsOver = fs.exists(new org.apache.hadoop.fs.Path(tombDir)) &&
       spark.read.parquet(tombDir).count() > tombstoneBroadcastLimit
+    val deltasOver = fs.exists(new org.apache.hadoop.fs.Path(deltaDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(deltaDir))
+        .count(_.getPath.getName.startsWith("batch=")) > maxDeltaBatches
+    tombsOver || deltasOver
   }
 
   /** Tombstone delete — the redaction path for the incremental index. A
@@ -274,16 +296,22 @@ object CorpusPipeline {
     * the tombstone — the anti-join would hide (and compact would drop)
     * the re-added postings along with the old ones.
     */
-  def deleteDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long])
-      : Unit = {
+  def deleteDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long],
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Unit = {
     import spark.implicits._
     recoverIndex(spark, indexDir)
     docIds.toDF("doc_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
-    if (compactionDue(spark, indexDir))
-      log.warn(s"tombstones at $indexDir exceed the broadcast limit " +
-        s"($TombstoneBroadcastLimit); lookups degrade to shuffle " +
-        "anti-joins until compact() runs")
+    // the delete itself is already durable and visible (tombstone
+    // anti-join); the compaction that restores broadcast lookups runs
+    // HERE, not on a caller's polling loop. A crash anywhere inside it
+    // leaves the swap-staging states recoverIndex repairs on the next
+    // index operation's entry.
+    if (compactionDue(spark, indexDir, tombstoneBroadcastLimit)) {
+      log.info(s"tombstones at $indexDir exceed the broadcast limit " +
+        s"($tombstoneBroadcastLimit); compacting")
+      compact(spark, indexDir)
+    }
   }
 
   /** Incremental index maintenance — append a NEW batch of documents'
@@ -296,13 +324,20 @@ object CorpusPipeline {
     * [[deleteDocs]]). The delta is range-sharded over ITS
     * OWN sampled boundaries and manifested separately; [[lookupTerm]]
     * unions base + delta coverage, so reads stay pruned (one base shard
-    * + at most one small shard per uncompacted batch). Periodic
-    * [[compact]] folds deltas into a re-sharded base, restoring the
-    * one-shard lookup. The same postings rows flow through the same
+    * + at most one small shard per uncompacted batch). [[compact]] folds
+    * deltas into a re-sharded base, restoring the one-shard lookup — and
+    * runs AUTOMATICALLY here once the uncompacted delta count passes
+    * `maxDeltaBatches` (or tombstones pass their bound): the writer
+    * maintains its own index, no caller polling. Retries are idempotent
+    * across the fold: a committed batch retried BEFORE a compaction
+    * serves its manifest rows; retried AFTER, it serves the report
+    * [[compact]] recorded in `folded_batches` (re-appending would double
+    * the postings). The same postings rows flow through the same
     * bounded-memory sort path as the base build.
     */
   def appendBatch(spark: SparkSession, indexDir: String, sfDir: String,
-      batchId: String, nShards: Int = 0): IndexReport = {
+      batchId: String, nShards: Int = 0,
+      maxDeltaBatches: Int = MaxDeltaBatches): IndexReport = {
     import spark.implicits._
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
@@ -322,7 +357,10 @@ object CorpusPipeline {
     //    attempt (complete or partial); delete it and rewrite.
     def committedRows = spark.read.parquet(manDir)
       .filter($"file".contains(s"/batch=$batchId/"))
-    if (exists(deltaDir) && exists(manDir) && committedRows.limit(1).count() > 0) {
+    def foldedRow = spark.read.parquet(s"$indexDir/folded_batches")
+      .filter($"batch_id" === batchId)
+    val report = if (exists(deltaDir) && exists(manDir) &&
+        committedRows.limit(1).count() > 0) {
       val stats = committedRows
         .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
           count(lit(1)).as("files"), sum($"n_rows").as("posts")).head()
@@ -331,6 +369,17 @@ object CorpusPipeline {
         nPostings = stats.getAs[Long]("posts"),
         nTerms = stats.getAs[Long]("terms"),
         maxShardRows = stats.getAs[Long]("maxRows"))
+    } else if (exists(s"$indexDir/folded_batches") &&
+        foldedRow.limit(1).count() > 0) {
+      // the batch committed and a later compaction already folded it into
+      // the base: re-appending would double its postings, so the retry is
+      // a no-op serving the report [[compact]] recorded at fold time
+      val r = foldedRow.head()
+      IndexReport(
+        nShards = r.getAs[Long]("files").toInt,
+        nPostings = r.getAs[Long]("posts"),
+        nTerms = r.getAs[Long]("terms"),
+        maxShardRows = r.getAs[Long]("maxRows"))
     } else {
       if (exists(deltaDir))
         fs.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
@@ -351,14 +400,31 @@ object CorpusPipeline {
       val stats = manifest
         .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
           count(lit(1)).as("files")).head()
-      val report = IndexReport(
+      val r = IndexReport(
         nShards = stats.getAs[Long]("files").toInt,
         nPostings = obs.get("n_postings").asInstanceOf[Long],
         nTerms = stats.getAs[Long]("terms"),
         maxShardRows = stats.getAs[Long]("maxRows"))
       manifest.unpersist()
-      report
+      r
     }
+    // compaction runs HERE when the delta count (lookup fan-in) or the
+    // tombstone set is over bound — the writer maintains its own index,
+    // no caller polling loop. The append above is already committed
+    // (manifest rows are the commit point), so a crash inside the
+    // compaction replays as: committed no-op → recoverIndex repairs the
+    // interrupted swap → compaction re-evaluates. NOTE: once a
+    // compaction folds the delta, a retry of the SAME batchId would
+    // re-append it — the idempotent-retry window closes at the next
+    // compaction, which is why the trigger sits after the commit point
+    // (a retry that raced the crashed compaction hits the no-op branch,
+    // never a double append).
+    if (compactionDue(spark, indexDir, maxDeltaBatches = maxDeltaBatches)) {
+      log.info(s"$indexDir has more than $maxDeltaBatches uncompacted " +
+        "delta batches (or tombstones over bound); compacting")
+      compact(spark, indexDir, nShards)
+    }
+    report
   }
 
   /** Fold all uncompacted deltas into a freshly re-sharded base. The new
@@ -485,6 +551,25 @@ object CorpusPipeline {
       throw new IllegalStateException(s"nothing to compact under $indexDir")
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
+
+    // Record each delta batch's committed report under `folded_batches`
+    // BEFORE the fold: after the swap deletes delta_manifest, a retry of
+    // an already-folded batchId must become a no-op serving this recorded
+    // report — re-appending would double its postings (see
+    // [[appendBatch]]). Written optimistically before the swap: if the
+    // swap rolls back, the manifest rows still exist and the committed
+    // no-op branch wins before this marker is ever consulted; duplicate
+    // marker rows from a re-run compact carry identical stats.
+    if (hasDelta && fs.exists(path(s"$indexDir/delta_manifest"))) {
+      spark.read.parquet(s"$indexDir/delta_manifest")
+        .withColumn("batch_id",
+          regexp_extract($"file", "/batch=([^/]+)/", 1))
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("files"), sum($"n_rows").as("posts"),
+          sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$indexDir/folded_batches")
+    }
 
     val baseAndDelta =
       if (hasDelta)

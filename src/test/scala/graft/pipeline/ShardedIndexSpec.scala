@@ -372,6 +372,99 @@ class ShardedIndexSpec extends AnyFunSuite {
       assert(servedPostings(ixDir, t) == servedPostings(fullDir, t))
   }
 
+  test("appendBatch auto-compacts past the delta bound; crash between trigger and swap recovers") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // no manual compact() call anywhere in this test: the writer maintains
+    // its own index. maxDeltaBatches=0 makes every append trigger the
+    // compaction; the first one crashes on the promote rename (real fault
+    // injection on the rename seam) and the NEXT append's entry recovery
+    // must repair the index before appending and compacting again.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl", classOf[graft.streaming.FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qs = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.0)
+    val (q1, q2) = (qs(0), qs(1))
+    val parts = Seq(
+      docs.filter($"doc_id" <= q1),
+      docs.filter($"doc_id" > q1 && $"doc_id" <= q2),
+      docs.filter($"doc_id" > q2))
+    val sfDirs = parts.zipWithIndex.map { case (p, i) =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft-ac-$i").toString
+      p.write.parquet(s"$d/documents.parquet")
+      d
+    }
+    val localDir = java.nio.file.Files.createTempDirectory("graft-ac-ix").toString
+    val ixDir = s"faulty://$localDir/ix"
+    CorpusPipeline.writeInvertedIndex(spark, sfDirs(0), ixDir, nShards = 4)
+
+    // append 1: commits, then its auto-compaction crashes on the promote
+    graft.streaming.FaultyRenameFs.failNextPromote.set(true)
+    val e = intercept[java.io.IOException] {
+      CorpusPipeline.appendBatch(spark, ixDir, sfDirs(1), "b1",
+        nShards = 2, maxDeltaBatches = 0)
+    }
+    assert(e.getMessage.contains("rename"), e.getMessage)
+    val fs = new Path(ixDir).getFileSystem(hconf)
+    assert(fs.exists(new Path(s"$ixDir/inverted.staging/_SUCCESS")),
+      "crash must land mid-swap with a complete staging")
+
+    // append 2: entry recovery rolls the crashed swap forward (b1 folded),
+    // then appends b2 and auto-compacts it too
+    val r2 = CorpusPipeline.appendBatch(spark, ixDir, sfDirs(2), "b2",
+      nShards = 2, maxDeltaBatches = 0)
+    assert(r2.nPostings > 0)
+    assert(!fs.exists(new Path(s"$ixDir/delta")) &&
+      !fs.exists(new Path(s"$ixDir/delta_manifest")) &&
+      !fs.exists(new Path(s"$ixDir/inverted.staging")) &&
+      !fs.exists(new Path(s"$ixDir/inverted.old")),
+      "auto-compaction must leave a clean single-base index")
+
+    // the twice-auto-compacted index serves exactly a full rebuild
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-ac-full").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, fullDir, nShards = 4)
+    val terms = spark.read.parquet(s"$fullDir/inverted")
+      .select($"token").distinct().orderBy($"token")
+      .collect().map(_.getString(0))
+    for (t <- Seq(terms.head, terms(terms.length / 2), terms.last))
+      assert(servedPostings(ixDir, t) == servedPostings(fullDir, t),
+        s"auto-compacted lookup('$t') != full rebuild")
+
+    // a retry of the folded batch is a no-op serving the recorded report,
+    // never a double append
+    val r1Retry = CorpusPipeline.appendBatch(spark, ixDir, sfDirs(1), "b1",
+      nShards = 2, maxDeltaBatches = 0)
+    assert(r1Retry.nPostings > 0, "folded-batch retry must serve the recorded report")
+    assert(!fs.exists(new Path(s"$ixDir/delta")),
+      "folded-batch retry must not re-append")
+    for (t <- Seq(terms.head, terms.last))
+      assert(servedPostings(ixDir, t) == servedPostings(fullDir, t))
+  }
+
+  test("deleteDocs auto-compacts an over-bound tombstone set physically") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-adt-ix").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, ixDir, nShards = 4)
+    val all = spark.read.parquet(s"$ixDir/inverted")
+    val term = all.select($"token").distinct().orderBy($"token")
+      .collect().map(_.getString(0)).apply(1)
+    val victims = all.filter($"token" === term)
+      .select($"doc_id").distinct().orderBy($"doc_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    // limit 0: the delete itself trips the bound and compacts inline —
+    // no manual compact() call, no caller polling
+    CorpusPipeline.deleteDocs(spark, ixDir, victims, tombstoneBroadcastLimit = 0L)
+    val fs = new Path(ixDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$ixDir/tombstones")),
+      "auto-compaction must retire the tombstones")
+    assert(spark.read.parquet(s"$ixDir/inverted")
+      .filter($"doc_id".isin(victims: _*)).isEmpty,
+      "tombstoned postings must be physically gone")
+    assert(servedPostings(ixDir, term).forall(p => !victims.contains(p._1)))
+  }
+
   test("shard files are internally sorted by (token, doc_id)") {
     import spark.implicits._
     val byFile = spark.read.parquet(s"$outDir/inverted")
