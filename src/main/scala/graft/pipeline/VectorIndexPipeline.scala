@@ -71,6 +71,7 @@ object VectorIndexPipeline {
   def appendVectors(spark: SparkSession, indexDir: String,
       newVectors: DataFrame, batchId: String): VectorIndexReport = {
     import spark.implicits._
+    recoverVectorIndex(spark, indexDir)
     val emb = newVectors.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -80,6 +81,112 @@ object VectorIndexPipeline {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/codes/batch=$batchId")
     refreshManifest(spark, indexDir)
+  }
+
+  /** Logical delete — the redaction path for the vector index, mirroring
+    * [[CorpusPipeline.deleteDocs]]: vec_ids append to
+    * `<indexDir>/tombstones` and every serve anti-joins its codes against
+    * them, so the delete is visible immediately without touching any
+    * partition; [[rebuild]] drops tombstoned codes physically and retires
+    * the tombstones. Idempotent (re-deleting is a no-op through the
+    * anti-join). Contract (single-writer): a deleted vec_id must not be
+    * re-appended until a rebuild has retired its tombstone — and because
+    * crash recovery may leave an already-applied tombstone set behind
+    * (harmless: the anti-join of a dropped id is a no-op), "retired"
+    * means observed absent, not merely one rebuild later.
+    */
+  def deleteVecs(spark: SparkSession, indexDir: String, vecIds: Seq[Long])
+      : Unit = {
+    import spark.implicits._
+    recoverVectorIndex(spark, indexDir)
+    vecIds.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** Codes minus the pending tombstone set — the serve-side visibility
+    * filter. The tombstone set is deletes-since-rebuild (bounded by the
+    * single-writer's rebuild cadence, the same budget class as
+    * lookupTerm's); one read serves both frames via localCheckpoint.
+    */
+  private def liveCodes(spark: SparkSession, indexDir: String,
+      codes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tombDir = s"$indexDir/tombstones"
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tombDir))) codes
+    else {
+      val tomb = spark.read.parquet(tombDir).select($"vec_id").distinct()
+        .localCheckpoint()
+      codes.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    }
+  }
+
+  /** Fold every batch into a fresh `batch=0` base with tombstoned codes
+    * physically dropped — the [[CorpusPipeline.compact]] analog (without
+    * re-training: quantizer drift is a separate re-train + writeIvfPq).
+    * Staged write + checked renames; [[recoverVectorIndex]] repairs any
+    * crash window on the next index operation. Tombstones are deleted
+    * only AFTER the swapped base proves readable; a crash before that
+    * leaves them pending, which is harmless — anti-joining an id the new
+    * base already dropped is a no-op, and the next rebuild retires them.
+    */
+  def rebuild(spark: SparkSession, indexDir: String): VectorIndexReport = {
+    import spark.implicits._
+    recoverVectorIndex(spark, indexDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def renameOrThrow(a: String, b: String): Unit =
+      if (!fs.rename(path(a), path(b)))
+        throw new java.io.IOException(s"rebuild swap: rename $a -> $b failed")
+    val codes = s"$indexDir/codes"
+    liveCodes(spark, indexDir,
+        spark.read.parquet(codes).select($"vec_id", $"cell", $"m", $"code"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$codes.staging/batch=0")
+    renameOrThrow(codes, s"$codes.old")
+    renameOrThrow(s"$codes.staging", codes)
+    // verify the promoted base serves before discarding the survivors
+    spark.read.parquet(codes).schema
+    fs.delete(path(s"$codes.old"), true)
+    fs.delete(path(s"$indexDir/tombstones"), true)
+    refreshManifest(spark, indexDir)
+  }
+
+  /** Crash recovery for an interrupted [[rebuild]] swap — called on every
+    * index operation's entry (single-writer contract, as
+    * [[CorpusPipeline.recoverIndex]]). The `.staging`/`.old` survivors
+    * key the window: codes missing + complete staging → roll forward
+    * (delete the retired `.old`); codes missing + only `.old` → roll
+    * back; codes present → delete whichever remnants survive. Tombstones
+    * are NEVER deleted here: recovery cannot know whether the live base
+    * already dropped them, and a stale tombstone is a no-op anti-join
+    * that the next rebuild retires.
+    */
+  def recoverVectorIndex(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def exists(s: String) = fs.exists(path(s))
+    val codes = s"$indexDir/codes"
+    if (!exists(codes)) {
+      if (exists(s"$codes.staging/batch=0/_SUCCESS")) {
+        if (!fs.rename(path(s"$codes.staging"), path(codes)))
+          throw new java.io.IOException(
+            s"vector index recovery: promote of $codes.staging failed")
+        fs.delete(path(s"$codes.old"), true)
+      } else if (exists(s"$codes.old")) {
+        if (!fs.rename(path(s"$codes.old"), path(codes)))
+          throw new java.io.IOException(
+            s"vector index recovery: rollback of $codes.old failed")
+        fs.delete(path(s"$codes.staging"), true)
+      }
+    } else {
+      if (exists(s"$codes.staging")) fs.delete(path(s"$codes.staging"), true)
+      if (exists(s"$codes.old")) fs.delete(path(s"$codes.old"), true)
+    }
   }
 
   private def refreshManifest(spark: SparkSession, indexDir: String)
@@ -124,6 +231,7 @@ object VectorIndexPipeline {
   def serveIvfPq(spark: SparkSession, indexDir: String, sfDir: String,
       serveAll: Boolean = false, nprobe: Int = 1): DataFrame = {
     import spark.implicits._
+    recoverVectorIndex(spark, indexDir)
     val emb = Similarity.embDouble(spark, sfDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val rcb = spark.read.parquet(s"$indexDir/codebook")
@@ -143,6 +251,8 @@ object VectorIndexPipeline {
           .collect().map(_.getLong(0)).toSeq
         prunedCodes(spark, indexDir, probed)
       }
-    Similarity.adcTopK(codes, rcb, queries, serveAll)
+    // pending deletes ([[deleteVecs]]) are hidden until a rebuild drops
+    // them physically
+    Similarity.adcTopK(liveCodes(spark, indexDir, codes), rcb, queries, serveAll)
   }
 }

@@ -83,6 +83,74 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf, nprobe = 1)) == disk)
   }
 
+  test("deletes interleaved with appends: immediate visibility, physical drop at rebuild, disk==memory throughout") {
+    import org.apache.hadoop.fs.Path
+    // base on the first half; then delete → append → delete → rebuild,
+    // checking after every step that disk serving equals the in-memory
+    // reference over the LIVE vector set (same stored quantizer, same
+    // shared builders)
+    val sfHalf = java.nio.file.Files.createTempDirectory("graft-vdx-h").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" < 250)
+      .write.parquet(s"$sfHalf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vdx").toString
+    VectorIndexPipeline.writeIvfPq(spark, sfHalf, dir)
+
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val rcb = spark.read.parquet(s"$dir/codebook")
+    val embAll = Similarity.embDouble(spark, sf)
+    def memOver(liveIds: Long => Boolean): Set[(Long, Int, Long, Double)] = {
+      val live = embAll.filter(udf(liveIds).apply($"vec_id"))
+      val codes = Similarity.pqCodesFrame(
+        Similarity.ivfCells(spark, live, centroids), rcb)
+      val queries = Similarity.probeResiduals(spark, embAll, centroids,
+        serveAll = false, nprobe = 1)
+      rows(Similarity.adcTopK(codes, rcb, queries, serveAll = false))
+    }
+
+    // delete two base vectors that the untouched serve actually returns,
+    // so visibility is observable
+    val servedBefore = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf))
+    val victims1 = servedBefore.map(_._3).toSeq.sorted.take(2)
+    VectorIndexPipeline.deleteVecs(spark, dir, victims1)
+    val afterDel1 = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf))
+    assert(afterDel1.forall(r => !victims1.contains(r._3)),
+      "deleted vectors must disappear from serving immediately")
+    assert(afterDel1 == memOver(id => id < 250 && !victims1.contains(id)),
+      "post-delete disk serve != in-memory over the live set")
+
+    // append the second half; earlier deletes stay hidden
+    val second = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" >= 250)
+    VectorIndexPipeline.appendVectors(spark, dir, second, "1")
+    val afterApp = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf))
+    assert(afterApp == memOver(id => !victims1.contains(id)),
+      "post-append disk serve != in-memory over the live set")
+
+    // delete an appended vector too, then rebuild: physical drop + retire
+    val victims2 = afterApp.map(_._3).filter(_ >= 250).toSeq.sorted.take(1)
+    assert(victims2.nonEmpty, "need an appended vector in the served set")
+    VectorIndexPipeline.deleteVecs(spark, dir, victims2)
+    val gone = (victims1 ++ victims2).toSet
+    val expected = memOver(id => !gone(id))
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected)
+
+    val rep = VectorIndexPipeline.rebuild(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/tombstones")), "rebuild retires tombstones")
+    assert(!fs.exists(new Path(s"$dir/codes.staging")) &&
+      !fs.exists(new Path(s"$dir/codes.old")))
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter($"vec_id".isin(gone.toSeq: _*)).isEmpty,
+      "tombstoned codes must be physically gone after rebuild")
+    assert(rep.nVectors ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count() - gone.size)
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected,
+      "rebuild must not change served results")
+    // idempotent: re-deleting an already-dropped id is a served no-op
+    VectorIndexPipeline.deleteVecs(spark, dir, victims1.take(1))
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected)
+  }
+
   test("probe-mode serving reads only the probed cells' partitions") {
     val emb = Similarity.embDouble(spark, sf)
     val centroids = spark.read.parquet(s"$ixDir/centroids")
