@@ -35,11 +35,19 @@ object EventStreamPipeline {
     * the physical type with a batch footer read and adapt: declare the
     * stream schema with the physical type, then (for the timestamp form)
     * convert to epoch-ns long on the scan output. Downstream windowing is
-    * identical either way.
+    * identical either way. An EMPTY source directory (the normal state of
+    * a stream started before data arrives) has no footer to probe —
+    * fall back to the ns-long [[eventSchema]] and start anyway, exactly
+    * what the explicit-schema stream always did.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physicalTs = spark.read.parquet(dir).schema("ts").dataType
+    val physicalTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        // "Unable to infer schema" / missing path: nothing arrived yet
+        case _: org.apache.spark.sql.AnalysisException => LongType
+      }
     val physicalSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = physicalTs)
       case f => f

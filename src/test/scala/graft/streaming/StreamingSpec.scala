@@ -41,6 +41,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream on an empty source dir starts and picks up files that arrive later") {
+    // the physical-ts probe reads the dir at setup; with no files yet it
+    // must fall back to the ns-long contract schema instead of throwing
+    // "Unable to infer schema" — starting before data arrives is the
+    // normal state of a file stream
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-empty")
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.hourlyAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("empty_start_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start_stream").isEmpty)
+      // first file arrives after the stream started
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+        streamDir.resolve("events-000.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("empty_start_stream").count() > 0,
+        "late-arriving files must flow through the pre-started stream")
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enriched with a batch dimension") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ss")
     java.nio.file.Files.copy(
