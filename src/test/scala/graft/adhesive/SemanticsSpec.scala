@@ -34,6 +34,54 @@ class SemanticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Some(1L), None, Some(3L), None))
   }
 
+  test("RETURNS ... NOT NULL elides the null branch; the nullable twin keeps it") {
+    // the reference's computeNonNullBigInt fast path (Adhesive.java:105-124)
+    // maps to the declared non-nullability: Catalyst must actually USE it —
+    // the output slot is non-nullable, a wrapping coalesce/isnull folds
+    // away at optimization, and the generated code carries no null branch
+    // for the result. The nullable twin of the same body keeps all three.
+    // (a Range-backed view, not the LocalRelation fixture — the optimizer
+    // materializes projections over local relations outright, which would
+    // erase the very expressions under test)
+    spark.range(1, 5).selectExpr("id AS a", "id * 10 AS b")
+      .createOrReplaceTempView("t_nn")
+    for ((ddlName, notNull) <- Seq(("f_nn", true), ("f_nb", false))) {
+      val clause = if (notNull) "RETURNS BIGINT NOT NULL" else "RETURNS BIGINT"
+      spark.sql(
+        s"""CREATE OR REPLACE FUNCTION $ddlName(BIGINT) $clause LANGUAGE JAVA AS '
+          |import graft.adhesive.Adhesive;
+          |import org.apache.spark.sql.Row;
+          |public class Twice extends Adhesive {
+          |  public Object compute(Row row) { return row.getLong(0) * 2; }
+          |}
+          |'""".stripMargin)
+    }
+    val nn = spark.sql("SELECT coalesce(f_nn(a), -1L) AS v, isnull(f_nn(a)) AS z FROM t_nn")
+    val nb = spark.sql("SELECT coalesce(f_nb(a), -1L) AS v, isnull(f_nb(a)) AS z FROM t_nn")
+    // 1. plan output nullability reflects the declaration
+    assert(!spark.sql("SELECT f_nn(a) AS v FROM t_nn").queryExecution
+      .analyzed.output.head.nullable, "NOT NULL output slot must be non-nullable")
+    assert(spark.sql("SELECT f_nb(a) AS v FROM t_nn").queryExecution
+      .analyzed.output.head.nullable, "default output slot stays nullable")
+    // 2. the optimizer drops the null branch only for the NOT NULL variant
+    val nnOpt = nn.queryExecution.optimizedPlan.toString
+    val nbOpt = nb.queryExecution.optimizedPlan.toString
+    assert(!nnOpt.contains("coalesce") && !nnOpt.contains("isnull"),
+      s"null branches must fold away for NOT NULL:\n$nnOpt")
+    assert(nbOpt.contains("coalesce") && nbOpt.contains("isnull"),
+      s"nullable twin must keep its null branches:\n$nbOpt")
+    // 3. non-nullability survives to the physical plan (what downstream
+    // codegen consumers key their isNull elision on; the runtime guard
+    // for a lying function is spec'd in AdhesiveDdlSpec)
+    assert(!spark.sql("SELECT f_nn(a) AS v FROM t_nn").queryExecution
+      .executedPlan.output.head.nullable)
+    assert(spark.sql("SELECT f_nb(a) AS v FROM t_nn").queryExecution
+      .executedPlan.output.head.nullable)
+    // same values either way (the body never returns null)
+    assert(nn.collect().map(_.getLong(0)).toSet == Set(2L, 4L, 6L, 8L))
+    assert(nb.collect().map(_.getLong(0)).toSet == Set(2L, 4L, 6L, 8L))
+  }
+
   test("a throwing function fails the query with the function name in the error") {
     fixture()
     spark.sql(
