@@ -46,7 +46,7 @@ object ScalingStudy {
         .as("text"))
   }
 
-  private def shingles(docs: DataFrame): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.repartition(s.sparkContext.defaultParallelism, $"doc_id")

@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.pipeline.VectorIndexPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 scale study: push one dedup and one ANN path an order of
+  * magnitude past every earlier measurement (100k → 1M rows), validating
+  * the two claims the round-9 review asked to extend
+  * (VERDICT r9, "Next round" #7):
+  *
+  *   sbt "Test/runMain graft.operators.ScalingStudyR10"        # all parts
+  *   sbt "Test/runMain graft.operators.ScalingStudyR10 dedup"  # one part
+  *   (parts: dedup | minhash | lsh | ivfpq)
+  *
+  * 1. **df-cap** (`Dedup.jaccardPairs(cap=50)`): the capped shingle join
+  *    is claimed linear-ish because on Zipf-tailed vocabularies the
+  *    over-cap "stopword" shingles carry no dedup signal while the
+  *    sub-cap tail keeps every true pair connected. The earlier 31-word
+  *    corpora measure the DEGENERATE regime (cap empties at 100k,
+  *    SCALE.md §Dedup); this study adds the regime the cap is designed
+  *    for — a 50k-word Zipf(≈1) vocabulary ([[zipfCorpus]], rank drawn
+  *    log-uniformly so P(rank r) ∝ 1/r) at 100k / 300k / 1M docs, with
+  *    planted-truth recall and the over-cap fraction measured per size.
+  * 2. **MinHash-LSH survival** at 1M docs of the degenerate 31-word
+  *    corpus (2×4 banding, the production config from the round-6
+  *    sweep): recall of the planted truth and candidate precision must
+  *    hold where every individual shingle is over-cap.
+  * 3. **LSH bucket occupancy** (`lsh_bucket`): the capacity-control
+  *    claim — expected occupancy n/2^planes, each plane halving it —
+  *    measured at 1M vectors for 8 and 12 planes, with planted-pair
+  *    recall (single probe vs Hamming-1 multiprobe).
+  * 4. **Persisted IVF-PQ** ([[VectorIndexPipeline]]): build + probe-mode
+  *    serve timed at 100k / 1M vectors; serve latency must track the
+  *    probed-cell size (≈ n/16 rows read), not the corpus.
+  *
+  * All corpora are md5-derived and deterministic (no RNG) — reruns
+  * reproduce bit-identical inputs. Results feed SCALE.md (round 10).
+  */
+object ScalingStudyR10 {
+
+  /** n docs over a 50k-word Zipf-ish vocabulary: word ranks drawn
+    * log-uniformly (inverse-CDF of 1/r), words are synthetic tokens
+    * `w<rank>`. Same planted-dup structure as [[ScalingStudy.corpus]]:
+    * ids ≡ 0 (mod 20) regenerate from id-1's seed plus a marker word,
+    * so (id-1, id) are near-dups at J ≈ 0.95.
+    */
+  private val ZipfVocab = 50000
+  private[graft] def zipfCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val lnV = math.log(ZipfVocab.toDouble)
+    val base = spark.range(n).select($"id".as("doc_id"))
+      .withColumn("seed",
+        when($"doc_id" % 20 === 0 && $"doc_id" > 0, $"doc_id" - 1)
+          .otherwise($"doc_id"))
+      .withColumn("nw",
+        (expr("CAST(conv(substring(md5(CAST(seed AS STRING)), 1, 6), 16, 10) AS BIGINT)") % 40 + 40))
+    // u in [0,1) from 6 md5 hex chars; rank = floor(exp(u·lnV)) ∈ [1, V]
+    base.select($"doc_id",
+      expr(s"""concat_ws(' ',
+        transform(sequence(1, nw), i -> concat('w', CAST(
+          exp(CAST(conv(substring(md5(concat(CAST(seed AS STRING), '-', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+              / 16777216.0 * $lnV) AS BIGINT))),
+        CASE WHEN doc_id % 20 = 0 AND doc_id > 0 THEN 'marker0 marker1 marker2' ELSE '' END)""")
+        .as("text"))
+  }
+
+  /** Planted pairs that genuinely verify at J ≥ tau — the O(n) truth. */
+  private def plantedTruth(docs: DataFrame, sh: DataFrame, tau: Double)
+      : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val planted = docs
+      .filter($"doc_id" % 20 === 0 && $"doc_id" > 0)
+      .select(($"doc_id" - 1).as("a_id"), $"doc_id".as("b_id"))
+    planted
+      .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
+      .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
+      .filter((size(array_intersect($"sa", $"sb")).cast("double") /
+        (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
+        >= tau)
+      .select($"a_id", $"b_id")
+  }
+
+  private def dedupZipf(spark: SparkSession): Unit = {
+    import spark.implicits._
+    for (n <- Seq(100000L, 300000L, 1000000L)) {
+      val docs = zipfCorpus(spark, n)
+      val sh = ScalingStudy.shingles(docs).localCheckpoint()
+
+      // df profile: how much of the posting volume does the cap drop?
+      val ex = sh.select($"doc_id", explode($"shingles").as("s"))
+      val dfp = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" > 50, 1L).otherwise(0L)).as("over_cap"),
+          sum($"df").as("postings"),
+          sum(when($"df" > 50, $"df").otherwise(0L)).as("postings_over"))
+        .head()
+      println(f"[r10-dedup] n=$n%-8d shingles=${dfp.getAs[Long]("n_shingles")}%-9d " +
+        f"over_cap=${dfp.getAs[Long]("over_cap")}%-6d " +
+        f"postings=${dfp.getAs[Long]("postings")}%-10d " +
+        f"dropped_postings=${dfp.getAs[Long]("postings_over")}")
+
+      val truth = plantedTruth(docs, sh, 0.6).localCheckpoint()
+      val nTruth = truth.count()
+
+      val t0 = System.nanoTime()
+      val pairs = Dedup.jaccardPairs(sh, 0.6, maxShingleDf = Some(50L))
+        .select($"a_id", $"b_id").localCheckpoint()
+      val nPairs = pairs.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nHit = pairs.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      println(f"[r10-dedup] n=$n%-8d capped_pairs=$nPairs%-7d ${dt}%.1fs " +
+        f"plantedTruth=$nTruth plantedRecall=${nHit.toDouble / nTruth}%.4f")
+      spark.catalog.clearCache() // jaccardPairs caches exRare + bounded
+    }
+  }
+
+  private def minhash1M(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val n = 1000000L
+    val docs = ScalingStudy.corpus(spark, n)
+    val sh = ScalingStudy.shingles(docs).localCheckpoint()
+    val truth = plantedTruth(docs, sh, 0.6).localCheckpoint()
+    val nTruth = truth.count()
+
+    val t0 = System.nanoTime()
+    val P = 2147483647L
+    val as = Seq(1777L, 2203L, 3407L, 4001L, 5303L, 6121L, 7001L, 8011L)
+    val bs = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
+    val mh = (0 until 8).map(j =>
+      expr(s"array_min(transform(shingles, h -> (pmod(h, $P) * ${as(j)} + ${bs(j)}) % $P))")
+        .as(s"mh$j"))
+    val sig = sh.select(col("doc_id") +: col("shingles") +: mh: _*)
+    // 2×4 banding — the production config for low-entropy corpora
+    // (round-6 sweep: ~unity precision, ~1% planted-recall loss)
+    val cand = Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7)).map { slots =>
+      sig.as("x").join(sig.as("y"),
+          slots.map(j => col(s"x.mh$j") === col(s"y.mh$j"))
+            .reduce(_ && _) && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+    }.reduce(_ union _).distinct().localCheckpoint()
+    val nCand = cand.count()
+    val shA = sh.select($"doc_id".as("a_id"), $"shingles".as("sa"))
+    val shB = sh.select($"doc_id".as("b_id"), $"shingles".as("sb"))
+    val conf = cand.join(shA, "a_id").join(shB, "b_id")
+      .filter((size(array_intersect($"sa", $"sb")).cast("double") /
+        (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
+        >= 0.6)
+      .select($"a_id", $"b_id").localCheckpoint()
+    val nConf = conf.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val nHit = conf.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+    println(f"[r10-minhash] n=$n cand=$nCand confirmed=$nConf " +
+      f"precision=${nConf.toDouble / math.max(nCand, 1)}%.4f " +
+      f"plantedTruth=$nTruth plantedRecall=${nHit.toDouble / nTruth}%.4f ${dt}%.1fs")
+    spark.catalog.clearCache()
+  }
+
+  private def lshOccupancy1M(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val n = 1000000L
+    for (planes <- Seq(8, 12)) {
+      val e = LshOccupancyStudy.vectors(spark, n)
+        .withColumn("bucket",
+          graft.functions.VectorFunctions.lsh_bucket($"embedding", planes, 64))
+        .localCheckpoint()
+      val stats = e.groupBy($"bucket").count().agg(
+        count(lit(1)).as("n_buckets"),
+        avg($"count").as("mean_occ"),
+        max($"count").as("max_occ"),
+        sum($"count" * ($"count" - 1) / 2).as("cand_pairs")).head()
+      println(f"[r10-lsh] n=$n planes=$planes " +
+        f"buckets=${stats.getAs[Long]("n_buckets")}%-5d " +
+        f"mean_occ=${stats.getAs[Double]("mean_occ")}%.1f " +
+        f"expected=${n.toDouble / (1L << planes)}%.1f " +
+        f"max_occ=${stats.getAs[Long]("max_occ")} " +
+        f"cand_pairs=${stats.getAs[Long]("cand_pairs")}")
+      val planted = e.filter($"vec_id" % 20 === 19)
+        .select($"vec_id".as("dup_id"), $"base_id", $"bucket".as("db"))
+        .join(e.select($"vec_id".as("base_id"), $"bucket".as("bb")), "base_id")
+      val r = planted.agg(
+        count(lit(1)).as("n_planted"),
+        sum(when($"db" === $"bb", 1L).otherwise(0L)).as("hit1"),
+        sum(when(bit_count($"db".bitwiseXOR($"bb")) <= 1, 1L).otherwise(0L))
+          .as("hit_mp")).head()
+      val np = r.getAs[Long]("n_planted")
+      println(f"[r10-lsh] n=$n planes=$planes planted=$np " +
+        f"recall_single=${r.getAs[Long]("hit1").toDouble / np}%.3f " +
+        f"recall_mp=${r.getAs[Long]("hit_mp").toDouble / np}%.3f")
+    }
+  }
+
+  private def ivfpq1M(spark: SparkSession): Unit = {
+    import spark.implicits._
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-r10-ivfpq-$n").toString
+      val sfDir = s"$root/sf"
+      val indexDir = s"$root/ix"
+      LshOccupancyStudy.vectors(spark, n)
+        .select($"vec_id", $"embedding")
+        .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+
+      var t0 = System.nanoTime()
+      val rep = VectorIndexPipeline.writeIvfPq(spark, sfDir, indexDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+
+      t0 = System.nanoTime()
+      val served = VectorIndexPipeline
+        .serveIvfPq(spark, indexDir, sfDir, serveAll = false, nprobe = 1)
+        .count()
+      val tServe = (System.nanoTime() - t0) / 1e9
+      println(f"[r10-ivfpq] n=$n%-8d build=${tBuild}%.1fs " +
+        f"cells=${rep.nCells} maxCellRows=${rep.maxCellRows} " +
+        f"serve_probe1=${tServe}%.1fs served_rows=$served")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(root))
+      spark.catalog.clearCache() // writeIvfPq caches cells + centroids
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val parts = if (args.isEmpty) Seq("dedup", "minhash", "lsh", "ivfpq")
+      else args.toSeq
+    parts.foreach {
+      case "dedup"   => dedupZipf(spark)
+      case "minhash" => minhash1M(spark)
+      case "lsh"     => lshOccupancy1M(spark)
+      case "ivfpq"   => ivfpq1M(spark)
+      case other     => println(s"[r10] unknown part: $other")
+    }
+    spark.stop()
+  }
+}
