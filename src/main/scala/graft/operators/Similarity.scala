@@ -80,15 +80,17 @@ object Similarity {
   private def flipListDuck: String =
     (0L +: (0 until Planes).map(p => 1L << p)).mkString(", ")
 
-  private def bucketExprDuck: String = {
-    val bits = (0 until Planes).map { p =>
+  private def bucketExprDuckN(planes: Int, col: String = "embedding"): String = {
+    val bits = (0 until planes).map { p =>
       val w = weight(p)("j")
       val dot = s"list_sum(list_transform(range($Dim), " +
-        s"j -> embedding[j+1]::DOUBLE * ($w)::DOUBLE))"
+        s"j -> $col[j+1]::DOUBLE * ($w)::DOUBLE))"
       s"(CASE WHEN ($dot) >= 0.0 THEN ${1 << p} ELSE 0 END)"
     }
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
+
+  private def bucketExprDuck: String = bucketExprDuckN(Planes)
 
   // the codegen'd [[graft.functions.LshBucket]] one-pass kernel; the HOF
   // fold-per-plane form is CodegenFallback (same arithmetic, interpreted)
@@ -504,6 +506,85 @@ object Similarity {
       FROM probes p JOIN e h ON p.pbucket = h.bucket AND p.a_id < h.vec_id
       WHERE ${cosDuck("p.ea", "h.embedding")} >= 0.35
       ORDER BY a_id, b_id"""))
+
+  /** Skew-bounded variant of [[cosineNearDupLsh]]: over-occupancy buckets
+    * are split by extension hyperplanes until every block is back under a
+    * capacity bound. Motivation is a round-10 measurement
+    * (`ScalingStudyR10`, SCALE.md): at 1M vectors the 8-plane bucket's
+    * MEAN occupancy tracks n/2^planes exactly, but the MAX runs 4–10×
+    * the mean — and a within-bucket self-join pays occupancy
+    * quadratically, so the heaviest bucket dominates the pair join
+    * (15,653²/2 ≈ 122M of the 3.06G candidate pairs at 8 planes).
+    * Raising the global plane count punishes every bucket to fix a few;
+    * this operator instead computes per-bucket occupancy (a tiny
+    * ≤2^planes-row aggregate, broadcast back) and gives each bucket the
+    * SMALLEST k with occ ≤ cap·2^k extension bits (k ≤ 8), drawn from
+    * the same deterministic hyperplane family (planes 8–15 of the
+    * 16-plane key — bit p of [[graft.functions.LshBucket]] is
+    * independent of the total plane count, so the low 8 bits ARE the
+    * base bucket). Expected refined occupancy is ≤ cap everywhere; the
+    * join stays an equi-join on (bucket, sub).
+    *
+    * The recall trade is the standard LSH one, now applied only where
+    * the data is dense: a qualifying pair inside a split bucket is kept
+    * iff it agrees on the bucket's k extension signs — near-dups at
+    * cosine → 1 agree on any plane w.h.p., and multiprobe over the
+    * extension bits is the same dial as [[cosineNearDupLshMp]].
+    * All arithmetic (occupancy, k, sub-key) is integral, so the DuckDB
+    * oracle replays the split decisions bit-exactly.
+    */
+  private val BoundedCap = 4L
+  private val ExtPlanes = 8
+  val cosineNearDupLshBounded: Q = Q(
+    "dd_embedding_lsh_bounded",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          graft.functions.VectorFunctions
+            .lsh_bucket(col("embedding"), Planes + ExtPlanes, Dim).as("b16"))
+        .select($"vec_id", $"embedding",
+          $"b16".bitwiseAND(lit((1L << Planes) - 1)).as("bucket"),
+          shiftright($"b16", Planes).as("ext"))
+      val occ = e.groupBy($"bucket").agg(count(lit(1)).as("occ"))
+      // smallest k with occ <= cap·2^k, capped at ExtPlanes — integer
+      // comparisons only, built innermost-out so branch k wins over k-1
+      val kCol = (1 to ExtPlanes).foldLeft(lit(0)) { (acc, k) =>
+        when($"occ" > lit(BoundedCap << (k - 1)), lit(k)).otherwise(acc)
+      }
+      val buckK = occ.select($"bucket", kCol.as("k"))
+      val refined = e.join(broadcast(buckK), "bucket")
+        .select($"vec_id", $"embedding", $"bucket",
+          expr("ext & (shiftleft(CAST(1 AS BIGINT), k) - 1)").as("sub"))
+      refined.as("a").join(refined.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.sub" === $"b.sub" &&
+            $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          cosine_similarity($"a.embedding", $"b.embedding").as("score"))
+        .filter($"score" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val kCase = (1 to ExtPlanes).reverse
+        .map(k => s"WHEN occ > ${BoundedCap << (k - 1)} THEN $k")
+        .mkString(" ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+               ${bucketExprDuckN(Planes + ExtPlanes)} AS b16 FROM embeddings),
+        eb AS (SELECT vec_id, embedding,
+                 b16 & ${(1L << Planes) - 1} AS bucket,
+                 b16 >> $Planes AS ext FROM e),
+        occ AS (SELECT bucket, count(*) AS occ FROM eb GROUP BY bucket),
+        bk AS (SELECT bucket, CASE $kCase ELSE 0 END AS k FROM occ),
+        r AS (SELECT eb.vec_id, eb.embedding, eb.bucket,
+                ext & ((CAST(1 AS BIGINT) << k) - 1) AS sub
+              FROM eb JOIN bk USING (bucket))
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          ${cosDuck("a.embedding", "b.embedding")} AS score
+        FROM r a JOIN r b
+          ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
+        WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.35
+        ORDER BY a_id, b_id"""
+    })
 
   /** Deterministic query-side sample for the recall readout: a vector is
     * a "query" iff an engine-portable hash of its id (md5 prefix, same
@@ -1474,5 +1555,6 @@ object Similarity {
     ivfTopK, ivfNprobe2, sqlTopK, cosineNearDup, cosineNearDupLsh, centroids,
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
     ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh,
-    embeddingDecontam, cosineNearDupLshMp, embeddingRecall, ivfPqPersisted)
+    embeddingDecontam, cosineNearDupLshMp, embeddingRecall, ivfPqPersisted,
+    cosineNearDupLshBounded)
 }

@@ -213,6 +213,33 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_embedding_lsh_bounded: refines the bucket blocking; loses pairs only to splits") {
+    // the skew-bounded variant may only differ from the plain LSH arm
+    // inside buckets it actually split (occ > cap): the refined key is a
+    // refinement of the bucket key, so (1) its pairs are a subset, and
+    // (2) any lost pair must sit in an over-capacity bucket
+    val toPair = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = toPair(Similarity.cosineNearDupLsh.build(spark, sf))
+    val bounded = toPair(Similarity.cosineNearDupLshBounded.build(spark, sf))
+    assert(bounded.subsetOf(lsh),
+      s"bounded arm found pairs outside the bucket blocking: ${bounded -- lsh}")
+    val vecBucket = graft.queries.Tables.embeddings(spark, sf)
+      .select($"vec_id", graft.functions.VectorFunctions
+        .lsh_bucket($"embedding", 8, 64).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val occ = vecBucket.values.groupBy(identity).map { case (b, v) => b -> v.size }
+    assert(occ.values.exists(_ > 4),
+      "corpus too uniform at this SF to exercise bucket splitting")
+    val lost = lsh -- bounded
+    assert(lost.nonEmpty, "expected the split to drop at least one dense-bucket pair")
+    lost.foreach { case (a, b) =>
+      assert(occ(vecBucket(a)) > 4,
+        s"pair ($a,$b) lost from an unsplit bucket ${vecBucket(a)} (occ ${occ(vecBucket(a))})")
+    }
+  }
+
   test("multimodal stub decode: 8-bin byte histogram sums to ~1") {
     val f = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     assert(f.length == 8)

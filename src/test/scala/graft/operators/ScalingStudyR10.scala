@@ -191,6 +191,50 @@ object ScalingStudyR10 {
     }
   }
 
+  /** The skew fix measured at the scale that motivated it: per-bucket
+    * extension planes (`dd_embedding_lsh_bounded`'s blocking) vs the flat
+    * 8-plane bucket at 1M vectors, for two capacity settings.
+    */
+  private def bounded1M(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val n = 1000000L
+    val e = LshOccupancyStudy.vectors(spark, n)
+      .withColumn("b16",
+        graft.functions.VectorFunctions.lsh_bucket($"embedding", 16, 64))
+      .select($"vec_id", $"base_id",
+        $"b16".bitwiseAND(lit(255L)).as("bucket"),
+        shiftright($"b16", 8).as("ext"))
+      .localCheckpoint()
+    for (cap <- Seq(4096L, 1024L)) {
+      val occ = e.groupBy($"bucket").agg(count(lit(1)).as("occ"))
+      val kCol = (1 to 8).foldLeft(lit(0)) { (acc, k) =>
+        when($"occ" > lit(cap << (k - 1)), lit(k)).otherwise(acc)
+      }
+      val refined = e.join(broadcast(occ.select($"bucket", kCol.as("k"))), "bucket")
+        .select($"vec_id", $"base_id", $"bucket",
+          expr("ext & (shiftleft(CAST(1 AS BIGINT), k) - 1)").as("sub"))
+        .localCheckpoint()
+      val stats = refined.groupBy($"bucket", $"sub").count().agg(
+        count(lit(1)).as("n_blocks"),
+        max($"count").as("max_occ"),
+        sum($"count" * ($"count" - 1) / 2).as("cand_pairs")).head()
+      val planted = refined.filter($"vec_id" % 20 === 19)
+        .select($"vec_id".as("dup_id"), $"base_id",
+          $"bucket".as("db"), $"sub".as("ds"))
+        .join(refined.select($"vec_id".as("base_id"), $"bucket".as("bb"),
+          $"sub".as("bs")), "base_id")
+      val r = planted.agg(
+        count(lit(1)).as("n_planted"),
+        sum(when($"db" === $"bb" && $"ds" === $"bs", 1L).otherwise(0L))
+          .as("hit")).head()
+      val np = r.getAs[Long]("n_planted")
+      println(f"[r10-bounded] n=$n cap=$cap blocks=${stats.getAs[Long]("n_blocks")}%-5d " +
+        f"max_occ=${stats.getAs[Long]("max_occ")} " +
+        f"cand_pairs=${stats.getAs[Long]("cand_pairs")} " +
+        f"recall_single=${r.getAs[Long]("hit").toDouble / np}%.3f")
+    }
+  }
+
   private def ivfpq1M(spark: SparkSession): Unit = {
     import spark.implicits._
     for (n <- Seq(100000L, 1000000L)) {
@@ -229,12 +273,13 @@ object ScalingStudyR10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val parts = if (args.isEmpty) Seq("dedup", "minhash", "lsh", "ivfpq")
+    val parts = if (args.isEmpty) Seq("dedup", "minhash", "lsh", "bounded", "ivfpq")
       else args.toSeq
     parts.foreach {
       case "dedup"   => dedupZipf(spark)
       case "minhash" => minhash1M(spark)
       case "lsh"     => lshOccupancy1M(spark)
+      case "bounded" => bounded1M(spark)
       case "ivfpq"   => ivfpq1M(spark)
       case other     => println(s"[r10] unknown part: $other")
     }

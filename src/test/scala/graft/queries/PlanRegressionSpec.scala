@@ -360,6 +360,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     }.isEmpty, "no forced broadcast hint on a corpus-sized side")
   }
 
+  test("dd_embedding_lsh_bounded: occupancy broadcast back, pair join keys on the refined (bucket, sub), no cartesian") {
+    // the skew-bounded near-dup path: the per-bucket occupancy frame
+    // (≤ 2^planes rows) must come back as a broadcast join — never a
+    // shuffle of the corpus against it — and the pair join must key on
+    // the REFINED (bucket, sub) pair, staying an equi-join. A cartesian
+    // or a sub-less join key silently reverts the skew bound.
+    val p = planString("dd_embedding_lsh_bounded")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      s"occupancy frame must broadcast back onto the corpus:\n${p.take(1500)}")
+    assert(p.contains("sub"),
+      s"refined sub-key missing from the pair join:\n${p.take(1500)}")
+    assert(p.contains("AdaptiveSparkPlan"), p.take(1500))
+  }
+
   test("dd_embedding_recall: exact truth streams the corpus against a broadcast sample — never a cartesian") {
     // the ground-truth arm must not be an all-pairs cross join: the only
     // nested-loop join allowed is the BroadcastNestedLoopJoin whose build
