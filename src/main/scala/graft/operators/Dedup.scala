@@ -833,7 +833,7 @@ object Dedup {
           .filter((size(array_intersect($"sa", $"sb")).cast(DoubleType) /
             (($"na" + $"nb") - size(array_intersect($"sa", $"sb")))) >= 0.6)
         cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(confirmed.agg(count(lit(1)).as("n_confirmed")))
+          .crossJoin(broadcast(confirmed.agg(count(lit(1)).as("n_confirmed"))))
           .select(lit(name).as("config"), $"n_candidates", $"n_confirmed")
       }
       report("4x2", Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)))

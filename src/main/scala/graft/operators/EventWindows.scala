@@ -493,8 +493,10 @@ object EventWindows {
       val ud = Tables.events(s, d)
         .select($"user_id", expr(dayExpr).as("day")).distinct().cache()
       val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
-      val wau = ud.select($"day".as("d")).distinct()
-        .join(ud, $"day".between($"d" - 6, $"d"))
+      // day spine is |calendar days| rows at any corpus size — declare it
+      // as the broadcast side of the 7-day range join
+      val wau = ud.join(broadcast(ud.select($"day".as("d")).distinct()),
+          $"day".between($"d" - 6, $"d"))
         .groupBy($"d").agg(countDistinct($"user_id").as("wau"))
       dau.join(wau, $"day" === $"d")
         .select($"day", $"dau", $"wau",

@@ -378,7 +378,8 @@ object Similarity {
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM graft_embeddings
                    WHERE vec_id >= 10 AND vec_id < 20),
         c AS (SELECT vec_id AS cid, embedding AS ce FROM graft_embeddings),
-        sc AS (SELECT qid, cid, cosine_similarity(qe, ce) AS score
+        sc AS (SELECT /*+ BROADCAST(q) */ qid, cid,
+                 cosine_similarity(qe, ce) AS score
                FROM q CROSS JOIN c WHERE qid != cid),
         r AS (SELECT qid, cid, score,
               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
@@ -1125,11 +1126,12 @@ object Similarity {
 
   /** The ADC serving tail: per-(query, codeword, subspace) fixed-point
     * LUT, the (cell, m, code) join against the codes table, and the
-    * per-query top-3. `serveAll` switches the LUT from broadcast to an
-    * AQE-planned shuffle (corpus-sized LUT must not be broadcast).
+    * per-query top-`k`. `serveAll` switches the LUT from broadcast to an
+    * AQE-planned shuffle (corpus-sized LUT must not be broadcast); `k`
+    * widens the cut for shortlist consumers ([[ivfPqRerank]]).
     */
   private[graft] def adcTopK(codes: DataFrame, rcb: DataFrame,
-      queries: DataFrame, serveAll: Boolean): DataFrame = {
+      queries: DataFrame, serveAll: Boolean, k: Int = 3): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
     val lutStructs = array((0 until NSub).map { m =>
@@ -1148,7 +1150,7 @@ object Similarity {
       .agg(sum($"dq8").as("adc8"))
     val tk = Window.partitionBy($"qid").orderBy($"adc8", $"cid")
     adc.withColumn("rank", row_number().over(tk))
-      .filter($"rank" <= 3)
+      .filter($"rank" <= k)
       .select($"qid", $"rank", $"cid",
         ($"adc8".cast("double") / 100000000.0).as("adc_dist"))
       .orderBy($"qid", $"rank")
@@ -1225,9 +1227,27 @@ object Similarity {
 
   /** DuckDB replay of [[ivfPqServe]]; `probeFilter` scopes the query side
     * ("" = serve the whole corpus); `nprobe > 1` sources the LUT from
-    * per-probe residuals instead of the home-cell residual.
+    * per-probe residuals instead of the home-cell residual;
+    * `rerankDepth > 0` appends the exact-cosine refinement tail
+    * ([[ivfPqRerank]]): ADC top-`rerankDepth` shortlist, re-scored
+    * against the raw embeddings, top-3 by exact cosine.
     */
-  private def ivfPqDuck(probeFilter: String, nprobe: Int = 1): String = {
+  private def ivfPqDuck(probeFilter: String, nprobe: Int = 1,
+      rerankDepth: Int = 0): String = {
+    val tail =
+      if (rerankDepth <= 0)
+        s"""SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
+      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
+      else
+        s""", cand AS (SELECT qid, cid FROM rk WHERE rank <= $rerankDepth),
+      ex AS (SELECT cand.qid, cand.cid,
+               ${cosDuck("qe.embedding", "ce.embedding")} AS score
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.qid
+             JOIN embeddings ce ON ce.vec_id = cand.cid),
+      rr AS (SELECT qid, cid, score, row_number() OVER
+               (PARTITION BY qid ORDER BY score DESC, cid) AS rank FROM ex)
+      SELECT qid, rank, cid, score FROM rr WHERE rank <= 3 ORDER BY qid, rank"""
     val lutCte =
       if (nprobe == 1)
         s"""lut AS (SELECT res.vec_id AS qid, res.cell AS qcell, rcb.code_id AS k,
@@ -1274,8 +1294,7 @@ object Similarity {
               WHERE lut.qid != c.vec_id GROUP BY 1, 2),
       rk AS (SELECT qid, cid, adc8, row_number() OVER
                (PARTITION BY qid ORDER BY adc8, cid) AS rank FROM adc)
-      SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
-      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
+      $tail"""
   }
 
   /** Full-corpus IVF-PQ serving: every vector is a query answered through
@@ -1302,6 +1321,56 @@ object Similarity {
     "ann_ivfpq_nprobe2",
     (s, d) => ivfPqServe(s, d, serveAll = false, nprobe = 2),
     Some(ivfPqDuck(probeFilter = "", nprobe = 2)))
+
+  /** ADC shortlist size for the exact-rerank refinement stage. */
+  private val RerankDepth = 10
+
+  /** IVF-PQ with exact re-ranking — the standard two-stage serving
+    * refinement (FAISS `IndexRefineFlat`): the compressed index produces
+    * a cheap ADC top-[[RerankDepth]] shortlist, then ONLY those
+    * candidates are re-scored against their raw vectors and the final
+    * top-3 ranks by exact cosine. This recovers the precision PQ
+    * quantization loses while touching `|queries| × RerankDepth` raw
+    * vectors instead of the corpus.
+    *
+    * 100 TB shape: the shortlist (bounded by queries × depth) is
+    * BROADCAST against the raw vector store, so the refinement is one
+    * streaming pass over the store with no shuffle of the corpus — in a
+    * real deployment the store lookup is further partition-pruned by
+    * vec_id, the same discipline [[graft.pipeline.VectorIndexPipeline]]
+    * proves for cell-pruned code reads.
+    */
+  val ivfPqRerank: Q = Q(
+    "ann_ivfpq_rerank",
+    (s, d) => {
+      import s.implicits._
+      val emb = embDouble(s, d)
+      val centroids = kmeansCodebook(s, d)
+      val cells = ivfCells(s, emb, centroids).cache()
+      val rcb = residualCodebook(cells)
+      val codes = pqCodesFrame(cells, rcb)
+      val queries = cells.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+      val shortlist =
+        adcTopK(codes, rcb, queries, serveAll = false, k = RerankDepth)
+          .select($"qid", $"cid")
+      val raw = Tables.embeddings(s, d)
+      // attach the query's raw vector (tiny × tiny broadcast join), then
+      // stream the raw store once against the broadcast shortlist
+      val withQ = shortlist.join(
+        broadcast(raw.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+      val rescored = raw.select($"vec_id".as("cid"), $"embedding".as("ce"))
+        .join(broadcast(withQ), "cid")
+        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+      rescored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"cid", $"score")
+        .orderBy($"qid", $"rank")
+    },
+    Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10",
+      rerankDepth = RerankDepth)))
 
   /** Recall@3 of IVF-PQ at nprobe=1 vs nprobe=2 against the exact
     * squared-L2 top-3 — the accuracy readout that justifies the
@@ -1556,5 +1625,5 @@ object Similarity {
     quantizeInt8, recallReport, pqCodes, pqTopK, ivfPqTopK, ivfPqServeAll,
     ivfPqNprobe2, ivfPqRecall, clusterQuality, semanticDedup, semanticDedupLsh,
     embeddingDecontam, cosineNearDupLshMp, embeddingRecall, ivfPqPersisted,
-    cosineNearDupLshBounded)
+    cosineNearDupLshBounded, ivfPqRerank)
 }

@@ -385,6 +385,42 @@ class NorthStarSpec extends AnyFunSuite {
     assert(multi >= single, s"multiprobe recall $multi < single $single")
   }
 
+  test("IVF-PQ rerank: exact-cosine order, and top-1 dominates the ADC pick") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (dot, na, nb) = a.indices.foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, x, y), i) =>
+          (d + a(i).toDouble * b(i), x + a(i).toDouble * a(i),
+            y + b(i).toDouble * b(i))
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = graft.queries.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rerank = Similarity.ivfPqRerank.build(spark, sf).collect()
+    val byQ = rerank.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      // scores are the true cosines, in non-increasing rank order
+      byRank.foreach { r =>
+        assert(math.abs(r.getDouble(3) - cos(vecs(q), vecs(r.getLong(2)))) < 1e-9,
+          s"query $q: rerank score is not the exact cosine")
+      }
+      assert(byRank.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)),
+        s"query $q: rerank score not monotone in rank")
+    }
+    // refinement dominance: the reranked top-1 is at least as close (by
+    // exact cosine) as whatever the pure-ADC index would have returned
+    val adcTop = Similarity.ivfPqTopK.build(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, rs) =>
+      val rr1 = rs.sortBy(_.getInt(1)).head.getDouble(3)
+      assert(rr1 >= cos(vecs(q), vecs(adcTop(q))) - 1e-12,
+        s"query $q: rerank top-1 worse than the ADC top-1 it refines")
+    }
+  }
+
   test("IVF-PQ ADC top-k: 3 same-cell rows per query, distance non-decreasing") {
     val rows = Similarity.ivfPqTopK.build(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -228,6 +228,20 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("ann_ivfpq_rerank: shortlist broadcast against the raw store, no corpus shuffle join") {
+    // the refinement stage must stream the vector store ONCE against the
+    // broadcast |queries|×RerankDepth shortlist — a sort-merge join here
+    // would shuffle the whole corpus to refine 100 rows
+    val p = planString("ann_ivfpq_rerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank join shuffles the raw store:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("cosinesimilarity"),
+      s"exact rescoring left the plan:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"rerank top-3 lost group-limit pushdown:\n${p.take(2000)}")
+  }
+
   test("pipe_semantic_dedup_lsh: pair join keys on the bucket, no cartesian product") {
     val p = planString("pipe_semantic_dedup_lsh")
     assert(!p.contains("CartesianProduct"),
