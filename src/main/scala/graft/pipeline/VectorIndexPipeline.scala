@@ -65,8 +65,12 @@ object VectorIndexPipeline {
     * all of them — `cell` stays a partition column inside every batch
     * dir). Codebook drift from a shifting vector distribution is handled
     * by periodic re-train + rewrite, the compact() analog. Replay-safe:
-    * the batch dir is a deterministic overwrite, as
-    * [[graft.streaming.StreamingDedupPipeline]].
+    * the batch is a deterministic overwrite, as
+    * [[graft.streaming.StreamingDedupPipeline]] — and it is WRITTEN
+    * OUTSIDE `codes/` (in `codes.appending/`) then renamed into place, so
+    * a crash mid-write never leaves a footer-less file where serving
+    * reads: serving between crash and replay sees exactly the
+    * pre-append index ([[recoverVectorIndex]] drops staging remnants).
     */
   def appendVectors(spark: SparkSession, indexDir: String,
       newVectors: DataFrame, batchId: String): VectorIndexReport = {
@@ -77,9 +81,18 @@ object VectorIndexPipeline {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val rcb = spark.read.parquet(s"$indexDir/codebook")
     val cells = Similarity.ivfCells(spark, emb, centroids)
+    val staging = s"$indexDir/codes.appending/batch=$batchId"
     Similarity.pqCodesFrame(cells, rcb)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/codes/batch=$batchId")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val target = path(s"$indexDir/codes/batch=$batchId")
+    if (fs.exists(target)) fs.delete(target, true) // replayed batch
+    if (!fs.rename(path(staging), target))
+      throw new java.io.IOException(
+        s"append promote: rename $staging -> $target failed")
+    fs.delete(path(s"$indexDir/codes.appending"), true)
     refreshManifest(spark, indexDir)
   }
 
@@ -187,6 +200,10 @@ object VectorIndexPipeline {
       if (exists(s"$codes.staging")) fs.delete(path(s"$codes.staging"), true)
       if (exists(s"$codes.old")) fs.delete(path(s"$codes.old"), true)
     }
+    // a crashed [[appendVectors]] write: staging never made it into
+    // codes/, so dropping it restores the exact pre-append index and the
+    // stream checkpoint replays the batch
+    if (exists(s"$codes.appending")) fs.delete(path(s"$codes.appending"), true)
   }
 
   private def refreshManifest(spark: SparkSession, indexDir: String)

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.Similarity
+import graft.pipeline.VectorIndexPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingestion into the persisted IVF-PQ index must be
+  * indistinguishable from batch appends: after the stream drains, serving
+  * equals coding the full vector set against the stored quantizer in one
+  * shot — and a crashed append attempt must neither break serving in the
+  * crash window nor survive the replay.
+  */
+class StreamingVectorIngestSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sfDir
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  /** Base index trained on vec_id < 250; the remaining vectors written to
+    * `srcDir` as `nFiles` parquet files in vec_id order (one micro-batch
+    * each with maxFilesPerTrigger=1).
+    */
+  private def baseAndBacklog(nFiles: Int): (String, String) = {
+    val sfHalf = java.nio.file.Files.createTempDirectory("graft-svi-h").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" < 250)
+      .write.parquet(s"$sfHalf/embeddings.parquet")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-svi-ix").toString
+    VectorIndexPipeline.writeIvfPq(spark, sfHalf, ixDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-svi-src").toString
+    val rest = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" >= 250).orderBy($"vec_id").collect()
+    val per = (rest.length + nFiles - 1) / nFiles
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    rest.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      // the file source wants plain files, not parquet directories:
+      // write single-part, then promote the part file
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-svi-w$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq, 1), schema)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$srcDir/file$i.parquet"))
+    }
+    (ixDir, srcDir)
+  }
+
+  /** In-memory reference: the stored quantizer applied to the FULL table
+    * through the same shared builders.
+    */
+  private def memReference(ixDir: String): Set[(Long, Int, Long, Double)] = {
+    val centroids = spark.read.parquet(s"$ixDir/centroids")
+    val rcb = spark.read.parquet(s"$ixDir/codebook")
+    val embAll = Similarity.embDouble(spark, sf)
+    val codes = Similarity.pqCodesFrame(
+      Similarity.ivfCells(spark, embAll, centroids), rcb)
+    val queries = Similarity.probeResiduals(spark, embAll, centroids,
+      serveAll = false, nprobe = 1)
+    rows(Similarity.adcTopK(codes, rcb, queries, serveAll = false))
+  }
+
+  test("streamed backlog serves identically to one-shot coding against the stored quantizer") {
+    val (ixDir, srcDir) = baseAndBacklog(nFiles = 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svi-c").toString
+    StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt)
+    // three micro-batches appended as their own batch dirs above the base
+    val batches = new java.io.File(s"$ixDir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches == Set("batch=0", "batch=1", "batch=2", "batch=3"), batches)
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf)) ==
+      memReference(ixDir))
+  }
+
+  test("crashed append: serving stays on the pre-append index, replay lands the batch") {
+    val (ixDir, srcDir) = baseAndBacklog(nFiles = 2)
+    val served0 = rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf))
+
+    // a crash mid-append leaves a footer-less file in the STAGING dir —
+    // never under codes/ — so serving in the crash window must still work
+    // and must equal the pre-append index
+    val crashed = new java.io.File(s"$ixDir/codes.appending/batch=1/cell=0")
+    crashed.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${crashed.getPath}/part-garbage.parquet"),
+      "not a parquet footer".getBytes)
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf)) == served0,
+      "a crashed append's staging garbage leaked into serving")
+
+    // the stream (fresh checkpoint) replays both files; the final index
+    // must be exactly the fully-appended one
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svi-c2").toString
+    StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt)
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf)) ==
+      memReference(ixDir))
+    assert(!new java.io.File(s"$ixDir/codes.appending").exists(),
+      "staging remnants must not survive recovery")
+  }
+}
