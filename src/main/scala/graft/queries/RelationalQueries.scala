@@ -946,6 +946,87 @@ object RelationalQueries {
       JOIN region_counts ON r_regionkey = n_regionkey
       ORDER BY r_name"""))
 
+  /** SQL pipe syntax (Spark 4's `|>` operator chain) — the same filtered
+    * aggregation a user would write as GROUP BY + HAVING, expressed as a
+    * linear pipeline. Surface parity matters: a query written in either
+    * dialect must plan identically (pipe stages lower to the same
+    * Catalyst operators — filter pushdown, partial aggregation and the
+    * rest apply unchanged). The oracle is the plain-SQL equivalent, so
+    * the driver proves dialect equivalence every round.
+    */
+  private val qPipeSyntax = Q(
+    "q_pipe_syntax",
+    (s, d) => {
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |> AGGREGATE count(*) AS n_rows, CAST(sum(qty) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 10
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      HAVING count(*) > 10
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** SQL-defined scalar UDF (Spark 4's `CREATE FUNCTION … RETURN expr`) —
+    * the declarative sibling of the adhesive JAVA/CLASS/SCALA DDL: the
+    * body is a SQL expression, so Catalyst inlines it into the plan
+    * (full codegen, pushdown through it) instead of calling out to
+    * opaque bytecode. TEMPORARY + RETURN-body statements must pass
+    * through the adhesive DDL interceptor untouched (its grammar requires
+    * `AS '<body>'`), which this entry proves in every session that loads
+    * the extensions. Fixed-point decimal keeps the sum order-free.
+    */
+  private val qSqlUdf = Q(
+    "q_sql_udf",
+    (s, d) => {
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+          p DOUBLE, d DOUBLE) RETURNS DECIMAL(18,4)
+        RETURN CAST(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))
+          AS DECIMAL(18,4))""")
+      s.sql("""SELECT l_returnflag,
+          CAST(sum(graft_disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+            AS revenue,
+          count(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+          AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** SQL-defined TABLE function — a parameterized view: the body is a
+    * SELECT, callers use it in FROM, and resolution inlines it so the
+    * underlying scan keeps its pushdown (the lint + this oracle would
+    * catch a regression to a materializing implementation).
+    */
+  private val qSqlTableUdf = Q(
+    "q_sql_table_udf",
+    (s, d) => {
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(
+          lo DOUBLE, hi DOUBLE)
+        RETURNS TABLE(flag STRING, qty DECIMAL(18,2))
+        RETURN SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2))
+          FROM lineitem WHERE l_quantity BETWEEN lo AND hi""")
+      s.sql("""SELECT flag, count(*) AS n,
+          CAST(sum(qty) AS DOUBLE) AS sum_qty
+        FROM graft_qty_band(10.0, 20.0) GROUP BY flag ORDER BY flag""")
+    },
+    Some("""SELECT l_returnflag AS flag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_quantity BETWEEN 10.0 AND 20.0
+      GROUP BY l_returnflag ORDER BY flag"""))
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE): generate the month
     * calendar spanning the order history, then left-join monthly order
     * counts — the gap-filling pattern that surfaces zero-activity months
@@ -1199,5 +1280,6 @@ object RelationalQueries {
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
     qSaltedAgg, qArrayFuncs, qMapStruct, qLateral, qCorr, qTryArith,
-    qRecursiveCte, qVariant, qListagg, qWindowFrames, qWindowTimeRange)
+    qRecursiveCte, qVariant, qListagg, qWindowFrames, qWindowTimeRange,
+    qPipeSyntax, qSqlUdf, qSqlTableUdf)
 }

@@ -264,6 +264,37 @@ object ScalingStudyR10 {
     }
   }
 
+  /** Exact-rerank marginal cost at scale: time the plain ADC top-3 serve
+    * vs the top-10-shortlist + exact-cosine rerank ([[Similarity
+    * .ivfPqRerank]]) over the same corpus. The refinement touches
+    * |queries|×10 raw vectors via one broadcast join against the store,
+    * so its marginal cost must stay a small constant share of the serve
+    * as n grows 10× — that is the claim this part measures.
+    */
+  private def rerank1M(spark: SparkSession): Unit = {
+    import spark.implicits._
+    for (n <- Seq(100000L, 1000000L)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-r10-rr-$n").toString
+      val sfDir = s"$root/sf"
+      LshOccupancyStudy.vectors(spark, n)
+        .select($"vec_id", $"embedding")
+        .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+      var t0 = System.nanoTime()
+      val adcRows = Similarity.ivfPqTopK.build(spark, sfDir).count()
+      val tAdc = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t0 = System.nanoTime()
+      val rrRows = Similarity.ivfPqRerank.build(spark, sfDir).count()
+      val tRr = (System.nanoTime() - t0) / 1e9
+      println(f"[r10-rerank] n=$n%-8d adc_top3=${tAdc}%.1fs ($adcRows rows) " +
+        f"rerank_top3=${tRr}%.1fs ($rrRows rows) marginal=${tRr - tAdc}%.1fs")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(root))
+      spark.catalog.clearCache()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -273,14 +304,16 @@ object ScalingStudyR10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val parts = if (args.isEmpty) Seq("dedup", "minhash", "lsh", "bounded", "ivfpq")
-      else args.toSeq
+    val parts = if (args.isEmpty)
+      Seq("dedup", "minhash", "lsh", "bounded", "ivfpq", "rerank")
+    else args.toSeq
     parts.foreach {
       case "dedup"   => dedupZipf(spark)
       case "minhash" => minhash1M(spark)
       case "lsh"     => lshOccupancy1M(spark)
       case "bounded" => bounded1M(spark)
       case "ivfpq"   => ivfpq1M(spark)
+      case "rerank"  => rerank1M(spark)
       case other     => println(s"[r10] unknown part: $other")
     }
     spark.stop()
