@@ -34,7 +34,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VectorIndexPipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   case class VectorIndexReport(nCells: Int, nVectors: Long, maxCellRows: Long)
+
+  /** Uncompacted-batch fan-in bound: more `codes/batch=*` dirs than this
+    * trips a [[rebuild]] from inside [[appendVectors]] — the LSM fold
+    * discipline ([[CorpusPipeline.MaxDeltaBatches]] for vectors). Every
+    * serve unions all batch dirs, so the bound caps the file-listing and
+    * footer fan-in per probe at the amortized cost of one base rewrite
+    * per fold period.
+    */
+  val MaxCodeBatches: Int = 16
+
+  /** Pending tombstones past this row count stop being a cheap broadcast
+    * in the serve anti-join; [[deleteVecs]] rebuilds to retire them
+    * (same constant class as [[CorpusPipeline.TombstoneBroadcastLimit]]).
+    */
+  val TombstoneBroadcastLimit: Long = 5000000L
+
+  /** True when the index has outgrown its maintenance bounds — more
+    * uncompacted batch dirs than the fan-in bound, or a pending tombstone
+    * set past the broadcast bound. [[appendVectors]] and [[deleteVecs]]
+    * run the rebuild themselves when this trips; it stays public as the
+    * idle-time scheduling cue.
+    */
+  def rebuildDue(spark: SparkSession, indexDir: String,
+      maxCodeBatches: Int = MaxCodeBatches,
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val batchesOver = fs.exists(path(s"$indexDir/codes")) &&
+      fs.listStatus(path(s"$indexDir/codes"))
+        .count(_.getPath.getName.startsWith("batch=")) > maxCodeBatches
+    val tombsOver = fs.exists(path(s"$indexDir/tombstones")) &&
+      spark.read.parquet(s"$indexDir/tombstones")
+        .count() > tombstoneBroadcastLimit
+    batchesOver || tombsOver
+  }
+
+  /** Batch ids whose codes a [[rebuild]] has folded into the base (or
+    * that were present when a fold was attempted — see the write-order
+    * note in [[rebuild]]). A replayed [[appendVectors]] for such an id
+    * must be a no-op: its content already lives in `codes/`, and
+    * rewriting the batch dir after a fold would double-count it.
+    */
+  private def foldedBatchIds(spark: SparkSession, indexDir: String)
+      : Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/folded_batches")))
+      Set.empty
+    else spark.read.parquet(s"$indexDir/folded_batches")
+      .collect().map(_.getString(0)).toSet
+  }
 
   /** Train (deterministic 2-iteration Lloyd's, as the ann_* family),
     * code every vector's residual, and persist the index.
@@ -46,6 +100,14 @@ object VectorIndexPipeline {
     val centroids = Similarity.kmeansCodebook(spark, sfDir)
     val cells = Similarity.ivfCells(spark, emb, centroids).cache()
     val rcb = Similarity.residualCodebook(cells)
+
+    // a fresh build starts a new index life: stale tombstones would hide
+    // valid vectors and stale folded-batch markers would no-op future
+    // appends that recycle an id, so both are retired here
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (stale <- Seq("tombstones", "folded_batches", "codes.appending"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$stale"), true)
 
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
@@ -73,9 +135,14 @@ object VectorIndexPipeline {
     * pre-append index ([[recoverVectorIndex]] drops staging remnants).
     */
   def appendVectors(spark: SparkSession, indexDir: String,
-      newVectors: DataFrame, batchId: String): VectorIndexReport = {
+      newVectors: DataFrame, batchId: String,
+      maxCodeBatches: Int = MaxCodeBatches): VectorIndexReport = {
     import spark.implicits._
     recoverVectorIndex(spark, indexDir)
+    // a replay of a batch an auto-rebuild already folded into the base
+    // must not re-write its dir — the codes are in the base now
+    if (foldedBatchIds(spark, indexDir).contains(batchId))
+      return refreshManifest(spark, indexDir)
     val emb = newVectors.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -93,7 +160,12 @@ object VectorIndexPipeline {
       throw new java.io.IOException(
         s"append promote: rename $staging -> $target failed")
     fs.delete(path(s"$indexDir/codes.appending"), true)
-    refreshManifest(spark, indexDir)
+    val report = refreshManifest(spark, indexDir)
+    if (rebuildDue(spark, indexDir, maxCodeBatches = maxCodeBatches)) {
+      log.info(s"$indexDir has more than $maxCodeBatches uncompacted " +
+        "batch dirs (or tombstones over bound); rebuilding")
+      rebuild(spark, indexDir)
+    } else report
   }
 
   /** Logical delete — the redaction path for the vector index, mirroring
@@ -108,12 +180,18 @@ object VectorIndexPipeline {
     * (harmless: the anti-join of a dropped id is a no-op), "retired"
     * means observed absent, not merely one rebuild later.
     */
-  def deleteVecs(spark: SparkSession, indexDir: String, vecIds: Seq[Long])
-      : Unit = {
+  def deleteVecs(spark: SparkSession, indexDir: String, vecIds: Seq[Long],
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Unit = {
     import spark.implicits._
     recoverVectorIndex(spark, indexDir)
     vecIds.toDF("vec_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
+    if (rebuildDue(spark, indexDir,
+        tombstoneBroadcastLimit = tombstoneBroadcastLimit)) {
+      log.info(s"tombstones at $indexDir exceed the broadcast limit " +
+        s"($tombstoneBroadcastLimit); rebuilding")
+      rebuild(spark, indexDir)
+    }
   }
 
   /** Codes minus the pending tombstone set — the serve-side visibility
@@ -138,11 +216,17 @@ object VectorIndexPipeline {
   /** Fold every batch into a fresh `batch=0` base with tombstoned codes
     * physically dropped — the [[CorpusPipeline.compact]] analog (without
     * re-training: quantizer drift is a separate re-train + writeIvfPq).
+    * Runs automatically from [[appendVectors]]/[[deleteVecs]] when
+    * [[rebuildDue]] trips; stays public for idle-time scheduling.
     * Staged write + checked renames; [[recoverVectorIndex]] repairs any
     * crash window on the next index operation. Tombstones are deleted
     * only AFTER the swapped base proves readable; a crash before that
     * leaves them pending, which is harmless — anti-joining an id the new
     * base already dropped is a no-op, and the next rebuild retires them.
+    * The folded batch ids are recorded in `folded_batches/` (append-only,
+    * bytes per batch) so a stream replay of a batch the fold absorbed is
+    * a no-op instead of a double-count — the fold-horizon discipline of
+    * [[graft.streaming.StreamingDedupPipeline]].
     */
   def rebuild(spark: SparkSession, indexDir: String): VectorIndexReport = {
     import spark.implicits._
@@ -159,6 +243,16 @@ object VectorIndexPipeline {
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$codes.staging/batch=0")
+    // record the folded batch ids BEFORE the swap: "folded" means "this
+    // id's codes already live somewhere under codes/", which is true in
+    // every crash window from here on (rolled back → still its own dir;
+    // rolled forward → in the new base). Recording after the swap would
+    // leave a window where a replayed append re-writes a batch the base
+    // already absorbed.
+    fs.listStatus(path(codes)).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+      .toSeq.toDF("batch_id").coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/folded_batches")
     renameOrThrow(codes, s"$codes.old")
     renameOrThrow(s"$codes.staging", codes)
     // verify the promoted base serves before discarding the survivors

@@ -151,6 +151,71 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected)
   }
 
+  test("appends auto-fold past the fan-in bound; a replayed folded batch is a no-op") {
+    import org.apache.hadoop.fs.Path
+    val sfHalf = java.nio.file.Files.createTempDirectory("graft-vax-h").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" < 250)
+      .write.parquet(s"$sfHalf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vax").toString
+    VectorIndexPipeline.writeIvfPq(spark, sfHalf, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs = fs.listStatus(new Path(s"$dir/codes"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+
+    val rest = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" >= 250)
+    val b1 = rest.filter($"vec_id" < 330)
+    val b2 = rest.filter($"vec_id" >= 330 && $"vec_id" < 410)
+    val b3 = rest.filter($"vec_id" >= 410)
+    // bound 2: base + b1 + b2 = 3 dirs > 2 trips the fold on the SECOND
+    // append; b3 then starts a new delta generation on top of the base
+    VectorIndexPipeline.appendVectors(spark, dir, b1, "1", maxCodeBatches = 2)
+    assert(batchDirs == Set("batch=0", "batch=1"))
+    VectorIndexPipeline.appendVectors(spark, dir, b2, "2", maxCodeBatches = 2)
+    assert(batchDirs == Set("batch=0"), s"auto-fold did not run: $batchDirs")
+    VectorIndexPipeline.appendVectors(spark, dir, b3, "3", maxCodeBatches = 2)
+    assert(batchDirs == Set("batch=0", "batch=3"))
+
+    // serving over the folded index equals one-shot coding of everything
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val rcb = spark.read.parquet(s"$dir/codebook")
+    val embAll = Similarity.embDouble(spark, sf)
+    val codesAll = Similarity.pqCodesFrame(
+      Similarity.ivfCells(spark, embAll, centroids), rcb)
+    val queries = Similarity.probeResiduals(spark, embAll, centroids,
+      serveAll = false, nprobe = 1)
+    val expected = rows(Similarity.adcTopK(codesAll, rcb, queries, serveAll = false))
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected)
+
+    // a crash-replay of batch 2 (already folded into the base) must not
+    // re-write its dir — that would double-count every b2 vector
+    VectorIndexPipeline.appendVectors(spark, dir, b2, "2", maxCodeBatches = 2)
+    assert(batchDirs == Set("batch=0", "batch=3"),
+      "replayed folded batch re-created its dir")
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected,
+      "replayed folded batch changed served results")
+  }
+
+  test("deletes past the tombstone bound rebuild immediately and retire the tombstones") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtx").toString
+    VectorIndexPipeline.writeIvfPq(spark, sf, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val served = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf))
+    val victims = served.map(_._3).toSeq.sorted.take(2)
+    // bound 0: any pending tombstone triggers the rebuild inside the call
+    VectorIndexPipeline.deleteVecs(spark, dir, victims,
+      tombstoneBroadcastLimit = 0L)
+    assert(!fs.exists(new Path(s"$dir/tombstones")),
+      "auto-rebuild must retire the tombstones")
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter($"vec_id".isin(victims: _*)).isEmpty,
+      "tombstoned codes must be physically gone")
+    val after = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf))
+    assert(after.forall(r => !victims.contains(r._3)))
+    assert(after.nonEmpty)
+  }
+
   test("probe-mode serving reads only the probed cells' partitions") {
     val emb = Similarity.embDouble(spark, sf)
     val centroids = spark.read.parquet(s"$ixDir/centroids")
