@@ -37,10 +37,14 @@ object StreamingVectorIngest {
 
   /** Drain `srcDir` (AvailableNow) into the index at `indexDir`.
     * `maxFilesPerTrigger` bounds micro-batch size so a backlog replays as
-    * the same ordered batches.
+    * the same ordered batches; `maxCodeBatches` is the index's LSM
+    * fan-in bound — when the stream's appends outgrow it, the append
+    * itself folds the batch dirs into the base, and the `folded_batches`
+    * record keeps a crash-replay of an absorbed batch a no-op.
     */
   def ingestVectors(spark: SparkSession, srcDir: String, indexDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      maxCodeBatches: Int = VectorIndexPipeline.MaxCodeBatches): Unit = {
     val stream = spark.readStream
       .schema(vectorSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -49,7 +53,7 @@ object StreamingVectorIngest {
       .foreachBatch { (batch: DataFrame, batchId: java.lang.Long) =>
         if (!batch.isEmpty) {
           VectorIndexPipeline.appendVectors(batch.sparkSession, indexDir,
-            batch, (1L + batchId).toString)
+            batch, (1L + batchId).toString, maxCodeBatches = maxCodeBatches)
           ()
         }
       }

@@ -77,6 +77,22 @@ class StreamingVectorIngestSpec extends AnyFunSuite {
       memReference(ixDir))
   }
 
+  test("auto-fold during the stream: batches absorbed mid-drain, serving unchanged") {
+    val (ixDir, srcDir) = baseAndBacklog(nFiles = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svi-c3").toString
+    // bound 2: the drain folds at least once mid-stream (base + 2 deltas
+    // trips on the second append), later batches start a new generation
+    StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt,
+      maxCodeBatches = 2)
+    val batches = new java.io.File(s"$ixDir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches.size <= 3, s"fan-in bound not enforced: $batches")
+    assert(new java.io.File(s"$ixDir/folded_batches").exists(),
+      "a fold must have run during the drain")
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf)) ==
+      memReference(ixDir))
+  }
+
   test("crashed append: serving stays on the pre-append index, replay lands the batch") {
     val (ixDir, srcDir) = baseAndBacklog(nFiles = 2)
     val served0 = rows(VectorIndexPipeline.serveIvfPq(spark, ixDir, sf))
