@@ -515,7 +515,58 @@ object EventWindows {
       FROM dau JOIN wau ON dau.day = wau.d
       ORDER BY day"""))
 
+  /** The SAME hourly aggregation as [[hourly]], but executed through the
+    * REAL Structured Streaming pipeline ([[graft.streaming
+    * .EventStreamPipeline.hourlyAgg]]): the events table is copied into a
+    * file-stream source dir, drained to completion (complete-mode memory
+    * sink, `processAllAvailable`), and the sink table is returned in the
+    * batch query's shape. Sharing `ev_window_hourly`'s DuckDB oracle
+    * makes the driver re-prove STREAM == BATCH every round — the
+    * equivalence StreamingSpec pins locally becomes an externally
+    * hash-checked fact. Complete mode is what makes the drained result
+    * total (append mode would withhold windows the final watermark never
+    * passes); state is |hours|×|event types|, bounded.
+    */
+  val streamHourly: Q = Q(
+    "ev_stream_hourly",
+    (s, d) => {
+      import s.implicits._
+      val sink = "graft_stream_hourly_sink"
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft-evs-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        srcDir.resolve("events-000.parquet"))
+      val q = graft.streaming.EventStreamPipeline
+        .hourlyAgg(graft.streaming.EventStreamPipeline
+          .readEvents(s, srcDir.toString))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        // materialize before the stream (and its state) is torn down
+        val out = s.table(sink)
+          .select(unix_micros($"window_start").as("window_start_us"),
+            $"event_type", $"n",
+            $"total_value".cast("double").as("total_value"))
+          .orderBy($"window_start_us", $"event_type")
+          .localCheckpoint()
+        out
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        java.nio.file.Files.deleteIfExists(
+          srcDir.resolve("events-000.parquet"))
+        java.nio.file.Files.deleteIfExists(srcDir)
+      }
+    },
+    Some(s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn, dauWau)
+    churn, dauWau, streamHourly)
 }
