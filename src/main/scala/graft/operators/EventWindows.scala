@@ -531,42 +531,110 @@ object EventWindows {
     "ev_stream_hourly",
     (s, d) => {
       import s.implicits._
-      val sink = "graft_stream_hourly_sink"
-      val srcDir = java.nio.file.Files
-        .createTempDirectory("graft-evs-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        srcDir.resolve("events-000.parquet"))
-      val q = graft.streaming.EventStreamPipeline
-        .hourlyAgg(graft.streaming.EventStreamPipeline
-          .readEvents(s, srcDir.toString))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
-        .start()
-      try {
-        q.processAllAvailable()
-        // materialize before the stream (and its state) is torn down
-        val out = s.table(sink)
-          .select(unix_micros($"window_start").as("window_start_us"),
+      drainEvents(s, d, "graft_stream_hourly_sink", copies = 1,
+        outputMode = "complete",
+        pipeline = graft.streaming.EventStreamPipeline.hourlyAgg,
+        shape = _.select(unix_micros($"window_start").as("window_start_us"),
             $"event_type", $"n",
             $"total_value".cast("double").as("total_value"))
-          .orderBy($"window_start_us", $"event_type")
-          .localCheckpoint()
-        out
-      } finally {
-        q.stop()
-        s.catalog.dropTempView(sink)
-        java.nio.file.Files.deleteIfExists(
-          srcDir.resolve("events-000.parquet"))
-        java.nio.file.Files.deleteIfExists(srcDir)
-      }
+          .orderBy($"window_start_us", $"event_type"))
     },
     Some(s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
       event_type, count(*) AS n,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
+  /** Shared scaffold for the `ev_stream_*` oracle entries: copy the
+    * events table into a fresh file-stream source dir (`copies` > 1
+    * simulates at-least-once redelivery of the same file under new
+    * names), run `pipeline` through a memory sink to completion, hand
+    * the sink table to `shape`, and tear everything down.
+    */
+  private def drainEvents(s: org.apache.spark.sql.SparkSession, d: String,
+      sink: String, copies: Int, outputMode: String,
+      pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-evs-src")
+    (0 until copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        srcDir.resolve(f"events-$i%03d.parquet"))
+    }
+    val q = pipeline(graft.streaming.EventStreamPipeline
+        .readEvents(s, srcDir.toString))
+      .writeStream.outputMode(outputMode)
+      .format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      // materialize before the stream (and its state) is torn down
+      shape(s.table(sink)).localCheckpoint()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(sink)
+      (0 until copies).foreach { i =>
+        java.nio.file.Files.deleteIfExists(
+          srcDir.resolve(f"events-$i%03d.parquet"))
+      }
+      java.nio.file.Files.deleteIfExists(srcDir)
+    }
+  }
+
+  /** Streaming ingest dedup under the driver's oracle: the source dir
+    * holds the SAME events file TWICE under different names — the
+    * at-least-once redelivery every file stream eventually sees — and
+    * `dropDuplicatesWithinWatermark` must collapse it back to exactly
+    * one row per event_id (batch-1 duplicates collapse in state;
+    * a second-batch redelivery is late beyond the watermark and is
+    * dropped before the operator — either batching yields the distinct
+    * set). Oracle: the events table itself.
+    */
+  val streamDedup: Q = Q(
+    "ev_stream_dedup",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_dedup_sink", copies = 2,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.dedup,
+        shape = _.select($"event_id",
+            expr("ts div 1000").as("ts_us"),
+            $"user_id", $"event_type", $"value")
+          .orderBy($"event_id"))
+    },
+    Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        value
+      FROM events ORDER BY event_id"""))
+
+  /** Stream-stream interval join under the driver's oracle: each signup
+    * joined to the same user's purchases within the following 7 days
+    * ([[graft.streaming.EventStreamPipeline.signupPurchaseJoin]], both
+    * sides watermarked, the condition time-bounding state eviction).
+    * The single source file drains as one micro-batch, so every match
+    * emits before any watermark advances — the drained result is the
+    * complete batch join, which is exactly what the oracle computes.
+    */
+  val streamJoin: Q = Q(
+    "ev_stream_join",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoin,
+        shape = _.select($"user_id",
+            unix_micros($"signup_time").as("signup_us"),
+            unix_micros($"purchase_time").as("purchase_us"))
+          .orderBy($"user_id", $"signup_us", $"purchase_us"))
+    },
+    Some("""SELECT s.user_id, epoch_us(s.ts) AS signup_us,
+        epoch_us(p.ts) AS purchase_us
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+        AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn, dauWau, streamHourly)
+    churn, dauWau, streamHourly, streamDedup, streamJoin)
 }
