@@ -634,7 +634,49 @@ object EventWindows {
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
 
+  /** Custom per-user session state under the driver's oracle: the
+    * `flatMapGroupsWithState` sessionizer emits a session the moment an
+    * event closes it (gap > 30 min), and each user's FINAL session never
+    * closes — it rides in state when the drain ends. That closed-session
+    * semantics is exactly expressible in SQL: the batch sessionization
+    * minus each user's last session (max start). So the stream's custom
+    * state machine is hash-checked against a declarative oracle every
+    * round — the strongest external check a stateful operator gets.
+    */
+  val streamSessionize: Q = Q(
+    "ev_stream_sessionize",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_sess_sink", copies = 1,
+        outputMode = "append",
+        pipeline = ev => graft.streaming.EventStreamPipeline
+          .sessionize(ev).toDF(),
+        shape = _.select($"user_id", $"session_start_ms", $"n_events")
+          .orderBy($"user_id", $"session_start_ms"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      f AS (
+        SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      g AS (
+        SELECT user_id, ts_ms,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f),
+      sess AS (
+        SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+          count(*) AS n_events
+        FROM g GROUP BY user_id, session_id)
+      SELECT user_id, session_start_ms, n_events
+      FROM (SELECT *, max(session_start_ms)
+              OVER (PARTITION BY user_id) AS last_start FROM sess)
+      WHERE session_start_ms < last_start
+      ORDER BY user_id, session_start_ms"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn, dauWau, streamHourly, streamDedup, streamJoin)
+    churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize)
 }
