@@ -1323,7 +1323,31 @@ object Similarity {
     Some(ivfPqDuck(probeFilter = "", nprobe = 2)))
 
   /** ADC shortlist size for the exact-rerank refinement stage. */
-  private val RerankDepth = 10
+  private[graft] val RerankDepth = 10
+
+  /** The exact-cosine refinement tail shared by the in-memory
+    * ([[ivfPqRerank]]) and persisted
+    * ([[graft.pipeline.VectorIndexPipeline.serveIvfPqRerank]]) paths:
+    * attach each shortlisted (qid, cid) pair's raw query vector (tiny ×
+    * tiny broadcast join), stream the raw store ONCE against the
+    * broadcast shortlist, rescore by exact cosine, keep the top-3.
+    */
+  private[graft] def exactRerank(shortlist: DataFrame, raw: DataFrame)
+      : DataFrame = {
+    val s = shortlist.sparkSession
+    import s.implicits._
+    val withQ = shortlist.join(
+      broadcast(raw.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+    val rescored = raw.select($"vec_id".as("cid"), $"embedding".as("ce"))
+      .join(broadcast(withQ), "cid")
+      .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+    rescored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"cid", $"score")
+      .orderBy($"qid", $"rank")
+  }
 
   /** IVF-PQ with exact re-ranking — the standard two-stage serving
     * refinement (FAISS `IndexRefineFlat`): the compressed index produces
@@ -1354,20 +1378,7 @@ object Similarity {
       val shortlist =
         adcTopK(codes, rcb, queries, serveAll = false, k = RerankDepth)
           .select($"qid", $"cid")
-      val raw = Tables.embeddings(s, d)
-      // attach the query's raw vector (tiny × tiny broadcast join), then
-      // stream the raw store once against the broadcast shortlist
-      val withQ = shortlist.join(
-        broadcast(raw.filter($"vec_id" < 10)
-          .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
-      val rescored = raw.select($"vec_id".as("cid"), $"embedding".as("ce"))
-        .join(broadcast(withQ), "cid")
-        .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
-      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
-      rescored.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 3)
-        .select($"qid", $"rank", $"cid", $"score")
-        .orderBy($"qid", $"rank")
+      exactRerank(shortlist, Tables.embeddings(s, d))
     },
     Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10",
       rerankDepth = RerankDepth)))

@@ -366,4 +366,32 @@ object VectorIndexPipeline {
     // them physically
     Similarity.adcTopK(liveCodes(spark, indexDir, codes), rcb, queries, serveAll)
   }
+
+  /** Exact-rerank serving through the persisted index — the on-disk form
+    * of [[Similarity.ivfPqRerank]]: the stored index produces the ADC
+    * top-`depth` shortlist (cell-pruned reads, tombstone-filtered), then
+    * the shared refinement tail re-scores ONLY those candidates against
+    * the raw vector store. Shares the in-memory implementation, so
+    * disk==memory is structural, and the raw-store read is the broadcast
+    * single pass the rerank plan pin enforces.
+    */
+  def serveIvfPqRerank(spark: SparkSession, indexDir: String, sfDir: String,
+      depth: Int = Similarity.RerankDepth): DataFrame = {
+    import spark.implicits._
+    recoverVectorIndex(spark, indexDir)
+    val emb = Similarity.embDouble(spark, sfDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val rcb = spark.read.parquet(s"$indexDir/codebook")
+    val queries = Similarity
+      .probeResiduals(spark, emb, centroids, serveAll = false, nprobe = 1)
+      .localCheckpoint()
+    val probed = queries.select($"qcell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val shortlist = Similarity.adcTopK(
+        liveCodes(spark, indexDir, prunedCodes(spark, indexDir, probed)),
+        rcb, queries, serveAll = false, k = depth)
+      .select($"qid", $"cid")
+    Similarity.exactRerank(shortlist,
+      graft.queries.Tables.embeddings(spark, sfDir))
+  }
 }

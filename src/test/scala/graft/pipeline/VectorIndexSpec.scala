@@ -151,6 +151,13 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == expected)
   }
 
+  test("exact-rerank served from disk equals the in-memory rerank path") {
+    val disk = rows(VectorIndexPipeline.serveIvfPqRerank(spark, ixDir, sf))
+    val mem = rows(Similarity.ivfPqRerank.build(spark, sf))
+    assert(disk == mem, "persisted rerank != in-memory rerank")
+    assert(disk.nonEmpty)
+  }
+
   test("appends auto-fold past the fan-in bound; a replayed folded batch is a no-op") {
     import org.apache.hadoop.fs.Path
     val sfHalf = java.nio.file.Files.createTempDirectory("graft-vax-h").toString
