@@ -53,6 +53,16 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(parse("CREATE TABLE t (a INT)").isEmpty)
     // Spark's native CREATE FUNCTION (no RETURNS) must delegate too
     assert(parse("CREATE FUNCTION h AS 'com.x.C' USING JAR '/j.jar'").isEmpty)
+    // Spark 4 SQL UDFs (RETURN-body, no AS) must delegate — TEMPORARY
+    // never matches the grammar, and even the non-TEMPORARY scalar/table
+    // forms fail the AS-clause requirement (the q_sql_* queries pin this
+    // end-to-end; these pin the parser boundary directly)
+    assert(parse(
+      "CREATE OR REPLACE TEMPORARY FUNCTION f(p DOUBLE) RETURNS DOUBLE RETURN p * 2").isEmpty)
+    assert(parse(
+      "CREATE FUNCTION f(p DOUBLE) RETURNS DOUBLE RETURN CAST(p AS DOUBLE)").isEmpty)
+    assert(parse(
+      "CREATE FUNCTION f(lo DOUBLE) RETURNS TABLE(q DOUBLE) RETURN SELECT lo").isEmpty)
   }
 
   test("package-private user class instantiates (no `public` on the class)") {
