@@ -161,6 +161,12 @@ object CorpusCuration {
           size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"))
         .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
         .withColumn("pid", spark_partition_id())
+        // pin the materialized partitioning: the subtotal collect and the
+        // window job below are SEPARATE actions, and RangePartitioner
+        // resamples boundaries per execution — unpinned, a row could land
+        // in a different pid than the one its broadcast offset was
+        // computed for (same rationale as pipe_global_shuffle's pin)
+        .localCheckpoint()
       val nParts = s.sparkContext.defaultParallelism
       val subtotals = sized.groupBy($"pid")
         .agg(sum($"n_tokens").as("t"))

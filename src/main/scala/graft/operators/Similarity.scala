@@ -1336,9 +1336,12 @@ object Similarity {
       : DataFrame = {
     val s = shortlist.sparkSession
     import s.implicits._
-    val withQ = shortlist.join(
-      broadcast(raw.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+    // the query set is whatever the shortlist says it is — derived, not a
+    // re-encoded fixture constant, so a caller serving a different probe
+    // set gets its queries reranked instead of silently dropped
+    val qSide = raw.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .join(broadcast(shortlist.select($"qid").distinct()), "qid")
+    val withQ = shortlist.join(broadcast(qSide), "qid")
     val rescored = raw.select($"vec_id".as("cid"), $"embedding".as("ce"))
       .join(broadcast(withQ), "cid")
       .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))

@@ -147,6 +147,19 @@ object CorpusPipeline {
     import spark.implicits._
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
+    // a fresh base build starts a new index life in this dir: stale
+    // deltas/tombstones from the previous life would leak into lookups
+    // and compactions, and a stale folded_batches record would silently
+    // no-op a future appendBatch that recycles a previously-folded id
+    // (returning the OLD life's recorded report with the new postings
+    // dropped) — the same retirement writeIvfPq does for vectors
+    locally {
+      val staleFs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (stale <- Seq("delta", "delta_manifest", "tombstones",
+          "folded_batches"))
+        staleFs.delete(new org.apache.hadoop.fs.Path(s"$outDir/$stale"), true)
+    }
     val obs = Observation()
     graft.operators.TextAnalysis.postings(spark, sfDir)
       .repartitionByRange(shards, $"token", $"doc_id")

@@ -68,7 +68,9 @@ object VectorIndexPipeline {
     val batchesOver = fs.exists(path(s"$indexDir/codes")) &&
       fs.listStatus(path(s"$indexDir/codes"))
         .count(_.getPath.getName.startsWith("batch=")) > maxCodeBatches
-    val tombsOver = fs.exists(path(s"$indexDir/tombstones")) &&
+    // def, not val: the tombstone count is a parquet read — skip it when
+    // the cheap dir listing has already answered
+    def tombsOver = fs.exists(path(s"$indexDir/tombstones")) &&
       spark.read.parquet(s"$indexDir/tombstones")
         .count() > tombstoneBroadcastLimit
     batchesOver || tombsOver
@@ -101,12 +103,17 @@ object VectorIndexPipeline {
     val cells = Similarity.ivfCells(spark, emb, centroids).cache()
     val rcb = Similarity.residualCodebook(cells)
 
-    // a fresh build starts a new index life: stale tombstones would hide
-    // valid vectors and stale folded-batch markers would no-op future
-    // appends that recycle an id, so both are retired here
+    // a fresh build (including the documented codebook-drift re-train
+    // over an existing indexDir) starts a new index life: stale
+    // tombstones would hide valid vectors, stale folded-batch markers
+    // would no-op future appends that recycle an id, and stale
+    // codes/batch=N dirs (coded against the RETIRED codebook) would
+    // serve garbage neighbours alongside the recoded base — the write
+    // below only overwrites batch=0. Retire all of it.
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (stale <- Seq("tombstones", "folded_batches", "codes.appending"))
+    for (stale <- Seq("tombstones", "folded_batches", "codes.appending",
+        "codes", "codes.old", "codes.staging"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$stale"), true)
 
     centroids.coalesce(1).write.mode("overwrite")
@@ -140,9 +147,10 @@ object VectorIndexPipeline {
     import spark.implicits._
     recoverVectorIndex(spark, indexDir)
     // a replay of a batch an auto-rebuild already folded into the base
-    // must not re-write its dir — the codes are in the base now
+    // must not re-write its dir — the codes are in the base now, and the
+    // persisted manifest already describes them (no full-codes rescan)
     if (foldedBatchIds(spark, indexDir).contains(batchId))
-      return refreshManifest(spark, indexDir)
+      return manifestReport(spark, indexDir)
     val emb = newVectors.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -160,12 +168,14 @@ object VectorIndexPipeline {
       throw new java.io.IOException(
         s"append promote: rename $staging -> $target failed")
     fs.delete(path(s"$indexDir/codes.appending"), true)
-    val report = refreshManifest(spark, indexDir)
+    // check the bound BEFORE refreshing: a triggered rebuild refreshes
+    // the manifest itself, so refreshing first would scan all codes
+    // twice on exactly the appends that fold
     if (rebuildDue(spark, indexDir, maxCodeBatches = maxCodeBatches)) {
       log.info(s"$indexDir has more than $maxCodeBatches uncompacted " +
         "batch dirs (or tombstones over bound); rebuilding")
       rebuild(spark, indexDir)
-    } else report
+    } else refreshManifest(spark, indexDir)
   }
 
   /** Logical delete — the redaction path for the vector index, mirroring
@@ -263,8 +273,10 @@ object VectorIndexPipeline {
   }
 
   /** Crash recovery for an interrupted [[rebuild]] swap — called on every
-    * index operation's entry (single-writer contract, as
-    * [[CorpusPipeline.recoverIndex]]). The `.staging`/`.old` survivors
+    * WRITER operation's entry (append/delete/rebuild; single-writer
+    * contract, as [[CorpusPipeline.recoverIndex]]). Serve paths are
+    * read-only and never call this — a reader that repaired could race a
+    * live writer's staging dirs and swap renames. The `.staging`/`.old` survivors
     * key the window: codes missing + complete staging → roll forward
     * (delete the retired `.old`); codes missing + only `.old` → roll
     * back; codes present → delete whichever remnants survive. Tombstones
@@ -298,6 +310,21 @@ object VectorIndexPipeline {
     // codes/, so dropping it restores the exact pre-append index and the
     // stream checkpoint replays the batch
     if (exists(s"$codes.appending")) fs.delete(path(s"$codes.appending"), true)
+  }
+
+  /** Report from the PERSISTED manifest — for paths that change nothing
+    * (folded-batch replays) and must not pay a full-codes rescan.
+    */
+  private def manifestReport(spark: SparkSession, indexDir: String)
+      : VectorIndexReport = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$indexDir/manifest").agg(
+      count(lit(1)).as("cells"), sum($"n_vectors").as("vecs"),
+      max($"n_rows").as("maxRows")).head()
+    VectorIndexReport(
+      nCells = stats.getAs[Long]("cells").toInt,
+      nVectors = stats.getAs[Long]("vecs"),
+      maxCellRows = stats.getAs[Long]("maxRows"))
   }
 
   private def refreshManifest(spark: SparkSession, indexDir: String)
@@ -342,7 +369,13 @@ object VectorIndexPipeline {
   def serveIvfPq(spark: SparkSession, indexDir: String, sfDir: String,
       serveAll: Boolean = false, nprobe: Int = 1): DataFrame = {
     import spark.implicits._
-    recoverVectorIndex(spark, indexDir)
+    // READ-ONLY by design: recovery mutates the index (drops staging,
+    // resolves the rebuild swap), so a serve that ran it could race a
+    // live writer — deleting an in-flight append's staging dir out from
+    // under it, or fighting the writer over the swap renames. Readers
+    // never repair; the single writer repairs on its next operation. A
+    // serve landing in the tiny mid-swap crash window (codes/ absent)
+    // fails loudly instead of silently self-healing.
     val emb = Similarity.embDouble(spark, sfDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val rcb = spark.read.parquet(s"$indexDir/codebook")
@@ -378,7 +411,7 @@ object VectorIndexPipeline {
   def serveIvfPqRerank(spark: SparkSession, indexDir: String, sfDir: String,
       depth: Int = Similarity.RerankDepth): DataFrame = {
     import spark.implicits._
-    recoverVectorIndex(spark, indexDir)
+    // read-only, as serveIvfPq: recovery belongs to the single writer
     val emb = Similarity.embDouble(spark, sfDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val rcb = spark.read.parquet(s"$indexDir/codebook")

@@ -37,8 +37,14 @@ object EventStreamPipeline {
     * convert to epoch-ns long on the scan output. Downstream windowing is
     * identical either way. An EMPTY source directory (the normal state of
     * a stream started before data arrives) has no footer to probe —
-    * fall back to the ns-long [[eventSchema]] and start anyway, exactly
-    * what the explicit-schema stream always did.
+    * fall back to the native `timestamp[us]` form the driver currently
+    * generates, so files that arrive later are read with correct units.
+    * (The fallback must pick ONE physical world; choosing the legacy
+    * ns-long form here would silently read later timestamp-µs files as
+    * raw microsecond longs — every window 1000× off. With the timestamp
+    * fallback, a legacy ns-long file arriving into an empty-started
+    * stream fails loudly on schema mismatch instead; legacy dirs need at
+    * least one file present at stream start for the probe to see.)
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,7 +52,7 @@ object EventStreamPipeline {
       try spark.read.parquet(dir).schema("ts").dataType
       catch {
         // "Unable to infer schema" / missing path: nothing arrived yet
-        case _: org.apache.spark.sql.AnalysisException => LongType
+        case _: org.apache.spark.sql.AnalysisException => TimestampType
       }
     val physicalSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = physicalTs)

@@ -60,8 +60,20 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
         streamDir.resolve("events-000.parquet"))
       q.processAllAvailable()
-      assert(spark.table("empty_start_stream").count() > 0,
-        "late-arriving files must flow through the pre-started stream")
+      // VALUES must be right, not just present: the empty-dir fallback
+      // schema must read the late-arriving files with correct time units
+      // (a long-schema read of timestamp-µs files would yield windows
+      // 1000× off while still passing a count check)
+      val streamed = spark.table("empty_start_stream")
+        .select($"window_start", $"event_type", $"n", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreamPipeline.hourlyAgg(
+        EventStreamPipeline.readEventsBatch(spark, streamDir.toString)
+          .where($"ts".isNotNull))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        "late-arriving files read with wrong units through the fallback schema")
+      assert(streamed.nonEmpty)
     } finally q.stop()
   }
 
