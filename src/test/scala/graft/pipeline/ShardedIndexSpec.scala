@@ -134,6 +134,38 @@ class ShardedIndexSpec extends AnyFunSuite {
         s"post-compaction lookup('$t') != full rebuild")
   }
 
+  test("a fresh base build starts a new index life: recycled batch ids append for real") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    val baseSf = java.nio.file.Files.createTempDirectory("graft-ixl-b").toString
+    val newSf = java.nio.file.Files.createTempDirectory("graft-ixl-n").toString
+    docs.filter($"doc_id" <= mid).write.parquet(s"$baseSf/documents.parquet")
+    docs.filter($"doc_id" > mid).write.parquet(s"$newSf/documents.parquet")
+
+    // first life: base + delta 'b1', compacted (folds 'b1' and records it)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ixl").toString
+    CorpusPipeline.writeInvertedIndex(spark, baseSf, ixDir, nShards = 4)
+    CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 2)
+    CorpusPipeline.compact(spark, ixDir, nShards = 4)
+
+    // second life in the same dir: the base rebuild must retire the old
+    // life's folded_batches record, so re-using the id 'b1' appends for
+    // real instead of silently no-opping with the stale recorded report
+    val base2 = CorpusPipeline.writeInvertedIndex(spark, baseSf, ixDir, nShards = 4)
+    val delta2 = CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 2)
+    assert(delta2.nPostings > 0 && delta2.nPostings != base2.nPostings,
+      "recycled batch id silently no-opped against a stale folded record")
+    // and the appended postings actually serve
+    val probe = spark.read.parquet(s"$newSf/documents.parquet")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .filter(length($"t") > 0).groupBy($"t").count()
+      .orderBy($"count".desc).head().getString(0)
+    assert(CorpusPipeline.lookupTerm(spark, ixDir, probe)._2
+      .filter($"doc_id" > mid).limit(1).count() > 0,
+      "second-life delta postings not served")
+  }
+
   test("compaction crash on the promote rename recovers to a consistent index") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

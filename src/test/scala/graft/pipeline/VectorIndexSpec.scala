@@ -203,6 +203,39 @@ class VectorIndexSpec extends AnyFunSuite {
       "replayed folded batch changed served results")
   }
 
+  test("re-training over a lived-in index starts a clean life (codebook-drift path)") {
+    import org.apache.hadoop.fs.Path
+    val sfHalf = java.nio.file.Files.createTempDirectory("graft-vlf-h").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" < 250)
+      .write.parquet(s"$sfHalf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vlf").toString
+    // first life: train on the half, append the rest, delete a vector —
+    // leaves batch=1 (coded against THIS life's codebook) + tombstones
+    VectorIndexPipeline.writeIvfPq(spark, sfHalf, dir)
+    VectorIndexPipeline.appendVectors(spark, dir,
+      spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" >= 250), "1")
+    VectorIndexPipeline.deleteVecs(spark, dir,
+      Seq(spark.read.parquet(s"$dir/codes").select($"vec_id")
+        .orderBy($"vec_id").head().getLong(0)))
+
+    // second life: re-train over the FULL corpus in the same dir — the
+    // retired codebook's batch dirs and the old tombstones must not leak
+    // into serving (stale batch codes reference the old codebook and
+    // would double-serve every appended vector with garbage distances)
+    VectorIndexPipeline.writeIvfPq(spark, sf, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new Path(s"$dir/codes"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs == Set("batch=0"),
+      s"old life's batch dirs survived the re-train: $batchDirs")
+    assert(!fs.exists(new Path(s"$dir/tombstones")))
+    assert(!fs.exists(new Path(s"$dir/folded_batches")))
+    // serving equals the in-memory path over the full corpus — nothing
+    // doubled, nothing hidden
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) ==
+      rows(Similarity.ivfPqServe(spark, sf, serveAll = false, nprobe = 1)))
+  }
+
   test("deletes past the tombstone bound rebuild immediately and retire the tombstones") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft-vtx").toString
