@@ -23,8 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     opened) — at 100 TB this is reading nprobe/16ths of the index
   *     instead of all of it. New vectors append as their own batch
   *     ([[appendVectors]]), coded against the STORED quantizer.
-  *   - `manifest/`   — per-cell row counts (observability + the spec's
-  *     pruning assertions).
+  *   - `manifest/batch=<id>/` — per-(batch, cell) row counts
+  *     (observability + the spec's pruning assertions). Partitioned by
+  *     batch so an append maintains it in O(batch) — one partition write
+  *     per arrival, never a full-index rescan; reports aggregate across
+  *     partitions, filtered to batch dirs that still exist.
   *
   * Serving reconstructs query residuals from the stored centroids and
   * runs the SAME ADC tail as the in-memory path
@@ -113,7 +116,7 @@ object VectorIndexPipeline {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (stale <- Seq("tombstones", "folded_batches", "codes.appending",
-        "codes", "codes.old", "codes.staging"))
+        "codes", "codes.old", "codes.staging", "manifest"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$stale"), true)
 
     centroids.coalesce(1).write.mode("overwrite")
@@ -123,7 +126,8 @@ object VectorIndexPipeline {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/codes/batch=0")
     cells.unpersist(blocking = false)
-    refreshManifest(spark, indexDir)
+    writeManifestBatch(spark, indexDir, "0")
+    manifestReport(spark, indexDir)
   }
 
   /** Code a NEW batch of vectors (vec_id, embedding — ids disjoint from
@@ -168,14 +172,16 @@ object VectorIndexPipeline {
       throw new java.io.IOException(
         s"append promote: rename $staging -> $target failed")
     fs.delete(path(s"$indexDir/codes.appending"), true)
-    // check the bound BEFORE refreshing: a triggered rebuild refreshes
-    // the manifest itself, so refreshing first would scan all codes
-    // twice on exactly the appends that fold
+    // check the bound BEFORE the manifest write: a triggered rebuild
+    // recomputes the whole manifest itself
     if (rebuildDue(spark, indexDir, maxCodeBatches = maxCodeBatches)) {
       log.info(s"$indexDir has more than $maxCodeBatches uncompacted " +
         "batch dirs (or tombstones over bound); rebuilding")
       rebuild(spark, indexDir)
-    } else refreshManifest(spark, indexDir)
+    } else {
+      writeManifestBatch(spark, indexDir, batchId)
+      manifestReport(spark, indexDir)
+    }
   }
 
   /** Logical delete — the redaction path for the vector index, mirroring
@@ -269,7 +275,8 @@ object VectorIndexPipeline {
     spark.read.parquet(codes).schema
     fs.delete(path(s"$codes.old"), true)
     fs.delete(path(s"$indexDir/tombstones"), true)
-    refreshManifest(spark, indexDir)
+    recomputeManifest(spark, indexDir)
+    manifestReport(spark, indexDir)
   }
 
   /** Crash recovery for an interrupted [[rebuild]] swap — called on every
@@ -296,11 +303,16 @@ object VectorIndexPipeline {
           throw new java.io.IOException(
             s"vector index recovery: promote of $codes.staging failed")
         fs.delete(path(s"$codes.old"), true)
+        // the repaired base post-dates whatever manifest survived the
+        // crash — recompute from the codes actually on disk (rare path;
+        // the O(index) scan lives here, never on the append hot path)
+        recomputeManifest(spark, indexDir)
       } else if (exists(s"$codes.old")) {
         if (!fs.rename(path(s"$codes.old"), path(codes)))
           throw new java.io.IOException(
             s"vector index recovery: rollback of $codes.old failed")
         fs.delete(path(s"$codes.staging"), true)
+        recomputeManifest(spark, indexDir)
       }
     } else {
       if (exists(s"$codes.staging")) fs.delete(path(s"$codes.staging"), true)
@@ -312,34 +324,64 @@ object VectorIndexPipeline {
     if (exists(s"$codes.appending")) fs.delete(path(s"$codes.appending"), true)
   }
 
-  /** Report from the PERSISTED manifest — for paths that change nothing
-    * (folded-batch replays) and must not pay a full-codes rescan.
+  /** Per-batch manifest partition for `batchId`, computed from that
+    * batch's codes dir ALONE — O(batch), the hot-path replacement for
+    * rescanning the whole index per append (at 100 TB a per-micro-batch
+    * full-codes scan would dominate ingest). Deterministic overwrite ⇒
+    * replay-safe, like the codes batch it describes.
+    */
+  private def writeManifestBatch(spark: SparkSession, indexDir: String,
+      batchId: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/codes/batch=$batchId")
+      .groupBy($"cell")
+      .agg(count_distinct($"vec_id").as("n_vectors"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/manifest/batch=$batchId")
+  }
+
+  /** Full manifest recompute from the codes table — O(index), used only
+    * where the index itself was just rewritten (rebuild) or repaired
+    * (crash recovery), never on the per-batch append path.
+    */
+  private def recomputeManifest(spark: SparkSession, indexDir: String)
+      : Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/manifest"), true)
+    spark.read.parquet(s"$indexDir/codes")
+      .groupBy($"batch", $"cell")
+      .agg(count_distinct($"vec_id").as("n_vectors"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$indexDir/manifest")
+  }
+
+  /** Report aggregated from the persisted per-batch manifest. Rows are
+    * filtered to batch dirs that still EXIST under `codes/`, so stale
+    * entries from a crash window (a fold that died before its manifest
+    * rewrite) are excluded rather than double-counted; per-batch
+    * n_vectors are additive across batches because batch vec_ids are
+    * disjoint by contract. The manifest is observability state — serving
+    * and pruning never read it — so its crash-window guarantee is
+    * "lags by at most the in-flight batch until the replay lands".
     */
   private def manifestReport(spark: SparkSession, indexDir: String)
       : VectorIndexReport = {
     import spark.implicits._
-    val stats = spark.read.parquet(s"$indexDir/manifest").agg(
-      count(lit(1)).as("cells"), sum($"n_vectors").as("vecs"),
-      max($"n_rows").as("maxRows")).head()
-    VectorIndexReport(
-      nCells = stats.getAs[Long]("cells").toInt,
-      nVectors = stats.getAs[Long]("vecs"),
-      maxCellRows = stats.getAs[Long]("maxRows"))
-  }
-
-  private def refreshManifest(spark: SparkSession, indexDir: String)
-      : VectorIndexReport = {
-    import spark.implicits._
-    val manifest = spark.read.parquet(s"$indexDir/codes")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=")).toSeq
+    val stats = spark.read.parquet(s"$indexDir/manifest")
+      .filter($"batch".cast("string").isin(live: _*))
       .groupBy($"cell")
-      .agg(count_distinct($"vec_id").as("n_vectors"), count(lit(1)).as("n_rows"))
-      .orderBy($"cell")
-      .cache()
-    manifest.write.mode("overwrite").parquet(s"$indexDir/manifest")
-    val stats = manifest.agg(
-      count(lit(1)).as("cells"), sum($"n_vectors").as("vecs"),
-      max($"n_rows").as("maxRows")).head()
-    manifest.unpersist()
+      .agg(sum($"n_vectors").as("nv"), sum($"n_rows").as("nr"))
+      .agg(count(lit(1)).as("cells"), sum($"nv").as("vecs"),
+        max($"nr").as("maxRows")).head()
     VectorIndexReport(
       nCells = stats.getAs[Long]("cells").toInt,
       nVectors = stats.getAs[Long]("vecs"),

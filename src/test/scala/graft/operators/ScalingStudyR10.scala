@@ -301,6 +301,46 @@ object ScalingStudyR10 {
     }
   }
 
+  /** Streaming vector-index ingestion at scale: base on 100k vectors,
+    * then 18 batches of 50k appended through the same appendVectors call
+    * the file stream delegates to 1:1, timing each. The claim under
+    * test: per-batch cost is O(batch) — coding is a narrow pass against
+    * the broadcast stored quantizer and the manifest write touches only
+    * the batch's own partition — so latency stays FLAT as the index
+    * grows 10×, with one amortized O(index) spike at the FoldEvery-th
+    * append (the auto-rebuild).
+    */
+  private def vectorIngest1M(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-r10-vi").toString
+    val sfDir = s"$root/sf"
+    val indexDir = s"$root/ix"
+    val all = LshOccupancyStudy.vectors(spark, 1000000L)
+      .select($"vec_id", $"embedding")
+    all.filter($"vec_id" < 100000L)
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    graft.pipeline.VectorIndexPipeline.writeIvfPq(spark, sfDir, indexDir)
+    val times = (1 to 18).map { i =>
+      val lo = 100000L + (i - 1) * 50000L
+      val batch = all.filter($"vec_id" >= lo && $"vec_id" < lo + 50000L)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.pipeline.VectorIndexPipeline
+        .appendVectors(spark, indexDir, batch, i.toString)
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[r10-vingest] batch=$i%-3d rows=50000 t=${t}%.1fs " +
+        f"(index now ${100000L + i * 50000L} vectors)")
+      t
+    }
+    val fold = times(15) // batch 16 trips MaxCodeBatches=16 and folds
+    val steady = times.zipWithIndex.filterNot(_._2 == 15).map(_._1)
+    println(f"[r10-vingest] steady first3=${steady.take(3).sum / 3}%.1fs " +
+      f"last3=${steady.takeRight(3).sum / 3}%.1fs fold16=${fold}%.1fs")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -311,7 +351,7 @@ object ScalingStudyR10 {
     spark.sparkContext.setLogLevel("WARN")
 
     val parts = if (args.isEmpty)
-      Seq("dedup", "minhash", "lsh", "bounded", "ivfpq", "rerank")
+      Seq("dedup", "minhash", "lsh", "bounded", "ivfpq", "rerank", "vingest")
     else args.toSeq
     parts.foreach {
       case "dedup"   => dedupZipf(spark)
@@ -320,6 +360,7 @@ object ScalingStudyR10 {
       case "bounded" => bounded1M(spark)
       case "ivfpq"   => ivfpq1M(spark)
       case "rerank"  => rerank1M(spark)
+      case "vingest" => vectorIngest1M(spark)
       case other     => println(s"[r10] unknown part: $other")
     }
     spark.stop()
