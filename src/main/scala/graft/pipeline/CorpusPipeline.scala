@@ -4,7 +4,7 @@ import graft.operators.CorpusCuration
 import graft.queries.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 
 /** The operators composed into one executable training-data job:
   *
@@ -142,6 +142,20 @@ object CorpusPipeline {
     * query term). The manifest is computed from the WRITTEN files — a
     * second bounded scan, not a re-execution of the build plan.
     */
+  /** Per-output-file manifest rows — ONE definition for the base build,
+    * the delta append, and the compaction rewrite (a change applied to
+    * only one copy would silently diverge the manifests):
+    * (file, min_token, max_token, n_rows, n_terms).
+    */
+  private def fileManifest(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.groupBy(input_file_name().as("file"))
+      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
+        count(lit(1)).as("n_rows"),
+        count_distinct($"token").as("n_terms"))
+  }
+
   def writeInvertedIndex(spark: SparkSession, sfDir: String, outDir: String,
       nShards: Int = 0): IndexReport = {
     import spark.implicits._
@@ -167,11 +181,7 @@ object CorpusPipeline {
       .observe(obs, count(lit(1)).as("n_postings"))
       .write.mode("overwrite").parquet(s"$outDir/inverted")
 
-    val manifest = spark.read.parquet(s"$outDir/inverted")
-      .groupBy(input_file_name().as("file"))
-      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
-        count(lit(1)).as("n_rows"),
-        count_distinct($"token").as("n_terms"))
+    val manifest = fileManifest(spark.read.parquet(s"$outDir/inverted"))
       .orderBy($"min_token")
       .cache()
     manifest.write.mode("overwrite").parquet(s"$outDir/inverted_manifest")
@@ -360,6 +370,11 @@ object CorpusPipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(s: String) = fs.exists(new org.apache.hadoop.fs.Path(s))
     recoverIndex(spark, indexDir)
+    // deltas append RELATIVE TO a base: without one, lookupTerm's base
+    // read and the auto-compaction would both fail later with opaque
+    // missing-path errors — fail loudly at the append instead
+    require(exists(s"$indexDir/inverted"),
+      s"appendBatch: no base index at $indexDir — run writeInvertedIndex first")
     // The manifest rows are the batch's COMMIT POINT. A crash between the
     // delta write and the manifest append leaves orphan delta files no
     // lookup serves (but a later compact would silently fold in) and, with
@@ -403,13 +418,13 @@ object CorpusPipeline {
         .observe(obs, count(lit(1)).as("n_postings"))
         .write.mode("errorifexists").parquet(deltaDir)
 
-      val manifest = spark.read.parquet(deltaDir)
-        .groupBy(input_file_name().as("file"))
-        .agg(min($"token").as("min_token"), max($"token").as("max_token"),
-          count(lit(1)).as("n_rows"),
-          count_distinct($"token").as("n_terms"))
-        .cache()
-      manifest.write.mode("append").parquet(manDir)
+      val manifest = fileManifest(spark.read.parquet(deltaDir)).cache()
+      // the manifest rows ARE the batch's commit point: a single-file
+      // append is promoted atomically at job commit, whereas a
+      // multi-file append could crash half-promoted and make the retry
+      // accept a partial manifest as a full commit (silently hiding the
+      // unmanifested shards from every lookup)
+      manifest.coalesce(1).write.mode("append").parquet(manDir)
       val stats = manifest
         .agg(sum($"n_terms").as("terms"), max($"n_rows").as("maxRows"),
           count(lit(1)).as("files")).head()
@@ -426,12 +441,10 @@ object CorpusPipeline {
     // no caller polling loop. The append above is already committed
     // (manifest rows are the commit point), so a crash inside the
     // compaction replays as: committed no-op → recoverIndex repairs the
-    // interrupted swap → compaction re-evaluates. NOTE: once a
-    // compaction folds the delta, a retry of the SAME batchId would
-    // re-append it — the idempotent-retry window closes at the next
-    // compaction, which is why the trigger sits after the commit point
-    // (a retry that raced the crashed compaction hits the no-op branch,
-    // never a double append).
+    // interrupted swap → compaction re-evaluates. A retry AFTER a
+    // compaction folded this batch hits the folded_batches no-op branch;
+    // an UNCOMMITTED batch is never folded (compact deletes orphan
+    // delta dirs instead), so no retry path can double-append.
     if (compactionDue(spark, indexDir, maxDeltaBatches = maxDeltaBatches)) {
       log.info(s"$indexDir has more than $maxDeltaBatches uncompacted " +
         "delta batches (or tombstones over bound); compacting")
@@ -565,6 +578,32 @@ object CorpusPipeline {
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
 
+    // Only MANIFESTED delta files fold — the manifest rows are the
+    // batch commit point, so an orphan delta dir (a crashed appendBatch
+    // that never reached its manifest append) must not be folded in: it
+    // would get no folded_batches record, and the batch's retry would
+    // then re-append it, serving every posting twice. Orphan dirs are
+    // DELETED instead — the retry finds no dir, no manifest rows, no
+    // folded row, and rewrites the batch exactly once. (This also keeps
+    // the fold from tripping over an orphan's footer-less part files.)
+    val manifested: Seq[String] =
+      if (hasDelta && fs.exists(path(s"$indexDir/delta_manifest")))
+        spark.read.parquet(s"$indexDir/delta_manifest")
+          .select($"file").collect().map(_.getString(0)).toSeq
+      else Seq.empty
+    if (hasDelta) {
+      val committedBatches = manifested
+        .flatMap("/batch=([^/]+)/".r.findFirstMatchIn(_).map(_.group(1)))
+        .toSet
+      fs.listStatus(path(s"$indexDir/delta")).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          !committedBatches(p.getName.stripPrefix("batch=")))
+        .foreach { orphan =>
+          log.warn(s"compact: deleting uncommitted orphan delta $orphan")
+          fs.delete(orphan, true)
+        }
+    }
+
     // Record each delta batch's committed report under `folded_batches`
     // BEFORE the fold: after the swap deletes delta_manifest, a retry of
     // an already-folded batchId must become a no-op serving this recorded
@@ -573,7 +612,7 @@ object CorpusPipeline {
     // swap rolls back, the manifest rows still exist and the committed
     // no-op branch wins before this marker is ever consulted; duplicate
     // marker rows from a re-run compact carry identical stats.
-    if (hasDelta && fs.exists(path(s"$indexDir/delta_manifest"))) {
+    if (manifested.nonEmpty) {
       spark.read.parquet(s"$indexDir/delta_manifest")
         .withColumn("batch_id",
           regexp_extract($"file", "/batch=([^/]+)/", 1))
@@ -585,9 +624,9 @@ object CorpusPipeline {
     }
 
     val baseAndDelta =
-      if (hasDelta)
+      if (manifested.nonEmpty)
         spark.read.parquet(s"$indexDir/inverted")
-          .unionByName(spark.read.parquet(s"$indexDir/delta")
+          .unionByName(spark.read.parquet(manifested: _*)
             .select($"token", $"doc_id", $"tf_doc"))
       else spark.read.parquet(s"$indexDir/inverted")
     // physical drop of tombstoned postings ([[deleteDocs]]) — the same
@@ -607,11 +646,8 @@ object CorpusPipeline {
       .sortWithinPartitions($"token", $"doc_id")
       .observe(obs, count(lit(1)).as("n_postings"))
       .write.mode("overwrite").parquet(s"$indexDir/inverted.staging")
-    val manifest = spark.read.parquet(s"$indexDir/inverted.staging")
-      .groupBy(input_file_name().as("file"))
-      .agg(min($"token").as("min_token"), max($"token").as("max_token"),
-        count(lit(1)).as("n_rows"),
-        count_distinct($"token").as("n_terms"))
+    val manifest = fileManifest(
+      spark.read.parquet(s"$indexDir/inverted.staging"))
     // manifest rows name staging files; rewrite to the post-swap paths
     val swapped = manifest.withColumn("file",
       regexp_replace($"file", "inverted\\.staging", "inverted"))

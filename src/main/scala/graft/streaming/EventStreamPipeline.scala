@@ -59,12 +59,27 @@ object EventStreamPipeline {
       case f => f
     })
     val raw = spark.readStream.schema(physicalSchema).parquet(dir)
+    normalizeTs(raw, physicalTs)
+  }
+
+  /** ts normalization shared by the stream and batch readers. For a
+    * true TimestampType (an instant) `unix_micros` is tz-independent;
+    * for TimestampNTZType the wall-clock is DEFINED as UTC in this
+    * contract, and a plain cast would interpret it in the SESSION tz —
+    * shifting every epoch by the tz offset for any non-UTC caller — so
+    * the wall is first converted from UTC to the session tz, making the
+    * session-tz cast land on the UTC instant (probed under a
+    * non-UTC session).
+    */
+  private def normalizeTs(raw: DataFrame, physicalTs: DataType): DataFrame =
     physicalTs match {
       case LongType => raw
-      case _ => // TimestampType or TimestampNTZType
+      case TimestampNTZType =>
+        raw.withColumn("ts", expr(
+          "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)) * 1000L"))
+      case _ => // TimestampType
         raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
     }
-  }
 
   /** Batch read of an events file directory, normalized to the same
     * ns-long `ts` contract as [[readEvents]] — the batch twin for
@@ -73,11 +88,7 @@ object EventStreamPipeline {
   def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(dir)
-    raw.schema("ts").dataType match {
-      case LongType => raw
-      case _ => // TimestampType or TimestampNTZType
-        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
-    }
+    normalizeTs(raw, raw.schema("ts").dataType)
   }
 
   /** Hourly tumbling-window counts + value totals with a 1-hour watermark.
@@ -87,7 +98,7 @@ object EventStreamPipeline {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))))
       .withWatermark("event_time", "1 hour")
       .groupBy(window($"event_time", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
@@ -105,7 +116,7 @@ object EventStreamPipeline {
     */
   def dedup(events: DataFrame): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -121,11 +132,11 @@ object EventStreamPipeline {
     import spark.implicits._
     val signups = events.filter($"event_type" === "signup")
       .select($"user_id",
-        timestamp_micros(expr("ts div 1000")).as("signup_time"))
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))).as("signup_time"))
       .withWatermark("signup_time", "1 hour")
     val purchases = events.filter($"event_type" === "purchase")
       .select($"user_id".as("p_user_id"),
-        timestamp_micros(expr("ts div 1000")).as("purchase_time"))
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))).as("purchase_time"))
       .withWatermark("purchase_time", "1 hour")
     signups.join(purchases, expr(
       """user_id = p_user_id AND
@@ -147,33 +158,50 @@ object EventStreamPipeline {
     * `ev_sessionize` query — state per key is one small record, so state
     * store size is O(active users), independent of stream length.
     */
+  /** The ONE sort-then-fold session state machine both state APIs run
+    * ([[sessionize]] and [[SessionProcessor]] — a semantic fix made in
+    * only one copy would silently break their spec'd equivalence).
+    * Events are sorted within the batch; across batches the open
+    * session's clock advances MONOTONICALLY (`max(lastMs, e.ts)`): a
+    * late event that still merges into the open session must not rewind
+    * it, or the next on-time event would look gap-separated and split a
+    * session the batch (globally sorted) twin keeps whole.
+    */
+  private[streaming] def foldSessions(userId: Long,
+      prev: Option[OpenSession], batch: Seq[Event])
+      : (Option[OpenSession], Seq[Session]) = {
+    val sorted = batch.sortBy(e => (e.ts, e.event_id))
+    var open = prev
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      open = open match {
+        case Some(s) if e.ts - s.lastMs <= SessionGapMs =>
+          Some(s.copy(lastMs = math.max(s.lastMs, e.ts), n = s.n + 1))
+        case Some(s) =>
+          closed += Session(userId, s.startMs, s.n)
+          Some(OpenSession(e.ts, e.ts, 1))
+        case None =>
+          Some(OpenSession(e.ts, e.ts, 1))
+      }
+    }
+    (open, closed.result())
+  }
+
   def sessionize(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
-      .select(col("event_id"), expr("ts div 1000000").as("ts"), col("user_id"))
+      .select(col("event_id"), expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"), col("user_id"))
       .as[Event]
 
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, events: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            open = open match {
-              case Some(s) if e.ts - s.lastMs <= SessionGapMs =>
-                Some(s.copy(lastMs = e.ts, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(userId, s.startMs, s.n)
-                Some(OpenSession(e.ts, e.ts, 1))
-              case None =>
-                Some(OpenSession(e.ts, e.ts, 1))
-            }
-          }
+          val (open, closed) =
+            foldSessions(userId, state.getOption, events.toSeq)
           open.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
   }
 
@@ -198,22 +226,10 @@ object EventStreamPipeline {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-      var cur = if (open.exists()) Some(open.get()) else None
-      val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        cur = cur match {
-          case Some(s) if e.ts - s.lastMs <= SessionGapMs =>
-            Some(s.copy(lastMs = e.ts, n = s.n + 1))
-          case Some(s) =>
-            closed += Session(userId, s.startMs, s.n)
-            Some(OpenSession(e.ts, e.ts, 1))
-          case None =>
-            Some(OpenSession(e.ts, e.ts, 1))
-        }
-      }
+      val prev = if (open.exists()) Some(open.get()) else None
+      val (cur, closed) = foldSessions(userId, prev, rows.toSeq)
       cur.foreach(open.update)
-      closed.result().iterator
+      closed.iterator
     }
   }
 
@@ -225,7 +241,7 @@ object EventStreamPipeline {
     import org.apache.spark.sql.streaming.TimeMode
     import spark.implicits._
     events
-      .select(col("event_id"), expr("ts div 1000000").as("ts"), col("user_id"))
+      .select(col("event_id"), expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"), col("user_id"))
       .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor,
@@ -261,45 +277,74 @@ object EventStreamPipeline {
     *
     * @return the merged snapshot, re-read from the swapped-in directory
     */
-  private def mergeSnapshot(batch: DataFrame, targetDir: String,
-      keyCols: Seq[String]): DataFrame = {
-    val s = batch.sparkSession
-    val hconf = s.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(targetDir)
-    val fs = target.getFileSystem(hconf)
-    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
-    val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
-    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+  /** The staging/swap/recovery state machine for a snapshot dir, shared
+    * by the key-wise merge ([[mergeSnapshot]]) and the full-replace
+    * publish ([[publishSnapshot]]): readers polling `targetDir` always
+    * see a complete snapshot (old or new), never a mid-overwrite hole.
+    */
+  private class SnapshotDir(s: SparkSession, targetDir: String) {
+    private val target = new org.apache.hadoop.fs.Path(targetDir)
+    private val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    private val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    private val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    private def renameOrThrow(from: org.apache.hadoop.fs.Path,
         to: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"snapshot swap: rename $from -> $to failed")
-    // Recovery: a crash between "retire target" and "promote staging"
-    // leaves no target. The complete survivor is .staging when its
-    // _SUCCESS marker exists (a finished write of the *previous* merge —
-    // prefer it), else .old (the pre-merge snapshot; the checkpoint will
-    // re-deliver the lost batch and the idempotent remerge reconverges).
-    if (!fs.exists(target)) {
-      val stagingComplete = fs.exists(staging) &&
-        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-      if (stagingComplete) renameOrThrow(staging, target)
-      else if (fs.exists(retired)) renameOrThrow(retired, target)
+    /** A crash between "retire target" and "promote staging" leaves no
+      * target. The complete survivor is .staging when its _SUCCESS marker
+      * exists (a finished write of the *previous* attempt — prefer it),
+      * else .old (the pre-swap snapshot; the checkpoint re-delivers the
+      * lost batch and the idempotent rewrite reconverges).
+      */
+    def recover(): Unit =
+      if (!fs.exists(target)) {
+        val stagingComplete = fs.exists(staging) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        if (stagingComplete) renameOrThrow(staging, target)
+        else if (fs.exists(retired)) renameOrThrow(retired, target)
+      }
+    def targetExists: Boolean = fs.exists(target)
+    def stagingPath: String = staging.toString
+    /** Retire the old snapshot, promote the staged one, verify the
+      * promoted copy reads before deleting the only other complete one.
+      */
+    def swapIn(): DataFrame = {
+      if (fs.exists(retired) && !fs.delete(retired, true))
+        throw new java.io.IOException(s"snapshot swap: could not clear $retired")
+      if (fs.exists(target)) renameOrThrow(target, retired)
+      renameOrThrow(staging, target)
+      val out = s.read.parquet(targetDir)
+      fs.delete(retired, true)
+      out
     }
+  }
+
+  private def mergeSnapshot(batch: DataFrame, targetDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    val s = batch.sparkSession
+    val snap = new SnapshotDir(s, targetDir)
+    snap.recover()
     val merged =
-      if (!fs.exists(target)) batch
+      if (!snap.targetExists) batch
       else s.read.parquet(targetDir)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(batch)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    // swap: retire the old snapshot, promote the staged one
-    if (fs.exists(retired) && !fs.delete(retired, true))
-      throw new java.io.IOException(s"snapshot swap: could not clear $retired")
-    if (fs.exists(target)) renameOrThrow(target, retired)
-    renameOrThrow(staging, target)
-    // verify the promoted snapshot is readable (footer/schema load)
-    // before deleting the only other complete copy
-    val out = s.read.parquet(targetDir)
-    fs.delete(retired, true)
-    out
+    merged.write.mode("overwrite").parquet(snap.stagingPath)
+    snap.swapIn()
+  }
+
+  /** Full-replace publish through the same swap discipline — for derived
+    * outputs (the anomaly flag set) a monitoring reader may poll at any
+    * moment: a plain overwrite would expose a deleted-then-partial dir
+    * every micro-batch.
+    */
+  private def publishSnapshot(df: DataFrame, targetDir: String): Unit = {
+    val snap = new SnapshotDir(df.sparkSession, targetDir)
+    snap.recover()
+    df.write.mode("overwrite").parquet(snap.stagingPath)
+    snap.swapIn()
+    ()
   }
 
   /** Streaming anomaly monitor — the incremental twin of the batch
@@ -337,13 +382,13 @@ object EventStreamPipeline {
         val stats = mergedDf.groupBy($"event_type".as("et"))
           .agg(count(lit(1)).as("d"), sum($"n").as("s"),
             sum($"n" * $"n").as("ss"))
-        mergedDf.join(stats, $"event_type" === $"et")
-          .filter(($"n" * $"d" - $"s") * ($"n" * $"d" - $"s") >
-            lit(4L) * ($"ss" * $"d" - $"s" * $"s"))
-          .select($"event_type", $"day", $"n")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(flagsDir)
-        ()
+        publishSnapshot(
+          mergedDf.join(stats, $"event_type" === $"et")
+            .filter(($"n" * $"d" - $"s") * ($"n" * $"d" - $"s") >
+              lit(4L) * ($"ss" * $"d" - $"s" * $"s"))
+            .select($"event_type", $"day", $"n")
+            .coalesce(1),
+          flagsDir)
       }
       .start()
     q.awaitTermination()

@@ -134,6 +134,88 @@ class ShardedIndexSpec extends AnyFunSuite {
         s"post-compaction lookup('$t') != full rebuild")
   }
 
+  test("compact never folds an uncommitted orphan delta; its retry appends exactly once") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val Seq(p33, p66) = Seq(0.33, 0.66).map(q =>
+      docs.agg(expr(s"percentile(doc_id, $q)")).head().getDouble(0))
+    val baseSf = java.nio.file.Files.createTempDirectory("graft-ixo-b").toString
+    val b1Sf = java.nio.file.Files.createTempDirectory("graft-ixo-1").toString
+    val bxSf = java.nio.file.Files.createTempDirectory("graft-ixo-x").toString
+    docs.filter($"doc_id" <= p33).write.parquet(s"$baseSf/documents.parquet")
+    docs.filter($"doc_id" > p33 && $"doc_id" <= p66)
+      .write.parquet(s"$b1Sf/documents.parquet")
+    docs.filter($"doc_id" > p66).write.parquet(s"$bxSf/documents.parquet")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ixo").toString
+    CorpusPipeline.writeInvertedIndex(spark, baseSf, ixDir, nShards = 4)
+    CorpusPipeline.appendBatch(spark, ixDir, b1Sf, "b1", nShards = 2)
+
+    // a crashed appendBatch for 'bx': delta files exist (with a
+    // footer-less straggler) but the manifest append never ran
+    val orphan = new java.io.File(s"$ixDir/delta/batch=bx")
+    orphan.mkdirs()
+    spark.read.parquet(s"$ixDir/delta/batch=b1").limit(5)
+      .write.mode("overwrite").parquet(s"$ixDir/delta/batch=bx/inner")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ixDir/delta/batch=bx/part-garbage.parquet"),
+      "not a parquet footer".getBytes)
+
+    // the triggered compaction must DELETE the orphan, not fold it —
+    // folding would give it no folded_batches record and its retry would
+    // double every posting
+    CorpusPipeline.compact(spark, ixDir, nShards = 4)
+    assert(!orphan.exists(), "orphan delta dir survived compaction")
+    // ground truth after compaction: base+b1 only (the orphan is gone)
+    val truthDir = java.nio.file.Files.createTempDirectory("graft-ixo-t").toString
+    val truthSf = java.nio.file.Files.createTempDirectory("graft-ixo-ts").toString
+    docs.filter($"doc_id" <= p66).write.parquet(s"$truthSf/documents.parquet")
+    CorpusPipeline.writeInvertedIndex(spark, truthSf, truthDir, nShards = 4)
+    val probe = spark.read.parquet(s"$truthDir/inverted")
+      .groupBy($"token").count().orderBy($"count".desc).head().getString(0)
+    def served(dir: String) = CorpusPipeline.lookupTerm(spark, dir, probe)._2
+      .select($"doc_id", $"tf_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(served(ixDir) == served(truthDir),
+      "post-compaction lookup diverged from base+b1 truth")
+
+    // the batch's retry (it never committed) appends exactly once: the
+    // full corpus serves with each doc exactly once
+    CorpusPipeline.appendBatch(spark, ixDir, bxSf, "bx", nShards = 2)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-ixo-f").toString
+    CorpusPipeline.writeInvertedIndex(spark, sf, fullDir, nShards = 4)
+    assert(served(ixDir) == served(fullDir),
+      "retried orphan batch did not serve exactly the full corpus")
+  }
+
+  test("each appendBatch commits its manifest as a single file") {
+    import spark.implicits._
+    val baseSf = java.nio.file.Files.createTempDirectory("graft-ixm-b").toString
+    spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" < 100)
+      .write.parquet(s"$baseSf/documents.parquet")
+    val newSf = java.nio.file.Files.createTempDirectory("graft-ixm-n").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .write.parquet(s"$newSf/documents.parquet")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-ixm").toString
+    CorpusPipeline.writeInvertedIndex(spark, baseSf, ixDir, nShards = 4)
+    CorpusPipeline.appendBatch(spark, ixDir, newSf, "b1", nShards = 4)
+    // the manifest rows are the batch's COMMIT POINT: one part file per
+    // batch makes the commit promotion atomic; a multi-file commit could
+    // crash half-promoted and be accepted as complete by the retry
+    val parts = new java.io.File(s"$ixDir/delta_manifest").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 1,
+      s"manifest commit is ${parts.length} files, not atomic-single")
+  }
+
+  test("appendBatch without a base fails loudly at the append") {
+    val emptyIx = java.nio.file.Files.createTempDirectory("graft-ixe").toString
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.appendBatch(spark, emptyIx, sf, "b1", nShards = 2)
+    }
+    assert(e.getMessage.contains("writeInvertedIndex"), e.getMessage)
+  }
+
   test("a fresh base build starts a new index life: recycled batch ids append for real") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -41,6 +41,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late event inside the gap must not rewind the open session's clock") {
+    import EventStreamPipeline.{Event, foldSessions}
+    // batch 1: two events, one open session ending at t=1,700,000
+    val (o1, c1) = foldSessions(7L, None,
+      Seq(Event(1, 0L, 7L), Event(2, 1700000L, 7L)))
+    assert(c1.isEmpty && o1.get.lastMs == 1700000L && o1.get.n == 2)
+    // batch 2: a LATE event at t=100,000 — merges (within gap of the
+    // open session), but must not regress lastMs to 100,000
+    val (o2, c2) = foldSessions(7L, o1, Seq(Event(3, 100000L, 7L)))
+    assert(c2.isEmpty && o2.get.n == 3)
+    assert(o2.get.lastMs == 1700000L,
+      s"late merge rewound the session clock to ${o2.get.lastMs}")
+    // batch 3: an on-time event at t=2,000,000 is 300,000 past the true
+    // last activity — same session; a rewound clock would have seen a
+    // 1,900,000 gap and spuriously split (diverging from the batch twin)
+    val (o3, c3) = foldSessions(7L, o2, Seq(Event(4, 2000000L, 7L)))
+    assert(c3.isEmpty, s"session spuriously split: $c3")
+    assert(o3.get.n == 4 && o3.get.lastMs == 2000000L)
+  }
+
   test("stream on an empty source dir starts and picks up files that arrive later") {
     // the physical-ts probe reads the dir at setup; with no files yet it
     // must fall back to the ns-long contract schema instead of throwing
