@@ -45,6 +45,13 @@ object EventStreamPipeline {
     * fallback, a legacy ns-long file arriving into an empty-started
     * stream fails loudly on schema mismatch instead; legacy dirs need at
     * least one file present at stream start for the probe to see.)
+    *
+    * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` on the
+    * session and leaves it set — the conf must hold for the stream's
+    * whole lifetime (micro-batches read files long after this call
+    * returns), so it cannot be save-and-restored. Callers sharing the
+    * session with unrelated nanos-timestamp parquet reads should use a
+    * separate session.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
