@@ -192,9 +192,13 @@ object Dedup {
           // (overCnt + 3 joins + cache) is pure overhead before the same
           // full verification). Verify every size-filtered candidate
           // directly against the full shingle sets.
+          // NO broadcast hint on the pair list: this branch exists for
+          // degenerate corpora where candidates are ~n²-dense — the one
+          // regime where a forced broadcast of the pairs aborts or OOMs
+          // the driver. AQE broadcasts it when it measures small.
           return sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-            .join(broadcast(sizeOk.select(col("a_id"), col("b_id"),
-              col("na"), col("nb"))), "a_id")
+            .join(sizeOk.select(col("a_id"), col("b_id"),
+              col("na"), col("nb")), "a_id")
             .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
               .hint("shuffle_hash"), "b_id")
             .select(col("a_id"), col("b_id"),
@@ -928,8 +932,12 @@ object Dedup {
       // cached: referenced by candidate generation, size lookups and
       // exact verification (harness clears caches per query; a
       // build-time unpersist would defeat the cache entirely)
+      // no broadcast hint on src: it is one row per CORPUS document, so
+      // at the operator's stated production shape (existing corpus >>
+      // batch) a forced broadcast grows with the corpus — AQE promotes
+      // it at bench scale from measured stats, and shuffles at real scale
       val sh = hashedShingles(shingleDf(s, d))
-        .join(broadcast(src), "doc_id").cache()
+        .join(src, "doc_id").cache()
       val sizes = sh.select($"doc_id", $"source", size($"shingles").as("n"))
       // candidate generation runs under the same df cap as the capped
       // jaccardPairs path: without it the cross-set shared-shingle join
@@ -949,11 +957,13 @@ object Dedup {
           .select($"doc_id".as("b_id"), $"sh"), "sh")
         .select($"a_id", $"b_id").distinct()
       // exact size-ratio prefilter, then exact verification on full sets
+      // same discipline for the size lookups: the src0 side is
+      // existing-corpus-sized, so neither gets a forced broadcast
       val sizeOk = cand
-        .join(broadcast(sizes.filter($"source" === "src0")
-          .select($"doc_id".as("a_id"), $"n".as("na"))), "a_id")
-        .join(broadcast(sizes.filter($"source" =!= "src0")
-          .select($"doc_id".as("b_id"), $"n".as("nb"))), "b_id")
+        .join(sizes.filter($"source" === "src0")
+          .select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.filter($"source" =!= "src0")
+          .select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
         .filter((least($"na", $"nb").cast(DoubleType) /
           greatest($"na", $"nb")) >= 0.6)
       val scored = sizeOk

@@ -80,6 +80,14 @@ object Similarity {
   private def flipListDuck: String =
     (0L +: (0 until Planes).map(p => 1L << p)).mkString(", ")
 
+  /** Spark-side multiprobe flip array — the SINGLE source the three
+    * multiprobe consumers explode, kept structurally next to
+    * [[flipListDuck]] so the Spark and DuckDB probe sets can only change
+    * together.
+    */
+  private def flipArray = array(
+    (0L +: (0 until Planes).map(p => 1L << p)).map(lit): _*)
+
   private def bucketExprDuckN(planes: Int, col: String = "embedding"): String = {
     val bits = (0 until planes).map { p =>
       val w = weight(p)("j")
@@ -150,8 +158,7 @@ object Similarity {
     (s, d) => {
       import s.implicits._
       val b = bucketsDf(s, d).cache()
-      val probeArr = array(lit(0L) +: (0 until Planes).map(p =>
-        lit(1L << p)): _*)
+      val probeArr = flipArray
       val probes = b.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           explode(probeArr).as("flip"), $"bucket")
@@ -196,6 +203,25 @@ object Similarity {
     */
   private val KmIters = 2
 
+  /** Nearest-centroid ranking — the ONE definition of the assignment
+    * subplan and its tie-break (`cscore` desc, `centroid_id`) that every
+    * consumer (training, cell assignment, multiprobe, residuals) and
+    * every DuckDB oracle must share bit-identically: one row per
+    * (vector, centroid) carrying the cosine score, the centroid array,
+    * and the per-vector rank `rn`. Input: emb(vec_id, embedding),
+    * centroids(centroid_id, centroid); centroids broadcast.
+    */
+  private[graft] def rankedCentroids(emb: DataFrame, centroids: DataFrame)
+      : DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"centroid_id")
+    emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"centroid_id",
+        cosine_similarity($"embedding", $"centroid").as("cscore"), $"centroid")
+      .withColumn("rn", row_number().over(w))
+  }
+
   private[graft] def kmeansCodebook(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val embD = Tables.embeddings(s, d)
@@ -203,14 +229,11 @@ object Similarity {
     var cents = embD.filter($"vec_id" < 16)
       .select($"vec_id".as("centroid_id"), $"e".as("centroid"))
     for (_ <- 1 to KmIters) {
-      val w = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"centroid_id")
-      val assigned = embD.crossJoin(broadcast(cents))
-        .select($"vec_id", $"e", $"centroid_id",
-          cosine_similarity($"e", $"centroid").as("cscore"))
-        .withColumn("rn", row_number().over(w))
+      val assigned = rankedCentroids(
+          embD.select($"vec_id", $"e".as("embedding")), cents)
         .filter($"rn" === 1)
       cents = assigned
-        .select($"centroid_id", posexplode($"e").as(Seq("pos", "v")))
+        .select($"centroid_id", posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"centroid_id", $"pos")
         .agg(sum(expr("CAST(floor(v * 100000000) AS BIGINT)")).as("q"),
           count(lit(1)).as("n"))
@@ -264,12 +287,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
     val centroids = kmeansCodebook(s, d)
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"cscore".desc, $"centroid_id")
-    emb.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"centroid_id",
-        cosine_similarity($"embedding", $"centroid").as("cscore"))
-      .withColumn("rn", row_number().over(w))
+    rankedCentroids(emb, centroids)
       .filter($"rn" === 1)
       .select($"vec_id", $"embedding", $"centroid_id".as("cell"))
   }
@@ -325,22 +343,20 @@ object Similarity {
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
       val centroids = kmeansCodebook(s, d)
-      val w = Window.partitionBy($"vec_id")
-        .orderBy($"cscore".desc, $"centroid_id")
-      val ranked = emb.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"embedding", $"centroid_id",
-          cosine_similarity($"embedding", $"centroid").as("cscore"))
-        .withColumn("rn", row_number().over(w))
+      val ranked = rankedCentroids(emb, centroids)
       val home = ranked.filter($"rn" === 1)
         .select($"vec_id".as("cid"), $"embedding".as("ce"),
           $"centroid_id".as("cell"))
       val probes = ranked.filter($"rn" <= 2 && $"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           $"centroid_id".as("cell"))
+      // no distinct: `home` keeps exactly one row per candidate (rn=1),
+      // and a query's two probe rows have different cells, so each
+      // (qid, cid) matches via at most one probe — the same exactly-one-
+      // match argument as [[cosineNearDupLshMp]]
       val pairs = probes.join(home, "cell")
         .filter($"qid" =!= $"cid")
         .select($"qid", $"cid", cosine_similarity($"qe", $"ce").as("score"))
-        .distinct() // a candidate may appear via both probed cells
       val tk = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
       pairs.withColumn("rank", row_number().over(tk))
         .filter($"rank" <= 3)
@@ -482,8 +498,7 @@ object Similarity {
         .select($"vec_id", $"embedding",
           graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
             .as("bucket"))
-      val probeArr = array(lit(0L) +: (0 until Planes).map(p =>
-        lit(1L << p)): _*)
+      val probeArr = flipArray
       val probes = e
         .select($"vec_id".as("a_id"), $"embedding".as("ea"),
           explode(probeArr).as("flip"), $"bucket")
@@ -540,6 +555,11 @@ object Similarity {
     "dd_embedding_lsh_bounded",
     (s, d) => {
       import s.implicits._
+      // cached: the 16-plane LSH kernel feeds the occupancy aggregate AND
+      // both sides of the refined self-join — uncached, the occ branch
+      // re-runs the scan + kernel (ReusedExchange is not guaranteed
+      // across the branches), pure wasted CPU at the 1M-vector scale
+      // this operator targets
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"embedding",
           graft.functions.VectorFunctions
@@ -547,6 +567,7 @@ object Similarity {
         .select($"vec_id", $"embedding",
           $"b16".bitwiseAND(lit((1L << Planes) - 1)).as("bucket"),
           shiftright($"b16", Planes).as("ext"))
+        .cache()
       val occ = e.groupBy($"bucket").agg(count(lit(1)).as("occ"))
       // smallest k with occ <= cap·2^k, capped at ExtPlanes — integer
       // comparisons only, built innermost-out so branch k wins over k-1
@@ -646,8 +667,7 @@ object Similarity {
       // Hamming-1 multiprobe: each qualifying pair matches via exactly
       // one flip (the bucket XOR), so no distinct — same argument as
       // cosineNearDupLshMp
-      val probeArr = array(lit(0L) +: (0 until Planes).map(p =>
-        lit(1L << p)): _*)
+      val probeArr = flipArray
       val mp = a.select($"a_id", $"ea", explode(probeArr).as("flip"), $"ba")
         .select($"a_id", $"ea", ($"ba".bitwiseXOR($"flip")).as("pbucket"))
         .join(b, $"pbucket" === $"bb" && $"a_id" < $"b_id")
@@ -1066,12 +1086,7 @@ object Similarity {
   private[graft] def ivfCells(s: SparkSession, emb: DataFrame,
       centroids: DataFrame): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"cscore".desc, $"centroid_id")
-    emb.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"centroid_id",
-        cosine_similarity($"embedding", $"centroid").as("cscore"), $"centroid")
-      .withColumn("rn", row_number().over(w))
+    rankedCentroids(emb, centroids)
       .filter($"rn" === 1)
       .select($"vec_id", $"centroid_id".as("cell"),
         expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
@@ -1110,14 +1125,8 @@ object Similarity {
   private[graft] def probeResiduals(s: SparkSession, emb: DataFrame,
       centroids: DataFrame, serveAll: Boolean, nprobe: Int): DataFrame = {
     import s.implicits._
-    val pw = Window.partitionBy($"vec_id")
-      .orderBy($"cscore".desc, $"centroid_id")
-    (if (serveAll) emb else emb.filter($"vec_id" < 10))
-      .crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"centroid_id",
-        cosine_similarity($"embedding", $"centroid").as("cscore"),
-        $"centroid")
-      .withColumn("rn", row_number().over(pw))
+    rankedCentroids(
+        if (serveAll) emb else emb.filter($"vec_id" < 10), centroids)
       .filter($"rn" <= nprobe)
       .select($"vec_id".as("qid"), $"centroid_id".as("qcell"),
         expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
@@ -1180,7 +1189,7 @@ object Similarity {
   val ivfPqTopK: Q = Q(
     "ann_ivfpq_topk",
     (s, d) => ivfPqServe(s, d, serveAll = false),
-    Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10")))
+    Some(ivfPqDuck(probeMax = Some(10))))
 
   /** The persisted-index round trip under the driver's oracle: build the
     * on-disk IVF-PQ layout ([[graft.pipeline.VectorIndexPipeline]]),
@@ -1223,17 +1232,23 @@ object Similarity {
       graft.pipeline.VectorIndexPipeline.serveIvfPq(s, ix, d,
         serveAll = false, nprobe = 1)
     },
-    Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10")))
+    Some(ivfPqDuck(probeMax = Some(10))))
 
-  /** DuckDB replay of [[ivfPqServe]]; `probeFilter` scopes the query side
-    * ("" = serve the whole corpus); `nprobe > 1` sources the LUT from
-    * per-probe residuals instead of the home-cell residual;
+  /** DuckDB replay of [[ivfPqServe]]; `probeMax` scopes the query side
+    * (None = serve the whole corpus) and applies in EVERY nprobe branch;
+    * `nprobe > 1` sources the LUT from per-probe residuals;
     * `rerankDepth > 0` appends the exact-cosine refinement tail
     * ([[ivfPqRerank]]): ADC top-`rerankDepth` shortlist, re-scored
     * against the raw embeddings, top-3 by exact cosine.
     */
-  private def ivfPqDuck(probeFilter: String, nprobe: Int = 1,
+  private def ivfPqDuck(probeMax: Option[Int], nprobe: Int = 1,
       rerankDepth: Int = 0): String = {
+    // typed probe scope: None = serve the whole corpus. The previous raw
+    // "WHERE res.vec_id < 10" fragment was silently DROPPED by the
+    // nprobe > 1 branch (which hardcoded vec_id < 10) — an oracle that
+    // compiled cleanly while checking the wrong query set.
+    val lutPred = probeMax.map(m => s"WHERE res.vec_id < $m").getOrElse("")
+    val probePred = probeMax.map(m => s" AND vec_id < $m").getOrElse("")
     val tail =
       if (rerankDepth <= 0)
         s"""SELECT qid, rank, cid, CAST(adc8 AS DOUBLE) / 100000000.0 AS adc_dist
@@ -1254,7 +1269,7 @@ object Similarity {
                 mm.m,
                 CAST(floor(${subDistDuck("res.r", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
               FROM res, rcb, (SELECT unnest(range($NSub)) AS m) mm
-              $probeFilter)"""
+              $lutPred)"""
       else
         s"""probes AS (SELECT vec_id AS qid, centroid_id AS qcell,
                 list_transform(list_zip(embedding, centroid),
@@ -1264,7 +1279,7 @@ object Similarity {
                         ORDER BY ${cosDuck("e.embedding", "c.centroid")} DESC,
                                  c.centroid_id) AS rn
                     FROM embeddings e, kcb c)
-              WHERE rn <= $nprobe AND vec_id < 10),
+              WHERE rn <= $nprobe$probePred),
       lut AS (SELECT p.qid, p.qcell, rcb.code_id AS k, mm.m,
                 CAST(floor(${subDistDuck("p.qr", "rcb.cw", "mm.m")} * 100000000) AS BIGINT) AS dq8
               FROM probes p, rcb, (SELECT unnest(range($NSub)) AS m) mm)"""
@@ -1308,7 +1323,7 @@ object Similarity {
   val ivfPqServeAll: Q = Q(
     "ann_ivfpq_serve_all",
     (s, d) => ivfPqServe(s, d, serveAll = true),
-    Some(ivfPqDuck(probeFilter = "")))
+    Some(ivfPqDuck(probeMax = None)))
 
   /** Multiprobe IVF-PQ (nprobe=2): the recall/cost dial [[ivfNprobe2]]
     * proved for plain IVF, applied to the composed serving index. Each
@@ -1320,7 +1335,7 @@ object Similarity {
   val ivfPqNprobe2: Q = Q(
     "ann_ivfpq_nprobe2",
     (s, d) => ivfPqServe(s, d, serveAll = false, nprobe = 2),
-    Some(ivfPqDuck(probeFilter = "", nprobe = 2)))
+    Some(ivfPqDuck(probeMax = Some(10), nprobe = 2)))
 
   /** ADC shortlist size for the exact-rerank refinement stage. */
   private[graft] val RerankDepth = 10
@@ -1383,7 +1398,7 @@ object Similarity {
           .select($"qid", $"cid")
       exactRerank(shortlist, Tables.embeddings(s, d))
     },
-    Some(ivfPqDuck(probeFilter = "WHERE res.vec_id < 10",
+    Some(ivfPqDuck(probeMax = Some(10),
       rerankDepth = RerankDepth)))
 
   /** Recall@3 of IVF-PQ at nprobe=1 vs nprobe=2 against the exact
@@ -1440,8 +1455,8 @@ object Similarity {
             SELECT qid, cid, row_number() OVER
               (PARTITION BY qid ORDER BY d8, cid) AS rank FROM ex)
           WHERE rank <= 3),
-        np1 AS (SELECT qid, cid FROM (${ivfPqDuck("WHERE res.vec_id < 10")})),
-        np2 AS (SELECT qid, cid FROM (${ivfPqDuck("", nprobe = 2)})),
+        np1 AS (SELECT qid, cid FROM (${ivfPqDuck(Some(10))})),
+        np2 AS (SELECT qid, cid FROM (${ivfPqDuck(Some(10), nprobe = 2)})),
         h1 AS (SELECT t.qid, count(*) AS h FROM truth t
                JOIN np1 ON t.qid = np1.qid AND t.cid = np1.cid GROUP BY t.qid),
         h2 AS (SELECT t.qid, count(*) AS h FROM truth t
@@ -1466,29 +1481,42 @@ object Similarity {
     * shingle-dedup survivors use. Composes three oracled building blocks
     * into the one-pass curation readout a training run consumes.
     */
+  /** The shared semantic-dedup machinery: greedy lower-id-wins drops
+    * among pairs blocked on `blockCol` (cosine >= 0.35), then the
+    * per-label volume/drop/kept-token readout — ONE definition for the
+    * label-blocked and LSH-bucket-blocked variants, so a threshold or
+    * readout change cannot make the "directly comparable" pair silently
+    * incomparable.
+    */
+  private def semanticDedupReadout(s: SparkSession, d: String,
+      e: DataFrame, blockCol: String): DataFrame = {
+    import s.implicits._
+    val drops = e.select($"vec_id".as("a_id"), col(blockCol), $"embedding".as("ea"))
+      .join(e.select($"vec_id".as("b_id"), col(blockCol), $"embedding".as("eb")),
+        blockCol)
+      .filter($"a_id" < $"b_id")
+      .filter(cosine_similarity($"ea", $"eb") >= 0.35)
+      .select($"b_id".as("vec_id")).distinct()
+    val tokens = Tables.documents(s, d)
+      .select($"doc_id".as("vec_id"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    e.join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .join(tokens, "vec_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
+        sum(when($"dropped".isNull, $"n_tokens").otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy($"label")
+  }
+
   val semanticDedup: Q = Q(
     "pipe_semantic_dedup",
     (s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
         .select($"vec_id", $"label".cast("long").as("label"), $"embedding")
-      val drops = e.select($"vec_id".as("a_id"), $"label", $"embedding".as("ea"))
-        .join(e.select($"vec_id".as("b_id"), $"label", $"embedding".as("eb")),
-          "label")
-        .filter($"a_id" < $"b_id")
-        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
-        .select($"b_id".as("vec_id")).distinct()
-      val tokens = Tables.documents(s, d)
-        .select($"doc_id".as("vec_id"),
-          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
-      e.join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
-        .join(tokens, "vec_id")
-        .groupBy($"label")
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
-          sum(when($"dropped".isNull, $"n_tokens").otherwise(0L))
-            .as("kept_tokens"))
-        .orderBy($"label")
+      semanticDedupReadout(s, d, e, "label")
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
                FROM embeddings),
@@ -1534,23 +1562,7 @@ object Similarity {
           graft.functions.VectorFunctions.lsh_bucket(col("embedding"), Planes, Dim)
             .as("bucket"))
         .cache()
-      val drops = e.select($"vec_id".as("a_id"), $"bucket", $"embedding".as("ea"))
-        .join(e.select($"vec_id".as("b_id"), $"bucket", $"embedding".as("eb")),
-          "bucket")
-        .filter($"a_id" < $"b_id")
-        .filter(cosine_similarity($"ea", $"eb") >= 0.35)
-        .select($"b_id".as("vec_id")).distinct()
-      val tokens = Tables.documents(s, d)
-        .select($"doc_id".as("vec_id"),
-          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
-      e.join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
-        .join(tokens, "vec_id")
-        .groupBy($"label")
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
-          sum(when($"dropped".isNull, $"n_tokens").otherwise(0L))
-            .as("kept_tokens"))
-        .orderBy($"label")
+      semanticDedupReadout(s, d, e, "bucket")
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
                $bucketExprDuck AS bucket FROM embeddings),
