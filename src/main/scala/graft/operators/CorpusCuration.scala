@@ -26,7 +26,7 @@ object CorpusCuration {
           length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
         .select($"doc_id", $"source",
           size($"w").cast(LongType).as("n_tokens"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(LongType).as("n_stop"),
           $"n_letters")
         .select($"doc_id", $"source", $"n_tokens",
@@ -305,14 +305,20 @@ object CorpusCuration {
         CAST(sum(CASE WHEN h < least(10000, n_tokens * 20) THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
       FROM w GROUP BY source ORDER BY source"""))
 
-  /** Temperature-flattened source mixture (T = 0.7) — the data-mixing
+  /** Temperature-flattened source mixture (T = 0.5) — the data-mixing
     * schedule used when assembling a training corpus from unequally-sized
     * sources: sampling probability ∝ (share)^T, which upweights small
-    * sources relative to proportional sampling. One tiny aggregate per
-    * source; the per-source weights are fixed-pointed as floor(w·10¹⁴)
-    * BIGINTs so the cross-engine pow() 1-ulp wobble cannot surface and the
-    * normalizing sum is exact integer arithmetic — the final probabilities
-    * are a single correctly-rounded double division on identical operands.
+    * sources relative to proportional sampling. T = 0.5 deliberately:
+    * x^0.5 is `sqrt`, which IEEE 754 requires to be CORRECTLY ROUNDED —
+    * bit-identical across engines on identical inputs — whereas a
+    * general pow (x^0.7) is only ~1-ulp-accurate and differs between
+    * Java's Math.pow and DuckDB's libm; fixed-pointing AFTER a wobbling
+    * pow does not help, since floor(w·10¹⁴) flips whenever the true
+    * value sits within the wobble of an integer boundary. With sqrt the
+    * per-source weights floor(w·10¹⁴) are deterministic BIGINTs, the
+    * normalizing sum is exact integer arithmetic, and the final
+    * probabilities are one correctly-rounded double division on
+    * identical operands.
     */
   val temperatureMix: Q = Q(
     "pipe_temperature_mix",
@@ -324,7 +330,7 @@ object CorpusCuration {
       val weighted = counts
         .crossJoin(broadcast(counts.agg(sum($"n_docs").as("total"))))
         .select($"source", $"n_docs",
-          expr("CAST(floor(pow(CAST(n_docs AS DOUBLE) / total, 0.7) * 1e14) " +
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total) * 1e14) " +
             "AS BIGINT)").as("w14"))
       weighted
         .crossJoin(broadcast(weighted.agg(sum($"w14").as("z14"))))
@@ -337,7 +343,7 @@ object CorpusCuration {
     Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       t AS (SELECT sum(n_docs) AS total FROM c),
       w AS (SELECT source, n_docs,
-              CAST(floor(pow(CAST(n_docs AS DOUBLE) / total, 0.7) * 1e14) AS BIGINT) AS w14
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total) * 1e14) AS BIGINT) AS w14
             FROM c, t),
       z AS (SELECT CAST(sum(w14) AS BIGINT) AS z14 FROM w)
       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
@@ -366,7 +372,7 @@ object CorpusCuration {
           length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
         .select($"doc_id",
           size($"w").cast(LongType).as("n_tokens"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(LongType).as("n_stop"),
           $"n_letters")
         .select($"doc_id", $"n_tokens",
@@ -460,7 +466,7 @@ object CorpusCuration {
           length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
         .select($"source", $"lang", $"n_chars", $"h",
           size($"w").cast(LongType).as("n_tokens"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(LongType).as("n_stop"),
           $"n_letters")
         .withColumn("is_dup", (count(lit(1)).over(byHash) > 1).cast(LongType))
@@ -520,7 +526,7 @@ object CorpusCuration {
             .as("n_letters"))
         .select($"source",
           size($"w").cast(LongType).as("n"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(LongType).as("n_stop"),
           size(filter($"w", t => t.rlike("[a-z]"))).cast(LongType)
             .as("n_alpha"),

@@ -416,13 +416,13 @@ object EventWindows {
     Some("""WITH e AS (
         SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
       f AS (
-        SELECT user_id, ts_ms,
+        SELECT user_id, event_id, ts_ms,
           CASE WHEN lag(ts_ms, 1) OVER w IS NULL
                  OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
       g AS (
         SELECT user_id, ts_ms,
-          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM f)
       SELECT user_id, min(ts_ms) AS session_start_ms, count(*) AS n_events
@@ -556,23 +556,29 @@ object EventWindows {
       shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-evs-src")
-    (0 until copies).foreach { i =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        srcDir.resolve(f"events-$i%03d.parquet"))
-    }
-    val q = pipeline(graft.streaming.EventStreamPipeline
-        .readEvents(s, srcDir.toString))
-      .writeStream.outputMode(outputMode)
-      .format("memory").queryName(sink)
-      .start()
+    // everything after dir creation sits inside the try: a pipeline
+    // construction or start() failure must still clean up the copied
+    // corpus files, or repeated rounds accumulate orphaned copies
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      (0 until copies).foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve(f"events-$i%03d.parquet"))
+      }
+      q = pipeline(graft.streaming.EventStreamPipeline
+          .readEvents(s, srcDir.toString))
+        .writeStream.outputMode(outputMode)
+        .format("memory").queryName(sink)
+        .start()
       q.processAllAvailable()
       // materialize before the stream (and its state) is torn down
       shape(s.table(sink)).localCheckpoint()
     } finally {
-      q.stop()
-      s.catalog.dropTempView(sink)
+      if (q != null) {
+        q.stop()
+        s.catalog.dropTempView(sink)
+      }
       (0 until copies).foreach { i =>
         java.nio.file.Files.deleteIfExists(
           srcDir.resolve(f"events-$i%03d.parquet"))
@@ -598,7 +604,7 @@ object EventWindows {
         outputMode = "append",
         pipeline = graft.streaming.EventStreamPipeline.dedup,
         shape = _.select($"event_id",
-            expr("ts div 1000").as("ts_us"),
+            expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"),
             $"user_id", $"event_type", $"value")
           .orderBy($"event_id"))
     },

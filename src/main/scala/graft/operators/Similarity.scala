@@ -1010,7 +1010,7 @@ object Similarity {
           length(regexp_replace($"text", "\\s+", ""))
             .cast("long").as("n_letters"))
         .select($"doc_id", size($"w").cast("long").as("n_tokens"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast("long").as("n_stop"), $"n_letters")
         .select($"doc_id", $"n_tokens",
           floor((($"n_stop".cast("double") / $"n_tokens") * 0.4 +

@@ -17,6 +17,19 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** The six function words every stopword-based signal shares (lang-id,
+    * quality score, curation gates, cluster profiles) — ONE Spark-side
+    * source; `StopwordsSqlSpec`-style consistency is enforced by
+    * [[graft.queries]]' OracleConsistencySpec pinning the SQL fragment
+    * [[StopwordsSql]] into every consumer's oracle.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "is")
+
+  /** The exact `IN (...)` fragment every consumer's DuckDB oracle must
+    * contain, derived from [[Stopwords]].
+    */
+  val StopwordsSql: String = Stopwords.map(w => s"'$w'").mkString(",")
+
   /** `lower → trim → collapse whitespace` — the shared normal form. */
   private val normSpark = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
   private val normDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -54,7 +67,7 @@ object TextAnalysis {
           length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
         .select($"doc_id",
           size($"w").cast(LongType).as("n_tokens"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(LongType).as("n_stop"),
           $"n_letters")
         .select($"doc_id", $"n_tokens", $"n_stop",
@@ -86,26 +99,31 @@ object TextAnalysis {
     (s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .select($"doc_id", $"lang",
-          split(lower(trim($"text")), "\\s+").as("w"))
-        .select($"doc_id", $"lang",
+        .select($"doc_id", $"lang", lower(trim($"text")).as("trimmed"))
+        .select($"doc_id", $"lang", $"trimmed",
+          split($"trimmed", "\\s+").as("w"))
+        .select($"doc_id", $"lang", $"trimmed",
           size($"w").cast(LongType).as("n_tokens"),
-          size(filter($"w", t => t.isin("the", "a", "of", "to", "and", "is")))
+          size(filter($"w", t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(LongType).as("n_stop"))
+        // empty test on the trimmed TEXT, not n_tokens: split of an
+        // empty string returns [""], so n_tokens is never 0 and a
+        // token-count guard would leave the documented 'empty' category
+        // dead (whitespace-only docs mislabeled 'unknown')
         .select($"doc_id", $"lang",
-          when($"n_tokens" === 0, "empty")
+          when($"trimmed" === "", "empty")
             .when($"n_stop".cast(DoubleType) / $"n_tokens" >= 0.05, "en")
             .otherwise("unknown").as("lang_pred"))
         .orderBy($"doc_id")
     },
     Some("""WITH f AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, lower(trim(text)) AS trimmed,
         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
              t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS n_stop
       FROM documents)
       SELECT doc_id, lang,
-        CASE WHEN n_tokens = 0 THEN 'empty'
+        CASE WHEN trimmed = '' THEN 'empty'
              WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 'en'
              ELSE 'unknown' END AS lang_pred
       FROM f ORDER BY doc_id"""))
