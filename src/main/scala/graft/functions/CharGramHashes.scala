@@ -23,7 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * key only — the DuckDB oracle intersects the original substrings, so
   * the only correctness requirement is equal-window ⇒ equal-hash
   * (guaranteed) and distinct-window ⇒ distinct-hash (whp at 61 bits; a
-  * collision would surface as an oracle hash mismatch, not hide).
+  * collision would surface as an oracle hash mismatch, not hide). The
+  * polynomial base must EXCEED the code-point alphabet (0x10FFFF) for
+  * the whp claim to hold: with a small base b, windows differing by
+  * (c, c') → (c−1, c'+b) collide DETERMINISTICALLY, systematically
+  * inflating char-gram similarity on non-ASCII text — hence [[CpBase]],
+  * not the byte-alphabet [[RollingHash.Base]].
   *
   * Windows are by Unicode code point, matching `substring`'s and DuckDB
   * `substr`'s character semantics on any input.
@@ -52,6 +57,14 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object CharGramHashes {
 
+  /** Polynomial base for CODE-POINT hashing: the smallest prime above the
+    * Unicode code-point alphabet (0x10FFFF = 1114111), so no two windows
+    * collide by base-carry aliasing. [[RollingHash.Base]] (257) is for
+    * BYTE streams, where it exceeds the alphabet for the same reason.
+    */
+  val CpBase: Long = 1114117L // prime > 0x10FFFF
+
+
   /** One pass: code points → per-window polynomial hash → insertion-order
     * dedup. O(len · n) multiplies at small n; no substring allocation.
     */
@@ -65,7 +78,7 @@ object CharGramHashes {
       var h = 0L
       var k = 0
       while (k < n) {
-        h = RollingHash.mulMod(h, RollingHash.Base) + (cps(i + k) & 0xffffffffL)
+        h = RollingHash.mulMod(h, CpBase) + (cps(i + k) & 0xffffffffL)
         if (h >= RollingHash.Mod) h -= RollingHash.Mod
         k += 1
       }

@@ -41,10 +41,14 @@ case class UnicodeNormalize(child: Expression, formName: String)
     UTF8String.fromString(
       Normalizer.normalize(v.asInstanceOf[UTF8String].toString, form))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the resolved Form object once per task instead of re-running
+    // Enum.valueOf's string lookup on every row of the hot loop
+    val formRef = ctx.addReferenceObj("normForm", form,
+      classOf[Normalizer.Form].getName)
     defineCodeGen(ctx, ev, c =>
-      s"""UTF8String.fromString(java.text.Normalizer.normalize($c.toString(),
-         |  java.text.Normalizer.Form.valueOf("$formName")))""".stripMargin)
+      s"UTF8String.fromString(java.text.Normalizer.normalize($c.toString(), $formRef))")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)

@@ -41,6 +41,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   private lazy val isFloat = elemType(left).contains(FloatType)
 
+  // null-ELEMENT handling: a null slot would NPE the interpreted path and
+  // read a stale 0.0 on the unsafe codegen path. The check is emitted
+  // only when the schema admits null elements, so containsNull=false
+  // arrays keep the branch-free loop.
+  private lazy val mayHaveNullElems = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  })
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -51,6 +60,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -65,6 +75,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElemCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
        |int n = $a.numElements();
        |if (n != $b.numElements()) {
@@ -72,14 +86,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
        |} else {
        |  double dot = 0.0, na = 0.0, nb = 0.0;
        |  for (int i = 0; i < n; i++) {
+       |    $nullElemCheck
        |    double x = (double) $a.$getter(i);
        |    double y = (double) $b.$getter(i);
        |    dot += x * y; na += x * x; nb += y * y;
        |  }
-       |  if (na == 0.0 || nb == 0.0) {
-       |    ${ev.isNull} = true;
-       |  } else {
-       |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |  if (!${ev.isNull}) {
+       |    if (na == 0.0 || nb == 0.0) {
+       |      ${ev.isNull} = true;
+       |    } else {
+       |      ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |    }
        |  }
        |}
        """.stripMargin
@@ -115,6 +132,11 @@ case class SubspaceSqDist(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (elemType(left), elemType(right)) match {
+      // negative start/len would pass the runtime length guard and then
+      // perform unchecked unsafe reads BEFORE the array base — reject at
+      // analysis, not with garbage distances
+      case _ if start < 0 || len < 0 => TypeCheckResult.TypeCheckFailure(
+        s"subspace_sqdist requires start >= 0 and len >= 0, got [$start, $len)")
       case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"subspace_sqdist expects two arrays of float or double with the " +
@@ -122,6 +144,12 @@ case class SubspaceSqDist(left: Expression, right: Expression,
     }
 
   private lazy val isFloat = elemType(left).contains(FloatType)
+
+  // see CosineSimilarity: only emitted when the schema admits null slots
+  private lazy val mayHaveNullElems = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -131,6 +159,7 @@ case class SubspaceSqDist(left: Expression, right: Expression,
     var acc = 0.0
     var i = start
     while (i < start + len) {
+      if (mayHaveNullElems && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y
@@ -144,16 +173,21 @@ case class SubspaceSqDist(left: Expression, right: Expression,
     val getter = if (isFloat) "getFloat" else "getDouble"
     val end = start + len
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElemCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
        |if ($a.numElements() < $end || $b.numElements() < $end) {
        |  ${ev.isNull} = true;
        |} else {
        |  double acc = 0.0;
        |  for (int i = $start; i < $end; i++) {
+       |    $nullElemCheck
        |    double d = (double) $a.$getter(i) - (double) $b.$getter(i);
        |    acc += d * d;
        |  }
-       |  ${ev.value} = acc;
+       |  if (!${ev.isNull}) { ${ev.value} = acc; }
        |}
        """.stripMargin
     })
@@ -166,7 +200,7 @@ case class SubspaceSqDist(left: Expression, right: Expression,
 
 /** Random-hyperplane LSH bucket id: the sign pattern of `planes` dot
   * products against the deterministic integer hyperplane family
-  * w(p, j) = ((7p + 11j) mod 5) − 2, packed into a long. One codegen'd
+  * w(p, j) = ((7p + 11j + 3pj) mod 19) − 9, packed into a long. One codegen'd
   * pass computes all planes (the HOF formulation folds the array once per
   * plane, interpreted); per-plane accumulation is sequential in j with
   * double arithmetic, so bucket ids are bit-identical to the
@@ -180,6 +214,12 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // planes > 64 would wrap 1L << p (p mod 64) and silently alias
+    // distinct sign patterns onto the same bucket bits
+    case _ if planes < 1 || planes > 64 => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires 1 <= planes <= 64, got $planes")
+    case _ if dim < 1 => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires dim >= 1, got $dim")
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"lsh_bucket expects an array of float or double, got ${t.sql}")
@@ -187,6 +227,12 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
 
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // see CosineSimilarity: only emitted when the schema admits null slots
+  private lazy val mayHaveNullElems = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
 
   // The p*j cross-term and a modulus larger than the plane count are both
   // load-bearing: any weight LINEAR in p under a modulus m < planes makes
@@ -205,6 +251,7 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
       var dot = 0.0
       var j = 0
       while (j < dim) {
+        if (mayHaveNullElems && a.isNullAt(j)) return null
         val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
         dot += x * weight(p, j)
         j += 1
@@ -218,19 +265,26 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
+      val nullScan =
+        if (mayHaveNullElems)
+          s"for (int j = 0; j < $dim; j++) { if ($a.isNullAt(j)) { ${ev.isNull} = true; break; } }"
+        else ""
       s"""
        |if ($a.numElements() < $dim) {
        |  ${ev.isNull} = true;
        |} else {
        |  long bucket = 0L;
-       |  for (int p = 0; p < $planes; p++) {
-       |    double dot = 0.0;
-       |    for (int j = 0; j < $dim; j++) {
-       |      dot += (double) $a.$getter(j) * (double) (((7 * p + 11 * j + 3 * p * j) % 19) - 9);
+       |  $nullScan
+       |  if (!${ev.isNull}) {
+       |    for (int p = 0; p < $planes; p++) {
+       |      double dot = 0.0;
+       |      for (int j = 0; j < $dim; j++) {
+       |        dot += (double) $a.$getter(j) * (double) (((7 * p + 11 * j + 3 * p * j) % 19) - 9);
+       |      }
+       |      if (dot >= 0.0) bucket |= (1L << p);
        |    }
-       |    if (dot >= 0.0) bucket |= (1L << p);
+       |    ${ev.value} = bucket;
        |  }
-       |  ${ev.value} = bucket;
        |}
        """.stripMargin
     })
@@ -260,6 +314,11 @@ object VectorFunctions {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "cosine_similarity",
-        exprs => CosineSimilarity(exprs(0), exprs(1)),
+        exprs => {
+          // a proper arity error instead of IndexOutOfBoundsException
+          require(exprs.length == 2,
+            s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+          CosineSimilarity(exprs(0), exprs(1))
+        },
         "scala_udf")
 }

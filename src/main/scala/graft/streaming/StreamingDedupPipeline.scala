@@ -160,21 +160,26 @@ object StreamingDedupPipeline {
     * footer-less part files in its own batch dir, and partition discovery
     * would trip over them before any batch filter could apply.
     */
-  private def committedDirs(spark: SparkSession, root: String,
-      batchId: Long): Seq[String] = {
+  /** All `batch=<id>` partition dirs under `root` as (path, id) — the ONE
+    * enumeration both the committed-read path and the GC use, so what is
+    * read and what is deleted can never parse the layout differently.
+    */
+  private def batchDirs(spark: SparkSession, root: String)
+      : Seq[(org.apache.hadoop.fs.Path, Long)] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(root))) Seq.empty
     else fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
       .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") && {
-          val b = p.getName.stripPrefix("batch=").toLong
-          b >= foldHorizon(batchId) && b < batchId
-        }
-      }
-      .map(_.toString)
+      .filter(_.getName.startsWith("batch="))
+      .map(p => p -> p.getName.stripPrefix("batch=").toLong)
   }
+
+  private def committedDirs(spark: SparkSession, root: String,
+      batchId: Long): Seq[String] =
+    batchDirs(spark, root)
+      .filter { case (_, b) => b >= foldHorizon(batchId) && b < batchId }
+      .map(_._1.toString)
 
   /** The latest fold at or below `batchId - 1`: every committed dir below
     * it is folded into it and never read again.
@@ -324,13 +329,9 @@ object StreamingDedupPipeline {
     // can read them — garbage-collect
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (root <- Seq("shingles", "postings", "df")) {
-      val rootPath = new org.apache.hadoop.fs.Path(s"$storeDir/$root")
-      if (fs.exists(rootPath))
-        fs.listStatus(rootPath).toSeq.map(_.getPath)
-          .filter(p => p.getName.startsWith("batch=") &&
-            p.getName.stripPrefix("batch=").toLong < foldHorizon(batchId))
-          .foreach(p => fs.delete(p, true))
-    }
+    for (root <- Seq("shingles", "postings", "df"))
+      batchDirs(spark, s"$storeDir/$root")
+        .filter { case (_, b) => b < foldHorizon(batchId) }
+        .foreach { case (p, _) => fs.delete(p, true) }
   }
 }
