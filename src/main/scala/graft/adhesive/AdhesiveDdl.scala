@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   *
   * {{{
   * CREATE [OR REPLACE] FUNCTION name(TYPE, ...) RETURNS TYPE [NOT NULL]
-  *   [DETERMINISTIC] [LANGUAGE JAVA|CLASS]
+  *   [DETERMINISTIC] [LANGUAGE JAVA|CLASS]   -- flags accepted in either order
   *   AS '<java source | fully.qualified.ClassName>'
   *   [USING JAR '<path>']
   * }}}
@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
   *     null checks, and a NULL actually returned at runtime fails the
   *     query (the reference NPEs unboxing the null; here it is a kept
   *     AdhesiveExecutionException message);
+  *   - plain `CREATE FUNCTION` (without OR REPLACE) REPLACES an existing
+  *     function of the same name, matching the reference: DataFusion's
+  *     FunctionFactory registration also overwrites (intentional parity,
+  *     not an oversight — standard-SQL already-exists semantics would
+  *     diverge from the system being rebuilt);
   *   - `USING JAR '<path>'` (LANGUAGE CLASS only) resolves the class
   *     from that jar via a cached URLClassLoader — the lazy per-session
   *     form of the reference's `new_with_jar` boot-classpath jar
@@ -54,15 +59,18 @@ object AdhesiveDdl {
   // LANGUAGE CLASS example quotes the class name this way, README.md:36-40),
   // and $$…$$ dollar-quoting (raw, no escapes — the form the reference
   // intended but left broken, src/fusion.rs:52-56).
+  // NOT NULL / DETERMINISTIC are one repeated alternation, so either
+  // clause order parses — a fixed order would silently fall through to
+  // Spark's parser and a baffling unrelated ParseException
   private val Prefix =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(NOT\s+NULL\s+)?(DETERMINISTIC\s+)?(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*((?:NOT\s+NULL\s+|DETERMINISTIC\s+)*)(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
   private val JarTail = """(?:\s+USING\s+JAR\s+'((?:[^']|'')*)')?\s*;?\s*$"""
   private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'""" + JarTail).r
   private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"""" + JarTail).r
   private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$""" + JarTail).r
 
   private val WithoutBody =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:NOT\s+NULL\s*)?(?:DETERMINISTIC\s*)?(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:NOT\s+NULL\s*|DETERMINISTIC\s*)*(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
 
   /** Try to parse `sqlText` as adhesive DDL. Returns None when the text is
     * not a `CREATE FUNCTION ... RETURNS ...` statement at all (so Spark's own
@@ -70,12 +78,12 @@ object AdhesiveDdl {
     * which has no RETURNS clause — still sees it).
     */
   def parse(sqlText: String): Option[CreateFunctionStatement] = sqlText match {
-    case WithBodyDollar(name, args, ret, nn, det, lang, body, jar) =>
-      Some(statement(name, args, ret, nn, det, lang, body, jar))
-    case WithBodySingle(name, args, ret, nn, det, lang, body, jar) =>
-      Some(statement(name, args, ret, nn, det, lang, body.replace("''", "'"), jar))
-    case WithBodyDouble(name, args, ret, nn, det, lang, body, jar) =>
-      Some(statement(name, args, ret, nn, det, lang, body.replace("\"\"", "\""), jar))
+    case WithBodyDollar(name, args, ret, flags, lang, body, jar) =>
+      Some(statement(name, args, ret, flags, lang, body, jar))
+    case WithBodySingle(name, args, ret, flags, lang, body, jar) =>
+      Some(statement(name, args, ret, flags, lang, body.replace("''", "'"), jar))
+    case WithBodyDouble(name, args, ret, flags, lang, body, jar) =>
+      Some(statement(name, args, ret, flags, lang, body.replace("\"\"", "\""), jar))
     case WithoutBody(_, _, _, _) =>
       // Parses as our DDL but has no AS '<body>' clause — reference error
       // message parity (src/fusion.rs:57).
@@ -85,16 +93,18 @@ object AdhesiveDdl {
   }
 
   private def statement(name: String, args: String, ret: String,
-      nn: String, det: String, lang: String, body: String,
+      flags: String, lang: String, body: String,
       jar: String = null): CreateFunctionStatement = {
     val language = parseLanguage(lang)
     if (jar != null && language != LangClass) {
       throw new AdhesiveException(
         "USING JAR is only supported with LANGUAGE CLASS")
     }
+    val flagsUp = Option(flags).getOrElse("").toUpperCase(Locale.ROOT)
     CreateFunctionStatement(name, parseArgTypes(args), parseType(ret),
-      language, body, deterministic = det != null,
-      nonNullable = nn != null,
+      language, body,
+      deterministic = flagsUp.contains("DETERMINISTIC"),
+      nonNullable = flagsUp.contains("NOT"),
       jarPath = Option(jar).map(_.replace("''", "'")))
   }
 

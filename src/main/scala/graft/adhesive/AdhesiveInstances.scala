@@ -106,6 +106,25 @@ object AdhesiveInstances {
         case e: NoSuchMethodException =>
           throw new AdhesiveException(
             s"class '$fqn' has no public no-arg constructor", e)
+        // a throwing user constructor, static initializer, or a JPMS
+        // setAccessible refusal must surface as an adhesive error WITH
+        // the class name and the real message — not a bare
+        // InvocationTargetException whose getMessage is null
+        case e: java.lang.reflect.InvocationTargetException =>
+          val cause = Option(e.getCause).getOrElse(e)
+          throw new AdhesiveException(
+            s"constructor of '$fqn' threw: $cause", cause)
+        case e: ExceptionInInitializerError =>
+          val cause = Option(e.getCause).getOrElse(e)
+          throw new AdhesiveException(
+            s"static initializer of '$fqn' threw: $cause", cause)
+        case e: ReflectiveOperationException =>
+          throw new AdhesiveException(
+            s"cannot instantiate '$fqn': $e", e)
+        case e: RuntimeException if e.getClass.getName ==
+            "java.lang.reflect.InaccessibleObjectException" =>
+          throw new AdhesiveException(
+            s"cannot access constructor of '$fqn' (module not opened): $e", e)
       }
     })
 }

@@ -68,6 +68,17 @@ object AdhesiveRegistry {
       : (String, Map[String, Array[Byte]]) =
     compileCache.getOrCompute((lang, source))(doCompile)
 
+  /** Return-type validation, hoisted BEFORE compilation/instantiation: a
+    * DDL guaranteed to fail must not spend a javac/scalac run, populate
+    * the caches, or execute the user constructor's side effects first.
+    */
+  private def requireSupportedReturnType(returnType: DataType): Unit =
+    if (!SupportedReturnTypes.contains(returnType)) {
+      throw new AdhesiveException(
+        s"return type ${returnType.sql} not supported (to be added); " +
+          "supported: BIGINT, INT, FLOAT, DOUBLE")
+    }
+
   /** Compile inline Java source and register it (the `LANGUAGE JAVA` path). */
   def registerJavaSource(
       spark: SparkSession,
@@ -77,6 +88,7 @@ object AdhesiveRegistry {
       returnType: DataType,
       nonNullable: Boolean = false,
       deterministic: Boolean = false): Unit = {
+    requireSupportedReturnType(returnType)
     val (fqn, bytecode) = compiledCached("java", source) {
       val (rewritten, f) = SourceRewriter.rewrite(source)
       (f, InMemoryJavaCompiler.compile(f, rewritten))
@@ -98,6 +110,7 @@ object AdhesiveRegistry {
       returnType: DataType,
       nonNullable: Boolean = false,
       deterministic: Boolean = false): Unit = {
+    requireSupportedReturnType(returnType)
     val (fqn, bytecode) = compiledCached("scala", source) {
       val (rewritten, f) = SourceRewriter.rewrite(source)
       (f, InMemoryScalaCompiler.compile(f, rewritten))
@@ -120,6 +133,7 @@ object AdhesiveRegistry {
       nonNullable: Boolean = false,
       deterministic: Boolean = false,
       jarPath: Option[String] = None): Unit = {
+    requireSupportedReturnType(returnType)
     // lookup + instanceof check at DDL time
     AdhesiveInstances.instance(className, Map.empty, jarPath)
     register(spark, name, className, Map.empty, argTypes, returnType,

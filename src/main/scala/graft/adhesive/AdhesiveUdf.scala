@@ -52,8 +52,12 @@ class AdhesiveUdf(
       case e: Exception =>
         // Fail the query, keeping the user message + function name
         // (reference parity for "exceptions fail the query",
-        // src/jvm.rs:316-330, improving on its lost messages).
+        // src/jvm.rs:316-330, improving on its lost messages). toString,
+        // not getMessage: the most common user error — a primitive
+        // getter on a null slot — throws a message-LESS NPE, and
+        // "failed: null" is exactly the lost message this wrapper exists
+        // to prevent.
         throw new AdhesiveExecutionException(
-          s"adhesive function '$functionName' failed: ${e.getMessage}", e)
+          s"adhesive function '$functionName' failed: $e", e)
     }
 }

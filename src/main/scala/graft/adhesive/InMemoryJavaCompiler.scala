@@ -63,9 +63,16 @@ object InMemoryJavaCompiler {
     // library's classes, so user source can extend graft.adhesive.Adhesive
     // and import org.apache.spark.sql.Row.
     val options = List("-classpath", System.getProperty("java.class.path"))
-    val ok = compiler.getTask(null, fm, diagnostics, options.asJava, null,
-      List(src).asJava).call()
-    fm.close()
+    // try/finally: a throwing getTask/call must still close both managers
+    // (the standard one holds classpath file handles) — repeated failing
+    // DDL on a long-lived driver would otherwise leak them
+    val ok =
+      try compiler.getTask(null, fm, diagnostics, options.asJava, null,
+        List(src).asJava).call()
+      finally {
+        fm.close()
+        stdFm.close()
+      }
 
     if (!ok) {
       val msgs = diagnostics.getDiagnostics.asScala.map(_.toString).mkString("\n")

@@ -16,7 +16,10 @@ import scala.util.Random
   */
 object SourceRewriter {
 
-  private val ClassName = """class\s+(\w+)""".r
+  // \b: without the boundary, prose like "// subclass of Adhesive" above
+  // the real declaration extracts 'of' from 'subclass of' and javac fails
+  // with a baffling filename/class mismatch instead of compiling F
+  private val ClassName = """\bclass\s+(\w+)""".r
 
   private[adhesive] val GeneratedPackagePrefix = "graft.adhesive.generated.p"
 

@@ -59,8 +59,24 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
-      case _ => // TimestampType or TimestampNTZType
-        raw.withColumn("ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock is DEFINED as UTC in this contract; a plain cast
+        // would interpret it in the SESSION tz and shift every epoch for
+        // a non-UTC caller — convert the wall from UTC to the session tz
+        // first so the session-tz cast lands on the UTC instant (same
+        // device as EventStreamPipeline.normalizeTs, probed non-UTC)
+        raw.withColumn("ts", F.expr(
+          "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)) * 1000L"))
+      case org.apache.spark.sql.types.TimestampType =>
+        // a true instant: unix_micros is timezone-independent
+        raw.withColumn("ts", F.expr("unix_micros(ts) * 1000L"))
+      case other =>
+        // this helper exists because the physical type already drifted
+        // twice; a THIRD form must fail fast, not silently mis-scale
+        // (e.g. a DOUBLE of epoch seconds cast to timestamp is off 1e9)
+        throw new IllegalStateException(
+          s"events.parquet ts has unsupported physical type $other — " +
+            "extend Tables.events with an explicit, unit-checked branch")
     }
   }
 

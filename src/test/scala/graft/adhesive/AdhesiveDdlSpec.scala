@@ -32,6 +32,15 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(parse("CREATE FUNCTION f(INT) RETURNS INT DETERMINISTIC AS $$class Y{}$$").get.deterministic)
   }
 
+  test("NOT NULL and DETERMINISTIC parse in either order") {
+    for (flags <- Seq("NOT NULL DETERMINISTIC", "DETERMINISTIC NOT NULL")) {
+      val st = parse(
+        s"CREATE FUNCTION f(BIGINT) RETURNS BIGINT $flags LANGUAGE JAVA AS 'class Y {}'").get
+      assert(st.deterministic && st.nonNullable,
+        s"'$flags' parsed as det=${st.deterministic} nn=${st.nonNullable}")
+    }
+  }
+
   test("unknown language is rejected with the supported list") {
     val e = intercept[AdhesiveException] {
       parse("CREATE FUNCTION f(INT) RETURNS INT LANGUAGE PYTHON AS 'x'")
