@@ -63,14 +63,15 @@ object Multimodal {
     * the real plumbing around the stubbed decoder.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val encoder = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("doc_id", "payload")
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), payload.length.toLong,
-            stubDecode(payload))
+          // stubDecode accepts null (un-decodable row → zero vector);
+          // the length read must honor the same contract, not NPE
+          val len = if (payload == null) 0L else payload.length.toLong
+          Row(r.getAs[Long]("doc_id"), len, stubDecode(payload))
         }
       }(encoder)
   }
@@ -95,7 +96,10 @@ object Multimodal {
     */
   def sampleFrames(payload: Array[Byte], frameSize: Int = 64,
       stride: Int = 2): Seq[Array[Byte]] =
-    payload.grouped(frameSize).zipWithIndex
+    // null payload (an un-decodable row) samples to no frames — the same
+    // in-contract null stubDecode already accepts
+    if (payload == null) Seq.empty
+    else payload.grouped(frameSize).zipWithIndex
       .collect { case (f, i) if i % stride == 0 => f }
       .toSeq
 
@@ -140,10 +144,10 @@ object Multimodal {
         [unicode(text[i]) // 32 for i in range(1, strlen(text)+1)] AS bins
       FROM documents)
       SELECT doc_id, CAST(n AS BIGINT) AS byte_len,
-        CAST(len(list_filter(bins, x -> x = 0)) AS REAL) / CAST(n AS REAL) AS f0,
-        CAST(len(list_filter(bins, x -> x = 1)) AS REAL) / CAST(n AS REAL) AS f1,
-        CAST(len(list_filter(bins, x -> x = 2)) AS REAL) / CAST(n AS REAL) AS f2,
-        CAST(len(list_filter(bins, x -> x = 3)) AS REAL) / CAST(n AS REAL) AS f3
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 0)) AS REAL) / CAST(n AS REAL) END AS f0,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 1)) AS REAL) / CAST(n AS REAL) END AS f1,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 2)) AS REAL) / CAST(n AS REAL) END AS f2,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 3)) AS REAL) / CAST(n AS REAL) END AS f3
       FROM b ORDER BY doc_id"""))
 
   /** Frame-sampling stats computed from the REAL frame sampler output; the
@@ -153,7 +157,6 @@ object Multimodal {
   val frameSample: Q = Q(
     "mm_frame_sample",
     (s, d) => {
-      val spark = s
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("n_frames", LongType, nullable = false),
@@ -208,14 +211,14 @@ object Multimodal {
         [unicode(text[i]) // 32 for i in range(1, strlen(text)+1)] AS bins
       FROM documents),
       f AS (SELECT doc_id,
-        CAST(len(list_filter(bins, x -> x = 0)) AS REAL) / CAST(n AS REAL) AS f0,
-        CAST(len(list_filter(bins, x -> x = 1)) AS REAL) / CAST(n AS REAL) AS f1,
-        CAST(len(list_filter(bins, x -> x = 2)) AS REAL) / CAST(n AS REAL) AS f2,
-        CAST(len(list_filter(bins, x -> x = 3)) AS REAL) / CAST(n AS REAL) AS f3,
-        CAST(len(list_filter(bins, x -> x = 4)) AS REAL) / CAST(n AS REAL) AS f4,
-        CAST(len(list_filter(bins, x -> x = 5)) AS REAL) / CAST(n AS REAL) AS f5,
-        CAST(len(list_filter(bins, x -> x = 6)) AS REAL) / CAST(n AS REAL) AS f6,
-        CAST(len(list_filter(bins, x -> x = 7)) AS REAL) / CAST(n AS REAL) AS f7
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 0)) AS REAL) / CAST(n AS REAL) END AS f0,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 1)) AS REAL) / CAST(n AS REAL) END AS f1,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 2)) AS REAL) / CAST(n AS REAL) END AS f2,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 3)) AS REAL) / CAST(n AS REAL) END AS f3,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 4)) AS REAL) / CAST(n AS REAL) END AS f4,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 5)) AS REAL) / CAST(n AS REAL) END AS f5,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 6)) AS REAL) / CAST(n AS REAL) END AS f6,
+        CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE CAST(len(list_filter(bins, x -> x = 7)) AS REAL) / CAST(n AS REAL) END AS f7
       FROM b)
       SELECT doc_id,
         (f0 + f1) / 2 AS r0, (f2 + f3) / 2 AS r1,

@@ -26,6 +26,12 @@ object SkewJoin {
       rightKey: String,
       buckets: Int = 8): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // a business column named __salt would be silently overwritten by the
+    // synthetic salt and then dropped from the output — refuse loudly
+    // instead of corrupting the row-identical-to-plain-join contract
+    require(!left.columns.contains("__salt") &&
+      !right.columns.contains("__salt"),
+      "saltedInnerJoin reserves the column name __salt; rename it first")
     val salted = left.withColumn("__salt",
       (rand(seed = 42) * buckets).cast("int"))
     val replicated = right.withColumn("__salt",
