@@ -47,7 +47,10 @@ public abstract class Adhesive implements java.io.Serializable {
      * Compute the function result for one input row. Arguments are read
      * positionally; the declared SQL argument types map to
      * {@code row.getLong(i)} (BIGINT), {@code row.getInt(i)} (INT),
-     * {@code row.getFloat(i)} (FLOAT), {@code row.getDouble(i)} (DOUBLE).
+     * {@code row.getFloat(i)} (FLOAT), {@code row.getDouble(i)} (DOUBLE),
+     * {@code row.getString(i)} (STRING), {@code row.getBoolean(i)}
+     * (BOOLEAN), {@code row.getDecimal(i)} (DECIMAL(p,s) — a
+     * {@code java.math.BigDecimal}), {@code row.getList(i)} (ARRAY&lt;T&gt;).
      * Check {@code row.isNullAt(i)} before a primitive getter when the input
      * may be null.
      *

@@ -20,18 +20,24 @@ import org.apache.spark.sql.{Row, SparkSession}
   *   - struct-packed positional arguments: a call `f(e1, …, eN)` packs its
   *     arguments into one struct and the user reads them positionally from a
   *     `Row` (`src/jvm.rs:221-238`);
-  *   - return-type matrix {BIGINT, INT, FLOAT, DOUBLE} — the types the
-  *     reference's Java bridge declares (`Adhesive.java:79-199`); anything
-  *     else is a DDL-time error (`src/fusion.rs:86`).
+  *   - return-type matrix {BIGINT, INT, FLOAT, DOUBLE} from the reference's
+  *     Java bridge (`Adhesive.java:79-199`; anything else is a DDL-time
+  *     error there, `src/fusion.rs:86`), extended here with STRING and
+  *     BOOLEAN — the first types a real text pipeline's dynamic UDFs
+  *     return (normalizers, scrubbers, taggers, predicates).
   */
 object AdhesiveRegistry {
 
-  /** Return types wired end-to-end — the reference's Java-side type matrix
-    * (`Adhesive.java:79-199`; Rust side wires only Int64,
-    * `src/fusion.rs:83-91`).
+  /** Return types wired end-to-end. The reference's Java-side matrix is the
+    * four numerics (`Adhesive.java:79-199`; Rust side wires only Int64,
+    * `src/fusion.rs:83-91` — "type not supported (to be added)"); STRING
+    * and BOOLEAN are the extension beyond it. STRING results flow through
+    * Spark's CatalystTypeConverters (java.lang.String → UTF8String) on the
+    * ScalaUDF return path, same as any Scala UDF returning String — no
+    * extra copy beyond what Spark itself does.
     */
   private val SupportedReturnTypes: Set[DataType] =
-    Set(LongType, IntegerType, FloatType, DoubleType)
+    Set(LongType, IntegerType, FloatType, DoubleType, StringType, BooleanType)
 
   /** DDL-time compile cache, keyed on (language, original source). The
     * mangled package exists to keep *different* sources from colliding
@@ -76,7 +82,7 @@ object AdhesiveRegistry {
     if (!SupportedReturnTypes.contains(returnType)) {
       throw new AdhesiveException(
         s"return type ${returnType.sql} not supported (to be added); " +
-          "supported: BIGINT, INT, FLOAT, DOUBLE")
+          "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN")
     }
 
   /** Compile inline Java source and register it (the `LANGUAGE JAVA` path). */
@@ -150,11 +156,8 @@ object AdhesiveRegistry {
       nonNullable: Boolean,
       deterministic: Boolean,
       jarPath: Option[String] = None): Unit = {
-    if (!SupportedReturnTypes.contains(returnType)) {
-      throw new AdhesiveException(
-        s"return type ${returnType.sql} not supported (to be added); " +
-          "supported: BIGINT, INT, FLOAT, DOUBLE")
-    }
+    // Return type already validated by every caller (registerJavaSource /
+    // registerScalaSource / registerClass) BEFORE compiling/instantiating.
     // AdhesiveUdf is itself the serializable Row => Any closure (carries
     // only the (fqn, bytecode) pair — see its scaladoc); passing the
     // instance, not a wrapping lambda, lets AdhesiveConstantFolding

@@ -114,7 +114,78 @@ object AdhesiveParityQueries {
     Some("""SELECT s_suppkey, s_suppkey * s_suppkey AS sq
       FROM supplier ORDER BY s_suppkey"""))
 
-  val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala)
+  private val NormalizeDdl =
+    """CREATE OR REPLACE FUNCTION graft_norm(STRING) RETURNS STRING LANGUAGE JAVA AS $$
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class Normalize extends Adhesive {
+      |  // ASCII-only normalizer (trim + upcase a-z), locale-independent by
+      |  // construction so the result is byte-identical to SQL upper(trim(x))
+      |  // on ASCII corpora.
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    String s = row.getString(0).trim();
+      |    StringBuilder b = new StringBuilder(s.length());
+      |    for (int i = 0; i < s.length(); i++) {
+      |      char c = s.charAt(i);
+      |      b.append(c >= 'a' && c <= 'z' ? (char) (c - 32) : c);
+      |    }
+      |    return b.toString();
+      |  }
+      |}
+      |$$""".stripMargin
+
+  /** STRING-returning dynamic UDF — the first return type past the
+    * reference's numeric matrix a real text pipeline needs (the reference
+    * stops at the four numerics, `src/fusion.rs:83-91` "type not supported
+    * (to be added)"). A Java source normalizer over `documents.text`,
+    * DuckDB-oracled as `upper(trim(text))`.
+    */
+  val upperJava: Q = Q(
+    "aq_upper_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, NormalizeDdl)
+      Tables.documents(s, d)
+        .select($"doc_id",
+          call_function("graft_norm", $"text").as("norm_text"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, upper(trim(text)) AS norm_text
+      FROM documents ORDER BY doc_id"""))
+
+  private val FlagDdl =
+    """CREATE OR REPLACE FUNCTION graft_urgent(STRING, BIGINT) RETURNS BOOLEAN NOT NULL LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class UrgentFlag extends Adhesive {
+      |  public Object compute(Row row) {
+      |    return row.getString(0).startsWith("1") && row.getLong(1) > 3;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** BOOLEAN-returning dynamic UDF with STRING+BIGINT args and the
+    * `RETURNS ... NOT NULL` fast path, over orders priority/shippriority
+    * analogues. Oracle is the equivalent boolean expression.
+    */
+  val urgentJava: Q = Q(
+    "aq_bool_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, FlagDdl)
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          call_function("graft_urgent", $"o_orderpriority", $"o_custkey")
+            .as("is_urgent"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      (o_orderpriority LIKE '1%' AND o_custkey > 3) AS is_urgent
+      FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
+    urgentJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

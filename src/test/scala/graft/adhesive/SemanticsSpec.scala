@@ -155,12 +155,16 @@ class SemanticsSpec extends AnyFunSuite {
   }
 
   test("unsupported return type errors at DDL time (src/fusion.rs:86)") {
+    // DATE parses as a type (it is a legal ARG type) but is not in the
+    // wired return matrix {numerics, STRING, BOOLEAN}.
     val e = intercept[Exception] {
       spark.sql(
-        """CREATE FUNCTION f_badret(BIGINT) RETURNS STRING LANGUAGE CLASS
+        """CREATE FUNCTION f_badret(BIGINT) RETURNS DATE LANGUAGE CLASS
           |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
     }
     assert(e.getMessage.contains("not supported"))
+    assert(e.getMessage.contains("STRING"),
+      "error text must list the supported matrix including the extensions")
   }
 
   test("missing body errors: 'class name or class definition should be provided'") {
@@ -261,6 +265,64 @@ class SemanticsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT f_int(CAST(7 AS BIGINT)) AS v").head().getInt(0) == 7)
     assert(spark.sql("SELECT f_double(CAST(3.0 AS DOUBLE)) AS v").head().getDouble(0) == 1.5)
     assert(spark.sql("SELECT f_float(CAST(2.5 AS FLOAT)) AS v").head().getFloat(0) == -2.5f)
+  }
+
+  test("STRING / BOOLEAN return types are wired end-to-end (extended matrix)") {
+    fixture()
+    spark.sql(
+      """CREATE FUNCTION f_str(BIGINT) RETURNS STRING AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class Bucketize extends Adhesive {
+        |  public Object compute(Row row) {
+        |    long v = row.getLong(0);
+        |    if (v % 2 == 0) return null;        // null STRING slot
+        |    return "odd:" + v;
+        |  }
+        |}
+        |'""".stripMargin)
+    spark.sql(
+      """CREATE FUNCTION f_bool(BIGINT) RETURNS BOOLEAN AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class IsBig extends Adhesive {
+        |  public Object compute(Row row) { return row.getLong(0) > 2; }
+        |}
+        |'""".stripMargin)
+    val strs = spark.sql("SELECT f_str(a) AS v FROM t ORDER BY a").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(strs.toSeq == Seq(Some("odd:1"), None, Some("odd:3"), None))
+    val bools = spark.sql("SELECT f_bool(a) AS v FROM t ORDER BY a").collect()
+      .map(_.getBoolean(0))
+    assert(bools.toSeq == Seq(false, false, true, true))
+  }
+
+  test("RETURNS STRING NOT NULL: null return fails loudly, non-null elides") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_str_nn(BIGINT) RETURNS STRING NOT NULL AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class LiarStr extends Adhesive {
+        |  public Object compute(Row row) {
+        |    return row.getLong(0) == 3 ? null : "v" + row.getLong(0);
+        |  }
+        |}
+        |'""".stripMargin)
+    // declared non-nullable output slot
+    assert(!spark.sql("SELECT f_str_nn(a) AS v FROM t").queryExecution
+      .analyzed.output.head.nullable)
+    // honest rows work; a NULL actually returned fails the query with the
+    // function name (the runtime guard, not a silent corruption)
+    val ok = spark.sql("SELECT f_str_nn(a) AS v FROM t WHERE a = 1").head().getString(0)
+    assert(ok == "v1")
+    val e = intercept[Exception] {
+      spark.sql("SELECT f_str_nn(a) AS v FROM t").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("f_str_nn") && all.contains("NOT NULL"))
   }
 
   test("byte-identical source re-registration hits the compile cache") {
