@@ -36,7 +36,12 @@ import org.apache.spark.sql.types._
   *   - `USING JAR '<path>'` (LANGUAGE CLASS only) resolves the class
   *     from that jar via a cached URLClassLoader — the lazy per-session
   *     form of the reference's `new_with_jar` boot-classpath jar
-  *     (`src/jvm.rs:44-61`).
+  *     (`src/jvm.rs:44-61`);
+  *   - argument types include the parameterized forms `DECIMAL(p,s)`
+  *     (read as `java.math.BigDecimal` via `row.getDecimal(i)`) and
+  *     `ARRAY<T>` (read via `row.getList(i)`) — types the reference's
+  *     Row getters would permit but its grammar never produced
+  *     (`src/fusion.rs:83-91`).
   */
 object AdhesiveDdl {
 
@@ -62,15 +67,23 @@ object AdhesiveDdl {
   // NOT NULL / DETERMINISTIC are one repeated alternation, so either
   // clause order parses — a fixed order would silently fall through to
   // Spark's parser and a baffling unrelated ParseException
+  // Args capture is lazy (.*?) rather than [^)]* so parameterized types —
+  // DECIMAL(12,2) — can nest parens inside the argument list; the regex
+  // engine backtracks to the ')' that is actually followed by RETURNS.
+  // The RETURNS type likewise admits one optional (...) or <...> suffix so
+  // DECIMAL(p,s)/ARRAY<T> reach parseType (and its clear "not supported"
+  // error for non-return-matrix types) instead of falling through to
+  // Spark's parser.
+  private val TypeToken = """\w+(?:\s*\([^)]*\)|\s*<[^>]*>)?"""
   private val Prefix =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*((?:NOT\s+NULL\s+|DETERMINISTIC\s+)*)(?:LANGUAGE\s+(\w+)\s*)?AS\s+"""
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+($TypeToken)\\s*((?:NOT\\s+NULL\\s+|DETERMINISTIC\\s+)*)(?:LANGUAGE\\s+(\\w+)\\s*)?AS\\s+"""
   private val JarTail = """(?:\s+USING\s+JAR\s+'((?:[^']|'')*)')?\s*;?\s*$"""
   private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'""" + JarTail).r
   private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"""" + JarTail).r
   private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$""" + JarTail).r
 
   private val WithoutBody =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*RETURNS\s+(\w+)\s*(?:NOT\s+NULL\s*|DETERMINISTIC\s*)*(?:LANGUAGE\s+(\w+))?\s*;?\s*$""".r
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+(?:$TypeToken)\\s*(?:NOT\\s+NULL\\s*|DETERMINISTIC\\s*)*(?:LANGUAGE\\s+(\\w+))?\\s*;?\\s*$$""".r
 
   /** Try to parse `sqlText` as adhesive DDL. Returns None when the text is
     * not a `CREATE FUNCTION ... RETURNS ...` statement at all (so Spark's own
@@ -84,7 +97,7 @@ object AdhesiveDdl {
       Some(statement(name, args, ret, flags, lang, body.replace("''", "'"), jar))
     case WithBodyDouble(name, args, ret, flags, lang, body, jar) =>
       Some(statement(name, args, ret, flags, lang, body.replace("\"\"", "\""), jar))
-    case WithoutBody(_, _, _, _) =>
+    case WithoutBody(_, _, _) =>
       // Parses as our DDL but has no AS '<body>' clause — reference error
       // message parity (src/fusion.rs:57).
       throw new AdhesiveException(
@@ -147,11 +160,30 @@ object AdhesiveDdl {
           "supported: JAVA, SCALA, CLASS")
     }
 
+  /** Split the argument list on TOP-LEVEL commas only: commas nested inside
+    * DECIMAL(p,s) parens or ARRAY<...> angles belong to their type token.
+    */
   private def parseArgTypes(args: String): Seq[DataType] = {
     val trimmed = args.trim
     if (trimmed.isEmpty) Seq.empty
-    else trimmed.split(',').toIndexedSeq.map(t => parseType(t.trim))
+    else {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      trimmed.foreach {
+        case c @ ('(' | '<')           => depth += 1; cur += c
+        case c @ (')' | '>')           => depth -= 1; cur += c
+        case ',' if depth == 0         => parts += cur.result(); cur.clear()
+        case c                         => cur += c
+      }
+      parts += cur.result()
+      parts.toIndexedSeq.map(t => parseType(t.trim))
+    }
   }
+
+  private val DecimalPattern =
+    """(?i)^(?:DECIMAL|NUMERIC)\s*(?:\(\s*(\d+)\s*,\s*(\d+)\s*\))?$""".r
+  private val ArrayPattern = """(?is)^ARRAY\s*<(.+)>$""".r
 
   private[adhesive] def parseType(t: String): DataType =
     t.trim.toUpperCase(Locale.ROOT) match {
@@ -166,6 +198,19 @@ object AdhesiveDdl {
       case "DATE"                       => DateType
       case "TIMESTAMP"                  => TimestampType
       case "BINARY"                     => BinaryType
+      case DecimalPattern(p, s) =>
+        // bare DECIMAL defaults to Spark SQL's DECIMAL(10,0)
+        if (p == null) DecimalType(10, 0)
+        else {
+          val (prec, scale) = (p.toInt, s.toInt)
+          if (prec < 1 || prec > DecimalType.MAX_PRECISION || scale > prec) {
+            throw new AdhesiveException(
+              s"invalid DECIMAL($prec,$scale): need 1 <= precision <= " +
+                s"${DecimalType.MAX_PRECISION} and scale <= precision")
+          }
+          DecimalType(prec, scale)
+        }
+      case ArrayPattern(elem) => ArrayType(parseType(elem))
       case other =>
         throw new AdhesiveException(s"type $other not supported (to be added)")
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{ArrayType, DataType}
 
 /** Analysis-time exact-signature enforcement for adhesive functions.
   *
@@ -30,8 +30,18 @@ case class StrictArg(
   // AdhesiveConstantFolding can fold deterministic calls over constants
   override def foldable: Boolean = child.foldable
 
+  // Exact on the type lattice, insensitive to containsNull: nullability is
+  // a property of the DATA, not the signature — the scalar types in this
+  // matrix carry no nullability either, so ARRAY<BIGINT> must match a
+  // non-null-elements array column the same way BIGINT matches a
+  // non-nullable bigint column.
+  private def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => sameType(ea, eb)
+    case _                                    => a == b
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == expected) TypeCheckResult.TypeCheckSuccess
+    if (sameType(child.dataType, expected)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"adhesive function '$functionName' expects argument ${pos + 1} of " +
         s"exact type ${expected.sql}, got ${child.dataType.sql} " +

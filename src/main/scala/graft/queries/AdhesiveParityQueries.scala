@@ -184,8 +184,72 @@ object AdhesiveParityQueries {
       (o_orderpriority LIKE '1%' AND o_custkey > 3) AS is_urgent
       FROM orders ORDER BY o_orderkey"""))
 
+  private val CentsDdl =
+    """CREATE OR REPLACE FUNCTION graft_cents(DECIMAL(12,2)) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class Cents extends Adhesive {
+      |  public Object compute(Row row) {
+      |    // DECIMAL(12,2) arrives as java.math.BigDecimal at scale 2, so
+      |    // shifting the point two right is exact (no rounding mode needed)
+      |    return row.getDecimal(0).movePointRight(2).longValueExact();
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** DECIMAL(p,s) argument type through the DDL grammar (the parameterized
+    * type the reference's Row getters would permit but its grammar never
+    * produced): money-to-cents over lineitem, exact-signature enforced on
+    * the explicit DECIMAL(12,2) cast.
+    */
+  val centsJava: Q = Q(
+    "aq_decimal_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, CentsDdl)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          call_function("graft_cents",
+            $"l_extendedprice".cast("decimal(12,2)")).as("cents"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val PosDimsDdl =
+    """CREATE OR REPLACE FUNCTION graft_pos_dims(ARRAY<FLOAT>) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class PosDims extends Adhesive {
+      |  public Object compute(Row row) {
+      |    long n = 0;
+      |    java.util.List<Float> v = row.getList(0);
+      |    for (int i = 0; i < v.size(); i++) if (v.get(i) > 0f) n++;
+      |    return n;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** ARRAY<T> argument type: positive-component count per embedding vector,
+    * read positionally via `row.getList(0)`.
+    */
+  val posDimsJava: Q = Q(
+    "aq_array_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, PosDimsDdl)
+      Tables.embeddings(s, d)
+        .select($"vec_id",
+          call_function("graft_pos_dims", $"embedding").as("pos_dims"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+      len(list_filter(embedding, x -> x > 0)) AS pos_dims
+      FROM embeddings ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
-    urgentJava)
+    urgentJava, centsJava, posDimsJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

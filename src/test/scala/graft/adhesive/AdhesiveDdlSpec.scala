@@ -57,6 +57,45 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not supported (to be added)"))
   }
 
+  test("DECIMAL(p,s) and ARRAY<T> argument types parse (nested commas/parens)") {
+    val stmt = parse(
+      """CREATE FUNCTION f(DECIMAL(12,2), ARRAY<FLOAT>, BIGINT, ARRAY<DECIMAL(10, 4)>)
+        |RETURNS BIGINT AS 'class X {}'""".stripMargin).get
+    assert(stmt.argTypes == Seq(DecimalType(12, 2), ArrayType(FloatType),
+      LongType, ArrayType(DecimalType(10, 4))))
+    // bare DECIMAL defaults to Spark SQL's (10,0)
+    assert(parse("CREATE FUNCTION g(DECIMAL) RETURNS INT AS 'x'").get
+      .argTypes == Seq(DecimalType(10, 0)))
+    // nested arrays
+    assert(parse("CREATE FUNCTION h(ARRAY<ARRAY<INT>>) RETURNS INT AS 'x'").get
+      .argTypes == Seq(ArrayType(ArrayType(IntegerType))))
+  }
+
+  test("invalid DECIMAL precision/scale is a clear DDL error") {
+    val e = intercept[AdhesiveException] {
+      parse("CREATE FUNCTION f(DECIMAL(2,5)) RETURNS INT AS 'x'")
+    }
+    assert(e.getMessage.contains("invalid DECIMAL"))
+    val e2 = intercept[AdhesiveException] {
+      parse("CREATE FUNCTION f(DECIMAL(99,0)) RETURNS INT AS 'x'")
+    }
+    assert(e2.getMessage.contains("invalid DECIMAL"))
+  }
+
+  test("parameterized RETURNS types reach the clear return-matrix error") {
+    // DECIMAL/ARRAY returns parse but are rejected at registration with the
+    // supported-matrix message, not a baffling Spark ParseException
+    val stmt = parse(
+      "CREATE FUNCTION f(BIGINT) RETURNS DECIMAL(10,2) AS 'class X {}'").get
+    assert(stmt.returnType == DecimalType(10, 2))
+    val e = intercept[AdhesiveException] {
+      AdhesiveDdl.execute(TestSpark.spark,
+        """CREATE FUNCTION f_decret(BIGINT) RETURNS DECIMAL(10,2) LANGUAGE CLASS
+          |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("non-adhesive SQL returns None (delegation)") {
     assert(parse("SELECT 1").isEmpty)
     assert(parse("CREATE TABLE t (a INT)").isEmpty)
