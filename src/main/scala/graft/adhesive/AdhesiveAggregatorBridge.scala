@@ -1,0 +1,87 @@
+package graft.adhesive
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Encoder, Encoders, Row}
+
+/** The serializable data path for `CREATE AGGREGATE FUNCTION`: a Spark
+  * typed [[Aggregator]] whose four callbacks delegate to the user's
+  * [[AdhesiveAggregate]] subclass, materialized lazily per executor JVM
+  * from shipped bytecode exactly like the scalar [[AdhesiveUdf]].
+  *
+  * Running through `Aggregator` (→ `ScalaAggregator` → `ObjectHashAggregate`
+  * / sort-based fallback) buys the distributed shape for free: `reduce` is
+  * the map-side partial fold, only STATE-typed partials cross the shuffle,
+  * `merge` combines them per group. At 100 TB the shuffle volume is
+  * #groups × sizeof(STATE), independent of input rows — the same contract
+  * as Spark's own sum/avg.
+  *
+  * State and result are boxed values of the declared STATE / RETURNS types
+  * (the same six-type matrix as scalar returns), encoded with Spark's boxed
+  * primitive encoders — no Kryo, no java serialization in the aggregation
+  * loop.
+  */
+class AdhesiveAggregatorBridge(
+    val functionName: String,
+    val fqn: String,
+    val bytecode: Map[String, Array[Byte]],
+    val stateType: DataType,
+    val resultType: DataType,
+    val jarPath: Option[String] = None)
+    extends Aggregator[Row, Any, Any] {
+
+  @transient private lazy val inst: AdhesiveAggregate =
+    AdhesiveInstances.aggregateInstance(fqn, bytecode, jarPath)
+
+  private def wrap[A](phase: String)(body: => A): A =
+    try body
+    catch {
+      case e: AdhesiveException => throw e
+      case e: Exception =>
+        throw new AdhesiveExecutionException(
+          s"adhesive aggregate '$functionName' $phase failed: $e", e)
+    }
+
+  override def zero: Any = wrap("zero()") {
+    val z = inst.zero()
+    if (z == null) {
+      throw new AdhesiveExecutionException(
+        s"adhesive aggregate '$functionName' zero() returned NULL; the " +
+          "identity state must be a non-null value of the STATE type", null)
+    }
+    z
+  }
+
+  override def reduce(state: Any, input: Row): Any =
+    wrap("reduce()")(inst.reduce(state, input))
+
+  override def merge(a: Any, b: Any): Any = wrap("merge()")(inst.merge(a, b))
+
+  override def finish(state: Any): Any = wrap("finish()")(inst.finish(state))
+
+  override def bufferEncoder: Encoder[Any] =
+    AdhesiveAggregatorBridge.encoderFor(stateType)
+
+  override def outputEncoder: Encoder[Any] =
+    AdhesiveAggregatorBridge.encoderFor(resultType)
+}
+
+object AdhesiveAggregatorBridge {
+
+  /** Boxed encoder for one supported scalar type; the cast is sound because
+    * encoders are reified only at the InternalRow boundary.
+    */
+  private[adhesive] def encoderFor(dt: DataType): Encoder[Any] = (dt match {
+    case LongType    => Encoders.LONG
+    case IntegerType => Encoders.INT
+    case FloatType   => Encoders.FLOAT
+    case DoubleType  => Encoders.DOUBLE
+    case StringType  => Encoders.STRING
+    case BooleanType => Encoders.BOOLEAN
+    case other =>
+      throw new AdhesiveException(
+        s"aggregate state/return type ${other.sql} not supported " +
+          "(to be added); supported: BIGINT, INT, FLOAT, DOUBLE, STRING, " +
+          "BOOLEAN")
+  }).asInstanceOf[Encoder[Any]]
+}

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   *   [DETERMINISTIC] [LANGUAGE JAVA|CLASS]   -- flags accepted in either order
   *   AS '<java source | fully.qualified.ClassName>'
   *   [USING JAR '<path>']
+  *
+  * CREATE [OR REPLACE] AGGREGATE FUNCTION name(TYPE, ...) RETURNS TYPE
+  *   [STATE TYPE]                  -- partial-aggregation buffer type,
+  *   [LANGUAGE JAVA|SCALA|CLASS]   -- defaults to the RETURNS type
+  *   AS '<source extending AdhesiveAggregate | fully.qualified.ClassName>'
+  *   [USING JAR '<path>']
   * }}}
   *
   * Semantics:
@@ -58,7 +64,9 @@ object AdhesiveDdl {
       body: String,
       deterministic: Boolean = false,
       nonNullable: Boolean = false,
-      jarPath: Option[String] = None)
+      jarPath: Option[String] = None,
+      aggregate: Boolean = false,
+      stateType: Option[DataType] = None)
 
   // Three body forms: '…' (SQL '' escaping), "…" (the reference README's
   // LANGUAGE CLASS example quotes the class name this way, README.md:36-40),
@@ -75,15 +83,21 @@ object AdhesiveDdl {
   // error for non-return-matrix types) instead of falling through to
   // Spark's parser.
   private val TypeToken = """\w+(?:\s*\([^)]*\)|\s*<[^>]*>)?"""
+  // Flags admit NOT NULL / DETERMINISTIC / STATE <type> in any order; the
+  // STATE type (aggregates only: the partial-aggregation buffer type,
+  // defaulting to the RETURNS type) is re-extracted from the captured flags
+  // text by StateClause below.
+  private val FlagsToken =
+    s"""(?:NOT\\s+NULL\\s+|DETERMINISTIC\\s+|STATE\\s+$TypeToken\\s+)*"""
   private val Prefix =
-    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+($TypeToken)\\s*((?:NOT\\s+NULL\\s+|DETERMINISTIC\\s+)*)(?:LANGUAGE\\s+(\\w+)\\s*)?AS\\s+"""
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(AGGREGATE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+($TypeToken)\\s*($FlagsToken)(?:LANGUAGE\\s+(\\w+)\\s*)?AS\\s+"""
   private val JarTail = """(?:\s+USING\s+JAR\s+'((?:[^']|'')*)')?\s*;?\s*$"""
   private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'""" + JarTail).r
   private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"""" + JarTail).r
   private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$""" + JarTail).r
 
   private val WithoutBody =
-    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+(?:$TypeToken)\\s*(?:NOT\\s+NULL\\s*|DETERMINISTIC\\s*)*(?:LANGUAGE\\s+(\\w+))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:AGGREGATE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+(?:$TypeToken)\\s*(?:NOT\\s+NULL\\s*|DETERMINISTIC\\s*|STATE\\s+$TypeToken\\s*)*(?:LANGUAGE\\s+(\\w+))?\\s*;?\\s*$$""".r
 
   /** Try to parse `sqlText` as adhesive DDL. Returns None when the text is
     * not a `CREATE FUNCTION ... RETURNS ...` statement at all (so Spark's own
@@ -91,12 +105,12 @@ object AdhesiveDdl {
     * which has no RETURNS clause — still sees it).
     */
   def parse(sqlText: String): Option[CreateFunctionStatement] = sqlText match {
-    case WithBodyDollar(name, args, ret, flags, lang, body, jar) =>
-      Some(statement(name, args, ret, flags, lang, body, jar))
-    case WithBodySingle(name, args, ret, flags, lang, body, jar) =>
-      Some(statement(name, args, ret, flags, lang, body.replace("''", "'"), jar))
-    case WithBodyDouble(name, args, ret, flags, lang, body, jar) =>
-      Some(statement(name, args, ret, flags, lang, body.replace("\"\"", "\""), jar))
+    case WithBodyDollar(agg, name, args, ret, flags, lang, body, jar) =>
+      Some(statement(agg, name, args, ret, flags, lang, body, jar))
+    case WithBodySingle(agg, name, args, ret, flags, lang, body, jar) =>
+      Some(statement(agg, name, args, ret, flags, lang, body.replace("''", "'"), jar))
+    case WithBodyDouble(agg, name, args, ret, flags, lang, body, jar) =>
+      Some(statement(agg, name, args, ret, flags, lang, body.replace("\"\"", "\""), jar))
     case WithoutBody(_, _, _) =>
       // Parses as our DDL but has no AS '<body>' clause — reference error
       // message parity (src/fusion.rs:57).
@@ -105,7 +119,9 @@ object AdhesiveDdl {
     case _ => None
   }
 
-  private def statement(name: String, args: String, ret: String,
+  private val StateClause = s"""(?is)STATE\\s+($TypeToken)""".r
+
+  private def statement(agg: String, name: String, args: String, ret: String,
       flags: String, lang: String, body: String,
       jar: String = null): CreateFunctionStatement = {
     val language = parseLanguage(lang)
@@ -113,12 +129,28 @@ object AdhesiveDdl {
       throw new AdhesiveException(
         "USING JAR is only supported with LANGUAGE CLASS")
     }
-    val flagsUp = Option(flags).getOrElse("").toUpperCase(Locale.ROOT)
+    val aggregate = agg != null
+    val flagsText = Option(flags).getOrElse("")
+    val flagsUp = flagsText.toUpperCase(Locale.ROOT)
+    val stateType = StateClause.findFirstMatchIn(flagsText)
+      .map(m => parseType(m.group(1)))
+    if (!aggregate && stateType.isDefined) {
+      throw new AdhesiveException(
+        "STATE is only supported with CREATE AGGREGATE FUNCTION")
+    }
+    val nonNullable = flagsUp.contains("NOT")
+    if (aggregate && nonNullable) {
+      throw new AdhesiveException(
+        "NOT NULL is not supported for aggregate functions " +
+          "(finish() may legitimately return NULL)")
+    }
     CreateFunctionStatement(name, parseArgTypes(args), parseType(ret),
       language, body,
       deterministic = flagsUp.contains("DETERMINISTIC"),
-      nonNullable = flagsUp.contains("NOT"),
-      jarPath = Option(jar).map(_.replace("''", "'")))
+      nonNullable = nonNullable,
+      jarPath = Option(jar).map(_.replace("''", "'")),
+      aggregate = aggregate,
+      stateType = stateType)
   }
 
   /** Execute adhesive DDL against a session directly — the programmatic
@@ -134,20 +166,32 @@ object AdhesiveDdl {
     }
 
   def run(spark: SparkSession, stmt: CreateFunctionStatement): Unit =
-    stmt.language match {
-      case LangJava =>
+    (stmt.language, stmt.aggregate) match {
+      case (LangJava, false) =>
         AdhesiveRegistry.registerJavaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
-      case LangScala =>
+      case (LangScala, false) =>
         AdhesiveRegistry.registerScalaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
-      case LangClass =>
+      case (LangClass, false) =>
         AdhesiveRegistry.registerClass(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
           nonNullable = stmt.nonNullable, deterministic = stmt.deterministic,
           jarPath = stmt.jarPath)
+      case (LangJava, true) =>
+        AdhesiveRegistry.registerJavaSourceAggregate(
+          spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
+          stateType = stmt.stateType)
+      case (LangScala, true) =>
+        AdhesiveRegistry.registerScalaSourceAggregate(
+          spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
+          stateType = stmt.stateType)
+      case (LangClass, true) =>
+        AdhesiveRegistry.registerClassAggregate(
+          spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
+          stateType = stmt.stateType, jarPath = stmt.jarPath)
     }
 
   private def parseLanguage(lang: String): Language =

@@ -30,7 +30,10 @@ class BytecodeClassLoader(bytecode: Map[String, Array[Byte]], parent: ClassLoade
   */
 object AdhesiveInstances {
 
-  private val cache = new ConcurrentHashMap[String, Adhesive]()
+  // One cache for both user base classes (scalar Adhesive and
+  // AdhesiveAggregate): FQNs are unique per registration (random package),
+  // so a key can never resolve to different base types.
+  private val cache = new ConcurrentHashMap[String, AnyRef]()
   private val jarLoaders = new ConcurrentHashMap[String, ClassLoader]()
 
   /** Get-or-create the singleton instance of `fqn`. An empty `bytecode` map
@@ -55,6 +58,18 @@ object AdhesiveInstances {
 
   def instance(fqn: String, bytecode: Map[String, Array[Byte]],
       jarPath: Option[String] = None): Adhesive =
+    instanceAs(classOf[Adhesive], fqn, bytecode, jarPath)
+
+  /** The aggregate twin: same loading/caching/error pipeline, checked
+    * against [[AdhesiveAggregate]] instead.
+    */
+  def aggregateInstance(fqn: String, bytecode: Map[String, Array[Byte]],
+      jarPath: Option[String] = None): AdhesiveAggregate =
+    instanceAs(classOf[AdhesiveAggregate], fqn, bytecode, jarPath)
+
+  private def instanceAs[T <: AnyRef](base: Class[T], fqn: String,
+      bytecode: Map[String, Array[Byte]],
+      jarPath: Option[String]): T =
     cache.computeIfAbsent(
       jarPath.fold(fqn)(p => s"$fqn@${jarVersionKey(p)}"), { _ =>
       val parent = Option(Thread.currentThread().getContextClassLoader)
@@ -89,9 +104,9 @@ object AdhesiveInstances {
         } else {
           new BytecodeClassLoader(bytecode, parent).loadClass(fqn)
         }
-      if (!classOf[Adhesive].isAssignableFrom(cls)) {
+      if (!base.isAssignableFrom(cls)) {
         throw new AdhesiveException(
-          s"class '$fqn' does not extend ${classOf[Adhesive].getName}")
+          s"class '$fqn' does not extend ${base.getName}")
       }
       try {
         val ctor = cls.getDeclaredConstructor()
@@ -101,7 +116,7 @@ object AdhesiveInstances {
         // IllegalAccessException. (The reference fails the same way —
         // Compiler.java:57 newInstance() — we accept both forms.)
         ctor.setAccessible(true)
-        ctor.newInstance().asInstanceOf[Adhesive]
+        ctor.newInstance().asInstanceOf[AnyRef]
       } catch {
         case e: NoSuchMethodException =>
           throw new AdhesiveException(
@@ -126,5 +141,5 @@ object AdhesiveInstances {
           throw new AdhesiveException(
             s"cannot access constructor of '$fqn' (module not opened): $e", e)
       }
-    })
+    }).asInstanceOf[T]
 }

@@ -196,4 +196,101 @@ object AdhesiveRegistry {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "java_udf")
   }
+
+  // ---------------------------------------------------------------------
+  // CREATE AGGREGATE FUNCTION — the variant the reference never closed
+  // (`RegisterFunction::Scalar` is its only enum case, src/fusion.rs:78).
+  // Same compile/mangle/cache/ship pipeline; the data path is a typed
+  // Aggregator (AdhesiveAggregatorBridge) registered through
+  // functions.udaf, so Spark plans map-side partial aggregation.
+  // ---------------------------------------------------------------------
+
+  /** State/return validation for aggregates (same six-type matrix). */
+  private def requireSupportedAggType(role: String, dt: DataType): Unit =
+    if (!SupportedReturnTypes.contains(dt)) {
+      throw new AdhesiveException(
+        s"aggregate $role type ${dt.sql} not supported (to be added); " +
+          "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN")
+    }
+
+  def registerJavaSourceAggregate(
+      spark: SparkSession,
+      name: String,
+      source: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      stateType: Option[DataType] = None): Unit = {
+    requireSupportedAggType("return", returnType)
+    stateType.foreach(requireSupportedAggType("state", _))
+    val (fqn, bytecode) = compiledCached("java", source) {
+      val (rewritten, f) = SourceRewriter.rewrite(source)
+      (f, InMemoryJavaCompiler.compile(f, rewritten))
+    }
+    AdhesiveInstances.aggregateInstance(fqn, bytecode) // eager validation
+    registerAggregate(spark, name, fqn, bytecode, argTypes, returnType,
+      stateType.getOrElse(returnType))
+  }
+
+  def registerScalaSourceAggregate(
+      spark: SparkSession,
+      name: String,
+      source: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      stateType: Option[DataType] = None): Unit = {
+    requireSupportedAggType("return", returnType)
+    stateType.foreach(requireSupportedAggType("state", _))
+    val (fqn, bytecode) = compiledCached("scala", source) {
+      val (rewritten, f) = SourceRewriter.rewrite(source)
+      (f, InMemoryScalaCompiler.compile(f, rewritten))
+    }
+    AdhesiveInstances.aggregateInstance(fqn, bytecode)
+    registerAggregate(spark, name, fqn, bytecode, argTypes, returnType,
+      stateType.getOrElse(returnType))
+  }
+
+  def registerClassAggregate(
+      spark: SparkSession,
+      name: String,
+      className: String,
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      stateType: Option[DataType] = None,
+      jarPath: Option[String] = None): Unit = {
+    requireSupportedAggType("return", returnType)
+    stateType.foreach(requireSupportedAggType("state", _))
+    AdhesiveInstances.aggregateInstance(className, Map.empty, jarPath)
+    registerAggregate(spark, name, className, Map.empty, argTypes, returnType,
+      stateType.getOrElse(returnType), jarPath)
+  }
+
+  private def registerAggregate(
+      spark: SparkSession,
+      name: String,
+      fqn: String,
+      bytecode: Map[String, Array[Byte]],
+      argTypes: Seq[DataType],
+      returnType: DataType,
+      stateType: DataType,
+      jarPath: Option[String] = None): Unit = {
+    val bridge = new AdhesiveAggregatorBridge(name, fqn, bytecode, stateType,
+      returnType, jarPath)
+    // The input encoder's N-field struct schema makes the registered
+    // function N-ary: ScalaAggregator binds each call argument to one
+    // field positionally, and reduce() receives them as the packed Row —
+    // the same positional-getter contract as scalar compute().
+    val inputSchema = StructType(argTypes.zipWithIndex.map {
+      case (dt, i) => StructField(s"arg$i", dt)
+    })
+    val udf = org.apache.spark.sql.functions
+      .udaf(bridge, org.apache.spark.sql.Encoders.row(inputSchema))
+      .withName(name)
+    // Registered through the public UDAF surface, so call-site argument
+    // resolution follows Spark's standard coercion rather than the scalar
+    // path's StrictArg exactness — a documented divergence: the exactness
+    // contract mirrors the reference's Signature::exact for the scalar
+    // parity surface, and the reference has no aggregate surface to
+    // mirror.
+    spark.udf.register(name, udf)
+  }
 }

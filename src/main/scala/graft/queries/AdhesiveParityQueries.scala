@@ -248,8 +248,50 @@ object AdhesiveParityQueries {
       len(list_filter(embedding, x -> x > 0)) AS pos_dims
       FROM embeddings ORDER BY vec_id"""))
 
+  private val RevenueAggDdl =
+    """CREATE OR REPLACE AGGREGATE FUNCTION graft_rev_e4(DECIMAL(12,2), DECIMAL(3,2)) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveAggregate;
+      |import org.apache.spark.sql.Row;
+      |public class RevE4 extends AdhesiveAggregate {
+      |  // discounted revenue in units of 1e-4 currency: all-integer math so
+      |  // the result is exact and independent of partial-aggregation order
+      |  public Object zero() { return 0L; }
+      |  public Object reduce(Object state, Row input) {
+      |    if (input.isNullAt(0) || input.isNullAt(1)) return state;
+      |    long cents = input.getDecimal(0).movePointRight(2).longValueExact();
+      |    long dHundredths = input.getDecimal(1).movePointRight(2).longValueExact();
+      |    return (Long) state + cents * (100L - dHundredths);
+      |  }
+      |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+      |}
+      |'""".stripMargin
+
+  /** `CREATE AGGREGATE FUNCTION ... LANGUAGE JAVA` end-to-end under the
+    * oracle: discounted-revenue weighted sum over lineitem, grouped by
+    * return flag. Map-side partial aggregation via Spark's typed
+    * Aggregator; integer cents arithmetic keeps the result bit-exact
+    * against DuckDB regardless of fold order.
+    */
+  val revAggJava: Q = Q(
+    "aq_agg_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, RevenueAggDdl)
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_extendedprice".cast("decimal(12,2)").as("price"),
+          $"l_discount".cast("decimal(3,2)").as("disc"))
+        .groupBy($"l_returnflag")
+        .agg(call_function("graft_rev_e4", $"price", $"disc").as("rev_e4"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 *
+               (100 - CAST(l_discount AS DECIMAL(3,2)) * 100)) AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
-    urgentJava, centsJava, posDimsJava)
+    urgentJava, centsJava, posDimsJava, revAggJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

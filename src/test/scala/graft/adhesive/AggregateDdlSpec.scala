@@ -1,0 +1,171 @@
+package graft.adhesive
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `CREATE AGGREGATE FUNCTION` end-to-end: DDL parse, compile, udaf
+  * registration, grouped/global evaluation, merge correctness across
+  * partitions, STATE clause, and the error paths.
+  */
+class AggregateDdlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val WeightedSumDdl =
+    """CREATE OR REPLACE AGGREGATE FUNCTION wsum(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveAggregate;
+      |import org.apache.spark.sql.Row;
+      |public class WeightedSum extends AdhesiveAggregate {
+      |  public Object zero() { return 0.0; }
+      |  public Object reduce(Object state, Row input) {
+      |    if (input.isNullAt(0) || input.isNullAt(1)) return state;
+      |    return (Double) state + input.getDouble(0) * input.getDouble(1);
+      |  }
+      |  public Object merge(Object a, Object b) { return (Double) a + (Double) b; }
+      |}
+      |'""".stripMargin
+
+  test("grouped aggregate over many partitions matches the built-in") {
+    spark.sql(WeightedSumDdl)
+    // 32 partitions so map-side partials + shuffle merge actually run
+    spark.range(0, 10000, 1, 32)
+      .selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS v",
+        "CAST(id % 5 AS DOUBLE) AS w")
+      .createOrReplaceTempView("t_agg")
+    val got = spark.sql(
+      "SELECT k, wsum(v, w) AS s FROM t_agg GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = spark.sql(
+      "SELECT k, sum(v * w) AS s FROM t_agg GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("global (ungrouped) aggregate and empty input") {
+    spark.sql(WeightedSumDdl)
+    Seq((2.0, 3.0), (4.0, 0.5)).toDF("v", "w").createOrReplaceTempView("t_g")
+    assert(spark.sql("SELECT wsum(v, w) AS s FROM t_g").head().getDouble(0) == 8.0)
+    // empty input folds to finish(zero)
+    assert(spark.sql("SELECT wsum(v, w) AS s FROM t_g WHERE v > 100")
+      .head().getDouble(0) == 0.0)
+  }
+
+  test("STATE clause: LONG-state count-like aggregate returning STRING") {
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION tagged_count(BIGINT) RETURNS STRING STATE BIGINT LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class TaggedCount extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object state, Row input) {
+        |    return input.isNullAt(0) ? state : (Long) state + 1L;
+        |  }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |  public Object finish(Object state) { return "n=" + state; }
+        |}
+        |'""".stripMargin)
+    spark.range(0, 1000, 1, 8).selectExpr("id AS x", "id % 3 AS k")
+      .createOrReplaceTempView("t_tc")
+    val out = spark.sql(
+      "SELECT k, tagged_count(x) AS c FROM t_tc GROUP BY k ORDER BY k")
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("n=334", "n=333", "n=333"))
+  }
+
+  test("LANGUAGE SCALA aggregate compiles and runs") {
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION smax(BIGINT) RETURNS BIGINT LANGUAGE SCALA AS $$
+        |import graft.adhesive.AdhesiveAggregate
+        |import org.apache.spark.sql.Row
+        |class SMax extends AdhesiveAggregate {
+        |  def zero(): AnyRef = java.lang.Long.valueOf(Long.MinValue)
+        |  def reduce(state: AnyRef, input: Row): AnyRef =
+        |    if (input.isNullAt(0)) state
+        |    else java.lang.Long.valueOf(math.max(state.asInstanceOf[Long], input.getLong(0)))
+        |  def merge(a: AnyRef, b: AnyRef): AnyRef =
+        |    java.lang.Long.valueOf(math.max(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+        |}
+        |$$""".stripMargin)
+    spark.range(0, 500, 1, 8).selectExpr("id AS x").createOrReplaceTempView("t_sm")
+    assert(spark.sql("SELECT smax(x) AS m FROM t_sm").head().getLong(0) == 499L)
+  }
+
+  test("a scalar body under CREATE AGGREGATE is rejected at DDL time") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE AGGREGATE FUNCTION bad_agg(BIGINT) RETURNS BIGINT LANGUAGE CLASS
+          |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    }
+    assert(e.getMessage.contains("does not extend") &&
+      e.getMessage.contains("AdhesiveAggregate"))
+  }
+
+  test("STATE on a scalar function and NOT NULL on an aggregate are rejected") {
+    val e = intercept[AdhesiveException] {
+      AdhesiveDdl.parse(
+        "CREATE FUNCTION f(BIGINT) RETURNS BIGINT STATE BIGINT AS 'class X {}'")
+    }
+    assert(e.getMessage.contains("STATE is only supported"))
+    val e2 = intercept[AdhesiveException] {
+      AdhesiveDdl.parse(
+        "CREATE AGGREGATE FUNCTION f(BIGINT) RETURNS BIGINT NOT NULL AS 'class X {}'")
+    }
+    assert(e2.getMessage.contains("NOT NULL is not supported for aggregate"))
+  }
+
+  test("unsupported aggregate state type is a clear DDL-time error") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE AGGREGATE FUNCTION bad_state(BIGINT) RETURNS BIGINT STATE DATE LANGUAGE JAVA AS '
+          |import graft.adhesive.AdhesiveAggregate;
+          |import org.apache.spark.sql.Row;
+          |public class X extends AdhesiveAggregate {
+          |  public Object zero() { return null; }
+          |  public Object reduce(Object s, Row i) { return s; }
+          |  public Object merge(Object a, Object b) { return a; }
+          |}
+          |'""".stripMargin)
+    }
+    assert(e.getMessage.contains("state type") && e.getMessage.contains("not supported"))
+  }
+
+  test("a throwing reduce fails the query with the function name and phase") {
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION agg_boom(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class Boom extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row i) { throw new RuntimeException("agg kaboom"); }
+        |  public Object merge(Object a, Object b) { return a; }
+        |}
+        |'""".stripMargin)
+    Seq(1L, 2L).toDF("x").createOrReplaceTempView("t_boom")
+    val e = intercept[Exception] {
+      spark.sql("SELECT agg_boom(x) FROM t_boom").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("agg_boom") && all.contains("agg kaboom") &&
+      all.contains("reduce()"))
+  }
+
+  test("aggregate works alongside window frames (OVER clause)") {
+    spark.sql(WeightedSumDdl)
+    spark.range(0, 100, 1, 4)
+      .selectExpr("id % 4 AS k", "CAST(id AS DOUBLE) AS v",
+        "CAST(1 AS DOUBLE) AS w")
+      .createOrReplaceTempView("t_w")
+    val got = spark.sql(
+      """SELECT k, v, wsum(v, w) OVER (PARTITION BY k) AS s
+        |FROM t_w ORDER BY k, v""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val want = spark.sql(
+      """SELECT k, v, sum(v * w) OVER (PARTITION BY k) AS s
+        |FROM t_w ORDER BY k, v""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+}
