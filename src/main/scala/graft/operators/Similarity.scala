@@ -1382,22 +1382,34 @@ object Similarity {
     * vec_id, the same discipline [[graft.pipeline.VectorIndexPipeline]]
     * proves for cell-pruned code reads.
     */
+  /** The two-stage serve as a parameterized function: `probeMax` scopes
+    * the query set exactly like [[ivfPqDuck]]'s same-named parameter
+    * (None = every stored vector queries, the serve-all shape). The probe
+    * set is an ARGUMENT of the serving path — the oracled query below
+    * passes one value; callers with their own query population pass
+    * theirs and the shortlist→rerank tail follows it (see
+    * [[exactRerank]]'s derived-query contract).
+    */
+  private[graft] def ivfPqRerankServe(s: SparkSession, d: String,
+      probeMax: Option[Int]): DataFrame = {
+    import s.implicits._
+    val emb = embDouble(s, d)
+    val centroids = kmeansCodebook(s, d)
+    val cells = ivfCells(s, emb, centroids).cache()
+    val rcb = residualCodebook(cells)
+    val codes = pqCodesFrame(cells, rcb)
+    val probed = probeMax.foldLeft(cells)((df, m) => df.filter($"vec_id" < m))
+    val queries = probed
+      .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+    val shortlist =
+      adcTopK(codes, rcb, queries, serveAll = probeMax.isEmpty,
+        k = RerankDepth).select($"qid", $"cid")
+    exactRerank(shortlist, Tables.embeddings(s, d))
+  }
+
   val ivfPqRerank: Q = Q(
     "ann_ivfpq_rerank",
-    (s, d) => {
-      import s.implicits._
-      val emb = embDouble(s, d)
-      val centroids = kmeansCodebook(s, d)
-      val cells = ivfCells(s, emb, centroids).cache()
-      val rcb = residualCodebook(cells)
-      val codes = pqCodesFrame(cells, rcb)
-      val queries = cells.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
-      val shortlist =
-        adcTopK(codes, rcb, queries, serveAll = false, k = RerankDepth)
-          .select($"qid", $"cid")
-      exactRerank(shortlist, Tables.embeddings(s, d))
-    },
+    (s, d) => ivfPqRerankServe(s, d, probeMax = Some(10)),
     Some(ivfPqDuck(probeMax = Some(10),
       rerankDepth = RerankDepth)))
 

@@ -421,6 +421,14 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ rerank serve is probe-set parameterized, not fixture-bound") {
+    // a different probeMax yields exactly that query population — the
+    // query set is an argument of the serving path
+    val five = Similarity.ivfPqRerankServe(spark, sf, probeMax = Some(5))
+      .select("qid").distinct().collect().map(_.getLong(0)).toSet
+    assert(five == (0L until 5L).toSet, s"probeMax=5 served qids $five")
+  }
+
   test("IVF-PQ ADC top-k: 3 same-cell rows per query, distance non-decreasing") {
     val rows = Similarity.ivfPqTopK.build(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
