@@ -95,39 +95,125 @@ object VectorIndexPipeline {
       .collect().map(_.getString(0)).toSet
   }
 
+  /** Every directory that constitutes one index LIFE — the unit the
+    * staged [[writeIvfPq]] swap promotes together. `generation` is the
+    * life's identity marker ([[readGeneration]]): re-training mints a new
+    * one, and writers that span lives (a stream checkpoint) bind to it so
+    * a recycled batch-id space fails loudly instead of silently no-opping
+    * against `folded_batches` (see
+    * [[graft.streaming.StreamingVectorIngest]]).
+    */
+  private val LifePieces = Seq("centroids", "codebook", "codes", "manifest",
+    "generation")
+
   /** Train (deterministic 2-iteration Lloyd's, as the ann_* family),
-    * code every vector's residual, and persist the index.
+    * code every vector's residual, and persist the index — as a STAGED
+    * life swap: every piece (centroids, codebook, codes, manifest,
+    * generation) is built under `life.staging/`, a `_COMPLETE` marker
+    * seals it, and only then does [[promoteLife]] swap the pieces in.
+    * Readers keep the old index until the new one is fully built; a
+    * crash mid-build leaves the old life serving (recovery rolls the
+    * unsealed staging back), a crash mid-promote rolls forward from the
+    * sealed staging. The previous unstaged form deleted the live index
+    * before writing — re-train downtime, and a mid-build crash left
+    * nothing recoverable.
     */
   def writeIvfPq(spark: SparkSession, sfDir: String, indexDir: String)
       : VectorIndexReport = {
     import spark.implicits._
+    recoverVectorIndex(spark, indexDir) // writer entry: repair any prior crash
     val emb = Similarity.embDouble(spark, sfDir)
     val centroids = Similarity.kmeansCodebook(spark, sfDir)
     val cells = Similarity.ivfCells(spark, emb, centroids).cache()
     val rcb = Similarity.residualCodebook(cells)
 
-    // a fresh build (including the documented codebook-drift re-train
-    // over an existing indexDir) starts a new index life: stale
-    // tombstones would hide valid vectors, stale folded-batch markers
-    // would no-op future appends that recycle an id, and stale
-    // codes/batch=N dirs (coded against the RETIRED codebook) would
-    // serve garbage neighbours alongside the recoded base — the write
-    // below only overwrites batch=0. Retire all of it.
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (stale <- Seq("tombstones", "folded_batches", "codes.appending",
-        "codes", "codes.old", "codes.staging", "manifest"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$stale"), true)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staging = s"$indexDir/life.staging"
+    fs.delete(path(staging), true) // any earlier unsealed attempt
 
     centroids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids")
-    rcb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+      .parquet(s"$staging/centroids")
+    rcb.coalesce(1).write.mode("overwrite").parquet(s"$staging/codebook")
     Similarity.pqCodesFrame(cells, rcb)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/codes/batch=0")
+      .parquet(s"$staging/codes/batch=0")
     cells.unpersist(blocking = false)
-    writeManifestBatch(spark, indexDir, "0")
+    // manifest computed from the STAGED codes (the live index is untouched)
+    spark.read.parquet(s"$staging/codes/batch=0")
+      .groupBy($"cell")
+      .agg(count_distinct($"vec_id").as("n_vectors"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/manifest/batch=0")
+    // a fresh build starts a new id-space life: mint its generation
+    writeTextFile(fs, path(s"$staging/generation"),
+      java.util.UUID.randomUUID().toString)
+    // seal, then promote
+    fs.create(path(s"$staging/_COMPLETE"), true).close()
+    promoteLife(fs, indexDir)
     manifestReport(spark, indexDir)
+  }
+
+  /** Swap a SEALED staged life in (idempotent — crash-rerunnable from
+    * [[recoverVectorIndex]]). Phase order makes the swap window LOUD
+    * rather than wrong: all live pieces retire first (a racing reader
+    * fails on a missing dir), then all staged pieces promote — never a
+    * mixed old-codes/new-centroids index, which would serve silently
+    * wrong neighbours. Cleanup (previous life's tombstones /
+    * folded_batches / remnants) runs last; the staging root — and with
+    * it the `_COMPLETE` roll-forward marker — is deleted as the final
+    * step.
+    */
+  private def promoteLife(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def renameOrThrow(a: String, b: String): Unit =
+      if (!fs.rename(path(a), path(b)))
+        throw new java.io.IOException(s"life promote: rename $a -> $b failed")
+    val staging = s"$indexDir/life.staging"
+    for (p <- LifePieces
+        if fs.exists(path(s"$staging/$p")) && fs.exists(path(s"$indexDir/$p"))) {
+      fs.delete(path(s"$indexDir/$p.old"), true)
+      renameOrThrow(s"$indexDir/$p", s"$indexDir/$p.old")
+    }
+    for (p <- LifePieces if fs.exists(path(s"$staging/$p")))
+      renameOrThrow(s"$staging/$p", s"$indexDir/$p")
+    for (stale <- Seq("tombstones", "folded_batches", "codes.appending"))
+      fs.delete(path(s"$indexDir/$stale"), true)
+    for (p <- LifePieces) fs.delete(path(s"$indexDir/$p.old"), true)
+    fs.delete(path(staging), true)
+  }
+
+  /** The index life's identity: minted by [[writeIvfPq]], unchanged by
+    * appends/deletes/rebuilds (same id space), replaced only by a
+    * re-train. None for an index predating the marker.
+    */
+  def readGeneration(spark: SparkSession, indexDir: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/generation")
+    if (!fs.exists(p)) None else Some(readTextFile(fs, p))
+  }
+
+  private[graft] def writeTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Code a NEW batch of vectors (vec_id, embedding — ids disjoint from
@@ -152,9 +238,21 @@ object VectorIndexPipeline {
     recoverVectorIndex(spark, indexDir)
     // a replay of a batch an auto-rebuild already folded into the base
     // must not re-write its dir — the codes are in the base now, and the
-    // persisted manifest already describes them (no full-codes rescan)
-    if (foldedBatchIds(spark, indexDir).contains(batchId))
+    // persisted manifest already describes them (no full-codes rescan).
+    // The warn matters: if this is NOT a crash replay — a writer with a
+    // fresh checkpoint whose ids restarted, or a manual append recycling
+    // a folded id — this branch is silently discarding new vectors.
+    // Streaming writers bind their checkpoint to the index generation so
+    // that case fails loudly before reaching here
+    // ([[graft.streaming.StreamingVectorIngest]]).
+    if (foldedBatchIds(spark, indexDir).contains(batchId)) {
+      log.warn(s"appendVectors($indexDir, batch=$batchId): batch id is in " +
+        "folded_batches; treating as a crash replay and writing nothing. " +
+        "If this append is new data under a recycled id, it is being " +
+        "DISCARDED — use a fresh batch id (or, for streams, a checkpoint " +
+        "bound to this index generation).")
       return manifestReport(spark, indexDir)
+    }
     val emb = newVectors.select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -296,6 +394,22 @@ object VectorIndexPipeline {
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
     def exists(s: String) = fs.exists(path(s))
+    // an interrupted writeIvfPq life swap first: sealed staging rolls
+    // FORWARD (re-run the idempotent promote), unsealed rolls BACK (the
+    // old life keeps serving; restore any piece the crash left in .old)
+    val life = s"$indexDir/life.staging"
+    if (exists(s"$life/_COMPLETE")) {
+      log.info(s"$indexDir: sealed life.staging found; completing promote")
+      promoteLife(fs, indexDir)
+    } else if (exists(life)) {
+      log.info(s"$indexDir: unsealed life.staging found; rolling back")
+      fs.delete(path(life), true)
+      for (p <- LifePieces
+          if !exists(s"$indexDir/$p") && exists(s"$indexDir/$p.old"))
+        if (!fs.rename(path(s"$indexDir/$p.old"), path(s"$indexDir/$p")))
+          throw new java.io.IOException(
+            s"life rollback: restore of $indexDir/$p.old failed")
+    }
     val codes = s"$indexDir/codes"
     if (!exists(codes)) {
       if (exists(s"$codes.staging/batch=0/_SUCCESS")) {

@@ -24,14 +24,27 @@ object Catalog {
   /** Register all tables from a scale-factor directory as temp views.
     * Events need the ns-as-long read config (see
     * [[graft.queries.Tables.events]]).
+    *
+    * The same-dir memo is guarded by a catalog probe: if any of the ten
+    * views was dropped since, the set re-registers instead of the next
+    * query failing with "table not found" on a supposedly-cached catalog.
+    * The probe is ten in-memory catalog lookups — far cheaper than the
+    * ten parquet footer reads it saves. A view REPLACED by another caller
+    * (pointing somewhere else under the same name) is indistinguishable
+    * from ours by name alone; pass `force = true` to reclaim the names
+    * unconditionally.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (lastDir.get(spark) != dir) {
+  def registerAll(spark: SparkSession, dir: String,
+      force: Boolean = false): Unit = {
+    val memoHit = !force && lastDir.get(spark) == dir &&
+      TableNames.forall(spark.catalog.tableExists)
+    if (!memoHit) {
       TableNames.foreach { name =>
         load(spark, dir, name).createOrReplaceTempView(name)
       }
       lastDir.put(spark, dir)
     }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") graft.queries.Tables.events(spark, dir)

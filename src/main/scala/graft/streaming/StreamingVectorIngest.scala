@@ -45,6 +45,7 @@ object StreamingVectorIngest {
   def ingestVectors(spark: SparkSession, srcDir: String, indexDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       maxCodeBatches: Int = VectorIndexPipeline.MaxCodeBatches): Unit = {
+    bindGeneration(spark, indexDir, checkpointDir)
     val stream = spark.readStream
       .schema(vectorSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -61,5 +62,71 @@ object StreamingVectorIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Bind this stream's checkpoint to the index GENERATION
+    * ([[VectorIndexPipeline.readGeneration]]) so the two silent-data-loss
+    * shapes behind the single-writer/id-space contract fail loudly
+    * instead of no-opping into `folded_batches`:
+    *
+    *   1. checkpoint outlives the index — a re-train (writeIvfPq) minted
+    *      a new generation; this stream's replayed/next batch ids belong
+    *      to the RETIRED id space. Without the check the ids collide with
+    *      nothing and quietly build batches coded fine — but a checkpoint
+    *      that believed earlier batches were committed has lost them to
+    *      the re-train; the operator must choose (fresh checkpoint +
+    *      re-ingest, or accept the loss) explicitly.
+    *   2. index outlives the checkpoint — a FRESH checkpoint restarts
+    *      batch ids at 0 (append ids at 1) against an index whose earlier
+    *      stream life already wrote/folded those ids: every replayed id in
+    *      `folded_batches` would be silently discarded as a "replay".
+    *
+    * A legacy index built before generation markers existed is adopted by
+    * stamping one on first bind (writer-side call, inside the
+    * single-writer contract).
+    */
+  private def bindGeneration(spark: SparkSession, indexDir: String,
+      checkpointDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val gen = VectorIndexPipeline.readGeneration(spark, indexDir).getOrElse {
+      val g = java.util.UUID.randomUUID().toString
+      VectorIndexPipeline.writeTextFile(fs, path(s"$indexDir/generation"), g)
+      g
+    }
+    val marker = path(s"$checkpointDir/graft-index-generation")
+    val markerFs = marker.getFileSystem(hconf)
+    if (markerFs.exists(marker)) {
+      val bound = VectorIndexPipeline.readTextFile(markerFs, marker)
+      if (bound != gen) {
+        throw new IllegalStateException(
+          s"stream checkpoint $checkpointDir is bound to index generation " +
+            s"$bound but $indexDir is now generation $gen: the index was " +
+            "re-trained since this stream last ran, so the checkpoint's " +
+            "batch ids (and its committed-batch bookkeeping) refer to a " +
+            "retired index life. Start a fresh checkpointDir and re-ingest " +
+            "the source, or delete the marker to adopt the new life " +
+            "explicitly.")
+      }
+    } else {
+      // fresh checkpoint: ids restart — only safe against an index with no
+      // earlier stream life (no folded ids, no batches beyond the base)
+      val folded = fs.exists(path(s"$indexDir/folded_batches"))
+      val extraBatches = fs.exists(path(s"$indexDir/codes")) &&
+        fs.listStatus(path(s"$indexDir/codes")).map(_.getPath.getName)
+          .exists(n => n.startsWith("batch=") && n != "batch=0")
+      if (folded || extraBatches) {
+        throw new IllegalStateException(
+          s"fresh stream checkpoint $checkpointDir against $indexDir, but " +
+            "the index already contains appended or folded stream batches " +
+            "from an earlier checkpoint: restarting ids at 1 would collide " +
+            "with (and be silently discarded against) the folded id space. " +
+            "Reuse the original checkpointDir, or re-train the index " +
+            "(writeIvfPq) to start a new life.")
+      }
+      markerFs.mkdirs(marker.getParent)
+      VectorIndexPipeline.writeTextFile(markerFs, marker, gen)
+    }
   }
 }

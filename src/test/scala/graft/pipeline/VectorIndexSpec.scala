@@ -236,6 +236,57 @@ class VectorIndexSpec extends AnyFunSuite {
       rows(Similarity.ivfPqServe(spark, sf, serveAll = false, nprobe = 1)))
   }
 
+  test("re-train crash windows: unsealed staging rolls back, sealed mid-promote rolls forward") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcw").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VectorIndexPipeline.writeIvfPq(spark, sf, dir)
+    val served0 = rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf))
+    val gen0 = VectorIndexPipeline.readGeneration(spark, dir)
+    assert(gen0.isDefined, "a fresh build must carry a generation marker")
+
+    // --- crash MID-BUILD: staging exists but is unsealed (no _COMPLETE).
+    // The live index must keep serving; the writer's next entry rolls the
+    // debris back.
+    fs.mkdirs(new Path(s"$dir/life.staging/codes/batch=0"))
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == served0,
+      "an unsealed staging dir must not affect serving")
+    VectorIndexPipeline.recoverVectorIndex(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/life.staging")),
+      "unsealed staging must be rolled back")
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sf)) == served0)
+    assert(VectorIndexPipeline.readGeneration(spark, dir) == gen0,
+      "rollback must keep the old life's generation")
+
+    // --- crash MID-PROMOTE: a SEALED staging (a full new life trained on
+    // half the corpus) with the live pieces already partially retired.
+    // Recovery must roll FORWARD to the staged life.
+    val sfHalf = java.nio.file.Files.createTempDirectory("graft-vcw-h").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter($"vec_id" < 250)
+      .write.parquet(s"$sfHalf/embeddings.parquet")
+    val donor = java.nio.file.Files.createTempDirectory("graft-vcw-d").toString
+    VectorIndexPipeline.writeIvfPq(spark, sfHalf, donor)
+    val donorServed = rows(VectorIndexPipeline.serveIvfPq(spark, donor, sfHalf))
+    val donorGen = VectorIndexPipeline.readGeneration(spark, donor)
+    // stage the donor life under dir and seal it
+    val staging = s"$dir/life.staging"
+    fs.delete(new Path(staging), true)
+    fs.mkdirs(new Path(staging))
+    for (p <- Seq("centroids", "codebook", "codes", "manifest", "generation"))
+      assert(fs.rename(new Path(s"$donor/$p"), new Path(s"$staging/$p")))
+    fs.create(new Path(s"$staging/_COMPLETE"), true).close()
+    // simulate a promote that died after retiring ONE live piece
+    assert(fs.rename(new Path(s"$dir/codes"), new Path(s"$dir/codes.old")))
+    // writer entry completes the swap
+    VectorIndexPipeline.recoverVectorIndex(spark, dir)
+    assert(!fs.exists(new Path(staging)), "sealed staging must be consumed")
+    assert(!fs.exists(new Path(s"$dir/codes.old")))
+    assert(VectorIndexPipeline.readGeneration(spark, dir) == donorGen,
+      "roll-forward must land the staged life's generation")
+    assert(rows(VectorIndexPipeline.serveIvfPq(spark, dir, sfHalf)) ==
+      donorServed, "the promoted life must serve exactly as its donor did")
+  }
+
   test("deletes past the tombstone bound rebuild immediately and retire the tombstones") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft-vtx").toString

@@ -117,4 +117,36 @@ class StreamingVectorIngestSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$ixDir/codes.appending").exists(),
       "staging remnants must not survive recovery")
   }
+
+  test("fresh checkpoint against a lived-in index fails loudly (recycled id space)") {
+    val (ixDir, srcDir) = baseAndBacklog(nFiles = 2)
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft-svi-g1").toString
+    StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt1)
+    // the drained stream appended batch=1,2; a FRESH checkpoint would
+    // restart ids at 1 — collide/no-op. Must refuse, not discard.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-svi-g2").toString
+    val e = intercept[IllegalStateException] {
+      StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt2)
+    }
+    assert(e.getMessage.contains("fresh stream checkpoint"))
+    // the original checkpoint still works (drained: no new files, no-op)
+    StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt1)
+  }
+
+  test("checkpoint from a retired index life fails loudly after a re-train") {
+    val (ixDir, srcDir) = baseAndBacklog(nFiles = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-svi-g3").toString
+    StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt)
+    val genBefore = VectorIndexPipeline.readGeneration(spark, ixDir)
+    // codebook-drift re-train: new index life, new generation
+    VectorIndexPipeline.writeIvfPq(spark, sf, ixDir)
+    val genAfter = VectorIndexPipeline.readGeneration(spark, ixDir)
+    assert(genBefore.isDefined && genAfter.isDefined && genBefore != genAfter,
+      "re-train must mint a new generation")
+    val e = intercept[IllegalStateException] {
+      StreamingVectorIngest.ingestVectors(spark, srcDir, ixDir, ckpt)
+    }
+    assert(e.getMessage.contains("re-trained") ||
+      e.getMessage.contains("retired index life"))
+  }
 }
