@@ -157,7 +157,18 @@ object CorpusPipeline {
   }
 
   def writeInvertedIndex(spark: SparkSession, sfDir: String, outDir: String,
-      nShards: Int = 0): IndexReport = {
+      nShards: Int = 0): IndexReport =
+    WriterLease.withLease(fsFor(spark, outDir), outDir, "writeInvertedIndex") {
+      writeInvertedIndexImpl(spark, sfDir, outDir, nShards)
+    }
+
+  private def fsFor(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeInvertedIndexImpl(spark: SparkSession, sfDir: String,
+      outDir: String, nShards: Int): IndexReport = {
     import spark.implicits._
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
@@ -320,9 +331,15 @@ object CorpusPipeline {
     * the re-added postings along with the old ones.
     */
   def deleteDocs(spark: SparkSession, indexDir: String, docIds: Seq[Long],
-      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Unit = {
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Unit =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "deleteDocs") {
+      deleteDocsImpl(spark, indexDir, docIds, tombstoneBroadcastLimit)
+    }
+
+  private def deleteDocsImpl(spark: SparkSession, indexDir: String,
+      docIds: Seq[Long], tombstoneBroadcastLimit: Long): Unit = {
     import spark.implicits._
-    recoverIndex(spark, indexDir)
+    recoverImpl(spark, indexDir)
     docIds.toDF("doc_id").coalesce(1)
       .write.mode("append").parquet(s"$indexDir/tombstones")
     // the delete itself is already durable and visible (tombstone
@@ -333,7 +350,7 @@ object CorpusPipeline {
     if (compactionDue(spark, indexDir, tombstoneBroadcastLimit)) {
       log.info(s"tombstones at $indexDir exceed the broadcast limit " +
         s"($tombstoneBroadcastLimit); compacting")
-      compact(spark, indexDir)
+      compactImpl(spark, indexDir, nShards = 0)
     }
   }
 
@@ -360,7 +377,15 @@ object CorpusPipeline {
     */
   def appendBatch(spark: SparkSession, indexDir: String, sfDir: String,
       batchId: String, nShards: Int = 0,
-      maxDeltaBatches: Int = MaxDeltaBatches): IndexReport = {
+      maxDeltaBatches: Int = MaxDeltaBatches): IndexReport =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "appendBatch") {
+      appendBatchImpl(spark, indexDir, sfDir, batchId, nShards,
+        maxDeltaBatches)
+    }
+
+  private def appendBatchImpl(spark: SparkSession, indexDir: String,
+      sfDir: String, batchId: String, nShards: Int,
+      maxDeltaBatches: Int): IndexReport = {
     import spark.implicits._
     val shards =
       if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
@@ -369,7 +394,7 @@ object CorpusPipeline {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(s: String) = fs.exists(new org.apache.hadoop.fs.Path(s))
-    recoverIndex(spark, indexDir)
+    recoverImpl(spark, indexDir)
     // deltas append RELATIVE TO a base: without one, lookupTerm's base
     // read and the auto-compaction would both fail later with opaque
     // missing-path errors — fail loudly at the append instead
@@ -448,7 +473,7 @@ object CorpusPipeline {
     if (compactionDue(spark, indexDir, maxDeltaBatches = maxDeltaBatches)) {
       log.info(s"$indexDir has more than $maxDeltaBatches uncompacted " +
         "delta batches (or tombstones over bound); compacting")
-      compact(spark, indexDir, nShards)
+      compactImpl(spark, indexDir, nShards)
     }
     report
   }
@@ -495,7 +520,12 @@ object CorpusPipeline {
     * Every terminal state is lookup-consistent: either the old base with
     * its deltas, or the new base with neither.
     */
-  def recoverIndex(spark: SparkSession, indexDir: String): Unit = {
+  def recoverIndex(spark: SparkSession, indexDir: String): Unit =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "recover") {
+      recoverImpl(spark, indexDir)
+    }
+
+  private def recoverImpl(spark: SparkSession, indexDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -565,12 +595,18 @@ object CorpusPipeline {
   }
 
   def compact(spark: SparkSession, indexDir: String, nShards: Int = 0)
-      : IndexReport = {
+      : IndexReport =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "compact") {
+      compactImpl(spark, indexDir, nShards)
+    }
+
+  private def compactImpl(spark: SparkSession, indexDir: String,
+      nShards: Int): IndexReport = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    recoverIndex(spark, indexDir)
+    recoverImpl(spark, indexDir)
     val hasDelta = fs.exists(path(s"$indexDir/delta"))
     val hasTombs = fs.exists(path(s"$indexDir/tombstones"))
     if (!hasDelta && !hasTombs)

@@ -119,9 +119,20 @@ object VectorIndexPipeline {
     * nothing recoverable.
     */
   def writeIvfPq(spark: SparkSession, sfDir: String, indexDir: String)
-      : VectorIndexReport = {
+      : VectorIndexReport =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "writeIvfPq") {
+      writeIvfPqImpl(spark, sfDir, indexDir)
+    }
+
+  private def fsFor(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeIvfPqImpl(spark: SparkSession, sfDir: String,
+      indexDir: String): VectorIndexReport = {
     import spark.implicits._
-    recoverVectorIndex(spark, indexDir) // writer entry: repair any prior crash
+    recoverImpl(spark, indexDir) // writer entry: repair any prior crash
     val emb = Similarity.embDouble(spark, sfDir)
     val centroids = Similarity.kmeansCodebook(spark, sfDir)
     val cells = Similarity.ivfCells(spark, emb, centroids).cache()
@@ -233,9 +244,16 @@ object VectorIndexPipeline {
     */
   def appendVectors(spark: SparkSession, indexDir: String,
       newVectors: DataFrame, batchId: String,
-      maxCodeBatches: Int = MaxCodeBatches): VectorIndexReport = {
+      maxCodeBatches: Int = MaxCodeBatches): VectorIndexReport =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "appendVectors") {
+      appendVectorsImpl(spark, indexDir, newVectors, batchId, maxCodeBatches)
+    }
+
+  private def appendVectorsImpl(spark: SparkSession, indexDir: String,
+      newVectors: DataFrame, batchId: String,
+      maxCodeBatches: Int): VectorIndexReport = {
     import spark.implicits._
-    recoverVectorIndex(spark, indexDir)
+    recoverImpl(spark, indexDir)
     // a replay of a batch an auto-rebuild already folded into the base
     // must not re-write its dir — the codes are in the base now, and the
     // persisted manifest already describes them (no full-codes rescan).
@@ -275,7 +293,7 @@ object VectorIndexPipeline {
     if (rebuildDue(spark, indexDir, maxCodeBatches = maxCodeBatches)) {
       log.info(s"$indexDir has more than $maxCodeBatches uncompacted " +
         "batch dirs (or tombstones over bound); rebuilding")
-      rebuild(spark, indexDir)
+      rebuildImpl(spark, indexDir)
     } else {
       writeManifestBatch(spark, indexDir, batchId)
       manifestReport(spark, indexDir)
@@ -295,18 +313,19 @@ object VectorIndexPipeline {
     * means observed absent, not merely one rebuild later.
     */
   def deleteVecs(spark: SparkSession, indexDir: String, vecIds: Seq[Long],
-      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Unit = {
-    import spark.implicits._
-    recoverVectorIndex(spark, indexDir)
-    vecIds.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$indexDir/tombstones")
-    if (rebuildDue(spark, indexDir,
-        tombstoneBroadcastLimit = tombstoneBroadcastLimit)) {
-      log.info(s"tombstones at $indexDir exceed the broadcast limit " +
-        s"($tombstoneBroadcastLimit); rebuilding")
-      rebuild(spark, indexDir)
+      tombstoneBroadcastLimit: Long = TombstoneBroadcastLimit): Unit =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "deleteVecs") {
+      import spark.implicits._
+      recoverImpl(spark, indexDir)
+      vecIds.toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(s"$indexDir/tombstones")
+      if (rebuildDue(spark, indexDir,
+          tombstoneBroadcastLimit = tombstoneBroadcastLimit)) {
+        log.info(s"tombstones at $indexDir exceed the broadcast limit " +
+          s"($tombstoneBroadcastLimit); rebuilding")
+        rebuildImpl(spark, indexDir)
+      }
     }
-  }
 
   /** Codes minus the pending tombstone set — the serve-side visibility
     * filter. The tombstone set is deletes-since-rebuild (bounded by the
@@ -342,9 +361,15 @@ object VectorIndexPipeline {
     * a no-op instead of a double-count — the fold-horizon discipline of
     * [[graft.streaming.StreamingDedupPipeline]].
     */
-  def rebuild(spark: SparkSession, indexDir: String): VectorIndexReport = {
+  def rebuild(spark: SparkSession, indexDir: String): VectorIndexReport =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "rebuild") {
+      rebuildImpl(spark, indexDir)
+    }
+
+  private def rebuildImpl(spark: SparkSession, indexDir: String)
+      : VectorIndexReport = {
     import spark.implicits._
-    recoverVectorIndex(spark, indexDir)
+    recoverImpl(spark, indexDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -389,7 +414,12 @@ object VectorIndexPipeline {
     * already dropped them, and a stale tombstone is a no-op anti-join
     * that the next rebuild retires.
     */
-  def recoverVectorIndex(spark: SparkSession, indexDir: String): Unit = {
+  def recoverVectorIndex(spark: SparkSession, indexDir: String): Unit =
+    WriterLease.withLease(fsFor(spark, indexDir), indexDir, "recover") {
+      recoverImpl(spark, indexDir)
+    }
+
+  private def recoverImpl(spark: SparkSession, indexDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
