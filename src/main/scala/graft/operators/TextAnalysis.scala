@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.queries.RelationalQueries.Q
 import graft.queries.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -188,28 +189,50 @@ object TextAnalysis {
     * repr of the double while DuckDB rounds its full binary expansion —
     * measured to disagree on 41/500 docs).
     */
+  /** The model-train + scoring pipeline over an exploded (doc_id, bg)
+    * bigram frame — the production shape, extracted so the planted-skew
+    * study (`SkewStudyR11`) measures the exact plan the query runs. The
+    * `bg ⋈ model` join is Zipf-keyed (hot bigrams concentrate); with the
+    * model too large to broadcast (the 100 TB case) the shuffle join's
+    * hot partitions are what AQE's skew-join splitting exists for —
+    * SCALE.md §"Round-11 planted-skew study" carries the measurement.
+    */
+  private[graft] def bigramLmScore(bg: DataFrame): DataFrame = {
+    val s = bg.sparkSession
+    import s.implicits._
+    val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(split($"bg", " ").getItem(0).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, split($"bg", " ").getItem(0) === $"w1")
+      .select($"bg", floor(($"c2".cast(DoubleType) / $"c1") * 1e14)
+        .cast(LongType).as("p14"))
+    bg.join(model, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"p14").as("sp"))
+      .select($"doc_id", $"n_bigrams",
+        ($"sp".cast(DoubleType) / $"n_bigrams" / 1e14).as("avg_cond_p"))
+  }
+
+  /** Exploded bigram frame for a (doc_id, text) corpus, normalized the
+    * query's way.
+    */
+  private[graft] def bigramFrame(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", split(expr(normSpark), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("bg"))
+  }
+
   val bigramLm: Q = Q(
     "ta_bigram_lm",
     (s, d) => {
       import s.implicits._
-      val bg = Tables.spread(Tables.documents(s, d), "doc_id")
-        .select($"doc_id", split(expr(normSpark), " ").as("w"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
-          .as("bg")).cache()
-      val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(split($"bg", " ").getItem(0).as("w1"))
-        .agg(count(lit(1)).as("c1"))
-      val model = c2.join(c1, split($"bg", " ").getItem(0) === $"w1")
-        .select($"bg", floor(($"c2".cast(DoubleType) / $"c1") * 1e14)
-          .cast(LongType).as("p14"))
-      bg.join(model, "bg")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"p14").as("sp"))
-        .select($"doc_id", $"n_bigrams",
-          ($"sp".cast(DoubleType) / $"n_bigrams" / 1e14).as("avg_cond_p"))
-        .orderBy($"doc_id")
+      val bg = bigramFrame(Tables.spread(Tables.documents(s, d), "doc_id"))
+        .cache()
+      bigramLmScore(bg).orderBy($"doc_id")
     },
     Some(s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS w FROM documents),
       bg AS (SELECT doc_id, unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ]) AS bg
