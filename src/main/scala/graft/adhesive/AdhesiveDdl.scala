@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   *   [LANGUAGE JAVA|SCALA|CLASS]   -- defaults to the RETURNS type
   *   AS '<source extending AdhesiveAggregate | fully.qualified.ClassName>'
   *   [USING JAR '<path>']
+  *
+  * CREATE [OR REPLACE] TABLE FUNCTION name(TYPE, ...)
+  *   RETURNS TABLE(col TYPE, ...)  -- output row schema
+  *   [LANGUAGE JAVA|SCALA|CLASS]
+  *   AS '<source extending AdhesiveTableFunction | fully.qualified.ClassName>'
+  *   [USING JAR '<path>']
   * }}}
   *
   * Semantics:
@@ -56,17 +62,26 @@ object AdhesiveDdl {
   case object LangClass extends Language
   case object LangScala extends Language
 
+  /** The three UDF variants on this seam (the reference constructs only
+    * the scalar one — `RegisterFunction::Scalar`, `src/fusion.rs:78`).
+    */
+  sealed trait FunctionKind
+  case object KindScalar extends FunctionKind
+  case object KindAggregate extends FunctionKind
+  case object KindTable extends FunctionKind
+
   case class CreateFunctionStatement(
       name: String,
       argTypes: Seq[DataType],
-      returnType: DataType,
+      returnType: DataType, // for KindTable: a placeholder; see tableSchema
       language: Language,
       body: String,
       deterministic: Boolean = false,
       nonNullable: Boolean = false,
       jarPath: Option[String] = None,
-      aggregate: Boolean = false,
-      stateType: Option[DataType] = None)
+      kind: FunctionKind = KindScalar,
+      stateType: Option[DataType] = None,
+      tableSchema: Option[StructType] = None)
 
   // Three body forms: '…' (SQL '' escaping), "…" (the reference README's
   // LANGUAGE CLASS example quotes the class name this way, README.md:36-40),
@@ -82,7 +97,10 @@ object AdhesiveDdl {
   // DECIMAL(p,s)/ARRAY<T> reach parseType (and its clear "not supported"
   // error for non-return-matrix types) instead of falling through to
   // Spark's parser.
-  private val TypeToken = """\w+(?:\s*\([^)]*\)|\s*<[^>]*>)?"""
+  // One paren-nesting level inside the optional (...) suffix, so
+  // TABLE(price DECIMAL(12,2), ...) tokenizes as one type
+  private val TypeToken =
+    """\w+(?:\s*\((?:[^()]|\([^)]*\))*\)|\s*<[^>]*>)?"""
   // Flags admit NOT NULL / DETERMINISTIC / STATE <type> in any order; the
   // STATE type (aggregates only: the partial-aggregation buffer type,
   // defaulting to the RETURNS type) is re-extracted from the captured flags
@@ -90,14 +108,14 @@ object AdhesiveDdl {
   private val FlagsToken =
     s"""(?:NOT\\s+NULL\\s+|DETERMINISTIC\\s+|STATE\\s+$TypeToken\\s+)*"""
   private val Prefix =
-    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(AGGREGATE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+($TypeToken)\\s*($FlagsToken)(?:LANGUAGE\\s+(\\w+)\\s*)?AS\\s+"""
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?((?:AGGREGATE|TABLE)\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+($TypeToken)\\s*($FlagsToken)(?:LANGUAGE\\s+(\\w+)\\s*)?AS\\s+"""
   private val JarTail = """(?:\s+USING\s+JAR\s+'((?:[^']|'')*)')?\s*;?\s*$"""
   private val WithBodySingle = (Prefix + """'((?:[^']|'')*)'""" + JarTail).r
   private val WithBodyDouble = (Prefix + """"((?:[^"]|"")*)"""" + JarTail).r
   private val WithBodyDollar = (Prefix + """\$\$(.*?)\$\$""" + JarTail).r
 
   private val WithoutBody =
-    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:AGGREGATE\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+(?:$TypeToken)\\s*(?:NOT\\s+NULL\\s*|DETERMINISTIC\\s*|STATE\\s+$TypeToken\\s*)*(?:LANGUAGE\\s+(\\w+))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:(?:AGGREGATE|TABLE)\\s+)?FUNCTION\\s+(\\w+)\\s*\\((.*?)\\)\\s*RETURNS\\s+(?:$TypeToken)\\s*(?:NOT\\s+NULL\\s*|DETERMINISTIC\\s*|STATE\\s+$TypeToken\\s*)*(?:LANGUAGE\\s+(\\w+))?\\s*;?\\s*$$""".r
 
   /** Try to parse `sqlText` as adhesive DDL. Returns None when the text is
     * not a `CREATE FUNCTION ... RETURNS ...` statement at all (so Spark's own
@@ -121,37 +139,87 @@ object AdhesiveDdl {
 
   private val StateClause = s"""(?is)STATE\\s+($TypeToken)""".r
 
-  private def statement(agg: String, name: String, args: String, ret: String,
-      flags: String, lang: String, body: String,
+  private def statement(kindKw: String, name: String, args: String,
+      ret: String, flags: String, lang: String, body: String,
       jar: String = null): CreateFunctionStatement = {
     val language = parseLanguage(lang)
     if (jar != null && language != LangClass) {
       throw new AdhesiveException(
         "USING JAR is only supported with LANGUAGE CLASS")
     }
-    val aggregate = agg != null
+    val kind = Option(kindKw).map(_.trim.toUpperCase(Locale.ROOT)) match {
+      case None              => KindScalar
+      case Some("AGGREGATE") => KindAggregate
+      case Some("TABLE")     => KindTable
+      case Some(other) => // unreachable by regex; keep the failure loud
+        throw new AdhesiveException(s"unknown function kind '$other'")
+    }
     val flagsText = Option(flags).getOrElse("")
     val flagsUp = flagsText.toUpperCase(Locale.ROOT)
     val stateType = StateClause.findFirstMatchIn(flagsText)
       .map(m => parseType(m.group(1)))
-    if (!aggregate && stateType.isDefined) {
+    if (kind != KindAggregate && stateType.isDefined) {
       throw new AdhesiveException(
         "STATE is only supported with CREATE AGGREGATE FUNCTION")
     }
     val nonNullable = flagsUp.contains("NOT")
-    if (aggregate && nonNullable) {
+    if (kind == KindAggregate && nonNullable) {
       throw new AdhesiveException(
         "NOT NULL is not supported for aggregate functions " +
           "(finish() may legitimately return NULL)")
     }
-    CreateFunctionStatement(name, parseArgTypes(args), parseType(ret),
+    if (kind == KindTable && nonNullable) {
+      throw new AdhesiveException(
+        "NOT NULL is not supported for table functions; declare column " +
+          "types inside RETURNS TABLE(...)")
+    }
+    val tableSchema = parseTableSchema(ret)
+    (kind, tableSchema) match {
+      case (KindTable, None) =>
+        throw new AdhesiveException(
+          "CREATE TABLE FUNCTION requires RETURNS TABLE(col TYPE, ...)")
+      case (k, Some(_)) if k != KindTable =>
+        throw new AdhesiveException(
+          "RETURNS TABLE(...) requires CREATE TABLE FUNCTION")
+      case _ => ()
+    }
+    CreateFunctionStatement(name, parseArgTypes(args),
+      // a table function's "return type" is its row struct, recorded in
+      // tableSchema; NullType marks the placeholder slot
+      tableSchema.fold(parseType(ret))(_ => NullType),
       language, body,
       deterministic = flagsUp.contains("DETERMINISTIC"),
       nonNullable = nonNullable,
       jarPath = Option(jar).map(_.replace("''", "'")),
-      aggregate = aggregate,
-      stateType = stateType)
+      kind = kind,
+      stateType = stateType,
+      tableSchema = tableSchema)
   }
+
+  private val TablePattern = """(?is)^TABLE\s*\((.+)\)$""".r
+
+  /** Parse `TABLE(col TYPE, ...)` into the output row schema; None when
+    * the RETURNS clause is a plain type.
+    */
+  private def parseTableSchema(ret: String): Option[StructType] =
+    ret.trim match {
+      case TablePattern(colsText) =>
+        val cols = splitTopLevel(colsText).map(_.trim).filter(_.nonEmpty)
+        if (cols.isEmpty) {
+          throw new AdhesiveException(
+            "RETURNS TABLE(...) needs at least one column")
+        }
+        Some(StructType(cols.map { c =>
+          c.split("\\s+", 2) match {
+            case Array(colName, colType) if colName.matches("\\w+") =>
+              StructField(colName, parseType(colType))
+            case _ =>
+              throw new AdhesiveException(
+                s"cannot parse TABLE column '$c'; expected: name TYPE")
+          }
+        }))
+      case _ => None
+    }
 
   /** Execute adhesive DDL against a session directly — the programmatic
     * path (reference E3, `src/jvm.rs:287-301`) for sessions built without
@@ -166,32 +234,42 @@ object AdhesiveDdl {
     }
 
   def run(spark: SparkSession, stmt: CreateFunctionStatement): Unit =
-    (stmt.language, stmt.aggregate) match {
-      case (LangJava, false) =>
+    (stmt.language, stmt.kind) match {
+      case (LangJava, KindScalar) =>
         AdhesiveRegistry.registerJavaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
-      case (LangScala, false) =>
+      case (LangScala, KindScalar) =>
         AdhesiveRegistry.registerScalaSource(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           nonNullable = stmt.nonNullable, deterministic = stmt.deterministic)
-      case (LangClass, false) =>
+      case (LangClass, KindScalar) =>
         AdhesiveRegistry.registerClass(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
           nonNullable = stmt.nonNullable, deterministic = stmt.deterministic,
           jarPath = stmt.jarPath)
-      case (LangJava, true) =>
+      case (LangJava, KindAggregate) =>
         AdhesiveRegistry.registerJavaSourceAggregate(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           stateType = stmt.stateType)
-      case (LangScala, true) =>
+      case (LangScala, KindAggregate) =>
         AdhesiveRegistry.registerScalaSourceAggregate(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
           stateType = stmt.stateType)
-      case (LangClass, true) =>
+      case (LangClass, KindAggregate) =>
         AdhesiveRegistry.registerClassAggregate(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
           stateType = stmt.stateType, jarPath = stmt.jarPath)
+      case (LangJava, KindTable) =>
+        AdhesiveRegistry.registerJavaSourceTableFunction(
+          spark, stmt.name, stmt.body, stmt.argTypes, stmt.tableSchema.get)
+      case (LangScala, KindTable) =>
+        AdhesiveRegistry.registerScalaSourceTableFunction(
+          spark, stmt.name, stmt.body, stmt.argTypes, stmt.tableSchema.get)
+      case (LangClass, KindTable) =>
+        AdhesiveRegistry.registerClassTableFunction(
+          spark, stmt.name, stmt.body.trim, stmt.argTypes,
+          stmt.tableSchema.get, jarPath = stmt.jarPath)
     }
 
   private def parseLanguage(lang: String): Language =
@@ -204,25 +282,27 @@ object AdhesiveDdl {
           "supported: JAVA, SCALA, CLASS")
     }
 
-  /** Split the argument list on TOP-LEVEL commas only: commas nested inside
-    * DECIMAL(p,s) parens or ARRAY<...> angles belong to their type token.
+  /** Split on TOP-LEVEL commas only: commas nested inside DECIMAL(p,s)
+    * parens or ARRAY<...> angles belong to their type token.
     */
+  private def splitTopLevel(text: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    text.foreach {
+      case c @ ('(' | '<')   => depth += 1; cur += c
+      case c @ (')' | '>')   => depth -= 1; cur += c
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c                 => cur += c
+    }
+    parts += cur.result()
+    parts.toIndexedSeq
+  }
+
   private def parseArgTypes(args: String): Seq[DataType] = {
     val trimmed = args.trim
     if (trimmed.isEmpty) Seq.empty
-    else {
-      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      var depth = 0
-      trimmed.foreach {
-        case c @ ('(' | '<')           => depth += 1; cur += c
-        case c @ (')' | '>')           => depth -= 1; cur += c
-        case ',' if depth == 0         => parts += cur.result(); cur.clear()
-        case c                         => cur += c
-      }
-      parts += cur.result()
-      parts.toIndexedSeq.map(t => parseType(t.trim))
-    }
+    else splitTopLevel(trimmed).map(t => parseType(t.trim))
   }
 
   private val DecimalPattern =

@@ -67,10 +67,15 @@ object AdhesiveInstances {
       jarPath: Option[String] = None): AdhesiveAggregate =
     instanceAs(classOf[AdhesiveAggregate], fqn, bytecode, jarPath)
 
+  /** The table-function twin ([[AdhesiveTableFunction]]). */
+  def tableInstance(fqn: String, bytecode: Map[String, Array[Byte]],
+      jarPath: Option[String] = None): AdhesiveTableFunction =
+    instanceAs(classOf[AdhesiveTableFunction], fqn, bytecode, jarPath)
+
   private def instanceAs[T <: AnyRef](base: Class[T], fqn: String,
       bytecode: Map[String, Array[Byte]],
-      jarPath: Option[String]): T =
-    cache.computeIfAbsent(
+      jarPath: Option[String]): T = {
+    val inst = cache.computeIfAbsent(
       jarPath.fold(fqn)(p => s"$fqn@${jarVersionKey(p)}"), { _ =>
       val parent = Option(Thread.currentThread().getContextClassLoader)
         .getOrElse(classOf[Adhesive].getClassLoader)
@@ -141,5 +146,16 @@ object AdhesiveInstances {
           throw new AdhesiveException(
             s"cannot access constructor of '$fqn' (module not opened): $e", e)
       }
-    }).asInstanceOf[T]
+    })
+    // The base check must ALSO run on cache hits: a classpath class (stable
+    // FQN, unlike the random-package runtime-compiled ones) may already be
+    // cached under a DIFFERENT user base — e.g. registered as a scalar
+    // Adhesive, then requested as an AdhesiveTableFunction. The erased
+    // asInstanceOf alone would hand back the wrong type silently.
+    if (!base.isInstance(inst)) {
+      throw new AdhesiveException(
+        s"class '$fqn' does not extend ${base.getName}")
+    }
+    inst.asInstanceOf[T]
+  }
 }

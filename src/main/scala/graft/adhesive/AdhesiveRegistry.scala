@@ -1,6 +1,7 @@
 package graft.adhesive
 
-import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, ScalaUDF}
+import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, Inline, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Row, SparkSession}
@@ -292,5 +293,96 @@ object AdhesiveRegistry {
     // parity surface, and the reference has no aggregate surface to
     // mirror.
     spark.udf.register(name, udf)
+  }
+
+  // ---------------------------------------------------------------------
+  // CREATE TABLE FUNCTION — the third UDF variant on the same seam. The
+  // data path is a ScalaUDF returning ARRAY<STRUCT<outSchema>> wrapped in
+  // an Inline generator over OneRowRelation: the analyzer resolves the
+  // generator output to the declared TABLE columns, FROM-clause calls
+  // evaluate over literals, and LATERAL calls correlate to the outer
+  // query — all executing inside the stage like a built-in generator.
+  // ---------------------------------------------------------------------
+
+  def registerJavaSourceTableFunction(
+      spark: SparkSession,
+      name: String,
+      source: String,
+      argTypes: Seq[DataType],
+      outSchema: StructType): Unit = {
+    val (fqn, bytecode) = compiledCached("java", source) {
+      val (rewritten, f) = SourceRewriter.rewrite(source)
+      (f, InMemoryJavaCompiler.compile(f, rewritten))
+    }
+    AdhesiveInstances.tableInstance(fqn, bytecode) // eager DDL validation
+    registerTableFunction(spark, name, fqn, bytecode, argTypes, outSchema)
+  }
+
+  def registerScalaSourceTableFunction(
+      spark: SparkSession,
+      name: String,
+      source: String,
+      argTypes: Seq[DataType],
+      outSchema: StructType): Unit = {
+    val (fqn, bytecode) = compiledCached("scala", source) {
+      val (rewritten, f) = SourceRewriter.rewrite(source)
+      (f, InMemoryScalaCompiler.compile(f, rewritten))
+    }
+    AdhesiveInstances.tableInstance(fqn, bytecode)
+    registerTableFunction(spark, name, fqn, bytecode, argTypes, outSchema)
+  }
+
+  def registerClassTableFunction(
+      spark: SparkSession,
+      name: String,
+      className: String,
+      argTypes: Seq[DataType],
+      outSchema: StructType,
+      jarPath: Option[String] = None): Unit = {
+    AdhesiveInstances.tableInstance(className, Map.empty, jarPath)
+    registerTableFunction(spark, name, className, Map.empty, argTypes,
+      outSchema, jarPath)
+  }
+
+  private def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      fqn: String,
+      bytecode: Map[String, Array[Byte]],
+      argTypes: Seq[DataType],
+      outSchema: StructType,
+      jarPath: Option[String] = None): Unit = {
+    val callFn: Row => Any = new AdhesiveTableUdf(name, fqn, bytecode, jarPath)
+    val builder = (exprs: Seq[Expression]) => {
+      if (exprs.length != argTypes.length) {
+        throw new AdhesiveException(
+          s"adhesive table function '$name' takes ${argTypes.length} " +
+            s"argument(s), got ${exprs.length}")
+      }
+      val checked = exprs.zip(argTypes).zipWithIndex.map {
+        case ((e, dt), i) => StrictArg(e, dt, name, i)
+      }
+      val udf = ScalaUDF(
+        function = callFn,
+        dataType = ArrayType(outSchema, containsNull = false),
+        children = Seq(CreateStruct(checked.toList)),
+        inputEncoders = Seq(None),
+        outputEncoder = None,
+        udfName = Some(name),
+        nullable = true, // null/empty list ⇒ no rows (Generate, not outer)
+        // table functions are deterministic BY CONTRACT (unlike the
+        // scalar path's volatile-parity default): the analyzer rejects
+        // nondeterministic lateral subqueries outright
+        // (NON_DETERMINISTIC_LATERAL_SUBQUERIES), and LATERAL is the
+        // variant's main use — eval must be pure (AdhesiveTableFunction
+        // scaladoc)
+        udfDeterministic = true)
+      Generate(Inline(udf), unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Nil,
+        child = OneRowRelation()): LogicalPlan
+    }
+    spark.asInstanceOf[ClassicSparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "java_udf")
   }
 }

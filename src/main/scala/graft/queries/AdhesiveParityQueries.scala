@@ -290,8 +290,53 @@ object AdhesiveParityQueries {
                (100 - CAST(l_discount AS DECIMAL(3,2)) * 100)) AS BIGINT) AS rev_e4
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val TokensDdl =
+    """CREATE OR REPLACE TABLE FUNCTION graft_tokens(STRING) RETURNS TABLE(pos INT, token STRING) LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveTableFunction;
+      |import org.apache.spark.sql.Row;
+      |import org.apache.spark.sql.RowFactory;
+      |import java.util.ArrayList;
+      |import java.util.List;
+      |public class Tokens extends AdhesiveTableFunction {
+      |  // input arrives whitespace-normalized (single spaces) by the query,
+      |  // so a plain single-space split matches string_split in the oracle
+      |  public List<Row> eval(Row args) {
+      |    List<Row> out = new ArrayList<>();
+      |    if (args.isNullAt(0)) return out;
+      |    String[] parts = args.getString(0).split(" ", -1);
+      |    for (int i = 0; i < parts.length; i++) out.add(RowFactory.create(i, parts[i]));
+      |    return out;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** `CREATE TABLE FUNCTION ... LANGUAGE JAVA` end-to-end under the
+    * oracle: a LATERAL tokenizer fanning each document into (pos, token)
+    * rows — the third UDF variant on the extension seam, executing as an
+    * `Inline` generator correlated to the outer scan (one `eval` per
+    * document, no shuffle introduced by the function).
+    */
+  val tokensTableJava: Q = Q(
+    "aq_table_java",
+    (s, d) => {
+      AdhesiveDdl.execute(s, TokensDdl)
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""SELECT d.doc_id, tk.pos, tk.token
+        FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ') AS t
+              FROM documents) d,
+        LATERAL graft_tokens(d.t) tk
+        ORDER BY doc_id, pos""")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents)
+      SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, u.tok AS token
+      FROM (SELECT doc_id, unnest(w) AS tok,
+              unnest(range(1, len(w) + 1)) AS i FROM w) u
+      ORDER BY doc_id, pos"""))
+
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
-    urgentJava, centsJava, posDimsJava, revAggJava)
+    urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =
