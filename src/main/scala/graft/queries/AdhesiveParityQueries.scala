@@ -335,8 +335,36 @@ object AdhesiveParityQueries {
               unnest(range(1, len(w) + 1)) AS i FROM w) u
       ORDER BY doc_id, pos"""))
 
+  /** The aggregate UDF in WINDOW position — per-flag total revenue
+    * repeated on every row (the "window UDF" form: Spark windows run any
+    * registered aggregate over a frame, so the adhesive aggregate is a
+    * window function for free). Same integer-exact arithmetic.
+    */
+  val revAggWindowJava: Q = Q(
+    "aq_agg_window",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, RevenueAggDdl)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag")
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_extendedprice".cast("decimal(12,2)").as("price"),
+          $"l_discount".cast("decimal(3,2)").as("disc"))
+        .select($"l_orderkey", $"l_linenumber",
+          call_function("graft_rev_e4", $"price", $"disc").over(w)
+            .as("flag_rev_e4"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 *
+               (100 - CAST(l_discount AS DECIMAL(3,2)) * 100))
+           OVER (PARTITION BY l_returnflag) AS BIGINT) AS flag_rev_e4
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
-    urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava)
+    urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
+    revAggWindowJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

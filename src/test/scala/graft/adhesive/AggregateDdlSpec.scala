@@ -152,6 +152,36 @@ class AggregateDdlSpec extends AnyFunSuite {
       all.contains("reduce()"))
   }
 
+  test("aggregate runs inside a Structured Streaming groupBy (stream==batch)") {
+    spark.sql(WeightedSumDdl)
+    // file stream over one parquet drop; complete-mode aggregate to a
+    // memory sink, compared against the batch run of the same plan
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-agg-st")
+    spark.range(0, 2000, 1, 4)
+      .selectExpr("id % 5 AS k", "CAST(id AS DOUBLE) AS v",
+        "CAST(id % 3 AS DOUBLE) AS w")
+      .coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val q = stream.groupBy("k")
+      .agg(org.apache.spark.sql.functions.call_function("wsum",
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("w")).as("s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("agg_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("agg_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val batch = spark.read.parquet(streamDir.toString).groupBy("k")
+        .agg(org.apache.spark.sql.functions.call_function("wsum",
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("w")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(streamed == batch && streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("aggregate works alongside window frames (OVER clause)") {
     spark.sql(WeightedSumDdl)
     spark.range(0, 100, 1, 4)

@@ -53,6 +53,21 @@ class ConstantFoldingSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("deterministic STRING-returning call over literals folds to a Literal") {
+    // the folded value crosses the CatalystTypeConverters boundary
+    // (String -> UTF8String) — the extended return matrix must fold too
+    spark.sql("""CREATE OR REPLACE FUNCTION fold_str(STRING)
+      RETURNS STRING DETERMINISTIC LANGUAGE JAVA AS '
+      import graft.adhesive.Adhesive;
+      import org.apache.spark.sql.Row;
+      public class FoldUp extends Adhesive {
+        public Object compute(Row row) { return row.getString(0).toUpperCase(java.util.Locale.ROOT); }
+      }'""")
+    val df = spark.sql("SELECT fold_str('abc') AS v FROM range(2)")
+    assert(!hasUdf(df), "expected the STRING call to fold out of the plan")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("ABC", "ABC"))
+  }
+
   test("throwing call over literals is left unfolded and fails at execution") {
     define("fold_boom", deterministic = true)
     val df = spark.sql("SELECT fold_boom(1L, 13L) AS v FROM range(1)")

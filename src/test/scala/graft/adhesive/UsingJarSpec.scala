@@ -52,6 +52,48 @@ class UsingJarSpec extends AnyFunSuite {
       .head().getLong(0) == 42L)
   }
 
+  test("USING JAR works for AGGREGATE and TABLE function variants too") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val aggJar = buildJar("jartest.JarSum",
+      """package jartest;
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class JarSum extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row i) {
+        |    return i.isNullAt(0) ? s : (Long) s + i.getLong(0);
+        |  }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |}
+        |""".stripMargin)
+    spark.sql("CREATE AGGREGATE FUNCTION jar_sum(BIGINT) RETURNS BIGINT " +
+      s"LANGUAGE CLASS AS 'jartest.JarSum' USING JAR '$aggJar'")
+    Seq(1L, 2L, 39L).toDF("x").createOrReplaceTempView("t_jar_agg")
+    assert(spark.sql("SELECT jar_sum(x) AS s FROM t_jar_agg")
+      .head().getLong(0) == 42L)
+
+    val tfJar = buildJar("jartest.JarPair",
+      """package jartest;
+        |import graft.adhesive.AdhesiveTableFunction;
+        |import org.apache.spark.sql.Row;
+        |import org.apache.spark.sql.RowFactory;
+        |import java.util.*;
+        |public class JarPair extends AdhesiveTableFunction {
+        |  public List<Row> eval(Row a) {
+        |    long v = a.getLong(0);
+        |    return Arrays.asList(RowFactory.create(v), RowFactory.create(-v));
+        |  }
+        |}
+        |""".stripMargin)
+    spark.sql("CREATE TABLE FUNCTION jar_pair(BIGINT) RETURNS TABLE(v BIGINT) " +
+      s"LANGUAGE CLASS AS 'jartest.JarPair' USING JAR '$tfJar'")
+    val rows = spark.sql(
+      "SELECT v FROM jar_pair(CAST(7 AS BIGINT)) ORDER BY v")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(-7L, 7L))
+  }
+
   test("USING JAR parses with a quoted-escape path and only with LANGUAGE CLASS") {
     val stmt = AdhesiveDdl.parse("CREATE FUNCTION f(BIGINT) RETURNS BIGINT " +
       "LANGUAGE CLASS AS 'a.B' USING JAR '/tmp/it''s.jar'").get
