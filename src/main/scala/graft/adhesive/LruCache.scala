@@ -17,7 +17,7 @@ private[adhesive] final class LruCache[K, V](cap: Int) {
   private val map =
     new java.util.LinkedHashMap[K, V](16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        size() > cap
+        this.size() > cap
     }
 
   def size: Int = synchronized(map.size)
