@@ -68,20 +68,42 @@ class AdhesiveAggregatorBridge(
 
 object AdhesiveAggregatorBridge {
 
-  /** Boxed encoder for one supported scalar type; the cast is sound because
+  import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, AgnosticEncoders}
+  import scala.reflect.ClassTag
+
+  /** Boxed encoder for one supported type; the cast is sound because
     * encoders are reified only at the InternalRow boundary.
+    *
+    * DECIMAL(p,s) values cross the user callbacks as java.math.BigDecimal
+    * (lenient serialization also admits scala BigDecimal / Spark Decimal
+    * from Scala-language bodies); ARRAY<T> values as java.util.List<T-box>
+    * — the same container `row.getList` hands the argument side, so a
+    * vector-sum aggregate reads and writes one shape.
     */
-  private[adhesive] def encoderFor(dt: DataType): Encoder[Any] = (dt match {
-    case LongType    => Encoders.LONG
-    case IntegerType => Encoders.INT
-    case FloatType   => Encoders.FLOAT
-    case DoubleType  => Encoders.DOUBLE
-    case StringType  => Encoders.STRING
-    case BooleanType => Encoders.BOOLEAN
+  private[adhesive] def encoderFor(dt: DataType): Encoder[Any] =
+    agnosticFor(dt).asInstanceOf[Encoder[Any]]
+
+  private def agnosticFor(dt: DataType): AgnosticEncoder[_] = dt match {
+    case LongType    => AgnosticEncoders.BoxedLongEncoder
+    case IntegerType => AgnosticEncoders.BoxedIntEncoder
+    case FloatType   => AgnosticEncoders.BoxedFloatEncoder
+    case DoubleType  => AgnosticEncoders.BoxedDoubleEncoder
+    case StringType  => AgnosticEncoders.StringEncoder
+    case BooleanType => AgnosticEncoders.BoxedBooleanEncoder
+    case d: DecimalType =>
+      AgnosticEncoders.JavaDecimalEncoder(d, lenientSerialization = true)
+    case ArrayType(elem, _) =>
+      // NOT lenient: the lenient serializer's generic branch iterates the
+      // value as a scala Seq in generated code and CCEs on java.util.List;
+      // the precise class tag makes MapObjects emit its java-List branch.
+      // Contract: ARRAY state/results ARE java.util.List (both languages).
+      AgnosticEncoders.IterableEncoder(
+        ClassTag(classOf[java.util.List[_]]), agnosticFor(elem),
+        containsNull = true, lenientSerialization = false)
     case other =>
       throw new AdhesiveException(
         s"aggregate state/return type ${other.sql} not supported " +
           "(to be added); supported: BIGINT, INT, FLOAT, DOUBLE, STRING, " +
-          "BOOLEAN")
-  }).asInstanceOf[Encoder[Any]]
+          "BOOLEAN, DECIMAL(p,s), ARRAY<T>")
+  }
 }

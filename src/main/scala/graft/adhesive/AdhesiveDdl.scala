@@ -137,7 +137,13 @@ object AdhesiveDdl {
     case _ => None
   }
 
-  private val StateClause = s"""(?is)STATE\\s+($TypeToken)""".r
+  // Clause-level scan of the captured flags text (which FlagsToken already
+  // guaranteed is a sequence of exactly these clauses): each match is one
+  // whole flag, so flag detection is token-equality, never substring
+  // sniffing — a hypothetical future flag containing "NOT" or
+  // "DETERMINISTIC" as a fragment cannot mis-trip these.
+  private val FlagClause =
+    s"""(?is)NOT\\s+NULL|DETERMINISTIC|STATE\\s+($TypeToken)""".r
 
   private def statement(kindKw: String, name: String, args: String,
       ret: String, flags: String, lang: String, body: String,
@@ -155,14 +161,23 @@ object AdhesiveDdl {
         throw new AdhesiveException(s"unknown function kind '$other'")
     }
     val flagsText = Option(flags).getOrElse("")
-    val flagsUp = flagsText.toUpperCase(Locale.ROOT)
-    val stateType = StateClause.findFirstMatchIn(flagsText)
-      .map(m => parseType(m.group(1)))
+    var nonNullable = false
+    var deterministic = false
+    var stateType: Option[DataType] = None
+    FlagClause.findAllMatchIn(flagsText).foreach { m =>
+      val clause =
+        m.matched.toUpperCase(Locale.ROOT).split("\\s+").take(1).mkString
+      clause match {
+        case "NOT"           => nonNullable = true
+        case "DETERMINISTIC" => deterministic = true
+        case "STATE"         => stateType = Some(parseType(m.group(1)))
+        case _               => () // unreachable: FlagClause admits only these
+      }
+    }
     if (kind != KindAggregate && stateType.isDefined) {
       throw new AdhesiveException(
         "STATE is only supported with CREATE AGGREGATE FUNCTION")
     }
-    val nonNullable = flagsUp.contains("NOT")
     if (kind == KindAggregate && nonNullable) {
       throw new AdhesiveException(
         "NOT NULL is not supported for aggregate functions " +
@@ -188,7 +203,7 @@ object AdhesiveDdl {
       // tableSchema; NullType marks the placeholder slot
       tableSchema.fold(parseType(ret))(_ => NullType),
       language, body,
-      deterministic = flagsUp.contains("DETERMINISTIC"),
+      deterministic = deterministic,
       nonNullable = nonNullable,
       jarPath = Option(jar).map(_.replace("''", "'")),
       kind = kind,

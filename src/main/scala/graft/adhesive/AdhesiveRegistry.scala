@@ -2,7 +2,9 @@ package graft.adhesive
 
 import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, Inline, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Row, SparkSession}
 
@@ -31,14 +33,25 @@ object AdhesiveRegistry {
 
   /** Return types wired end-to-end. The reference's Java-side matrix is the
     * four numerics (`Adhesive.java:79-199`; Rust side wires only Int64,
-    * `src/fusion.rs:83-91` — "type not supported (to be added)"); STRING
-    * and BOOLEAN are the extension beyond it. STRING results flow through
-    * Spark's CatalystTypeConverters (java.lang.String → UTF8String) on the
-    * ScalaUDF return path, same as any Scala UDF returning String — no
-    * extra copy beyond what Spark itself does.
+    * `src/fusion.rs:83-91` — "type not supported (to be added)"); STRING,
+    * BOOLEAN, DECIMAL(p,s) and ARRAY<T> are the extension beyond it.
+    * Results flow through Spark's CatalystTypeConverters on the ScalaUDF
+    * return path — String → UTF8String, java.math.BigDecimal → Decimal
+    * checked against the declared precision/scale, java.util.List /
+    * arrays → ArrayData — the same conversions any Scala UDF pays.
     */
-  private val SupportedReturnTypes: Set[DataType] =
+  private val ScalarReturnTypes: Set[DataType] =
     Set(LongType, IntegerType, FloatType, DoubleType, StringType, BooleanType)
+
+  private[adhesive] def isSupportedReturnType(dt: DataType): Boolean = dt match {
+    case _: DecimalType     => true
+    case ArrayType(elem, _) => isSupportedReturnType(elem)
+    case other              => ScalarReturnTypes.contains(other)
+  }
+
+  private val SupportedReturnTypesMsg =
+    "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN, DECIMAL(p,s), " +
+      "ARRAY<T>"
 
   /** DDL-time compile cache, keyed on (language, original source). The
     * mangled package exists to keep *different* sources from colliding
@@ -80,10 +93,10 @@ object AdhesiveRegistry {
     * the caches, or execute the user constructor's side effects first.
     */
   private def requireSupportedReturnType(returnType: DataType): Unit =
-    if (!SupportedReturnTypes.contains(returnType)) {
+    if (!isSupportedReturnType(returnType)) {
       throw new AdhesiveException(
         s"return type ${returnType.sql} not supported (to be added); " +
-          "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN")
+          SupportedReturnTypesMsg)
     }
 
   /** Compile inline Java source and register it (the `LANGUAGE JAVA` path). */
@@ -206,12 +219,16 @@ object AdhesiveRegistry {
   // functions.udaf, so Spark plans map-side partial aggregation.
   // ---------------------------------------------------------------------
 
-  /** State/return validation for aggregates (same six-type matrix). */
+  /** State/return validation for aggregates (same type matrix as scalar
+    * returns; the aggregate side carries its values through typed encoders
+    * — [[AdhesiveAggregatorBridge.encoderFor]] — rather than
+    * CatalystTypeConverters, so both dispatch tables extend in lockstep).
+    */
   private def requireSupportedAggType(role: String, dt: DataType): Unit =
-    if (!SupportedReturnTypes.contains(dt)) {
+    if (!isSupportedReturnType(dt)) {
       throw new AdhesiveException(
         s"aggregate $role type ${dt.sql} not supported (to be added); " +
-          "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN")
+          SupportedReturnTypesMsg)
     }
 
   def registerJavaSourceAggregate(
@@ -283,16 +300,35 @@ object AdhesiveRegistry {
     val inputSchema = StructType(argTypes.zipWithIndex.map {
       case (dt, i) => StructField(s"arg$i", dt)
     })
-    val udf = org.apache.spark.sql.functions
-      .udaf(bridge, org.apache.spark.sql.Encoders.row(inputSchema))
-      .withName(name)
-    // Registered through the public UDAF surface, so call-site argument
-    // resolution follows Spark's standard coercion rather than the scalar
-    // path's StrictArg exactness — a documented divergence: the exactness
-    // contract mirrors the reference's Signature::exact for the scalar
-    // parity surface, and the reference has no aggregate surface to
-    // mirror.
-    spark.udf.register(name, udf)
+    // Registered through the same expression-builder seam as the scalar
+    // and table variants, so call arguments get StrictArg exactness
+    // (Signature::exact, src/fusion.rs:72) instead of Spark's standard
+    // UDAF coercion — `agg_fn('12.34', ...)` is a plan-time error exactly
+    // like its scalar twin. The ScalaAggregator built here is the same
+    // expression `spark.udf.register(name, functions.udaf(...))` would
+    // build (udaf.scalaAggregator passes these encoders unresolved too;
+    // the analyzer's ResolveEncodersInScalaAgg rule binds them) — only
+    // the argument checking differs.
+    val inputEnc = ExpressionEncoder(inputSchema)
+    // bufferEncoder is always one of encoderFor's AgnosticEncoders
+    val bufferEnc = ExpressionEncoder(bridge.bufferEncoder
+      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[Any]])
+    val builder = (exprs: Seq[Expression]) => {
+      if (exprs.length != argTypes.length) {
+        throw new AdhesiveException(
+          s"adhesive aggregate function '$name' takes ${argTypes.length} " +
+            s"argument(s), got ${exprs.length}")
+      }
+      val checked = exprs.zip(argTypes).zipWithIndex.map {
+        case ((e, dt), i) => StrictArg(e, dt, name, i)
+      }
+      ScalaAggregator[Row, Any, Any](checked.toList, bridge, inputEnc,
+        bufferEnc, nullable = true, isDeterministic = true,
+        aggregatorName = Some(name)).toAggregateExpression()
+    }
+    spark.asInstanceOf[ClassicSparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "java_udf")
   }
 
   // ---------------------------------------------------------------------

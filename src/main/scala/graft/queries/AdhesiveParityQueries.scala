@@ -335,6 +335,83 @@ object AdhesiveParityQueries {
               unnest(range(1, len(w) + 1)) AS i FROM w) u
       ORDER BY doc_id, pos"""))
 
+  private val NetPriceDdl =
+    """CREATE OR REPLACE FUNCTION graft_net(DECIMAL(12,2), DECIMAL(3,2)) RETURNS DECIMAL(14,4) LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |import java.math.BigDecimal;
+      |public class NetPrice extends Adhesive {
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0) || row.isNullAt(1)) return null;
+      |    // price(scale 2) * (1 - disc)(scale 2) = exact scale-4 product,
+      |    // precision <= 14 — fits the declared DECIMAL(14,4) with no
+      |    // rounding, so the result is bit-exact against the SQL oracle
+      |    return row.getDecimal(0).multiply(BigDecimal.ONE.subtract(row.getDecimal(1)));
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** DECIMAL(p,s) RETURN type (round-12 matrix extension): the money-in →
+    * money-out UDF the round-11 argument work opened — discounted net
+    * price at exact scale 4 over lineitem, BigDecimal all the way through.
+    */
+  val netPriceJava: Q = Q(
+    "aq_money_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, NetPriceDdl)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          call_function("graft_net",
+            $"l_extendedprice".cast("decimal(12,2)"),
+            $"l_discount".cast("decimal(3,2)")).as("net_price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (1 - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(14,4)) AS net_price
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val WordLensDdl =
+    """CREATE OR REPLACE FUNCTION graft_word_lens(STRING) RETURNS ARRAY<BIGINT> LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |import java.util.ArrayList;
+      |import java.util.List;
+      |public class WordLens extends Adhesive {
+      |  // input arrives whitespace-normalized (single spaces) by the query,
+      |  // matching string_split on one space in the oracle
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    String[] parts = row.getString(0).split(" ", -1);
+      |    List<Long> out = new ArrayList<>(parts.length);
+      |    for (String p : parts) out.add((long) p.length());
+      |    return out;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** ARRAY<T> RETURN type (round-12 matrix extension): per-document token
+    * lengths — a list out of a scalar UDF, converted List→ArrayData on the
+    * standard ScalaUDF return path.
+    */
+  val wordLensJava: Q = Q(
+    "aq_array_ret_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, WordLensDdl)
+      Tables.documents(s, d)
+        .select($"doc_id",
+          call_function("graft_word_lens",
+            regexp_replace(trim($"text"), "\\s+", " ")).as("word_lens"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      list_transform(
+        string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+        x -> length(x)) AS word_lens
+      FROM documents ORDER BY doc_id"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -364,7 +441,7 @@ object AdhesiveParityQueries {
 
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
-    revAggWindowJava)
+    revAggWindowJava, netPriceJava, wordLensJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

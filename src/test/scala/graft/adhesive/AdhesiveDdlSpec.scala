@@ -82,18 +82,27 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("invalid DECIMAL"))
   }
 
-  test("parameterized RETURNS types reach the clear return-matrix error") {
-    // DECIMAL/ARRAY returns parse but are rejected at registration with the
-    // supported-matrix message, not a baffling Spark ParseException
+  test("parameterized RETURNS types parse; off-matrix returns reach the " +
+    "clear return-matrix error") {
+    // DECIMAL/ARRAY returns parse into the statement and register (they
+    // joined the return matrix in round 12)
     val stmt = parse(
       "CREATE FUNCTION f(BIGINT) RETURNS DECIMAL(10,2) AS 'class X {}'").get
     assert(stmt.returnType == DecimalType(10, 2))
-    val e = intercept[AdhesiveException] {
-      AdhesiveDdl.execute(TestSpark.spark,
-        """CREATE FUNCTION f_decret(BIGINT) RETURNS DECIMAL(10,2) LANGUAGE CLASS
-          |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    assert(parse(
+      "CREATE FUNCTION f(BIGINT) RETURNS ARRAY<BIGINT> AS 'class X {}'").get
+      .returnType == ArrayType(LongType))
+    // off-matrix returns (DATE, BINARY, ARRAY of an off-matrix element) are
+    // rejected at registration with the supported-matrix message, not a
+    // baffling Spark ParseException
+    for (ret <- Seq("DATE", "BINARY", "ARRAY<DATE>")) {
+      val e = intercept[AdhesiveException] {
+        AdhesiveDdl.execute(TestSpark.spark,
+          s"""CREATE FUNCTION f_badret(BIGINT) RETURNS $ret LANGUAGE CLASS
+             |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+      }
+      assert(e.getMessage.contains("not supported"), ret)
     }
-    assert(e.getMessage.contains("not supported"))
   }
 
   test("non-adhesive SQL returns None (delegation)") {

@@ -91,6 +91,104 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT smax(x) AS m FROM t_sm").head().getLong(0) == 499L)
   }
 
+  test("exact argument types are enforced for aggregate calls (StrictArg)") {
+    spark.sql(WeightedSumDdl)
+    spark.range(0, 10).selectExpr("CAST(id AS DOUBLE) AS v", "id AS k")
+      .createOrReplaceTempView("t_strict")
+    // STRING where DOUBLE is declared: plan-time error like the scalar twin,
+    // not Spark's silent UDAF coercion
+    val e = intercept[Exception] {
+      spark.sql("SELECT wsum('1.0', v) FROM t_strict").collect()
+    }
+    assert(e.getMessage.contains("exact type"))
+    // BIGINT where DOUBLE is declared fails too (no numeric widening)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT wsum(k, v) FROM t_strict").collect()
+    }
+    assert(e2.getMessage.contains("exact type"))
+    // wrong arity keeps its clear message
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT wsum(v) FROM t_strict").collect()
+    }
+    assert(e3.getMessage.contains("takes 2 argument"))
+    // the exact call still works
+    assert(spark.sql("SELECT wsum(v, v) AS s FROM t_strict").head().getDouble(0) ==
+      (0 until 10).map(i => i.toDouble * i).sum)
+  }
+
+  test("DECIMAL(p,s) return/state: exact money sum survives partial merge") {
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION dsum(DECIMAL(12,2)) RETURNS DECIMAL(12,2) LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |import java.math.BigDecimal;
+        |public class DSum extends AdhesiveAggregate {
+        |  public Object zero() { return BigDecimal.ZERO; }
+        |  public Object reduce(Object state, Row input) {
+        |    if (input.isNullAt(0)) return state;
+        |    return ((BigDecimal) state).add(input.getDecimal(0));
+        |  }
+        |  public Object merge(Object a, Object b) {
+        |    return ((BigDecimal) a).add((BigDecimal) b);
+        |  }
+        |}
+        |'""".stripMargin)
+    // 32 partitions so the shuffle actually merges DECIMAL partials
+    spark.range(0, 10000, 1, 32)
+      .selectExpr("id % 3 AS k", "CAST(CAST(id AS DOUBLE) / 100 AS DECIMAL(12,2)) AS m")
+      .createOrReplaceTempView("t_dec")
+    val got = spark.sql("SELECT k, dsum(m) AS s FROM t_dec GROUP BY k ORDER BY k")
+    assert(got.schema("s").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+    val want = spark.sql(
+      "SELECT k, CAST(sum(m) AS DECIMAL(12,2)) AS s FROM t_dec GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+    assert(gotRows.toSeq == want.toSeq)
+  }
+
+  test("ARRAY<DOUBLE> state: element-wise vector sum across partitions") {
+    // the embedding-pipeline shape: a dynamic UDAF folding vectors
+    // element-wise; state and result are java.util.List, the same container
+    // the argument side's row.getList hands out
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION vsum(ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |import java.util.ArrayList;
+        |import java.util.List;
+        |public class VSum extends AdhesiveAggregate {
+        |  public Object zero() { return new ArrayList<Double>(); }
+        |  private static List<Double> add(List<Double> a, List<Double> b) {
+        |    if (a.isEmpty()) return new ArrayList<>(b);
+        |    List<Double> out = new ArrayList<>(a);
+        |    for (int i = 0; i < b.size(); i++) out.set(i, out.get(i) + b.get(i));
+        |    return out;
+        |  }
+        |  @SuppressWarnings("unchecked")
+        |  public Object reduce(Object state, Row input) {
+        |    if (input.isNullAt(0)) return state;
+        |    return add((List<Double>) state, input.getList(0));
+        |  }
+        |  @SuppressWarnings("unchecked")
+        |  public Object merge(Object a, Object b) {
+        |    return add((List<Double>) a, (List<Double>) b);
+        |  }
+        |}
+        |'""".stripMargin)
+    spark.range(0, 1000, 1, 16)
+      .selectExpr("id % 4 AS k",
+        "array(CAST(id AS DOUBLE), CAST(1 AS DOUBLE)) AS v")
+      .createOrReplaceTempView("t_vec")
+    val got = spark.sql("SELECT k, vsum(v) AS s FROM t_vec GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    val want = spark.sql(
+      """SELECT k, array(sum(v[0]), sum(v[1])) AS s
+        |FROM t_vec GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("a scalar body under CREATE AGGREGATE is rejected at DDL time") {
     val e = intercept[Exception] {
       spark.sql(

@@ -325,6 +325,80 @@ class SemanticsSpec extends AnyFunSuite {
     assert(all.contains("f_str_nn") && all.contains("NOT NULL"))
   }
 
+  test("DECIMAL(p,s) return type is wired end-to-end (null slot, exact values)") {
+    fixture()
+    // money math: BigDecimal out, exact at the declared scale; even rows
+    // exercise the null DECIMAL slot
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_money(BIGINT) RETURNS DECIMAL(12,2) AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |import java.math.BigDecimal;
+        |public class Money extends Adhesive {
+        |  public Object compute(Row row) {
+        |    long v = row.getLong(0);
+        |    if (v % 2 == 0) return null;
+        |    return new BigDecimal(v).movePointLeft(2).multiply(new BigDecimal(3));
+        |  }
+        |}
+        |'""".stripMargin)
+    val df = spark.sql("SELECT f_money(a) AS m FROM t ORDER BY a")
+    assert(df.schema.head.dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val out = df.collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDecimal(0).toPlainString))
+    assert(out.toSeq == Seq(Some("0.03"), None, Some("0.09"), None))
+  }
+
+  test("ARRAY<T> return type is wired end-to-end (list out, null slot)") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_arr(BIGINT) RETURNS ARRAY<BIGINT> AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |import java.util.ArrayList;
+        |import java.util.List;
+        |public class Multiples extends Adhesive {
+        |  public Object compute(Row row) {
+        |    long v = row.getLong(0);
+        |    if (v == 2) return null;           // null ARRAY slot
+        |    List<Long> out = new ArrayList<>();
+        |    for (long i = 1; i <= v % 4; i++) out.add(v * i);
+        |    return out;                        // may be empty (v % 4 == 0)
+        |  }
+        |}
+        |'""".stripMargin)
+    val out = spark.sql("SELECT f_arr(a) AS xs FROM t ORDER BY a").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0).toList)
+    assert(out.toSeq == Seq(List(1L), null, List(3L, 6L, 9L), Nil))
+  }
+
+  test("RETURNS DECIMAL NOT NULL: null return fails loudly") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_dec_nn(BIGINT) RETURNS DECIMAL(10,2) NOT NULL AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |import java.math.BigDecimal;
+        |public class LiarDec extends Adhesive {
+        |  public Object compute(Row row) {
+        |    return row.getLong(0) == 3 ? null : new BigDecimal(row.getLong(0));
+        |  }
+        |}
+        |'""".stripMargin)
+    assert(!spark.sql("SELECT f_dec_nn(a) AS v FROM t").queryExecution
+      .analyzed.output.head.nullable)
+    assert(spark.sql("SELECT f_dec_nn(a) AS v FROM t WHERE a = 1")
+      .head().getDecimal(0).toPlainString == "1.00")
+    val e = intercept[Exception] {
+      spark.sql("SELECT f_dec_nn(a) AS v FROM t").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("f_dec_nn") && all.contains("NOT NULL"))
+  }
+
   test("byte-identical source re-registration hits the compile cache") {
     val src =
       """import graft.adhesive.Adhesive;
