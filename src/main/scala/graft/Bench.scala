@@ -54,17 +54,34 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache() // isolate per-query timings
-      System.gc() // don't bill one query for its predecessor's garbage
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0 // recorded in the JSON, excluded from headline_total
+    // Noise resistance: the whole suite is timed RUNS times (whole-suite
+    // passes, so each pass sees the same GC/page-cache regime) and each
+    // query records its best run. One slow pass from host noise — the
+    // r8/r11 late-suite pattern, where untouched ta_* queries read 2-5×
+    // their floors — can no longer fake a per-query regression; a real
+    // plan regression shows up in EVERY pass and survives the min. Both
+    // raw passes land in the side file so run-to-run variance is auditable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val ordered = selected.toSeq.sortBy(_._1)
+    val passes: Seq[Seq[(String, Double)]] = (1 to runs).map { pass =>
+      ordered.map { case (name, fn) =>
+        spark.catalog.clearCache() // isolate per-query timings
+        System.gc() // don't bill one query for its predecessor's garbage
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+          name -> -1.0 // recorded in the JSON, excluded from headline_total
+        }
       }
+    }
+    // best-of-runs per query; a query that failed in EVERY pass stays -1
+    val results: Seq[(String, Double)] = ordered.indices.map { i =>
+      val name = ordered(i)._1
+      val ts = passes.map(_(i)._2).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     def r3(v: Double): String = // 3 decimals keeps the JSON line short
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -82,12 +99,13 @@ object Bench {
     // only the 13 frozen headline timings (~550 chars); the full per-query
     // map goes to a side file + stderr for analysis.
     val headlineQs = jsonMap(results.filter(r => Headline.contains(r._1)))
+    val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"headline_total":${r3(total)},"all_total":${r3(allTotal)},"n":${results.size},"failed":$failed,"queries":${jsonMap(results)},"sf":"$sfDir"}\n"""
+      s"""{"headline_total":${r3(total)},"all_total":${r3(allTotal)},"n":${results.size},"runs":$runs,"failed":$failed,"queries":${jsonMap(results)},"passes":$passesJson,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
-    System.err.println(s"[bench] full per-query map: ${jsonMap(results)}")
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":$headlineQs,"sf":"$sfDir"}""")
+    System.err.println(s"[bench] full per-query map (best of $runs): ${jsonMap(results)}")
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","runs":$runs,"failed":$failed,"queries":$headlineQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
