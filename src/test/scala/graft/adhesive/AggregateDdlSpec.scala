@@ -189,6 +189,22 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("DROP TEMPORARY FUNCTION clears an aggregate (create→drop→create)") {
+    spark.sql(WeightedSumDdl.replace("wsum", "wsum_drop"))
+    Seq((2.0, 3.0)).toDF("v", "w").createOrReplaceTempView("t_wd")
+    assert(spark.sql("SELECT wsum_drop(v, w) AS s FROM t_wd").head().getDouble(0) == 6.0)
+    // aggregates register through the functionRegistry builder seam like
+    // scalars, so Spark's native DROP removes them
+    spark.sql("DROP TEMPORARY FUNCTION wsum_drop")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT wsum_drop(v, w) FROM t_wd").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("wsum_drop"))
+    spark.sql(WeightedSumDdl.replace("wsum", "wsum_drop"))
+    assert(spark.sql("SELECT wsum_drop(v, w) AS s FROM t_wd").head().getDouble(0) == 6.0)
+    spark.sql("DROP TEMPORARY FUNCTION wsum_drop")
+  }
+
   test("a scalar body under CREATE AGGREGATE is rejected at DDL time") {
     val e = intercept[Exception] {
       spark.sql(

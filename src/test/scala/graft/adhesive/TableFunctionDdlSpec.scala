@@ -88,6 +88,25 @@ class TableFunctionDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exact type"))
   }
 
+  test("DROP TEMPORARY FUNCTION clears the tableFunctionRegistry entry") {
+    spark.sql(SeriesDdl.replace("gseries", "gseries_drop"))
+    assert(spark.sql("SELECT count(*) AS c FROM gseries_drop(CAST(3 AS BIGINT))")
+      .head().getLong(0) == 3L)
+    // SessionCatalog.dropTempFunction falls through to the
+    // tableFunctionRegistry when the name is not a scalar temp function,
+    // so Spark's native DROP completes the table-function lifecycle too
+    spark.sql("DROP TEMPORARY FUNCTION gseries_drop")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gseries_drop(CAST(3 AS BIGINT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("gseries_drop"))
+    // and the dropped name is re-creatable (full create→drop→create cycle)
+    spark.sql(SeriesDdl.replace("gseries", "gseries_drop"))
+    assert(spark.sql("SELECT count(*) AS c FROM gseries_drop(CAST(2 AS BIGINT))")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TEMPORARY FUNCTION gseries_drop")
+  }
+
   test("a non-table body under CREATE TABLE FUNCTION is rejected at DDL time") {
     val e = intercept[Exception] {
       spark.sql(
