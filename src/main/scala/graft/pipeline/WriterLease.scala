@@ -10,13 +10,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * that precondition into an immediate, explicit error on the SECOND
   * writer instead.
   *
-  * Mechanics: `fs.create(path, overwrite = false)` is the atomic
-  * test-and-set (atomic on HDFS and on the local filesystem; object stores
-  * with conditional-put semantics qualify too). The lease carries its
-  * holder and acquisition time; a holder that died without releasing is
-  * broken after [[DefaultTtlMs]] — writer operations here are minutes-long
-  * at most, and a broken-then-raced lease still resolves to exactly one
-  * winner because the create-after-delete is itself atomic.
+  * Mechanics: exclusive file creation is the atomic test-and-set, via the
+  * right primitive per filesystem ([[createExclusive]]): HDFS
+  * `create(overwrite=false)` is namenode-enforced atomic (object stores
+  * with conditional-put semantics qualify too), but Hadoop's LOCAL shim
+  * implements overwrite=false as exists-check-then-create — NOT atomic
+  * under contention — so local filesystems claim through java.nio
+  * `CREATE_NEW` (`open(O_CREAT|O_EXCL)`, kernel-atomic). The lease carries
+  * its holder and acquisition time; a holder that died without releasing
+  * is broken after [[DefaultTtlMs]] — writer operations here are
+  * minutes-long at most, and a broken-then-raced lease still resolves to
+  * exactly one winner because the create-after-delete is itself exclusive.
+  *
+  * Clock assumption: staleness compares the lease file's modification time
+  * against THIS process's wall clock, which is sound when all writers
+  * share one clock domain — the same host (the local[N] deployment) or an
+  * HDFS cluster with sane NTP. On a cross-machine object-store deployment
+  * a skewed clock could break a live writer's lease early; that deployment
+  * would need a renew/heartbeat protocol (holder re-touches the lease
+  * every ttl/3), which this single-host design intentionally omits.
   */
 object WriterLease {
 
@@ -48,19 +60,41 @@ object WriterLease {
     finally fs.delete(lease, false)
   }
 
+  /** Exclusively create `p` containing `content`; true iff THIS call
+    * created the file. The per-filesystem primitive choice is what makes
+    * it a real test-and-set (see the object scaladoc): java.nio
+    * `CREATE_NEW` on local filesystems, `create(overwrite=false)`
+    * elsewhere. Shared with [[graft.streaming.StreamingVectorIngest]]'s
+    * generation-marker bind.
+    */
+  private[graft] def createExclusive(fs: FileSystem, p: Path,
+      content: String): Boolean = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.write(local, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        case _ =>
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException        => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p)             => false
+    }
+  }
+
   private def acquire(fs: FileSystem, lease: Path, op: String, ttlMs: Long,
       retryAfterBreak: Boolean): Unit = {
     val content = s"${holderId(op)} epochMs=${System.currentTimeMillis()}"
-    val created =
-      try {
-        val out = fs.create(lease, false) // overwrite=false: atomic claim
-        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(lease)         => false
-      }
+    val created = createExclusive(fs, lease, content)
     if (!created) {
       val status = try Some(fs.getFileStatus(lease)) catch {
         case _: java.io.FileNotFoundException => None // holder just released

@@ -85,20 +85,35 @@ object StreamingVectorIngest {
     * stamping one on first bind (writer-side call, inside the
     * single-writer contract).
     */
-  private def bindGeneration(spark: SparkSession, indexDir: String,
+  private[streaming] def bindGeneration(spark: SparkSession, indexDir: String,
       checkpointDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hconf)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    val gen = VectorIndexPipeline.readGeneration(spark, indexDir).getOrElse {
-      val g = java.util.UUID.randomUUID().toString
-      VectorIndexPipeline.writeTextFile(fs, path(s"$indexDir/generation"), g)
-      g
+    val genPath = path(s"$indexDir/generation")
+    val gen = VectorIndexPipeline.readGeneration(spark, indexDir) match {
+      case Some(g) if g.nonEmpty => g
+      case Some(_) =>
+        // generation file exists but is empty: a concurrent adopter is
+        // between its create and its content write — settle on its value
+        val g = readSettled(fs, genPath)
+        if (g.isEmpty) {
+          throw new IllegalStateException(
+            s"$genPath exists but stayed empty (1s): refusing to bind blind")
+        }
+        g
+      case None =>
+        // legacy-index adoption: atomic create-no-overwrite, so two
+        // concurrent adopters agree on ONE minted generation (the loser
+        // reads the winner's)
+        writeTextFileOnce(fs, genPath, java.util.UUID.randomUUID().toString)
     }
     val marker = path(s"$checkpointDir/graft-index-generation")
     val markerFs = marker.getFileSystem(hconf)
     if (markerFs.exists(marker)) {
-      val bound = VectorIndexPipeline.readTextFile(markerFs, marker)
+      // readSettled, not a bare read: a concurrent first-binder may have
+      // created the marker but not yet written its bytes
+      val bound = readSettled(markerFs, marker)
       if (bound != gen) {
         throw new IllegalStateException(
           s"stream checkpoint $checkpointDir is bound to index generation " +
@@ -126,7 +141,60 @@ object StreamingVectorIngest {
             "(writeIvfPq) to start a new life.")
       }
       markerFs.mkdirs(marker.getParent)
-      VectorIndexPipeline.writeTextFile(markerFs, marker, gen)
+      // atomic first bind: create-no-overwrite closes the
+      // exists-check→write race between two simultaneous first-run
+      // streams — exactly one creates the marker; the other reads the
+      // winner's value and either agrees (same index, same generation:
+      // proceed) or fails with the standard mismatch error
+      val bound = writeTextFileOnce(markerFs, marker, gen)
+      if (bound != gen) {
+        throw new IllegalStateException(
+          s"stream checkpoint $checkpointDir was concurrently bound to " +
+            s"index generation $bound but this stream targets $indexDir " +
+            s"generation $gen: two streams raced the first bind against " +
+            "different index lives. Use one checkpointDir per index life.")
+      }
     }
+  }
+
+  /** Atomically create `p` with `content`, exclusive against concurrent
+    * creators (via [[graft.pipeline.WriterLease.createExclusive]], the
+    * per-filesystem test-and-set). Returns the file's actual content
+    * afterwards: `content` if this call won the create, the concurrent
+    * winner's content if it lost.
+    */
+  private def writeTextFileOnce(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): String = {
+    val won = graft.pipeline.WriterLease.createExclusive(fs, p, content)
+    if (won) content
+    else {
+      // Lost the create race: the winner's content is the binding truth —
+      // poll past the tiny window where its file exists but its bytes
+      // haven't landed. A non-race IOException (permissions, dead FS)
+      // surfaces from the read.
+      val got = readSettled(fs, p)
+      if (got.isEmpty) {
+        throw new IllegalStateException(
+          s"lost the create race on $p but the winner's content never " +
+            "appeared (empty after 1s): refusing to bind blind")
+      }
+      got
+    }
+  }
+
+  /** Read `p`, polling briefly while it is missing or empty (a concurrent
+    * creator between its create and its content write). Returns "" only
+    * after the poll budget expires.
+    */
+  private def readSettled(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    var got = ""
+    var tries = 0
+    while ({
+      got = try VectorIndexPipeline.readTextFile(fs, p)
+            catch { case _: java.io.FileNotFoundException => "" }
+      got.isEmpty && tries < 100
+    }) { tries += 1; Thread.sleep(10) }
+    got
   }
 }

@@ -46,6 +46,34 @@ class WriterLeaseSpec extends AnyFunSuite {
       "lease must release after the operation")
   }
 
+  test("createExclusive is a real test-and-set: 16 racers, exactly one winner") {
+    // Hadoop's local create(overwrite=false) is exists-check-then-create —
+    // under contention multiple callers can "win" and truncate each other.
+    // The per-filesystem primitive (java.nio CREATE_NEW locally) must
+    // admit EXACTLY one creator, and the surviving content must be the
+    // winner's, not a torn interleaving.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-x").toString
+    val fs = fsOf(dir)
+    val p = new Path(s"$dir/claim")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tasks = (1 to 16).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          gate.await()
+          WriterLease.createExclusive(fs, p, s"holder-$i")
+        }
+      })
+    }
+    gate.countDown()
+    val wins = tasks.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.count(identity) == 1, s"expected exactly 1 winner, got $wins")
+    val winner = wins.indexOf(true) + 1
+    assert(VectorIndexPipeline.readTextFile(fs, p) == s"holder-$winner",
+      "surviving content must be the winner's")
+  }
+
   test("an orphaned lease (dead writer) is broken after its TTL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wl2").toString
     val fs = fsOf(dir)

@@ -149,4 +149,41 @@ class StreamingVectorIngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-trained") ||
       e.getMessage.contains("retired index life"))
   }
+
+  test("concurrent first binds are atomic: one winner, everyone agrees") {
+    // a LEGACY index (no generation marker yet) is the worst case: the
+    // racers must also agree on the minted generation, not just the
+    // checkpoint marker. 8 threads × (same checkpoint) + 8 × (distinct
+    // checkpoints) against one index — every bind must succeed and every
+    // marker must equal the single surviving generation value.
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-bind-ix").toString
+    val sharedCkpt = java.nio.file.Files.createTempDirectory("graft-bind-ck").toString
+    val soloCkpts = (1 to 8).map(i =>
+      java.nio.file.Files.createTempDirectory(s"graft-bind-s$i").toString)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tasks = (Seq.fill(8)(sharedCkpt) ++ soloCkpts).map { ckpt =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          gate.await()
+          try { StreamingVectorIngest.bindGeneration(spark, ixDir, ckpt); None }
+          catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    gate.countDown()
+    val failures = tasks.flatMap(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"binds failed: ${failures.map(_.getMessage)}")
+    val gen = VectorIndexPipeline.readGeneration(spark, ixDir)
+    assert(gen.isDefined && gen.get.nonEmpty)
+    val markers = (sharedCkpt +: soloCkpts).map { ckpt =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ckpt/graft-index-generation")), "UTF-8")
+    }
+    assert(markers.toSet == Set(gen.get),
+      s"every marker must equal the one minted generation; got ${markers.toSet}")
+    // re-binding after the race is a no-op (already bound, same generation)
+    StreamingVectorIngest.bindGeneration(spark, ixDir, sharedCkpt)
+  }
 }
