@@ -50,10 +50,10 @@ import org.apache.spark.sql.types._
   *     form of the reference's `new_with_jar` boot-classpath jar
   *     (`src/jvm.rs:44-61`);
   *   - argument types include the parameterized forms `DECIMAL(p,s)`
-  *     (read as `java.math.BigDecimal` via `row.getDecimal(i)`) and
-  *     `ARRAY<T>` (read via `row.getList(i)`) — types the reference's
-  *     Row getters would permit but its grammar never produced
-  *     (`src/fusion.rs:83-91`).
+  *     (read as `java.math.BigDecimal` via `row.getDecimal(i)`),
+  *     `ARRAY<T>` (read via `row.getList(i)`) and `MAP<K,V>` (read via
+  *     `row.getJavaMap(i)`) — types the reference's Row getters would
+  *     permit but its grammar never produced (`src/fusion.rs:83-91`).
   */
 object AdhesiveDdl {
 
@@ -98,9 +98,11 @@ object AdhesiveDdl {
   // error for non-return-matrix types) instead of falling through to
   // Spark's parser.
   // One paren-nesting level inside the optional (...) suffix, so
-  // TABLE(price DECIMAL(12,2), ...) tokenizes as one type
+  // TABLE(price DECIMAL(12,2), ...) tokenizes as one type; one
+  // angle-nesting level likewise, so ARRAY<ARRAY<T>> / MAP<K, ARRAY<V>>
+  // tokenize whole in RETURNS/STATE position
   private val TypeToken =
-    """\w+(?:\s*\((?:[^()]|\([^)]*\))*\)|\s*<[^>]*>)?"""
+    """\w+(?:\s*\((?:[^()]|\([^)]*\))*\)|\s*<(?:[^<>]|<[^<>]*>)*>)?"""
   // Flags admit NOT NULL / DETERMINISTIC / STATE <type> in any order; the
   // STATE type (aggregates only: the partial-aggregation buffer type,
   // defaulting to the RETURNS type) is re-extracted from the captured flags
@@ -323,6 +325,7 @@ object AdhesiveDdl {
   private val DecimalPattern =
     """(?i)^(?:DECIMAL|NUMERIC)\s*(?:\(\s*(\d+)\s*,\s*(\d+)\s*\))?$""".r
   private val ArrayPattern = """(?is)^ARRAY\s*<(.+)>$""".r
+  private val MapPattern = """(?is)^MAP\s*<(.+)>$""".r
 
   private[adhesive] def parseType(t: String): DataType =
     t.trim.toUpperCase(Locale.ROOT) match {
@@ -350,6 +353,14 @@ object AdhesiveDdl {
           DecimalType(prec, scale)
         }
       case ArrayPattern(elem) => ArrayType(parseType(elem))
+      case MapPattern(kv) =>
+        splitTopLevel(kv).map(_.trim) match {
+          case Seq(k, v) => MapType(parseType(k), parseType(v))
+          case parts =>
+            throw new AdhesiveException(
+              s"MAP needs exactly two type parameters MAP<K,V>, " +
+                s"got ${parts.length}")
+        }
       case other =>
         throw new AdhesiveException(s"type $other not supported (to be added)")
     }

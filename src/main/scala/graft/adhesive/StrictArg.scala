@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
 
 /** Analysis-time exact-signature enforcement for adhesive functions.
   *
@@ -34,10 +34,13 @@ case class StrictArg(
   // a property of the DATA, not the signature — the scalar types in this
   // matrix carry no nullability either, so ARRAY<BIGINT> must match a
   // non-null-elements array column the same way BIGINT matches a
-  // non-nullable bigint column.
+  // non-nullable bigint column (and MAP<K,V> likewise ignores
+  // valueContainsNull).
   private def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
     case (ArrayType(ea, _), ArrayType(eb, _)) => sameType(ea, eb)
-    case _                                    => a == b
+    case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+      sameType(ka, kb) && sameType(va, vb)
+    case _ => a == b
   }
 
   override def checkInputDataTypes(): TypeCheckResult =

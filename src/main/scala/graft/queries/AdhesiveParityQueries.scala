@@ -412,6 +412,51 @@ object AdhesiveParityQueries {
         x -> length(x)) AS word_lens
       FROM documents ORDER BY doc_id"""))
 
+  private val FeatScoreDdl =
+    """CREATE OR REPLACE FUNCTION graft_feat_score(MAP<STRING, BIGINT>) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |import java.util.Map;
+      |public class FeatScore extends Adhesive {
+      |  // key-based feature weighting over a MAP argument: chars weigh 1,
+      |  // words weigh 10; a missing key contributes 0
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    Map<String, Long> m = row.getJavaMap(0);
+      |    Long chars = m.get("chars");
+      |    Long words = m.get("words");
+      |    if (chars == null || words == null) return null; // null feature value
+      |    return chars + 10L * words;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** MAP<K,V> argument type (round-12 container-type completion): a
+    * feature bag built with `map()` per document, read by key via
+    * `row.getJavaMap` — the shape a dynamic scoring UDF over extracted
+    * features takes. Oracle computes the same weighting from the raw
+    * columns.
+    */
+  val featScoreJava: Q = Q(
+    "aq_map_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, FeatScoreDdl)
+      val norm = regexp_replace(trim($"text"), "\\s+", " ")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          call_function("graft_feat_score",
+            map(lit("chars"), length(norm).cast("long"),
+                lit("words"), size(split(norm, " ")).cast("long")))
+            .as("feat_score"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      length(regexp_replace(trim(text), '\s+', ' ', 'g')) +
+      10 * len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+        AS feat_score
+      FROM documents ORDER BY doc_id"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -441,7 +486,7 @@ object AdhesiveParityQueries {
 
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
-    revAggWindowJava, netPriceJava, wordLensJava)
+    revAggWindowJava, netPriceJava, wordLensJava, featScoreJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

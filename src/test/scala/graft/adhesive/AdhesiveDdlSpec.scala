@@ -71,6 +71,31 @@ class AdhesiveDdlSpec extends AnyFunSuite {
       .argTypes == Seq(ArrayType(ArrayType(IntegerType))))
   }
 
+  test("MAP<K,V> argument type parses (flat, nested, malformed)") {
+    assert(parse(
+      "CREATE FUNCTION f(MAP<STRING, BIGINT>) RETURNS BIGINT AS 'x'").get
+      .argTypes == Seq(MapType(StringType, LongType)))
+    // nested container values and a second argument after the map
+    assert(parse(
+      "CREATE FUNCTION g(MAP<STRING, ARRAY<DOUBLE>>, BIGINT) RETURNS INT AS 'x'").get
+      .argTypes == Seq(MapType(StringType, ArrayType(DoubleType)), LongType))
+    val e = intercept[AdhesiveException] {
+      parse("CREATE FUNCTION h(MAP<STRING>) RETURNS INT AS 'x'")
+    }
+    assert(e.getMessage.contains("exactly two type parameters"))
+  }
+
+  test("nested-angle RETURNS/STATE types tokenize whole") {
+    // ARRAY<ARRAY<T>> in RETURNS position must reach parseType (and the
+    // return-matrix), not break the grammar at the inner '>'
+    assert(parse(
+      "CREATE FUNCTION f(BIGINT) RETURNS ARRAY<ARRAY<BIGINT>> AS 'x'").get
+      .returnType == ArrayType(ArrayType(LongType)))
+    val agg = parse(
+      "CREATE AGGREGATE FUNCTION g(BIGINT) RETURNS BIGINT STATE ARRAY<ARRAY<DOUBLE>> AS 'x'").get
+    assert(agg.stateType.contains(ArrayType(ArrayType(DoubleType))))
+  }
+
   test("invalid DECIMAL precision/scale is a clear DDL error") {
     val e = intercept[AdhesiveException] {
       parse("CREATE FUNCTION f(DECIMAL(2,5)) RETURNS INT AS 'x'")

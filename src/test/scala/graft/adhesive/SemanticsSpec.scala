@@ -399,6 +399,33 @@ class SemanticsSpec extends AnyFunSuite {
     assert(all.contains("f_dec_nn") && all.contains("NOT NULL"))
   }
 
+  test("MAP<K,V> argument: getJavaMap access, exactness on the value type") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_mapget(MAP<STRING, BIGINT>, STRING) RETURNS BIGINT AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class MapGet extends Adhesive {
+        |  public Object compute(Row row) {
+        |    if (row.isNullAt(0) || row.isNullAt(1)) return null;
+        |    return row.<String, Long>getJavaMap(0).get(row.getString(1));
+        |  }
+        |}
+        |'""".stripMargin)
+    val got = spark.sql(
+      """SELECT f_mapget(map('a', a, 'b', b), 'b') AS v FROM t ORDER BY a""")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(10L, 20L, 30L, 40L))
+    // missing key → null slot
+    assert(spark.sql("SELECT f_mapget(map('a', a), 'zzz') AS v FROM t")
+      .collect().forall(_.isNullAt(0)))
+    // MAP<STRING,INT> where MAP<STRING,BIGINT> is declared: exact-type error
+    val e = intercept[Exception] {
+      spark.sql("SELECT f_mapget(map('a', CAST(1 AS INT)), 'a') FROM t").collect()
+    }
+    assert(e.getMessage.contains("exact type"))
+  }
+
   test("byte-identical source re-registration hits the compile cache") {
     val src =
       """import graft.adhesive.Adhesive;
