@@ -90,6 +90,8 @@ object AdhesiveAggregatorBridge {
     case DoubleType  => AgnosticEncoders.BoxedDoubleEncoder
     case StringType  => AgnosticEncoders.StringEncoder
     case BooleanType => AgnosticEncoders.BoxedBooleanEncoder
+    case DateType      => AgnosticEncoders.LENIENT_DATE_ENCODER
+    case TimestampType => AgnosticEncoders.LENIENT_TIMESTAMP_ENCODER
     case d: DecimalType =>
       AgnosticEncoders.JavaDecimalEncoder(d, lenientSerialization = true)
     case ArrayType(elem, _) =>
@@ -104,6 +106,6 @@ object AdhesiveAggregatorBridge {
       throw new AdhesiveException(
         s"aggregate state/return type ${other.sql} not supported " +
           "(to be added); supported: BIGINT, INT, FLOAT, DOUBLE, STRING, " +
-          "BOOLEAN, DECIMAL(p,s), ARRAY<T>")
+          "BOOLEAN, DATE, TIMESTAMP, DECIMAL(p,s), ARRAY<T>")
   }
 }

@@ -25,9 +25,10 @@ import org.apache.spark.sql.{Row, SparkSession}
   *     `Row` (`src/jvm.rs:221-238`);
   *   - return-type matrix {BIGINT, INT, FLOAT, DOUBLE} from the reference's
   *     Java bridge (`Adhesive.java:79-199`; anything else is a DDL-time
-  *     error there, `src/fusion.rs:86`), extended here with STRING and
-  *     BOOLEAN — the first types a real text pipeline's dynamic UDFs
-  *     return (normalizers, scrubbers, taggers, predicates).
+  *     error there, `src/fusion.rs:86`), extended here with STRING,
+  *     BOOLEAN, DATE, TIMESTAMP, DECIMAL(p,s) and ARRAY<T> — the types a
+  *     real text pipeline's dynamic UDFs return (normalizers, scrubbers,
+  *     taggers, predicates, money math, feature vectors, date bucketing).
   */
 object AdhesiveRegistry {
 
@@ -41,7 +42,8 @@ object AdhesiveRegistry {
     * arrays → ArrayData — the same conversions any Scala UDF pays.
     */
   private val ScalarReturnTypes: Set[DataType] =
-    Set(LongType, IntegerType, FloatType, DoubleType, StringType, BooleanType)
+    Set(LongType, IntegerType, FloatType, DoubleType, StringType, BooleanType,
+      DateType, TimestampType)
 
   private[adhesive] def isSupportedReturnType(dt: DataType): Boolean = dt match {
     case _: DecimalType     => true
@@ -50,8 +52,8 @@ object AdhesiveRegistry {
   }
 
   private val SupportedReturnTypesMsg =
-    "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN, DECIMAL(p,s), " +
-      "ARRAY<T>"
+    "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN, DATE, " +
+      "TIMESTAMP, DECIMAL(p,s), ARRAY<T>"
 
   /** DDL-time compile cache, keyed on (language, original source). The
     * mangled package exists to keep *different* sources from colliding

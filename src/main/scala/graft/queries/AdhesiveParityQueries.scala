@@ -457,6 +457,72 @@ object AdhesiveParityQueries {
         AS feat_score
       FROM documents ORDER BY doc_id"""))
 
+  private val MonthStartDdl =
+    """CREATE OR REPLACE FUNCTION graft_month_start(DATE) RETURNS DATE LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class MonthStart extends Adhesive {
+      |  // calendar-field arithmetic on the LocalDate view is tz-free both
+      |  // ways: Spark converts days<->java.sql.Date through the same
+      |  // default-zone rendering on input and output
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    return java.sql.Date.valueOf(row.getDate(0).toLocalDate().withDayOfMonth(1));
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** DATE return type (round-12 matrix extension): ship-month bucketing —
+    * the date-dimension rollup key a reporting pipeline derives per row.
+    */
+  val monthStartJava: Q = Q(
+    "aq_date_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, MonthStartDdl)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          call_function("graft_month_start", to_date($"l_shipdate"))
+            .as("ship_month"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val HourFloorDdl =
+    """CREATE OR REPLACE FUNCTION graft_hour_floor(TIMESTAMP) RETURNS TIMESTAMP LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class HourFloor extends Adhesive {
+      |  // epoch-millis floor: tz-free, exact for any post-1970 timestamp
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    long ms = row.getTimestamp(0).getTime();
+      |    return new java.sql.Timestamp(ms - Math.floorMod(ms, 3600000L));
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** TIMESTAMP return type (round-12 matrix extension): hour bucketing
+    * over the event stream — the windowing key a sessionizer derives.
+    */
+  val hourFloorJava: Q = Q(
+    "aq_ts_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, HourFloorDdl)
+      // Tables.events normalizes ts to epoch NANOS (LONG); rebuild the
+      // TIMESTAMP instant for the typed argument
+      Tables.events(s, d)
+        .select($"event_id",
+          call_function("graft_hour_floor",
+            expr("timestamp_micros(ts div 1000)")).as("hour_bucket"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, date_trunc('hour', ts) AS hour_bucket
+      FROM events ORDER BY event_id"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -486,7 +552,8 @@ object AdhesiveParityQueries {
 
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
-    revAggWindowJava, netPriceJava, wordLensJava, featScoreJava)
+    revAggWindowJava, netPriceJava, wordLensJava, featScoreJava,
+    monthStartJava, hourFloorJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

@@ -117,10 +117,10 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(parse(
       "CREATE FUNCTION f(BIGINT) RETURNS ARRAY<BIGINT> AS 'class X {}'").get
       .returnType == ArrayType(LongType))
-    // off-matrix returns (DATE, BINARY, ARRAY of an off-matrix element) are
+    // off-matrix returns (BINARY, MAP, ARRAY of an off-matrix element) are
     // rejected at registration with the supported-matrix message, not a
     // baffling Spark ParseException
-    for (ret <- Seq("DATE", "BINARY", "ARRAY<DATE>")) {
+    for (ret <- Seq("BINARY", "MAP<STRING, BIGINT>", "ARRAY<BINARY>")) {
       val e = intercept[AdhesiveException] {
         AdhesiveDdl.execute(TestSpark.spark,
           s"""CREATE FUNCTION f_badret(BIGINT) RETURNS $ret LANGUAGE CLASS

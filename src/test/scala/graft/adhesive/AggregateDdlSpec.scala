@@ -189,6 +189,34 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("TIMESTAMP state/return: latest-event aggregate across partitions") {
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION tmax(TIMESTAMP) RETURNS TIMESTAMP LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |import java.sql.Timestamp;
+        |public class TMax extends AdhesiveAggregate {
+        |  public Object zero() { return new Timestamp(0L); }
+        |  public Object reduce(Object s, Row in) {
+        |    if (in.isNullAt(0)) return s;
+        |    Timestamp t = in.getTimestamp(0);
+        |    return t.after((Timestamp) s) ? t : s;
+        |  }
+        |  public Object merge(Object a, Object b) {
+        |    return ((Timestamp) a).after((Timestamp) b) ? a : b;
+        |  }
+        |}
+        |'""".stripMargin)
+    spark.range(0, 1000, 1, 16)
+      .selectExpr("id % 3 AS k", "timestamp_micros(id * 1000000) AS ts")
+      .createOrReplaceTempView("t_ts")
+    val got = spark.sql("SELECT k, tmax(ts) AS m FROM t_ts GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val want = spark.sql("SELECT k, max(ts) AS m FROM t_ts GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("DROP TEMPORARY FUNCTION clears an aggregate (create→drop→create)") {
     spark.sql(WeightedSumDdl.replace("wsum", "wsum_drop"))
     Seq((2.0, 3.0)).toDF("v", "w").createOrReplaceTempView("t_wd")
@@ -231,7 +259,7 @@ class AggregateDdlSpec extends AnyFunSuite {
   test("unsupported aggregate state type is a clear DDL-time error") {
     val e = intercept[Exception] {
       spark.sql(
-        """CREATE AGGREGATE FUNCTION bad_state(BIGINT) RETURNS BIGINT STATE DATE LANGUAGE JAVA AS '
+        """CREATE AGGREGATE FUNCTION bad_state(BIGINT) RETURNS BIGINT STATE BINARY LANGUAGE JAVA AS '
           |import graft.adhesive.AdhesiveAggregate;
           |import org.apache.spark.sql.Row;
           |public class X extends AdhesiveAggregate {

@@ -155,11 +155,11 @@ class SemanticsSpec extends AnyFunSuite {
   }
 
   test("unsupported return type errors at DDL time (src/fusion.rs:86)") {
-    // DATE parses as a type (it is a legal ARG type) but is not in the
-    // wired return matrix {numerics, STRING, BOOLEAN}.
+    // BINARY parses as a type (it is a legal ARG type) but is not in the
+    // wired return matrix.
     val e = intercept[Exception] {
       spark.sql(
-        """CREATE FUNCTION f_badret(BIGINT) RETURNS DATE LANGUAGE CLASS
+        """CREATE FUNCTION f_badret(BIGINT) RETURNS BINARY LANGUAGE CLASS
           |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
     }
     assert(e.getMessage.contains("not supported"))
@@ -397,6 +397,45 @@ class SemanticsSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
     val all = messages(e).mkString("\n")
     assert(all.contains("f_dec_nn") && all.contains("NOT NULL"))
+  }
+
+  test("DATE / TIMESTAMP return types are wired end-to-end") {
+    fixture()
+    // DATE: day-of-epoch from a BIGINT — tz-free LocalDate→java.sql.Date
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_epoch_day(BIGINT) RETURNS DATE AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class EpochDay extends Adhesive {
+        |  public Object compute(Row row) {
+        |    if (row.getLong(0) % 2 == 0) return null;      // null DATE slot
+        |    return java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(row.getLong(0)));
+        |  }
+        |}
+        |'""".stripMargin)
+    val dates = spark.sql("SELECT f_epoch_day(a) AS d FROM t ORDER BY a")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDate(0).toString))
+    assert(dates.toSeq == Seq(Some("1970-01-02"), None, Some("1970-01-04"), None))
+    // TIMESTAMP: hour floor on epoch millis — matches date_trunc('hour')
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_hour_floor(TIMESTAMP) RETURNS TIMESTAMP AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class HourFloor extends Adhesive {
+        |  public Object compute(Row row) {
+        |    if (row.isNullAt(0)) return null;
+        |    long ms = row.getTimestamp(0).getTime();
+        |    return new java.sql.Timestamp(ms - Math.floorMod(ms, 3600000L));
+        |  }
+        |}
+        |'""".stripMargin)
+    val got = spark.sql(
+      """SELECT f_hour_floor(TIMESTAMP'2024-03-05 14:37:21') AS ts""").head()
+      .getTimestamp(0)
+    val want = spark.sql(
+      """SELECT date_trunc('hour', TIMESTAMP'2024-03-05 14:37:21') AS ts""")
+      .head().getTimestamp(0)
+    assert(got == want)
   }
 
   test("MAP<K,V> argument: getJavaMap access, exactness on the value type") {
