@@ -51,9 +51,11 @@ import org.apache.spark.sql.types._
   *     (`src/jvm.rs:44-61`);
   *   - argument types include the parameterized forms `DECIMAL(p,s)`
   *     (read as `java.math.BigDecimal` via `row.getDecimal(i)`),
-  *     `ARRAY<T>` (read via `row.getList(i)`) and `MAP<K,V>` (read via
-  *     `row.getJavaMap(i)`) — types the reference's Row getters would
-  *     permit but its grammar never produced (`src/fusion.rs:83-91`).
+  *     `ARRAY<T>` (read via `row.getList(i)`), `MAP<K,V>` (read via
+  *     `row.getJavaMap(i)`) and `STRUCT<name: TYPE, ...>` (read via
+  *     `row.getStruct(i)`, positional exactness on field types) — types
+  *     the reference's Row getters would permit but its grammar never
+  *     produced (`src/fusion.rs:83-91`).
   */
 object AdhesiveDdl {
 
@@ -326,9 +328,11 @@ object AdhesiveDdl {
     """(?i)^(?:DECIMAL|NUMERIC)\s*(?:\(\s*(\d+)\s*,\s*(\d+)\s*\))?$""".r
   private val ArrayPattern = """(?is)^ARRAY\s*<(.+)>$""".r
   private val MapPattern = """(?is)^MAP\s*<(.+)>$""".r
+  private val StructPattern = """(?is)^STRUCT\s*<(.+)>$""".r
 
-  private[adhesive] def parseType(t: String): DataType =
-    t.trim.toUpperCase(Locale.ROOT) match {
+  private[adhesive] def parseType(t: String): DataType = {
+    val trimmed = t.trim
+    trimmed.toUpperCase(Locale.ROOT) match {
       case "BIGINT" | "LONG"            => LongType
       case "INT" | "INTEGER"            => IntegerType
       case "SMALLINT" | "SHORT"         => ShortType
@@ -340,28 +344,46 @@ object AdhesiveDdl {
       case "DATE"                       => DateType
       case "TIMESTAMP"                  => TimestampType
       case "BINARY"                     => BinaryType
-      case DecimalPattern(p, s) =>
-        // bare DECIMAL defaults to Spark SQL's DECIMAL(10,0)
-        if (p == null) DecimalType(10, 0)
-        else {
-          val (prec, scale) = (p.toInt, s.toInt)
-          if (prec < 1 || prec > DecimalType.MAX_PRECISION || scale > prec) {
-            throw new AdhesiveException(
-              s"invalid DECIMAL($prec,$scale): need 1 <= precision <= " +
-                s"${DecimalType.MAX_PRECISION} and scale <= precision")
+      // Parameterized forms match on the ORIGINAL text (all patterns are
+      // (?i)): STRUCT field names must keep their declared case.
+      case _ => trimmed match {
+        case DecimalPattern(p, s) =>
+          // bare DECIMAL defaults to Spark SQL's DECIMAL(10,0)
+          if (p == null) DecimalType(10, 0)
+          else {
+            val (prec, scale) = (p.toInt, s.toInt)
+            if (prec < 1 || prec > DecimalType.MAX_PRECISION || scale > prec) {
+              throw new AdhesiveException(
+                s"invalid DECIMAL($prec,$scale): need 1 <= precision <= " +
+                  s"${DecimalType.MAX_PRECISION} and scale <= precision")
+            }
+            DecimalType(prec, scale)
           }
-          DecimalType(prec, scale)
-        }
-      case ArrayPattern(elem) => ArrayType(parseType(elem))
-      case MapPattern(kv) =>
-        splitTopLevel(kv).map(_.trim) match {
-          case Seq(k, v) => MapType(parseType(k), parseType(v))
-          case parts =>
-            throw new AdhesiveException(
-              s"MAP needs exactly two type parameters MAP<K,V>, " +
-                s"got ${parts.length}")
-        }
-      case other =>
-        throw new AdhesiveException(s"type $other not supported (to be added)")
+        case ArrayPattern(elem) => ArrayType(parseType(elem))
+        case MapPattern(kv) =>
+          splitTopLevel(kv).map(_.trim) match {
+            case Seq(k, v) => MapType(parseType(k), parseType(v))
+            case parts =>
+              throw new AdhesiveException(
+                s"MAP needs exactly two type parameters MAP<K,V>, " +
+                  s"got ${parts.length}")
+          }
+        case StructPattern(fields) =>
+          StructType(splitTopLevel(fields).map(_.trim).filter(_.nonEmpty)
+            .map { f =>
+              f.split("\\s*:\\s*", 2) match {
+                case Array(n, ft) if n.matches("\\w+") =>
+                  StructField(n, parseType(ft))
+                case _ =>
+                  throw new AdhesiveException(
+                    s"cannot parse STRUCT field '$f'; expected name: TYPE")
+              }
+            })
+        case other =>
+          throw new AdhesiveException(
+            s"type ${other.toUpperCase(Locale.ROOT)} not supported " +
+              "(to be added)")
+      }
     }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Analysis-time exact-signature enforcement for adhesive functions.
   *
@@ -35,11 +35,17 @@ case class StrictArg(
   // matrix carry no nullability either, so ARRAY<BIGINT> must match a
   // non-null-elements array column the same way BIGINT matches a
   // non-nullable bigint column (and MAP<K,V> likewise ignores
-  // valueContainsNull).
+  // valueContainsNull). STRUCT arguments compare POSITIONALLY (field
+  // types, not names): the whole row contract is positional getters, and
+  // `struct($"x", $"y")` field names are call-site artifacts, not part of
+  // the declared signature.
   private def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
     case (ArrayType(ea, _), ArrayType(eb, _)) => sameType(ea, eb)
     case (MapType(ka, va, _), MapType(kb, vb, _)) =>
       sameType(ka, kb) && sameType(va, vb)
+    case (StructType(fa), StructType(fb)) =>
+      fa.length == fb.length &&
+        fa.zip(fb).forall { case (x, y) => sameType(x.dataType, y.dataType) }
     case _ => a == b
   }
 

@@ -523,6 +523,45 @@ object AdhesiveParityQueries {
     Some("""SELECT event_id, date_trunc('hour', ts) AS hour_bucket
       FROM events ORDER BY event_id"""))
 
+  private val PrioScoreDdl =
+    """CREATE OR REPLACE FUNCTION graft_prio_score(STRUCT<prio: STRING, price: DOUBLE>) RETURNS DOUBLE LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |public class PrioScore extends Adhesive {
+      |  // nested-struct access: the argument is one STRUCT slot whose
+      |  // fields are read positionally from the inner Row — doubling is
+      |  // exact in binary floating point, so the oracle matches bit-wise
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    Row s = row.getStruct(0);
+      |    if (s.isNullAt(0) || s.isNullAt(1)) return null;
+      |    double w = s.getString(0).startsWith("1") ? 2.0 : 1.0;
+      |    return s.getDouble(1) * w;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** STRUCT<...> argument type (round-12 container completion): an order
+    * record packed as one struct argument, fields read positionally from
+    * the nested Row — the shape a feature-record scoring UDF takes.
+    */
+  val prioScoreJava: Q = Q(
+    "aq_struct_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, PrioScoreDdl)
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          call_function("graft_prio_score",
+            struct($"o_orderpriority".as("prio"), $"o_totalprice".as("price")))
+            .as("prio_score"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      o_totalprice * (CASE WHEN o_orderpriority LIKE '1%' THEN 2 ELSE 1 END)
+        AS prio_score
+      FROM orders ORDER BY o_orderkey"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -553,7 +592,7 @@ object AdhesiveParityQueries {
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
     revAggWindowJava, netPriceJava, wordLensJava, featScoreJava,
-    monthStartJava, hourFloorJava)
+    monthStartJava, hourFloorJava, prioScoreJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

@@ -85,6 +85,22 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly two type parameters"))
   }
 
+  test("STRUCT<name: TYPE, ...> argument type parses (flat, nested, malformed)") {
+    assert(parse(
+      "CREATE FUNCTION f(STRUCT<a: BIGINT, b: STRING>) RETURNS BIGINT AS 'x'").get
+      .argTypes == Seq(StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))))
+    // nested containers inside struct fields
+    assert(parse(
+      "CREATE FUNCTION g(STRUCT<xs: ARRAY<DOUBLE>, n: INT>) RETURNS INT AS 'x'").get
+      .argTypes == Seq(StructType(Seq(
+        StructField("xs", ArrayType(DoubleType)), StructField("n", IntegerType)))))
+    val e = intercept[AdhesiveException] {
+      parse("CREATE FUNCTION h(STRUCT<BIGINT>) RETURNS INT AS 'x'")
+    }
+    assert(e.getMessage.contains("expected name: TYPE"))
+  }
+
   test("nested-angle RETURNS/STATE types tokenize whole") {
     // ARRAY<ARRAY<T>> in RETURNS position must reach parseType (and the
     // return-matrix), not break the grammar at the inner '>'
