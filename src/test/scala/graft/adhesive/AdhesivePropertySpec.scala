@@ -61,6 +61,69 @@ class AdhesivePropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: parseType round-trips every renderable DataType tree") {
+    import org.apache.spark.sql.types._
+    // generator over the declared-type lattice: scalars, DECIMAL(p,s),
+    // ARRAY<T>, MAP<K,V>, STRUCT<name: T, ...> with bounded depth
+    val scalarGen: Gen[DataType] = Gen.oneOf(
+      LongType, IntegerType, ShortType, ByteType, FloatType, DoubleType,
+      StringType, BooleanType, DateType, TimestampType, BinaryType)
+    val decimalGen: Gen[DataType] = for {
+      p <- Gen.choose(1, 38); s <- Gen.choose(0, p)
+    } yield DecimalType(p, s)
+    def typeGen(depth: Int): Gen[DataType] =
+      if (depth == 0) Gen.oneOf(scalarGen, decimalGen)
+      else Gen.frequency(
+        4 -> scalarGen,
+        2 -> decimalGen,
+        2 -> typeGen(depth - 1).map(ArrayType(_)),
+        1 -> Gen.zip(typeGen(0), typeGen(depth - 1)).map {
+          case (k, v) => MapType(k, v)
+        },
+        1 -> (for {
+          n <- Gen.choose(1, 3)
+          fields <- Gen.listOfN(n, typeGen(depth - 1))
+        } yield StructType(fields.zipWithIndex.map {
+          case (t, i) => StructField(s"f$i", t)
+        })))
+    // render a DataType as the DDL grammar's surface syntax
+    def render(dt: DataType): String = dt match {
+      case LongType            => "BIGINT"
+      case IntegerType         => "INT"
+      case ShortType           => "SMALLINT"
+      case ByteType            => "TINYINT"
+      case FloatType           => "FLOAT"
+      case DoubleType          => "DOUBLE"
+      case StringType          => "STRING"
+      case BooleanType         => "BOOLEAN"
+      case DateType            => "DATE"
+      case TimestampType       => "TIMESTAMP"
+      case BinaryType          => "BINARY"
+      case d: DecimalType      => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _)     => s"ARRAY<${render(e)}>"
+      case MapType(k, v, _)    => s"MAP<${render(k)}, ${render(v)}>"
+      case StructType(fs)      =>
+        fs.map(f => s"${f.name}: ${render(f.dataType)}")
+          .mkString("STRUCT<", ", ", ">")
+      case other => fail(s"unrenderable $other")
+    }
+    // structural equality modulo nullability flags (the signature carries
+    // none — StrictArg's lattice)
+    def same(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (ArrayType(x, _), ArrayType(y, _)) => same(x, y)
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        same(ka, kb) && same(va, vb)
+      case (StructType(fa), StructType(fb)) =>
+        fa.length == fb.length && fa.zip(fb).forall { case (x, y) =>
+          x.name == y.name && same(x.dataType, y.dataType)
+        }
+      case _ => a == b
+    }
+    passes(forAll(typeGen(3)) { dt =>
+      same(AdhesiveDdl.parseType(render(dt)), dt)
+    }, trials = 200)
+  }
+
   test("property: rolling hash obeys the concatenation law") {
     // h(a ++ b) = h(a)·B^|b| + h(b)  (mod 2^61−1)
     def powMod(base: Long, e: Int): Long =

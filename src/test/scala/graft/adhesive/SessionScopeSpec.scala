@@ -33,6 +33,45 @@ class SessionScopeSpec extends AnyFunSuite {
     assert(listed.exists(_.endsWith("f_visible")), listed.mkString(", "))
   }
 
+  test("aggregate and table variants are catalog-visible too") {
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION agg_visible(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class AggVis extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row i) { return (Long) s + 1L; }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |}
+        |'""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TABLE FUNCTION tf_visible(BIGINT) RETURNS TABLE(n BIGINT) LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveTableFunction;
+        |import org.apache.spark.sql.Row;
+        |import org.apache.spark.sql.RowFactory;
+        |import java.util.ArrayList;
+        |import java.util.List;
+        |public class TfVis extends AdhesiveTableFunction {
+        |  public List<Row> eval(Row args) {
+        |    List<Row> out = new ArrayList<>();
+        |    out.add(RowFactory.create(args.getLong(0)));
+        |    return out;
+        |  }
+        |}
+        |'""".stripMargin)
+    val listed = spark.sql("SHOW USER FUNCTIONS").collect().map(_.getString(0))
+    assert(listed.exists(_.endsWith("agg_visible")), listed.mkString(", "))
+    assert(listed.exists(_.endsWith("tf_visible")), listed.mkString(", "))
+    // DESCRIBE resolves the registered names without erroring
+    assert(spark.sql("DESCRIBE FUNCTION agg_visible").collect().nonEmpty)
+    spark.sql("DROP TEMPORARY FUNCTION agg_visible")
+    spark.sql("DROP TEMPORARY FUNCTION tf_visible")
+    val after = spark.sql("SHOW USER FUNCTIONS").collect().map(_.getString(0))
+    assert(!after.exists(_.endsWith("agg_visible")) &&
+      !after.exists(_.endsWith("tf_visible")),
+      "dropped variants must leave the catalog listing")
+  }
+
   test("a sibling session does not see another session's functions") {
     spark.sql(
       """CREATE FUNCTION f_scoped(BIGINT, BIGINT) RETURNS BIGINT LANGUAGE CLASS
