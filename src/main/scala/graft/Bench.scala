@@ -62,6 +62,8 @@ object Bench {
     // plan regression shows up in EVERY pass and survives the min. Both
     // raw passes land in the side file so run-to-run variance is auditable.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs " +
+      "(0 passes would emit a plausible-looking all-failed JSON)")
     val ordered = selected.toSeq.sortBy(_._1)
     val passes: Seq[Seq[(String, Double)]] = (1 to runs).map { pass =>
       ordered.map { case (name, fn) =>

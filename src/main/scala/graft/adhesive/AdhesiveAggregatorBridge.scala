@@ -17,9 +17,10 @@ import org.apache.spark.sql.{Encoder, Encoders, Row}
   * as Spark's own sum/avg.
   *
   * State and result are boxed values of the declared STATE / RETURNS types
-  * (the same six-type matrix as scalar returns), encoded with Spark's boxed
-  * primitive encoders — no Kryo, no java serialization in the aggregation
-  * loop.
+  * (the same matrix as scalar returns: the six scalars plus DATE,
+  * TIMESTAMP, DECIMAL(p,s) and ARRAY<T> — see [[encoderFor]]), encoded
+  * with Spark's typed encoders — no Kryo, no java serialization in the
+  * aggregation loop.
   */
 class AdhesiveAggregatorBridge(
     val functionName: String,

@@ -100,11 +100,16 @@ object AdhesiveDdl {
   // error for non-return-matrix types) instead of falling through to
   // Spark's parser.
   // One paren-nesting level inside the optional (...) suffix, so
-  // TABLE(price DECIMAL(12,2), ...) tokenizes as one type; one
-  // angle-nesting level likewise, so ARRAY<ARRAY<T>> / MAP<K, ARRAY<V>>
-  // tokenize whole in RETURNS/STATE position
+  // TABLE(price DECIMAL(12,2), ...) tokenizes as one type. Angle nesting
+  // is generated to a fixed depth (regexes can't express unbounded
+  // nesting): depth 4 admits e.g. ARRAY<MAP<STRING, ARRAY<ARRAY<T>>>> in
+  // RETURNS/STATE position — deeper types still work as ARGUMENTS (the
+  // arg list is captured lazily and split by splitTopLevel, which counts
+  // depth exactly).
+  private def angles(depth: Int): String =
+    if (depth == 0) "<[^<>]*>" else s"<(?:[^<>]|${angles(depth - 1)})*>"
   private val TypeToken =
-    """\w+(?:\s*\((?:[^()]|\([^)]*\))*\)|\s*<(?:[^<>]|<[^<>]*>)*>)?"""
+    s"""\\w+(?:\\s*\\((?:[^()]|\\([^)]*\\))*\\)|\\s*${angles(4)})?"""
   // Flags admit NOT NULL / DETERMINISTIC / STATE <type> in any order; the
   // STATE type (aggregates only: the partial-aggregation buffer type,
   // defaulting to the RETURNS type) is re-extracted from the captured flags

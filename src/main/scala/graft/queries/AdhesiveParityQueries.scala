@@ -558,8 +558,10 @@ object AdhesiveParityQueries {
         .orderBy($"o_orderkey")
     },
     Some("""SELECT o_orderkey,
-      o_totalprice * (CASE WHEN o_orderpriority LIKE '1%' THEN 2 ELSE 1 END)
-        AS prio_score
+      CASE WHEN o_orderpriority IS NULL THEN NULL
+           ELSE o_totalprice *
+                (CASE WHEN o_orderpriority LIKE '1%' THEN 2 ELSE 1 END)
+      END AS prio_score
       FROM orders ORDER BY o_orderkey"""))
 
   /** The aggregate UDF in WINDOW position — per-flag total revenue

@@ -110,6 +110,14 @@ class AdhesiveDdlSpec extends AnyFunSuite {
     val agg = parse(
       "CREATE AGGREGATE FUNCTION g(BIGINT) RETURNS BIGINT STATE ARRAY<ARRAY<DOUBLE>> AS 'x'").get
     assert(agg.stateType.contains(ArrayType(ArrayType(DoubleType))))
+    // depth 3-5 tokenize too (generated angle-nesting regex, depth 4 +
+    // the outer level)
+    assert(parse(
+      "CREATE FUNCTION h(BIGINT) RETURNS ARRAY<ARRAY<ARRAY<BIGINT>>> AS 'x'").get
+      .returnType == ArrayType(ArrayType(ArrayType(LongType))))
+    assert(parse(
+      "CREATE FUNCTION i(BIGINT) RETURNS ARRAY<MAP<STRING, ARRAY<ARRAY<BIGINT>>>> AS 'x'").get
+      .returnType == ArrayType(MapType(StringType, ArrayType(ArrayType(LongType)))))
   }
 
   test("invalid DECIMAL precision/scale is a clear DDL error") {

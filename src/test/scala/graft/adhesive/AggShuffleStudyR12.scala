@@ -26,31 +26,8 @@ object AggShuffleStudyR12 {
 
   private val Dim = 64
 
-  private val VSumDdl =
-    s"""CREATE OR REPLACE AGGREGATE FUNCTION vsum_study(ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> LANGUAGE JAVA AS '
-       |import graft.adhesive.AdhesiveAggregate;
-       |import org.apache.spark.sql.Row;
-       |import java.util.ArrayList;
-       |import java.util.List;
-       |public class VSumStudy extends AdhesiveAggregate {
-       |  public Object zero() { return new ArrayList<Double>(); }
-       |  private static List<Double> add(List<Double> a, List<Double> b) {
-       |    if (a.isEmpty()) return new ArrayList<>(b);
-       |    List<Double> out = new ArrayList<>(a);
-       |    for (int i = 0; i < b.size(); i++) out.set(i, out.get(i) + b.get(i));
-       |    return out;
-       |  }
-       |  @SuppressWarnings("unchecked")
-       |  public Object reduce(Object state, Row input) {
-       |    if (input.isNullAt(0)) return state;
-       |    return add((List<Double>) state, input.getList(0));
-       |  }
-       |  @SuppressWarnings("unchecked")
-       |  public Object merge(Object a, Object b) {
-       |    return add((List<Double>) a, (List<Double>) b);
-       |  }
-       |}
-       |'""".stripMargin
+  // the same fold AggregateDdlSpec proves correct — shared source of truth
+  private val VSumDdl = TestAggregates.vectorSumDdl("vsum_study")
 
   private class WriteProbe extends SparkListener {
     val perStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
@@ -74,6 +51,17 @@ object AggShuffleStudyR12 {
     spark.sparkContext.addSparkListener(probe)
     val out = spark.sql("SELECT k, vsum_study(v) AS s FROM t_vs GROUP BY k")
       .collect()
+    // TaskEnd events arrive on an async listener bus: settle until two
+    // consecutive reads agree before detaching, or a lagging queue
+    // undercounts the measurement and spuriously trips the assertions
+    def total(): Long = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(probe.perStage.values()).asScala.map(_.sum()).sum
+    var prev = -1L
+    var cur = total()
+    var tries = 0
+    while (cur != prev && tries < 50) {
+      Thread.sleep(100); prev = cur; cur = total(); tries += 1
+    }
     spark.sparkContext.removeSparkListener(probe)
     assert(out.length == groups)
     // the partial-aggregation map stage is the one that wrote the shuffle

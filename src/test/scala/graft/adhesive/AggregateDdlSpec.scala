@@ -150,32 +150,9 @@ class AggregateDdlSpec extends AnyFunSuite {
   test("ARRAY<DOUBLE> state: element-wise vector sum across partitions") {
     // the embedding-pipeline shape: a dynamic UDAF folding vectors
     // element-wise; state and result are java.util.List, the same container
-    // the argument side's row.getList hands out
-    spark.sql(
-      """CREATE OR REPLACE AGGREGATE FUNCTION vsum(ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> LANGUAGE JAVA AS '
-        |import graft.adhesive.AdhesiveAggregate;
-        |import org.apache.spark.sql.Row;
-        |import java.util.ArrayList;
-        |import java.util.List;
-        |public class VSum extends AdhesiveAggregate {
-        |  public Object zero() { return new ArrayList<Double>(); }
-        |  private static List<Double> add(List<Double> a, List<Double> b) {
-        |    if (a.isEmpty()) return new ArrayList<>(b);
-        |    List<Double> out = new ArrayList<>(a);
-        |    for (int i = 0; i < b.size(); i++) out.set(i, out.get(i) + b.get(i));
-        |    return out;
-        |  }
-        |  @SuppressWarnings("unchecked")
-        |  public Object reduce(Object state, Row input) {
-        |    if (input.isNullAt(0)) return state;
-        |    return add((List<Double>) state, input.getList(0));
-        |  }
-        |  @SuppressWarnings("unchecked")
-        |  public Object merge(Object a, Object b) {
-        |    return add((List<Double>) a, (List<Double>) b);
-        |  }
-        |}
-        |'""".stripMargin)
+    // the argument side's row.getList hands out. Body shared with
+    // AggShuffleStudyR12 (TestAggregates) — one source of truth.
+    spark.sql(TestAggregates.vectorSumDdl("vsum"))
     spark.range(0, 1000, 1, 16)
       .selectExpr("id % 4 AS k",
         "array(CAST(id AS DOUBLE), CAST(1 AS DOUBLE)) AS v")
