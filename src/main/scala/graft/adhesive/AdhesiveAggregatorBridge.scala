@@ -103,10 +103,16 @@ object AdhesiveAggregatorBridge {
       AgnosticEncoders.IterableEncoder(
         ClassTag(classOf[java.util.List[_]]), agnosticFor(elem),
         containsNull = true, lenientSerialization = false)
+    case s: StructType =>
+      // composite state/result (the (sum, count) mean shape): values are
+      // org.apache.spark.sql.Row, built with RowFactory.create(...) and
+      // read with the positional getters — the same contract as arguments
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(s)
     case other =>
       throw new AdhesiveException(
         s"aggregate state/return type ${other.sql} not supported " +
           "(to be added); supported: BIGINT, INT, FLOAT, DOUBLE, STRING, " +
-          "BOOLEAN, DATE, TIMESTAMP, DECIMAL(p,s), ARRAY<T>")
+          "BOOLEAN, DATE, TIMESTAMP, DECIMAL(p,s), ARRAY<T>, " +
+          "STRUCT<name: T, ...>")
   }
 }

@@ -48,12 +48,13 @@ object AdhesiveRegistry {
   private[adhesive] def isSupportedReturnType(dt: DataType): Boolean = dt match {
     case _: DecimalType     => true
     case ArrayType(elem, _) => isSupportedReturnType(elem)
+    case StructType(fields) => fields.forall(f => isSupportedReturnType(f.dataType))
     case other              => ScalarReturnTypes.contains(other)
   }
 
   private val SupportedReturnTypesMsg =
     "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN, DATE, " +
-      "TIMESTAMP, DECIMAL(p,s), ARRAY<T>"
+      "TIMESTAMP, DECIMAL(p,s), ARRAY<T>, STRUCT<name: T, ...>"
 
   /** DDL-time compile cache, keyed on (language, original source). The
     * mangled package exists to keep *different* sources from colliding

@@ -564,6 +564,91 @@ object AdhesiveParityQueries {
       END AS prio_score
       FROM orders ORDER BY o_orderkey"""))
 
+  private val MeanQtyDdl =
+    """CREATE OR REPLACE AGGREGATE FUNCTION graft_mean_qty(BIGINT) RETURNS DOUBLE STATE STRUCT<s: BIGINT, n: BIGINT> LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveAggregate;
+      |import org.apache.spark.sql.Row;
+      |import org.apache.spark.sql.RowFactory;
+      |public class MeanQty extends AdhesiveAggregate {
+      |  // composite integer state folds exactly in any partial order; the
+      |  // single double division at finish makes the result bit-equal to
+      |  // the oracle regardless of partitioning
+      |  public Object zero() { return RowFactory.create(0L, 0L); }
+      |  public Object reduce(Object state, Row input) {
+      |    if (input.isNullAt(0)) return state;
+      |    Row s = (Row) state;
+      |    return RowFactory.create(s.getLong(0) + input.getLong(0), s.getLong(1) + 1L);
+      |  }
+      |  public Object merge(Object a, Object b) {
+      |    Row x = (Row) a, y = (Row) b;
+      |    return RowFactory.create(x.getLong(0) + y.getLong(0), x.getLong(1) + y.getLong(1));
+      |  }
+      |  public Object finish(Object state) {
+      |    Row s = (Row) state;
+      |    return s.getLong(1) == 0 ? null : (double) s.getLong(0) / s.getLong(1);
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** STRUCT-state aggregate (round-12 matrix extension): the composite
+    * (sum, count) state a real mean aggregate needs — only the two-field
+    * struct crosses the shuffle per group, and the integer fold makes the
+    * final division bit-exact against the SQL oracle.
+    */
+  val meanQtyAggJava: Q = Q(
+    "aq_mean_agg",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, MeanQtyDdl)
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity".cast("bigint").as("qty"))
+        .groupBy($"l_returnflag")
+        .agg(call_function("graft_mean_qty", $"qty").as("mean_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) /
+      COUNT(CAST(l_quantity AS BIGINT)) AS mean_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val TextStatsDdl =
+    """CREATE OR REPLACE FUNCTION graft_text_stats(STRING) RETURNS STRUCT<n_words: BIGINT, n_chars: BIGINT> LANGUAGE JAVA AS '
+      |import graft.adhesive.Adhesive;
+      |import org.apache.spark.sql.Row;
+      |import org.apache.spark.sql.RowFactory;
+      |public class TextStats extends Adhesive {
+      |  // input arrives whitespace-normalized (single spaces) by the query
+      |  public Object compute(Row row) {
+      |    if (row.isNullAt(0)) return null;
+      |    String t = row.getString(0);
+      |    return RowFactory.create((long) t.split(" ", -1).length, (long) t.length());
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** STRUCT return type (round-12 matrix extension): one UDF call
+    * producing multiple outputs — the fields are projected out so the
+    * driver-checked result stays plain columns.
+    */
+  val textStatsJava: Q = Q(
+    "aq_struct_ret_java",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, TextStatsDdl)
+      Tables.documents(s, d)
+        .select($"doc_id",
+          call_function("graft_text_stats",
+            regexp_replace(trim($"text"), "\\s+", " ")).as("st"))
+        .select($"doc_id", $"st.n_words".as("n_words"),
+          $"st.n_chars".as("n_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+        AS n_words,
+      length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -594,7 +679,8 @@ object AdhesiveParityQueries {
   val all: Seq[Q] = Seq(mulJava, addClass, nullCase, squareScala, upperJava,
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
     revAggWindowJava, netPriceJava, wordLensJava, featScoreJava,
-    monthStartJava, hourFloorJava, prioScoreJava)
+    monthStartJava, hourFloorJava, prioScoreJava, meanQtyAggJava,
+    textStatsJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

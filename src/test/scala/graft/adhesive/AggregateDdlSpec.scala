@@ -166,6 +166,43 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("STRUCT state: composite (sum, count) mean aggregate, exact merge") {
+    // the state shape a mean/variance aggregate actually needs — two
+    // integer fields folded exactly, one double division at finish
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION imean(BIGINT) RETURNS DOUBLE STATE STRUCT<s: BIGINT, n: BIGINT> LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |import org.apache.spark.sql.RowFactory;
+        |public class IMean extends AdhesiveAggregate {
+        |  public Object zero() { return RowFactory.create(0L, 0L); }
+        |  public Object reduce(Object state, Row input) {
+        |    if (input.isNullAt(0)) return state;
+        |    Row s = (Row) state;
+        |    return RowFactory.create(s.getLong(0) + input.getLong(0), s.getLong(1) + 1L);
+        |  }
+        |  public Object merge(Object a, Object b) {
+        |    Row x = (Row) a, y = (Row) b;
+        |    return RowFactory.create(x.getLong(0) + y.getLong(0), x.getLong(1) + y.getLong(1));
+        |  }
+        |  public Object finish(Object state) {
+        |    Row s = (Row) state;
+        |    return s.getLong(1) == 0 ? null : (double) s.getLong(0) / s.getLong(1);
+        |  }
+        |}
+        |'""".stripMargin)
+    spark.range(0, 10000, 1, 32).selectExpr("id % 7 AS k", "id AS x")
+      .createOrReplaceTempView("t_mean")
+    val got = spark.sql("SELECT k, imean(x) AS m FROM t_mean GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = spark.sql(
+      "SELECT k, CAST(sum(x) AS DOUBLE) / count(x) AS m FROM t_mean GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    // empty input folds to finish(zero) = null
+    assert(spark.sql("SELECT imean(x) FROM t_mean WHERE x > 99999").head().isNullAt(0))
+  }
+
   test("TIMESTAMP state/return: latest-event aggregate across partitions") {
     spark.sql(
       """CREATE OR REPLACE AGGREGATE FUNCTION tmax(TIMESTAMP) RETURNS TIMESTAMP LANGUAGE JAVA AS '

@@ -438,6 +438,32 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("STRUCT return type: multi-output UDF builds a struct column") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_divmod(BIGINT, BIGINT) RETURNS STRUCT<q: BIGINT, r: BIGINT> AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |import org.apache.spark.sql.RowFactory;
+        |public class DivMod extends Adhesive {
+        |  public Object compute(Row row) {
+        |    if (row.isNullAt(0) || row.isNullAt(1) || row.getLong(1) == 0) return null;
+        |    return RowFactory.create(row.getLong(0) / row.getLong(1),
+        |                             row.getLong(0) % row.getLong(1));
+        |  }
+        |}
+        |'""".stripMargin)
+    val df = spark.sql(
+      "SELECT f_divmod(b, a).q AS q, f_divmod(b, a).r AS r FROM t ORDER BY a")
+    assert(df.schema.map(_.dataType).forall(_ ==
+      org.apache.spark.sql.types.LongType))
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 0L), (10L, 0L), (10L, 0L), (10L, 0L)))
+    // null slot: a zero divisor nulls the whole struct
+    assert(spark.sql("SELECT f_divmod(b, CAST(0 AS BIGINT)) AS s FROM t")
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("MAP<K,V> argument: getJavaMap access, exactness on the value type") {
     fixture()
     spark.sql(
