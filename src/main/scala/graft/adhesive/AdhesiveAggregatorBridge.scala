@@ -87,14 +87,23 @@ object AdhesiveAggregatorBridge {
   private def agnosticFor(dt: DataType): AgnosticEncoder[_] = dt match {
     case LongType    => AgnosticEncoders.BoxedLongEncoder
     case IntegerType => AgnosticEncoders.BoxedIntEncoder
+    case ShortType   => AgnosticEncoders.BoxedShortEncoder
+    case ByteType    => AgnosticEncoders.BoxedByteEncoder
     case FloatType   => AgnosticEncoders.BoxedFloatEncoder
     case DoubleType  => AgnosticEncoders.BoxedDoubleEncoder
     case StringType  => AgnosticEncoders.StringEncoder
     case BooleanType => AgnosticEncoders.BoxedBooleanEncoder
+    case BinaryType  => AgnosticEncoders.BinaryEncoder
     case DateType      => AgnosticEncoders.LENIENT_DATE_ENCODER
     case TimestampType => AgnosticEncoders.LENIENT_TIMESTAMP_ENCODER
     case d: DecimalType =>
       AgnosticEncoders.JavaDecimalEncoder(d, lenientSerialization = true)
+    case MapType(k, v, _) =>
+      // java.util.Map external type — the container row.getJavaMap hands
+      // the argument side; build results with java.util.HashMap
+      AgnosticEncoders.MapEncoder(
+        ClassTag(classOf[java.util.Map[_, _]]), agnosticFor(k),
+        agnosticFor(v), valueContainsNull = true)
     case ArrayType(elem, _) =>
       // NOT lenient: the lenient serializer's generic branch iterates the
       // value as a scala Seq in generated code and CCEs on java.util.List;
@@ -111,8 +120,7 @@ object AdhesiveAggregatorBridge {
     case other =>
       throw new AdhesiveException(
         s"aggregate state/return type ${other.sql} not supported " +
-          "(to be added); supported: BIGINT, INT, FLOAT, DOUBLE, STRING, " +
-          "BOOLEAN, DATE, TIMESTAMP, DECIMAL(p,s), ARRAY<T>, " +
-          "STRUCT<name: T, ...>")
+          "(to be added); supported: every declarable type — scalars, " +
+          "DECIMAL(p,s), ARRAY<T>, MAP<K,V>, STRUCT<name: T, ...>")
   }
 }

@@ -25,10 +25,13 @@ import org.apache.spark.sql.{Row, SparkSession}
   *     `Row` (`src/jvm.rs:221-238`);
   *   - return-type matrix {BIGINT, INT, FLOAT, DOUBLE} from the reference's
   *     Java bridge (`Adhesive.java:79-199`; anything else is a DDL-time
-  *     error there, `src/fusion.rs:86`), extended here with STRING,
-  *     BOOLEAN, DATE, TIMESTAMP, DECIMAL(p,s) and ARRAY<T> — the types a
-  *     real text pipeline's dynamic UDFs return (normalizers, scrubbers,
-  *     taggers, predicates, money math, feature vectors, date bucketing).
+  *     error there, `src/fusion.rs:86`), extended here until the declared
+  *     lattice CLOSED (round 12): every type the grammar can declare as
+  *     an argument — scalars, DATE/TIMESTAMP, BINARY, DECIMAL(p,s),
+  *     ARRAY<T>, MAP<K,V>, STRUCT<...> — is also a legal return and
+  *     aggregate STATE type. The reference's "not supported (to be
+  *     added)" error remains for undeclarable types on the programmatic
+  *     surface.
   */
 object AdhesiveRegistry {
 
@@ -42,19 +45,27 @@ object AdhesiveRegistry {
     * arrays → ArrayData — the same conversions any Scala UDF pays.
     */
   private val ScalarReturnTypes: Set[DataType] =
-    Set(LongType, IntegerType, FloatType, DoubleType, StringType, BooleanType,
-      DateType, TimestampType)
+    Set(LongType, IntegerType, ShortType, ByteType, FloatType, DoubleType,
+      StringType, BooleanType, DateType, TimestampType, BinaryType)
 
+  /** The full declared-type lattice is closed under returns as of round
+    * 12: every type the DDL grammar can declare as an ARGUMENT is also a
+    * legal RETURN (and aggregate STATE) type. The check recurses so any
+    * container composition works.
+    */
   private[adhesive] def isSupportedReturnType(dt: DataType): Boolean = dt match {
     case _: DecimalType     => true
     case ArrayType(elem, _) => isSupportedReturnType(elem)
+    case MapType(k, v, _) =>
+      isSupportedReturnType(k) && isSupportedReturnType(v)
     case StructType(fields) => fields.forall(f => isSupportedReturnType(f.dataType))
     case other              => ScalarReturnTypes.contains(other)
   }
 
   private val SupportedReturnTypesMsg =
-    "supported: BIGINT, INT, FLOAT, DOUBLE, STRING, BOOLEAN, DATE, " +
-      "TIMESTAMP, DECIMAL(p,s), ARRAY<T>, STRUCT<name: T, ...>"
+    "supported: every declarable type — BIGINT, INT, SMALLINT, TINYINT, " +
+      "FLOAT, DOUBLE, STRING, BOOLEAN, DATE, TIMESTAMP, BINARY, " +
+      "DECIMAL(p,s), ARRAY<T>, MAP<K,V>, STRUCT<name: T, ...>"
 
   /** DDL-time compile cache, keyed on (language, original source). The
     * mangled package exists to keep *different* sources from colliding

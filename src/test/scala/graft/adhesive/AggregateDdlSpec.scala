@@ -203,6 +203,46 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT imean(x) FROM t_mean WHERE x > 99999").head().isNullAt(0))
   }
 
+  test("MAP state: per-group token counting aggregate merges maps") {
+    // the corpus-op shape: MAP<STRING,BIGINT> state accumulating token
+    // counts, merged across partitions by key
+    spark.sql(
+      """CREATE OR REPLACE AGGREGATE FUNCTION tok_counts(STRING) RETURNS MAP<STRING, BIGINT> LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |import java.util.HashMap;
+        |import java.util.Map;
+        |public class TokCounts extends AdhesiveAggregate {
+        |  public Object zero() { return new HashMap<String, Long>(); }
+        |  @SuppressWarnings("unchecked")
+        |  public Object reduce(Object state, Row input) {
+        |    if (input.isNullAt(0)) return state;
+        |    Map<String, Long> m = new HashMap<>((Map<String, Long>) state);
+        |    m.merge(input.getString(0), 1L, Long::sum);
+        |    return m;
+        |  }
+        |  @SuppressWarnings("unchecked")
+        |  public Object merge(Object a, Object b) {
+        |    Map<String, Long> out = new HashMap<>((Map<String, Long>) a);
+        |    ((Map<String, Long>) b).forEach((k, v) -> out.merge(k, v, Long::sum));
+        |    return out;
+        |  }
+        |}
+        |'""".stripMargin)
+    spark.range(0, 900, 1, 16)
+      .selectExpr("id % 3 AS k", "concat('w', CAST(id % 5 AS STRING)) AS tok")
+      .createOrReplaceTempView("t_tok2")
+    val got = spark.sql(
+      "SELECT k, tok_counts(tok) AS m FROM t_tok2 GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getMap[String, Long](1).toMap))
+    val want = spark.sql(
+      """SELECT k, map_from_entries(collect_list(struct(tok, c))) AS m
+        |FROM (SELECT k, tok, count(*) AS c FROM t_tok2 GROUP BY k, tok)
+        |GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getMap[String, Long](1).toMap))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("TIMESTAMP state/return: latest-event aggregate across partitions") {
     spark.sql(
       """CREATE OR REPLACE AGGREGATE FUNCTION tmax(TIMESTAMP) RETURNS TIMESTAMP LANGUAGE JAVA AS '
@@ -271,17 +311,14 @@ class AggregateDdlSpec extends AnyFunSuite {
   }
 
   test("unsupported aggregate state type is a clear DDL-time error") {
-    val e = intercept[Exception] {
-      spark.sql(
-        """CREATE AGGREGATE FUNCTION bad_state(BIGINT) RETURNS BIGINT STATE BINARY LANGUAGE JAVA AS '
-          |import graft.adhesive.AdhesiveAggregate;
-          |import org.apache.spark.sql.Row;
-          |public class X extends AdhesiveAggregate {
-          |  public Object zero() { return null; }
-          |  public Object reduce(Object s, Row i) { return s; }
-          |  public Object merge(Object a, Object b) { return a; }
-          |}
-          |'""".stripMargin)
+    // the declarable lattice is closed (round 12): only undeclarable
+    // types reach this error, via the programmatic surface
+    val e = intercept[AdhesiveException] {
+      AdhesiveRegistry.registerClassAggregate(spark, "bad_state",
+        "graft.adhesive.example.BasicAddExample",
+        Seq(org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.LongType,
+        stateType = Some(org.apache.spark.sql.types.CalendarIntervalType))
     }
     assert(e.getMessage.contains("state type") && e.getMessage.contains("not supported"))
   }

@@ -155,12 +155,15 @@ class SemanticsSpec extends AnyFunSuite {
   }
 
   test("unsupported return type errors at DDL time (src/fusion.rs:86)") {
-    // BINARY parses as a type (it is a legal ARG type) but is not in the
-    // wired return matrix.
-    val e = intercept[Exception] {
-      spark.sql(
-        """CREATE FUNCTION f_badret(BIGINT) RETURNS BINARY LANGUAGE CLASS
-          |AS 'graft.adhesive.example.BasicAddExample'""".stripMargin)
+    // The declarable lattice is closed under returns (round 12), so the
+    // reference-parity error is reachable only through the programmatic
+    // registration surface with a type the grammar cannot declare.
+    val e = intercept[AdhesiveException] {
+      AdhesiveRegistry.registerClass(spark, "f_badret",
+        "graft.adhesive.example.BasicAddExample",
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.CalendarIntervalType)
     }
     assert(e.getMessage.contains("not supported"))
     assert(e.getMessage.contains("STRING"),
@@ -462,6 +465,43 @@ class SemanticsSpec extends AnyFunSuite {
     // null slot: a zero divisor nulls the whole struct
     assert(spark.sql("SELECT f_divmod(b, CAST(0 AS BIGINT)) AS s FROM t")
       .collect().forall(_.isNullAt(0)))
+  }
+
+  test("MAP / BINARY return types are wired end-to-end (lattice closure)") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_kv(BIGINT) RETURNS MAP<STRING, BIGINT> AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |import java.util.HashMap;
+        |import java.util.Map;
+        |public class Kv extends Adhesive {
+        |  public Object compute(Row row) {
+        |    if (row.getLong(0) == 2) return null;       // null MAP slot
+        |    Map<String, Long> m = new HashMap<>();
+        |    m.put("v", row.getLong(0));
+        |    m.put("sq", row.getLong(0) * row.getLong(0));
+        |    return m;
+        |  }
+        |}
+        |'""".stripMargin)
+    val maps = spark.sql("SELECT f_kv(a) AS m FROM t ORDER BY a").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getMap[String, Long](0).toMap)
+    assert(maps.toSeq == Seq(Map("v" -> 1L, "sq" -> 1L), null,
+      Map("v" -> 3L, "sq" -> 9L), Map("v" -> 4L, "sq" -> 16L)))
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_bytes(BIGINT) RETURNS BINARY AS '
+        |import graft.adhesive.Adhesive;
+        |import org.apache.spark.sql.Row;
+        |public class Bytes extends Adhesive {
+        |  public Object compute(Row row) {
+        |    return java.nio.ByteBuffer.allocate(8).putLong(row.getLong(0)).array();
+        |  }
+        |}
+        |'""".stripMargin)
+    val bytes = spark.sql("SELECT f_bytes(a) AS b FROM t WHERE a = 3").head()
+      .getAs[Array[Byte]](0)
+    assert(java.nio.ByteBuffer.wrap(bytes).getLong == 3L)
   }
 
   test("MAP<K,V> argument: getJavaMap access, exactness on the value type") {
