@@ -531,6 +531,21 @@ class SemanticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exact type"))
   }
 
+  test("LANGUAGE SCALA body returning scala BigDecimal rides the lenient path") {
+    fixture()
+    spark.sql(
+      """CREATE OR REPLACE FUNCTION f_scala_dec(BIGINT) RETURNS DECIMAL(10,2) LANGUAGE SCALA AS $$
+        |import graft.adhesive.Adhesive
+        |import org.apache.spark.sql.Row
+        |class ScalaDec extends Adhesive {
+        |  def compute(row: Row): Any = BigDecimal(row.getLong(0)) / 4
+        |}
+        |$$""".stripMargin)
+    val out = spark.sql("SELECT f_scala_dec(a) AS v FROM t ORDER BY a")
+      .collect().map(_.getDecimal(0).toPlainString)
+    assert(out.toSeq == Seq("0.25", "0.50", "0.75", "1.00"))
+  }
+
   test("byte-identical source re-registration hits the compile cache") {
     val src =
       """import graft.adhesive.Adhesive;

@@ -80,6 +80,35 @@ class TableFunctionDdlSpec extends AnyFunSuite {
       (3L, 0, "d")), "empty-string doc must contribute zero rows")
   }
 
+  test("container-typed output columns: TABLE(xs ARRAY<BIGINT>, ...)") {
+    spark.sql(
+      """CREATE OR REPLACE TABLE FUNCTION gwindows(BIGINT) RETURNS TABLE(w INT, xs ARRAY<BIGINT>) LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveTableFunction;
+        |import org.apache.spark.sql.Row;
+        |import org.apache.spark.sql.RowFactory;
+        |import java.util.ArrayList;
+        |import java.util.List;
+        |public class GWindows extends AdhesiveTableFunction {
+        |  // sliding windows of width 2 over 1..k — an ARRAY column per row
+        |  public List<Row> eval(Row args) {
+        |    long k = args.getLong(0);
+        |    List<Row> out = new ArrayList<>();
+        |    for (int i = 1; i + 1 <= k; i++) {
+        |      List<Long> win = new ArrayList<>();
+        |      win.add((long) i); win.add((long) i + 1);
+        |      out.add(RowFactory.create(i, win));
+        |    }
+        |    return out;
+        |  }
+        |}
+        |'""".stripMargin)
+    val rows = spark.sql(
+      "SELECT w, xs FROM gwindows(CAST(4 AS BIGINT)) ORDER BY w")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toList))
+    assert(rows.toSeq == Seq((1, List(1L, 2L)), (2, List(2L, 3L)),
+      (3, List(3L, 4L))))
+  }
+
   test("exact argument types are enforced (StrictArg on the packed struct)") {
     spark.sql(SeriesDdl)
     val e = intercept[Exception] {
