@@ -336,9 +336,14 @@ object AdhesiveRegistry {
       val checked = exprs.zip(argTypes).zipWithIndex.map {
         case ((e, dt), i) => StrictArg(e, dt, name, i)
       }
+      // Return the BARE AggregateFunction (no .toAggregateExpression()):
+      // the analyzer wraps it itself, which is what lets the call-site
+      // DISTINCT / FILTER (WHERE ...) modifiers apply — a pre-wrapped
+      // AggregateExpression would reject both with
+      // FUNCTION_WITH_UNSUPPORTED_SYNTAX.
       ScalaAggregator[Row, Any, Any](checked.toList, bridge, inputEnc,
         bufferEnc, nullable = true, isDeterministic = true,
-        aggregatorName = Some(name)).toAggregateExpression()
+        aggregatorName = Some(name)): Expression
     }
     spark.asInstanceOf[ClassicSparkSession]
       .sessionState.functionRegistry

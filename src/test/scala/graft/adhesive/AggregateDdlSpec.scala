@@ -203,6 +203,27 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT imean(x) FROM t_mean WHERE x > 99999").head().isNullAt(0))
   }
 
+  test("DISTINCT and FILTER (WHERE ...) call modifiers apply") {
+    // the builder returns the bare AggregateFunction so the analyzer's
+    // own wrapping applies call-site modifiers — parity with how stock
+    // spark.udf.register(udaf) behaves
+    spark.sql(WeightedSumDdl.replace("wsum", "wsum_mod"))
+    spark.range(0, 12, 1, 4)
+      .selectExpr("CAST(id % 3 AS DOUBLE) AS v", "CAST(1 AS DOUBLE) AS w")
+      .createOrReplaceTempView("t_mod")
+    // DISTINCT over (v, w) pairs: v in {0,1,2} x w=1 -> 0+1+2 = 3
+    assert(spark.sql("SELECT wsum_mod(DISTINCT v, w) AS s FROM t_mod")
+      .head().getDouble(0) == 3.0)
+    // FILTER: only v=2 rows (4 of them) -> 8
+    assert(spark.sql(
+      "SELECT wsum_mod(v, w) FILTER (WHERE v > 1) AS s FROM t_mod")
+      .head().getDouble(0) == 8.0)
+    // both at once
+    assert(spark.sql(
+      "SELECT wsum_mod(DISTINCT v, w) FILTER (WHERE v > 0) AS s FROM t_mod")
+      .head().getDouble(0) == 3.0)
+  }
+
   test("MAP state: per-group token counting aggregate merges maps") {
     // the corpus-op shape: MAP<STRING,BIGINT> state accumulating token
     // counts, merged across partitions by key
