@@ -649,6 +649,57 @@ object AdhesiveParityQueries {
       length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n_chars
       FROM documents ORDER BY doc_id"""))
 
+  private val LongSumDdl =
+    """CREATE OR REPLACE AGGREGATE FUNCTION graft_lsum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveAggregate;
+      |import org.apache.spark.sql.Row;
+      |public class LSum extends AdhesiveAggregate {
+      |  public Object zero() { return 0L; }
+      |  public Object reduce(Object s, Row in) {
+      |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+      |  }
+      |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+      |}
+      |'""".stripMargin
+
+  /** DISTINCT call modifier on a dynamic aggregate (round 12): the
+    * analyzer plans the distinct through Expand exactly as for built-in
+    * aggregates — sum of DISTINCT quantities per return flag.
+    */
+  val distinctAggJava: Q = Q(
+    "aq_agg_distinct",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, LongSumDdl)
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""SELECT l_returnflag,
+        graft_lsum(DISTINCT CAST(l_quantity AS BIGINT)) AS distinct_qty_sum
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+        AS distinct_qty_sum
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** FILTER (WHERE ...) call modifier on a dynamic aggregate (round 12):
+    * high-value line items only, per flag.
+    */
+  val filterAggJava: Q = Q(
+    "aq_agg_filter",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, LongSumDdl)
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""SELECT l_returnflag,
+        graft_lsum(CAST(l_quantity AS BIGINT))
+          FILTER (WHERE l_extendedprice > 30000) AS big_qty_sum
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS BIGINT))
+        FILTER (WHERE l_extendedprice > 30000) AS BIGINT) AS big_qty_sum
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -680,7 +731,7 @@ object AdhesiveParityQueries {
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
     revAggWindowJava, netPriceJava, wordLensJava, featScoreJava,
     monthStartJava, hourFloorJava, prioScoreJava, meanQtyAggJava,
-    textStatsJava)
+    textStatsJava, distinctAggJava, filterAggJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =
