@@ -700,6 +700,36 @@ object AdhesiveParityQueries {
         FILTER (WHERE l_extendedprice > 30000) AS BIGINT) AS big_qty_sum
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** The aggregate UDF under an explicit running FRAME (round 12): the
+    * typed Aggregator evaluates per-frame like any built-in — a running
+    * quantity sum ordered within each return flag.
+    */
+  val runningAggJava: Q = Q(
+    "aq_agg_running",
+    (s, d) => {
+      import s.implicits._
+      AdhesiveDdl.execute(s, LongSumDdl)
+      graft.sources.Catalog.registerAll(s, d)
+      // the frame ORDER BY must be TOTAL within each partition:
+      // (orderkey, linenumber) repeats across rows of one flag in the
+      // synthetic data, and a tied prefix makes the running sum
+      // order-dependent between engines — partkey/suppkey/quantity break
+      // the ties deterministically
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        graft_lsum(CAST(l_quantity AS BIGINT)) OVER (
+          PARTITION BY l_returnflag
+          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+        PARTITION BY l_returnflag
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS run_qty
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   /** The aggregate UDF in WINDOW position — per-flag total revenue
     * repeated on every row (the "window UDF" form: Spark windows run any
     * registered aggregate over a frame, so the adhesive aggregate is a
@@ -731,7 +761,7 @@ object AdhesiveParityQueries {
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
     revAggWindowJava, netPriceJava, wordLensJava, featScoreJava,
     monthStartJava, hourFloorJava, prioScoreJava, meanQtyAggJava,
-    textStatsJava, distinctAggJava, filterAggJava)
+    textStatsJava, distinctAggJava, filterAggJava, runningAggJava)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =
