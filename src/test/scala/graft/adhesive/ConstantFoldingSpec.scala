@@ -39,6 +39,55 @@ class ConstantFoldingSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L, 42L, 42L))
   }
 
+  test("deterministic DECIMAL / ARRAY / STRUCT calls fold to typed Literals") {
+    // ScalaUDF.eval returns the Catalyst-INTERNAL value (Decimal,
+    // ArrayData, InternalRow), so the folded Literal is valid for the
+    // round-12 container return types too
+    spark.sql("""CREATE OR REPLACE FUNCTION fold_dec(BIGINT)
+      RETURNS DECIMAL(10,2) DETERMINISTIC LANGUAGE JAVA AS '
+      import graft.adhesive.Adhesive;
+      import org.apache.spark.sql.Row;
+      public class FoldDec extends Adhesive {
+        public Object compute(Row row) {
+          return new java.math.BigDecimal(row.getLong(0)).movePointLeft(2);
+        }
+      }'""")
+    val dec = spark.sql("SELECT fold_dec(4200L) AS v FROM range(2)")
+    assert(!hasUdf(dec), "decimal call must fold out of the plan")
+    assert(dec.collect().map(_.getDecimal(0).toPlainString).toSeq ==
+      Seq("42.00", "42.00"))
+    spark.sql("""CREATE OR REPLACE FUNCTION fold_arr(BIGINT)
+      RETURNS ARRAY<BIGINT> DETERMINISTIC LANGUAGE JAVA AS '
+      import graft.adhesive.Adhesive;
+      import org.apache.spark.sql.Row;
+      import java.util.ArrayList; import java.util.List;
+      public class FoldArr extends Adhesive {
+        public Object compute(Row row) {
+          List<Long> out = new ArrayList<>();
+          for (long i = 1; i <= row.getLong(0); i++) out.add(i);
+          return out;
+        }
+      }'""")
+    val arr = spark.sql("SELECT fold_arr(3L) AS v FROM range(2)")
+    assert(!hasUdf(arr), "array call must fold out of the plan")
+    assert(arr.collect().map(_.getSeq[Long](0).toList).toSeq ==
+      Seq(List(1L, 2L, 3L), List(1L, 2L, 3L)))
+    spark.sql("""CREATE OR REPLACE FUNCTION fold_st(BIGINT)
+      RETURNS STRUCT<q: BIGINT, r: BIGINT> DETERMINISTIC LANGUAGE JAVA AS '
+      import graft.adhesive.Adhesive;
+      import org.apache.spark.sql.Row;
+      import org.apache.spark.sql.RowFactory;
+      public class FoldSt extends Adhesive {
+        public Object compute(Row row) {
+          return RowFactory.create(row.getLong(0) / 10, row.getLong(0) % 10);
+        }
+      }'""")
+    val st = spark.sql("SELECT fold_st(42L).q AS q, fold_st(42L).r AS r")
+    assert(!hasUdf(st), "struct call must fold out of the plan")
+    assert(st.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((4L, 2L)))
+  }
+
   test("volatile call over literals does NOT fold (reference Volatile parity)") {
     define("fold_vol", deterministic = false)
     val df = spark.sql("SELECT fold_vol(40L, 2L) AS v FROM range(3)")
