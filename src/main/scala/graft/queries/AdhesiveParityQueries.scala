@@ -360,16 +360,22 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, NetPriceDdl)
+      // the UDF RETURNS DECIMAL(14,4); the OUTPUT column is cast to a
+      // canonical STRING because the driver's pandas compare renders a
+      // decimal column as Decimal('…') on the Spark side but float64 on
+      // the DuckDB side — both engines render the scale-4 decimal as the
+      // same full-scale string ('43683.0600'), so the compare is exact
       Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber",
           call_function("graft_net",
             $"l_extendedprice".cast("decimal(12,2)"),
-            $"l_discount".cast("decimal(3,2)")).as("net_price"))
+            $"l_discount".cast("decimal(3,2)")).cast("string").as("net_price"))
         .orderBy($"l_orderkey", $"l_linenumber")
     },
     Some("""SELECT l_orderkey, l_linenumber,
-      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-           (1 - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(14,4)) AS net_price
+      CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (1 - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(14,4)) AS VARCHAR)
+        AS net_price
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   private val WordLensDdl =
@@ -400,16 +406,22 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, WordLensDdl)
+      // the UDF RETURNS ARRAY<BIGINT>; the OUTPUT column joins it to a
+      // canonical string — a list-typed result column breaks the
+      // driver's pandas row sort (unhashable ndarray cells), and the
+      // suite convention is scalar output columns
       Tables.documents(s, d)
         .select($"doc_id",
-          call_function("graft_word_lens",
-            regexp_replace(trim($"text"), "\\s+", " ")).as("word_lens"))
+          array_join(
+            call_function("graft_word_lens",
+              regexp_replace(trim($"text"), "\\s+", " ")), ",")
+            .as("word_lens"))
         .orderBy($"doc_id")
     },
     Some("""SELECT doc_id,
-      list_transform(
+      array_to_string(list_transform(
         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
-        x -> length(x)) AS word_lens
+        x -> length(x)), ',') AS word_lens
       FROM documents ORDER BY doc_id"""))
 
   private val FeatScoreDdl =
