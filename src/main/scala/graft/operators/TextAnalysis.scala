@@ -272,6 +272,57 @@ object TextAnalysis {
       CAST(length(regexp_replace(text, '\b(customer|value)\b', '[TERM]', 'g')) AS BIGINT) AS scrubbed_len
       FROM documents ORDER BY doc_id"""))
 
+  /** Structured PII detection + redaction — the real-pattern complement
+    * to [[denylistScrub]]'s word deny-list: email and IPv4 regexes over
+    * each document, counting hits and reporting the redacted length. The
+    * synthetic corpus carries no PII, so each document is AUGMENTED with
+    * deterministic doc_id-derived contact lines in BOTH engines — the
+    * counts are then non-trivial (≥1 email + 1 IP per doc) and the
+    * oracle proves Java-regex and RE2 agree on the character-class +
+    * bounded-repetition patterns production PII scans use. Narrow
+    * per-row transform, zero shuffle beyond the presentation sort; at
+    * 100 TB this is a pure map over the scan.
+    */
+  val piiScan: Q = Q(
+    "ta_pii_scan",
+    (s, d) => {
+      import s.implicits._
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val aug = concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail"), $"doc_id" % 7, lit(".example.com from 10."),
+        $"doc_id" % 256, lit(".0."), $"doc_id" % 100,
+        // every third doc carries a second address, so the counts VARY
+        // and a miscounting engine can't pass on constants
+        when($"doc_id" % 3 === 0, lit(" cc admin@corp.io")).otherwise(lit("")))
+      val redacted = regexp_replace(
+        regexp_replace(aug, lit(emailPat), lit("<EMAIL>")),
+        lit(ipPat), lit("<IP>"))
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_count(aug, lit(emailPat)).cast(LongType).as("n_emails"),
+          regexp_count(aug, lit(ipPat)).cast(LongType).as("n_ips"),
+          length(redacted).cast(LongType).as("redacted_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+        '.example.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+        || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END)
+          AS t
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(t,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(length(regexp_replace(regexp_replace(t,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS BIGINT)
+          AS redacted_len
+      FROM aug ORDER BY doc_id"""))
+
   /** Corpus-level vocabulary statistics: the top-20 word bigrams by
     * document frequency — the n-gram-counting building block of tokenizer
     * training and contamination checks. Explode is a per-row flatMap; the
@@ -592,5 +643,6 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
-    tfidf, bigramLm, denylistScrub, invertedIndex, dupNgrams, unicodeNfc)
+    tfidf, bigramLm, denylistScrub, piiScan, invertedIndex, dupNgrams,
+    unicodeNfc)
 }
