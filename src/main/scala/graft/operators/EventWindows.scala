@@ -544,6 +544,46 @@ object EventWindows {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
+  /** A DYNAMIC aggregate UDF inside a real Structured Streaming job,
+    * under the driver's DuckDB oracle — the cross-feature proof that
+    * `CREATE AGGREGATE FUNCTION` compiles on the driver, ships bytecode
+    * in the closure, and folds map-side partials inside streaming
+    * micro-batches exactly as in batch. Integer-cents arithmetic keeps
+    * the drained complete-mode result bit-equal to the batch SQL oracle
+    * regardless of micro-batch boundaries (each batch is one more
+    * partial-merge order, which the exact fold is invariant to).
+    */
+  val streamDynamicAgg: Q = Q(
+    "aq_stream_agg",
+    (s, d) => {
+      import s.implicits._
+      graft.adhesive.AdhesiveDdl.execute(s,
+        """CREATE OR REPLACE AGGREGATE FUNCTION graft_cents_sum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+          |import graft.adhesive.AdhesiveAggregate;
+          |import org.apache.spark.sql.Row;
+          |public class CentsSum extends AdhesiveAggregate {
+          |  public Object zero() { return 0L; }
+          |  public Object reduce(Object s, Row in) {
+          |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+          |  }
+          |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+          |}
+          |'""".stripMargin)
+      drainEvents(s, d, "graft_stream_dynagg_sink", copies = 1,
+        outputMode = "complete",
+        pipeline = ev => ev
+          .select($"event_type",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy($"event_type")
+          .agg(call_function("graft_cents_sum", $"cents").as("cents_sum")),
+        shape = _.orderBy($"event_type"))
+    },
+    Some("""SELECT event_type,
+      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        AS cents_sum
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Shared scaffold for the `ev_stream_*` oracle entries: copy the
     * events table into a fresh file-stream source dir (`copies` > 1
     * simulates at-least-once redelivery of the same file under new
@@ -684,5 +724,6 @@ object EventWindows {
 
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize)
+    churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize,
+    streamDynamicAgg)
 }
