@@ -544,6 +544,19 @@ object EventWindows {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
 
+  private val CentsSumDdl =
+    """CREATE OR REPLACE AGGREGATE FUNCTION graft_cents_sum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveAggregate;
+      |import org.apache.spark.sql.Row;
+      |public class CentsSum extends AdhesiveAggregate {
+      |  public Object zero() { return 0L; }
+      |  public Object reduce(Object s, Row in) {
+      |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+      |  }
+      |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+      |}
+      |'""".stripMargin
+
   /** A DYNAMIC aggregate UDF inside a real Structured Streaming job,
     * under the driver's DuckDB oracle — the cross-feature proof that
     * `CREATE AGGREGATE FUNCTION` compiles on the driver, ships bytecode
@@ -557,18 +570,7 @@ object EventWindows {
     "aq_stream_agg",
     (s, d) => {
       import s.implicits._
-      graft.adhesive.AdhesiveDdl.execute(s,
-        """CREATE OR REPLACE AGGREGATE FUNCTION graft_cents_sum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
-          |import graft.adhesive.AdhesiveAggregate;
-          |import org.apache.spark.sql.Row;
-          |public class CentsSum extends AdhesiveAggregate {
-          |  public Object zero() { return 0L; }
-          |  public Object reduce(Object s, Row in) {
-          |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
-          |  }
-          |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
-          |}
-          |'""".stripMargin)
+      graft.adhesive.AdhesiveDdl.execute(s, CentsSumDdl)
       drainEvents(s, d, "graft_stream_dynagg_sink", copies = 1,
         outputMode = "complete",
         pipeline = ev => ev
@@ -583,6 +585,43 @@ object EventWindows {
       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         AS cents_sum
       FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** The WATERMARKED, APPEND-mode form of [[streamDynamicAgg]] — the
+    * production streaming-aggregate idiom the complete-mode entry can't
+    * prove: hourly windows fold through the dynamic aggregate UDF, each
+    * window is emitted exactly once when the watermark passes its end,
+    * and its state row is evicted at that moment (bounded state on an
+    * unbounded stream — StreamingSpec asserts the eviction). The drained
+    * sink holds only CLOSED windows, so the oracle is the batch hourly
+    * aggregate restricted to windows whose end precedes the final
+    * watermark. Spark's boundary semantics are replicated exactly: the
+    * watermark is `floor(max event-time in MILLISECONDS) - 1 hour`
+    * (EventTimeWatermarkExec accumulates event times in ms) and a window
+    * is emitted iff `window_end <= watermark` (WatermarkSupport's
+    * LessThanOrEqual eviction predicate) — both floored-ms arithmetic and
+    * the <= comparison appear verbatim in the DuckDB SQL below.
+    */
+  val streamDynamicAggWindow: Q = Q(
+    "aq_stream_agg_window",
+    (s, d) => {
+      import s.implicits._
+      graft.adhesive.AdhesiveDdl.execute(s, CentsSumDdl)
+      drainEvents(s, d, "graft_stream_dynagg_win_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.windowedDynAgg(_),
+        shape = _.select(unix_micros($"window_start").as("window_start_us"),
+            $"event_type", $"n", $"cents_sum")
+          .orderBy($"window_start_us", $"event_type"))
+    },
+    Some(s"""WITH wm AS (
+        SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events)
+      SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
+        event_type, count(*) AS n,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+          AS cents_sum
+      FROM events, wm GROUP BY 1, 2, wm_us
+      HAVING window_start_us + $HourUs <= wm_us
+      ORDER BY window_start_us, event_type"""))
 
   /** Shared scaffold for the `ev_stream_*` oracle entries: copy the
     * events table into a fresh file-stream source dir (`copies` > 1
@@ -600,11 +639,41 @@ object EventWindows {
     // construction or start() failure must still clean up the copied
     // corpus files, or repeated rounds accumulate orphaned copies
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val copied = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     try {
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      // A parquet "table" is legitimately either one file (the driver's
+      // current testdata) or a directory of part files (any real writer's
+      // output). A single-file assumption here would silently drop every
+      // part but one after a testdata regeneration — copy all data parts,
+      // skipping writer metadata (_SUCCESS, .crc), and fail loudly on a
+      // directory that contains none.
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val stream = java.nio.file.Files.list(src)
+          val ps = try {
+            scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+              .asScala
+              .filter { p =>
+                val n = p.getFileName.toString
+                java.nio.file.Files.isRegularFile(p) &&
+                  !n.startsWith("_") && !n.startsWith(".")
+              }
+              .toVector.sortBy(_.getFileName.toString)
+          } finally stream.close()
+          if (ps.isEmpty) {
+            throw new IllegalArgumentException(
+              s"$src is a directory with no data files — cannot feed the " +
+                "event stream from an empty parquet table")
+          }
+          ps
+        } else Seq(src)
       (0 until copies).foreach { i =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          srcDir.resolve(f"events-$i%03d.parquet"))
+        parts.zipWithIndex.foreach { case (p, j) =>
+          val dst = srcDir.resolve(f"events-$i%03d-$j%05d.parquet")
+          java.nio.file.Files.copy(p, dst)
+          copied += dst
+        }
       }
       q = pipeline(graft.streaming.EventStreamPipeline
           .readEvents(s, srcDir.toString))
@@ -619,10 +688,7 @@ object EventWindows {
         q.stop()
         s.catalog.dropTempView(sink)
       }
-      (0 until copies).foreach { i =>
-        java.nio.file.Files.deleteIfExists(
-          srcDir.resolve(f"events-$i%03d.parquet"))
-      }
+      copied.foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.deleteIfExists(srcDir)
     }
   }
@@ -725,5 +791,5 @@ object EventWindows {
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize,
-    streamDynamicAgg)
+    streamDynamicAgg, streamDynamicAggWindow)
 }

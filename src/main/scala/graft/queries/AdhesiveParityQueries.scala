@@ -335,6 +335,66 @@ object AdhesiveParityQueries {
               unnest(range(1, len(w) + 1)) AS i FROM w) u
       ORDER BY doc_id, pos"""))
 
+  private val UnwindDdl =
+    """CREATE OR REPLACE TABLE FUNCTION graft_unwind(ARRAY<BIGINT>) RETURNS TABLE(pos INT, v BIGINT, run BIGINT) LANGUAGE JAVA AS '
+      |import graft.adhesive.AdhesiveTableFunction;
+      |import org.apache.spark.sql.Row;
+      |import org.apache.spark.sql.RowFactory;
+      |import java.util.ArrayList;
+      |import java.util.List;
+      |public class Unwind extends AdhesiveTableFunction {
+      |  // ARRAY<BIGINT> argument read positionally via getList — each
+      |  // element fans out to one (pos, value, running-sum) row
+      |  public List<Row> eval(Row args) {
+      |    List<Row> out = new ArrayList<>();
+      |    if (args.isNullAt(0)) return out;
+      |    List<Long> xs = args.getList(0);
+      |    long run = 0;
+      |    for (int i = 0; i < xs.size(); i++) {
+      |      long v = xs.get(i) == null ? 0L : xs.get(i);
+      |      run += v;
+      |      out.add(RowFactory.create(i, v, run));
+      |    }
+      |    return out;
+      |  }
+      |}
+      |'""".stripMargin
+
+  /** LATERAL table function over the CONTAINER lattice (round 13): the
+    * declared-legal surface `aq_table_java` never exercised — an
+    * ARRAY<BIGINT> argument built by the OUTER query (per-token lengths)
+    * flows through `row.getList`, and the function emits multi-column
+    * rows carrying per-element state (a running sum) no plain `unnest`
+    * can produce. Executes as an `Inline` generator correlated to the
+    * outer scan: one `eval` per document inside the stage, zero
+    * function-introduced shuffle — the fan-out shape that holds at
+    * 100 TB because rows never leave their input partition.
+    */
+  val unwindTableLateral: Q = Q(
+    "aq_table_lateral",
+    (s, d) => {
+      AdhesiveDdl.execute(s, UnwindDdl)
+      graft.sources.Catalog.registerAll(s, d)
+      s.sql("""SELECT d.doc_id, u.pos, u.v, u.run
+        FROM (SELECT doc_id,
+                transform(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '),
+                          x -> CAST(length(x) AS BIGINT)) AS lens
+              FROM documents) d,
+        LATERAL graft_unwind(d.lens) u
+        ORDER BY doc_id, pos""")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents),
+      u AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+              CAST(length(tok) AS BIGINT) AS v
+            FROM (SELECT doc_id, unnest(w) AS tok,
+                    unnest(range(1, len(w) + 1)) AS i FROM w))
+      SELECT doc_id, pos, v,
+        CAST(sum(v) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      FROM u ORDER BY doc_id, pos"""))
+
   private val NetPriceDdl =
     """CREATE OR REPLACE FUNCTION graft_net(DECIMAL(12,2), DECIMAL(3,2)) RETURNS DECIMAL(14,4) LANGUAGE JAVA AS '
       |import graft.adhesive.Adhesive;
@@ -773,7 +833,8 @@ object AdhesiveParityQueries {
     urgentJava, centsJava, posDimsJava, revAggJava, tokensTableJava,
     revAggWindowJava, netPriceJava, wordLensJava, featScoreJava,
     monthStartJava, hourFloorJava, prioScoreJava, meanQtyAggJava,
-    textStatsJava, distinctAggJava, filterAggJava, runningAggJava)
+    textStatsJava, distinctAggJava, filterAggJava, runningAggJava,
+    unwindTableLateral)
 
   /** Flagship: the reference parity query on the smoke scale factor. */
   def entry(spark: SparkSession): DataFrame =

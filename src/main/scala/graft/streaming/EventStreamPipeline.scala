@@ -114,6 +114,39 @@ object EventStreamPipeline {
         $"total_value")
   }
 
+  /** Hourly tumbling-window fold through a DYNAMIC aggregate UDF
+    * (`CREATE AGGREGATE FUNCTION`), watermarked for APPEND-mode output —
+    * the production streaming-agg idiom: a window is emitted exactly once,
+    * when the watermark passes its end, and its state row is evicted from
+    * the store at that moment. State is therefore bounded by the watermark
+    * horizon (|open windows| × |event types|), not by stream length — the
+    * shape that runs indefinitely, unlike the complete-mode form the
+    * `aq_stream_agg` entry proves the fold under. The caller must have
+    * registered `fn` (a BIGINT-summing adhesive aggregate) on the session;
+    * the input is integer cents so the fold is exact and micro-batch
+    * partitioning invariant.
+    *
+    * Emission/eviction boundary (Spark `WatermarkSupport`): a window is
+    * emitted when `window.end <= watermark`, where the watermark is
+    * `floor(max event time in ms) - delay` — pinned by
+    * StreamingSpec and replicated exactly in the `aq_stream_agg_window`
+    * DuckDB oracle.
+    */
+  def windowedDynAgg(events: DataFrame,
+      fn: String = "graft_cents_sum"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))))
+      .withWatermark("event_time", "1 hour")
+      .select($"event_time", $"event_type",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), call_function(fn, $"cents").as("cents_sum"))
+      .select($"window.start".as("window_start"), $"event_type", $"n",
+        $"cents_sum")
+  }
+
   /** Streaming ingest dedup: at-least-once sources (replayed files,
     * retried batches) deliver duplicates; collapse to one row per
     * event_id. `dropDuplicatesWithinWatermark` keys the dedup state by

@@ -109,6 +109,36 @@ class TableFunctionDdlSpec extends AnyFunSuite {
       (3, List(3L, 4L))))
   }
 
+  test("MAP<STRING,BIGINT> argument: LATERAL fan-out of map entries") {
+    spark.sql(
+      """CREATE OR REPLACE TABLE FUNCTION gentries(MAP<STRING,BIGINT>) RETURNS TABLE(k STRING, v BIGINT) LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveTableFunction;
+        |import org.apache.spark.sql.Row;
+        |import org.apache.spark.sql.RowFactory;
+        |import java.util.*;
+        |public class GEntries extends AdhesiveTableFunction {
+        |  public List<Row> eval(Row args) {
+        |    List<Row> out = new ArrayList<>();
+        |    if (args.isNullAt(0)) return out;
+        |    Map<String, Long> m = args.getJavaMap(0);
+        |    List<String> ks = new ArrayList<>(m.keySet());
+        |    Collections.sort(ks);
+        |    for (String k : ks) out.add(RowFactory.create(k, m.get(k)));
+        |    return out;
+        |  }
+        |}
+        |'""".stripMargin)
+    spark.range(1, 3)
+      .selectExpr("id", "map(concat('a', id), id, concat('b', id), id * 10) AS m")
+      .createOrReplaceTempView("t_maps")
+    val rows = spark.sql(
+      """SELECT t_maps.id, e.k, e.v FROM t_maps, LATERAL gentries(t_maps.m) e
+        |ORDER BY id, k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a1", 1L), (1L, "b1", 10L),
+      (2L, "a2", 2L), (2L, "b2", 20L)))
+  }
+
   test("exact argument types are enforced (StrictArg on the packed struct)") {
     spark.sql(SeriesDdl)
     val e = intercept[Exception] {

@@ -41,6 +41,86 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode windowed dynamic aggregate emits closed windows and evicts their state") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-wda")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    graft.adhesive.AdhesiveDdl.execute(spark,
+      """CREATE OR REPLACE AGGREGATE FUNCTION wda_spec_sum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class WdaSum extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row in) {
+        |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+        |  }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |}
+        |'""".stripMargin)
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.windowedDynAgg(stream, "wda_spec_sum")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wda_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch twin of the same fold, split by the final watermark:
+      // wm = floor(max event-time ms) - 1 hour; closed ⟺ end <= wm
+      val batchEv = EventStreamPipeline
+        .readEventsBatch(spark, streamDir.toString)
+      val wmUs = (batchEv.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.expr("ts div 1000 div 1000")))
+        .head.getLong(0) - 3600000L) * 1000L
+      val allWindows = batchEv
+        .selectExpr("(ts div 1000 div 3600000000) * 3600000000 AS ws",
+          "event_type",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .groupBy("ws", "event_type")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("cents_sum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val (closed, open) = allWindows.partition(_._1 + 3600000000L <= wmUs)
+      assert(closed.nonEmpty && open.nonEmpty,
+        s"fixture must straddle the watermark (closed=${closed.length}, open=${open.length})")
+      val emitted = spark.table("wda_stream")
+        .selectExpr("unix_micros(window_start)", "event_type", "n", "cents_sum")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // 1) exactly the closed windows are emitted, with the exact fold
+      assert(emitted.toSet == closed.toSet)
+      // 2) state retains ONLY the open windows: the emitted groups'
+      // rows were evicted from the store at emission
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == open.length,
+        s"state holds $stateRows rows; expected only the ${open.length} open windows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("wda_stream")
+    }
+  }
+
+  test("drainEvents-backed entries accept a directory-shaped events.parquet table") {
+    // the driver's testdata ships events.parquet as ONE file; any real
+    // writer produces a DIRECTORY of part files — the streaming entries
+    // must feed every part to the stream, not silently copy one
+    val d = java.nio.file.Files.createTempDirectory("graft-evdir").toString
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .repartition(3).write.parquet(s"$d/events.parquet")
+    val got = graft.operators.EventWindows.streamDynamicAgg
+      .build(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("cents_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("a late event inside the gap must not rewind the open session's clock") {
     import EventStreamPipeline.{Event, foldSessions}
     // batch 1: two events, one open session ending at t=1,700,000
