@@ -1013,17 +1013,27 @@ object Dedup {
     * Every shuffle key is either the n-gram or the doc_id — no all-pairs
     * stage anywhere.
     */
-  private[operators] def dupSpanDf(s: SparkSession, d: String): DataFrame = {
+  private[operators] def dupSpanDf(s: SparkSession, d: String,
+      n: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val n = 4
     val toks = Tables.spread(Tables.documents(s, d), "doc_id")
       .select($"doc_id", split(expr(Norm), " ").as("w"))
       .filter(size($"w") >= n)
-    // (doc_id, pos, ng): the n-gram starting at 0-based token position pos
+    // (doc_id, pos, ng): the n-gram starting at 0-based token position
+    // pos, identified by its 64-BIT HASH — the n-gram text never crosses
+    // the shuffle (the df-groupBy and the marking join both key on 8
+    // bytes instead of the ~n-word string; measured in
+    // SubstrDedupStudyR13, the text-keyed form shuffled 1.4× more at
+    // n=8 than n=4 purely from key width). A hash collision would merge
+    // two gram identities and could falsely mark a span: P ≈ G²/2^65 for
+    // G distinct grams — ~10⁻⁵ at 30M grams, and the outcome is
+    // deterministic per corpus, so the cross-engine oracle (which keys
+    // on the exact text) stays bit-stable unless a corpus actually
+    // contains a colliding pair.
     val ngrams = toks.select($"doc_id",
       posexplode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"))
         .as(Seq("pos", "ng")))
     val dup = ngrams.groupBy($"ng")
       .agg(countDistinct($"doc_id").as("ndocs"))
@@ -1048,18 +1058,23 @@ object Dedup {
         ($"span_end" - $"span_start" + 1).as("span_tokens"))
   }
 
-  private val DupSpansDuck =
+  /** The whole duplicated-span CTE chain (shingle → df-mark → island
+    * merge → spans) at n-gram length `n` — the DuckDB twin of
+    * [[dupSpanDf]], shared by the 4-gram marking queries and the
+    * threshold-8 substring-dedup query.
+    */
+  private def dupSpansDuckFor(n: Int): String = {
+    val cat = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
     s"""WITH toks AS (
          SELECT doc_id, string_split($NormDuck, ' ') AS w FROM documents),
        ngi AS (
-         SELECT doc_id, unnest(generate_series(1, len(w)-3)) AS i, w
-         FROM toks WHERE len(w) >= 4),
+         SELECT doc_id, unnest(generate_series(1, len(w)-${n - 1})) AS i, w
+         FROM toks WHERE len(w) >= $n),
        ng2 AS (
-         SELECT doc_id, i-1 AS pos,
-                w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3] AS ng FROM ngi),
+         SELECT doc_id, i-1 AS pos, $cat AS ng FROM ngi),
        dup AS (SELECT ng FROM ng2 GROUP BY ng
                HAVING count(DISTINCT doc_id) >= 2),
-       hits AS (SELECT doc_id, pos, pos + 3 AS e FROM ng2
+       hits AS (SELECT doc_id, pos, pos + ${n - 1} AS e FROM ng2
                 WHERE ng IN (SELECT ng FROM dup)),
        isl AS (
          SELECT doc_id, pos, e,
@@ -1074,6 +1089,9 @@ object Dedup {
          SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
                 max(e) - min(pos) + 1 AS span_tokens
          FROM isl2 GROUP BY doc_id, island)"""
+  }
+
+  private val DupSpansDuck = dupSpansDuckFor(4)
 
   val dupSpans: Q = Q(
     "dd_dup_spans",
@@ -1125,6 +1143,47 @@ object Dedup {
              CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens_total,
              CAST(sum(n_tokens) AS BIGINT) AS tokens_total
       FROM j GROUP BY 1 ORDER BY decile"""))
+
+  /** Exact-substring dedup at a LENGTH THRESHOLD — the published recipe
+    * (Lee et al. 2022 §4.1, ExactSubstr): remove every substring of ≥ N
+    * tokens that occurs in more than one document. The suffix-array
+    * formulation is inherently single-node; the distributed equivalence
+    * this runs on: a token lies inside a duplicated substring of length
+    * ≥ N  ⟺  it is covered by some duplicated N-gram (⇐ a duplicated
+    * N-gram IS such a substring; ⇒ every token of a duplicated ≥N-token
+    * substring sits in one of its length-N windows, each itself
+    * duplicated). So marking duplicated N-grams (df ≥ 2) and merging
+    * their coverage into maximal islands yields EXACTLY the spans the
+    * suffix-array algorithm removes — no approximation. N = 8 here
+    * (the corpus's docs are short; production uses 50). Output is the
+    * span list with the actual duplicated text reconstructed, i.e. what
+    * a cleaner would cut.
+    *
+    * Scale shape (same machinery as [[dupSpanDf]], threshold-length
+    * grams): df-count is a map-side-combinable groupBy on the n-gram;
+    * marking is an equi-join ON the n-gram (corpus-sized vocabulary —
+    * shuffle join, never broadcast); island merge windows per doc_id
+    * with task memory bounded by one document's hit list. Longer grams
+    * mean FEWER duplicated grams, so the threshold form shuffles less
+    * than the 4-gram marker at equal corpus size (measured in SCALE.md).
+    */
+  val dupSubstrings: Q = Q(
+    "dd_dup_substrings",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", split(expr(Norm), " ").as("w"))
+      dupSpanDf(s, d, n = 8).join(toks, "doc_id")
+        .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+          expr("concat_ws(' ', slice(w, CAST(span_start + 1 AS INT), CAST(span_tokens AS INT)))")
+            .as("dup_text"))
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""${dupSpansDuckFor(8)}
+      SELECT s.doc_id, span_start, span_end, span_tokens,
+        array_to_string(w[span_start + 1 : span_end + 1], ' ') AS dup_text
+      FROM spans s JOIN toks USING (doc_id)
+      ORDER BY doc_id, span_start"""))
 
   /** Edit-distance verification of the LSH band candidates — the fuzzy-
     * match member of the near-dup family (typo-level duplicates that token
@@ -1185,5 +1244,5 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, prefixJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, lshBandSweep, simhash, simhashPairs,
     survivors, containment, clusters, minhashAccuracy, incremental,
-    dupSpans, dupCoverage, editVerify)
+    dupSpans, dupCoverage, dupSubstrings, editVerify)
 }

@@ -94,4 +94,26 @@ class DupSpansSpec extends AnyFunSuite {
     val d = corpus("a b c", "a b c", "long enough doc here ok yes")
     assert(spans(d).isEmpty)
   }
+
+  test("threshold form (n=8): only duplicated substrings of >= 8 tokens are flagged") {
+    // doc0/doc1 share a 10-token run AND a 7-token run; the substring
+    // dedup at threshold 8 must flag exactly the 10-token one — the
+    // 7-token duplicate contains no duplicated 8-gram
+    val shared10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val shared7 = "t1 t2 t3 t4 t5 t6 t7"
+    val d = corpus(
+      s"u1 $shared10 u2 u3 $shared7 u4",
+      s"$shared7 v1 v2 $shared10 v3")
+    val got = Dedup.dupSpanDf(spark, d, n = 8)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // doc0: shared10 at tokens 1..10; doc1: shared10 at tokens 9..18
+    assert(got == Seq((0L, 1L, 10L, 10L), (1L, 9L, 18L, 10L)))
+    // the default 4-gram marker DOES see the 7-token run — the threshold
+    // is what excluded it, not the machinery
+    val at4 = spans(d)
+    assert(at4.exists { case (_, _, _, len) => len == 7L })
+  }
 }
