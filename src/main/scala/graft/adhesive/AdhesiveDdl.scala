@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *
   * CREATE [OR REPLACE] AGGREGATE FUNCTION name(TYPE, ...) RETURNS TYPE
   *   [STATE TYPE]                  -- partial-aggregation buffer type,
-  *   [LANGUAGE JAVA|SCALA|CLASS]   -- defaults to the RETURNS type
+  *                                 --   defaults to the RETURNS type
+  *   [DETERMINISTIC]               -- like scalar: absent = volatile
+  *   [LANGUAGE JAVA|SCALA|CLASS]
   *   AS '<source extending AdhesiveAggregate | fully.qualified.ClassName>'
   *   [USING JAR '<path>']
   *
@@ -173,14 +175,26 @@ object AdhesiveDdl {
     var nonNullable = false
     var deterministic = false
     var stateType: Option[DataType] = None
+    // Duplicate flags are DDL errors, not silent last-wins: `STATE BIGINT
+    // STATE DOUBLE` parses, and dropping one arbitrarily would hide a
+    // typo'd buffer type until runtime (likewise a repeated NOT
+    // NULL/DETERMINISTIC usually marks an editing mistake).
+    def dupFlag(flag: String): Nothing =
+      throw new AdhesiveException(s"duplicate $flag clause")
     FlagClause.findAllMatchIn(flagsText).foreach { m =>
       val clause =
         m.matched.toUpperCase(Locale.ROOT).split("\\s+").take(1).mkString
       clause match {
-        case "NOT"           => nonNullable = true
-        case "DETERMINISTIC" => deterministic = true
-        case "STATE"         => stateType = Some(parseType(m.group(1)))
-        case _               => () // unreachable: FlagClause admits only these
+        case "NOT" =>
+          if (nonNullable) dupFlag("NOT NULL")
+          nonNullable = true
+        case "DETERMINISTIC" =>
+          if (deterministic) dupFlag("DETERMINISTIC")
+          deterministic = true
+        case "STATE" =>
+          if (stateType.isDefined) dupFlag("STATE")
+          stateType = Some(parseType(m.group(1)))
+        case _ => () // unreachable: FlagClause admits only these
       }
     }
     if (kind != KindAggregate && stateType.isDefined) {
@@ -275,15 +289,16 @@ object AdhesiveDdl {
       case (LangJava, KindAggregate) =>
         AdhesiveRegistry.registerJavaSourceAggregate(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
-          stateType = stmt.stateType)
+          stateType = stmt.stateType, deterministic = stmt.deterministic)
       case (LangScala, KindAggregate) =>
         AdhesiveRegistry.registerScalaSourceAggregate(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.returnType,
-          stateType = stmt.stateType)
+          stateType = stmt.stateType, deterministic = stmt.deterministic)
       case (LangClass, KindAggregate) =>
         AdhesiveRegistry.registerClassAggregate(
           spark, stmt.name, stmt.body.trim, stmt.argTypes, stmt.returnType,
-          stateType = stmt.stateType, jarPath = stmt.jarPath)
+          stateType = stmt.stateType, jarPath = stmt.jarPath,
+          deterministic = stmt.deterministic)
       case (LangJava, KindTable) =>
         AdhesiveRegistry.registerJavaSourceTableFunction(
           spark, stmt.name, stmt.body, stmt.argTypes, stmt.tableSchema.get)

@@ -251,7 +251,8 @@ object AdhesiveRegistry {
       source: String,
       argTypes: Seq[DataType],
       returnType: DataType,
-      stateType: Option[DataType] = None): Unit = {
+      stateType: Option[DataType] = None,
+      deterministic: Boolean = false): Unit = {
     requireSupportedAggType("return", returnType)
     stateType.foreach(requireSupportedAggType("state", _))
     val (fqn, bytecode) = compiledCached("java", source) {
@@ -260,7 +261,7 @@ object AdhesiveRegistry {
     }
     AdhesiveInstances.aggregateInstance(fqn, bytecode) // eager validation
     registerAggregate(spark, name, fqn, bytecode, argTypes, returnType,
-      stateType.getOrElse(returnType))
+      stateType.getOrElse(returnType), deterministic = deterministic)
   }
 
   def registerScalaSourceAggregate(
@@ -269,7 +270,8 @@ object AdhesiveRegistry {
       source: String,
       argTypes: Seq[DataType],
       returnType: DataType,
-      stateType: Option[DataType] = None): Unit = {
+      stateType: Option[DataType] = None,
+      deterministic: Boolean = false): Unit = {
     requireSupportedAggType("return", returnType)
     stateType.foreach(requireSupportedAggType("state", _))
     val (fqn, bytecode) = compiledCached("scala", source) {
@@ -278,7 +280,7 @@ object AdhesiveRegistry {
     }
     AdhesiveInstances.aggregateInstance(fqn, bytecode)
     registerAggregate(spark, name, fqn, bytecode, argTypes, returnType,
-      stateType.getOrElse(returnType))
+      stateType.getOrElse(returnType), deterministic = deterministic)
   }
 
   def registerClassAggregate(
@@ -288,12 +290,13 @@ object AdhesiveRegistry {
       argTypes: Seq[DataType],
       returnType: DataType,
       stateType: Option[DataType] = None,
-      jarPath: Option[String] = None): Unit = {
+      jarPath: Option[String] = None,
+      deterministic: Boolean = false): Unit = {
     requireSupportedAggType("return", returnType)
     stateType.foreach(requireSupportedAggType("state", _))
     AdhesiveInstances.aggregateInstance(className, Map.empty, jarPath)
     registerAggregate(spark, name, className, Map.empty, argTypes, returnType,
-      stateType.getOrElse(returnType), jarPath)
+      stateType.getOrElse(returnType), jarPath, deterministic = deterministic)
   }
 
   private def registerAggregate(
@@ -304,7 +307,8 @@ object AdhesiveRegistry {
       argTypes: Seq[DataType],
       returnType: DataType,
       stateType: DataType,
-      jarPath: Option[String] = None): Unit = {
+      jarPath: Option[String] = None,
+      deterministic: Boolean = false): Unit = {
     val bridge = new AdhesiveAggregatorBridge(name, fqn, bytecode, stateType,
       returnType, jarPath)
     // The input encoder's N-field struct schema makes the registered
@@ -341,8 +345,13 @@ object AdhesiveRegistry {
       // DISTINCT / FILTER (WHERE ...) modifiers apply — a pre-wrapped
       // AggregateExpression would reject both with
       // FUNCTION_WITH_UNSUPPORTED_SYNTAX.
+      // isDeterministic follows the DDL flag, same contract as the
+      // scalar path: absent DETERMINISTIC = volatile (never CSE'd or
+      // re-planned on the assumption of repeatable results; Spark plans
+      // nondeterministic aggregate functions fine — only scalar
+      // expressions are restricted). Declared DETERMINISTIC opts in.
       ScalaAggregator[Row, Any, Any](checked.toList, bridge, inputEnc,
-        bufferEnc, nullable = true, isDeterministic = true,
+        bufferEnc, nullable = true, isDeterministic = deterministic,
         aggregatorName = Some(name)): Expression
     }
     spark.asInstanceOf[ClassicSparkSession]

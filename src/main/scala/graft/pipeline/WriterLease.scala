@@ -22,13 +22,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * minutes-long at most, and a broken-then-raced lease still resolves to
   * exactly one winner because the create-after-delete is itself exclusive.
   *
-  * Clock assumption: staleness compares the lease file's modification time
-  * against THIS process's wall clock, which is sound when all writers
-  * share one clock domain — the same host (the local[N] deployment) or an
-  * HDFS cluster with sane NTP. On a cross-machine object-store deployment
-  * a skewed clock could break a live writer's lease early; that deployment
-  * would need a renew/heartbeat protocol (holder re-touches the lease
-  * every ttl/3), which this single-host design intentionally omits.
+  * Liveness: while `withLease`'s body runs, a daemon HEARTBEAT re-touches
+  * the lease's modification time every ttl/3, so staleness judges against
+  * the holder's LAST RENEWAL, not its acquisition time — a
+  * slower-than-TTL but alive holder is never broken (spec-pinned), and a
+  * dead holder stops renewing and expires within one TTL as before. Three
+  * touches per TTL means a breaker sees a fresh mtime unless at least two
+  * consecutive heartbeats failed to land. Clock skew between writers now
+  * only shifts WHEN a dead holder's lease is broken (skew adds to the
+  * effective TTL), never breaks a live one — closing the round-12
+  * single-clock-domain caveat for cross-machine deployments.
   */
 object WriterLease {
 
@@ -49,15 +52,32 @@ object WriterLease {
 
   /** Run `body` holding the writer lease for `dir`; releases on every
     * exit path. Throws `IllegalStateException` when another live writer
-    * holds it.
+    * holds it. While `body` runs, a daemon heartbeat renews the lease
+    * every ttl/3 (see the object scaladoc), so a long-running body is
+    * never mistaken for a dead holder.
     */
   def withLease[A](fs: FileSystem, dir: String, op: String,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
     val lease = new Path(s"$dir/$LeaseFileName")
     fs.mkdirs(lease.getParent)
     acquire(fs, lease, op, ttlMs, retryAfterBreak = true)
+    val hb = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val t = new Thread(r, s"writer-lease-heartbeat:$dir")
+        t.setDaemon(true)
+        t
+      })
+    val periodMs = math.max(ttlMs / 3, 1L)
+    hb.scheduleAtFixedRate(
+      () => try fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () }, // transient FS error: the next
+      // beat retries; two consecutive misses are needed to look stale
+      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
-    finally fs.delete(lease, false)
+    finally {
+      hb.shutdownNow()
+      fs.delete(lease, false)
+    }
   }
 
   /** Exclusively create `p` containing `content`; true iff THIS call
@@ -70,24 +90,48 @@ object WriterLease {
   private[graft] def createExclusive(fs: FileSystem, p: Path,
       content: String): Boolean = {
     val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    try {
-      fs match {
-        case _: org.apache.hadoop.fs.LocalFileSystem |
-             _: org.apache.hadoop.fs.RawLocalFileSystem =>
-          val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
-          java.nio.file.Files.createDirectories(local.getParent)
+    // "Lost the race" may only be concluded from the CREATE step failing.
+    // A failure AFTER this call's own create succeeded (write/close — disk
+    // full, quota) must NOT report false: the racer that created the file
+    // would believe itself a loser while its empty/partial file blocks
+    // every writer until the TTL break, and writeTextFileOnce callers
+    // would mis-diagnose "content never appeared". Delete the partial
+    // creation and rethrow instead.
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        try {
           java.nio.file.Files.write(local, bytes,
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
-        case _ =>
-          val out = fs.create(p, false)
-          try out.write(bytes) finally out.close()
-      }
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException        => false
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p)             => false
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            // CREATE_NEW succeeded (an existing file throws FAEE above),
+            // so any leftover is THIS call's partial — remove it
+            java.nio.file.Files.deleteIfExists(local)
+            throw e
+        }
+      case _ =>
+        val out =
+          try fs.create(p, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+            case _: java.io.IOException if fs.exists(p)             => null
+          }
+        if (out == null) false
+        else {
+          try { try out.write(bytes) finally out.close(); true }
+          catch {
+            case e: java.io.IOException =>
+              try fs.delete(p, false)
+              catch { case _: Exception => () } // best effort; rethrow below
+              throw e
+          }
+        }
     }
   }
 

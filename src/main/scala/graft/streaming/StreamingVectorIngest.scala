@@ -114,6 +114,18 @@ object StreamingVectorIngest {
       // readSettled, not a bare read: a concurrent first-binder may have
       // created the marker but not yet written its bytes
       val bound = readSettled(markerFs, marker)
+      if (bound.isEmpty) {
+        // still empty after the settle budget: no live binder is mid-write
+        // — a prior first-binder crashed between creating the marker and
+        // landing its bytes. Routing this through the mismatch branch
+        // would report a baffling "bound to generation ''"; name the real
+        // state and the one-step recovery instead.
+        throw new IllegalStateException(
+          s"checkpoint marker $marker exists but is EMPTY — a prior bind " +
+            "crashed between creating the marker and writing its bytes. " +
+            s"Delete the marker file to let this stream re-bind to " +
+            s"$indexDir explicitly.")
+      }
       if (bound != gen) {
         throw new IllegalStateException(
           s"stream checkpoint $checkpointDir is bound to index generation " +

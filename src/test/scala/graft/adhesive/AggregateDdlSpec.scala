@@ -292,6 +292,66 @@ class AggregateDdlSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("DETERMINISTIC flag threads into the planned aggregate; default is volatile") {
+    // scalar-path parity (round-13 ADVICE fix): the DDL's DETERMINISTIC
+    // flag must reach ScalaAggregator.isDeterministic instead of being
+    // hardcoded true — a volatile aggregate body must not be CSE'd or
+    // re-planned on the assumption of repeatable results
+    def plannedDeterminism(fn: String): Boolean = {
+      spark.range(4).selectExpr("id % 2 AS k", "id AS v")
+        .createOrReplaceTempView("t_det")
+      val plan = spark.sql(s"SELECT k, $fn(v) FROM t_det GROUP BY k")
+        .queryExecution.analyzed
+      val flags = plan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.flatMap(_.collect {
+            case e: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+              e.aggregateFunction.deterministic
+          })
+      }.flatten
+      assert(flags.length == 1)
+      flags.head
+    }
+    val body =
+      """'
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class DetSum extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row in) {
+        |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+        |  }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |}
+        |'""".stripMargin
+    spark.sql("CREATE OR REPLACE AGGREGATE FUNCTION det_sum(BIGINT) " +
+      s"RETURNS BIGINT DETERMINISTIC LANGUAGE JAVA AS $body")
+    assert(plannedDeterminism("det_sum"),
+      "DETERMINISTIC-declared aggregate must plan deterministic")
+    spark.sql("CREATE OR REPLACE AGGREGATE FUNCTION vol_sum(BIGINT) " +
+      s"RETURNS BIGINT LANGUAGE JAVA AS $body")
+    assert(!plannedDeterminism("vol_sum"),
+      "flag-less aggregate must plan volatile (scalar-path parity)")
+  }
+
+  test("duplicate DDL flags are rejected, not silently last-wins") {
+    val dup = intercept[AdhesiveException] {
+      spark.sql("CREATE AGGREGATE FUNCTION dupst(BIGINT) RETURNS BIGINT " +
+        "STATE BIGINT STATE DOUBLE LANGUAGE JAVA AS 'class X {}'")
+    }
+    assert(dup.getMessage.contains("duplicate STATE"))
+    val dupDet = intercept[AdhesiveException] {
+      spark.sql("CREATE FUNCTION dupdet(BIGINT) RETURNS BIGINT " +
+        "DETERMINISTIC DETERMINISTIC LANGUAGE JAVA AS 'class X {}'")
+    }
+    assert(dupDet.getMessage.contains("duplicate DETERMINISTIC"))
+    val dupNn = intercept[AdhesiveException] {
+      spark.sql("CREATE FUNCTION dupnn(BIGINT) RETURNS BIGINT " +
+        "NOT NULL NOT NULL LANGUAGE JAVA AS 'class X {}'")
+    }
+    assert(dupNn.getMessage.contains("duplicate NOT NULL"))
+  }
+
   test("DROP TEMPORARY FUNCTION clears an aggregate (create→drop→create)") {
     spark.sql(WeightedSumDdl.replace("wsum", "wsum_drop"))
     Seq((2.0, 3.0)).toDF("v", "w").createOrReplaceTempView("t_wd")

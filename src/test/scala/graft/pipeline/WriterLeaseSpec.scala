@@ -74,6 +74,42 @@ class WriterLeaseSpec extends AnyFunSuite {
       "surviving content must be the winner's")
   }
 
+  test("a write failure AFTER winning the create rethrows and leaves no partial lease") {
+    // round-13 ADVICE fix: on the create(overwrite=false) branch (HDFS et
+    // al.), an IOException from the WRITE after a successful create used
+    // to be classified as "lost the race" (fs.exists is true — because WE
+    // created it), leaving an empty lease that blocks all writers until
+    // the TTL break. The actual creator must clean up and rethrow.
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    // FilterFileSystem is not a Local/RawLocal instance, so createExclusive
+    // takes the create(overwrite=false) branch under test
+    val failFs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def create(f: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        val real = super.create(f, overwrite) // the file now EXISTS
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.OutputStream {
+            override def write(b: Int): Unit =
+              throw new java.io.IOException("injected: disk full")
+            override def close(): Unit = real.close()
+          }, null)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-pw").toString
+    val p = new Path(s"$dir/claim")
+    val e = intercept[java.io.IOException] {
+      WriterLease.createExclusive(failFs, p, "winner-content")
+    }
+    assert(e.getMessage.contains("injected"),
+      s"the write failure must surface, got: ${e.getMessage}")
+    assert(!failFs.exists(p),
+      "the partial lease must be deleted, not left to block writers")
+    // and the path is immediately claimable by a healthy writer
+    assert(WriterLease.createExclusive(fsOf(dir), p, "healthy"))
+  }
+
   test("an orphaned lease (dead writer) is broken after its TTL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wl2").toString
     val fs = fsOf(dir)
@@ -91,6 +127,39 @@ class WriterLeaseSpec extends AnyFunSuite {
       WriterLease.withLease(fs, dir, "latecomer")(())
     }
     assert(e.getMessage.contains("another writer holds the lease"))
+  }
+
+  test("heartbeat: a slower-than-TTL but ALIVE holder is never broken") {
+    // round-13 closure of the clock-domain caveat: staleness judges
+    // against the holder's last heartbeat renewal, not acquisition time.
+    // Holder works for ~4 TTLs; a challenger arriving well past the TTL
+    // must still be refused — without the ttl/3 heartbeat it would break
+    // the live holder's lease here.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-hb").toString
+    val fs = fsOf(dir)
+    val ttl = 600L
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try WriterLease.withLease(fs, dir, "slow-holder", ttlMs = ttl) {
+        Thread.sleep(4 * ttl)
+      } catch { case e: Throwable => holderErr.set(e) }
+      finally holderDone.countDown())
+    t.start()
+    Thread.sleep(2 * ttl + ttl / 2) // well past TTL, holder still alive
+    val e = intercept[IllegalStateException] {
+      WriterLease.withLease(fs, dir, "challenger", ttlMs = ttl)(())
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      s"challenger should have been refused, got: ${e.getMessage}")
+    assert(e.getMessage.contains("slow-holder"))
+    assert(holderDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(holderErr.get() == null,
+      s"holder must finish undisturbed: ${holderErr.get()}")
+    // once the holder released, the challenger proceeds
+    var ran = false
+    WriterLease.withLease(fs, dir, "challenger-2", ttlMs = ttl) { ran = true }
+    assert(ran)
   }
 
   test("the lease releases on a throwing body") {
