@@ -85,6 +85,14 @@ object Bench {
       val ts = passes.map(_(i)._2).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    // per-query SPREAD (max - min across successful passes): carried in
+    // the recorded JSON so a future reader can separate host noise from a
+    // real regression without re-running — a query whose best moved inside
+    // its own spread band moved by noise
+    val spreads: Seq[(String, Double)] = ordered.indices.map { i =>
+      val ts = passes.map(_(i)._2).filter(_ >= 0)
+      ordered(i)._1 -> (if (ts.size < 2) 0.0 else ts.max - ts.min)
+    }
     def r3(v: Double): String = // 3 decimals keeps the JSON line short
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(rs: Seq[(String, Double)]): String =
@@ -101,13 +109,17 @@ object Bench {
     // only the 13 frozen headline timings (~550 chars); the full per-query
     // map goes to a side file + stderr for analysis.
     val headlineQs = jsonMap(results.filter(r => Headline.contains(r._1)))
+    val headlineSpread = jsonMap(spreads.filter(r => Headline.contains(r._1)))
     val passesJson = passes.map(jsonMap).mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"headline_total":${r3(total)},"all_total":${r3(allTotal)},"n":${results.size},"runs":$runs,"failed":$failed,"queries":${jsonMap(results)},"passes":$passesJson,"sf":"$sfDir"}\n"""
+      s"""{"headline_total":${r3(total)},"all_total":${r3(allTotal)},"n":${results.size},"runs":$runs,"failed":$failed,"queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"passes":$passesJson,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query map (best of $runs): ${jsonMap(results)}")
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","runs":$runs,"failed":$failed,"queries":$headlineQs,"sf":"$sfDir"}""")
+    System.err.println(s"[bench] full per-query spread: ${jsonMap(spreads)}")
+    // ~900 chars with both headline maps — still well inside the 2000-char
+    // stdout tail the driver parses
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","runs":$runs,"failed":$failed,"queries":$headlineQs,"spread":$headlineSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -283,26 +283,36 @@ object TextAnalysis {
     * per-row transform, zero shuffle beyond the presentation sort; at
     * 100 TB this is a pure map over the scan.
     */
+  /** The PII patterns and the redaction transform, shared by the batch
+    * `ta_pii_scan` entry and the streaming scrub-before-admit ingestion
+    * ([[graft.streaming.StreamingDedupPipeline.scrubPii]]) — one
+    * definition, so the stream can be proven equal to the batch scan.
+    */
+  private[graft] val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails and IPv4 addresses in `c` — a pure narrow map (two
+    * codegen'd regexp_replace passes), zero shuffle at any scale.
+    */
+  def piiRedact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, lit(EmailPat), lit("<EMAIL>")),
+      lit(IpPat), lit("<IP>"))
+
   val piiScan: Q = Q(
     "ta_pii_scan",
     (s, d) => {
       import s.implicits._
-      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       val aug = concat($"text", lit(" contact user"), $"doc_id",
         lit("@mail"), $"doc_id" % 7, lit(".example.com from 10."),
         $"doc_id" % 256, lit(".0."), $"doc_id" % 100,
         // every third doc carries a second address, so the counts VARY
         // and a miscounting engine can't pass on constants
         when($"doc_id" % 3 === 0, lit(" cc admin@corp.io")).otherwise(lit("")))
-      val redacted = regexp_replace(
-        regexp_replace(aug, lit(emailPat), lit("<EMAIL>")),
-        lit(ipPat), lit("<IP>"))
       Tables.documents(s, d)
         .select($"doc_id",
-          regexp_count(aug, lit(emailPat)).cast(LongType).as("n_emails"),
-          regexp_count(aug, lit(ipPat)).cast(LongType).as("n_ips"),
-          length(redacted).cast(LongType).as("redacted_len"))
+          regexp_count(aug, lit(EmailPat)).cast(LongType).as("n_emails"),
+          regexp_count(aug, lit(IpPat)).cast(LongType).as("n_ips"),
+          length(piiRedact(aug)).cast(LongType).as("redacted_len"))
         .orderBy($"doc_id")
     },
     Some("""WITH aug AS (SELECT doc_id,

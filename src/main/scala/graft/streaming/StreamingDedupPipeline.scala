@@ -92,19 +92,36 @@ object StreamingDedupPipeline {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** PII scrub as an ingestion stage: redact emails/IPv4 in `text` with
+    * the SAME patterns as the batch `ta_pii_scan` entry
+    * ([[graft.operators.TextAnalysis.piiRedact]] — one definition, so
+    * stream == batch is provable, StreamingDedupSpec). A pure narrow map
+    * over the micro-batch: no state, no shuffle, schema preserved —
+    * inside a stream it costs exactly what it costs in batch. Applied
+    * BEFORE admission so raw PII never reaches the posting store, the
+    * kept output, or the shingle relation (admission decisions are made
+    * on the scrubbed text — the text the corpus will actually keep).
+    */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      graft.operators.TextAnalysis.piiRedact(org.apache.spark.sql.functions.col("text")))
+
   /** Drain `srcDir` (AvailableNow) through the greedy admission filter:
     * admitted docs land in `keptDir/batch=<id>/`, the posting-index store
     * under `storeDir/{postings,df,shingles}/batch=<id>/`.
     * `maxFilesPerTrigger` bounds batch size so a backlog replays as the
-    * same ordered micro-batches.
+    * same ordered micro-batches. `scrubBeforeAdmit` inserts [[scrubPii]]
+    * ahead of admission.
     */
   def ingestDedup(spark: SparkSession, srcDir: String, storeDir: String,
       keptDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
-    val stream = spark.readStream
+      maxFilesPerTrigger: Int = 1,
+      scrubBeforeAdmit: Boolean = false): Unit = {
+    val raw = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
+    val stream = if (scrubBeforeAdmit) scrubPii(raw) else raw
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: java.lang.Long) =>
         processBatch(batch, batchId, storeDir, keptDir)

@@ -226,30 +226,11 @@ class AggregateDdlSpec extends AnyFunSuite {
 
   test("MAP state: per-group token counting aggregate merges maps") {
     // the corpus-op shape: MAP<STRING,BIGINT> state accumulating token
-    // counts, merged across partitions by key
-    spark.sql(
-      """CREATE OR REPLACE AGGREGATE FUNCTION tok_counts(STRING) RETURNS MAP<STRING, BIGINT> LANGUAGE JAVA AS '
-        |import graft.adhesive.AdhesiveAggregate;
-        |import org.apache.spark.sql.Row;
-        |import java.util.HashMap;
-        |import java.util.Map;
-        |public class TokCounts extends AdhesiveAggregate {
-        |  public Object zero() { return new HashMap<String, Long>(); }
-        |  @SuppressWarnings("unchecked")
-        |  public Object reduce(Object state, Row input) {
-        |    if (input.isNullAt(0)) return state;
-        |    Map<String, Long> m = new HashMap<>((Map<String, Long>) state);
-        |    m.merge(input.getString(0), 1L, Long::sum);
-        |    return m;
-        |  }
-        |  @SuppressWarnings("unchecked")
-        |  public Object merge(Object a, Object b) {
-        |    Map<String, Long> out = new HashMap<>((Map<String, Long>) a);
-        |    ((Map<String, Long>) b).forEach((k, v) -> out.merge(k, v, Long::sum));
-        |    return out;
-        |  }
-        |}
-        |'""".stripMargin)
+    // counts, merged across partitions by key; the fold MUTATES its state
+    // in place (see TestAggregates.tokenCountsDdl) — this test pins that
+    // the Aggregator buffer contract makes that correct across partial
+    // merges
+    spark.sql(TestAggregates.tokenCountsDdl("tok_counts"))
     spark.range(0, 900, 1, 16)
       .selectExpr("id % 3 AS k", "concat('w', CAST(id % 5 AS STRING)) AS tok")
       .createOrReplaceTempView("t_tok2")

@@ -1,10 +1,10 @@
 package graft.adhesive
 
 /** Shared dynamic-aggregate DDL bodies used by both the correctness spec
-  * ([[AggregateDdlSpec]]) and the shuffle-volume study
-  * ([[AggShuffleStudyR12]]) — one source of truth for the fold, so a fix
-  * to its semantics (e.g. length-mismatch behavior of `add`) cannot
-  * silently diverge between the two.
+  * ([[AggregateDdlSpec]]) and the shuffle-volume studies
+  * ([[AggShuffleStudyR12]], [[AggShuffleStudyR13]]) — one source of truth
+  * for the fold, so a fix to its semantics (e.g. length-mismatch behavior
+  * of `add`) cannot silently diverge between correctness and measurement.
   */
 object TestAggregates {
 
@@ -34,6 +34,39 @@ object TestAggregates {
        |  @SuppressWarnings("unchecked")
        |  public Object merge(Object a, Object b) {
        |    return add((List<Double>) a, (List<Double>) b);
+       |  }
+       |}
+       |'""".stripMargin
+
+  /** `CREATE AGGREGATE FUNCTION <name>(STRING) RETURNS MAP<STRING,BIGINT>`
+    * — per-group token counting with MAP state. The fold mutates its own
+    * state in place (`merge` into the live HashMap) and returns it: the
+    * Spark `Aggregator` contract explicitly permits reduce/merge to
+    * mutate and return their buffer, and at scale the per-row
+    * copy-on-write alternative is O(|vocab|) per input row — the
+    * difference between a linear and a quadratic-ish fold. Correctness of
+    * the mutating form is pinned by AggregateDdlSpec; its shuffle shape
+    * is measured by AggShuffleStudyR13.
+    */
+  def tokenCountsDdl(name: String): String =
+    s"""CREATE OR REPLACE AGGREGATE FUNCTION $name(STRING) RETURNS MAP<STRING, BIGINT> LANGUAGE JAVA AS '
+       |import graft.adhesive.AdhesiveAggregate;
+       |import org.apache.spark.sql.Row;
+       |import java.util.HashMap;
+       |import java.util.Map;
+       |public class TokCounts extends AdhesiveAggregate {
+       |  public Object zero() { return new HashMap<String, Long>(); }
+       |  @SuppressWarnings("unchecked")
+       |  public Object reduce(Object state, Row input) {
+       |    if (input.isNullAt(0)) return state;
+       |    ((Map<String, Long>) state).merge(input.getString(0), 1L, Long::sum);
+       |    return state;
+       |  }
+       |  @SuppressWarnings("unchecked")
+       |  public Object merge(Object a, Object b) {
+       |    Map<String, Long> out = (Map<String, Long>) a;
+       |    ((Map<String, Long>) b).forEach((k, v) -> out.merge(k, v, Long::sum));
+       |    return out;
        |  }
        |}
        |'""".stripMargin

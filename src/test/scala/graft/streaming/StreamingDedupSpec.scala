@@ -125,6 +125,76 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(replayed == expected, "replay must be idempotent")
   }
 
+  test("scrub-before-admit: stream output equals batch PII redaction; raw PII never lands") {
+    // the sf corpus augmented with doc_id-derived emails/IPs (the same
+    // augmentation shape as ta_pii_scan, so every doc carries PII)
+    val schema = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").schema
+    val aug = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .withColumn("text", concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail"), $"doc_id" % 7, lit(".example.com from 10."),
+        $"doc_id" % 256, lit(".0."), $"doc_id" % 100))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // two ordered arrival files -> two micro-batches
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sds-src")
+    val docs = aug.orderBy($"doc_id").collect()
+    val order = docs.map(_.getAs[Long]("doc_id")).toSeq
+    docs.grouped((docs.length + 1) / 2).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-sds-w$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toIndexedSeq, 1), schema)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(f"docs-$i%03d.parquet"))
+      Thread.sleep(1100)
+    }
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sds-st")
+      .resolve("store").toString
+    val keptDir = java.nio.file.Files.createTempDirectory("graft-sds-k")
+      .resolve("kept").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sds-c").toString
+
+    StreamingDedupPipeline.ingestDedup(
+      spark, srcDir.toString, storeDir, keptDir, ckpt,
+      scrubBeforeAdmit = true)
+
+    // batch twin: the SAME redaction (shared definition) applied to the
+    // same corpus, then the sequential greedy over the scrubbed relation
+    // (admission runs on scrubbed text — the text the corpus keeps)
+    val scrubbed = StreamingDedupPipeline.scrubPii(aug)
+    val sh = graft.operators.Dedup.hashedShinglesOf(scrubbed)
+    val a = sh.select($"doc_id".as("a_id"), $"shingles".as("sa"))
+    val b = sh.select($"doc_id".as("b_id"), $"shingles".as("sb"))
+    val pairs = a.crossJoin(b).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"sa", $"sb")).as("ni"),
+        size($"sa").as("na"), size($"sb").as("nb"))
+      .filter(($"ni".cast("double") / ($"na" + $"nb" - $"ni")) >= 0.6)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedIds = greedy(order, pairs)
+
+    val kept = spark.read.option("basePath", keptDir).parquet(keptDir)
+    val keptTexts = kept.select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptTexts.keySet == expectedIds,
+      s"missing=${expectedIds.diff(keptTexts.keySet)} extra=${keptTexts.keySet.diff(expectedIds)}")
+    // 1) stream text == batch redaction, byte-equal per doc
+    val batchTexts = scrubbed.select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    keptTexts.foreach { case (id, t) =>
+      assert(t == batchTexts(id), s"doc $id: stream text != batch redaction")
+    }
+    // 2) nothing PII-shaped was admitted (the scrub ran BEFORE admission)
+    val leaked = kept.filter(
+      expr(s"regexp_count(text, '${graft.operators.TextAnalysis.EmailPat.replace("\\", "\\\\")}') > 0") ||
+      expr(s"regexp_count(text, '${graft.operators.TextAnalysis.IpPat.replace("\\", "\\\\")}') > 0"))
+      .count()
+    assert(leaked == 0, s"$leaked admitted docs still carry raw PII")
+    assert(keptTexts.nonEmpty && keptTexts.size < order.size)
+  }
+
   test("mid-stream crash replays to the same admitted set") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-sddc-src")
     val order = splitCorpus(srcDir, 2)
