@@ -1185,6 +1185,57 @@ object Dedup {
       FROM spans s JOIN toks USING (doc_id)
       ORDER BY doc_id, span_start"""))
 
+  /** The consuming half of [[dupSubstrings]]: the CLEANED corpus — every
+    * document with its duplicated ≥8-token substrings cut out, plus the
+    * removal accounting a pipeline report needs. This is what
+    * ExactSubstr-dedup actually ships downstream: training text with the
+    * cross-document boilerplate excised, not just a span report.
+    *
+    * Shape: the span list (already doc_id-grouped) collects into one
+    * small array per affected doc and LEFT-joins back to the token
+    * arrays — a doc_id-keyed join where the spans side holds only docs
+    * with duplication; the per-token span test is O(spans-per-doc) inside
+    * a codegen'd higher-order filter, no extra shuffle beyond
+    * [[dupSpanDf]]'s own. Docs with no duplicated span pass through
+    * unchanged via the left join.
+    */
+  val cleanSubstrings: Q = Q(
+    "dd_clean_substrings",
+    (s, d) => {
+      import s.implicits._
+      val spansByDoc = dupSpanDf(s, d, n = 8)
+        .groupBy($"doc_id")
+        .agg(collect_list(struct($"span_start", $"span_end")).as("spans"))
+      Tables.documents(s, d)
+        .select($"doc_id", split(expr(Norm), " ").as("w"))
+        .join(spansByDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          expr("""concat_ws(' ', filter(w, (t, i) ->
+              spans IS NULL OR
+              NOT exists(spans, sp -> i >= sp.span_start AND i <= sp.span_end)))""")
+            .as("clean_text"),
+          size($"w").cast(LongType).as("n_tokens"),
+          coalesce(expr(
+            "aggregate(spans, 0L, (acc, sp) -> acc + sp.span_end - sp.span_start + 1)"),
+            lit(0L)).as("removed_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""${dupSpansDuckFor(8)},
+      toks2 AS (SELECT doc_id, unnest(w) AS tok,
+                  unnest(range(1, len(w) + 1)) AS i FROM toks),
+      rem AS (SELECT t.doc_id, t.tok, t.i FROM toks2 t
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                WHERE s.doc_id = t.doc_id
+                  AND t.i - 1 BETWEEN s.span_start AND s.span_end)),
+      cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                    count(*) AS kept
+                  FROM rem GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        CAST(len(t.w) AS BIGINT) AS n_tokens,
+        CAST(len(t.w) - coalesce(c.kept, 0) AS BIGINT) AS removed_tokens
+      FROM toks t LEFT JOIN cleaned c USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   /** Edit-distance verification of the LSH band candidates — the fuzzy-
     * match member of the near-dup family (typo-level duplicates that token
     * Jaccard under-scores: a character edit changes one token entirely but
@@ -1244,5 +1295,5 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, prefixJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, lshBandSweep, simhash, simhashPairs,
     survivors, containment, clusters, minhashAccuracy, incremental,
-    dupSpans, dupCoverage, dupSubstrings, editVerify)
+    dupSpans, dupCoverage, dupSubstrings, cleanSubstrings, editVerify)
 }

@@ -775,6 +775,15 @@ object AdhesiveParityQueries {
   /** The aggregate UDF under an explicit running FRAME (round 12): the
     * typed Aggregator evaluates per-frame like any built-in — a running
     * quantity sum ordered within each return flag.
+    *
+    * Scale note: PARTITION BY l_returnflag has ~4 distinct values, so at
+    * 100× data this is ~4 giant single-threaded window partitions —
+    * inherent to the running-total semantics being demonstrated (a
+    * global running sum needs a total order), and shared by the oracle.
+    * Do NOT copy this partitioning into a production pipeline: the
+    * scale-safe device for corpus-wide prefix sums is the
+    * range-partitioned two-pass form `pipe_global_shuffle` runs
+    * (per-partition subtotals broadcast back as offsets).
     */
   val runningAggJava: Q = Q(
     "aq_agg_running",

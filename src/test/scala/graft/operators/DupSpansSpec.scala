@@ -116,4 +116,20 @@ class DupSpansSpec extends AnyFunSuite {
     val at4 = spans(d)
     assert(at4.exists { case (_, _, _, len) => len == 7L })
   }
+
+  test("clean_substrings excises exactly the flagged spans") {
+    val shared10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val d = corpus(
+      s"u1 $shared10 u2",   // partial: the shared run is cut, ends kept
+      shared10,             // fully duplicated -> empty clean text
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9") // unique -> untouched
+    val got = Dedup.cleanSubstrings.build(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, "u1 u2", 12L, 10L),
+      (1L, "", 10L, 10L),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", 9L, 0L)))
+  }
 }
