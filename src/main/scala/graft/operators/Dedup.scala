@@ -1042,9 +1042,20 @@ object Dedup {
     val hits = ngrams.join(dup, "ng")
       .select($"doc_id", $"pos".cast(LongType).as("pos"),
         ($"pos" + lit(n - 1)).cast(LongType).as("e"))
-    // a token is "duplicated" iff covered by ≥1 marked n-gram; spans are
-    // maximal runs of duplicated tokens: start a new island only when a
-    // hit begins ≥2 past everything covered so far (≥1 clean token gap)
+    mergeIslands(hits)
+  }
+
+  /** Gaps-and-islands merge shared by the cross-doc marker ([[dupSpanDf]])
+    * and the within-doc self-repeat marker ([[selfRepeatDf]]): a token is
+    * "duplicated" iff covered by ≥1 marked n-gram; spans are maximal runs
+    * of duplicated tokens — a new island starts only when a hit begins
+    * ≥2 past everything covered so far (≥1 clean token gap). Windows on
+    * doc_id, task memory bounded by one document's hit list.
+    */
+  private def mergeIslands(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = hits.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     hits
       .withColumn("prev_end",
@@ -1058,12 +1069,45 @@ object Dedup {
         ($"span_end" - $"span_start" + 1).as("span_tokens"))
   }
 
-  /** The whole duplicated-span CTE chain (shingle → df-mark → island
-    * merge → spans) at n-gram length `n` — the DuckDB twin of
-    * [[dupSpanDf]], shared by the 4-gram marking queries and the
-    * threshold-8 substring-dedup query.
+  /** Within-document self-repeat spans — the OTHER half of the
+    * ExactSubstr recipe (the cross-doc marker [[dupSpanDf]] counts
+    * DISTINCT docs per gram, so a gram repeating only inside one doc is
+    * deliberately invisible to it). Keep-first semantics: for each
+    * n-gram occurring k ≥ 2 times in a document, the FIRST occurrence
+    * is kept and occurrences 2..k are marked; marked coverage merges
+    * into maximal spans — the in-page boilerplate detector (repeated
+    * nav blocks, chorus lines, templated paragraphs).
+    *
+    * Scale shape: the occurrence ranking windows on (doc_id, gram-hash)
+    * — co-partitioned WITH the doc, so the only shuffle key is
+    * (doc_id, ng) and skew is bounded by one document's copies of one
+    * gram; no corpus-wide df structure exists at all (cheaper than the
+    * cross-doc marker). Island merge as in [[mergeIslands]].
     */
-  private def dupSpansDuckFor(n: Int): String = {
+  private[operators] def selfRepeatDf(s: SparkSession, d: String,
+      n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = Tables.spread(Tables.documents(s, d), "doc_id")
+      .select($"doc_id", split(expr(Norm), " ").as("w"))
+      .filter(size($"w") >= n)
+    val ngrams = toks.select($"doc_id",
+      posexplode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"))
+        .as(Seq("pos", "ng")))
+    val byOcc = Window.partitionBy($"doc_id", $"ng").orderBy($"pos")
+    val hits = ngrams
+      .withColumn("rk", row_number().over(byOcc))
+      .filter($"rk" >= 2)
+      .select($"doc_id", $"pos".cast(LongType).as("pos"),
+        ($"pos" + lit(n - 1)).cast(LongType).as("e"))
+    mergeIslands(hits)
+  }
+
+  /** The n-gram CTE prelude (toks → positions → grams) at gram length
+    * `n` — shared by both DuckDB marker chains.
+    */
+  private def ngramDuckFor(n: Int): String = {
     val cat = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
     s"""WITH toks AS (
          SELECT doc_id, string_split($NormDuck, ' ') AS w FROM documents),
@@ -1071,12 +1115,14 @@ object Dedup {
          SELECT doc_id, unnest(generate_series(1, len(w)-${n - 1})) AS i, w
          FROM toks WHERE len(w) >= $n),
        ng2 AS (
-         SELECT doc_id, i-1 AS pos, $cat AS ng FROM ngi),
-       dup AS (SELECT ng FROM ng2 GROUP BY ng
-               HAVING count(DISTINCT doc_id) >= 2),
-       hits AS (SELECT doc_id, pos, pos + ${n - 1} AS e FROM ng2
-                WHERE ng IN (SELECT ng FROM dup)),
-       isl AS (
+         SELECT doc_id, i-1 AS pos, $cat AS ng FROM ngi)"""
+  }
+
+  /** The gaps-and-islands chain from a `hits(doc_id, pos, e)` CTE to
+    * `spans` — the DuckDB twin of [[mergeIslands]].
+    */
+  private val IslandChainDuck =
+    """isl AS (
          SELECT doc_id, pos, e,
            CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos - 1
@@ -1089,7 +1135,30 @@ object Dedup {
          SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
                 max(e) - min(pos) + 1 AS span_tokens
          FROM isl2 GROUP BY doc_id, island)"""
-  }
+
+  /** The whole cross-doc duplicated-span CTE chain (shingle → df-mark →
+    * island merge → spans) at n-gram length `n` — the DuckDB twin of
+    * [[dupSpanDf]], shared by the 4-gram marking queries and the
+    * threshold-8 substring-dedup query.
+    */
+  private def dupSpansDuckFor(n: Int): String =
+    s"""${ngramDuckFor(n)},
+       dup AS (SELECT ng FROM ng2 GROUP BY ng
+               HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT doc_id, pos, pos + ${n - 1} AS e FROM ng2
+                WHERE ng IN (SELECT ng FROM dup)),
+       $IslandChainDuck"""
+
+  /** The within-doc self-repeat chain — DuckDB twin of [[selfRepeatDf]]:
+    * keep-first occurrence ranking replaces the cross-doc df mark.
+    */
+  private def selfRepeatsDuckFor(n: Int): String =
+    s"""${ngramDuckFor(n)},
+       r AS (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, ng ORDER BY pos) AS rk
+             FROM ng2),
+       hits AS (SELECT doc_id, pos, pos + ${n - 1} AS e FROM r WHERE rk >= 2),
+       $IslandChainDuck"""
 
   private val DupSpansDuck = dupSpansDuckFor(4)
 
@@ -1183,6 +1252,23 @@ object Dedup {
       SELECT s.doc_id, span_start, span_end, span_tokens,
         array_to_string(w[span_start + 1 : span_end + 1], ' ') AS dup_text
       FROM spans s JOIN toks USING (doc_id)
+      ORDER BY doc_id, span_start"""))
+
+  /** Within-document self-repeat spans under the oracle — see
+    * [[selfRepeatDf]] for semantics (keep-first; occurrences 2..k of any
+    * 4-gram repeating inside one document merge into maximal spans).
+    * Complements `dd_dup_spans`, whose DISTINCT-docs df deliberately
+    * ignores self-repeats — together the two cover both halves of the
+    * published exact-dedup recipe.
+    */
+  val selfRepeats: Q = Q(
+    "dd_self_repeats",
+    (s, d) => {
+      import s.implicits._
+      selfRepeatDf(s, d).orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""${selfRepeatsDuckFor(4)}
+      SELECT doc_id, span_start, span_end, span_tokens FROM spans
       ORDER BY doc_id, span_start"""))
 
   /** The consuming half of [[dupSubstrings]]: the CLEANED corpus — every
@@ -1295,5 +1381,6 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, prefixJaccard, chargramJaccard,
     minhashSignatures, minhashLsh, lshBandSweep, simhash, simhashPairs,
     survivors, containment, clusters, minhashAccuracy, incremental,
-    dupSpans, dupCoverage, dupSubstrings, cleanSubstrings, editVerify)
+    dupSpans, dupCoverage, dupSubstrings, cleanSubstrings, selfRepeats,
+    editVerify)
 }

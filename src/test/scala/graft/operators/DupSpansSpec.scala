@@ -117,6 +117,27 @@ class DupSpansSpec extends AnyFunSuite {
     assert(at4.exists { case (_, _, _, len) => len == 7L })
   }
 
+  test("self-repeats: later occurrences within ONE doc are flagged, first kept") {
+    val d = corpus(
+      // "a b c d" at pos 1 and pos 6: only the SECOND occurrence marks
+      "x a b c d y a b c d z",
+      // overlapping self-repeat: every 4-gram of "r r r r r" is the same
+      // gram; occurrence 2 starts at pos 1 -> span [1, 4]
+      "r r r r r",
+      // cross-doc duplicate WITHOUT self-repeat: invisible here
+      "p q s t u1", "p q s t u2")
+    val got = Dedup.selfRepeatDf(spark, d)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((0L, 6L, 9L, 4L), (1L, 1L, 4L, 4L)))
+    // ...and the cross-doc marker sees the OPPOSITE set: docs 2/3's
+    // shared run, not the self-repeats
+    val cross = spans(d).map(_._1).toSet
+    assert(cross == Set(2L, 3L))
+  }
+
   test("clean_substrings excises exactly the flagged spans") {
     val shared10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
     val d = corpus(
