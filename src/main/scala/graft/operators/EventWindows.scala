@@ -788,8 +788,65 @@ object EventWindows {
       WHERE session_start_ms < last_start
       ORDER BY user_id, session_start_ms"""))
 
+  /** Timer-closed custom session state under the driver's oracle: the
+    * `transformWithState` sessionizer with EVENT-TIME TIMERS
+    * ([[graft.streaming.EventStreamPipeline.sessionizeTimers]]) emits
+    * gap-split sessions as they close AND fires each idle session's
+    * timer once the watermark passes `last activity + gap`, clearing its
+    * state row. Strictly stronger than `ev_stream_sessionize` (whose
+    * final-session-per-user rides in state forever): here the drained
+    * output is every session the watermark can prove closed — in SQL,
+    * the batch sessions with `session_last_ms + gap <= floor(max
+    * event-time in ms)` (0-second watermark delay), which is exactly
+    * what the oracle states. The RocksDB state store provider is
+    * required for the timer/typed-state APIs; it is set for the drain
+    * and restored after.
+    */
+  val streamSessionsTimers: Q = Q(
+    "ev_stream_sessions_timers",
+    (s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        drainEvents(s, d, "graft_stream_sesst_sink", copies = 1,
+          outputMode = "append",
+          pipeline = ev => graft.streaming.EventStreamPipeline
+            .sessionizeTimers(ev).toDF(),
+          shape = _.select($"user_id", $"session_start_ms", $"n_events")
+            .orderBy($"user_id", $"session_start_ms"))
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      f AS (
+        SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      g AS (
+        SELECT user_id, ts_ms,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f),
+      sess AS (
+        SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+          max(ts_ms) AS session_last_ms, count(*) AS n_events
+        FROM g GROUP BY user_id, session_id),
+      wm AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+      SELECT user_id, session_start_ms, n_events
+      FROM sess, wm WHERE session_last_ms + 1800000 <= m
+      ORDER BY user_id, session_start_ms"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize,
-    streamDynamicAgg, streamDynamicAggWindow)
+    streamDynamicAgg, streamDynamicAggWindow, streamSessionsTimers)
 }

@@ -288,6 +288,83 @@ object EventStreamPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class TimedEvent(event_id: Long, ts: Long, user_id: Long,
+      event_time: java.sql.Timestamp)
+
+  /** [[SessionProcessor]] plus EVENT-TIME TIMERS: the session state
+    * machine that also CLOSES idle sessions when the watermark passes
+    * their gap deadline, instead of letting each user's final session
+    * ride in state forever. Every input batch re-arms a timer at
+    * `open.lastMs + gap`; when the watermark passes it,
+    * `handleExpiredTimer` emits the session and CLEARS the state row —
+    * bounded state on an unbounded stream for CUSTOM state, the same
+    * guarantee the windowed-aggregate path gets from its built-in
+    * watermark eviction. Stale timers (superseded by later activity that
+    * extended the session) are detected by comparing the expiry against
+    * the live state's current deadline and ignored.
+    */
+  class TimedSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[Session] = {
+      val prev = if (open.exists()) Some(open.get()) else None
+      val batch = rows.map(t => Event(t.event_id, t.ts, t.user_id)).toSeq
+      val (cur, closed) = foldSessions(userId, prev, batch)
+      cur.foreach { o =>
+        open.update(o)
+        getHandle.registerTimer(o.lastMs + SessionGapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val o = open.get()
+        if (expiredTimerInfo.getExpiryTimeInMs() >= o.lastMs + SessionGapMs) {
+          open.clear()
+          Iterator.single(Session(userId, o.startMs, o.n))
+        } else Iterator.empty // superseded: later activity extended the session
+      }
+    }
+  }
+
+  /** Sessionization that emits EVERY session the watermark can prove
+    * closed — gap-split sessions as their closing event arrives, idle
+    * tails via event-time timers ([[TimedSessionProcessor]]). With a
+    * 0-second watermark delay the drained output is exactly the batch
+    * sessions whose `last activity + gap <= floor(max event-time ms)` —
+    * the `ev_stream_sessions_timers` oracle states that predicate in
+    * SQL. Requires the RocksDB state store provider (timers + typed
+    * state handles).
+    */
+  def sessionizeTimers(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    events
+      .select(col("event_id"),
+        expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"),
+        col("user_id"),
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L)))
+          .as("event_time"))
+      .withWatermark("event_time", "0 seconds")
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimedSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Distributed keyed-upsert merge — the `foreachBatch` sink primitive.
     * The existing snapshot is anti-joined against the batch's keys (rows
     * whose key the batch re-emitted are superseded), unioned with the

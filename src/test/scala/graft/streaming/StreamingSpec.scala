@@ -121,6 +121,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("event-time timers close idle sessions and evict their state") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-twst")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+        streamDir.resolve("events-000.parquet"))
+      val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+      val q = EventStreamPipeline.sessionizeTimers(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("twst_sessions")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("twst_sessions")
+          .select($"user_id", $"session_start_ms", $"n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // batch twin: ALL sessions; emitted ⟺ last activity + gap <= wm
+        val batchEv = EventStreamPipeline
+          .readEventsBatch(spark, streamDir.toString)
+        val wm = batchEv
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.expr("ts div 1000 div 1000")))
+          .head.getLong(0)
+        import org.apache.spark.sql.expressions.Window
+        val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        val sessions = batchEv
+          .selectExpr("user_id", "event_id", "ts div 1000000 AS ts_ms")
+          .withColumn("new_session",
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.lag($"ts_ms", 1).over(byTime).isNull ||
+                $"ts_ms" - org.apache.spark.sql.functions.lag($"ts_ms", 1).over(byTime) > 1800000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", org.apache.spark.sql.functions.sum($"new_session")
+            .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(org.apache.spark.sql.functions.min($"ts_ms").as("start_ms"),
+            org.apache.spark.sql.functions.max($"ts_ms").as("last_ms"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val (closedByWm, stillOpen) =
+          sessions.partition { case (_, _, last, _) => last + 1800000L <= wm }
+        assert(got == closedByWm.map { case (u, st, _, n) => (u, st, n) }.toSet)
+        assert(stillOpen.nonEmpty, "fixture should leave some sessions open")
+        // the timer path must emit MORE than the closed-by-gap-only twin:
+        // each user's final session that idles past the watermark now lands
+        val closedByGapOnly = sessions.groupBy(_._1).values.flatMap { ss =>
+          ss.sortBy(_._2).dropRight(1) // all but the user's last session
+        }.toSet
+        assert(closedByWm.toSet.size > closedByGapOnly.size,
+          "timers should close idle tails the gap rule never could")
+        // state eviction: only the still-open sessions' value rows remain
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows == stillOpen.length,
+          s"state holds $stateRows rows; expected ${stillOpen.length} open sessions")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("twst_sessions")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("a late event inside the gap must not rewind the open session's clock") {
     import EventStreamPipeline.{Event, foldSessions}
     // batch 1: two events, one open session ending at t=1,700,000
