@@ -88,10 +88,12 @@ object Bench {
     // per-query SPREAD (max - min across successful passes): carried in
     // the recorded JSON so a future reader can separate host noise from a
     // real regression without re-running — a query whose best moved inside
-    // its own spread band moved by noise
+    // its own spread band moved by noise. Fewer than 2 successful passes
+    // means there IS no variance sample — record the -1 failure sentinel,
+    // not a 0.0 that would read as "perfectly stable"
     val spreads: Seq[(String, Double)] = ordered.indices.map { i =>
       val ts = passes.map(_(i)._2).filter(_ >= 0)
-      ordered(i)._1 -> (if (ts.size < 2) 0.0 else ts.max - ts.min)
+      ordered(i)._1 -> (if (ts.size < 2) -1.0 else ts.max - ts.min)
     }
     def r3(v: Double): String = // 3 decimals keeps the JSON line short
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -1013,28 +1013,36 @@ object Dedup {
     * Every shuffle key is either the n-gram or the doc_id — no all-pairs
     * stage anywhere.
     */
-  private[operators] def dupSpanDf(s: SparkSession, d: String,
-      n: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, pos, ng) for every word n-gram of every document — the
+    * shared prelude of BOTH span markers (cross-doc [[dupSpanDf]] and
+    * within-doc [[selfRepeatDf]]; one definition so a change to
+    * normalization or hashing cannot silently diverge the two halves of
+    * the recipe). `pos` is the 0-based token position; `ng` is the gram's
+    * 64-BIT HASH — the n-gram text never crosses the shuffle (the
+    * df-groupBy and the marking join both key on 8 bytes instead of the
+    * ~n-word string; measured in SubstrDedupStudyR13, the text-keyed form
+    * shuffled 1.4× more at n=8 than n=4 purely from key width). A hash
+    * collision would merge two gram identities and could falsely mark a
+    * span: P ≈ G²/2^65 for G distinct grams — ~10⁻⁵ at 30M grams, and
+    * the outcome is deterministic per corpus, so the cross-engine oracle
+    * (which keys on the exact text) stays bit-stable unless a corpus
+    * actually contains a colliding pair.
+    */
+  private def hashedNgrams(s: SparkSession, d: String, n: Int): DataFrame = {
     import s.implicits._
-    val toks = Tables.spread(Tables.documents(s, d), "doc_id")
+    Tables.spread(Tables.documents(s, d), "doc_id")
       .select($"doc_id", split(expr(Norm), " ").as("w"))
       .filter(size($"w") >= n)
-    // (doc_id, pos, ng): the n-gram starting at 0-based token position
-    // pos, identified by its 64-BIT HASH — the n-gram text never crosses
-    // the shuffle (the df-groupBy and the marking join both key on 8
-    // bytes instead of the ~n-word string; measured in
-    // SubstrDedupStudyR13, the text-keyed form shuffled 1.4× more at
-    // n=8 than n=4 purely from key width). A hash collision would merge
-    // two gram identities and could falsely mark a span: P ≈ G²/2^65 for
-    // G distinct grams — ~10⁻⁵ at 30M grams, and the outcome is
-    // deterministic per corpus, so the cross-engine oracle (which keys
-    // on the exact text) stays bit-stable unless a corpus actually
-    // contains a colliding pair.
-    val ngrams = toks.select($"doc_id",
-      posexplode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"))
-        .as(Seq("pos", "ng")))
+      .select($"doc_id",
+        posexplode(expr(
+          s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"))
+          .as(Seq("pos", "ng")))
+  }
+
+  private[operators] def dupSpanDf(s: SparkSession, d: String,
+      n: Int = 4): DataFrame = {
+    import s.implicits._
+    val ngrams = hashedNgrams(s, d, n)
     val dup = ngrams.groupBy($"ng")
       .agg(countDistinct($"doc_id").as("ndocs"))
       .filter($"ndocs" >= 2).select($"ng")
@@ -1088,15 +1096,8 @@ object Dedup {
       n: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val toks = Tables.spread(Tables.documents(s, d), "doc_id")
-      .select($"doc_id", split(expr(Norm), " ").as("w"))
-      .filter(size($"w") >= n)
-    val ngrams = toks.select($"doc_id",
-      posexplode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"))
-        .as(Seq("pos", "ng")))
     val byOcc = Window.partitionBy($"doc_id", $"ng").orderBy($"pos")
-    val hits = ngrams
+    val hits = hashedNgrams(s, d, n)
       .withColumn("rk", row_number().over(byOcc))
       .filter($"rk" >= 2)
       .select($"doc_id", $"pos".cast(LongType).as("pos"),

@@ -671,8 +671,12 @@ object EventWindows {
       (0 until copies).foreach { i =>
         parts.zipWithIndex.foreach { case (p, j) =>
           val dst = srcDir.resolve(f"events-$i%03d-$j%05d.parquet")
-          java.nio.file.Files.copy(p, dst)
+          // record BEFORE copying: a mid-copy failure (disk full) must
+          // still get its partial file cleaned up, or the finally's
+          // srcDir delete throws DirectoryNotEmptyException and masks
+          // the real error
           copied += dst
+          java.nio.file.Files.copy(p, dst)
         }
       }
       q = pipeline(graft.streaming.EventStreamPipeline

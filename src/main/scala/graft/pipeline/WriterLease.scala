@@ -28,10 +28,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * slower-than-TTL but alive holder is never broken (spec-pinned), and a
   * dead holder stops renewing and expires within one TTL as before. Three
   * touches per TTL means a breaker sees a fresh mtime unless at least two
-  * consecutive heartbeats failed to land. Clock skew between writers now
-  * only shifts WHEN a dead holder's lease is broken (skew adds to the
-  * effective TTL), never breaks a live one — closing the round-12
-  * single-clock-domain caveat for cross-machine deployments.
+  * consecutive heartbeats failed to land; renewal failures are logged
+  * (and `setTimes`-less filesystems fall back to a same-content rewrite),
+  * never silently dropped. Every renewal and the final release verify the
+  * lease still carries THIS holder's content, so a holder that really was
+  * broken during a long stall cannot refresh or delete its successor's
+  * lease when it resumes. Clock skew between writers now only shifts WHEN
+  * a dead holder's lease is broken (skew adds to the effective TTL),
+  * never breaks a live one — closing the round-12 single-clock-domain
+  * caveat for cross-machine deployments.
   */
 object WriterLease {
 
@@ -54,13 +59,18 @@ object WriterLease {
     * exit path. Throws `IllegalStateException` when another live writer
     * holds it. While `body` runs, a daemon heartbeat renews the lease
     * every ttl/3 (see the object scaladoc), so a long-running body is
-    * never mistaken for a dead holder.
+    * never mistaken for a dead holder. Every renewal — and the final
+    * release — first verifies the lease still carries THIS holder's
+    * content: a holder that WAS legitimately broken (missed 2+ beats to
+    * a GC pause or VM suspend) must neither refresh nor delete the
+    * challenger's lease when it resumes.
     */
   def withLease[A](fs: FileSystem, dir: String, op: String,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
     val lease = new Path(s"$dir/$LeaseFileName")
     fs.mkdirs(lease.getParent)
-    acquire(fs, lease, op, ttlMs, retryAfterBreak = true)
+    val myContent = acquire(fs, lease, op, ttlMs, retryAfterBreak = true)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => {
         val t = new Thread(r, s"writer-lease-heartbeat:$dir")
@@ -68,15 +78,62 @@ object WriterLease {
         t
       })
     val periodMs = math.max(ttlMs / 3, 1L)
-    hb.scheduleAtFixedRate(
-      () => try fs.setTimes(lease, System.currentTimeMillis(), -1)
-        catch { case _: Exception => () }, // transient FS error: the next
-      // beat retries; two consecutive misses are needed to look stale
+    hb.scheduleAtFixedRate(() => beat(fs, lease, myContent, lost),
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       hb.shutdownNow()
-      fs.delete(lease, false)
+      // release ONLY a lease that is still ours: deleting a challenger's
+      // live lease would hand a third writer a free acquisition while
+      // the challenger is mid-write
+      if (!lost.get()) {
+        try {
+          if (VectorIndexPipeline.readTextFile(fs, lease) == myContent)
+            fs.delete(lease, false)
+        } catch { case _: Exception => () } // already released/broken
+      }
+    }
+  }
+
+  /** One heartbeat: verify ownership, then renew the lease mtime.
+    * Failures are LOGGED, never swallowed silently — a renewal that can
+    * never succeed (e.g. an FS without setTimes) would otherwise age the
+    * lease invisibly until a challenger breaks a live holder. Where
+    * `setTimes` is unsupported, the fallback rewrites the same content
+    * (fresh mtime), guarded by the ownership check just performed.
+    */
+  private def beat(fs: FileSystem, lease: Path, myContent: String,
+      lost: java.util.concurrent.atomic.AtomicBoolean): Unit = {
+    if (lost.get()) return
+    val holder =
+      try VectorIndexPipeline.readTextFile(fs, lease)
+      catch {
+        case e: Exception =>
+          log.warn(s"lease heartbeat: cannot read $lease " +
+            s"(${e.getMessage}); skipping this beat")
+          return
+      }
+    if (holder != myContent) {
+      lost.set(true)
+      log.error(s"lease $lease is no longer held by this writer (now: " +
+        s"$holder) — it was broken as stale while this holder stalled. " +
+        "Stopping renewal; this holder will NOT release the new lease.")
+      return
+    }
+    try fs.setTimes(lease, System.currentTimeMillis(), -1)
+    catch {
+      case _: UnsupportedOperationException =>
+        try {
+          val out = fs.create(lease, true)
+          try out.write(myContent.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case e: Exception => log.warn(
+            s"lease heartbeat: renewal rewrite failed for $lease: ${e.getMessage}")
+        }
+      case e: Exception =>
+        log.warn(s"lease heartbeat: setTimes failed for $lease: ${e.getMessage}")
     }
   }
 
@@ -135,8 +192,11 @@ object WriterLease {
     }
   }
 
+  /** @return the content this holder's lease file carries (its identity
+    *         for heartbeat/release ownership checks)
+    */
   private def acquire(fs: FileSystem, lease: Path, op: String, ttlMs: Long,
-      retryAfterBreak: Boolean): Unit = {
+      retryAfterBreak: Boolean): String = {
     val content = s"${holderId(op)} epochMs=${System.currentTimeMillis()}"
     val created = createExclusive(fs, lease, content)
     if (!created) {
@@ -157,7 +217,7 @@ object WriterLease {
           fs.delete(lease, false)
         }
         // exactly one of the racing breakers wins the re-create
-        acquire(fs, lease, op, ttlMs, retryAfterBreak = false)
+        return acquire(fs, lease, op, ttlMs, retryAfterBreak = false)
       } else {
         throw new IllegalStateException(
           s"another writer holds the lease for ${lease.getParent}: " +
@@ -166,6 +226,7 @@ object WriterLease {
             s"If the holder is dead, the lease expires after $ttlMs ms.")
       }
     }
+    content
   }
 
   private def readHolder(fs: FileSystem, lease: Path): String =

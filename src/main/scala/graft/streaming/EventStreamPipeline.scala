@@ -319,9 +319,19 @@ object EventStreamPipeline {
       val prev = if (open.exists()) Some(open.get()) else None
       val batch = rows.map(t => Event(t.event_id, t.ts, t.user_id)).toSeq
       val (cur, closed) = foldSessions(userId, prev, batch)
+      // one pending timer per key, ever: re-arming without deleting the
+      // superseded deadline would accumulate a stale (key, expiry) row per
+      // micro-batch in the timer store for every continuously-active key
+      // (each later firing a no-op), unbounding exactly the state this
+      // processor exists to bound
+      val prevDeadline = prev.map(_.lastMs + SessionGapMs)
       cur.foreach { o =>
         open.update(o)
-        getHandle.registerTimer(o.lastMs + SessionGapMs)
+        val deadline = o.lastMs + SessionGapMs
+        if (!prevDeadline.contains(deadline)) {
+          prevDeadline.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(deadline)
+        }
       }
       closed.iterator
     }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   *    per-group sequential state is exactly what the generator seam
   *    expresses that relational operators pay a shuffle for.
   *
-  * Both directions asserted (best of 2 passes each; the same noop
+  * Both directions asserted (best of 3 passes each; the same noop
   * materialization discipline as graft.Bench). Results feed SCALE.md
   * §"Round-13 table-function fan-out".
   */

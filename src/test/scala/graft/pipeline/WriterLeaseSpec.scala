@@ -162,6 +162,35 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(ran)
   }
 
+  test("a broken-and-superseded holder neither refreshes nor deletes the successor's lease") {
+    // simulate "holder stalled, challenger legitimately broke the lease
+    // and took over": replace the lease file under the running holder.
+    // The resumed holder's heartbeat must detect the foreign content and
+    // stand down, and its release must NOT delete the successor's lease.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-sup").toString
+    val fs = fsOf(dir)
+    val lock = new Path(s"$dir/${WriterLease.LeaseFileName}")
+    val ttl = 900L
+    val bodyDone = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() =>
+      try WriterLease.withLease(fs, dir, "stalled-holder", ttlMs = ttl) {
+        Thread.sleep(2 * ttl) // heartbeats run every ttl/3 meanwhile
+      } finally bodyDone.countDown())
+    t.start()
+    Thread.sleep(ttl / 2)
+    // the takeover: break + re-create with the successor's identity
+    fs.delete(lock, false)
+    VectorIndexPipeline.writeTextFile(fs, lock, "op=successor pid=0 host=x id=s1")
+    assert(bodyDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    t.join(30000)
+    // the successor's lease survives the stalled holder's exit, unmodified
+    assert(fs.exists(lock), "the successor's lease was deleted by the old holder")
+    assert(VectorIndexPipeline.readTextFile(fs, lock)
+      == "op=successor pid=0 host=x id=s1",
+      "the successor's lease content was overwritten by the old holder")
+    fs.delete(lock, false)
+  }
+
   test("the lease releases on a throwing body") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wl3").toString
     val fs = fsOf(dir)
