@@ -192,6 +192,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessions across TWO micro-batches: re-armed deadlines supersede old timers") {
+    // the deleteTimer-on-re-arm path only runs when a session EXTENDS
+    // across batches — a single-file drain never exercises it. Split the
+    // corpus at the time median (no late data), drain file 1, then file
+    // 2: sessions spanning the split re-arm their deadline in batch 2,
+    // and the final output must still be exactly the watermark predicate.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batchEv = EventStreamPipeline
+        .readEventsBatch(spark, s"${TestSpark.sfDir}/events.parquet")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        .cache()
+      val median = batchEv.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-twst2")
+      def writeHalf(cond: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-twst2-$name")
+        batchEv.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        java.nio.file.Files.move(java.nio.file.Paths.get(part),
+          streamDir.resolve(s"$name.parquet"))
+      }
+      writeHalf($"ts" < median, "half-0")
+      val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+      val q = EventStreamPipeline.sessionizeTimers(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("twst2_sessions")
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: first half only
+        writeHalf($"ts" >= median, "half-1")
+        q.processAllAvailable() // batch 2: sessions extend, timers re-arm
+        val got = spark.table("twst2_sessions")
+          .select($"user_id", $"session_start_ms", $"n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // same expected set as the single-batch drain: batch boundaries
+        // must not change WHICH sessions the watermark proves closed
+        val wm = batchEv.agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.expr("ts div 1000 div 1000")))
+          .head.getLong(0)
+        import org.apache.spark.sql.expressions.Window
+        val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        val expected = batchEv
+          .selectExpr("user_id", "event_id", "ts div 1000000 AS ts_ms")
+          .withColumn("new_session",
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.lag($"ts_ms", 1).over(byTime).isNull ||
+                $"ts_ms" - org.apache.spark.sql.functions.lag($"ts_ms", 1).over(byTime) > 1800000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", org.apache.spark.sql.functions.sum($"new_session")
+            .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(org.apache.spark.sql.functions.min($"ts_ms").as("start_ms"),
+            org.apache.spark.sql.functions.max($"ts_ms").as("last_ms"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          .filter($"last_ms" + 1800000L <= wm)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+        assert(got == expected,
+          s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+        assert(got.nonEmpty)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("twst2_sessions")
+        batchEv.unpersist()
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("a late event inside the gap must not rewind the open session's clock") {
     import EventStreamPipeline.{Event, foldSessions}
     // batch 1: two events, one open session ending at t=1,700,000
