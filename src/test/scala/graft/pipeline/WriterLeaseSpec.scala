@@ -162,6 +162,41 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(ran)
   }
 
+  test("heartbeat survives a setTimes-less filesystem via the rewrite fallback") {
+    // object stores throw UnsupportedOperationException from setTimes; the
+    // heartbeat must fall back to rewriting the lease content (fresh
+    // mtime) instead of silently aging the live holder's lease until a
+    // challenger breaks it
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val noSetTimes = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+        throw new UnsupportedOperationException("object store: no setTimes")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-ost").toString
+    val ttl = 600L
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try WriterLease.withLease(noSetTimes, dir, "ost-holder", ttlMs = ttl) {
+        Thread.sleep(4 * ttl)
+      } catch { case e: Throwable => holderErr.set(e) }
+      finally holderDone.countDown())
+    t.start()
+    Thread.sleep(2 * ttl + ttl / 2) // well past TTL; only the rewrite
+    // fallback can have kept the mtime fresh
+    val e = intercept[IllegalStateException] {
+      WriterLease.withLease(fsOf(dir), dir, "challenger", ttlMs = ttl)(())
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      s"live setTimes-less holder was broken: ${e.getMessage}")
+    assert(holderDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(holderErr.get() == null, s"holder failed: ${holderErr.get()}")
+    assert(!raw.exists(new Path(s"$dir/${WriterLease.LeaseFileName}")),
+      "lease must release after the operation")
+  }
+
   test("a broken-and-superseded holder neither refreshes nor deletes the successor's lease") {
     // simulate "holder stalled, challenger legitimately broke the lease
     // and took over": replace the lease file under the running holder.
