@@ -849,8 +849,51 @@ object EventWindows {
       FROM sess, wm WHERE session_last_ms + 1800000 <= m
       ORDER BY user_id, session_start_ms"""))
 
+  /** Running per-user COUNT-DISTINCT through a MapState handle, under
+    * the driver's oracle — a capability check in both directions: Spark's
+    * window operator REJECTS `count(DISTINCT …) OVER (ROWS UNBOUNDED
+    * PRECEDING)`, so the engine side must run the custom state machine
+    * ([[graft.streaming.EventStreamPipeline.RunningDistinctProcessor]],
+    * per-user (event_type → count) MapState, O(1) per row), while DuckDB
+    * CAN express it declaratively — making the custom operator
+    * hash-checkable against a window formulation the host engine itself
+    * cannot plan. One output row per event; state per user is the type
+    * histogram (vocabulary-bounded, not stream-length-bounded).
+    */
+  val streamRunningDistinct: Q = Q(
+    "ev_stream_running_distinct",
+    (s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        drainEvents(s, d, "graft_stream_rdist_sink", copies = 1,
+          outputMode = "append",
+          pipeline = ev => graft.streaming.EventStreamPipeline
+            .runningDistinct(ev).toDF(),
+          shape = _.select($"user_id", $"event_id", $"n_events",
+              $"n_distinct_types")
+            .orderBy($"user_id", $"event_id"))
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
+    },
+    Some("""SELECT user_id, event_id,
+        CAST(count(*) OVER w AS BIGINT) AS n_events,
+        CAST(count(DISTINCT event_type) OVER w AS BIGINT) AS n_distinct_types
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize,
-    streamDynamicAgg, streamDynamicAggWindow, streamSessionsTimers)
+    streamDynamicAgg, streamDynamicAggWindow, streamSessionsTimers,
+    streamRunningDistinct)
 }

@@ -375,6 +375,76 @@ object EventStreamPipeline {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class TypedEventIn(event_id: Long, ts: Long, user_id: Long,
+      event_type: String)
+  case class UserRunningStats(user_id: Long, event_id: Long,
+      n_events: Long, n_distinct_types: Long)
+
+  /** Per-user RUNNING COUNT-DISTINCT via a MapState handle — the state
+    * type [[SessionProcessor]]/[[TimedSessionProcessor]] don't exercise,
+    * doing a job Catalyst's window operator cannot: Spark rejects
+    * `count(DISTINCT …) OVER (… ROWS UNBOUNDED PRECEDING)` outright,
+    * while per-key map state implements it as one O(1) probe per row.
+    * State per user is the (event_type → count) histogram — bounded by
+    * the type vocabulary, not the stream length — plus one total counter.
+    *
+    * Within a batch, rows fold in (ts, event_id) order (same discipline
+    * as [[foldSessions]]); across batches the fold assumes per-user
+    * event-time monotonicity, which the single-source drains satisfy —
+    * a late cross-batch event would make "so far" counts reflect arrival
+    * order, the standard caveat for any running-state stream.
+    */
+  class RunningDistinctProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEventIn, UserRunningStats] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[TypedEventIn],
+        timerValues: TimerValues): Iterator[UserRunningStats] = {
+      var n = if (total.exists()) total.get() else 0L
+      var distinct = if (typeCounts.exists()) typeCounts.keys().size.toLong else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+        n += 1
+        val seen = typeCounts.containsKey(e.event_type)
+        if (!seen) distinct += 1
+        typeCounts.updateValue(e.event_type,
+          (if (seen) typeCounts.getValue(e.event_type) else 0L) + 1)
+        UserRunningStats(userId, e.event_id, n, distinct)
+      }
+      total.update(n)
+      out.iterator
+    }
+  }
+
+  /** One output row per input event carrying that user's running totals
+    * (events so far, distinct event types so far) — the feature-stream
+    * shape online models consume. See [[RunningDistinctProcessor]].
+    */
+  def runningDistinct(events: DataFrame): Dataset[UserRunningStats] = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    events
+      .select(col("event_id"),
+        expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"),
+        col("user_id"), col("event_type"))
+      .as[TypedEventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningDistinctProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Distributed keyed-upsert merge — the `foreachBatch` sink primitive.
     * The existing snapshot is anti-joined against the batch's keys (rows
     * whose key the batch re-emitted are superseded), unioned with the

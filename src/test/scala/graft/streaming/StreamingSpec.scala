@@ -269,6 +269,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState running count-distinct equals a driver-side fold of the same order") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-rdist")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+        streamDir.resolve("events-000.parquet"))
+      val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+      val q = EventStreamPipeline.runningDistinct(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rdist_stream")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("rdist_stream")
+          .select($"user_id", $"event_id", $"n_events", $"n_distinct_types")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        // reference: an independent driver-side fold in (ts, event_id)
+        // order per user — no shared code with the processor
+        val events = EventStreamPipeline
+          .readEventsBatch(spark, streamDir.toString)
+          .selectExpr("user_id", "event_id", "ts div 1000000 AS ts_ms",
+            "event_type")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        val expected = events.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+          var n = 0L
+          val seen = scala.collection.mutable.Set[String]()
+          es.sortBy(e => (e._3, e._2)).toSeq.map { e =>
+            n += 1; seen += e._4
+            (uid, e._2) -> (n, seen.size.toLong)
+          }
+        }.toMap
+        assert(got.size == events.length)
+        assert(got == expected)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("rdist_stream")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("a late event inside the gap must not rewind the open session's clock") {
     import EventStreamPipeline.{Event, foldSessions}
     // batch 1: two events, one open session ending at t=1,700,000
