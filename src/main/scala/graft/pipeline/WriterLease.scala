@@ -82,7 +82,20 @@ object WriterLease {
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
-      hb.shutdownNow()
+      // GRACEFUL stop: an in-flight beat must finish before the release
+      // check below — interrupting a beat mid-rewrite (the setTimes-less
+      // fallback path) can leave the lease with partial content that the
+      // ownership check would then refuse to delete, leaking the lease.
+      // shutdown() admits no new beats; the current one completes in a
+      // few FS calls. shutdownNow only as a last resort on timeout.
+      hb.shutdown()
+      try {
+        if (!hb.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
+          hb.shutdownNow()
+      } catch {
+        case _: InterruptedException =>
+          hb.shutdownNow(); Thread.currentThread().interrupt()
+      }
       // release ONLY a lease that is still ours: deleting a challenger's
       // live lease would hand a third writer a free acquisition while
       // the challenger is mid-write
