@@ -27,16 +27,30 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the holder's LAST RENEWAL, not its acquisition time — a
   * slower-than-TTL but alive holder is never broken (spec-pinned), and a
   * dead holder stops renewing and expires within one TTL as before. Three
-  * touches per TTL means a breaker sees a fresh mtime unless at least two
-  * consecutive heartbeats failed to land; renewal failures are logged
-  * (and `setTimes`-less filesystems fall back to a same-content rewrite),
-  * never silently dropped. Every renewal and the final release verify the
-  * lease still carries THIS holder's content, so a holder that really was
-  * broken during a long stall cannot refresh or delete its successor's
-  * lease when it resumes. Clock skew between writers now only shifts WHEN
-  * a dead holder's lease is broken (skew adds to the effective TTL),
-  * never breaks a live one — closing the round-12 single-clock-domain
-  * caveat for cross-machine deployments.
+  * touches per TTL means a breaker sees a fresh renewal unless at least
+  * two consecutive heartbeats failed to land; renewal failures are
+  * logged, never silently dropped. Every renewal and the final release
+  * verify the lease still carries THIS holder's content, so a holder that
+  * really was broken during a long stall cannot refresh or delete its
+  * successor's lease when it resumes. Clock skew between writers now only
+  * shifts WHEN a dead holder's lease is broken (skew adds to the
+  * effective TTL), never breaks a live one — closing the round-12
+  * single-clock-domain caveat for cross-machine deployments.
+  *
+  * `setTimes`-less filesystems (object stores): renewal must NOT rewrite
+  * the lease file — an overwriting `create(lease, true)` from a holder
+  * resuming out of a 2+ beat stall could pass its ownership pre-read just
+  * before a challenger's break and then stomp the successor's live lease
+  * (the acquire path's create-after-delete exclusivity argument does not
+  * apply to an overwrite). Instead each beat EXCLUSIVELY creates a fresh
+  * `_writer.lock.beat-<token>-<seq>` sidecar carrying the holder's
+  * content and deletes its previous sidecar only after the new one is
+  * complete (so a reader always sees at least one finished sidecar).
+  * Staleness then judges against `max(lease mtime, mtime of any sidecar
+  * whose content matches the lease)` — a resumed stale holder's sidecar
+  * carries content the successor's lease no longer matches, so it can
+  * neither refresh nor damage the successor's claim, structurally: after
+  * acquisition this class never writes to the lease path again.
   */
 object WriterLease {
 
@@ -69,19 +83,26 @@ object WriterLease {
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
     val lease = new Path(s"$dir/$LeaseFileName")
     fs.mkdirs(lease.getParent)
-    val myContent = acquire(fs, lease, op, ttlMs, retryAfterBreak = true)
-    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // executor BEFORE acquire: a construction failure here must not strand
+    // an already-acquired lease until the TTL break (round-13 ADVICE)
     val hb = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => {
         val t = new Thread(r, s"writer-lease-heartbeat:$dir")
         t.setDaemon(true)
         t
       })
-    val periodMs = math.max(ttlMs / 3, 1L)
-    hb.scheduleAtFixedRate(() => beat(fs, lease, myContent, lost),
-      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try body
-    finally {
+    val myContent =
+      try acquire(fs, lease, op, ttlMs, retryAfterBreak = true)
+      catch { case e: Throwable => hb.shutdownNow(); throw e }
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beatState = new BeatState
+    try {
+      // inside the try: a scheduling failure releases the lease below
+      val periodMs = math.max(ttlMs / 3, 1L)
+      hb.scheduleAtFixedRate(() => beat(fs, lease, myContent, lost, beatState),
+        periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      body
+    } finally {
       // GRACEFUL stop: an in-flight beat must finish before the release
       // check below — interrupting a beat mid-rewrite (the setTimes-less
       // fallback path) can leave the lease with partial content that the
@@ -96,9 +117,13 @@ object WriterLease {
         case _: InterruptedException =>
           hb.shutdownNow(); Thread.currentThread().interrupt()
       }
-      // release ONLY a lease that is still ours: deleting a challenger's
-      // live lease would hand a third writer a free acquisition while
-      // the challenger is mid-write
+      // own sidecars are always safe to retire (content-guarded: a
+      // successor's lease and sidecars carry different content) — even a
+      // superseded holder shouldn't leave renewal junk behind
+      deleteOwnBeats(fs, lease, myContent, beatState)
+      // but release ONLY a lease that is still ours: deleting a
+      // challenger's live lease would hand a third writer a free
+      // acquisition while the challenger is mid-write
       if (!lost.get()) {
         try {
           if (VectorIndexPipeline.readTextFile(fs, lease) == myContent)
@@ -108,15 +133,28 @@ object WriterLease {
     }
   }
 
-  /** One heartbeat: verify ownership, then renew the lease mtime.
-    * Failures are LOGGED, never swallowed silently — a renewal that can
-    * never succeed (e.g. an FS without setTimes) would otherwise age the
-    * lease invisibly until a challenger breaks a live holder. Where
-    * `setTimes` is unsupported, the fallback rewrites the same content
-    * (fresh mtime), guarded by the ownership check just performed.
+  /** Per-acquisition heartbeat sidecar bookkeeping: a random token keeps
+    * successive holders' sidecar names disjoint, `seq` makes every beat's
+    * exclusive create land on a fresh path, `prev` is the completed
+    * sidecar the next beat retires.
+    */
+  private final class BeatState {
+    val token: String = java.util.UUID.randomUUID().toString.substring(0, 8)
+    var seq: Long = 0L
+    var prev: Path = null
+  }
+
+  /** One heartbeat: verify ownership, then renew. Failures are LOGGED,
+    * never swallowed silently — a renewal that can never succeed would
+    * otherwise age the lease invisibly until a challenger breaks a live
+    * holder. Primary renewal is a lease-mtime touch; where `setTimes` is
+    * unsupported the fallback NEVER rewrites the lease (see the object
+    * scaladoc) — it exclusively creates a fresh content-matching sidecar
+    * and retires the previous one only after the new one is complete.
     */
   private def beat(fs: FileSystem, lease: Path, myContent: String,
-      lost: java.util.concurrent.atomic.AtomicBoolean): Unit = {
+      lost: java.util.concurrent.atomic.AtomicBoolean,
+      state: BeatState): Unit = {
     if (lost.get()) return
     val holder =
       try VectorIndexPipeline.readTextFile(fs, lease)
@@ -137,17 +175,62 @@ object WriterLease {
     catch {
       case _: UnsupportedOperationException =>
         try {
-          val out = fs.create(lease, true)
-          try out.write(myContent.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+          state.seq += 1
+          val next = new Path(lease.getParent,
+            f"$LeaseFileName.beat-${state.token}-${state.seq}%06d")
+          if (WriterLease.createExclusive(fs, next, myContent)) {
+            // retire the superseded sidecar only now: the new one is
+            // fully written, so a concurrent staleness check always sees
+            // at least one COMPLETE owner-matching sidecar
+            if (state.prev != null) fs.delete(state.prev, false)
+            state.prev = next
+          } else {
+            log.warn(s"lease heartbeat: sidecar $next already exists; " +
+              "skipping this beat")
+          }
         } catch {
           case e: Exception => log.warn(
-            s"lease heartbeat: renewal rewrite failed for $lease: ${e.getMessage}")
+            s"lease heartbeat: sidecar renewal failed for $lease: ${e.getMessage}")
         }
       case e: Exception =>
         log.warn(s"lease heartbeat: setTimes failed for $lease: ${e.getMessage}")
     }
+  }
+
+  private def beatGlob(lease: Path): Path =
+    new Path(lease.getParent, s"$LeaseFileName.beat-*")
+
+  /** Freshest renewal time for the CURRENT lease content: the lease's own
+    * mtime, or any heartbeat sidecar whose content matches it (the
+    * setTimes-less renewal path). A sidecar left by a superseded holder
+    * carries content the live lease no longer matches and is ignored.
+    */
+  private def lastRenewalMs(fs: FileSystem, lease: Path,
+      leaseContent: String, leaseMtime: Long): Long = {
+    val beats =
+      try Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
+      catch { case _: Exception => Seq.empty }
+    val matching = beats.filter { st =>
+      try VectorIndexPipeline.readTextFile(fs, st.getPath) == leaseContent
+      catch { case _: Exception => false } // mid-write/deleted: not a renewal
+    }.map(_.getModificationTime)
+    (leaseMtime +: matching).max
+  }
+
+  /** Best-effort cleanup of THIS holder's heartbeat sidecars (content
+    * match guards against deleting a live successor's renewal).
+    */
+  private def deleteOwnBeats(fs: FileSystem, lease: Path,
+      myContent: String, state: BeatState): Unit = {
+    try {
+      Option(fs.globStatus(beatGlob(lease))).toSeq.flatten.foreach { st =>
+        val mine =
+          try VectorIndexPipeline.readTextFile(fs, st.getPath) == myContent
+          catch { case _: Exception => false }
+        if (mine) fs.delete(st.getPath, false)
+      }
+    } catch { case _: Exception => () }
+    state.prev = null
   }
 
   /** Exclusively create `p` containing `content`; true iff THIS call
@@ -216,7 +299,11 @@ object WriterLease {
       val status = try Some(fs.getFileStatus(lease)) catch {
         case _: java.io.FileNotFoundException => None // holder just released
       }
-      val ageMs = status.map(s => System.currentTimeMillis() - s.getModificationTime)
+      val ageMs = status.map { s =>
+        val holder = readHolder(fs, lease)
+        System.currentTimeMillis() -
+          lastRenewalMs(fs, lease, holder, s.getModificationTime)
+      }
       if (status.isEmpty || ageMs.exists(_ > ttlMs)) {
         if (!retryAfterBreak) {
           throw new IllegalStateException(
@@ -227,6 +314,13 @@ object WriterLease {
           log.warn(s"breaking stale writer lease $lease " +
             s"(age ${ageMs.get} ms > ttl $ttlMs ms): " +
             readHolder(fs, lease))
+          // the dead holder's sidecars go with its lease: all are older
+          // than the TTL (a fresh matching one would have refused the
+          // break above), and leftovers would be junk under a new holder
+          try {
+            Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
+              .foreach(st => fs.delete(st.getPath, false))
+          } catch { case _: Exception => () }
           fs.delete(lease, false)
         }
         // exactly one of the racing breakers wins the re-create

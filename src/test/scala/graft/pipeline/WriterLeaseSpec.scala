@@ -162,11 +162,12 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(ran)
   }
 
-  test("heartbeat survives a setTimes-less filesystem via the rewrite fallback") {
+  test("heartbeat survives a setTimes-less filesystem via the sidecar fallback") {
     // object stores throw UnsupportedOperationException from setTimes; the
-    // heartbeat must fall back to rewriting the lease content (fresh
-    // mtime) instead of silently aging the live holder's lease until a
-    // challenger breaks it
+    // heartbeat must fall back to exclusive-create renewal sidecars (the
+    // round-14 replacement for the lease-rewrite fallback, which could
+    // stomp a successor's lease) instead of silently aging the live
+    // holder's lease until a challenger breaks it
     val raw = new org.apache.hadoop.fs.RawLocalFileSystem
     raw.initialize(java.net.URI.create("file:///"),
       spark.sparkContext.hadoopConfiguration)
@@ -184,8 +185,10 @@ class WriterLeaseSpec extends AnyFunSuite {
       } catch { case e: Throwable => holderErr.set(e) }
       finally holderDone.countDown())
     t.start()
-    Thread.sleep(2 * ttl + ttl / 2) // well past TTL; only the rewrite
-    // fallback can have kept the mtime fresh
+    Thread.sleep(2 * ttl + ttl / 2) // well past TTL; only the sidecar
+    // fallback can have kept the renewal fresh — and critically, the
+    // LEASE FILE itself must not have been rewritten (its mtime is stale;
+    // a challenger that ignored sidecars would wrongly break here)
     val e = intercept[IllegalStateException] {
       WriterLease.withLease(fsOf(dir), dir, "challenger", ttlMs = ttl)(())
     }
@@ -195,6 +198,56 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(holderErr.get() == null, s"holder failed: ${holderErr.get()}")
     assert(!raw.exists(new Path(s"$dir/${WriterLease.LeaseFileName}")),
       "lease must release after the operation")
+    val leftovers = raw.globStatus(
+      new Path(dir, s"${WriterLease.LeaseFileName}.beat-*"))
+    assert(leftovers == null || leftovers.isEmpty,
+      s"renewal sidecars must be cleaned up on release: ${leftovers.toSeq}")
+  }
+
+  test("a stalled setTimes-less holder's renewal cannot overwrite the successor's lease") {
+    // round-13 ADVICE (medium): the old fallback renewed via
+    // create(lease, overwrite=true) — a holder resuming from a 2+ beat
+    // stall could pass its ownership pre-read just before a challenger's
+    // break and then stomp the successor's live lease. The sidecar
+    // renewal never writes the lease path after acquisition, so even
+    // with the takeover racing BETWEEN the pre-read and the renewal
+    // write, the successor's lease survives byte-identical. Simulate the
+    // worst case: replace the lease under a holder whose every beat takes
+    // the fallback path, let several beats land, then check the
+    // successor's lease was never touched.
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val noSetTimes = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+        throw new UnsupportedOperationException("object store: no setTimes")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-ost2").toString
+    val lock = new Path(s"$dir/${WriterLease.LeaseFileName}")
+    val ttl = 900L
+    val bodyDone = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() =>
+      try WriterLease.withLease(noSetTimes, dir, "ost-stalled", ttlMs = ttl) {
+        Thread.sleep(3 * ttl) // beats run every ttl/3 on the fallback path
+      } finally bodyDone.countDown())
+    t.start()
+    Thread.sleep(ttl / 2) // at least one sidecar beat has landed
+    // the takeover: break + re-create with the successor's identity
+    raw.delete(lock, false)
+    VectorIndexPipeline.writeTextFile(raw, lock, "op=ost-successor pid=0 host=x id=s2")
+    assert(bodyDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    t.join(30000)
+    assert(raw.exists(lock), "the successor's lease was deleted by the old holder")
+    assert(VectorIndexPipeline.readTextFile(raw, lock)
+      == "op=ost-successor pid=0 host=x id=s2",
+      "the successor's lease content was overwritten by the old holder's renewal")
+    // and the old holder retired its own sidecars on exit — its stale
+    // renewals must not linger under the successor's claim
+    val leftovers = raw.globStatus(
+      new Path(dir, s"${WriterLease.LeaseFileName}.beat-*"))
+    assert(leftovers == null || leftovers.isEmpty,
+      s"superseded holder left renewal sidecars: ${leftovers.toSeq}")
+    raw.delete(lock, false)
   }
 
   test("a broken-and-superseded holder neither refreshes nor deletes the successor's lease") {
