@@ -423,4 +423,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     // build sides); an unbroadcast cartesian would be corpus x corpus
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("aq_table_lateral: in-stage Inline generator, no Exchange between scan and generate") {
+    // the LATERAL table-function seam registers a real Generate(Inline(udf))
+    // node (AdhesiveRegistry.lateralJoin); the fan-out must run IN the scan
+    // stage — a future analyzer change that de-correlates the lateral into
+    // a join would insert an Exchange here and silently turn a narrow
+    // per-row explode into a shuffle of the whole fan-out
+    val p = planString("aq_table_lateral")
+    val gen = p.indexOf("Generate inline(")
+    val scan = p.indexOf("FileScan parquet")
+    assert(gen >= 0, s"Inline generator missing from the plan:\n${p.take(1500)}")
+    assert(scan > gen, s"generator must sit above the documents scan:\n${p.take(1500)}")
+    val between = p.substring(gen, scan)
+    assert(!between.contains("Exchange"),
+      s"the lateral fan-out left the scan stage:\n$between")
+    // the ONLY shuffle is the presentation sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the presentation-sort Exchange:\n${p.take(1500)}")
+  }
 }
