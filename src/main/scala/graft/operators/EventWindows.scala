@@ -623,16 +623,125 @@ object EventWindows {
       HAVING window_start_us + $HourUs <= wm_us
       ORDER BY window_start_us, event_type"""))
 
+  /** The UPDATE-mode form of [[streamDynamicAggWindow]] — the low-latency
+    * dashboard idiom, and the one output mode the dynamic aggregate had
+    * never run under: every micro-batch RE-EMITS each changed window's
+    * current partial fold, so the sink accumulates a history of
+    * monotonically growing partials per (window, event_type) and the LAST
+    * emission per key is that key's complete aggregate. The drain is
+    * forced genuinely multi-batch (the corpus is re-split into four part
+    * files fed one per trigger — single-batch update mode would
+    * degenerate into the complete-mode proof, enforced via
+    * `minDataBatches = 2`), and the watermark delay is wide enough that
+    * no split-induced out-of-order row is ever late-dropped. The standard
+    * update-mode drain idiom keeps the final update per key: each
+    * re-emission of a key carries a strictly larger `n` (update mode only
+    * emits keys that received rows), so "last" is "max n" — a
+    * deterministic dedup needing no batch ids. The deduped result equals
+    * the batch aggregate over ALL windows (update mode emits open windows
+    * too), which is exactly the oracle. StreamingSpec additionally pins
+    * the intermediate emissions as monotone partial folds.
+    */
+  val streamDynamicAggUpdate: Q = Q(
+    "aq_stream_agg_update",
+    (s, d) => {
+      import s.implicits._
+      graft.adhesive.AdhesiveDdl.execute(s, CentsSumDdl)
+      drainEvents(s, d, "graft_stream_dynagg_upd_sink", copies = 1,
+        outputMode = "update",
+        pipeline = ev => graft.streaming.EventStreamPipeline
+          .windowedDynAgg(ev, delay = "30 days"),
+        shape = df => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"window_start", $"event_type").orderBy($"n".desc)
+          df.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+            .select(unix_micros($"window_start").as("window_start_us"),
+              $"event_type", $"n", $"cents_sum")
+            .orderBy($"window_start_us", $"event_type")
+        },
+        splitParts = 4, maxFilesPerTrigger = Some(1), minDataBatches = 2)
+    },
+    Some(s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
+      event_type, count(*) AS n,
+      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        AS cents_sum
+      FROM events GROUP BY 1, 2
+      ORDER BY window_start_us, event_type"""))
+
+  /** A dynamic aggregate UDF inside Spark's built-in SESSION windows
+    * ([[graft.streaming.EventStreamPipeline.sessionDynAgg]]) — the
+    * gap-merged streaming fold neither the tumbling-window entries nor
+    * the custom-state sessionizers cover: `session_window` merges
+    * overlapping per-user windows WHILE the `CREATE AGGREGATE FUNCTION`
+    * fold merges their partial states, and append mode emits each session
+    * exactly once when the watermark passes its end (`last_ms + gap <=
+    * floor(max event-time ms)`, 0-second delay — the same
+    * closed-by-watermark predicate `ev_stream_sessions_timers` is oracled
+    * under, stated verbatim in the SQL below over the lag-flag-cumsum
+    * sessionization the built-in operator is boundary-pinned against).
+    */
+  val streamDynamicAggSession: Q = Q(
+    "aq_stream_agg_session",
+    (s, d) => {
+      import s.implicits._
+      graft.adhesive.AdhesiveDdl.execute(s, CentsSumDdl)
+      drainEvents(s, d, "graft_stream_dynagg_sess_sink", copies = 1,
+        outputMode = "append",
+        pipeline = ev => graft.streaming.EventStreamPipeline.sessionDynAgg(ev),
+        shape = _.select($"user_id", $"session_start_ms", $"n_events",
+            $"cents_sum")
+          .orderBy($"user_id", $"session_start_ms"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts_ms, cents,
+          CASE WHEN lag(ts_ms, 1) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      g AS (
+        SELECT user_id, ts_ms, cents,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM f),
+      sess AS (
+        SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+          max(ts_ms) AS session_last_ms, count(*) AS n_events,
+          CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM g GROUP BY user_id, session_id),
+      wm AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+      SELECT user_id, session_start_ms, n_events, cents_sum
+      FROM sess, wm WHERE session_last_ms + 1800000 <= m
+      ORDER BY user_id, session_start_ms"""))
+
   /** Shared scaffold for the `ev_stream_*` oracle entries: copy the
     * events table into a fresh file-stream source dir (`copies` > 1
     * simulates at-least-once redelivery of the same file under new
     * names), run `pipeline` through a memory sink to completion, hand
     * the sink table to `shape`, and tear everything down.
+    *
+    * `splitParts` > 0 rewrites the corpus into that many part files
+    * instead of copying the original parts, and `maxFilesPerTrigger`
+    * bounds each micro-batch's file intake — together they force a
+    * genuinely MULTI-batch drain (the update-mode entries need one; a
+    * single-file copy always drains in one batch). `minDataBatches` /
+    * `maxDataBatches` bound how many micro-batches may carry input rows:
+    * entries whose oracle depends on the whole corpus folding in ONE
+    * batch (cross-batch arrival order is unspecified for running-state
+    * outputs) pin max=1 and fail loudly if a testdata or trigger change
+    * ever splits the drain; update-mode entries pin min=2 so the
+    * re-emission path is actually exercised, not vacuously green.
     */
   private def drainEvents(s: org.apache.spark.sql.SparkSession, d: String,
       sink: String, copies: Int, outputMode: String,
       pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      splitParts: Int = 0,
+      maxFilesPerTrigger: Option[Int] = None,
+      minDataBatches: Int = 0,
+      maxDataBatches: Int = Int.MaxValue)
       : org.apache.spark.sql.DataFrame = {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-evs-src")
     // everything after dir creation sits inside the try: a pipeline
@@ -668,23 +777,71 @@ object EventWindows {
           }
           ps
         } else Seq(src)
-      (0 until copies).foreach { i =>
-        parts.zipWithIndex.foreach { case (p, j) =>
-          val dst = srcDir.resolve(f"events-$i%03d-$j%05d.parquet")
-          // record BEFORE copying: a mid-copy failure (disk full) must
-          // still get its partial file cleaned up, or the finally's
-          // srcDir delete throws DirectoryNotEmptyException and masks
-          // the real error
-          copied += dst
-          java.nio.file.Files.copy(p, dst)
+      if (splitParts > 0) {
+        // rewrite the corpus into splitParts files: read RAW (no ts
+        // normalization — the rewritten files keep a physical ts type
+        // readEvents' footer probe understands) and round-robin rows;
+        // move only the data parts into the source dir, as any real
+        // multi-file arrival would look
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-evs-split")
+        try {
+          s.read.parquet(src.toString).repartition(splitParts)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val ps = java.nio.file.Files.list(tmp)
+          val dataParts = try {
+            scala.jdk.CollectionConverters.IteratorHasAsScala(ps.iterator())
+              .asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .toVector.sortBy(_.getFileName.toString)
+          } finally ps.close()
+          dataParts.zipWithIndex.foreach { case (p, j) =>
+            val dst = srcDir.resolve(f"events-split-$j%05d.parquet")
+            copied += dst
+            java.nio.file.Files.move(p, dst)
+          }
+        } finally {
+          val leftover = java.nio.file.Files.list(tmp)
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(leftover.iterator())
+            .asScala.toVector.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally leftover.close()
+          java.nio.file.Files.deleteIfExists(tmp)
+        }
+      } else {
+        (0 until copies).foreach { i =>
+          parts.zipWithIndex.foreach { case (p, j) =>
+            val dst = srcDir.resolve(f"events-$i%03d-$j%05d.parquet")
+            // record BEFORE copying: a mid-copy failure (disk full) must
+            // still get its partial file cleaned up, or the finally's
+            // srcDir delete throws DirectoryNotEmptyException and masks
+            // the real error
+            copied += dst
+            java.nio.file.Files.copy(p, dst)
+          }
         }
       }
       q = pipeline(graft.streaming.EventStreamPipeline
-          .readEvents(s, srcDir.toString))
+          .readEvents(s, srcDir.toString, maxFilesPerTrigger))
         .writeStream.outputMode(outputMode)
         .format("memory").queryName(sink)
         .start()
       q.processAllAvailable()
+      if (minDataBatches > 0 || maxDataBatches < Int.MaxValue) {
+        // the oracle's batching assumption must hold for REAL, not by
+        // luck (round-13 ADVICE on ev_stream_running_distinct): a
+        // single-batch oracle fed a split drain produces arrival-ordered
+        // running state; an update-mode entry drained in one batch never
+        // exercises re-emission at all
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < minDataBatches || dataBatches > maxDataBatches) {
+          throw new IllegalStateException(
+            s"$sink: oracle requires [$minDataBatches, " +
+              s"${if (maxDataBatches == Int.MaxValue) "∞" else maxDataBatches}] " +
+              s"data-carrying micro-batches but the drain used $dataBatches " +
+              "— a testdata or trigger change altered the batching this " +
+              "entry's semantics depend on")
+        }
+      }
       // materialize before the stream (and its state) is torn down
       shape(s.table(sink)).localCheckpoint()
     } finally {
@@ -875,7 +1032,11 @@ object EventWindows {
             .runningDistinct(ev).toDF(),
           shape = _.select($"user_id", $"event_id", $"n_events",
               $"n_distinct_types")
-            .orderBy($"user_id", $"event_id"))
+            .orderBy($"user_id", $"event_id"),
+          // the (ts, event_id)-ordered oracle holds only when the whole
+          // corpus folds in ONE batch (cross-batch state is
+          // arrival-ordered) — enforced, not assumed
+          maxDataBatches = 1)
       } finally {
         saved match {
           case Some(v) => s.conf.set(key, v)
@@ -894,6 +1055,6 @@ object EventWindows {
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize,
-    streamDynamicAgg, streamDynamicAggWindow, streamSessionsTimers,
-    streamRunningDistinct)
+    streamDynamicAgg, streamDynamicAggWindow, streamDynamicAggUpdate,
+    streamDynamicAggSession, streamSessionsTimers, streamRunningDistinct)
 }

@@ -53,7 +53,8 @@ object EventStreamPipeline {
     * session with unrelated nanos-timestamp parquet reads should use a
     * separate session.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physicalTs =
       try spark.read.parquet(dir).schema("ts").dataType
@@ -65,8 +66,12 @@ object EventStreamPipeline {
       case f if f.name == "ts" => f.copy(dataType = physicalTs)
       case f => f
     })
-    val raw = spark.readStream.schema(physicalSchema).parquet(dir)
-    normalizeTs(raw, physicalTs)
+    val reader = spark.readStream.schema(physicalSchema)
+    // bound batch size by file count: the lever that turns a pre-split
+    // source dir into a guaranteed multi-batch drain (update-mode tests)
+    val bounded = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    normalizeTs(bounded.parquet(dir), physicalTs)
   }
 
   /** ts normalization shared by the stream and batch readers. For a
@@ -133,18 +138,48 @@ object EventStreamPipeline {
     * DuckDB oracle.
     */
   def windowedDynAgg(events: DataFrame,
-      fn: String = "graft_cents_sum"): DataFrame = {
+      fn: String = "graft_cents_sum", delay: String = "1 hour"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .withColumn("event_time", timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))))
-      .withWatermark("event_time", "1 hour")
+      .withWatermark("event_time", delay)
       .select($"event_time", $"event_type",
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .groupBy(window($"event_time", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), call_function(fn, $"cents").as("cents_sum"))
       .select($"window.start".as("window_start"), $"event_type", $"n",
         $"cents_sum")
+  }
+
+  /** SESSION-window fold through a dynamic aggregate UDF — the gap-merged
+    * analogue of [[windowedDynAgg]]'s tumbling windows: Spark's built-in
+    * `session_window` assigns each user's events to 30-minute-gap
+    * sessions WHILE a `CREATE AGGREGATE FUNCTION` UDF folds their cents,
+    * merging partial session states exactly as the sessionizer merges
+    * overlapping windows. Event times are truncated to epoch-MILLISECONDS
+    * first (the `ev_session_window` discipline — engine and oracle must
+    * sessionize the same integers), and the 0-second watermark makes the
+    * append-mode emission predicate `session_end <= floor(max event-time
+    * ms)`, i.e. `last_ms + gap <= wm` — the same closed-by-watermark
+    * predicate the timer sessionizer is oracled under. State is one merged
+    * partial per OPEN session, evicted at emission: bounded by the
+    * watermark horizon, not stream length.
+    */
+  def sessionDynAgg(events: DataFrame,
+      fn: String = "graft_cents_sum"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time",
+        timestamp_millis(expr(graft.queries.Tables.fldivExpr("ts", 1000000L))))
+      .withWatermark("event_time", "0 seconds")
+      .select($"event_time", $"user_id",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy($"user_id", session_window($"event_time", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), call_function(fn, $"cents").as("cents_sum"))
+      .select($"user_id", unix_millis($"sw.start").as("session_start_ms"),
+        $"n_events", $"cents_sum")
   }
 
   /** Streaming ingest dedup: at-least-once sources (replayed files,

@@ -101,6 +101,159 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("update-mode dynamic aggregate: per-key emissions are monotone partial folds") {
+    // the aq_stream_agg_update entry dedups to the LAST emission per
+    // (window, type); this pins what the dedup relies on — across a
+    // multi-batch drain each key's successive update-mode emissions carry
+    // strictly growing n (so "max n" IS "last"), and the final emission
+    // per key equals the batch aggregate
+    graft.adhesive.AdhesiveDdl.execute(spark,
+      """CREATE OR REPLACE AGGREGATE FUNCTION upd_spec_sum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class UpdSum extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row in) {
+        |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+        |  }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |}
+        |'""".stripMargin)
+    // four part files fed one per trigger → a guaranteed multi-batch drain
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-upd")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upd-w")
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      .sorted.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(p),
+          streamDir.resolve(f"events-$i%03d.parquet"))
+      }
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Long)] // batchId, ws_us, type, n, cents
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString,
+      maxFilesPerTrigger = Some(1))
+    val q = EventStreamPipeline.windowedDynAgg(stream, "upd_spec_sum", "30 days")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.selectExpr("unix_micros(window_start)", "event_type",
+            "n", "cents_sum")
+          .collect()
+          .map(r => (id, r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        emissions.synchronized { emissions ++= rows }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val byKey = emissions.groupBy(e => (e._2, e._3))
+      assert(emissions.map(_._1).distinct.size >= 2,
+        "drain must span multiple micro-batches or update mode is vacuous")
+      // 1) monotone: within a key, later batches carry strictly larger n
+      byKey.foreach { case (key, es) =>
+        val ordered = es.sortBy(_._1).toVector
+        ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+          assert(b._4 > a._4,
+            s"$key: emission in batch ${b._1} (n=${b._4}) did not grow " +
+              s"over batch ${a._1} (n=${a._4})")
+        }
+      }
+      // 2) the final emission per key IS the batch aggregate
+      val last = byKey.map { case (key, es) => key -> {
+        val e = es.maxBy(_._1); (e._4, e._5)
+      }}
+      val batch = EventStreamPipeline
+        .readEventsBatch(spark, streamDir.toString)
+        .selectExpr("(ts div 1000 div 3600000000) * 3600000000 AS ws",
+          "event_type",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .groupBy("ws", "event_type")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("cents_sum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(last == batch,
+        s"final update per key must equal the batch fold; " +
+          s"missing=${batch.keySet.diff(last.keySet).take(3)} " +
+          s"extra=${last.keySet.diff(batch.keySet).take(3)}")
+      assert(last.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session-window dynamic aggregate emits watermark-closed sessions and evicts their state") {
+    graft.adhesive.AdhesiveDdl.execute(spark,
+      """CREATE OR REPLACE AGGREGATE FUNCTION sess_spec_sum(BIGINT) RETURNS BIGINT LANGUAGE JAVA AS '
+        |import graft.adhesive.AdhesiveAggregate;
+        |import org.apache.spark.sql.Row;
+        |public class SessSum extends AdhesiveAggregate {
+        |  public Object zero() { return 0L; }
+        |  public Object reduce(Object s, Row in) {
+        |    return in.isNullAt(0) ? s : (Long) s + in.getLong(0);
+        |  }
+        |  public Object merge(Object a, Object b) { return (Long) a + (Long) b; }
+        |}
+        |'""".stripMargin)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sda")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.sessionDynAgg(stream, "sess_spec_sum")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sda_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sda_stream")
+        .select($"user_id", $"session_start_ms", $"n_events", $"cents_sum")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: lag-flag-cumsum sessions + cents fold, closed ⟺
+      // last_ms + gap <= floor(max event-time ms)
+      val batchEv = EventStreamPipeline
+        .readEventsBatch(spark, streamDir.toString)
+      val wm = batchEv.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.expr("ts div 1000 div 1000")))
+        .head.getLong(0)
+      import org.apache.spark.sql.expressions.Window
+      val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val sessions = batchEv
+        .selectExpr("user_id", "event_id", "ts div 1000000 AS ts_ms",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .withColumn("new_session",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.lag($"ts_ms", 1).over(byTime).isNull ||
+              $"ts_ms" - org.apache.spark.sql.functions.lag($"ts_ms", 1).over(byTime) > 1800000L,
+            1L).otherwise(0L))
+        .withColumn("session_id", org.apache.spark.sql.functions.sum($"new_session")
+          .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(org.apache.spark.sql.functions.min($"ts_ms").as("start_ms"),
+          org.apache.spark.sql.functions.max($"ts_ms").as("last_ms"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      val (closed, open) =
+        sessions.partition { case (_, _, last, _, _) => last + 1800000L <= wm }
+      assert(got == closed.map { case (u, st, _, n, c) => (u, st, n, c) }.toSet)
+      assert(open.nonEmpty, "fixture should leave some sessions open")
+      assert(got.nonEmpty)
+      // eviction: emitted sessions' state rows left the store — only the
+      // watermark-open sessions remain
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == open.length,
+        s"state holds $stateRows rows; expected only ${open.length} open sessions")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("sda_stream")
+    }
+  }
+
   test("drainEvents-backed entries accept a directory-shaped events.parquet table") {
     // the driver's testdata ships events.parquet as ONE file; any real
     // writer produces a DIRECTORY of part files — the streaming entries
