@@ -429,10 +429,12 @@ object EventStreamPipeline {
     * a late cross-batch event would make "so far" counts reflect arrival
     * order, the standard caveat for any running-state stream.
     */
-  class RunningDistinctProcessor
+  class RunningDistinctProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, TypedEventIn, UserRunningStats] {
-    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, ValueState}
 
     @transient private var typeCounts: MapState[String, Long] = _
     @transient private var total: ValueState[Long] = _
@@ -440,9 +442,9 @@ object EventStreamPipeline {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       typeCounts = getHandle.getMapState[String, Long]("typeCounts",
         org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
       total = getHandle.getValueState[Long]("total",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(userId: Long, rows: Iterator[TypedEventIn],
@@ -478,6 +480,115 @@ object EventStreamPipeline {
       .groupByKey(_.user_id)
       .transformWithState(new RunningDistinctProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[runningDistinct]] with per-user state TTL — the production guard
+    * the TTL-less form lacks: on an unbounded user population, one
+    * (histogram, total) state row per user EVER SEEN grows without bound;
+    * with a `TTLConfig` every state row expires `ttl` after its last
+    * write, so state is bounded by the population active within one TTL
+    * horizon. TTL is PROCESSING-time-based in Spark (it guards against
+    * state growth, not event-time semantics), which makes the output
+    * wall-clock-dependent — a user idle past the TTL restarts from
+    * (1, 1) — so this variant is spec-verified (StateTtlSpec proves
+    * expiry both semantically and in the state-store row count), not
+    * oracle-checked. Requires `TimeMode.ProcessingTime` (Spark rejects
+    * TTL'd handles under `TimeMode.None`).
+    *
+    * Drain caveat: in processing-time mode Spark's
+    * `shouldRunAnotherBatch` is unconditionally true, so with no-data
+    * micro-batches enabled (the default) the query re-triggers empty
+    * batches forever and `processAllAvailable()` never returns. Callers
+    * that drain-and-assert must set
+    * `spark.sql.streaming.noDataMicroBatches.enabled=false` (TTL sweeps
+    * still run on every data batch, across all state partitions).
+    */
+  def runningDistinctTtl(events: DataFrame,
+      ttl: java.time.Duration): Dataset[UserRunningStats] = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    import spark.implicits._
+    events
+      .select(col("event_id"),
+        expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"),
+        col("user_id"), col("event_type"))
+      .as[TypedEventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningDistinctProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  case class UserFlush(user_id: Long, n_events: Long, flushed: Boolean)
+  case class Pending(n: Long, deadline: Long)
+
+  /** PROCESSING-time timers — the remaining [[TimeMode]]: wall-clock
+    * deadlines instead of watermark ones. Each input batch re-arms a
+    * per-user timer `idleMs` of PROCESSING time ahead; if no further
+    * activity re-arms it first, the expiry fires on a later micro-batch,
+    * EMITS the user's accumulated count as a flush row and CLEARS the
+    * state — the idle-key eviction idiom for sources with no usable
+    * event time. Inherently wall-clock-dependent (which batch a flush
+    * lands in depends on arrival timing), so spec-level only
+    * (StateTtlSpec): a deterministic oracle cannot exist. Same
+    * one-timer-per-key discipline as [[TimedSessionProcessor]] — the
+    * superseded deadline is deleted on re-arm. Same drain caveat as
+    * [[runningDistinctTtl]]: processing-time mode re-triggers no-data
+    * batches forever, so draining tests disable
+    * `spark.sql.streaming.noDataMicroBatches.enabled` (expired timers
+    * then fire on the next data batch past their deadline).
+    */
+  class IdleFlushProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEventIn, UserFlush] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var pending: ValueState[Pending] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getValueState[Pending]("pending",
+        org.apache.spark.sql.Encoders.product[Pending], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[TypedEventIn],
+        timerValues: TimerValues): Iterator[UserFlush] = {
+      val prev = if (pending.exists()) Some(pending.get()) else None
+      val n = prev.map(_.n).getOrElse(0L) + rows.size
+      val deadline = timerValues.getCurrentProcessingTimeInMs() + idleMs
+      prev.foreach(p => getHandle.deleteTimer(p.deadline))
+      getHandle.registerTimer(deadline)
+      pending.update(Pending(n, deadline))
+      Iterator.single(UserFlush(userId, n, flushed = false))
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserFlush] = {
+      if (!pending.exists()) Iterator.empty
+      else {
+        val p = pending.get()
+        // a deadline superseded by later activity was deleted on re-arm;
+        // a firing timer that still matches the live deadline flushes
+        if (expiredTimerInfo.getExpiryTimeInMs() >= p.deadline) {
+          pending.clear()
+          Iterator.single(UserFlush(userId, p.n, flushed = true))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Per-user idle flush on processing-time timers (see
+    * [[IdleFlushProcessor]]). Requires the RocksDB state store provider.
+    */
+  def idleFlush(events: DataFrame, idleMs: Long): Dataset[UserFlush] = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    events
+      .select(col("event_id"),
+        expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"),
+        col("user_id"), col("event_type"))
+      .as[TypedEventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(idleMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Distributed keyed-upsert merge — the `foreachBatch` sink primitive.
