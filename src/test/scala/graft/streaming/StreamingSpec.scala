@@ -856,4 +856,67 @@ class StreamingSpec extends AnyFunSuite {
       !fs.exists(new Path(target + ".staging")),
       "recovery must leave no orphan snapshot directories")
   }
+
+  test("stream-stream join state is evicted once the watermark clears the interval") {
+    // ev_stream_join is hash-oracled for its OUTPUT; this pins the state
+    // bound its scaladoc claims: the interval condition (purchase within
+    // 7 days of signup, both sides 1 h watermark delay) lets Spark derive
+    // per-side state watermarks, so rows the watermark can prove
+    // unmatched-forever LEAVE the store — bounded state on an unbounded
+    // stream. Fixture: batch 0 buffers three rows (two signups, one
+    // purchase); batch 1 arrives 30 days later, so after its
+    // watermark-advancing cleanup batch every batch-0 row is evictable
+    // (signups: wm_right - 7 d passes t0; purchase: wm_left passes
+    // t0 + 1 d) while both batch-1 rows stay (their own horizon is 1 h
+    // behind them). Store shrinks even though batch 1 ADDED two rows.
+    val day = 86400000000000L // ns
+    val t0 = 10 * day
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ssjoin-src")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-ssjoin-$name")
+      rows.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        srcDir.resolve(s"$name.parquet"))
+    }
+    writeBatch("batch-0", Seq(
+      (1L, t0, 1L, "signup"), (2L, t0 + day, 1L, "purchase"),
+      (3L, t0, 2L, "signup")))
+    val stream = EventStreamPipeline.readEvents(spark, srcDir.toString)
+    val q = EventStreamPipeline.signupPurchaseJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val m0 = spark.table("ssjoin_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(m0.map(_._1).toSeq == Seq(1L),
+        s"batch 0 must emit exactly user 1's in-interval match: ${m0.toSeq}")
+      val s0 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(s0 > 0, "join state must buffer batch-0 rows")
+
+      val T = t0 + 30 * day
+      writeBatch("batch-1", Seq(
+        (4L, T, 3L, "signup"), (5L, T + 60000000000L, 3L, "purchase")))
+      q.processAllAvailable() // incl. the watermark-advancing cleanup batch
+      val matched = spark.table("ssjoin_stream").collect().map(_.getLong(0))
+      assert(matched.sorted.toSeq == Seq(1L, 3L),
+        s"batch 1 must add exactly user 3's match: ${matched.toSeq}")
+      val s1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // 3 buffered rows shrank while 2 arrived: >= 3 evictions happened
+      assert(s1 < s0,
+        s"watermark must evict batch-0 join state: before=$s0 after=$s1")
+      // and the bound is exact: 3 retained-rows' worth became 2's worth
+      assert(s0 % 3 == 0 && s1 == (s0 / 3) * 2,
+        s"state must hold exactly the 2 watermark-retained rows " +
+          s"(per-row metric ${s0 / 3}): before=$s0 after=$s1")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ssjoin_stream")
+    }
+  }
 }
