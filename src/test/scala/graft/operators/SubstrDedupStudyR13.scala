@@ -57,6 +57,34 @@ object SubstrDedupStudyR13 {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Long-doc variant for the PRODUCTION threshold (the published
+    * ExactSubstr recipe removes ≥ ~50-token duplicated substrings, Lee
+    * et al. 2022 §3): 102 tokens per doc; pair docs (id%10 ∈ {0,1})
+    * share a 60-token run at positions [4, 63] (≥ 50 → must be flagged
+    * with exact bounds) and a 30-token run at [67, 96] (< 50 → must be
+    * invisible: no 50-gram fits inside it, and every straddling gram
+    * contains id-salted tokens unique to one doc).
+    */
+  private[operators] def corpusLong(spark: SparkSession, n: Long,
+      dir: String): Unit = {
+    val uniq = (salt: Int, k: Int) =>
+      (0 until k).map(i => s"concat('u', abs(hash(id * 131 + $salt * 17 + $i)) % 50000, '_', id, '_', $i)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+    val planted = (tag: String, k: Int) =>
+      (0 until k).map(i => s"concat('$tag', g, '_', $i)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+    spark.range(n)
+      .selectExpr("id", "id div 10 AS g")
+      .selectExpr("id",
+        s"""CASE WHEN id % 10 <= 1 THEN
+              concat_ws(' ', ${uniq(1, 4)}, ${planted("P", 60)},
+                             ${uniq(2, 3)}, ${planted("Q", 30)}, ${uniq(3, 5)})
+            ELSE ${uniq(4, 102)} END AS text""")
+      .selectExpr("id AS doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   private class WriteProbe extends SparkListener {
     val bytes = new java.util.concurrent.atomic.LongAdder
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
@@ -144,6 +172,28 @@ object SubstrDedupStudyR13 {
     println(f"shuffle @100k: n=8 ${sh8 / 1048576.0}%.1f MiB   n=4 ${sh4 / 1048576.0}%.1f MiB")
     assert(sh8 <= sh4,
       s"threshold grams shuffled MORE than marking grams: $sh8 > $sh4")
+
+    // production threshold N=50 (round-14): same exactness discipline on
+    // the long-doc corpus, plus the SCALE.md slope claim extended to the
+    // published recipe's threshold — with 8-byte hashed keys, shuffle
+    // DECREASES as the gram lengthens (53 gram instances/doc at n=50 vs
+    // 95 at n=8 on identical 102-token docs), where text keys would grow
+    // it ~6× instead.
+    val dLong = s"$base/long100k"
+    corpusLong(spark, 100000L, dLong)
+    val (sec50, df50) = timed(spark, dLong, 50)
+    val spans50 = df50.collect()
+    assert(spans50.length == 100000 / 10 * 2,
+      s"n=50 tier: ${spans50.length} spans, expected ${100000 / 10 * 2}")
+    assert(spans50.forall { r =>
+      r.getLong(1) == 4L && r.getLong(2) == 63L && r.getLong(3) == 60L
+    }, s"n=50 tier: off-truth span among ${spans50.take(3).mkString(";")}")
+    println(f"tier n=100000 (102-token docs, N=50)  spans=${spans50.length}%7d  time=$sec50%7.2f s")
+    val sh50 = shuffleBytes(spark, dLong, 50)
+    val sh8Long = shuffleBytes(spark, dLong, 8)
+    println(f"shuffle @100k long docs: n=50 ${sh50 / 1048576.0}%.1f MiB   n=8 ${sh8Long / 1048576.0}%.1f MiB")
+    assert(sh50 <= sh8Long,
+      s"production-threshold grams shuffled MORE than n=8 grams: $sh50 > $sh8Long")
     spark.stop()
   }
 }
