@@ -893,7 +893,7 @@ object EventWindows {
       import s.implicits._
       drainEvents(s, d, "graft_stream_join_sink", copies = 1,
         outputMode = "append",
-        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoin,
+        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoin(_),
         shape = _.select($"user_id",
             unix_micros($"signup_time").as("signup_us"),
             unix_micros($"purchase_time").as("purchase_us"))
@@ -906,6 +906,87 @@ object EventWindows {
         AND s.event_type = 'signup' AND p.event_type = 'purchase'
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
+
+  /** LEFT OUTER stream-stream interval join under the driver's oracle —
+    * the eviction-EMISSION semantics the inner form never exercises: a
+    * null-extended row for an unconverted signup is emitted only when
+    * the signup's join state is evicted, i.e. when the purchase-side
+    * watermark proves its 7-day conversion window empty forever. The
+    * drained sink is therefore the inner matches PLUS one null row per
+    * closed-and-unmatched signup; unmatched signups still inside the
+    * horizon emit nothing (they ride in state). Boundary replicated in
+    * the SQL: the global watermark is `floor(max event-time ms) - 1 h`,
+    * the left state watermark subtracts the 7-day interval bound
+    * (`StreamingJoinHelper.getStateValueWatermark`), and eviction is
+    * STRICT (`signup_time < state watermark` — WatermarkSupport's
+    * less-than on value watermarks). Nulls are folded to -1 on both
+    * sides: the pandas-replica checker is dtype-sensitive and a nullable
+    * BIGINT would land as float64.
+    */
+  val streamJoinOuter: Q = Q(
+    "ev_stream_join_outer",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_outer_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoinOuter,
+        shape = _.select($"user_id",
+            unix_micros($"signup_time").as("signup_us"),
+            coalesce(unix_micros($"purchase_time"), lit(-1L))
+              .as("purchase_us"))
+          .orderBy($"user_id", $"signup_us", $"purchase_us"))
+    },
+    Some("""WITH wm AS (
+        SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
+      s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us
+        FROM events WHERE event_type = 'signup'),
+      p AS (SELECT user_id, ts, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT s.user_id, s.signup_us, p.purchase_us
+        FROM s JOIN p ON s.user_id = p.user_id
+          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY),
+      u AS (SELECT s.user_id, s.signup_us, CAST(-1 AS BIGINT) AS purchase_us
+        FROM s, wm
+        WHERE s.signup_us < wm.wm_us - 604800000000
+          AND NOT EXISTS (SELECT 1 FROM p
+            WHERE p.user_id = s.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY))
+      SELECT * FROM m UNION ALL SELECT * FROM u
+      ORDER BY user_id, signup_us, purchase_us"""))
+
+  /** CHAINED stateful operators in one streaming query under the
+    * driver's oracle ([[graft.streaming.EventStreamPipeline
+    * .dedupThenHourlyAgg]]): the events file delivered TWICE (the
+    * at-least-once ingest), collapsed by `dropDuplicatesWithinWatermark`,
+    * and aggregated into hourly append-mode windows by a SECOND stateful
+    * operator in the same micro-batch pipeline — no intermediate sink,
+    * Spark's multi-stateful-operator watermark propagation carrying the
+    * horizon through both. Oracle: the closed-window hourly aggregate
+    * over the DISTINCT events — which is the events table itself, since
+    * redelivery duplicates are exact copies — with the same
+    * `window_end <= floor(max ms) - 1 h` emission predicate as
+    * `aq_stream_agg_window`.
+    */
+  val streamDedupWindow: Q = Q(
+    "ev_stream_dedup_window",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_dedup_win_sink", copies = 2,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.dedupThenHourlyAgg,
+        shape = _.select(unix_micros($"window_start").as("window_start_us"),
+            $"event_type", $"n", $"cents_sum")
+          .orderBy($"window_start_us", $"event_type"))
+    },
+    Some(s"""WITH wm AS (
+        SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events)
+      SELECT (epoch_us(ts) // $HourUs) * $HourUs AS window_start_us,
+        event_type, count(*) AS n,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+          AS cents_sum
+      FROM events, wm GROUP BY 1, 2, wm_us
+      HAVING window_start_us + $HourUs <= wm_us
+      ORDER BY window_start_us, event_type"""))
 
   /** Custom per-user session state under the driver's oracle: the
     * `flatMapGroupsWithState` sessionizer emits a session the moment an
@@ -1054,7 +1135,8 @@ object EventWindows {
 
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn, dauWau, streamHourly, streamDedup, streamJoin, streamSessionize,
+    churn, dauWau, streamHourly, streamDedup, streamJoin, streamJoinOuter,
+    streamDedupWindow, streamSessionize,
     streamDynamicAgg, streamDynamicAggWindow, streamDynamicAggUpdate,
     streamDynamicAggSession, streamSessionsTimers, streamRunningDistinct)
 }

@@ -202,7 +202,8 @@ object EventStreamPipeline {
     * relative to the other, so the state store can evict rows once the
     * watermark passes the interval — bounded state on unbounded streams.
     */
-  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+  def signupPurchaseJoin(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val signups = events.filter($"event_type" === "signup")
@@ -216,8 +217,50 @@ object EventStreamPipeline {
     signups.join(purchases, expr(
       """user_id = p_user_id AND
          purchase_time >= signup_time AND
-         purchase_time <= signup_time + interval 7 days"""))
+         purchase_time <= signup_time + interval 7 days"""), joinType)
       .select($"user_id", $"signup_time", $"purchase_time")
+  }
+
+  /** LEFT OUTER form of [[signupPurchaseJoin]] — the funnel question the
+    * inner join can't answer: which signups did NOT convert? A
+    * null-extended row for an unmatched signup can only be emitted once
+    * the watermark PROVES no purchase can ever arrive in its 7-day
+    * interval (the signup's join state is evicted at that moment), so
+    * the drained output is the inner matches plus a null row per signup
+    * whose conversion window the watermark has closed — unmatched
+    * signups still inside the horizon ride in state and emit nothing,
+    * exactly the semantics an incremental funnel needs. Same bounded
+    * state as the inner form: the interval condition derives both
+    * sides' state watermarks.
+    */
+  def signupPurchaseJoinOuter(events: DataFrame): DataFrame =
+    signupPurchaseJoin(events, "leftOuter")
+
+  /** CHAINED stateful operators in ONE streaming query — at-least-once
+    * redelivery collapsed by `dropDuplicatesWithinWatermark`, then an
+    * hourly windowed aggregate over the deduped stream, both running in
+    * the same micro-batch pipeline (Spark's multi-stateful-operator
+    * support: the downstream aggregate admits rows by the PREVIOUS
+    * batch's watermark, so dedup-then-aggregate needs no intermediate
+    * sink). Append mode: a window is emitted exactly once when the
+    * watermark passes its end, state for both operators evicted on the
+    * same horizon. The ingest-to-gold shape — exactly-once hourly
+    * aggregates over an at-least-once source — in a single query.
+    */
+  def dedupThenHourlyAgg(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time",
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L))))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)")
+          .as("cents_sum"))
+      .select($"window.start".as("window_start"), $"event_type", $"n",
+        $"cents_sum")
   }
 
   case class Event(event_id: Long, ts: Long, user_id: Long)
@@ -451,6 +494,10 @@ object EventStreamPipeline {
         timerValues: TimerValues): Iterator[UserRunningStats] = {
       var n = if (total.exists()) total.get() else 0L
       var distinct = if (typeCounts.exists()) typeCounts.keys().size.toLong else 0L
+      // materializes ONE user's micro-batch to sort it — bounded by that
+      // (user, batch) volume, the same skew caveat the scaladoc gives for
+      // cross-batch ordering: a single user hot enough to blow a task's
+      // heap here would need a salted key split upstream
       val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
         n += 1
         val seen = typeCounts.containsKey(e.event_type)

@@ -857,6 +857,64 @@ class StreamingSpec extends AnyFunSuite {
       "recovery must leave no orphan snapshot directories")
   }
 
+  test("chained dedup+window agg runs two stateful operators in one query") {
+    // ev_stream_dedup_window's oracle checks the VALUES; this pins the
+    // structure the entry's scaladoc claims — one streaming query, two
+    // stateful operators (dropDuplicatesWithinWatermark feeding a
+    // windowed aggregate), the duplicate delivery collapsed before the
+    // fold rather than double-counted by it.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-chain")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      streamDir.resolve("events-001.parquet")) // at-least-once redelivery
+    val stream = EventStreamPipeline.readEvents(spark, streamDir.toString)
+    val q = EventStreamPipeline.dedupThenHourlyAgg(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chain_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 2,
+        s"expected dedup + aggregate state operators, got ${ops.map(_.operatorName).mkString(",")}")
+      assert(ops.exists(_.operatorName.toLowerCase.contains("dedupe")),
+        s"no dedup operator among ${ops.map(_.operatorName).mkString(",")}")
+      // the fold saw each event ONCE: totals equal the single-copy batch
+      // aggregate restricted to watermark-closed windows
+      val batchEv = EventStreamPipeline.readEventsBatch(spark,
+        s"${TestSpark.sfDir}/events.parquet")
+      val wmUs = (batchEv.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.expr("ts div 1000 div 1000")))
+        .head.getLong(0) - 3600000L) * 1000L
+      val closed = batchEv
+        .selectExpr("(ts div 1000 div 3600000000) * 3600000000 AS ws",
+          "event_type",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .groupBy("ws", "event_type")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"cents").as("cents_sum"))
+        .where(org.apache.spark.sql.functions.col("ws") + 3600000000L <= wmUs)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val emitted = spark.table("chain_stream")
+        .selectExpr("unix_micros(window_start)", "event_type", "n", "cents_sum")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(emitted == closed,
+        s"chained result diverges from single-copy closed-window batch twin " +
+          s"(emitted=${emitted.size}, expected=${closed.size})")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("chain_stream")
+    }
+  }
+
   test("stream-stream join state is evicted once the watermark clears the interval") {
     // ev_stream_join is hash-oracled for its OUTPUT; this pins the state
     // bound its scaladoc claims: the interval condition (purchase within
