@@ -954,6 +954,41 @@ object EventWindows {
       SELECT * FROM m UNION ALL SELECT * FROM u
       ORDER BY user_id, signup_us, purchase_us"""))
 
+  /** Stream-stream JOIN chained into a windowed aggregate in one query
+    * ([[graft.streaming.EventStreamPipeline.joinThenHourlyAgg]]) — the
+    * incremental funnel rollup, and the chaining case where watermark
+    * PROPAGATION is visible in the result: the join delays its output
+    * watermark by its state horizon (an old signup can still emit a
+    * match until the watermark passes its 7-day interval), so the
+    * downstream aggregate closes an hour window only once the PROPAGATED
+    * watermark `wm - 7 days` passes its end. The oracle states exactly
+    * that: conversion counts per signup-hour over the batch interval
+    * join, restricted to `window_end <= (floor(max ms) - 1 h) - 7 d`.
+    */
+  val streamJoinWindow: Q = Q(
+    "ev_stream_join_window",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_win_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.joinThenHourlyAgg,
+        shape = _.select(unix_micros($"window_start").as("window_start_us"),
+            $"n_conversions")
+          .orderBy($"window_start_us"))
+    },
+    Some(s"""WITH wm AS (
+        SELECT (epoch_ms(max(ts)) - 3600000) * 1000 - 604800000000 AS pwm_us
+        FROM events),
+      m AS (SELECT epoch_us(s.ts) AS signup_us
+        FROM events s JOIN events p ON s.user_id = p.user_id
+          AND s.event_type = 'signup' AND p.event_type = 'purchase'
+          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY)
+      SELECT (signup_us // $HourUs) * $HourUs AS window_start_us,
+        count(*) AS n_conversions
+      FROM m, wm GROUP BY 1, pwm_us
+      HAVING window_start_us + $HourUs <= pwm_us
+      ORDER BY window_start_us"""))
+
   /** CHAINED stateful operators in one streaming query under the
     * driver's oracle ([[graft.streaming.EventStreamPipeline
     * .dedupThenHourlyAgg]]): the events file delivered TWICE (the
@@ -1136,7 +1171,7 @@ object EventWindows {
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamJoinOuter,
-    streamDedupWindow, streamSessionize,
+    streamJoinWindow, streamDedupWindow, streamSessionize,
     streamDynamicAgg, streamDynamicAggWindow, streamDynamicAggUpdate,
     streamDynamicAggSession, streamSessionsTimers, streamRunningDistinct)
 }

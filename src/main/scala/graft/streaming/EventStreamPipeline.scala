@@ -263,6 +263,27 @@ object EventStreamPipeline {
         $"cents_sum")
   }
 
+  /** The OTHER chained-stateful shape ([[dedupThenHourlyAgg]] chains
+    * dedup→agg): a stream-stream interval JOIN feeding a windowed
+    * aggregate in the same query — hourly conversion counts, the
+    * incremental funnel rollup. The interesting part is the watermark
+    * the aggregate closes windows under: a join DELAYS its output
+    * watermark by its state horizon (a match can still emit carrying a
+    * signup_time as old as the left state watermark, wm - 7 days), so
+    * the downstream aggregate's windows close against the PROPAGATED
+    * watermark, not the global one — exactly what Spark's per-operator
+    * watermark propagation computes, and what the entry's oracle states
+    * in SQL.
+    */
+  def joinThenHourlyAgg(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    signupPurchaseJoin(events)
+      .groupBy(window($"signup_time", "1 hour"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .select($"window.start".as("window_start"), $"n_conversions")
+  }
+
   case class Event(event_id: Long, ts: Long, user_id: Long)
   case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, session_start_ms: Long, n_events: Long)
