@@ -1028,21 +1028,25 @@ object Dedup {
     * (which keys on the exact text) stays bit-stable unless a corpus
     * actually contains a colliding pair.
     */
-  private def hashedNgrams(s: SparkSession, d: String, n: Int): DataFrame = {
+  private def hashedNgrams(s: SparkSession, d: String, n: Int,
+      textKeys: Boolean = false): DataFrame = {
     import s.implicits._
+    // textKeys=true is the collision-DIAGNOSIS path only (see
+    // [[dupSpanCollisionDiff]]) — n-word string keys across the shuffle,
+    // the exact shape the hashing exists to avoid; never in an entry
+    val gram =
+      if (textKeys) s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"
+      else s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"
     Tables.spread(Tables.documents(s, d), "doc_id")
       .select($"doc_id", split(expr(Norm), " ").as("w"))
       .filter(size($"w") >= n)
-      .select($"doc_id",
-        posexplode(expr(
-          s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', slice(w, i+1, $n))))"))
-          .as(Seq("pos", "ng")))
+      .select($"doc_id", posexplode(expr(gram)).as(Seq("pos", "ng")))
   }
 
   private[operators] def dupSpanDf(s: SparkSession, d: String,
-      n: Int = 4): DataFrame = {
+      n: Int = 4, textKeys: Boolean = false): DataFrame = {
     import s.implicits._
-    val ngrams = hashedNgrams(s, d, n)
+    val ngrams = hashedNgrams(s, d, n, textKeys)
     val dup = ngrams.groupBy($"ng")
       .agg(countDistinct($"doc_id").as("ndocs"))
       .filter($"ndocs" >= 2).select($"ng")
@@ -1051,6 +1055,24 @@ object Dedup {
       .select($"doc_id", $"pos".cast(LongType).as("pos"),
         ($"pos" + lit(n - 1)).cast(LongType).as("e"))
     mergeIslands(hits)
+  }
+
+  /** Collision DIAGNOSIS for the hashed gram keys: the spans the hashed
+    * marker flags, symmetric-differenced against the text-keyed ground
+    * truth. A 64-bit gram collision (P ≈ G²/2⁶⁵ — see [[hashedNgrams]])
+    * would surface here as hashed-only rows (`src = "hashed_only"`),
+    * making a suspected oracle mismatch attributable in one run instead
+    * of a needle-hunt. Debug path only — it RUNS the text-keyed shuffle
+    * the production marker exists to avoid — so it lives behind a spec
+    * (`DedupSpec`) and an operator's post-mortem, never inside an entry.
+    */
+  private[operators] def dupSpanCollisionDiff(s: SparkSession, d: String,
+      n: Int = 4): DataFrame = {
+    import s.implicits._
+    val hashed = dupSpanDf(s, d, n)
+    val text = dupSpanDf(s, d, n, textKeys = true)
+    hashed.exceptAll(text).withColumn("src", lit("hashed_only"))
+      .unionAll(text.exceptAll(hashed).withColumn("src", lit("text_only")))
   }
 
   /** Gaps-and-islands merge shared by the cross-doc marker ([[dupSpanDf]])

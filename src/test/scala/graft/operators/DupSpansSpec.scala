@@ -153,4 +153,15 @@ class DupSpansSpec extends AnyFunSuite {
       (1L, "", 10L, 10L),
       (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", 9L, 0L)))
   }
+
+  test("collision diagnosis: hashed-key spans equal text-keyed spans on real data") {
+    // the debug path a suspected xxhash64 gram collision runs: symmetric
+    // diff of the hashed marker against the text-keyed ground truth.
+    // Empty on the driver testdata (and on any corpus without an actual
+    // 64-bit collision); a collision would show up attributed as
+    // src=hashed_only rows instead of an opaque oracle hash-mismatch
+    val diff = Dedup.dupSpanCollisionDiff(spark, TestSpark.sfDir).collect()
+    assert(diff.isEmpty,
+      s"hashed vs text gram keys diverged: ${diff.take(5).mkString(";")}")
+  }
 }
