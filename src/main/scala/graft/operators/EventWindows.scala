@@ -954,6 +954,54 @@ object EventWindows {
       SELECT * FROM m UNION ALL SELECT * FROM u
       ORDER BY user_id, signup_us, purchase_us"""))
 
+  /** FULL OUTER stream-stream interval join under the driver's oracle —
+    * both sides' eviction emissions in one drain: the inner matches, a
+    * -1-purchase row per signup whose 7-day window the watermark has
+    * closed unmatched (left eviction, horizon `wm - 7 d`, as in
+    * `ev_stream_join_outer`), AND a -1-signup row per orphan purchase
+    * the signup-side watermark has passed (right eviction, horizon
+    * `wm` — asymmetric because the interval condition is: a future
+    * signup's event time exceeds the watermark, hence exceeds the
+    * purchase, hence can't satisfy `purchase >= signup`). Both horizons
+    * appear separately in the SQL.
+    */
+  val streamJoinFull: Q = Q(
+    "ev_stream_join_full",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_full_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoinFull,
+        shape = _.select($"user_id",
+            coalesce(unix_micros($"signup_time"), lit(-1L)).as("signup_us"),
+            coalesce(unix_micros($"purchase_time"), lit(-1L))
+              .as("purchase_us"))
+          .orderBy($"user_id", $"signup_us", $"purchase_us"))
+    },
+    Some("""WITH wm AS (
+        SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
+      s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us
+        FROM events WHERE event_type = 'signup'),
+      p AS (SELECT user_id, ts, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT s.user_id, s.signup_us, p.purchase_us
+        FROM s JOIN p ON s.user_id = p.user_id
+          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY),
+      u AS (SELECT s.user_id, s.signup_us, CAST(-1 AS BIGINT) AS purchase_us
+        FROM s, wm
+        WHERE s.signup_us < wm.wm_us - 604800000000
+          AND NOT EXISTS (SELECT 1 FROM p
+            WHERE p.user_id = s.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY)),
+      v AS (SELECT p.user_id, CAST(-1 AS BIGINT) AS signup_us, p.purchase_us
+        FROM p, wm
+        WHERE p.purchase_us < wm.wm_us
+          AND NOT EXISTS (SELECT 1 FROM s
+            WHERE s.user_id = p.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY))
+      SELECT * FROM m UNION ALL SELECT * FROM u UNION ALL SELECT * FROM v
+      ORDER BY user_id, signup_us, purchase_us"""))
+
   /** Stream-stream JOIN chained into a windowed aggregate in one query
     * ([[graft.streaming.EventStreamPipeline.joinThenHourlyAgg]]) — the
     * incremental funnel rollup, and the chaining case where watermark
@@ -1171,7 +1219,7 @@ object EventWindows {
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamJoinOuter,
-    streamJoinWindow, streamDedupWindow, streamSessionize,
+    streamJoinFull, streamJoinWindow, streamDedupWindow, streamSessionize,
     streamDynamicAgg, streamDynamicAggWindow, streamDynamicAggUpdate,
     streamDynamicAggSession, streamSessionsTimers, streamRunningDistinct)
 }

@@ -218,7 +218,9 @@ object EventStreamPipeline {
       """user_id = p_user_id AND
          purchase_time >= signup_time AND
          purchase_time <= signup_time + interval 7 days"""), joinType)
-      .select($"user_id", $"signup_time", $"purchase_time")
+      // full-outer's right-side eviction rows carry a null left user_id
+      .select(coalesce($"user_id", $"p_user_id").as("user_id"),
+        $"signup_time", $"purchase_time")
   }
 
   /** LEFT OUTER form of [[signupPurchaseJoin]] — the funnel question the
@@ -235,6 +237,19 @@ object EventStreamPipeline {
     */
   def signupPurchaseJoinOuter(events: DataFrame): DataFrame =
     signupPurchaseJoin(events, "leftOuter")
+
+  /** FULL OUTER form — both eviction emissions at once: a null row per
+    * closed unconverted signup (as in [[signupPurchaseJoinOuter]]) AND a
+    * null row per closed orphan purchase (one whose user can provably
+    * never produce a matching signup: any future signup arrives with
+    * event time past the watermark, hence past the purchase — emitted
+    * when the signup-side watermark passes `purchase_time`). The two
+    * sides close on DIFFERENT horizons (wm - 7 d for signups, wm for
+    * purchases) because the interval condition is asymmetric — which the
+    * entry's oracle states separately per side.
+    */
+  def signupPurchaseJoinFull(events: DataFrame): DataFrame =
+    signupPurchaseJoin(events, "fullOuter")
 
   /** CHAINED stateful operators in ONE streaming query — at-least-once
     * redelivery collapsed by `dropDuplicatesWithinWatermark`, then an
