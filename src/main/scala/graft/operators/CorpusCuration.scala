@@ -686,7 +686,83 @@ object CorpusCuration {
       FROM lab JOIN span USING (canonical_id)
       GROUP BY split ORDER BY split"""))
 
+  /** Z-ORDER clustering key under the driver's oracle — the layout
+    * lever for multi-dimensional scan pruning
+    * ([[graft.pipeline.Layout]]): each event's (user_id, event time)
+    * pair is min/max-scaled to 16 bits per dimension (integer
+    * arithmetic) and bit-interleaved into a Morton z-value; writing
+    * range-partitioned and sorted by it gives every file a tight
+    * min/max box in BOTH dimensions, so a (user-range × time-range)
+    * probe prunes to ~O(√files) via ordinary parquet statistics
+    * (measured in LayoutSpec; no index structure, just a smarter
+    * write). The entry pins the full bit ladder — scaling, the four
+    * spread-mask steps, the interleave — against DuckDB's independent
+    * bitwise engine, so the layout key is provably engine-portable:
+    * top-20 events per z-bucket prefix keeps the result small while
+    * covering the whole key range.
+    */
+  val zorderKey: Q = Q(
+    "pipe_zorder_key",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val Array(minU, maxU, minT, maxT) =
+        ev.agg(min($"user_id"), max($"user_id"), min($"ts_us"), max($"ts_us"))
+          .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val z = graft.pipeline.Layout.zvalue16(
+        graft.pipeline.Layout.scale16($"user_id", minU, maxU),
+        graft.pipeline.Layout.scale16($"ts_us", minT, maxT))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"z_bucket").orderBy($"z", $"event_id")
+      ev.withColumn("z", z)
+        .withColumn("z_bucket", $"z" / lit(268435456L) cast "long")
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 20)
+        .select($"z_bucket", $"z", $"event_id", $"user_id", $"ts_us")
+        .orderBy($"z_bucket", $"z", $"event_id")
+    },
+    Some("""WITH b AS (
+        SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+          min(epoch_us(ts)) AS min_t, max(epoch_us(ts)) AS max_t
+        FROM events),
+      s AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          (user_id - min_u) * 65535 // (max_u - min_u) AS su,
+          (epoch_us(ts) - min_t) * 65535 // (max_t - min_t) AS st
+        FROM events, b),
+      sp AS (
+        SELECT event_id, user_id, ts_us, su, st,
+          -- Morton spread of su to even bits: the same 4-step mask ladder
+          ((su | (su << 8)) & 16711935) AS u1,
+          ((st | (st << 8)) & 16711935) AS t1
+        FROM s),
+      sp2 AS (
+        SELECT event_id, user_id, ts_us,
+          ((u1 | (u1 << 4)) & 252645135) AS u2,
+          ((t1 | (t1 << 4)) & 252645135) AS t2
+        FROM sp),
+      sp3 AS (
+        SELECT event_id, user_id, ts_us,
+          ((u2 | (u2 << 2)) & 858993459) AS u3,
+          ((t2 | (t2 << 2)) & 858993459) AS t3
+        FROM sp2),
+      z AS (
+        SELECT event_id, user_id, ts_us,
+          (((u3 | (u3 << 1)) & 1431655765)
+            | ((((t3 | (t3 << 1)) & 1431655765)) << 1)) AS z
+        FROM sp3),
+      rk AS (
+        SELECT z // 268435456 AS z_bucket, z, event_id, user_id, ts_us,
+          row_number() OVER (PARTITION BY z // 268435456
+            ORDER BY z, event_id) AS rk
+        FROM z)
+      SELECT z_bucket, z, event_id, user_id, ts_us
+      FROM rk WHERE rk <= 20
+      ORDER BY z_bucket, z, event_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
-    shardManifest, datasetCard, gopherRules, globalShuffle, splitLeakage)
+    shardManifest, datasetCard, gopherRules, globalShuffle, splitLeakage,
+    zorderKey)
 }

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout ([[Layout]]): bit-level unit pins plus the claim the
+  * operator exists for — a 2-D box predicate over a z-ordered write
+  * prunes files in BOTH dimensions, where a single-column sort layout
+  * prunes only its own. "Prunable" is computed from per-file min/max
+  * footprints, the exact statistics parquet row-group pruning consults.
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("spread16/zvalue16 match the reference Morton interleave bit-for-bit") {
+    def spreadRef(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    val cases = Seq(0L, 1L, 2L, 3L, 255L, 256L, 4095L, 65535L, 12345L)
+    val got = cases.toDF("a")
+      .select(Layout.spread16($"a").as("s"),
+        Layout.zvalue16($"a", $"a").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cases.zip(got).foreach { case (a, (s, z)) =>
+      assert(s == spreadRef(a), s"spread16($a)")
+      // interleaving a value with itself sets bit pairs: z = 3 * spread
+      assert(z == (spreadRef(a) | (spreadRef(a) << 1)), s"zvalue16($a,$a)")
+    }
+    // adjacency: z is monotone along each axis when the other is fixed
+    val axis = (0L to 64L).toDF("a")
+      .select(Layout.zvalue16($"a", org.apache.spark.sql.functions.lit(7L)))
+      .collect().map(_.getLong(0))
+    assert(axis.sliding(2).forall { case Array(p, q) => p < q })
+  }
+
+  test("z-order layout prunes a 2-D box in both dimensions; linear only in one") {
+    val sf = TestSpark.sfDir
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions
+          .expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+    val Array(minU, maxU, minT, maxT) = ev
+      .agg(org.apache.spark.sql.functions.min($"user_id"),
+        org.apache.spark.sql.functions.max($"user_id"),
+        org.apache.spark.sql.functions.min($"ts_us"),
+        org.apache.spark.sql.functions.max($"ts_us"))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+
+    val base = java.nio.file.Files.createTempDirectory("graft-layout")
+    val files = 64
+    Layout.zorderWrite(ev, "user_id", "ts_us", s"$base/z", files)
+    Layout.linearWrite(ev, "ts_us", s"$base/t", files)
+
+    // a ~10% box in each dimension
+    def lo(min: Long, max: Long) = min + (max - min) * 45 / 100
+    def hi(min: Long, max: Long) = min + (max - min) * 55 / 100
+    val (u1, u2) = (lo(minU, maxU), hi(minU, maxU))
+    val (t1, t2) = (lo(minT, maxT), hi(minT, maxT))
+
+    def prunable(dir: String, uBox: Boolean, tBox: Boolean): Int = {
+      val fps = Layout.fileFootprints(spark, dir, "user_id", "ts_us")
+      assert(fps.length == files, s"$dir wrote ${fps.length} files")
+      fps.count { case (_, mnU, mxU, mnT, mxT) =>
+        (!uBox || (mxU >= u1 && mnU <= u2)) &&
+          (!tBox || (mxT >= t1 && mnT <= t2))
+      }
+    }
+
+    // linear-by-time: perfect on time, hopeless on user
+    val linT = prunable(s"$base/t", uBox = false, tBox = true)
+    val linU = prunable(s"$base/t", uBox = true, tBox = false)
+    assert(linT <= files / 4, s"time-sorted layout must prune time: $linT")
+    assert(linU >= files * 9 / 10,
+      s"time-sorted layout cannot prune user — expected ~all files, got $linU")
+
+    // z-order: BOTH single-dimension probes prune meaningfully, and the
+    // 2-D box touches a small fraction of files
+    val zU = prunable(s"$base/z", uBox = true, tBox = false)
+    val zT = prunable(s"$base/z", uBox = false, tBox = true)
+    val zBox = prunable(s"$base/z", uBox = true, tBox = true)
+    info(s"files touched of $files: linear(time)=[t:$linT u:$linU] " +
+      s"z=[t:$zT u:$zU box:$zBox]")
+    assert(zU <= files / 2, s"z layout must prune on user alone: $zU/$files")
+    assert(zT <= files / 2, s"z layout must prune on time alone: $zT/$files")
+    assert(zBox <= files / 4,
+      s"z layout must prune the 2-D box to a small fraction: $zBox/$files")
+    // and the box really needed z-ordering: the linear layout's 2-D box
+    // count is its time-only count (user adds nothing)
+    val linBox = prunable(s"$base/t", uBox = true, tBox = true)
+    assert(zBox < linBox || linBox <= files / 16,
+      s"z-order box pruning ($zBox) must beat linear ($linBox)")
+  }
+}
