@@ -649,8 +649,13 @@ object EventWindows {
       graft.adhesive.AdhesiveDdl.execute(s, CentsSumDdl)
       drainEvents(s, d, "graft_stream_dynagg_upd_sink", copies = 1,
         outputMode = "update",
+        // 365 days: the delay only needs to EXCEED the corpus span so no
+        // split-induced out-of-order row is ever late-dropped. The events
+        // corpus spans ~29d23h59m — "30 days" left ~46 s of headroom, one
+        // testdata regeneration away from mid-drain evictions silently
+        // diverging the oracle; a year of slack makes the margin visible
         pipeline = ev => graft.streaming.EventStreamPipeline
-          .windowedDynAgg(ev, delay = "30 days"),
+          .windowedDynAgg(ev, delay = "365 days"),
         shape = df => {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy($"window_start", $"event_type").orderBy($"n".desc)
@@ -743,6 +748,12 @@ object EventWindows {
       minDataBatches: Int = 0,
       maxDataBatches: Int = Int.MaxValue)
       : org.apache.spark.sql.DataFrame = {
+    // the split branch rewrites the corpus and never consults `copies`:
+    // an entry asking for both would get NO duplicate delivery while its
+    // oracle claimed to prove redelivery collapse — fail loudly instead
+    require(copies == 1 || splitParts == 0,
+      s"drainEvents: copies=$copies is silently ignored when " +
+        s"splitParts=$splitParts > 0 — combine them explicitly if needed")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-evs-src")
     // everything after dir creation sits inside the try: a pipeline
     // construction or start() failure must still clean up the copied

@@ -49,7 +49,11 @@ object Layout {
     */
   def scale16(c: Column, min: Long, max: Long): Column =
     if (max == min) lit(0L)
-    else (c - lit(min)) * lit(65535L) / lit(max - min) cast "long"
+    // integral `div`, not Column./ — the latter is DOUBLE division, and
+    // (c - min) * 65535 exceeds 2^53 for wide columns (epoch-µs spans),
+    // where double rounding can land one 16-bit bucket away from the
+    // oracle's exact integer floor
+    else call_function("div", (c - lit(min)) * lit(65535L), lit(max - min))
 
   /** Write `df` z-ordered by two long columns into `nFiles` files:
     * one agg pass for the min/max scale bounds, then

@@ -207,14 +207,34 @@ object WriterLease {
     */
   private def lastRenewalMs(fs: FileSystem, lease: Path,
       leaseContent: String, leaseMtime: Long): Long = {
-    val beats =
-      try Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
-      catch { case _: Exception => Seq.empty }
-    val matching = beats.filter { st =>
-      try VectorIndexPipeline.readTextFile(fs, st.getPath) == leaseContent
-      catch { case _: Exception => false } // mid-write/deleted: not a renewal
-    }.map(_.getModificationTime)
-    (leaseMtime +: matching).max
+    // The beat rotation creates the NEXT sidecar before deleting the
+    // previous one, so ≥1 matching sidecar exists at every instant — but
+    // only at one instant: a glob can catch beat-X, the rotation can then
+    // create beat-Y and delete beat-X, and the read of beat-X lands on
+    // FileNotFound. Treating that as "no renewal" would break a LIVE
+    // holder; a vanished sidecar is a RETRY signal (the re-glob sees the
+    // beat-Y that was complete before beat-X's delete).
+    def attempt(): (Seq[Long], Boolean) = {
+      val beats =
+        try Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
+        catch { case _: Exception => Seq.empty }
+      var vanished = false
+      val matching = beats.flatMap { st =>
+        try {
+          if (VectorIndexPipeline.readTextFile(fs, st.getPath) == leaseContent)
+            Some(st.getModificationTime)
+          else None
+        } catch {
+          case _: java.io.FileNotFoundException => vanished = true; None
+          case _: Exception => None // mid-write: not a finished renewal
+        }
+      }
+      (matching, vanished)
+    }
+    var res = attempt()
+    var tries = 0
+    while (res._1.isEmpty && res._2 && tries < 3) { tries += 1; res = attempt() }
+    (leaseMtime +: res._1).max
   }
 
   /** Best-effort cleanup of THIS holder's heartbeat sidecars (content
@@ -311,9 +331,9 @@ object WriterLease {
               "a stale holder; another writer won the race")
         }
         status.foreach { _ =>
+          val staleContent = readHolder(fs, lease)
           log.warn(s"breaking stale writer lease $lease " +
-            s"(age ${ageMs.get} ms > ttl $ttlMs ms): " +
-            readHolder(fs, lease))
+            s"(age ${ageMs.get} ms > ttl $ttlMs ms): $staleContent")
           // the dead holder's sidecars go with its lease: all are older
           // than the TTL (a fresh matching one would have refused the
           // break above), and leftovers would be junk under a new holder
@@ -321,7 +341,20 @@ object WriterLease {
             Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
               .foreach(st => fs.delete(st.getPath, false))
           } catch { case _: Exception => () }
-          fs.delete(lease, false)
+          // Re-check IMMEDIATELY before the breaking delete: a racing
+          // challenger may have broken and re-created the lease during
+          // the staleness evaluation above, and deleting here would kill
+          // its LIVE lease (two writers). If the content rotated, the
+          // break is off — fall through to the no-retry acquire, which
+          // correctly loses to the new holder. This shrinks the
+          // check-to-delete window to one read; the residual race (a
+          // full break+create landing inside that read-delete gap) has
+          // no plain-FS fix without compare-and-delete, and is further
+          // backstopped by the victim's ownership-checked heartbeat
+          // flagging `lost` within ttl/3.
+          if (readHolder(fs, lease) == staleContent) fs.delete(lease, false)
+          else log.warn(s"skipping break of $lease: lease content rotated " +
+            "under evaluation (another challenger won)")
         }
         // exactly one of the racing breakers wins the re-create
         return acquire(fs, lease, op, ttlMs, retryAfterBreak = false)

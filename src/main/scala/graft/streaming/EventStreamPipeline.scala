@@ -508,12 +508,10 @@ object EventStreamPipeline {
     * a late cross-batch event would make "so far" counts reflect arrival
     * order, the standard caveat for any running-state stream.
     */
-  class RunningDistinctProcessor(
-      ttl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+  class RunningDistinctProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, TypedEventIn, UserRunningStats] {
-    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
 
     @transient private var typeCounts: MapState[String, Long] = _
     @transient private var total: ValueState[Long] = _
@@ -521,9 +519,9 @@ object EventStreamPipeline {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       typeCounts = getHandle.getMapState[String, Long]("typeCounts",
         org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, ttl)
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       total = getHandle.getValueState[Long]("total",
-        org.apache.spark.sql.Encoders.scalaLong, ttl)
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(userId: Long, rows: Iterator[TypedEventIn],
@@ -547,13 +545,13 @@ object EventStreamPipeline {
     }
   }
 
-  /** One output row per input event carrying that user's running totals
-    * (events so far, distinct event types so far) — the feature-stream
-    * shape online models consume. See [[RunningDistinctProcessor]].
+  /** Shared prelude of the three `transformWithState` running-stats
+    * variants: project to the typed row and key by user. One definition
+    * so a ts-normalization fix cannot diverge the processors it feeds.
     */
-  def runningDistinct(events: DataFrame): Dataset[UserRunningStats] = {
+  private def typedByUser(events: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[Long, TypedEventIn] = {
     val spark = events.sparkSession
-    import org.apache.spark.sql.streaming.TimeMode
     import spark.implicits._
     events
       .select(col("event_id"),
@@ -561,8 +559,59 @@ object EventStreamPipeline {
         col("user_id"), col("event_type"))
       .as[TypedEventIn]
       .groupByKey(_.user_id)
+  }
+
+  /** One output row per input event carrying that user's running totals
+    * (events so far, distinct event types so far) — the feature-stream
+    * shape online models consume. See [[RunningDistinctProcessor]].
+    */
+  def runningDistinct(events: DataFrame): Dataset[UserRunningStats] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    typedByUser(events)
       .transformWithState(new RunningDistinctProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  case class UserHist(total: Long, counts: Map[String, Long])
+
+  /** TTL'd variant of [[RunningDistinctProcessor]] with ALL-OR-NOTHING
+    * per-user expiry: the histogram and the total live in ONE
+    * `ValueState[UserHist]`, so a user's state expires as a unit `ttl`
+    * after their last event. A MapState-with-TTL version would expire
+    * histogram ENTRIES independently of the total (each map entry
+    * carries its own last-write time): a user active every ttl/2 but
+    * alternating types would see old types' entries vanish while
+    * `total` keeps counting — n_distinct_types silently deflating under
+    * a live fold, which is neither "idle user restarts" nor "live state
+    * untouched". StateTtlSpec pins the consistency case.
+    */
+  class RunningDistinctTtlProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEventIn, UserRunningStats] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, ValueState}
+
+    @transient private var hist: ValueState[UserHist] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getValueState[UserHist]("hist",
+        org.apache.spark.sql.Encoders.product[UserHist], ttl)
+
+    override def handleInputRows(userId: Long, rows: Iterator[TypedEventIn],
+        timerValues: TimerValues): Iterator[UserRunningStats] = {
+      var h = if (hist.exists()) hist.get() else UserHist(0L, Map.empty)
+      // same bounded per-(user, batch) sort caveat as the TTL-less form
+      val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+        h = UserHist(h.total + 1,
+          h.counts.updated(e.event_type,
+            h.counts.getOrElse(e.event_type, 0L) + 1))
+        UserRunningStats(userId, e.event_id, h.total, h.counts.size.toLong)
+      }
+      hist.update(h)
+      out.iterator
+    }
   }
 
   /** [[runningDistinct]] with per-user state TTL — the production guard
@@ -588,16 +637,11 @@ object EventStreamPipeline {
     */
   def runningDistinctTtl(events: DataFrame,
       ttl: java.time.Duration): Dataset[UserRunningStats] = {
-    val spark = events.sparkSession
     import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col("event_id"),
-        expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"),
-        col("user_id"), col("event_type"))
-      .as[TypedEventIn]
-      .groupByKey(_.user_id)
-      .transformWithState(new RunningDistinctProcessor(TTLConfig(ttl)),
+    typedByUser(events)
+      .transformWithState(new RunningDistinctTtlProcessor(TTLConfig(ttl)),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -661,15 +705,10 @@ object EventStreamPipeline {
     * [[IdleFlushProcessor]]). Requires the RocksDB state store provider.
     */
   def idleFlush(events: DataFrame, idleMs: Long): Dataset[UserFlush] = {
-    val spark = events.sparkSession
     import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col("event_id"),
-        expr(graft.queries.Tables.fldivExpr("ts", 1000000L)).as("ts"),
-        col("user_id"), col("event_type"))
-      .as[TypedEventIn]
-      .groupByKey(_.user_id)
+    typedByUser(events)
       .transformWithState(new IdleFlushProcessor(idleMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }

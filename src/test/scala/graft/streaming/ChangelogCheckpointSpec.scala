@@ -47,19 +47,17 @@ class ChangelogCheckpointSpec extends AnyFunSuite {
       // first half of the events file arrives before the restart, the
       // second half after — recovery must carry the first half's state
       val all = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-      val n = all.count()
       val firstHalf = java.nio.file.Files.createTempDirectory("graft-clog-a")
       val secondHalf = java.nio.file.Files.createTempDirectory("graft-clog-b")
-      all.limit((n / 2).toInt).coalesce(1)
+      // split on a deterministic key: limit() has no defined row order,
+      // so limit-based halves can overlap or drop rows between the two
+      // independent evaluations a write + exceptAll would make
+      all.where($"event_id" % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(firstHalf.toString)
-      all.exceptAll(all.limit((n / 2).toInt)).coalesce(1)
+      all.where($"event_id" % 2 =!= 0).coalesce(1)
         .write.mode("overwrite").parquet(secondHalf.toString)
-      def move(src: java.nio.file.Path, name: String): Unit = {
-        val part = java.nio.file.Files.list(src).toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
-        java.nio.file.Files.move(java.nio.file.Paths.get(part),
-          srcDir.resolve(s"$name.parquet"))
-      }
+      def move(src: java.nio.file.Path, name: String): Unit =
+        TestSpark.moveDataPart(src, srcDir, name)
       def start() = {
         val stream = EventStreamPipeline.readEvents(spark, srcDir.toString)
         stream.groupBy($"event_type")

@@ -57,21 +57,9 @@ class StateTtlSpec extends AnyFunSuite {
     }
   }
 
-  /** Write one parquet event file into `dir` with the ns-long ts contract
-    * (the probe in readEvents treats a physical long as epoch-ns).
-    * Rows: (event_id, tsNs, user_id, event_type).
-    */
   private def writeEvents(dir: java.nio.file.Path, name: String,
-      rows: Seq[(Long, Long, Long, String)]): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-ttl-$name")
-    rows.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "") }
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
-    java.nio.file.Files.move(java.nio.file.Paths.get(part),
-      dir.resolve(s"$name.parquet"))
-  }
+      rows: Seq[(Long, Long, Long, String)]): Unit =
+    TestSpark.writeEventsFile(dir, name, rows)
 
   private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
     q.lastProgress.stateOperators.map(_.numRowsTotal).sum
@@ -151,6 +139,44 @@ class StateTtlSpec extends AnyFunSuite {
       } finally {
         q.stop()
         spark.catalog.dropTempView("ttl_live_stream")
+      }
+    }
+  }
+
+  test("state TTL is all-or-nothing per user: steady activity never deflates the distinct count") {
+    withRocksDb {
+      // a user active every ~3 s under a 6 s TTL, alternating types: the
+      // FIRST type's last write ages past the TTL while the user never
+      // idles. Per-ENTRY expiry (a MapState-with-TTL histogram) would
+      // drop type 'a' while total kept counting — distinct deflating
+      // mid-fold; the single-ValueState design anchors expiry on the
+      // user's last write, so the fold stays consistent
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-ttl-mix")
+      writeEvents(srcDir, "batch-0", Seq((1L, 1000000000L, 1L, "a")))
+      val stream = EventStreamPipeline.readEvents(spark, srcDir.toString)
+      val q = EventStreamPipeline
+        .runningDistinctTtl(stream, java.time.Duration.ofSeconds(6))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ttl_mix_stream")
+        .start()
+      try {
+        q.processAllAvailable()
+        Thread.sleep(3000)
+        writeEvents(srcDir, "batch-1", Seq((2L, 2000000000L, 1L, "b")))
+        q.processAllAvailable()
+        Thread.sleep(3000) // type 'a' is now ~6 s old; the user is not idle
+        writeEvents(srcDir, "batch-2", Seq((3L, 3000000000L, 1L, "b")))
+        q.processAllAvailable()
+        val got = spark.table("ttl_mix_stream")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got.contains((1L, 3L, 3L, 2L)),
+          s"steadily-active user's fold must stay (n=3, distinct=2): $got")
+        assert(!got.contains((1L, 3L, 3L, 1L)),
+          "distinct count deflated under a live fold — per-entry TTL leak")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("ttl_mix_stream")
       }
     }
   }

@@ -134,7 +134,7 @@ class StreamingSpec extends AnyFunSuite {
       .empty[(Long, Long, String, Long, Long)] // batchId, ws_us, type, n, cents
     val stream = EventStreamPipeline.readEvents(spark, streamDir.toString,
       maxFilesPerTrigger = Some(1))
-    val q = EventStreamPipeline.windowedDynAgg(stream, "upd_spec_sum", "30 days")
+    val q = EventStreamPipeline.windowedDynAgg(stream, "upd_spec_sum", "365 days")
       .writeStream.outputMode("update")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         val rows = df.selectExpr("unix_micros(window_start)", "event_type",
@@ -930,16 +930,8 @@ class StreamingSpec extends AnyFunSuite {
     val day = 86400000000000L // ns
     val t0 = 10 * day
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ssjoin-src")
-    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft-ssjoin-$name")
-      rows.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
-      java.nio.file.Files.move(java.nio.file.Paths.get(part),
-        srcDir.resolve(s"$name.parquet"))
-    }
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      TestSpark.writeEventsFile(srcDir, name, rows)
     writeBatch("batch-0", Seq(
       (1L, t0, 1L, "signup"), (2L, t0 + day, 1L, "purchase"),
       (3L, t0, 2L, "signup")))
