@@ -41,6 +41,35 @@ object Layout {
   def zvalue16(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Spread the low 21 bits of `c` to every THIRD bit position of a
+    * 63-bit value — the 3-D Morton spread (standard mask ladder with
+    * stride 3; 21 bits × 3 dimensions fills 63 bits, still a positive
+    * Long).
+    */
+  def spread21(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton z-value of three 21-bit keys (scale inputs with
+    * [[scale21]]): `a` on bit positions ≡0 (mod 3), `b` ≡1, `c` ≡2. The
+    * 3-D form of [[zvalue16]] — a (user, time, quality-bucket) layout
+    * prunes selective probes on ANY of the three.
+    */
+  def zvalue21(a: Column, b: Column, c: Column): Column =
+    spread21(a)
+      .bitwiseOR(shiftleft(spread21(b), 1))
+      .bitwiseOR(shiftleft(spread21(c), 2))
+
+  /** [[scale16]]'s 21-bit sibling for the 3-D key. */
+  def scale21(c: Column, min: Long, max: Long): Column =
+    if (max == min) lit(0L)
+    else call_function("div", (c - lit(min)) * lit(2097151L), lit(max - min))
+
   /** Scale a long column to [0, 65535] by linear min/max normalization —
     * integer arithmetic only (`(x - min) * 65535 div (max - min)`), so
     * the engine and a SQL oracle agree bit-for-bit. min/max arrive as
@@ -68,6 +97,25 @@ object Layout {
         .head.toSeq.map(_.asInstanceOf[Long]).toArray
     df.withColumn("_z", zvalue16(
         scale16(col(colA), minA, maxA), scale16(col(colB), minB, maxB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** 3-D form of [[zorderWrite]]: one agg pass for the three scale
+    * bounds, then range-partition + sort by the 63-bit z-value.
+    */
+  def zorderWrite3(df: DataFrame, colA: String, colB: String, colC: String,
+      dir: String, nFiles: Int): Unit = {
+    val bounds =
+      df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB)),
+          min(col(colC)), max(col(colC)))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    df.withColumn("_z", zvalue21(
+        scale21(col(colA), bounds(0), bounds(1)),
+        scale21(col(colB), bounds(2), bounds(3)),
+        scale21(col(colC), bounds(4), bounds(5))))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

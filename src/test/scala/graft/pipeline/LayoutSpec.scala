@@ -39,6 +39,89 @@ class LayoutSpec extends AnyFunSuite {
     assert(axis.sliding(2).forall { case Array(p, q) => p < q })
   }
 
+  test("spread21/zvalue21 match the reference 3-D Morton interleave bit-for-bit") {
+    def spreadRef(x: Long): Long = {
+      var v = x & 0x1FFFFFL
+      v = (v | (v << 32)) & 0x1F00000000FFFFL
+      v = (v | (v << 16)) & 0x1F0000FF0000FFL
+      v = (v | (v << 8)) & 0x100F00F00F00F00FL
+      v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+      (v | (v << 2)) & 0x1249249249249249L
+    }
+    val cases = Seq(0L, 1L, 2L, 7L, 255L, 4095L, 65535L, 1048575L, 2097151L)
+    val got = cases.toDF("a")
+      .select(Layout.spread21($"a").as("s"),
+        Layout.zvalue21($"a", $"a", $"a").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cases.zip(got).foreach { case (a, (s, z)) =>
+      assert(s == spreadRef(a), s"spread21($a)")
+      // interleaving a value with itself three ways sets bit triples
+      assert(z == (spreadRef(a) | (spreadRef(a) << 1) | (spreadRef(a) << 2)),
+        s"zvalue21($a,$a,$a)")
+    }
+    // 63-bit budget: the max key stays positive and uses the top triple
+    val zmax = Seq(2097151L).toDF("a")
+      .select(Layout.zvalue21($"a", $"a", $"a")).head.getLong(0)
+    assert(zmax == 0x7FFFFFFFFFFFFFFFL && zmax > 0)
+  }
+
+  test("3-D z-order layout prunes selective probes on any of the three dimensions") {
+    val sf = TestSpark.sfDir
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions
+          .expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"),
+        org.apache.spark.sql.functions
+          .expr("CAST(value * 100 AS BIGINT)").as("cents"))
+    val base = java.nio.file.Files.createTempDirectory("graft-layout3")
+    val files = 64
+    Layout.zorderWrite3(ev, "user_id", "ts_us", "cents",
+      s"$base/z3", files)
+
+    val dims = Seq("user_id", "ts_us", "cents")
+    val bounds = ev.agg(
+        org.apache.spark.sql.functions.min($"user_id"),
+        org.apache.spark.sql.functions.max($"user_id"),
+        org.apache.spark.sql.functions.min($"ts_us"),
+        org.apache.spark.sql.functions.max($"ts_us"),
+        org.apache.spark.sql.functions.min($"cents"),
+        org.apache.spark.sql.functions.max($"cents"))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    // ~10% box per dimension
+    val boxes = dims.indices.map { i =>
+      val (mn, mx) = (bounds(2 * i), bounds(2 * i + 1))
+      (mn + (mx - mn) * 45 / 100, mn + (mx - mn) * 55 / 100)
+    }
+    // per-file joint min/max footprint over all three dims
+    val fps = spark.read.parquet(s"$base/z3")
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        $"user_id", $"ts_us", $"cents")
+      .groupBy($"f")
+      .agg(
+        org.apache.spark.sql.functions.min($"user_id"),
+        org.apache.spark.sql.functions.max($"user_id"),
+        org.apache.spark.sql.functions.min($"ts_us"),
+        org.apache.spark.sql.functions.max($"ts_us"),
+        org.apache.spark.sql.functions.min($"cents"),
+        org.apache.spark.sql.functions.max($"cents"))
+      .collect()
+      .map(r => (1 to 6).map(r.getLong).toSeq)
+    assert(fps.length == files)
+    def prunable(use: Set[Int]): Int = fps.count { fp =>
+      use.forall { i =>
+        fp(2 * i + 1) >= boxes(i)._1 && fp(2 * i) <= boxes(i)._2
+      }
+    }
+    val singles = dims.indices.map(i => prunable(Set(i)))
+    val box3 = prunable(Set(0, 1, 2))
+    info(s"3-D z of $files files: singles=${dims.zip(singles)} box=$box3")
+    singles.zip(dims).foreach { case (n, d) =>
+      assert(n <= files * 6 / 10, s"3-D z layout must prune on $d alone: $n/$files")
+    }
+    assert(box3 <= files / 6,
+      s"3-D box must prune to a small fraction: $box3/$files")
+  }
+
   test("z-order layout prunes a 2-D box in both dimensions; linear only in one") {
     val sf = TestSpark.sfDir
     val ev = graft.queries.Tables.events(spark, sf)
