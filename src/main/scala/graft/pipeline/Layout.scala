@@ -130,6 +130,30 @@ object Layout {
     df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       .write.mode("overwrite").parquet(dir)
 
+  /** In-place layout COMPACTION — the maintenance operator that turns a
+    * streaming-ingested pile of small, unclustered files into a z-ordered
+    * snapshot readers can prune: read the current target, rewrite it
+    * z-ordered by (colA, colB) into `nFiles` files under `.staging`, and
+    * promote via the shared staged two-rename swap ([[SnapshotDir]] — the
+    * same crash-recovery contract as the streaming sinks: a crash at any
+    * point leaves a complete snapshot recoverable, and re-running the
+    * compaction converges). At ingest scale this runs periodically behind
+    * the [[WriterLease]] single-writer guard: ingest appends small files,
+    * compaction folds them into the clustered layout, serving readers
+    * never see a hole.
+    */
+  def compactZorder(spark: SparkSession, dir: String, colA: String,
+      colB: String, nFiles: Int): Unit = {
+    val snap = new SnapshotDir(spark, dir)
+    snap.recover()
+    require(snap.targetExists, s"compactZorder: nothing to compact at $dir")
+    // materialize the plan BEFORE the swap renames the source out from
+    // under the scan: the z-write reads from `dir` and writes to
+    // `.staging`, so the one pass is the whole data movement
+    zorderWrite(spark.read.parquet(dir), colA, colB, snap.stagingPath, nFiles)
+    snap.swapIn()
+  }
+
   /** Per-file [min, max] footprints of two columns — the exact
     * information parquet stores per row group and scans prune with. A
     * file "can contain" a box predicate iff its footprint intersects

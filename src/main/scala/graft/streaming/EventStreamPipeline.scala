@@ -742,48 +742,11 @@ object EventStreamPipeline {
     *
     * @return the merged snapshot, re-read from the swapped-in directory
     */
-  /** The staging/swap/recovery state machine for a snapshot dir, shared
-    * by the key-wise merge ([[mergeSnapshot]]) and the full-replace
-    * publish ([[publishSnapshot]]): readers polling `targetDir` always
-    * see a complete snapshot (old or new), never a mid-overwrite hole.
-    */
-  private class SnapshotDir(s: SparkSession, targetDir: String) {
-    private val target = new org.apache.hadoop.fs.Path(targetDir)
-    private val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-    private val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
-    private val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
-    private def renameOrThrow(from: org.apache.hadoop.fs.Path,
-        to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"snapshot swap: rename $from -> $to failed")
-    /** A crash between "retire target" and "promote staging" leaves no
-      * target. The complete survivor is .staging when its _SUCCESS marker
-      * exists (a finished write of the *previous* attempt — prefer it),
-      * else .old (the pre-swap snapshot; the checkpoint re-delivers the
-      * lost batch and the idempotent rewrite reconverges).
-      */
-    def recover(): Unit =
-      if (!fs.exists(target)) {
-        val stagingComplete = fs.exists(staging) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-        if (stagingComplete) renameOrThrow(staging, target)
-        else if (fs.exists(retired)) renameOrThrow(retired, target)
-      }
-    def targetExists: Boolean = fs.exists(target)
-    def stagingPath: String = staging.toString
-    /** Retire the old snapshot, promote the staged one, verify the
-      * promoted copy reads before deleting the only other complete one.
-      */
-    def swapIn(): DataFrame = {
-      if (fs.exists(retired) && !fs.delete(retired, true))
-        throw new java.io.IOException(s"snapshot swap: could not clear $retired")
-      if (fs.exists(target)) renameOrThrow(target, retired)
-      renameOrThrow(staging, target)
-      val out = s.read.parquet(targetDir)
-      fs.delete(retired, true)
-      out
-    }
-  }
+  // The staging/swap/recovery state machine lives in
+  // graft.pipeline.SnapshotDir (promoted from a nested class here so the
+  // layout compactor reuses it); the merge and publish below are its two
+  // streaming-sink callers.
+  import graft.pipeline.SnapshotDir
 
   private def mergeSnapshot(batch: DataFrame, targetDir: String,
       keyCols: Seq[String]): DataFrame = {
