@@ -176,6 +176,45 @@ class LayoutSpec extends AnyFunSuite {
       "compaction left swap debris")
   }
 
+  test("compaction crashed on the promote rename recovers and converges on re-run") {
+    // the same fault seam the streaming sinks are tested under: the
+    // promote rename (.staging -> target) fails mid-swap, leaving no
+    // target, a retired .old, and a complete .staging — recover() must
+    // prefer the finished .staging and a re-run must converge
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl",
+      classOf[graft.streaming.FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val ev = graft.queries.Tables.events(spark, TestSpark.sfDir)
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions
+          .expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+    val localDir = java.nio.file.Files.createTempDirectory("graft-compact-f")
+      .resolve("events").toString
+    val dir = s"faulty://$localDir"
+    ev.repartition(40).write.mode("overwrite").parquet(dir)
+    val want = ev.collect().map(_.toSeq).toSet
+
+    graft.streaming.FaultyRenameFs.failNextPromote.set(true)
+    val crash = intercept[java.io.IOException] {
+      Layout.compactZorder(spark, dir, "user_id", "ts_us", nFiles = 8)
+    }
+    assert(crash.getMessage.contains("rename"), s"wrong failure: $crash")
+    val fs = new Path(dir).getFileSystem(hconf)
+    assert(!fs.exists(new Path(dir)), "crash must land between the renames")
+    assert(fs.exists(new Path(dir + ".staging", "_SUCCESS")))
+    assert(fs.exists(new Path(dir + ".old")))
+
+    // re-run: recover() promotes the finished staging, then compaction
+    // rewrites it again — same rows, compacted layout, no debris
+    Layout.compactZorder(spark, dir, "user_id", "ts_us", nFiles = 8)
+    val got = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    assert(got == want, "post-crash re-run lost or duplicated rows")
+    assert(!fs.exists(new Path(dir + ".staging")) &&
+      !fs.exists(new Path(dir + ".old")), "re-run left swap debris")
+  }
+
   test("z-order layout prunes a 2-D box in both dimensions; linear only in one") {
     val sf = TestSpark.sfDir
     val ev = graft.queries.Tables.events(spark, sf)
