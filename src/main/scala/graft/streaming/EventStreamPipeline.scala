@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.pipeline.SnapshotDir
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -740,14 +741,12 @@ object EventStreamPipeline {
     * merging; the retired copy is deleted only after the promoted target
     * proves readable.
     *
+    * The staging/swap/recovery state machine itself lives in
+    * [[graft.pipeline.SnapshotDir]] (promoted from a nested class here
+    * so [[graft.pipeline.Layout.compactZorder]] shares the contract).
+    *
     * @return the merged snapshot, re-read from the swapped-in directory
     */
-  // The staging/swap/recovery state machine lives in
-  // graft.pipeline.SnapshotDir (promoted from a nested class here so the
-  // layout compactor reuses it); the merge and publish below are its two
-  // streaming-sink callers.
-  import graft.pipeline.SnapshotDir
-
   private def mergeSnapshot(batch: DataFrame, targetDir: String,
       keyCols: Seq[String]): DataFrame = {
     val s = batch.sparkSession
