@@ -761,8 +761,108 @@ object CorpusCuration {
       FROM rk WHERE rk <= 20
       ORDER BY z_bucket, z, event_id"""))
 
+  /** 3-D form of [[zorderKey]] — the 63-bit key over (user_id, event
+    * time, cents), DuckDB-oracled with the stride-3 mask ladder stated
+    * in independent SQL (mask constants interpolated from the SAME Scala
+    * literals [[graft.pipeline.Layout.spread21]] uses, so engine and
+    * oracle cannot drift apart silently). `floor(value*100)` on both
+    * sides: Spark's double→bigint cast truncates where DuckDB's rounds,
+    * the classic cross-engine cast trap. Top-20 per z-bucket keeps the
+    * result small while covering the key range.
+    */
+  val zorderKey3: Q = {
+    val m1 = 0x1F00000000FFFFL
+    val m2 = 0x1F0000FF0000FFL
+    val m3 = 0x100F00F00F00F00FL
+    val m4 = 0x10C30C30C30C30C3L
+    val m5 = 0x1249249249249249L
+    // the ladder is stated step-by-step through CTEs instead of one
+    // nested expression — identical shape to the 2-D oracle
+    Q(
+      "pipe_zorder_key3",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        val b = ev.agg(min($"user_id"), max($"user_id"),
+            min($"ts_us"), max($"ts_us"), min($"cents"), max($"cents"))
+          .head.toSeq.map(_.asInstanceOf[Long])
+        val z = graft.pipeline.Layout.zvalue21(
+          graft.pipeline.Layout.scale21($"user_id", b(0), b(1)),
+          graft.pipeline.Layout.scale21($"ts_us", b(2), b(3)),
+          graft.pipeline.Layout.scale21($"cents", b(4), b(5)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"z_bucket").orderBy($"z", $"event_id")
+        ev.withColumn("z", z)
+          .withColumn("z_bucket", $"z" / lit(1L << 57) cast "long")
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= 20)
+          .select($"z_bucket", $"z", $"event_id", $"user_id", $"ts_us",
+            $"cents")
+          .orderBy($"z_bucket", $"z", $"event_id")
+      },
+      Some(s"""WITH b AS (
+          SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+            min(epoch_us(ts)) AS min_t, max(epoch_us(ts)) AS max_t,
+            min(CAST(floor(value * 100) AS BIGINT)) AS min_c,
+            max(CAST(floor(value * 100) AS BIGINT)) AS max_c
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+            CAST(floor(value * 100) AS BIGINT) AS cents,
+            (user_id - min_u) * 2097151 // (max_u - min_u) AS su,
+            (epoch_us(ts) - min_t) * 2097151 // (max_t - min_t) AS st,
+            (CAST(floor(value * 100) AS BIGINT) - min_c) * 2097151
+              // (max_c - min_c) AS sc
+          FROM events, b),
+        -- each ladder step uses the overflow-free identity
+        -- (x | x<<s) & m  ==  (x & m) | ((x & (m>>s)) << s):
+        -- DuckDB's << is overflow-CHECKED where Spark/Java's wraps, and
+        -- the wrapped-away bits are exactly the ones the mask drops
+        l1 AS (
+          SELECT event_id, user_id, ts_us, cents,
+            ((su & $m1) | ((su & ${m1 >> 32}) << 32)) AS u1,
+            ((st & $m1) | ((st & ${m1 >> 32}) << 32)) AS t1,
+            ((sc & $m1) | ((sc & ${m1 >> 32}) << 32)) AS c1
+          FROM s),
+        l2 AS (
+          SELECT event_id, user_id, ts_us, cents,
+            ((u1 & $m2) | ((u1 & ${m2 >> 16}) << 16)) AS u2,
+            ((t1 & $m2) | ((t1 & ${m2 >> 16}) << 16)) AS t2,
+            ((c1 & $m2) | ((c1 & ${m2 >> 16}) << 16)) AS c2
+          FROM l1),
+        l3 AS (
+          SELECT event_id, user_id, ts_us, cents,
+            ((u2 & $m3) | ((u2 & ${m3 >> 8}) << 8)) AS u3,
+            ((t2 & $m3) | ((t2 & ${m3 >> 8}) << 8)) AS t3,
+            ((c2 & $m3) | ((c2 & ${m3 >> 8}) << 8)) AS c3
+          FROM l2),
+        l4 AS (
+          SELECT event_id, user_id, ts_us, cents,
+            ((u3 & $m4) | ((u3 & ${m4 >> 4}) << 4)) AS u4,
+            ((t3 & $m4) | ((t3 & ${m4 >> 4}) << 4)) AS t4,
+            ((c3 & $m4) | ((c3 & ${m4 >> 4}) << 4)) AS c4
+          FROM l3),
+        z AS (
+          SELECT event_id, user_id, ts_us, cents,
+            (((u4 & $m5) | ((u4 & ${m5 >> 2}) << 2))
+              | (((t4 & $m5) | ((t4 & ${m5 >> 2}) << 2)) << 1)
+              | (((c4 & $m5) | ((c4 & ${m5 >> 2}) << 2)) << 2)) AS z
+          FROM l4),
+        rk AS (
+          SELECT z // ${1L << 57} AS z_bucket, z, event_id, user_id,
+            ts_us, cents,
+            row_number() OVER (PARTITION BY z // ${1L << 57}
+              ORDER BY z, event_id) AS rk
+          FROM z)
+        SELECT z_bucket, z, event_id, user_id, ts_us, cents
+        FROM rk WHERE rk <= 20
+        ORDER BY z_bucket, z, event_id"""))
+  }
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
     shardManifest, datasetCard, gopherRules, globalShuffle, splitLeakage,
-    zorderKey)
+    zorderKey, zorderKey3)
 }
