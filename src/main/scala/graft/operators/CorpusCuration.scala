@@ -717,7 +717,10 @@ object CorpusCuration {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"z_bucket").orderBy($"z", $"event_id")
       ev.withColumn("z", z)
-        .withColumn("z_bucket", $"z" / lit(268435456L) cast "long")
+        // shiftright, not Column./ — the latter is DOUBLE division; exact
+        // here (z <= 2^32 < 2^53) but the integral form keeps both bucket
+        // sites under the same >2^53-safe discipline as the 3-D twin
+        .withColumn("z_bucket", shiftright($"z", 28))
         .withColumn("rk", row_number().over(w)).filter($"rk" <= 20)
         .select($"z_bucket", $"z", $"event_id", $"user_id", $"ts_us")
         .orderBy($"z_bucket", $"z", $"event_id")
@@ -796,7 +799,12 @@ object CorpusCuration {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"z_bucket").orderBy($"z", $"event_id")
         ev.withColumn("z", z)
-          .withColumn("z_bucket", $"z" / lit(1L << 57) cast "long")
+          // shiftright, not Column./ — z is a non-negative 63-bit value,
+          // and Column./ is DOUBLE division: a long within ~512 below a
+          // multiple of 2^57 can round UP through the 52-bit mantissa and
+          // land one bucket past the oracle's exact integer `//`
+          // (boundary fixture: ZorderBucketBoundarySpec)
+          .withColumn("z_bucket", shiftright($"z", 57))
           .withColumn("rk", row_number().over(w)).filter($"rk" <= 20)
           .select($"z_bucket", $"z", $"event_id", $"user_id", $"ts_us",
             $"cents")

@@ -67,8 +67,33 @@ object Layout {
 
   /** [[scale16]]'s 21-bit sibling for the 3-D key. */
   def scale21(c: Column, min: Long, max: Long): Column =
+    scaleTo(c, min, max, 2097151L)
+
+  /** Shared exact scaling core: `(c - min) * factor div (max - min)`.
+    * The long multiply overflows once the span exceeds
+    * Long.MaxValue/factor — for the 21-bit factor that is an
+    * epoch-MICROSECOND span of only ~51 days (~4.5 years for 16-bit), so
+    * a 100 TB corpus layout would silently wrap to garbage z-values.
+    * min/max are driver-side literals, so the width choice is resolved
+    * at PLAN time: narrow spans keep the pure-long codegen'd form, wide
+    * spans route the multiply through DECIMAL(38,0) (exact for every
+    * long span × factor; IntegralDivide returns LongType either way).
+    * A SQL oracle stated in BIGINT only matches the narrow branch —
+    * DuckDB's overflow-checked multiply ERRORS where the wide branch is
+    * needed, which is the loud failure the oracle should give
+    * (exactness of the wide branch is pinned by LayoutScaleSpec against
+    * BigInt instead).
+    */
+  private def scaleTo(c: Column, min: Long, max: Long,
+      factor: Long): Column =
     if (max == min) lit(0L)
-    else call_function("div", (c - lit(min)) * lit(2097151L), lit(max - min))
+    else if (max - min <= Long.MaxValue / factor)
+      call_function("div", (c - lit(min)) * lit(factor), lit(max - min))
+    else
+      call_function("div",
+        (c - lit(min)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(factor),
+        lit(max - min))
 
   /** Scale a long column to [0, 65535] by linear min/max normalization —
     * integer arithmetic only (`(x - min) * 65535 div (max - min)`), so
@@ -76,13 +101,12 @@ object Layout {
     * literals: computing them is one map-side-combinable agg pass, the
     * write itself stays a single job.
     */
+  // integral `div`, not Column./ — the latter is DOUBLE division, and
+  // (c - min) * 65535 exceeds 2^53 for wide columns (epoch-µs spans),
+  // where double rounding can land one 16-bit bucket away from the
+  // oracle's exact integer floor; see scaleTo for the overflow guard
   def scale16(c: Column, min: Long, max: Long): Column =
-    if (max == min) lit(0L)
-    // integral `div`, not Column./ — the latter is DOUBLE division, and
-    // (c - min) * 65535 exceeds 2^53 for wide columns (epoch-µs spans),
-    // where double rounding can land one 16-bit bucket away from the
-    // oracle's exact integer floor
-    else call_function("div", (c - lit(min)) * lit(65535L), lit(max - min))
+    scaleTo(c, min, max, 65535L)
 
   /** Write `df` z-ordered by two long columns into `nFiles` files:
     * one agg pass for the min/max scale bounds, then
@@ -147,6 +171,11 @@ object Layout {
     val snap = new SnapshotDir(spark, dir)
     snap.recover()
     require(snap.targetExists, s"compactZorder: nothing to compact at $dir")
+    // the read-before-swap ordering contract below only holds if the
+    // write target is DISJOINT from the scan source — enforce it, don't
+    // just comment it
+    require(snap.stagingPath != dir,
+      s"compactZorder: staging path must differ from the source ($dir)")
     // materialize the plan BEFORE the swap renames the source out from
     // under the scan: the z-write reads from `dir` and writes to
     // `.staging`, so the one pass is the whole data movement

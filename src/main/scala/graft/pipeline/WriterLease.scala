@@ -215,10 +215,16 @@ object WriterLease {
     // holder; a vanished sidecar is a RETRY signal (the re-glob sees the
     // beat-Y that was complete before beat-X's delete).
     def attempt(): (Seq[Long], Boolean) = {
-      val beats =
-        try Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
-        catch { case _: Exception => Seq.empty }
-      var vanished = false
+      // a FAILED listing is a retry signal just like a vanished sidecar:
+      // swallowing it into "no beats, don't retry" would make one
+      // transient glob error read as "never renewed" for a LIVE holder
+      // on a setTimes-less filesystem (mtime stuck at acquisition),
+      // letting a challenger break it — the one contract this object
+      // must never violate
+      val (beats, globFailed) =
+        try (Option(fs.globStatus(beatGlob(lease))).toSeq.flatten, false)
+        catch { case _: Exception => (Seq.empty[org.apache.hadoop.fs.FileStatus], true) }
+      var vanished = globFailed
       val matching = beats.flatMap { st =>
         try {
           if (VectorIndexPipeline.readTextFile(fs, st.getPath) == leaseContent)
@@ -334,26 +340,37 @@ object WriterLease {
           val staleContent = readHolder(fs, lease)
           log.warn(s"breaking stale writer lease $lease " +
             s"(age ${ageMs.get} ms > ttl $ttlMs ms): $staleContent")
-          // the dead holder's sidecars go with its lease: all are older
-          // than the TTL (a fresh matching one would have refused the
-          // break above), and leftovers would be junk under a new holder
-          try {
-            Option(fs.globStatus(beatGlob(lease))).toSeq.flatten
-              .foreach(st => fs.delete(st.getPath, false))
-          } catch { case _: Exception => () }
           // Re-check IMMEDIATELY before the breaking delete: a racing
           // challenger may have broken and re-created the lease during
           // the staleness evaluation above, and deleting here would kill
           // its LIVE lease (two writers). If the content rotated, the
           // break is off — fall through to the no-retry acquire, which
-          // correctly loses to the new holder. This shrinks the
-          // check-to-delete window to one read; the residual race (a
-          // full break+create landing inside that read-delete gap) has
-          // no plain-FS fix without compare-and-delete, and is further
-          // backstopped by the victim's ownership-checked heartbeat
-          // flagging `lost` within ttl/3.
-          if (readHolder(fs, lease) == staleContent) fs.delete(lease, false)
-          else log.warn(s"skipping break of $lease: lease content rotated " +
+          // correctly loses to the new holder. The recheck runs BEFORE
+          // any sidecar cleanup, and the cleanup deletes ONLY sidecars
+          // carrying the stale holder's content: a winner's fresh
+          // renewal sidecars must survive a losing challenger's break
+          // attempt, or on a setTimes-less FS its renewal history would
+          // be erased right after it won. This keeps the check-to-delete
+          // window at one read; the residual race (a full break+create
+          // landing inside that read-delete gap) has no plain-FS fix
+          // without compare-and-delete, and is further backstopped by
+          // the victim's ownership-checked heartbeat flagging `lost`
+          // within ttl/3.
+          if (readHolder(fs, lease) == staleContent) {
+            fs.delete(lease, false)
+            // the dead holder's sidecars go with its lease: all carry
+            // its content and are older than the TTL (a fresh matching
+            // one would have refused the break above); anything with
+            // OTHER content belongs to a racing winner and is kept
+            try {
+              Option(fs.globStatus(beatGlob(lease))).toSeq.flatten.foreach { st =>
+                val stale =
+                  try VectorIndexPipeline.readTextFile(fs, st.getPath) == staleContent
+                  catch { case _: Exception => false }
+                if (stale) fs.delete(st.getPath, false)
+              }
+            } catch { case _: Exception => () }
+          } else log.warn(s"skipping break of $lease: lease content rotated " +
             "under evaluation (another challenger won)")
         }
         // exactly one of the racing breakers wins the re-create
