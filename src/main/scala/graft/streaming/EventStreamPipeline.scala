@@ -300,6 +300,30 @@ object EventStreamPipeline {
       .select($"window.start".as("window_start"), $"n_conversions")
   }
 
+  /** [[joinThenHourlyAgg]] with the fold running through a `CREATE
+    * AGGREGATE FUNCTION` dynamic UDF instead of built-in count — the one
+    * composition r14 left untested: the stream-stream join's PROPAGATED
+    * watermark (`wm - 7 d`, the join's state horizon) must drive a
+    * custom Aggregator's merge/finish exactly as it drives the built-in,
+    * window-close emission included. The folded measure is each
+    * conversion's signup→purchase delay in µs, so the aggregate result
+    * depends on BOTH joined sides, not just the grouping key.
+    */
+  def joinThenDynAgg(events: DataFrame,
+      fn: String = "graft_cents_sum"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    signupPurchaseJoin(events)
+      .select($"signup_time",
+        (unix_micros($"purchase_time") - unix_micros($"signup_time"))
+          .as("delay_us"))
+      .groupBy(window($"signup_time", "1 hour"))
+      .agg(count(lit(1)).as("n_conversions"),
+        call_function(fn, $"delay_us").as("delay_us_sum"))
+      .select($"window.start".as("window_start"), $"n_conversions",
+        $"delay_us_sum")
+  }
+
   case class Event(event_id: Long, ts: Long, user_id: Long)
   case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, session_start_ms: Long, n_events: Long)
