@@ -651,8 +651,94 @@ object TextAnalysis {
         md5(nfc_normalize(t)) AS fp
       FROM deco ORDER BY doc_id"""))
 
+  /** BPE subword encoding under the frozen trained merge table
+    * ([[graft.functions.BpeTokenizer]], [[graft.functions
+    * .FrozenBpeMerges]]) — the first text-analysis operator with actual
+    * training-stack fidelity: real pipelines tokenize with learned
+    * merges, not whitespace. Scale shape: words are exploded once, the
+    * per-word encode runs over the DISTINCT-word table only (the
+    * memoized form — at 100 TB the distinct vocabulary is millions of
+    * rows against trillions of word occurrences) and is joined back
+    * broadcast. The oracle replays the IDENTICAL rule list through a
+    * recursive CTE of leftmost-occurrence strpos/substr replacements on
+    * the padded symbol string — provably the same program as
+    * `BpeTokenizer.encode`'s left-to-right merge pass (pinned by
+    * BpeTokenizerSpec) — so the subword split is hash-checked
+    * cross-engine, not merely row-counted. Sampled to doc_id % 10 to
+    * keep the artifact compact.
+    */
+  val bpeEncode: Q = {
+    val merges = graft.functions.BpeTokenizer.FrozenMerges
+    val nRules = merges.length
+    val rulesValues = merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ' $a $b ', ' ${a + b} ')" }
+      .mkString(", ")
+    Q(
+      "ta_bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        // asNondeterministic is load-bearing, not cosmetic: the
+        // downstream posexplode makes InferFiltersFromGenerate add
+        // `size(udf(w)) > 0` filters, and for a deterministic UDF the
+        // optimizer pushes them through the join and BELOW the distinct
+        // aggregate — re-running encode once per occurrence row (2x
+        // corpus scale) instead of once per distinct word. Marking it
+        // nondeterministic pins evaluation to the post-distinct project
+        // (asserted by accumulator count in BpeTokenizerSpec).
+        val encodeUdf = udf((w: String) =>
+          graft.functions.BpeTokenizer.encode(w, merges))
+          .asNondeterministic()
+        val words = Tables.documents(s, d)
+          .filter($"doc_id" % 10 === 0)
+          .select($"doc_id",
+            posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .as(Seq("wp0", "w")))
+          .select($"doc_id", ($"wp0" + 1).cast(LongType).as("word_pos"), $"w")
+        val pieces = words.select($"w").distinct()
+          .withColumn("ps", encodeUdf($"w"))
+        words.join(broadcast(pieces), "w")
+          .select($"doc_id", $"word_pos",
+            posexplode($"ps").as(Seq("pp0", "piece")))
+          .select($"doc_id", $"word_pos",
+            ($"pp0" + 1).cast(LongType).as("piece_pos"), $"piece")
+          .orderBy($"doc_id", $"word_pos", $"piece_pos")
+      },
+      Some(s"""WITH RECURSIVE rules(i, pat, rep) AS (VALUES $rulesValues),
+        docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+        words AS (SELECT doc_id, unnest(ws) AS w,
+            unnest(range(1, len(ws) + 1)) AS word_pos FROM docs),
+        dw AS (SELECT DISTINCT w FROM words),
+        -- rank-order merge replay: each rule merges its LEFTMOST
+        -- occurrence repeatedly until absent (equivalent to one
+        -- left-to-right non-overlapping pass — bulk replace() would
+        -- NOT be: its consumed delimiters skip a symbol inside odd
+        -- same-symbol runs), then i advances; done when i = nRules
+        enc(w, s, i) AS (
+          SELECT w,
+            ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ', 0
+          FROM dw
+          UNION ALL
+          SELECT e.w,
+            CASE WHEN strpos(e.s, r.pat) > 0
+                 THEN substr(e.s, 1, strpos(e.s, r.pat) - 1) || r.rep ||
+                      substr(e.s, strpos(e.s, r.pat) + length(r.pat))
+                 ELSE e.s END,
+            CASE WHEN strpos(e.s, r.pat) > 0 THEN e.i ELSE e.i + 1 END
+          FROM enc e JOIN rules r ON r.i = e.i
+          WHERE e.i < $nRules),
+        pieces AS (SELECT w, string_split(trim(s), ' ') AS ps
+          FROM enc WHERE i = $nRules),
+        outp AS (SELECT doc_id, word_pos, unnest(ps) AS piece,
+            unnest(range(1, len(ps) + 1)) AS piece_pos
+          FROM words JOIN pieces USING (w))
+      SELECT doc_id, CAST(word_pos AS BIGINT) AS word_pos,
+        CAST(piece_pos AS BIGINT) AS piece_pos, piece
+      FROM outp ORDER BY doc_id, word_pos, piece_pos"""))
+  }
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
     tfidf, bigramLm, denylistScrub, piiScan, invertedIndex, dupNgrams,
-    unicodeNfc)
+    unicodeNfc, bpeEncode)
 }
