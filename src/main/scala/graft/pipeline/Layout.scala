@@ -162,9 +162,10 @@ object Layout {
     * same crash-recovery contract as the streaming sinks: a crash at any
     * point leaves a complete snapshot recoverable, and re-running the
     * compaction converges). At ingest scale this runs periodically behind
-    * the [[WriterLease]] single-writer guard: ingest appends small files,
-    * compaction folds them into the clustered layout, serving readers
-    * never see a hole.
+    * the [[WriterLease]] single-writer guard — the guarded composition
+    * ([[appendGuarded]]/[[compactZorderGuarded]]/[[servingRead]]) is
+    * proven live in LayoutLiveWriterSpec: concurrent appends, folds and
+    * polling reads, crash injection included.
     */
   def compactZorder(spark: SparkSession, dir: String, colA: String,
       colB: String, nFiles: Int): Unit = {
@@ -181,6 +182,99 @@ object Layout {
     // `.staging`, so the one pass is the whole data movement
     zorderWrite(spark.read.parquet(dir), colA, colB, snap.stagingPath, nFiles)
     snap.swapIn()
+  }
+
+  // ——— Guarded table composition: streaming-style ingest appends +
+  // periodic compaction + serving reads over ONE directory layout.
+  // `root/_writer.lock` is the single-writer guard for EVERY mutation;
+  // the served snapshot lives at `root/data` so the lease file never
+  // rides through the compactor's directory swap (a lease INSIDE the
+  // swapped dir would be renamed out from under its own heartbeat
+  // mid-hold, breaking the liveness contract).
+
+  /** The served snapshot directory of a guarded table root. */
+  def tableDataDir(root: String): String = s"$root/data"
+
+  private def fsFor(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Ingest append under the table's writer lease. The `recover()`
+    * BEFORE the write is load-bearing, not ceremony: after a compaction
+    * crashed between its two renames, the target is ABSENT and the only
+    * complete snapshot sits in `.staging` — a blind append would
+    * re-CREATE the target with just the appended rows, and
+    * [[SnapshotDir.recover]] (which only promotes into a missing
+    * target) would then never run: the entire compacted snapshot would
+    * be silently stranded. Proven by fault injection in
+    * LayoutLiveWriterSpec.
+    */
+  def appendGuarded(df: DataFrame, root: String): Unit = {
+    val spark = df.sparkSession
+    val dataDir = tableDataDir(root)
+    WriterLease.withLease(fsFor(spark, root), root, "zorderAppend") {
+      new SnapshotDir(spark, dataDir).recover()
+      df.write.mode("append").parquet(dataDir)
+    }
+  }
+
+  /** [[compactZorder]] behind the same lease the ingest appends hold —
+    * the periodic maintenance job of the ingest-and-serve loop. The
+    * lease is what makes the compactor's read-list complete: no append
+    * can land between its scan of the data dir and the swap, so the
+    * rewrite is lossless by serialization, not by luck.
+    */
+  def compactZorderGuarded(spark: SparkSession, root: String, colA: String,
+      colB: String, nFiles: Int): Unit =
+    WriterLease.withLease(fsFor(spark, root), root, "compactZorder") {
+      compactZorder(spark, tableDataDir(root), colA, colB, nFiles)
+    }
+
+  /** Serving read of a guarded table: runs `use` on the snapshot,
+    * retrying when the read trips over the swap's transient windows —
+    * the sub-millisecond gap between the two promote renames (the
+    * documented non-atomicity of [[SnapshotDir.swapIn]] on a plain
+    * filesystem), or a file listed before the swap vanishing mid-scan.
+    * A CRASHED compactor's absent-target window lasts until the next
+    * guarded writer's `recover()`, so availability during a crash is
+    * bounded by writer cadence — the retry budget exists for exactly
+    * that wait, and exhausting it rethrows rather than inventing an
+    * empty result.
+    */
+  def servingRead[A](spark: SparkSession, root: String, retries: Int = 60,
+      backoffMs: Long = 25)(use: DataFrame => A): A = {
+    val dataDir = tableDataDir(root)
+    var attempt = 0
+    while (true) {
+      try return use(spark.read.parquet(dataDir))
+      catch {
+        case e: Throwable if attempt < retries && isTransientMissing(e) =>
+          attempt += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** A read failure is transient iff it is a missing-path/missing-file
+    * condition (planning-time PATH_NOT_FOUND, or a scan racing the swap
+    * hitting a renamed-away part file) — anywhere in the cause chain,
+    * since Spark wraps task failures in SparkException layers.
+    */
+  private def isTransientMissing(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getErrorClass != null &&
+              a.getErrorClass.startsWith("PATH_NOT_FOUND") => return true
+        case _ => ()
+      }
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
   }
 
   /** Per-file [min, max] footprints of two columns — the exact

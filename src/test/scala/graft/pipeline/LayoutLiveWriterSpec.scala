@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction UNDER A LIVE WRITER — the r14 verdict's #3: the streaming
+  * ingest (small appended files), the periodic z-order compactor, and a
+  * continuously polling serving reader run CONCURRENTLY against one
+  * guarded table ([[Layout.appendGuarded]] / [[Layout
+  * .compactZorderGuarded]] / [[Layout.servingRead]], all serialized by
+  * the root's [[WriterLease]]), plus the crash injection at the promote
+  * rename that motivates `appendGuarded`'s recover-before-write.
+  */
+class LayoutLiveWriterSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(round: Int, n: Int) =
+    spark.range(round.toLong * n, round.toLong * n + n)
+      .select(col("id").as("event_id"), (col("id") % 97).as("user_id"),
+        (col("id") * 1000L).as("ts_us"))
+
+  /** Retry a lease-guarded mutation while the OTHER writer holds the
+    * lease — the ingest/compactor contention loop a real deployment
+    * runs (withLease throws on a live holder rather than queueing).
+    */
+  private def withLeaseRetry(what: String)(body: => Unit): Unit = {
+    var done = false
+    var tries = 0
+    while (!done) {
+      try { body; done = true }
+      catch {
+        case e: IllegalStateException if tries < 600 =>
+          tries += 1; Thread.sleep(20)
+        case e: IllegalStateException =>
+          fail(s"$what starved of the lease: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("ingest appends + periodic compaction + polling reader: no acked row ever missing, none duplicated") {
+    val root = java.nio.file.Files.createTempDirectory("graft-live")
+      .resolve("table").toString
+    val perRound = 200
+    val totalRounds = 12
+    val ackedRounds = new AtomicInteger(0)
+    val failure = new AtomicReference[Throwable](null)
+    val writersDone = new AtomicBoolean(false)
+
+    val appender = new Thread(() => {
+      try {
+        for (r <- 0 until totalRounds) {
+          withLeaseRetry(s"append round $r") {
+            Layout.appendGuarded(rows(r, perRound), root)
+          }
+          ackedRounds.incrementAndGet() // acked only AFTER the write returned
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, "live-appender")
+
+    val compactor = new Thread(() => {
+      try {
+        for (c <- 1 to 4) {
+          // wait until there is something to fold, then keep folding
+          // while the appender keeps appending
+          while (ackedRounds.get() < math.min(c * 3, totalRounds) &&
+            failure.get() == null) Thread.sleep(30)
+          withLeaseRetry(s"compact $c") {
+            Layout.compactZorderGuarded(spark, root, "user_id", "ts_us",
+              nFiles = 8)
+          }
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, "live-compactor")
+
+    var polls = 0
+    val reader = new Thread(() => {
+      try {
+        while (!writersDone.get() && failure.get() == null) {
+          val ackedBefore = ackedRounds.get()
+          if (ackedBefore > 0) {
+            val ids = Layout.servingRead(spark, root) { df =>
+              df.select($"event_id").collect().map(_.getLong(0))
+            }
+            polls += 1
+            // every row acked before this read began must be present...
+            val want = 0L until (ackedBefore.toLong * perRound)
+            val got = ids.toSet
+            val missing = want.filterNot(got)
+            assert(missing.isEmpty,
+              s"poll $polls lost acked rows (acked=$ackedBefore): " +
+                s"${missing.take(5)}... of ${missing.size}")
+            // ...and compaction must never duplicate (it is a pure
+            // layout rewrite serialized against appends by the lease)
+            assert(ids.length == got.size,
+              s"poll $polls saw duplicated rows: ${ids.length} vs ${got.size}")
+          } else Thread.sleep(20)
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, "serving-reader")
+
+    appender.start(); compactor.start(); reader.start()
+    appender.join(600000); compactor.join(600000)
+    writersDone.set(true)
+    reader.join(600000)
+    if (failure.get() != null) throw failure.get()
+    assert(ackedRounds.get() == totalRounds)
+    assert(polls >= 3, s"reader must actually have raced the writers: $polls")
+
+    // final state: exact content, compacted layout, no swap debris
+    val dataDir = Layout.tableDataDir(root)
+    val finalIds = spark.read.parquet(dataDir)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(finalIds.sameElements(0L until (totalRounds.toLong * perRound)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir + ".staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_writer.lock")),
+      "all writers must have released the lease")
+    info(s"reader completed $polls consistent polls against live writers")
+  }
+
+  test("compaction crashed at the promote rename: the next guarded append recovers the stranded snapshot") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl",
+      classOf[graft.streaming.FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val local = java.nio.file.Files.createTempDirectory("graft-live-f")
+      .resolve("table").toString
+    val root = s"faulty://$local"
+    val dataDir = Layout.tableDataDir(root)
+
+    Layout.appendGuarded(rows(0, 300), root)
+    Layout.appendGuarded(rows(1, 300), root)
+
+    graft.streaming.FaultyRenameFs.failNextPromote.set(true)
+    val crash = intercept[java.io.IOException] {
+      Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    }
+    assert(crash.getMessage.contains("rename"), s"wrong failure: $crash")
+    val fs = new Path(root).getFileSystem(hconf)
+    assert(!fs.exists(new Path(dataDir)),
+      "crash must land between the two renames (target retired, not promoted)")
+    assert(fs.exists(new Path(dataDir + ".staging", "_SUCCESS")),
+      "the only complete snapshot must be the finished staging")
+
+    // THE hazard this composition exists for: the next ingest append must
+    // recover the stranded snapshot first — a blind mode-append here
+    // would re-create the target with 300 rows and orphan the other 600
+    Layout.appendGuarded(rows(2, 300), root)
+    val ids = spark.read.parquet(dataDir)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 900L),
+      s"append-after-crash lost rows: got ${ids.length} of 900")
+
+    // and the next compaction converges: clean layout, no debris
+    Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    val finalIds = Layout.servingRead(spark, root) { df =>
+      df.select($"event_id").collect().map(_.getLong(0)).sorted }
+    assert(finalIds.sameElements(0L until 900L))
+    assert(!fs.exists(new Path(dataDir + ".staging")) &&
+      !fs.exists(new Path(dataDir + ".old")), "re-run left swap debris")
+  }
+}
