@@ -224,6 +224,45 @@ object EventStreamPipeline {
         $"signup_time", $"purchase_time")
   }
 
+  /** SKEW-MITIGATED form of [[signupPurchaseJoin]] — the production
+    * shape for a Zipf-head key distribution (one celebrity user taking a
+    * double-digit share of the stream): the symmetric hash join
+    * partitions state by the equi-key, so ALL of a hot user's rows — its
+    * state AND its quadratic `signups x purchases` match fan-out — land
+    * on one task. Widening the key to (user_id, salt) spreads that over
+    * `salts` tasks: purchases carry a content-derived salt
+    * (`xxhash64(event_id) mod salts`), signups are replicated across all
+    * salt lanes, and each (signup, purchase) pair still meets exactly
+    * once — in the purchase's lane — so the output is IDENTICAL to the
+    * unsalted join (asserted against the batch twin in
+    * JoinSkewStudyR15). The cost is explicit: signup-side state x salts;
+    * worth paying exactly when the hot key's share, not total volume, is
+    * the bottleneck — the same trade [[graft.operators.SkewJoin]] makes
+    * for the batch join.
+    */
+  def signupPurchaseJoinSalted(events: DataFrame, salts: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id",
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L)))
+          .as("signup_time"),
+        explode(lit((0 until salts).toArray)).as("salt"))
+      .withWatermark("signup_time", "1 hour")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"),
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L)))
+          .as("purchase_time"),
+        pmod(xxhash64($"event_id"), lit(salts.toLong)).cast("int")
+          .as("p_salt"))
+      .withWatermark("purchase_time", "1 hour")
+    signups.join(purchases, expr(
+      """user_id = p_user_id AND salt = p_salt AND
+         purchase_time >= signup_time AND
+         purchase_time <= signup_time + interval 7 days"""))
+      .select($"user_id", $"signup_time", $"purchase_time")
+  }
+
   /** LEFT OUTER form of [[signupPurchaseJoin]] — the funnel question the
     * inner join can't answer: which signups did NOT convert? A
     * null-extended row for an unmatched signup can only be emitted once
