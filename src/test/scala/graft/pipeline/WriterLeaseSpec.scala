@@ -204,6 +204,82 @@ class WriterLeaseSpec extends AnyFunSuite {
       s"renewal sidecars must be cleaned up on release: ${leftovers.toSeq}")
   }
 
+  test("one transient listing failure must not make a live setTimes-less holder look unrenewed") {
+    // r14 ADVICE: lastRenewalMs swallowed globStatus exceptions into
+    // "no beats, don't retry" — on a setTimes-less FS (lease mtime stuck
+    // at acquisition) a single flaky listing made a LIVE holder look
+    // stale for its whole runtime, letting a challenger break it. A
+    // failed glob is now a retry signal like a vanished sidecar.
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val noSetTimes = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+        throw new UnsupportedOperationException("object store: no setTimes")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-glob").toString
+    val ttl = 600L
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holderErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try WriterLease.withLease(noSetTimes, dir, "glob-holder", ttlMs = ttl) {
+        Thread.sleep(4 * ttl)
+      } catch { case e: Throwable => holderErr.set(e) }
+      finally holderDone.countDown())
+    t.start()
+    Thread.sleep(2 * ttl + ttl / 2) // past TTL; renewals live in sidecars only
+    // the challenger's FIRST beat listing fails transiently, every retry
+    // succeeds — exactly one flaky call
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val flakyList = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+        if (p.toString.contains(".beat-") && failOnce.getAndSet(false))
+          throw new java.io.IOException("transient listing failure")
+        super.globStatus(p)
+      }
+    }
+    val e = intercept[IllegalStateException] {
+      WriterLease.withLease(flakyList, dir, "flaky-challenger", ttlMs = ttl)(())
+    }
+    assert(e.getMessage.contains("another writer holds the lease"),
+      s"a single flaky listing broke a LIVE holder: ${e.getMessage}")
+    assert(!failOnce.get(), "the injected failure must actually have fired")
+    assert(holderDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(holderErr.get() == null, s"holder failed: ${holderErr.get()}")
+  }
+
+  test("breaking a stale lease deletes only the stale holder's sidecars, not a racer's") {
+    // r14 ADVICE: the break path used to delete ALL beat sidecars before
+    // the content-rotation recheck — a racing winner's fresh renewal
+    // history could be erased by the loser's break attempt. Cleanup is
+    // now content-guarded: only sidecars carrying the stale holder's
+    // content go.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wl-brk").toString
+    val fs = fsOf(dir)
+    val lease = new Path(s"$dir/${WriterLease.LeaseFileName}")
+    val staleContent = "op=dead pid=1 host=x id=00000000 epochMs=0"
+    val otherContent = "op=winner pid=2 host=y id=11111111 epochMs=1"
+    // a genuinely dead holder: stale lease + its own old sidecar, plus a
+    // foreign-content sidecar (the racing winner's renewal trace)
+    WriterLease.createExclusive(fs, lease, staleContent)
+    WriterLease.createExclusive(fs,
+      new Path(s"$dir/${WriterLease.LeaseFileName}.beat-0"), staleContent)
+    WriterLease.createExclusive(fs,
+      new Path(s"$dir/${WriterLease.LeaseFileName}.beat-1"), otherContent)
+    val old = System.currentTimeMillis() - 3600000L
+    fs.setTimes(lease, old, old)
+    fs.setTimes(new Path(s"$dir/${WriterLease.LeaseFileName}.beat-0"), old, old)
+    fs.setTimes(new Path(s"$dir/${WriterLease.LeaseFileName}.beat-1"), old, old)
+
+    WriterLease.withLease(fs, dir, "breaker", ttlMs = 1000L)(()) // breaks + runs
+
+    assert(!fs.exists(new Path(s"$dir/${WriterLease.LeaseFileName}.beat-0")),
+      "the stale holder's own sidecar must be cleaned with its lease")
+    assert(fs.exists(new Path(s"$dir/${WriterLease.LeaseFileName}.beat-1")),
+      "a foreign-content sidecar must SURVIVE the break (it may be a " +
+        "racing winner's live renewal)")
+  }
+
   test("a stalled setTimes-less holder's renewal cannot overwrite the successor's lease") {
     // round-13 ADVICE (medium): the old fallback renewed via
     // create(lease, overwrite=true) — a holder resuming from a 2+ beat
