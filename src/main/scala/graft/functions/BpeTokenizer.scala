@@ -132,6 +132,44 @@ object BpeTokenizer {
     }
   }
 
+  /** The DuckDB CTE text replaying `merges` over a previously-defined
+    * `dw(w)` distinct-word relation: defines `rules`, the recursive
+    * `enc` (leftmost-occurrence replacement, rank order), and
+    * `pieces(w, ps)`. ONE source of truth for every oracle that needs
+    * the subword split (`ta_bpe_encode`, `pipe_token_pack_bpe`) —
+    * callers splice it into a `WITH RECURSIVE` list after defining
+    * `dw`; the rules VALUES are interpolated from the same Scala
+    * constant the engine broadcasts, so engine and oracles cannot
+    * drift apart silently.
+    */
+  def duckdbReplayCtes(merges: Seq[(String, String)]): String = {
+    val n = merges.length
+    val vals = merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ' $a $b ', ' ${a + b} ')" }
+      .mkString(", ")
+    s"""rules(i, pat, rep) AS (VALUES $vals),
+        -- rank-order merge replay: each rule merges its LEFTMOST
+        -- occurrence repeatedly until absent (equivalent to one
+        -- left-to-right non-overlapping pass — bulk replace() would
+        -- NOT be: its consumed delimiters skip a symbol inside odd
+        -- same-symbol runs), then i advances; done when i = $n
+        enc(w, s, i) AS (
+          SELECT w,
+            ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ', 0
+          FROM dw
+          UNION ALL
+          SELECT e.w,
+            CASE WHEN strpos(e.s, r.pat) > 0
+                 THEN substr(e.s, 1, strpos(e.s, r.pat) - 1) || r.rep ||
+                      substr(e.s, strpos(e.s, r.pat) + length(r.pat))
+                 ELSE e.s END,
+            CASE WHEN strpos(e.s, r.pat) > 0 THEN e.i ELSE e.i + 1 END
+          FROM enc e JOIN rules r ON r.i = e.i
+          WHERE e.i < $n),
+        pieces AS (SELECT w, string_split(trim(s), ' ') AS ps
+          FROM enc WHERE i = $n)"""
+  }
+
   /** The frozen merge table `ta_bpe_encode` ships: 40 merges trained
     * ONCE from the sf0.01 documents corpus ([a-z]+ words of
     * lowercased text) by [[train]] — regenerable via

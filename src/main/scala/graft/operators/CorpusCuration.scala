@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.queries.RelationalQueries.Q
 import graft.queries.Tables
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -141,63 +142,134 @@ object CorpusCuration {
     * offsets), and cut a new pack every `budget` tokens. Packs overshoot
     * by at most one document, the same guarantee streaming packers give.
     */
+  /** The shared greedy context-packing core: given per-doc token counts,
+    * assign docs (in doc_id order) to fixed-budget packs and summarize
+    * each pack. Distributed prefix sum — a global ORDER BY window would
+    * pull the whole corpus onto ONE partition (WindowExec "No Partition
+    * Defined"). Instead: range-partition on the ordering key, running
+    * sum WITHIN each partition (parallel windows), then add each
+    * partition's prefix offset, computed from the per-partition
+    * subtotals (<= #partitions rows — bounded by cluster size, not data
+    * size). The cumulative values are partitioning-invariant, so the
+    * result is identical to the single-window form the oracles compute.
+    * `sized0` must have columns (doc_id, n_tokens: long).
+    */
+  private def packByBudget(s: SparkSession,
+      sized0: org.apache.spark.sql.DataFrame, budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sized = sized0
+      .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      // pin the materialized partitioning: the subtotal collect and the
+      // window job below are SEPARATE actions, and RangePartitioner
+      // resamples boundaries per execution — unpinned, a row could land
+      // in a different pid than the one its broadcast offset was
+      // computed for (same rationale as pipe_global_shuffle's pin)
+      .localCheckpoint()
+    val nParts = s.sparkContext.defaultParallelism
+    val subtotals = sized.groupBy($"pid")
+      .agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offsets(p) = tokens in partitions before p; empty partitions
+    // contribute 0 (they produce no subtotal row)
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, pid) => acc + subtotals.getOrElse(pid, 0L))
+    // ship the (pid -> prefix offset) list back as a broadcast join, not
+    // a per-partition when-chain: at cluster scale (thousands of
+    // partitions) a thousand-branch CASE blows past codegen limits and
+    // falls back to interpreted eval per row, while a broadcast hash
+    // join on the tiny offset frame is O(1) per row at any partition
+    // count
+    val offDf = (0 until nParts).map(p => (p, offsets(p))).toDF("pid", "poffset")
+    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .join(broadcast(offDf), "pid")
+      .withColumn("cum_tokens", sum($"n_tokens").over(w) + $"poffset")
+      .select($"doc_id", $"n_tokens",
+        expr(s"(cum_tokens - 1) div $budget").as("pack_id"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+  }
+
   val tokenPacking: Q = Q(
     "pipe_token_packing",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val Budget = 2048L
-      // Distributed prefix sum — a global ORDER BY window would pull the
-      // whole corpus onto ONE partition (WindowExec "No Partition
-      // Defined"). Instead: range-partition on the ordering key, running
-      // sum WITHIN each partition (parallel windows), then add each
-      // partition's prefix offset, computed from the per-partition
-      // subtotals (<= #partitions rows — bounded by cluster size, not
-      // data size). The cumulative values are partitioning-invariant, so
-      // the result is identical to the single-window form the oracle
-      // computes.
-      val sized = Tables.documents(s, d)
+      packByBudget(s, Tables.documents(s, d)
         .select($"doc_id",
-          size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"))
-        .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
-        .withColumn("pid", spark_partition_id())
-        // pin the materialized partitioning: the subtotal collect and the
-        // window job below are SEPARATE actions, and RangePartitioner
-        // resamples boundaries per execution — unpinned, a row could land
-        // in a different pid than the one its broadcast offset was
-        // computed for (same rationale as pipe_global_shuffle's pin)
-        .localCheckpoint()
-      val nParts = s.sparkContext.defaultParallelism
-      val subtotals = sized.groupBy($"pid")
-        .agg(sum($"n_tokens").as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      // offsets(p) = tokens in partitions before p; empty partitions
-      // contribute 0 (they produce no subtotal row)
-      val offsets = (0 until nParts)
-        .scanLeft(0L)((acc, pid) => acc + subtotals.getOrElse(pid, 0L))
-      // ship the (pid -> prefix offset) list back as a broadcast join, not
-      // a per-partition when-chain: at cluster scale (thousands of
-      // partitions) a thousand-branch CASE blows past codegen limits and
-      // falls back to interpreted eval per row, while a broadcast hash
-      // join on the tiny offset frame is O(1) per row at any partition
-      // count
-      val offDf = (0 until nParts).map(p => (p, offsets(p))).toDF("pid", "poffset")
-      val w = Window.partitionBy($"pid").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sized
-        .join(broadcast(offDf), "pid")
-        .withColumn("cum_tokens", sum($"n_tokens").over(w) + $"poffset")
-        .select($"doc_id", $"n_tokens",
-          expr(s"(cum_tokens - 1) div $Budget").as("pack_id"))
-        .groupBy($"pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"),
-          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-        .orderBy($"pack_id")
+          size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens")),
+        budget = 2048L)
     },
     Some("""WITH t AS (
         SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST((sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2048
+            AS BIGINT) AS pack_id
+        FROM t)
+      SELECT pack_id, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY pack_id ORDER BY pack_id"""))
+
+  /** [[tokenPacking]] with the REAL tokenizer — context packing driven
+    * by BPE piece counts ([[graft.functions.BpeTokenizer]], frozen
+    * trained merges) instead of whitespace counts: the tokenize→pack
+    * seam every training-data pipeline has, composed under one oracle.
+    * Scale shape is both halves' shapes composed: encode runs per
+    * DISTINCT word and broadcast-joins back (ta_bpe_encode's
+    * memoization), the pack assignment is the shared distributed
+    * prefix sum ([[packByBudget]]). The oracle splices the SAME frozen
+    * rule replay ([[graft.functions.BpeTokenizer.duckdbReplayCtes]])
+    * into the single-window packing SQL — so a drift in either the
+    * tokenizer or the packer breaks the hash.
+    */
+  val tokenPackingBpe: Q = Q(
+    "pipe_token_pack_bpe",
+    (s, d) => {
+      import s.implicits._
+      val merges = graft.functions.BpeTokenizer.FrozenMerges
+      // nondeterministic for the same load-bearing reason as
+      // ta_bpe_encode: a deterministic UDF gets pushed below the
+      // distinct by inferred filters and runs per occurrence
+      val encodeUdf = udf((w: String) =>
+        graft.functions.BpeTokenizer.encode(w, merges)).asNondeterministic()
+      val words = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as("w"))
+      val pieceCounts = words.select($"w").distinct()
+        .select($"w", size(encodeUdf($"w")).cast(LongType).as("n_p"))
+      val docTokens = words.join(broadcast(pieceCounts), "w")
+        .groupBy($"doc_id").agg(sum($"n_p").as("n_tokens"))
+      // left join from ALL docs: a doc with no [a-z] words still
+      // occupies its doc_id position in the pack order with 0 tokens
+      val sized = Tables.documents(s, d).select($"doc_id".as("did"))
+        .join(docTokens, $"did" === $"doc_id", "left")
+        .select($"did".as("doc_id"),
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"))
+      packByBudget(s, sized, budget = 2048L)
+    },
+    Some(s"""WITH RECURSIVE docs AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents),
+      words AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+      dw AS (SELECT DISTINCT w FROM words),
+      ${graft.functions.BpeTokenizer
+        .duckdbReplayCtes(graft.functions.BpeTokenizer.FrozenMerges)},
+      doctok AS (
+        SELECT w2.doc_id, CAST(sum(len(ps)) AS BIGINT) AS n_tokens
+        FROM words w2 JOIN pieces USING (w) GROUP BY w2.doc_id),
+      t AS (SELECT d.doc_id, COALESCE(doctok.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN doctok ON d.doc_id = doctok.doc_id),
       c AS (
         SELECT doc_id, n_tokens,
           CAST((sum(n_tokens) OVER (ORDER BY doc_id
@@ -870,7 +942,7 @@ object CorpusCuration {
   }
 
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    splitCounts, quotaSample, weightedSample, temperatureMix, qualityBuckets,
-    shardManifest, datasetCard, gopherRules, globalShuffle, splitLeakage,
-    zorderKey, zorderKey3)
+    tokenPackingBpe, splitCounts, quotaSample, weightedSample, temperatureMix,
+    qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
+    splitLeakage, zorderKey, zorderKey3)
 }

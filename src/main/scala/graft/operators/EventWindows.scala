@@ -918,6 +918,38 @@ object EventWindows {
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
 
+  /** The SKEW-MITIGATED join under the driver's oracle — and
+    * deliberately the SAME oracle SQL as [[streamJoin]]: the salted form
+    * ([[graft.streaming.EventStreamPipeline.signupPurchaseJoinSalted]],
+    * key widened to (user_id, xxhash64(event_id) mod 4) with the signup
+    * side replicated per lane) is only a production mitigation if it is
+    * SEMANTICS-PRESERVING, so the strongest check is a hash match
+    * against the unsalted join's declarative definition. Each (signup,
+    * purchase) pair meets exactly once — in the purchase's salt lane —
+    * hence identical rows; JoinSkewStudyR15 quantifies the skew/state
+    * trade this form exists for.
+    */
+  val streamJoinSalted: Q = Q(
+    "ev_stream_join_salted",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_salt_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline
+          .signupPurchaseJoinSalted(_, salts = 4),
+        shape = _.select($"user_id",
+            unix_micros($"signup_time").as("signup_us"),
+            unix_micros($"purchase_time").as("purchase_us"))
+          .orderBy($"user_id", $"signup_us", $"purchase_us"))
+    },
+    Some("""SELECT s.user_id, epoch_us(s.ts) AS signup_us,
+        epoch_us(p.ts) AS purchase_us
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+        AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+      ORDER BY 1, 2, 3"""))
+
   /** LEFT OUTER stream-stream interval join under the driver's oracle —
     * the eviction-EMISSION semantics the inner form never exercises: a
     * null-extended row for an unconverted signup is emitted only when
@@ -1271,7 +1303,8 @@ object EventWindows {
 
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
-    churn, dauWau, streamHourly, streamDedup, streamJoin, streamJoinOuter,
+    churn, dauWau, streamHourly, streamDedup, streamJoin, streamJoinSalted,
+    streamJoinOuter,
     streamJoinFull, streamJoinWindow, streamJoinDynAgg, streamDedupWindow,
     streamSessionize,
     streamDynamicAgg, streamDynamicAggWindow, streamDynamicAggUpdate,

@@ -703,32 +703,13 @@ object TextAnalysis {
             ($"pp0" + 1).cast(LongType).as("piece_pos"), $"piece")
           .orderBy($"doc_id", $"word_pos", $"piece_pos")
       },
-      Some(s"""WITH RECURSIVE rules(i, pat, rep) AS (VALUES $rulesValues),
-        docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
           FROM documents WHERE doc_id % 10 = 0),
         words AS (SELECT doc_id, unnest(ws) AS w,
             unnest(range(1, len(ws) + 1)) AS word_pos FROM docs),
         dw AS (SELECT DISTINCT w FROM words),
-        -- rank-order merge replay: each rule merges its LEFTMOST
-        -- occurrence repeatedly until absent (equivalent to one
-        -- left-to-right non-overlapping pass — bulk replace() would
-        -- NOT be: its consumed delimiters skip a symbol inside odd
-        -- same-symbol runs), then i advances; done when i = nRules
-        enc(w, s, i) AS (
-          SELECT w,
-            ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ', 0
-          FROM dw
-          UNION ALL
-          SELECT e.w,
-            CASE WHEN strpos(e.s, r.pat) > 0
-                 THEN substr(e.s, 1, strpos(e.s, r.pat) - 1) || r.rep ||
-                      substr(e.s, strpos(e.s, r.pat) + length(r.pat))
-                 ELSE e.s END,
-            CASE WHEN strpos(e.s, r.pat) > 0 THEN e.i ELSE e.i + 1 END
-          FROM enc e JOIN rules r ON r.i = e.i
-          WHERE e.i < $nRules),
-        pieces AS (SELECT w, string_split(trim(s), ' ') AS ps
-          FROM enc WHERE i = $nRules),
+        ${graft.functions.BpeTokenizer.duckdbReplayCtes(merges)},
         outp AS (SELECT doc_id, word_pos, unnest(ps) AS piece,
             unnest(range(1, len(ps) + 1)) AS piece_pos
           FROM words JOIN pieces USING (w))
