@@ -133,15 +133,6 @@ object CorpusCuration {
       WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
       ORDER BY doc_id"""))
 
-  /** Sequence packing: assign documents to fixed-budget token bins (the
-    * pre-tokenization grouping step that turns a corpus into ~equal-sized
-    * training sequences). Greedy first-fit is inherently sequential, so
-    * the scalable form is cumulative: order documents on a stable key,
-    * running-sum their token counts with a distributed prefix sum
-    * (range-partition → parallel per-partition windows → per-partition
-    * offsets), and cut a new pack every `budget` tokens. Packs overshoot
-    * by at most one document, the same guarantee streaming packers give.
-    */
   /** The shared greedy context-packing core: given per-doc token counts,
     * assign docs (in doc_id order) to fixed-budget packs and summarize
     * each pack. Distributed prefix sum — a global ORDER BY window would
@@ -196,6 +187,16 @@ object CorpusCuration {
       .orderBy($"pack_id")
   }
 
+  /** Sequence packing: assign documents to fixed-budget token bins (the
+    * pre-tokenization grouping step that turns a corpus into ~equal-sized
+    * training sequences). Greedy first-fit is inherently sequential, so
+    * the scalable form is cumulative ([[packByBudget]]): order documents
+    * on a stable key, running-sum their token counts with a distributed
+    * prefix sum, and cut a new pack every `budget` tokens. Packs
+    * overshoot by at most one document, the same guarantee streaming
+    * packers give. Token counts here are whitespace; the real-tokenizer
+    * form is [[tokenPackingBpe]].
+    */
   val tokenPacking: Q = Q(
     "pipe_token_packing",
     (s, d) => {

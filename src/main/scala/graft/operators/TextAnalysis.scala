@@ -669,10 +669,6 @@ object TextAnalysis {
     */
   val bpeEncode: Q = {
     val merges = graft.functions.BpeTokenizer.FrozenMerges
-    val nRules = merges.length
-    val rulesValues = merges.zipWithIndex
-      .map { case ((a, b), i) => s"($i, ' $a $b ', ' ${a + b} ')" }
-      .mkString(", ")
     Q(
       "ta_bpe_encode",
       (s, d) => {

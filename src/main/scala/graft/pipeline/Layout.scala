@@ -85,15 +85,29 @@ object Layout {
     * BigInt instead).
     */
   private def scaleTo(c: Column, min: Long, max: Long,
-      factor: Long): Column =
-    if (max == min) lit(0L)
-    else if (max - min <= Long.MaxValue / factor)
+      factor: Long): Column = {
+    require(max >= min, s"scaleTo: max ($max) < min ($min)")
+    // span in BigInt, not Long: a mixed-sign column (a Long.MinValue
+    // sentinel next to epoch-µs values) makes `max - min` itself wrap,
+    // which would silently select the narrow branch with a wrapped
+    // negative divisor — the exact silent-garbage class this function
+    // exists to eliminate
+    val span = BigInt(max) - BigInt(min)
+    if (span == 0) lit(0L)
+    else if (span <= Long.MaxValue / factor)
       call_function("div", (c - lit(min)) * lit(factor), lit(max - min))
-    else
+    else {
+      // every step in DECIMAL: the subtraction must happen AFTER the
+      // widening (long `c - min` wraps for the same mixed-sign spans),
+      // and the divisor must be built from the BigInt span (a Long
+      // literal would wrap before Spark ever saw it)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       call_function("div",
-        (c - lit(min)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        (c.cast(dec) - lit(new java.math.BigDecimal(min)))
           * lit(factor),
-        lit(max - min))
+        lit(new java.math.BigDecimal(span.bigInteger)))
+    }
+  }
 
   /** Scale a long column to [0, 65535] by linear min/max normalization —
     * integer arithmetic only (`(x - min) * 65535 div (max - min)`), so
@@ -172,11 +186,11 @@ object Layout {
     val snap = new SnapshotDir(spark, dir)
     snap.recover()
     require(snap.targetExists, s"compactZorder: nothing to compact at $dir")
-    // the read-before-swap ordering contract below only holds if the
-    // write target is DISJOINT from the scan source — enforce it, don't
-    // just comment it
-    require(snap.stagingPath != dir,
-      s"compactZorder: staging path must differ from the source ($dir)")
+    // the read-before-swap ordering contract below needs the write target
+    // DISJOINT from the scan source — enforced structurally by
+    // SnapshotDir's constructor invariant (target/staging/retired are
+    // pairwise distinct), where a future path-derivation change would
+    // actually trip it
     // materialize the plan BEFORE the swap renames the source out from
     // under the scan: the z-write reads from `dir` and writes to
     // `.staging`, so the one pass is the whole data movement

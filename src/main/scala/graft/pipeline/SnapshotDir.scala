@@ -24,6 +24,13 @@ private[graft] class SnapshotDir(s: SparkSession, targetDir: String) {
   private val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
   private val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
   private val retired = new org.apache.hadoop.fs.Path(targetDir + ".old")
+  // the swap machinery's one structural invariant, enforced where a
+  // future derivation change would break it: writers (Layout.compactZorder)
+  // READ the target while WRITING staging in the same job, so the three
+  // paths must be pairwise disjoint or the scan would consume its own
+  // half-written output
+  require(staging != target && retired != target && staging != retired,
+    s"SnapshotDir: target/staging/retired must be distinct paths ($targetDir)")
   private def renameOrThrow(from: org.apache.hadoop.fs.Path,
       to: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(from, to))

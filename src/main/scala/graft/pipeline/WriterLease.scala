@@ -214,17 +214,18 @@ object WriterLease {
     // FileNotFound. Treating that as "no renewal" would break a LIVE
     // holder; a vanished sidecar is a RETRY signal (the re-glob sees the
     // beat-Y that was complete before beat-X's delete).
-    def attempt(): (Seq[Long], Boolean) = {
-      // a FAILED listing is a retry signal just like a vanished sidecar:
-      // swallowing it into "no beats, don't retry" would make one
-      // transient glob error read as "never renewed" for a LIVE holder
-      // on a setTimes-less filesystem (mtime stuck at acquisition),
-      // letting a challenger break it — the one contract this object
-      // must never violate
-      val (beats, globFailed) =
-        try (Option(fs.globStatus(beatGlob(lease))).toSeq.flatten, false)
-        catch { case _: Exception => (Seq.empty[org.apache.hadoop.fs.FileStatus], true) }
-      var vanished = globFailed
+    // a FAILED listing is a retry signal just like a vanished sidecar:
+    // swallowing it into "no beats, don't retry" would make one
+    // transient glob error read as "never renewed" for a LIVE holder
+    // on a setTimes-less filesystem (mtime stuck at acquisition),
+    // letting a challenger break it — the one contract this object
+    // must never violate
+    case class Attempt(matching: Seq[Long], retry: Boolean, globOk: Boolean)
+    def attempt(): Attempt = {
+      val (beats, globOk) =
+        try (Option(fs.globStatus(beatGlob(lease))).toSeq.flatten, true)
+        catch { case _: Exception => (Seq.empty[org.apache.hadoop.fs.FileStatus], false) }
+      var vanished = !globOk
       val matching = beats.flatMap { st =>
         try {
           if (VectorIndexPipeline.readTextFile(fs, st.getPath) == leaseContent)
@@ -235,12 +236,27 @@ object WriterLease {
           case _: Exception => None // mid-write: not a finished renewal
         }
       }
-      (matching, vanished)
+      Attempt(matching, vanished, globOk)
     }
     var res = attempt()
+    var anyGlobOk = res.globOk
     var tries = 0
-    while (res._1.isEmpty && res._2 && tries < 3) { tries += 1; res = attempt() }
-    (leaseMtime +: res._1).max
+    while (res.matching.isEmpty && res.retry && tries < 3) {
+      tries += 1
+      // back off between retries: a correlated throttling burst (object
+      // store 503s) fails back-to-back microsecond retries as one event;
+      // spaced retries actually sample independent instants
+      Thread.sleep(50L * tries)
+      res = attempt()
+      anyGlobOk ||= res.globOk
+    }
+    // FAIL-SAFE when no listing attempt ever succeeded: "renewal state
+    // unknowable" must read as FRESH, not as "never renewed" — breaking a
+    // lease on zero evidence is the two-writers hazard, while deferring
+    // the break of a genuinely dead holder merely waits for the next
+    // evaluation when listing works again
+    if (!anyGlobOk && res.matching.isEmpty) System.currentTimeMillis()
+    else (leaseMtime +: res.matching).max
   }
 
   /** Best-effort cleanup of THIS holder's heartbeat sidecars (content

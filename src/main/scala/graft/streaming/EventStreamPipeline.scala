@@ -241,6 +241,10 @@ object EventStreamPipeline {
     * for the batch join.
     */
   def signupPurchaseJoinSalted(events: DataFrame, salts: Int): DataFrame = {
+    // salts = 0 would silently drop every signup (empty explode) and
+    // null every p_salt — a green stream emitting zero conversions
+    // forever; fail at construction instead
+    require(salts >= 1, s"signupPurchaseJoinSalted: salts must be >= 1, got $salts")
     val spark = events.sparkSession
     import spark.implicits._
     val signups = events.filter($"event_type" === "signup")

@@ -78,6 +78,29 @@ class LayoutScaleSpec extends AnyFunSuite {
     checkFactor(16, 65535L, Layout.scale16)
   }
 
+  test("mixed-sign spans that wrap `max - min` itself stay exact (review fix: BigInt span, decimal-first subtraction)") {
+    // a Long.MinValue-adjacent sentinel next to positive epoch-µs values:
+    // both `max - min` AND `c - min` wrap in Long, so the whole chain
+    // must widen BEFORE subtracting — pinned against BigInt ground truth
+    val min = Long.MinValue / 2 - 3
+    val max = Long.MaxValue / 2 + 7
+    val span = BigInt(max) - BigInt(min)
+    assert(span > Long.MaxValue, "fixture must overflow the long span")
+    val vals = Seq(min, max, 0L, -1L, 123456789L, min + 1, max - 1)
+    val got = vals.toDF("c").select($"c", Layout.scale21($"c", min, max))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    vals.foreach { v =>
+      val exact = ((BigInt(v) - BigInt(min)) * 2097151 / span).toLong
+      assert(got(v) == exact, s"scale21($v) over mixed-sign span: " +
+        s"got ${got(v)}, want $exact")
+      assert(got(v) >= 0 && got(v) <= 2097151L)
+    }
+    // and a reversed range fails loudly instead of emitting garbage
+    intercept[IllegalArgumentException] {
+      Layout.scale21(lit(0L), 10L, 5L)
+    }
+  }
+
   test("the wide-span long multiply really wraps — the hazard the decimal branch removes") {
     // ~127 years of epoch-µs: (c - min) * 2097151 exceeds Long.MaxValue
     // well inside the span, so the pre-fix formula produced negative or
