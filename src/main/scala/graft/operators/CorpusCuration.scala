@@ -942,8 +942,100 @@ object CorpusCuration {
         ORDER BY z_bucket, z, event_id"""))
   }
 
+  /** The z-order layout's WRITE path under the driver's oracle — the
+    * `pipe_zorder_key*` entries hash-check the KEY arithmetic; this one
+    * runs the actual [[graft.pipeline.Layout.zorderWrite3]] (range
+    * exchange + sort + parquet write to a scratch dir), reads the
+    * layout back through a selective 3-D box predicate (the probe the
+    * layout exists to serve — row-group pruning observed in
+    * LayoutScanPruningSpec), and hash-matches the surviving rows
+    * against the same box stated directly over the source table. A
+    * layout write that lost, duplicated, or mangled any row — or a
+    * filter the new file organization somehow mis-served — breaks the
+    * hash. Box bounds are integer arithmetic on driver-side min/max
+    * (non-negative spans, so Scala truncation == DuckDB floor `//`).
+    */
+  val zorderRoundtrip: Q = Q(
+    "pipe_zorder_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-zrt")
+        .resolve("ev").toString
+      graft.pipeline.Layout.zorderWrite3(ev, "user_id", "ts_us", "cents",
+        dir, nFiles = 32)
+      val b = ev.agg(min($"user_id"), max($"user_id"), min($"ts_us"),
+          max($"ts_us"), min($"cents"), max($"cents"))
+        .head.toSeq.map(_.asInstanceOf[Long])
+      // 50% per dimension: 0.5^3 = 12.5% of a uniform corpus survives —
+      // selective enough to exercise pruning, populous enough that the
+      // hash match is never vacuously empty at sf0.01
+      def lo(i: Int) = b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 25 / 100
+      def hi(i: Int) = b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 75 / 100
+      s.read.parquet(dir)
+        .filter($"user_id" >= lo(0) && $"user_id" <= hi(0) &&
+          $"ts_us" >= lo(1) && $"ts_us" <= hi(1) &&
+          $"cents" >= lo(2) && $"cents" <= hi(2))
+        .select($"event_id", $"user_id", $"ts_us", $"cents")
+        .orderBy($"event_id")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      b AS (
+        SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+          min(ts_us) AS mn1, max(ts_us) AS mx1,
+          min(cents) AS mn2, max(cents) AS mx2 FROM src)
+      SELECT event_id, user_id, ts_us, cents
+      FROM src, b
+      WHERE user_id >= mn0 + (mx0 - mn0) * 25 // 100
+        AND user_id <= mn0 + (mx0 - mn0) * 75 // 100
+        AND ts_us >= mn1 + (mx1 - mn1) * 25 // 100
+        AND ts_us <= mn1 + (mx1 - mn1) * 75 // 100
+        AND cents >= mn2 + (mx2 - mn2) * 25 // 100
+        AND cents <= mn2 + (mx2 - mn2) * 75 // 100
+      ORDER BY event_id"""))
+
+  /** The guarded ingest-and-serve LOOP under the driver's oracle: four
+    * lease-guarded appends (the at-rest shape of streaming ingest),
+    * one guarded z-order compaction folding the pile, and a serving
+    * read — per-user rollups of the served table hash-matched against
+    * the source. This is `LayoutLiveWriterSpec`'s composition run
+    * single-threaded under the correctness gate every round: any row
+    * lost or duplicated anywhere in append → recover → compact → swap
+    * → serve breaks the hash.
+    */
+  val guardedIngest: Q = Q(
+    "pipe_guarded_ingest",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("graft-gi")
+        .resolve("table").toString
+      (0 until 4).foreach { k =>
+        graft.pipeline.Layout.appendGuarded(
+          ev.filter(pmod($"event_id", lit(4L)) === k), root)
+      }
+      graft.pipeline.Layout.compactZorderGuarded(s, root, "user_id",
+        "ts_us", nFiles = 8)
+      graft.pipeline.Layout.servingRead(s, root) { df =>
+        df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts_us").as("first_us"), max($"ts_us").as("last_us"))
+          .orderBy($"user_id")
+      }
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+        min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, splitCounts, quotaSample, weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
-    splitLeakage, zorderKey, zorderKey3)
+    splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest)
 }
