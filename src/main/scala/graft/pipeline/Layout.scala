@@ -255,6 +255,14 @@ object Layout {
     * bounded by writer cadence — the retry budget exists for exactly
     * that wait, and exhausting it rethrows rather than inventing an
     * empty result.
+    *
+    * The retry protects only work FORCED inside `use`: a `use` that
+    * returns a lazy plan gets planning-time protection (the listing),
+    * but its later execution runs outside this guard — callers racing
+    * a live writer must collect within `use` (as LayoutLiveWriterSpec's
+    * reader does); returning a plan is sound only when no writer can
+    * run between this call and the action (pipe_guarded_ingest's
+    * single-threaded shape).
     */
   def servingRead[A](spark: SparkSession, root: String, retries: Int = 60,
       backoffMs: Long = 25)(use: DataFrame => A): A = {
