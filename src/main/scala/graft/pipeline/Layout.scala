@@ -193,8 +193,15 @@ object Layout {
     // actually trip it
     // materialize the plan BEFORE the swap renames the source out from
     // under the scan: the z-write reads from `dir` and writes to
-    // `.staging`, so the one pass is the whole data movement
-    zorderWrite(spark.read.parquet(dir), colA, colB, snap.stagingPath, nFiles)
+    // `.staging`, so the one pass is the whole data movement.
+    // recursiveFileLookup: the streaming ingest lands batches as `b<id>`
+    // SUBDIRECTORIES (replay-idempotent overwrite targets —
+    // StreamingZorderIngest); recursive listing reads those and flat
+    // part files uniformly, where partition discovery would refuse the
+    // mixed layout
+    zorderWrite(
+      spark.read.option("recursiveFileLookup", "true").parquet(dir),
+      colA, colB, snap.stagingPath, nFiles)
     snap.swapIn()
   }
 
@@ -269,7 +276,10 @@ object Layout {
     val dataDir = tableDataDir(root)
     var attempt = 0
     while (true) {
-      try return use(spark.read.parquet(dataDir))
+      // recursive listing: see compactZorder — serves the streaming
+      // ingest's batch subdirectories and compacted flat files alike
+      try return use(spark.read
+        .option("recursiveFileLookup", "true").parquet(dataDir))
       catch {
         case e: Throwable if attempt < retries && isTransientMissing(e) =>
           attempt += 1

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.TestSpark
+import graft.pipeline.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[StreamingZorderIngest]]: a REAL Structured Streaming sink feeding
+  * the guarded z-order table — micro-batch appends, a forced REPLAY of
+  * a fully-appended batch (crash after append, before checkpoint
+  * commit), guarded compaction between quiesced runs, and serving reads
+  * over the mixed batch-dirs-plus-flat-files layout. The thread-based
+  * `LayoutLiveWriterSpec` proves concurrency; this spec proves the
+  * streaming-specific hazard: replay must not duplicate.
+  */
+class StreamingZorderIngestSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def servedIds(root: String): Seq[Long] =
+    Layout.servingRead(spark, root) { df =>
+      df.select($"event_id").collect().map(_.getLong(0)).toSeq.sorted }
+
+  test("streaming ingest: batch replay after a post-append crash does not duplicate; compaction folds between runs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-szi")
+    val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val root = base.resolve("table").toString
+    val ckpt = s"$base/ckpt"
+    def stream() = EventStreamPipeline.readEvents(spark, src.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+
+    // ——— run 1: two files, one batch each (maxFilesPerTrigger = 1)
+    TestSpark.writeEventsFile(src, "f0",
+      (0L until 50L).map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    TestSpark.writeEventsFile(src, "f1",
+      (50L until 100L).map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
+    assert(servedIds(root) == (0L until 100L))
+
+    // ——— quiesced: fold the batch dirs into the clustered flat layout
+    Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    assert(servedIds(root) == (0L until 100L),
+      "compaction must be a pure layout change")
+    val dataDir = Layout.tableDataDir(root)
+    val flatFiles = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dataDir).select(input_file_name()).distinct().count()
+    assert(flatFiles == 4, s"expected 4 compacted files, got $flatFiles")
+
+    // ——— run 2 with a forced replay: the batch's append completes, then
+    // the commit is crashed — the restart re-delivers the SAME batch and
+    // the deterministic-overwrite discipline must absorb it
+    TestSpark.writeEventsFile(src, "f2",
+      (100L until 150L).map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    val crashOnce = new AtomicBoolean(true)
+    val crashed = intercept[Exception] {
+      StreamingZorderIngest.ingestAvailable(stream(), root, ckpt,
+        afterBatch = _ =>
+          if (crashOnce.getAndSet(false))
+            throw new RuntimeException("injected post-append crash"))
+    }
+    assert(crashed.getMessage != null)
+    assert(!crashOnce.get(), "the injected crash must actually have fired")
+    // the batch's data DID land before the crash — a naive mode-append
+    // restart would now write it a second time
+    StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
+    val afterReplay = servedIds(root)
+    assert(afterReplay == (0L until 150L),
+      s"replayed batch duplicated or lost rows: ${afterReplay.size} ids, " +
+        s"${afterReplay.distinct.size} distinct")
+
+    // ——— mixed layout (4 flat files + replayed batch dir) serves reads;
+    // a final fold converges to the clean clustered snapshot
+    Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    assert(servedIds(root) == (0L until 150L))
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir + ".staging")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dataDir + ".old")),
+      "compaction left swap debris")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      graft.pipeline.WriterLease.LeaseFileName)),
+      "ingest must release the lease")
+  }
+}
