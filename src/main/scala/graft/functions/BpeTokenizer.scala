@@ -170,6 +170,26 @@ object BpeTokenizer {
           FROM enc WHERE i = $n)"""
   }
 
+  /** The deterministic vocabulary a merge table induces, with stable
+    * token ids: the 26 base characters `a`..`z` get ids 0..25, merge
+    * rule k's output gets id 26+k. Every piece [[encode]] can emit over
+    * `[a-z]+` words is either a base char or a rule output, so the map
+    * is total for the encode domain — and it is reproducible from the
+    * merge table alone, which is what lets a SQL oracle state the SAME
+    * ids as a literal VALUES table.
+    */
+  def vocabIds(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = ('a' to 'z').zipWithIndex.map { case (c, i) => c.toString -> i }
+    val learned = merges.zipWithIndex.map { case ((a, b), k) => (a + b) -> (26 + k) }
+    // a re-learned pair producing an existing token cannot happen (train
+    // never merges a pair twice — the pair no longer exists after its
+    // merge), so the map sizes must add up; assert rather than assume
+    val m = (base ++ learned).toMap
+    require(m.size == base.size + learned.size,
+      "duplicate token in vocabulary — merge table re-derived a token")
+    m
+  }
+
   /** The frozen merge table `ta_bpe_encode` ships: 40 merges trained
     * ONCE from the sf0.01 documents corpus ([a-z]+ words of
     * lowercased text) by [[train]] — regenerable via

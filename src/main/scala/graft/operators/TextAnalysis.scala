@@ -714,8 +714,63 @@ object TextAnalysis {
       FROM outp ORDER BY doc_id, word_pos, piece_pos"""))
   }
 
+  /** [[bpeEncode]] continued to TOKEN IDS — what a training pipeline
+    * actually ships: each subword piece mapped through the
+    * merge-table-induced vocabulary ([[graft.functions.BpeTokenizer
+    * .vocabIds]]: chars 0..25, merge k's output 26+k — reproducible
+    * from the frozen table alone, so the oracle states the identical
+    * map as a literal VALUES list). Emitted as per-doc id sequences
+    * summarized scalar-stable (count, sum, first/last id) rather than
+    * a list column (oracle dtype rules), plus the exploded sample the
+    * encode entry already covers.
+    */
+  val bpeIds: Q = {
+    val merges = graft.functions.BpeTokenizer.FrozenMerges
+    val ids = graft.functions.BpeTokenizer.vocabIds(merges)
+    val vocabValues = ids.toSeq.sorted
+      .map { case (tok, id) => s"('$tok', $id)" }.mkString(", ")
+    Q(
+      "ta_bpe_ids",
+      (s, d) => {
+        import s.implicits._
+        val encodeUdf = udf((w: String) =>
+          graft.functions.BpeTokenizer.encode(w, merges)
+            .map(p => ids(p).toLong))
+          .asNondeterministic() // same pushdown pin as ta_bpe_encode
+        val words = Tables.documents(s, d)
+          .select($"doc_id",
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .as("w"))
+        val pieceIds = words.select($"w").distinct()
+          .select($"w", encodeUdf($"w").as("pids"))
+        words.join(broadcast(pieceIds), "w")
+          .select($"doc_id", explode($"pids").as("tid"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_ids"), sum($"tid").as("id_sum"),
+            min($"tid").as("min_id"), max($"tid").as("max_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents),
+        words AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+        dw AS (SELECT DISTINCT w FROM words),
+        ${graft.functions.BpeTokenizer.duckdbReplayCtes(merges)},
+        vocab(tok, tid) AS (VALUES $vocabValues),
+        pieceids AS (
+          SELECT p.w, v.tid
+          FROM (SELECT w, unnest(ps) AS piece FROM pieces) p
+          JOIN vocab v ON v.tok = p.piece)
+      SELECT w2.doc_id,
+        count(*) AS n_ids,
+        CAST(sum(tid) AS BIGINT) AS id_sum,
+        CAST(min(tid) AS BIGINT) AS min_id, CAST(max(tid) AS BIGINT) AS max_id
+      FROM words w2 JOIN pieceids USING (w)
+      GROUP BY w2.doc_id ORDER BY w2.doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
     tfidf, bigramLm, denylistScrub, piiScan, invertedIndex, dupNgrams,
-    unicodeNfc, bpeEncode)
+    unicodeNfc, bpeEncode, bpeIds)
 }
