@@ -238,7 +238,12 @@ object EventStreamPipeline {
     * JoinSkewStudyR15). The cost is explicit: signup-side state x salts;
     * worth paying exactly when the hot key's share, not total volume, is
     * the bottleneck — the same trade [[graft.operators.SkewJoin]] makes
-    * for the batch join.
+    * for the batch join. INNER-ONLY by construction: an outer form would
+    * emit one null-extended eviction row per (signup, salt lane) — k
+    * copies of every unmatched signup — so salting an outer join needs a
+    * post-join lane-dedup of the eviction rows, which is a different
+    * operator with its own state; use [[signupPurchaseJoinOuter]]
+    * unsalted for outer semantics.
     */
   def signupPurchaseJoinSalted(events: DataFrame, salts: Int): DataFrame = {
     // salts = 0 would silently drop every signup (empty explode) and
