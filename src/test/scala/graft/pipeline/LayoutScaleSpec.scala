@@ -101,6 +101,37 @@ class LayoutScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("the z-order exchange ships only data columns — the key routes rows without crossing the wire") {
+    // regression pin for the LayoutWriteCostStudyR15 finding: a
+    // withColumn("_z")/drop form adds the 8-byte Morton key to every
+    // shuffled row (+34% measured). The exchange's output schema must be
+    // exactly the data schema — RangePartitioning evaluates its ordering
+    // expressions without appending them.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = spark.range(1000).select($"id".as("a"), ($"id" * 3).as("b"))
+    val z = Layout.zvalue16(
+      Layout.scale16($"a", 0, 999), Layout.scale16($"b", 0, 2997))
+    val shaped = df.repartitionByRange(8, z).sortWithinPartitions(z)
+    shaped.write.format("noop").mode("overwrite").save()
+    val plan = shaped.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges: Seq[ShuffleExchangeLike] = plan.collect {
+      case s: ShuffleQueryStageExec => s.shuffle
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected a shuffle exchange in the plan")
+    exchanges.foreach { e =>
+      assert(e.outputPartitioning.isInstanceOf[RangePartitioning],
+        s"expected a range exchange: ${e.outputPartitioning}")
+      assert(e.output.map(_.name).sorted == Seq("a", "b"),
+        s"the exchange must carry ONLY data columns, got ${e.output.map(_.name)}")
+    }
+  }
+
   test("the wide-span long multiply really wraps — the hazard the decimal branch removes") {
     // ~127 years of epoch-µs: (c - min) * 2097151 exceeds Long.MaxValue
     // well inside the span, so the pre-fix formula produced negative or
