@@ -965,11 +965,13 @@ object CorpusCuration {
           expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
       val dir = java.nio.file.Files.createTempDirectory("graft-zrt")
         .resolve("ev").toString
-      graft.pipeline.Layout.zorderWrite3(ev, "user_id", "ts_us", "cents",
-        dir, nFiles = 32)
+      // one bounds aggregation shared between the write's scaling and
+      // the probe-box computation (the review caught the double scan)
       val b = ev.agg(min($"user_id"), max($"user_id"), min($"ts_us"),
           max($"ts_us"), min($"cents"), max($"cents"))
         .head.toSeq.map(_.asInstanceOf[Long])
+      graft.pipeline.Layout.zorderWrite3(ev, "user_id", "ts_us", "cents",
+        dir, nFiles = 32, b.toArray)
       // 50% per dimension: 0.5^3 = 12.5% of a uniform corpus survives —
       // selective enough to exercise pruning, populous enough that the
       // hash match is never vacuously empty at sf0.01

@@ -152,11 +152,21 @@ object Layout {
     * bounds, then range-partition + sort by the 63-bit z-value.
     */
   def zorderWrite3(df: DataFrame, colA: String, colB: String, colC: String,
-      dir: String, nFiles: Int): Unit = {
-    val bounds =
+      dir: String, nFiles: Int): Unit =
+    zorderWrite3(df, colA, colB, colC, dir, nFiles,
       df.agg(min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB)),
           min(col(colC)), max(col(colC)))
-        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray)
+
+  /** [[zorderWrite3]] with caller-supplied scale bounds
+    * `[minA, maxA, minB, maxB, minC, maxC]` — for callers that already
+    * computed the min/max aggregation for their own purposes (e.g. box
+    * probes over the written layout), so the table is scanned once for
+    * bounds, not twice.
+    */
+  def zorderWrite3(df: DataFrame, colA: String, colB: String, colC: String,
+      dir: String, nFiles: Int, bounds: Array[Long]): Unit = {
+    require(bounds.length == 6, s"need 6 bounds, got ${bounds.length}")
     val z = zvalue21(
       scale21(col(colA), bounds(0), bounds(1)),
       scale21(col(colB), bounds(2), bounds(3)),
@@ -201,15 +211,18 @@ object Layout {
     // actually trip it
     // materialize the plan BEFORE the swap renames the source out from
     // under the scan: the z-write reads from `dir` and writes to
-    // `.staging`, so the one pass is the whole data movement.
-    // recursiveFileLookup: the streaming ingest lands batches as `b<id>`
-    // SUBDIRECTORIES (replay-idempotent overwrite targets —
-    // StreamingZorderIngest); recursive listing reads those and flat
-    // part files uniformly, where partition discovery would refuse the
-    // mixed layout
-    zorderWrite(
-      spark.read.option("recursiveFileLookup", "true").parquet(dir),
-      colA, colB, snap.stagingPath, nFiles)
+    // `.staging`, so the one pass is the whole data movement. The read
+    // is the COMPLETE-contents listing (flat part files + _SUCCESS-gated
+    // batch subdirectories): a torn mid-commit batch dir must never be
+    // folded — its partial rows would become permanent when the
+    // checkpoint replays the full batch. NOTE for streaming tables: this
+    // folds every COMPLETE batch dir, including ones the stream's
+    // checkpoint has not committed yet — safe only while the ingest is
+    // quiesced; a compaction racing a live/restartable stream must go
+    // through StreamingZorderIngest.compactCommitted, which additionally
+    // gates on the checkpoint's commit frontier.
+    zorderWrite(readComplete(spark, dir), colA, colB, snap.stagingPath,
+      nFiles)
     snap.swapIn()
   }
 
@@ -284,10 +297,7 @@ object Layout {
     val dataDir = tableDataDir(root)
     var attempt = 0
     while (true) {
-      // recursive listing: see compactZorder — serves the streaming
-      // ingest's batch subdirectories and compacted flat files alike
-      try return use(spark.read
-        .option("recursiveFileLookup", "true").parquet(dataDir))
+      try return use(readComplete(spark, dataDir))
       catch {
         case e: Throwable if attempt < retries && isTransientMissing(e) =>
           attempt += 1
@@ -295,6 +305,44 @@ object Layout {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** The COMPLETE contents of a guarded table's data dir: top-level part
+    * files (compacted flat layout) plus batch subdirectories that carry
+    * their `_SUCCESS` marker — the streaming ingest's `b<id>` dirs
+    * (graft.streaming.StreamingZorderIngest). A dir WITHOUT the marker
+    * is a batch whose job commit was interrupted mid-crash: some part
+    * files landed, the rest did not — serving it would hand readers a
+    * TORN batch, and folding it would make the torn subset permanent
+    * when the checkpoint later replays the full batch next to it. The
+    * explicit path list replaces a blind `recursiveFileLookup`, which
+    * cannot tell complete from torn. One FS listing, O(#batches)
+    * entries.
+    */
+  private[graft] def completeDataPaths(spark: SparkSession,
+      dataDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = fsFor(spark, dataDir)
+    // a missing dir throws FileNotFoundException — the same transient
+    // signal a racing swap produces, handled by servingRead's retry
+    fs.listStatus(p).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) None
+      else if (st.isFile) Some(st.getPath.toString)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        Some(st.getPath.toString)
+      else None // torn batch dir: mid-commit crash; replay will rewrite it
+    }
+  }
+
+  /** Read the complete contents (see [[completeDataPaths]]). */
+  private[graft] def readComplete(spark: SparkSession,
+      dataDir: String): DataFrame = {
+    val paths = completeDataPaths(spark, dataDir)
+    if (paths.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no complete data at $dataDir")
+    spark.read.parquet(paths: _*)
   }
 
   /** A read failure is transient iff it is a missing-path/missing-file

@@ -56,12 +56,7 @@ object AggShuffleStudyR12 {
     // undercounts the measurement and spuriously trips the assertions
     def total(): Long = scala.jdk.CollectionConverters
       .CollectionHasAsScala(probe.perStage.values()).asScala.map(_.sum()).sum
-    var prev = -1L
-    var cur = total()
-    var tries = 0
-    while (cur != prev && tries < 50) {
-      Thread.sleep(100); prev = cur; cur = total(); tries += 1
-    }
+    val cur = graft.TestMetrics.settle(() => total())
     spark.sparkContext.removeSparkListener(probe)
     assert(out.length == groups)
     // the partial-aggregation map stage is the one that wrote the shuffle

@@ -55,10 +55,7 @@ object AggShuffleStudyR13 {
     val out = spark.sql(sql).collect()
     def total(): Long = scala.jdk.CollectionConverters
       .CollectionHasAsScala(probe.perStage.values()).asScala.map(_.sum()).sum
-    var prev = -1L; var cur = total(); var tries = 0
-    while (cur != prev && tries < 50) {
-      Thread.sleep(100); prev = cur; cur = total(); tries += 1
-    }
+    val cur = graft.TestMetrics.settle(() => total())
     spark.sparkContext.removeSparkListener(probe)
     assert(out.length == expectRows)
     scala.jdk.CollectionConverters

@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Deterministic corpus (hash-derived Zipf-ish skew: word ids are
   * `hash % 20k` so frequencies vary, words are base-26 renderings of
-  * the id — 3–8 chars). No wall-time assertions (host noise); the
+  * the id, 1–4 chars at this vocabulary size). No wall-time assertions (host noise); the
   * numbers print for SCALE.md.
   */
 object BpeScaleStudyR15 {

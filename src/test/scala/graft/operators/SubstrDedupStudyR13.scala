@@ -116,10 +116,7 @@ object SubstrDedupStudyR13 {
     Dedup.dupSpanDf(spark, dir, n)
       .write.format("noop").mode("overwrite").save()
     // settle the async listener bus before detaching
-    var prev = -1L; var cur = probe.bytes.sum(); var tries = 0
-    while (cur != prev && tries < 50) {
-      Thread.sleep(100); prev = cur; cur = probe.bytes.sum(); tries += 1
-    }
+    val cur = graft.TestMetrics.settle(() => probe.bytes.sum())
     spark.sparkContext.removeSparkListener(probe)
     cur
   }

@@ -30,7 +30,7 @@ object LayoutWriteCostStudyR15 {
         bytes.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
-  private def measure(spark: SparkSession, label: String)(
+  private def measure(spark: SparkSession)(
       write: () => Unit): (Long, Double) = {
     val probe = new WriteProbe
     spark.sparkContext.addSparkListener(probe)
@@ -40,10 +40,7 @@ object LayoutWriteCostStudyR15 {
       write()
       (System.nanoTime() - t0) / 1e9
     }.min
-    var prev = -1L; var cur = probe.bytes.sum(); var tries = 0
-    while (cur != prev && tries < 50) {
-      Thread.sleep(100); prev = cur; cur = probe.bytes.sum(); tries += 1
-    }
+    val cur = graft.TestMetrics.settle(() => probe.bytes.sum())
     spark.sparkContext.removeSparkListener(probe)
     // two passes ran; halve to a per-write figure
     (cur / 2, secs)
@@ -68,14 +65,14 @@ object LayoutWriteCostStudyR15 {
     val base = java.nio.file.Files.createTempDirectory("graft-wcost")
     val files = 64
 
-    val (bPlain, tPlain) = measure(spark, "plain") { () =>
+    val (bPlain, tPlain) = measure(spark) { () =>
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$base/plain")
     }
-    val (bLin, tLin) = measure(spark, "linear") { () =>
+    val (bLin, tLin) = measure(spark) { () =>
       Layout.linearWrite(df, "ts_us", s"$base/lin", files)
     }
-    val (bZ, tZ) = measure(spark, "zorder3") { () =>
+    val (bZ, tZ) = measure(spark) { () =>
       Layout.zorderWrite3(df, "user_id", "ts_us", "cents", s"$base/z3", files)
     }
     println(f"write cost at $n rows x $files files: " +

@@ -70,12 +70,9 @@ object AggSkewStudyR15 {
       .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
-      var prev = -1L; var cur = probe.records.sum(); var tries = 0
-      while (cur != prev && tries < 50) {
-        Thread.sleep(100); prev = cur; cur = probe.records.sum(); tries += 1
-      }
       Drain(spark.table(name).count(),
-        q.lastProgress.stateOperators.map(_.numRowsTotal).sum, cur)
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum,
+        graft.TestMetrics.settle(() => probe.records.sum()))
     } finally {
       spark.sparkContext.removeSparkListener(probe)
       q.stop(); spark.catalog.dropTempView(name)

@@ -42,13 +42,15 @@ class StreamingZorderIngestSpec extends AnyFunSuite {
     StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
     assert(servedIds(root) == (0L until 100L))
 
-    // ——— quiesced: fold the batch dirs into the clustered flat layout
-    Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    // ——— quiesced-and-committed: the frontier-gated fold flattens both
+    // committed batch dirs into the clustered layout
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
     assert(servedIds(root) == (0L until 100L),
       "compaction must be a pure layout change")
     val dataDir = Layout.tableDataDir(root)
-    val flatFiles = spark.read.option("recursiveFileLookup", "true")
-      .parquet(dataDir).select(input_file_name()).distinct().count()
+    val flatFiles = spark.read.parquet(dataDir)
+      .select(input_file_name()).distinct().count()
     assert(flatFiles == 4, s"expected 4 compacted files, got $flatFiles")
 
     // ——— run 2 with a forced replay: the batch's append completes, then
@@ -65,6 +67,24 @@ class StreamingZorderIngestSpec extends AnyFunSuite {
     }
     assert(crashed.getMessage != null)
     assert(!crashOnce.get(), "the injected crash must actually have fired")
+
+    // ——— THE hazard the frontier gate exists for: the table is quiesced
+    // with a complete-but-UNCOMMITTED b2 on disk; a fold that consumed
+    // it would duplicate every row when the restart replays the batch.
+    // compactCommitted must leave b2 untouched (nothing new to fold: the
+    // committed prefix is already the 4-file snapshot).
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b2 = new org.apache.hadoop.fs.Path(dataDir, "b2")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(b2, "_SUCCESS")),
+      "fixture: the crashed batch must be complete on disk")
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
+    assert(fs.exists(b2),
+      "an uncommitted batch dir must survive compaction unfolded")
+    assert(servedIds(root) == (0L until 150L),
+      "a complete batch is servable pre-commit (replay rewrites it identically)")
+
     // the batch's data DID land before the crash — a naive mode-append
     // restart would now write it a second time
     StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
@@ -73,12 +93,31 @@ class StreamingZorderIngestSpec extends AnyFunSuite {
       s"replayed batch duplicated or lost rows: ${afterReplay.size} ids, " +
         s"${afterReplay.distinct.size} distinct")
 
-    // ——— mixed layout (4 flat files + replayed batch dir) serves reads;
-    // a final fold converges to the clean clustered snapshot
-    Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    // ——— now committed: the final frontier-gated fold converges to the
+    // clean clustered snapshot
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
     assert(servedIds(root) == (0L until 150L))
-    val fs = new org.apache.hadoop.fs.Path(dataDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(b2), "committed batches must fold away")
+
+    // ——— torn batch: a mid-job-commit crash leaves part files with NO
+    // _SUCCESS — readers must not serve the torn subset, and compaction
+    // must not fold it (the replay will rewrite the full batch)
+    val torn = new org.apache.hadoop.fs.Path(dataDir, "b99")
+    fs.mkdirs(torn)
+    val donor = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+      new org.apache.hadoop.fs.Path(torn, donor.getName), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(servedIds(root) == (0L until 150L),
+      "a torn (_SUCCESS-less) batch dir must be invisible to readers")
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
+    assert(fs.exists(torn), "a torn batch dir must ride through the fold")
+    assert(servedIds(root) == (0L until 150L))
+    fs.delete(torn, true)
+
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir + ".staging")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(dataDir + ".old")),
       "compaction left swap debris")
