@@ -357,7 +357,14 @@ object Layout {
         case _: java.io.FileNotFoundException => return true
         case a: org.apache.spark.sql.AnalysisException
             if a.getErrorClass != null &&
-              a.getErrorClass.startsWith("PATH_NOT_FOUND") => return true
+              (a.getErrorClass.startsWith("PATH_NOT_FOUND") ||
+                // listed paths renamed away between completeDataPaths'
+                // listing and the read's schema inference — the same
+                // swap race, one step later; a genuinely empty table
+                // never reaches inference (readComplete throws FNF on
+                // an empty list first)
+                a.getErrorClass.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          return true
         case _ => ()
       }
       t = if (t.getCause eq t) null else t.getCause
