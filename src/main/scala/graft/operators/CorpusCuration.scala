@@ -14,6 +14,26 @@ import org.apache.spark.sql.types._
   */
 object CorpusCuration {
 
+  /** A FIXED per-tag scratch directory, wiped before each use: the
+    * layout queries write a parquet copy of their input, and a fresh
+    * `createTempDirectory` per execution leaks one full copy per bench
+    * pass — the fixed path caps the footprint at one copy per tag
+    * regardless of how many passes run. Verify/Bench execute queries
+    * sequentially, so the wipe cannot race a concurrent execution of
+    * the same tag.
+    */
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch", tag)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   val curate: Q = Q(
     "pipe_corpus_curation",
     (s, d) => {
@@ -963,13 +983,15 @@ object CorpusCuration {
         .select($"event_id", $"user_id",
           expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"),
           expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-zrt")
-        .resolve("ev").toString
+      val dir = scratchDir("zorder-roundtrip")
       // one bounds aggregation shared between the write's scaling and
       // the probe-box computation (the review caught the double scan)
-      val b = ev.agg(min($"user_id"), max($"user_id"), min($"ts_us"),
+      val bRow = ev.agg(min($"user_id"), max($"user_id"), min($"ts_us"),
           max($"ts_us"), min($"cents"), max($"cents"))
-        .head.toSeq.map(_.asInstanceOf[Long])
+        .head.toSeq
+      require(bRow.forall(_ != null),
+        "pipe_zorder_roundtrip: events table is empty — no bounds to scale by")
+      val b = bRow.map(_.asInstanceOf[Long])
       graft.pipeline.Layout.zorderWrite3(ev, "user_id", "ts_us", "cents",
         dir, nFiles = 32, b.toArray)
       // 50% per dimension: 0.5^3 = 12.5% of a uniform corpus survives —
@@ -1017,8 +1039,7 @@ object CorpusCuration {
       val ev = Tables.events(s, d)
         .select($"event_id", $"user_id",
           expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
-      val root = java.nio.file.Files.createTempDirectory("graft-gi")
-        .resolve("table").toString
+      val root = scratchDir("guarded-ingest")
       (0 until 4).foreach { k =>
         graft.pipeline.Layout.appendGuarded(
           ev.filter(pmod($"event_id", lit(4L)) === k), root)

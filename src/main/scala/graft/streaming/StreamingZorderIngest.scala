@@ -21,8 +21,14 @@ import org.apache.spark.sql.streaming.Trigger
   * discovery would splice a `batch` column into the schema and then
   * refuse the mixed flat-files-plus-dirs layout compaction creates;
   * instead every reader of the table ([[Layout.servingRead]],
-  * [[Layout.compactZorder]]) lists with `recursiveFileLookup`, which
-  * reads flat part files and batch subdirectories uniformly.
+  * [[Layout.compactZorder]]) lists the data dir EXPLICITLY via
+  * [[Layout.completeDataPaths]]: top-level part files plus the batch
+  * subdirectories that carry their `_SUCCESS` marker. A blind
+  * `recursiveFileLookup` would be the hazard here — it cannot tell a
+  * complete batch dir from a TORN one (a mid-job-commit crash leaves
+  * part files without the marker), and serving or folding the torn
+  * subset makes it permanent when the checkpoint replays the full
+  * batch next to it.
   *
   * Compaction contract: fold through [[compactCommitted]], which gates
   * on the CHECKPOINT'S COMMIT FRONTIER — compaction flattens batch dirs
@@ -66,10 +72,14 @@ object StreamingZorderIngest {
     * the flat part files and every `b<id>` dir that is both complete
     * (`_SUCCESS`) and committed (`id <=` the checkpoint's commit
     * frontier) into a fresh z-ordered snapshot; uncommitted or torn
-    * batch dirs ride through the swap untouched — they are replayable
-    * by definition, and the deterministic-overwrite append rewrites
-    * them identically on restart. No-op when nothing committed exists
-    * to fold.
+    * batch dirs are carried through the swap by a CHECKED move into the
+    * staged snapshot. A crash between those moves and the swap strands
+    * the moved dirs in `.staging` — and because the checkpoint commit is
+    * written outside this lease, such a dir may have become committed
+    * (never-to-be-replayed) by the time anyone looks again, so the next
+    * run's [[rescueStranded]] moves them back into the data dir BEFORE
+    * the fold's overwrite of staging could delete them. No-op when
+    * nothing committed exists to fold.
     */
   def compactCommitted(spark: org.apache.spark.sql.SparkSession,
       root: String, checkpointDir: String, colA: String, colB: String,
@@ -81,6 +91,14 @@ object StreamingZorderIngest {
       val snap = new SnapshotDir(spark, dataDir)
       snap.recover()
       if (snap.targetExists) {
+        // rescue FIRST: a previous compaction that crashed between its
+        // pending-dir moves and swapIn stranded those batch dirs inside
+        // `.staging`, and the zorderWrite below (mode=overwrite) would
+        // delete them. "The replay rewrites the batch" does NOT cover
+        // them — the checkpoint commit is written outside this lease, so
+        // a batch that committed between the frontier read and the crash
+        // is never replayed; its only copy is the stranded one.
+        rescueStranded(fs, dataDir, snap.stagingPath)
         val frontier = lastCommittedBatch(fs, checkpointDir)
         val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
           .toSeq.filterNot { st =>
@@ -88,10 +106,6 @@ object StreamingZorderIngest {
             n.startsWith("_") || n.startsWith(".")
           }
         val (files, dirs) = entries.partition(_.isFile)
-        def batchId(name: String): Option[Long] =
-          if (name.startsWith("b") && name.drop(1).nonEmpty &&
-            name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
-          else None
         val (fold, pending) = dirs.partition { st =>
           batchId(st.getPath.getName).exists(_ <= frontier) &&
             fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
@@ -100,18 +114,69 @@ object StreamingZorderIngest {
         if (foldPaths.nonEmpty) {
           Layout.zorderWrite(spark.read.parquet(foldPaths: _*), colA, colB,
             snap.stagingPath, nFiles)
-          // carry non-foldable batches through the swap: moving the
-          // already-written bytes is an optimization — losing one here
-          // (crash mid-move) is recovered by the checkpoint replay
-          // rewriting the batch on restart
+          // carry non-foldable batches through the swap. Each move is
+          // CHECKED: an unchecked rename returning false would leave the
+          // dir in the old target, and swapIn's retire-then-delete would
+          // destroy it — throwing here aborts before the swap, and the
+          // rescue above recovers the already-moved dirs on the next run.
           pending.foreach { st =>
-            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            renameOrThrow(fs, st.getPath, new org.apache.hadoop.fs.Path(
               snap.stagingPath, st.getPath.getName))
           }
           snap.swapIn()
           ()
         }
       }
+    }
+  }
+
+  private def batchId(name: String): Option[Long] =
+    if (name.startsWith("b") && name.drop(1).nonEmpty &&
+      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
+    else None
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"compactCommitted: rename $from -> $to failed")
+
+  /** Move `b<id>` dirs stranded in a leftover `.staging` back into the
+    * data dir, before the next fold's overwrite deletes them. Only runs
+    * when the TARGET exists — a crash inside swapIn leaves no target and
+    * [[SnapshotDir.recover]] promotes the whole staging dir (batch dirs
+    * included), so the stranded-next-to-a-live-target window is the one
+    * this covers. When the data dir already holds a copy of the same
+    * batch (the crash-then-replay case — deterministic overwrite makes
+    * the contents identical), keep whichever copy is complete.
+    */
+  private def rescueStranded(fs: org.apache.hadoop.fs.FileSystem,
+      dataDir: String, stagingPath: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(stagingPath)
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && batchId(st.getPath.getName).nonEmpty)
+        .foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(dataDir, st.getPath.getName)
+          def complete(p: org.apache.hadoop.fs.Path): Boolean =
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+          if (!fs.exists(dest)) renameOrThrow(fs, st.getPath, dest)
+          else if (complete(st.getPath) && !complete(dest)) {
+            // a torn replay landed next to the complete stranded copy:
+            // promote the complete one (correct even if no further
+            // replay ever runs)
+            if (!fs.delete(dest, true)) throw new java.io.IOException(
+              s"compactCommitted: could not clear torn $dest")
+            renameOrThrow(fs, st.getPath, dest)
+          } else {
+            // dest is complete (the replay already rewrote it) or both
+            // copies are torn (replayable by definition) — the stranded
+            // copy is redundant
+            fs.delete(st.getPath, true)
+            ()
+          }
+        }
     }
   }
 

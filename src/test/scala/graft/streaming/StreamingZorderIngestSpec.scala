@@ -125,4 +125,69 @@ class StreamingZorderIngestSpec extends AnyFunSuite {
       graft.pipeline.WriterLease.LeaseFileName)),
       "ingest must release the lease")
   }
+
+  test("rescue: a batch dir stranded in .staging by a crashed compaction survives the next fold, even once committed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-szi-rescue")
+    val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val root = base.resolve("table").toString
+    val ckpt = s"$base/ckpt"
+    def stream() = EventStreamPipeline.readEvents(spark, src.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+
+    // three committed batches (frontier = 2)
+    for (f <- 0 to 2)
+      TestSpark.writeEventsFile(src, s"f$f",
+        (f * 50L until (f + 1) * 50L)
+          .map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
+    assert(servedIds(root) == (0L until 150L))
+
+    // ——— reconstruct the crash window the advisor flagged: a compaction
+    // whose frontier read was STALE at 1 wrote its fold of {b0, b1} to
+    // `.staging`, moved the then-pending b2 in after it, and crashed
+    // before swapIn. Between that frontier read and the crash, b2's
+    // checkpoint commit landed (commits/2 exists) — so no restart will
+    // ever replay it, and the stranded copy is the ONLY copy.
+    val dataDir = Layout.tableDataDir(root)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = dataDir + ".staging"
+    Layout.zorderWrite(
+      spark.read.parquet(s"$dataDir/b0", s"$dataDir/b1"),
+      "user_id", "ts_us", stagingPath, 2)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dataDir, "b2"),
+      new org.apache.hadoop.fs.Path(stagingPath, "b2")),
+      "fixture: moving b2 into staging must succeed")
+    assert(servedIds(root) == (0L until 100L),
+      "fixture: the stranded rows are invisible until rescued")
+
+    // the next compaction must RESCUE staging/b2 before its own fold
+    // overwrites staging — without the rescue, rows 100–149 are gone
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
+    assert(servedIds(root) == (0L until 150L),
+      "a committed batch stranded in .staging was lost by compaction")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir, "b2")),
+      "once rescued and committed, the batch folds into the flat layout")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingPath)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dataDir + ".old")),
+      "compaction left swap debris")
+
+    // ——— redundant-copy branch: a stranded dir whose batch was replayed
+    // (deterministic overwrite re-created data/b<id>) is simply dropped
+    TestSpark.writeEventsFile(src, "f3",
+      (150L until 200L).map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
+    val b3 = new org.apache.hadoop.fs.Path(dataDir, "b3")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagingPath))
+    org.apache.hadoop.fs.FileUtil.copy(fs, b3, fs,
+      new org.apache.hadoop.fs.Path(stagingPath, "b3"), false,
+      spark.sparkContext.hadoopConfiguration)
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
+    assert(servedIds(root) == (0L until 200L),
+      "a redundant stranded copy must not duplicate the batch's rows")
+  }
 }
