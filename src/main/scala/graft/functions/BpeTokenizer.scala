@@ -142,10 +142,26 @@ object BpeTokenizer {
     * constant the engine broadcasts, so engine and oracles cannot
     * drift apart silently.
     */
-  def duckdbReplayCtes(merges: Seq[(String, String)]): String = {
+  def duckdbReplayCtes(merges: Seq[(String, String)]): String =
+    replayCtes(merges,
+      """SELECT w,
+            ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ', 0
+          FROM dw""")
+
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** The shared rule-replay body, parameterized by the SEED select that
+    * produces each word's initial `(w, padded-symbol-string, 0)` row —
+    * code-point symbols for [[duckdbReplayCtes]], byte-mapped chars for
+    * [[duckdbByteReplayCtes]]. The replay itself is symbol-agnostic:
+    * plain strpos/substr over the space-padded form.
+    */
+  private def replayCtes(merges: Seq[(String, String)],
+      seedSelect: String): String = {
     val n = merges.length
     val vals = merges.zipWithIndex
-      .map { case ((a, b), i) => s"($i, ' $a $b ', ' ${a + b} ')" }
+      .map { case ((a, b), i) =>
+        s"($i, ' ${sqlQuote(a)} ${sqlQuote(b)} ', ' ${sqlQuote(a + b)} ')" }
       .mkString(", ")
     s"""rules(i, pat, rep) AS (VALUES $vals),
         -- rank-order merge replay: each rule merges its LEFTMOST
@@ -154,9 +170,7 @@ object BpeTokenizer {
         -- NOT be: its consumed delimiters skip a symbol inside odd
         -- same-symbol runs), then i advances; done when i = $n
         enc(w, s, i) AS (
-          SELECT w,
-            ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ', 0
-          FROM dw
+          $seedSelect
           UNION ALL
           SELECT e.w,
             CASE WHEN strpos(e.s, r.pat) > 0
@@ -190,6 +204,159 @@ object BpeTokenizer {
     m
   }
 
+  // ——— Single-sourced encode UDFs. The `.asNondeterministic()` pin is
+  // LOAD-BEARING, not cosmetic: every consumer explodes the pieces
+  // downstream, and for a deterministic UDF InferFiltersFromGenerate
+  // adds `size(udf(w)) > 0` filters that predicate pushdown moves
+  // through the broadcast join and BELOW the distinct-word aggregate —
+  // re-running encode once per word OCCURRENCE (measured 200,500 calls
+  // vs 500 for the BpeTokenizerSpec fixture, a 400× scale-killer at
+  // corpus size). Marking it nondeterministic pins evaluation to the
+  // post-distinct project. Declared HERE, next to the merge tables, so
+  // the pin exists in exactly one place and a new consumer cannot
+  // silently reintroduce the blowup.
+
+  /** Subword pieces of one `[a-z]+` word under `merges` — the memoized
+    * per-DISTINCT-word UDF every `ta_bpe_*`/`pipe_*_bpe` entry shares.
+    */
+  def encodeUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((w: String) => encode(w, merges))
+      .asNondeterministic()
+
+  /** [[encodeUdf]] continued through [[vocabIds]] to token ids. */
+  def encodeIdsUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ids = vocabIds(merges)
+    org.apache.spark.sql.functions
+      .udf((w: String) => encode(w, merges).map(p => ids(p).toLong))
+      .asNondeterministic()
+  }
+
+  // ——— Byte-level BPE: the total-domain tokenizer. The `[a-z]+` family
+  // above silently DROPS digits, punctuation and all non-Latin text at
+  // its regexp pre-filter; production tokenizers are byte-level
+  // precisely so the id map is total for arbitrary bytes. Same
+  // construction GPT-2's encoder published: remap each of the 256 byte
+  // values to a distinct PRINTABLE code point (bytes that are already
+  // printable-and-not-space keep themselves; the rest get 256, 257, …
+  // in byte order), run ordinary character BPE over the remapped
+  // string, and decode by reversing the map. Every piece is then a
+  // string both engines handle verbatim, no symbol ever contains the
+  // space delimiter the padded-string replay uses, and ids are total:
+  // base byte b ↦ id b, merge rule k's output ↦ id 256+k.
+
+  /** The byte↦char bijection: printable non-space single-byte code
+    * points (`!`..`~`, `¡`..`¬`, `®`..`ÿ`) map to themselves, the other
+    * 68 byte values map to 256+n in byte order — all in the BMP, so one
+    * UTF-16 char each.
+    */
+  val ByteToChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private val CharToByte: Map[Char, Int] =
+    ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** A word's UTF-8 bytes as the remapped printable-char string — the
+    * symbol sequence byte-level training and encoding run over.
+    */
+  def toByteChars(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = ByteToChar(bytes(i) & 0xFF); i += 1 }
+    new String(out)
+  }
+
+  /** Byte-level encode: total over ARBITRARY input — digits,
+    * punctuation, any Unicode. Pieces are strings of remapped byte
+    * chars; [[decodeBytes]] inverts losslessly.
+    */
+  def encodeBytes(word: String, merges: Seq[(String, String)]): Seq[String] =
+    encode(toByteChars(word), merges)
+
+  /** Lossless inverse of [[encodeBytes]]: concatenate the pieces, map
+    * each char back to its byte, decode UTF-8.
+    */
+  def decodeBytes(pieces: Seq[String]): String = {
+    val chars = pieces.mkString
+    val bytes = new Array[Byte](chars.length)
+    var i = 0
+    while (i < chars.length) {
+      bytes(i) = CharToByte(chars(i)).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The TOTAL id map a byte-level merge table induces: byte value b
+    * (as its remapped char) ↦ id b for all 256 bytes, merge rule k's
+    * output ↦ id 256+k. [[encodeBytes]] can only emit single byte
+    * chars or rule outputs, so lookup never misses — the totality the
+    * `[a-z]+` [[vocabIds]] lacks.
+    */
+  def byteVocabIds(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = ByteToChar.zipWithIndex
+      .map { case (c, b) => c.toString -> b }
+    val learned = merges.zipWithIndex
+      .map { case ((a, b), k) => (a + b) -> (256 + k) }
+    val m = (base ++ learned).toMap
+    require(m.size == base.length + learned.size,
+      "duplicate token in byte vocabulary — merge table re-derived a token")
+    m
+  }
+
+  /** Byte-level [[encodeUdf]] — same memoize-per-distinct-word +
+    * nondeterministic-pin contract.
+    */
+  def encodeBytesUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions
+      .udf((w: String) => encodeBytes(w, merges))
+      .asNondeterministic()
+
+  /** Byte-level id encode: total for arbitrary words. */
+  def encodeByteIdsUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ids = byteVocabIds(merges)
+    org.apache.spark.sql.functions
+      .udf((w: String) => encodeBytes(w, merges).map(p => ids(p).toLong))
+      .asNondeterministic()
+  }
+
+  /** [[duckdbReplayCtes]] for the BYTE-level tokenizer: the seed
+    * decomposes each word into UTF-8 bytes VIA `hex(encode(w))` (two
+    * hex digits per byte, pure VARCHAR ops) and maps each byte through
+    * a 256-row VALUES table to the SAME remapped chars the engine uses
+    * — so the replay runs over identical symbols in both engines. The
+    * byte map is interpolated from [[ByteToChar]], the rules from the
+    * frozen table: one source of truth, same as the `[a-z]+` replay.
+    * Callers splice after defining `dw(w)`; `bmap` and `wbytes` ride
+    * along in the WITH list.
+    */
+  def duckdbByteReplayCtes(merges: Seq[(String, String)]): String = {
+    val bmapVals = ByteToChar.zipWithIndex
+      .map { case (c, b) => f"('$b%02X', '${sqlQuote(c.toString)}')" }
+      .mkString(", ")
+    s"""bmap(hx, ch) AS (VALUES $bmapVals),
+        wbytes AS (
+          SELECT w, i, substr(hex(encode(w)), 2 * i - 1, 2) AS hx
+          FROM dw, unnest(range(1, octet_length(encode(w)) + 1)) AS u(i)),
+        ${replayCtes(merges,
+      """SELECT w, ' ' || string_agg(ch, ' ' ORDER BY i) || ' ', 0
+          FROM wbytes JOIN bmap USING (hx) GROUP BY w""")}"""
+  }
+
   /** The frozen merge table `ta_bpe_encode` ships: 40 merges trained
     * ONCE from the sf0.01 documents corpus ([a-z]+ words of
     * lowercased text) by [[train]] — regenerable via
@@ -201,4 +368,13 @@ object BpeTokenizer {
     * static SQL literal.
     */
   val FrozenMerges: Seq[(String, String)] = FrozenBpeMerges.Merges
+
+  /** The frozen BYTE-level merge table (`ta_bpe_bytes`): 48 merges
+    * trained once from the sf0.01 documents corpus — `\S+` pretokens of
+    * the RAW text (no lowercasing, no alphabet filter: case, digits and
+    * punctuation are learnable bytes here), remapped through
+    * [[ByteToChar]], learned by the same [[train]]. Reproducibility
+    * pinned by ByteBpeSpec exactly like [[FrozenMerges]].
+    */
+  val FrozenByteMerges: Seq[(String, String)] = FrozenBpeMerges.ByteMerges
 }

@@ -258,11 +258,9 @@ object CorpusCuration {
     (s, d) => {
       import s.implicits._
       val merges = graft.functions.BpeTokenizer.FrozenMerges
-      // nondeterministic for the same load-bearing reason as
-      // ta_bpe_encode: a deterministic UDF gets pushed below the
-      // distinct by inferred filters and runs per occurrence
-      val encodeUdf = udf((w: String) =>
-        graft.functions.BpeTokenizer.encode(w, merges)).asNondeterministic()
+      // single-sourced UDF: the nondeterministic pushdown pin lives in
+      // BpeTokenizer next to the merge tables
+      val encodeUdf = graft.functions.BpeTokenizer.encodeUdf(merges)
       val words = Tables.documents(s, d)
         .select($"doc_id",
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))

@@ -673,17 +673,10 @@ object TextAnalysis {
       "ta_bpe_encode",
       (s, d) => {
         import s.implicits._
-        // asNondeterministic is load-bearing, not cosmetic: the
-        // downstream posexplode makes InferFiltersFromGenerate add
-        // `size(udf(w)) > 0` filters, and for a deterministic UDF the
-        // optimizer pushes them through the join and BELOW the distinct
-        // aggregate — re-running encode once per occurrence row (2x
-        // corpus scale) instead of once per distinct word. Marking it
-        // nondeterministic pins evaluation to the post-distinct project
-        // (asserted by accumulator count in BpeTokenizerSpec).
-        val encodeUdf = udf((w: String) =>
-          graft.functions.BpeTokenizer.encode(w, merges))
-          .asNondeterministic()
+        // single-sourced UDF: the .asNondeterministic() pushdown pin
+        // (load-bearing — see the scaladoc at its one definition) lives
+        // in BpeTokenizer next to the merge tables
+        val encodeUdf = graft.functions.BpeTokenizer.encodeUdf(merges)
         val words = Tables.documents(s, d)
           .filter($"doc_id" % 10 === 0)
           .select($"doc_id",
@@ -724,6 +717,86 @@ object TextAnalysis {
     * a list column (oracle dtype rules), plus the exploded sample the
     * encode entry already covers.
     */
+  /** The byte-RICH text construction `ta_bpe_bytes` tokenizes: the
+    * synthetic corpus is ASCII-lowercase-only, so — same policy as
+    * [[unicodeNfc]]'s constructed decomposition — the bytes worth
+    * exercising are added deterministically: case (`Doc`), digits and
+    * punctuation (`#<id>`, `3.14!`), 2-byte (`é`), 3-byte (`—`, `№`,
+    * `☕`) and 4-byte (`🙂`) UTF-8. One expression string, valid in
+    * BOTH engines (Spark and DuckDB accept `||`, `substr`, and
+    * `CAST(… AS STRING)`), so the enriched text cannot drift between
+    * the query and its oracle. The frozen byte merge table is TRAINED
+    * on exactly this construction over sf0.01 (ByteBpeSpec re-trains
+    * and pins it).
+    */
+  val ByteRichExpr: String =
+    "'Doc #' || CAST(doc_id AS STRING) || ': ' || substr(text, 1, 60) || " +
+      "' — café №' || CAST(doc_id % 10 AS STRING) || ' ☕🙂 3.14!'"
+
+  /** BYTE-level BPE under the frozen byte merge table
+    * ([[graft.functions.BpeTokenizer.encodeBytes]],
+    * `FrozenBpeMerges.ByteMerges`) — the total-domain tokenizer the
+    * `[a-z]+` family is not: `\S+` pretokens of the byte-rich text,
+    * every byte remapped to a printable char (GPT-2's published
+    * byte-to-unicode construction), BPE over the remapped symbols, ids
+    * total for ARBITRARY input (byte b ↦ b, merge k ↦ 256+k). Nothing
+    * is dropped: digits, punctuation, case and multi-byte UTF-8 all
+    * tokenize. Scale shape identical to [[bpeEncode]]: encode memoized
+    * per DISTINCT pretoken, broadcast-joined back to occurrences. The
+    * oracle replays the identical rules over identical symbols — the
+    * byte decomposition runs through `hex(encode(w))` + a 256-row
+    * VALUES byte map interpolated from the same Scala constant — and
+    * maps pieces to ids via a VALUES-stated total vocabulary, so split
+    * AND ids are hash-checked cross-engine.
+    */
+  val bpeBytes: Q = {
+    val merges = graft.functions.BpeTokenizer.FrozenByteMerges
+    val ids = graft.functions.BpeTokenizer.byteVocabIds(merges)
+    val vocabValues = ids.toSeq.sortBy(_._2)
+      .map { case (tok, id) => s"('${tok.replace("'", "''")}', $id)" }
+      .mkString(", ")
+    Q(
+      "ta_bpe_bytes",
+      (s, d) => {
+        import s.implicits._
+        val encodePieces = graft.functions.BpeTokenizer.encodeBytesUdf(merges)
+        val encodeIds = graft.functions.BpeTokenizer.encodeByteIdsUdf(merges)
+        val words = Tables.documents(s, d)
+          .filter($"doc_id" % 10 === 0)
+          .select($"doc_id",
+            posexplode(expr(
+              s"regexp_extract_all($ByteRichExpr, '\\\\S+', 0)"))
+              .as(Seq("wp0", "w")))
+          .select($"doc_id", ($"wp0" + 1).cast(LongType).as("word_pos"), $"w")
+        val pieces = words.select($"w").distinct()
+          .withColumn("zipped",
+            arrays_zip(encodePieces($"w").as("p"), encodeIds($"w").as("t")))
+        words.join(broadcast(pieces), "w")
+          .select($"doc_id", $"word_pos",
+            posexplode($"zipped").as(Seq("pp0", "pz")))
+          .select($"doc_id", $"word_pos",
+            ($"pp0" + 1).cast(LongType).as("piece_pos"),
+            $"pz.p".as("piece"), $"pz.t".as("tid"))
+          .orderBy($"doc_id", $"word_pos", $"piece_pos")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, regexp_extract_all($ByteRichExpr, '\\S+') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+        words AS (SELECT doc_id, unnest(ws) AS w,
+            unnest(range(1, len(ws) + 1)) AS word_pos FROM docs),
+        dw AS (SELECT DISTINCT w FROM words),
+        ${graft.functions.BpeTokenizer.duckdbByteReplayCtes(merges)},
+        vocab(tok, tid) AS (VALUES $vocabValues),
+        outp AS (SELECT doc_id, word_pos, unnest(ps) AS piece,
+            unnest(range(1, len(ps) + 1)) AS piece_pos
+          FROM words JOIN pieces USING (w))
+      SELECT o.doc_id, CAST(o.word_pos AS BIGINT) AS word_pos,
+        CAST(o.piece_pos AS BIGINT) AS piece_pos, o.piece,
+        CAST(v.tid AS BIGINT) AS tid
+      FROM outp o JOIN vocab v ON v.tok = o.piece
+      ORDER BY o.doc_id, o.word_pos, o.piece_pos"""))
+  }
+
   val bpeIds: Q = {
     val merges = graft.functions.BpeTokenizer.FrozenMerges
     val ids = graft.functions.BpeTokenizer.vocabIds(merges)
@@ -733,10 +806,7 @@ object TextAnalysis {
       "ta_bpe_ids",
       (s, d) => {
         import s.implicits._
-        val encodeUdf = udf((w: String) =>
-          graft.functions.BpeTokenizer.encode(w, merges)
-            .map(p => ids(p).toLong))
-          .asNondeterministic() // same pushdown pin as ta_bpe_encode
+        val encodeUdf = graft.functions.BpeTokenizer.encodeIdsUdf(merges)
         val words = Tables.documents(s, d)
           .select($"doc_id",
             explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
@@ -772,5 +842,5 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     rollingFingerprint, topBigrams, lengthHistogram, vocab, repetition,
     tfidf, bigramLm, denylistScrub, piiScan, invertedIndex, dupNgrams,
-    unicodeNfc, bpeEncode, bpeIds)
+    unicodeNfc, bpeEncode, bpeIds, bpeBytes)
 }
