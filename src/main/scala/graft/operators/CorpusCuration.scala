@@ -1055,8 +1055,68 @@ object CorpusCuration {
         min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** The footprint-manifest BOX PROBE under the driver's oracle: build
+    * the guarded table (two lease-guarded appends + one z-order
+    * compaction, which persists the per-file footprint manifest from
+    * the staged files' parquet footers), then serve a selective 2-D
+    * box through [[graft.pipeline.Layout.servingReadBox]] — the
+    * planning-time FILE pruning path ([[graft.pipeline.Layout
+    * .boxPrunedPaths]]) — and hash-match per-user rollups of the
+    * surviving rows against the same box stated directly over the
+    * source table. A manifest entry with a wrong footprint, a pruned
+    * path that actually intersected the box, or any row lost in
+    * append → compact → manifest → prune → serve breaks the hash.
+    * (`LayoutManifestPruningSpec` additionally observes the path-list
+    * shrink via scan metrics; this entry pins the SEMANTICS.)
+    */
+  val manifestPrune: Q = Q(
+    "pipe_manifest_prune",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("manifest-prune")
+      (0 until 2).foreach { k =>
+        graft.pipeline.Layout.appendGuarded(
+          ev.filter(pmod($"event_id", lit(2L)) === k), root)
+      }
+      graft.pipeline.Layout.compactZorderGuarded(s, root, "user_id",
+        "ts_us", nFiles = 16)
+      val bRow = ev.agg(min($"user_id"), max($"user_id"),
+          min($"ts_us"), max($"ts_us")).head.toSeq
+      require(bRow.forall(_ != null),
+        "pipe_manifest_prune: events table is empty")
+      val b = bRow.map(_.asInstanceOf[Long])
+      def lo(i: Int) = b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 25 / 100
+      def hi(i: Int) = b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 75 / 100
+      graft.pipeline.Layout.servingReadBox(s, root,
+        "user_id", lo(0), hi(0), "ts_us", lo(1), hi(1)) { df =>
+        df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"event_id").as("id_sum"),
+            min($"ts_us").as("first_us"), max($"ts_us").as("last_us"))
+          .orderBy($"user_id")
+      }
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (
+        SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+          min(ts_us) AS mn1, max(ts_us) AS mx1 FROM src)
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(event_id) AS BIGINT) AS id_sum,
+        min(ts_us) AS first_us, max(ts_us) AS last_us
+      FROM src, b
+      WHERE user_id >= mn0 + (mx0 - mn0) * 25 // 100
+        AND user_id <= mn0 + (mx0 - mn0) * 75 // 100
+        AND ts_us >= mn1 + (mx1 - mn1) * 25 // 100
+        AND ts_us <= mn1 + (mx1 - mn1) * 75 // 100
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, splitCounts, quotaSample, weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
-    splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest)
+    splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
+    manifestPrune)
 }

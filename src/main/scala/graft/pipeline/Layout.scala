@@ -223,6 +223,10 @@ object Layout {
     // gates on the checkpoint's commit frontier.
     zorderWrite(readComplete(spark, dir), colA, colB, snap.stagingPath,
       nFiles)
+    // footprint manifest from the staged files' FOOTERS (no data
+    // scan), written INTO staging so it promotes atomically with the
+    // snapshot it describes — servingReadBox prunes paths against it
+    writeFootprintManifest(spark, snap.stagingPath, colA, colB)
     snap.swapIn()
   }
 
@@ -370,6 +374,194 @@ object Layout {
       t = if (t.getCause eq t) null else t.getCause
     }
     false
+  }
+
+  // ——— Footprint manifest: PLANNING-TIME file pruning. OSS Spark
+  // prunes parquet ROW GROUPS inside the reader, but only after
+  // listing every file and opening every footer — at 100 TB / millions
+  // of files the listing + footer reads dominate a selective probe
+  // (LayoutScanPruningSpec observes numFiles staying at the full count
+  // while rows shrink). The manifest persists each compacted file's
+  // [min,max] box for the two layout columns, computed from the
+  // parquet FOOTERS the write already produced (no data scan), and a
+  // box probe prunes PATHS against it before the scan plan exists —
+  // the same move Delta/Iceberg make with their stats manifests.
+
+  /** Manifest file name, inside the snapshot dir. Underscore-prefixed:
+    * invisible to Spark's parquet listing and to
+    * [[completeDataPaths]], and written into `.staging` BEFORE the
+    * swap so manifest and snapshot promote atomically together.
+    */
+  private[graft] val ManifestFile = "_footprints.tsv"
+
+  /** Read each file's per-column [min, max] from its parquet FOOTER —
+    * the statistics the write already persisted; no data pages are
+    * touched. Distributed over files (a footer read is one small
+    * ranged request each; at millions of files the driver must not
+    * serialize this). Returns None for a file with no usable stats
+    * (empty file, missing column) — callers must treat such files as
+    * always-scan.
+    */
+  private def footerFootprints(spark: SparkSession, files: Seq[String],
+      colA: String, colB: String): Seq[(String, Long, Long, Long, Long)] = {
+    if (files.isEmpty) return Seq.empty
+    val confBytes = {
+      // Hadoop Configuration is not serializable as-is; ship the XML
+      val baos = new java.io.ByteArrayOutputStream()
+      spark.sparkContext.hadoopConfiguration.writeXml(baos)
+      baos.toByteArray
+    }
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.addResource(new java.io.ByteArrayInputStream(confBytes))
+        longStatsOf(f, conf, colA, colB)
+      }
+      .collect().toSeq
+  }
+
+  /** One file's (name, minA, maxA, minB, maxB) from its footer, or
+    * None when statistics are absent for either column.
+    */
+  private def longStatsOf(file: String,
+      conf: org.apache.hadoop.conf.Configuration, colA: String,
+      colB: String): Option[(String, Long, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      def minMax(c: String): Option[(Long, Long)] = {
+        val stats = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+          .map(_.getStatistics)
+        if (stats.isEmpty || stats.exists(s =>
+            s == null || s.isEmpty || !s.hasNonNullValue)) None
+        else {
+          val longs = stats.collect {
+            case l: org.apache.parquet.column.statistics.LongStatistics =>
+              (l.getMin, l.getMax)
+          }
+          if (longs.size != stats.size) None
+          else Some((longs.map(_._1).min, longs.map(_._2).max))
+        }
+      }
+      for { (ma, xa) <- minMax(colA); (mb, xb) <- minMax(colB) }
+        yield (new org.apache.hadoop.fs.Path(file).getName, ma, xa, mb, xb)
+    } finally reader.close()
+  }
+
+  /** Write the footprint manifest for every top-level parquet file in
+    * `dir` (footer-only pass). Entries are keyed by file NAME, not
+    * path — the snapshot dir is renamed twice during the swap.
+    */
+  private[graft] def writeFootprintManifest(spark: SparkSession,
+      dir: String, colA: String, colB: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    val rows = footerFootprints(spark, files, colA, colB)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, ManifestFile), true)
+    try {
+      val header = s"# footprints v1\t$colA\t$colB\n"
+      out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      rows.sortBy(_._1).foreach { case (n, ma, xa, mb, xb) =>
+        out.write(s"$n\t$ma\t$xa\t$mb\t$xb\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+  }
+
+  /** The manifest's entries, or empty when none exists (a table that
+    * has never compacted prunes nothing — correct, just not fast). A
+    * manifest whose header names DIFFERENT columns than the probe is
+    * ignored entirely: pruning on mismatched stats would drop live
+    * rows silently.
+    */
+  private[graft] def readFootprintManifest(spark: SparkSession,
+      dataDir: String, colA: String, colB: String)
+      : Map[String, (Long, Long, Long, Long)] = {
+    val fs = fsFor(spark, dataDir)
+    val p = new org.apache.hadoop.fs.Path(dataDir, ManifestFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) return Map.empty
+    val header = lines.head.split('\t')
+    if (header.length != 3 || header(1) != colA || header(2) != colB)
+      return Map.empty
+    lines.tail.map { l =>
+      val f = l.split('\t')
+      f(0) -> (f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+    }.toMap
+  }
+
+  /** The box probe's path list: every complete data path, MINUS flat
+    * files whose manifested footprint does not intersect the box.
+    * Unmanifested paths — fresh append files, streaming `b<id>` batch
+    * dirs, anything written since the last compaction — are always
+    * kept: the manifest only ever REMOVES files it has proof about.
+    * Returns (kept, total) so callers can observe the shrink.
+    */
+  private[graft] def boxPrunedPaths(spark: SparkSession, dataDir: String,
+      colA: String, loA: Long, hiA: Long, colB: String, loB: Long,
+      hiB: Long): (Seq[String], Int) = {
+    val all = completeDataPaths(spark, dataDir)
+    val manifest = readFootprintManifest(spark, dataDir, colA, colB)
+    val kept = all.filter { p =>
+      manifest.get(new org.apache.hadoop.fs.Path(p).getName) match {
+        case Some((ma, xa, mb, xb)) =>
+          !(hiA < ma || loA > xa || hiB < mb || loB > xb)
+        case None => true
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** [[servingRead]] for a selective 2-D box probe: prunes the PATH
+    * list against the footprint manifest before `spark.read` ever
+    * plans, then applies the box filter (so row-group pruning and the
+    * exact predicate still run on whatever survives). Same retry
+    * contract and same lazy-plan caveat as [[servingRead]]. Result is
+    * identical to the unpruned read under the same filter — the
+    * manifest only removes files whose persisted footprint cannot
+    * intersect the box (LayoutManifestPruningSpec proves equality and
+    * observes the shrink).
+    */
+  def servingReadBox[A](spark: SparkSession, root: String, colA: String,
+      loA: Long, hiA: Long, colB: String, loB: Long, hiB: Long,
+      retries: Int = 60, backoffMs: Long = 25)(use: DataFrame => A): A = {
+    val dataDir = tableDataDir(root)
+    var attempt = 0
+    while (true) {
+      try {
+        val (kept, _) = boxPrunedPaths(spark, dataDir, colA, loA, hiA,
+          colB, loB, hiB)
+        val df =
+          if (kept.isEmpty)
+            // every file pruned: an empty result with the right schema
+            // still needs SOME footer — fall back to the full listing
+            // filtered to nothing rather than inventing a schema
+            readComplete(spark, dataDir).limit(0)
+          else spark.read.parquet(kept: _*)
+        return use(df.filter(
+          col(colA) >= loA && col(colA) <= hiA &&
+            col(colB) >= loB && col(colB) <= hiB))
+      } catch {
+        case e: Throwable if attempt < retries && isTransientMissing(e) =>
+          attempt += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Per-file [min, max] footprints of two columns — the exact

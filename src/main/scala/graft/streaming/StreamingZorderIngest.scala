@@ -114,6 +114,10 @@ object StreamingZorderIngest {
         if (foldPaths.nonEmpty) {
           Layout.zorderWrite(spark.read.parquet(foldPaths: _*), colA, colB,
             snap.stagingPath, nFiles)
+          // footprint manifest rides the swap with the snapshot it
+          // describes; later batch dirs are simply absent from it
+          // (servingReadBox always keeps unmanifested paths)
+          Layout.writeFootprintManifest(spark, snap.stagingPath, colA, colB)
           // carry non-foldable batches through the swap. Each move is
           // CHECKED: an unchecked rename returning false would leave the
           // dir in the old target, and swapIn's retire-then-delete would
