@@ -966,20 +966,12 @@ object EventWindows {
     * sides: the pandas-replica checker is dtype-sensitive and a nullable
     * BIGINT would land as float64.
     */
-  val streamJoinOuter: Q = Q(
-    "ev_stream_join_outer",
-    (s, d) => {
-      import s.implicits._
-      drainEvents(s, d, "graft_stream_join_outer_sink", copies = 1,
-        outputMode = "append",
-        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoinOuter,
-        shape = _.select($"user_id",
-            unix_micros($"signup_time").as("signup_us"),
-            coalesce(unix_micros($"purchase_time"), lit(-1L))
-              .as("purchase_us"))
-          .orderBy($"user_id", $"signup_us", $"purchase_us"))
-    },
-    Some("""WITH wm AS (
+  /** ONE statement of the left-outer join's declarative truth, shared
+    * verbatim by `ev_stream_join_outer` and its salted twin — a hash
+    * match of both entries against the SAME SQL is the
+    * semantics-preservation proof for the salting.
+    */
+  private val OuterJoinOracleSql = """WITH wm AS (
         SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
       s AS (SELECT user_id, ts, epoch_us(ts) AS signup_us
         FROM events WHERE event_type = 'signup'),
@@ -995,7 +987,52 @@ object EventWindows {
             WHERE p.user_id = s.user_id
               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY))
       SELECT * FROM m UNION ALL SELECT * FROM u
-      ORDER BY user_id, signup_us, purchase_us"""))
+      ORDER BY user_id, signup_us, purchase_us"""
+
+  val streamJoinOuter: Q = Q(
+    "ev_stream_join_outer",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_outer_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline.signupPurchaseJoinOuter,
+        shape = _.select($"user_id",
+            unix_micros($"signup_time").as("signup_us"),
+            coalesce(unix_micros($"purchase_time"), lit(-1L))
+              .as("purchase_us"))
+          .orderBy($"user_id", $"signup_us", $"purchase_us"))
+    },
+    Some(OuterJoinOracleSql))
+
+  /** The SKEW-MITIGATED LEFT OUTER join under the driver's oracle — and
+    * deliberately the SAME oracle SQL as [[streamJoinOuter]], eviction
+    * rows included: [[graft.streaming.EventStreamPipeline
+    * .signupPurchaseJoinOuterSalted]] INVERTS the inner salted form's
+    * scheme (signups content-salted into one lane each, purchases
+    * replicated across lanes) precisely so the null-extended eviction
+    * rows stay exact — each signup has a single replica whose lane sees
+    * every purchase of its user, so it evicts one null row iff no
+    * purchase matched globally. The replicate-signups scheme would emit
+    * k−1 spurious eviction rows per CONVERTED signup, which no local
+    * lane filter can repair; this hash match (matches AND eviction
+    * rows, salts = 4) is the proof the inversion closes that.
+    * JoinSkewStudyR16's outer tier quantifies the hot-share cut.
+    */
+  val streamJoinOuterSalted: Q = Q(
+    "ev_stream_join_outer_salted",
+    (s, d) => {
+      import s.implicits._
+      drainEvents(s, d, "graft_stream_join_outer_salt_sink", copies = 1,
+        outputMode = "append",
+        pipeline = graft.streaming.EventStreamPipeline
+          .signupPurchaseJoinOuterSalted(_, salts = 4),
+        shape = _.select($"user_id",
+            unix_micros($"signup_time").as("signup_us"),
+            coalesce(unix_micros($"purchase_time"), lit(-1L))
+              .as("purchase_us"))
+          .orderBy($"user_id", $"signup_us", $"purchase_us"))
+    },
+    Some(OuterJoinOracleSql))
 
   /** FULL OUTER stream-stream interval join under the driver's oracle —
     * both sides' eviction emissions in one drain: the inner matches, a
@@ -1304,7 +1341,7 @@ object EventWindows {
   val all: Seq[Q] = Seq(hourly, sessionize, funnel, asof, rollingRate,
     retention, eventPaths, attribution, anomaly, sessionWindow, funnel3,
     churn, dauWau, streamHourly, streamDedup, streamJoin, streamJoinSalted,
-    streamJoinOuter,
+    streamJoinOuter, streamJoinOuterSalted,
     streamJoinFull, streamJoinWindow, streamJoinDynAgg, streamDedupWindow,
     streamSessionize,
     streamDynamicAgg, streamDynamicAggWindow, streamDynamicAggUpdate,

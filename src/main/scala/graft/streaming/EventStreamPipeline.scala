@@ -240,10 +240,10 @@ object EventStreamPipeline {
     * the bottleneck — the same trade [[graft.operators.SkewJoin]] makes
     * for the batch join. INNER-ONLY by construction: an outer form would
     * emit one null-extended eviction row per (signup, salt lane) — k
-    * copies of every unmatched signup — so salting an outer join needs a
-    * post-join lane-dedup of the eviction rows, which is a different
-    * operator with its own state; use [[signupPurchaseJoinOuter]]
-    * unsalted for outer semantics.
+    * copies of every unmatched signup, and k−1 spurious ones per
+    * matched signup; for skew-mitigated LEFT OUTER semantics use
+    * [[signupPurchaseJoinOuterSalted]], which inverts the salting so
+    * eviction rows stay exact.
     */
   def signupPurchaseJoinSalted(events: DataFrame, salts: Int): DataFrame = {
     // salts = 0 would silently drop every signup (empty explode) and
@@ -269,6 +269,61 @@ object EventStreamPipeline {
       """user_id = p_user_id AND salt = p_salt AND
          purchase_time >= signup_time AND
          purchase_time <= signup_time + interval 7 days"""))
+      .select($"user_id", $"signup_time", $"purchase_time")
+  }
+
+  /** SKEW-MITIGATED LEFT OUTER join — closing the documented inner-only
+    * contract of [[signupPurchaseJoinSalted]]. The inner form's scheme
+    * (replicate signups across lanes, salt purchases by content) is
+    * structurally WRONG for outer semantics: a signup that matched in
+    * some lane still evicts null-extended rows from every lane that saw
+    * no match — k−1 spurious "did not convert" rows per converted
+    * signup, and k duplicates per genuinely unconverted one. No
+    * post-filter can repair that locally (whether lane 0's eviction is
+    * real depends on the OTHER lanes' matches). So the outer form
+    * INVERTS the salting: each signup lives in exactly ONE lane
+    * (`xxhash64(event_id) mod salts` — content-derived, deterministic
+    * under replay), purchases are REPLICATED across all lanes. Each
+    * signup's lane then contains every purchase of its user, so (1)
+    * each (signup, purchase) pair meets exactly once, and (2) the
+    * signup's single replica evicts one null row iff NO purchase
+    * matched globally — eviction rows are exact with zero
+    * post-processing, and the output is bit-identical to the unsalted
+    * [[signupPurchaseJoinOuter]] (oracled as `ev_stream_join_outer_
+    * salted` under the SAME SQL). The skew cut moves with the salted
+    * side: the hot user's signup rows — state AND their quadratic
+    * match fan-out — spread over `salts` tasks; the stated cost is
+    * purchase-side state × salts (the inner form pays signup-side ×
+    * salts — pick the form by which side is cheap to replicate).
+    * LEFT-OUTER-ONLY by the same style of argument: a FULL outer form
+    * would evict each orphan purchase once per lane replica — the
+    * right side is now the replicated one — so full-outer salting
+    * needs the dual construction or a lane-dedup; use
+    * [[signupPurchaseJoinFull]] unsalted for full-outer semantics.
+    */
+  def signupPurchaseJoinOuterSalted(events: DataFrame,
+      salts: Int): DataFrame = {
+    require(salts >= 1,
+      s"signupPurchaseJoinOuterSalted: salts must be >= 1, got $salts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id",
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L)))
+          .as("signup_time"),
+        pmod(xxhash64($"event_id"), lit(salts.toLong)).cast("int")
+          .as("salt"))
+      .withWatermark("signup_time", "1 hour")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"),
+        timestamp_micros(expr(graft.queries.Tables.fldivExpr("ts", 1000L)))
+          .as("purchase_time"),
+        explode(lit((0 until salts).toArray)).as("p_salt"))
+      .withWatermark("purchase_time", "1 hour")
+    signups.join(purchases, expr(
+      """user_id = p_user_id AND salt = p_salt AND
+         purchase_time >= signup_time AND
+         purchase_time <= signup_time + interval 7 days"""), "leftOuter")
       .select($"user_id", $"signup_time", $"purchase_time")
   }
 
