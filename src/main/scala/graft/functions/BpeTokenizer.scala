@@ -334,6 +334,21 @@ object BpeTokenizer {
       .asNondeterministic()
   }
 
+  /** Pieces AND ids in ONE pass — for consumers that need both: two
+    * separate UDF calls would run the merge replay twice per distinct
+    * word, doubling exactly the vocabulary-bounded work the
+    * memoization exists to cap. Returns (piece, id) pairs; the id is a
+    * map lookup on the piece just computed.
+    */
+  def encodeBytesWithIdsUdf(merges: Seq[(String, String)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ids = byteVocabIds(merges)
+    org.apache.spark.sql.functions
+      .udf((w: String) =>
+        encodeBytes(w, merges).map(p => (p, ids(p).toLong)))
+      .asNondeterministic()
+  }
+
   /** [[duckdbReplayCtes]] for the BYTE-level tokenizer: the seed
     * decomposes each word into UTF-8 bytes VIA `hex(encode(w))` (two
     * hex digits per byte, pure VARCHAR ops) and maps each byte through

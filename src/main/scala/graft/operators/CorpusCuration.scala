@@ -14,22 +14,40 @@ import org.apache.spark.sql.types._
   */
 object CorpusCuration {
 
-  /** A FIXED per-tag scratch directory, wiped before each use: the
+  /** A per-JVM, per-tag scratch directory, wiped before each use: the
     * layout queries write a parquet copy of their input, and a fresh
     * `createTempDirectory` per execution leaks one full copy per bench
-    * pass — the fixed path caps the footprint at one copy per tag
-    * regardless of how many passes run. Verify/Bench execute queries
-    * sequentially, so the wipe cannot race a concurrent execution of
-    * the same tag.
+    * pass — the fixed-per-tag path caps the footprint at one copy per
+    * tag regardless of how many passes run. The root carries the JVM's
+    * pid so two graft processes (a Bench started mid-Verify, two users
+    * on one host) can never wipe each other's live scratch table —
+    * within ONE process, Verify/Bench execute queries sequentially, so
+    * the wipe cannot race a concurrent execution of the same tag. The
+    * root is removed at JVM exit.
     */
-  private def scratchDir(tag: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-scratch", tag)
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-scratch-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(p) catch { case _: Exception => () }))
+    p
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(p)
+      // materialize, then close the stream BEFORE deleting (walk holds
+      // directory handles open; deleting under it is unspecified)
+      val paths =
+        try walk.iterator().asScala.toSeq
+        finally walk.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+
+  private def scratchDir(tag: String): String = {
+    val p = scratchRoot.resolve(tag)
+    deleteRecursively(p)
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }

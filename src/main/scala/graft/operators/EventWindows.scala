@@ -950,26 +950,17 @@ object EventWindows {
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
       ORDER BY 1, 2, 3"""))
 
-  /** LEFT OUTER stream-stream interval join under the driver's oracle —
-    * the eviction-EMISSION semantics the inner form never exercises: a
-    * null-extended row for an unconverted signup is emitted only when
-    * the signup's join state is evicted, i.e. when the purchase-side
-    * watermark proves its 7-day conversion window empty forever. The
-    * drained sink is therefore the inner matches PLUS one null row per
-    * closed-and-unmatched signup; unmatched signups still inside the
-    * horizon emit nothing (they ride in state). Boundary replicated in
-    * the SQL: the global watermark is `floor(max event-time ms) - 1 h`,
-    * the left state watermark subtracts the 7-day interval bound
-    * (`StreamingJoinHelper.getStateValueWatermark`), and eviction is
-    * STRICT (`signup_time < state watermark` — WatermarkSupport's
-    * less-than on value watermarks). Nulls are folded to -1 on both
-    * sides: the pandas-replica checker is dtype-sensitive and a nullable
-    * BIGINT would land as float64.
-    */
   /** ONE statement of the left-outer join's declarative truth, shared
     * verbatim by `ev_stream_join_outer` and its salted twin — a hash
     * match of both entries against the SAME SQL is the
-    * semantics-preservation proof for the salting.
+    * semantics-preservation proof for the salting. Boundary semantics
+    * replicated here: the global watermark is `floor(max event-time
+    * ms) - 1 h`, the left state watermark subtracts the 7-day interval
+    * bound (`StreamingJoinHelper.getStateValueWatermark`), and
+    * eviction is STRICT (`signup_time < state watermark` —
+    * WatermarkSupport's less-than on value watermarks). Nulls are
+    * folded to -1 on both sides: the pandas-replica checker is
+    * dtype-sensitive and a nullable BIGINT would land as float64.
     */
   private val OuterJoinOracleSql = """WITH wm AS (
         SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
@@ -989,6 +980,17 @@ object EventWindows {
       SELECT * FROM m UNION ALL SELECT * FROM u
       ORDER BY user_id, signup_us, purchase_us"""
 
+  /** LEFT OUTER stream-stream interval join under the driver's oracle —
+    * the eviction-EMISSION semantics the inner form never exercises: a
+    * null-extended row for an unconverted signup is emitted only when
+    * the signup's join state is evicted, i.e. when the purchase-side
+    * watermark proves its 7-day conversion window empty forever. The
+    * drained sink is therefore the inner matches PLUS one null row per
+    * closed-and-unmatched signup; unmatched signups still inside the
+    * horizon emit nothing (they ride in state). Eviction-boundary and
+    * dtype details on [[OuterJoinOracleSql]], the SQL this entry shares
+    * with its salted twin.
+    */
   val streamJoinOuter: Q = Q(
     "ev_stream_join_outer",
     (s, d) => {

@@ -759,8 +759,10 @@ object TextAnalysis {
       "ta_bpe_bytes",
       (s, d) => {
         import s.implicits._
-        val encodePieces = graft.functions.BpeTokenizer.encodeBytesUdf(merges)
-        val encodeIds = graft.functions.BpeTokenizer.encodeByteIdsUdf(merges)
+        // ONE UDF for pieces and ids together: two separate encode
+        // calls would run the merge replay twice per distinct word
+        val encodeBoth =
+          graft.functions.BpeTokenizer.encodeBytesWithIdsUdf(merges)
         val words = Tables.documents(s, d)
           .filter($"doc_id" % 10 === 0)
           .select($"doc_id",
@@ -769,14 +771,13 @@ object TextAnalysis {
               .as(Seq("wp0", "w")))
           .select($"doc_id", ($"wp0" + 1).cast(LongType).as("word_pos"), $"w")
         val pieces = words.select($"w").distinct()
-          .withColumn("zipped",
-            arrays_zip(encodePieces($"w").as("p"), encodeIds($"w").as("t")))
+          .withColumn("zipped", encodeBoth($"w"))
         words.join(broadcast(pieces), "w")
           .select($"doc_id", $"word_pos",
             posexplode($"zipped").as(Seq("pp0", "pz")))
           .select($"doc_id", $"word_pos",
             ($"pp0" + 1).cast(LongType).as("piece_pos"),
-            $"pz.p".as("piece"), $"pz.t".as("tid"))
+            $"pz._1".as("piece"), $"pz._2".as("tid"))
           .orderBy($"doc_id", $"word_pos", $"piece_pos")
       },
       Some(s"""WITH RECURSIVE docs AS (
