@@ -318,6 +318,65 @@ object CorpusCuration {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY pack_id ORDER BY pack_id"""))
 
+  /** [[tokenPackingBpe]] with the BYTE-LEVEL tokenizer — the packing
+    * seam under the TOTAL tokenizer: `pipe_token_pack_bpe` counts only
+    * `[a-z]+` words, silently excluding digits, punctuation and
+    * non-Latin bytes from every context budget, which under-packs any
+    * corpus that isn't lowercase prose. Here the budget is counted in
+    * byte-BPE pieces of the byte-rich text (`TextAnalysis.ByteRichExpr`
+    * — every byte tokenizes, nothing is dropped), with the same
+    * memoize-per-distinct-pretoken + broadcast-join-back shape and the
+    * same distributed prefix-sum packer. The oracle splices the byte
+    * replay ([[graft.functions.BpeTokenizer.duckdbByteReplayCtes]])
+    * into the packing SQL — tokenizer or packer drift breaks the hash.
+    */
+  val tokenPackingBytes: Q = Q(
+    "pipe_token_pack_bytes",
+    (s, d) => {
+      import s.implicits._
+      val merges = graft.functions.BpeTokenizer.FrozenByteMerges
+      val encodeUdf = graft.functions.BpeTokenizer.encodeBytesUdf(merges)
+      val words = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(expr(
+            s"regexp_extract_all(${TextAnalysis.ByteRichExpr}, '\\\\S+', 0)"))
+            .as("w"))
+      val pieceCounts = words.select($"w").distinct()
+        .select($"w", size(encodeUdf($"w")).cast(LongType).as("n_p"))
+      val docTokens = words.join(broadcast(pieceCounts), "w")
+        .groupBy($"doc_id").agg(sum($"n_p").as("n_tokens"))
+      // every doc has pretokens (the enrichment adds them), but keep
+      // the same all-docs left-join contract as the [a-z]+ packer
+      val sized = Tables.documents(s, d).select($"doc_id".as("did"))
+        .join(docTokens, $"did" === $"doc_id", "left")
+        .select($"did".as("doc_id"),
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"))
+      packByBudget(s, sized, budget = 2048L)
+    },
+    Some(s"""WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          regexp_extract_all(${TextAnalysis.ByteRichExpr}, '\\S+') AS ws
+        FROM documents),
+      words AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+      dw AS (SELECT DISTINCT w FROM words),
+      ${graft.functions.BpeTokenizer
+        .duckdbByteReplayCtes(graft.functions.BpeTokenizer.FrozenByteMerges)},
+      doctok AS (
+        SELECT w2.doc_id, CAST(sum(len(ps)) AS BIGINT) AS n_tokens
+        FROM words w2 JOIN pieces USING (w) GROUP BY w2.doc_id),
+      t AS (SELECT d.doc_id, COALESCE(doctok.n_tokens, 0) AS n_tokens
+        FROM documents d LEFT JOIN doctok ON d.doc_id = doctok.doc_id),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST((sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2048
+            AS BIGINT) AS pack_id
+        FROM t)
+      SELECT pack_id, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY pack_id ORDER BY pack_id"""))
+
   /** Deterministic train/val/test split — the same stable-hash mechanism
     * as [[hashSample]] with an 80/10/10 bucket map, reported as per-source
     * split counts (the reproducibility contract: any engine, any
@@ -1133,7 +1192,8 @@ object CorpusCuration {
       GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
-    tokenPackingBpe, splitCounts, quotaSample, weightedSample, temperatureMix,
+    tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
+    weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune)

@@ -803,6 +803,90 @@ object RelationalQueries {
     },
     None)
 
+  /** Approximate distinct count that IS oracle-checkable — the KMV
+    * (k-minimum-values / bottom-k) sketch [[qApproxDistinct]]'s HLL
+    * cannot be: hash every value with an engine-portable hash (60 bits
+    * of md5 — `conv`/`::BIGINT` of the same 15 hex chars on both
+    * engines), keep the k smallest DISTINCT hashes, and estimate
+    * distinct ≈ (k−1) · 2⁶⁰ / h₍ₖ₎. Every step is exact integer
+    * arithmetic both engines replay bit-for-bit — the estimator itself
+    * is under the hash gate, not just its error bound. Stated as
+    * `(k−1) · (2⁶⁰ div h₍ₖ₎)` because `(k−1) · 2⁶⁰` overflows BIGINT.
+    * Scale shape: the top-k runs as `sort.limit(k)` —
+    * `TakeOrderedAndProject`, per-partition bottom-k merged on the
+    * driver, never a global sort — over the DISTINCT hash table (one
+    * map-side-combined exchange); the two 1-row sketch frames meet by
+    * broadcast. Exact counts ride along so the artifact records the
+    * observed error in permille.
+    */
+  private val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    (s, d) => {
+      import s.implicits._
+      val k = 256
+      val two60 = 1152921504606846976L // 2^60
+      def sketch(c: String, tag: String) =
+        lineitem(s, d)
+          .select(expr(
+            s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("hv"))
+          .distinct()
+          .orderBy($"hv").limit(k)
+          .agg(max($"hv").as(s"hk_$tag"), count(lit(1)).as(s"n_$tag"))
+      def estimate(tag: String) =
+        when(col(s"n_$tag") < k, col(s"n_$tag"))
+          .otherwise(lit(k - 1L) * call_function("div", lit(two60),
+            col(s"hk_$tag")))
+          .as(s"est_$tag")
+      val exact = lineitem(s, d)
+        .agg(countDistinct($"l_orderkey").as("exact_orders"),
+          countDistinct($"l_partkey").as("exact_parts"))
+      sketch("l_orderkey", "orders")
+        .crossJoin(broadcast(sketch("l_partkey", "parts")))
+        .crossJoin(broadcast(exact))
+        .select(estimate("orders"), $"exact_orders",
+          estimate("parts"), $"exact_parts")
+        .select($"est_orders", $"exact_orders", $"est_parts", $"exact_parts",
+          // integral div, not Column./ — double division then cast
+          // truncates where the oracle floors (same trap as scale16)
+          call_function("div",
+            abs($"est_orders" - $"exact_orders") * 1000L, $"exact_orders")
+            .as("err_orders_permille"),
+          call_function("div",
+            abs($"est_parts" - $"exact_parts") * 1000L, $"exact_parts")
+            .as("err_parts_permille"))
+    },
+    Some("""WITH ho AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM lineitem),
+      hp AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM lineitem),
+      so AS (SELECT max(hv) AS hk, count(*) AS n
+        FROM (SELECT hv FROM ho ORDER BY hv LIMIT 256)),
+      sp AS (SELECT max(hv) AS hk, count(*) AS n
+        FROM (SELECT hv FROM hp ORDER BY hv LIMIT 256)),
+      x AS (SELECT count(DISTINCT l_orderkey) AS exact_orders,
+          count(DISTINCT l_partkey) AS exact_parts FROM lineitem)
+      SELECT
+        CAST(CASE WHEN so.n < 256 THEN so.n
+          ELSE 255 * (1152921504606846976 // so.hk) END AS BIGINT)
+          AS est_orders,
+        CAST(x.exact_orders AS BIGINT) AS exact_orders,
+        CAST(CASE WHEN sp.n < 256 THEN sp.n
+          ELSE 255 * (1152921504606846976 // sp.hk) END AS BIGINT)
+          AS est_parts,
+        CAST(x.exact_parts AS BIGINT) AS exact_parts,
+        CAST(abs(CASE WHEN so.n < 256 THEN so.n
+            ELSE 255 * (1152921504606846976 // so.hk) END - x.exact_orders)
+          * 1000 // x.exact_orders AS BIGINT) AS err_orders_permille,
+        CAST(abs(CASE WHEN sp.n < 256 THEN sp.n
+            ELSE 255 * (1152921504606846976 // sp.hk) END - x.exact_parts)
+          * 1000 // x.exact_parts AS BIGINT) AS err_parts_permille
+      FROM so, sp, x"""))
+
   private val qNullHandling = Q(
     "q_null_handling",
     (s, d) => {
@@ -1276,6 +1360,7 @@ object RelationalQueries {
     qWindowLag, qRollup, qCube, qSetOps, qDistinctAgg, qTopK, qScalarFuncs,
     qDateFuncs, qCaseWhen, qHaving, qScalarSubquery, qExistsCorr, qDimJoin,
     qPivot, qRegexp, qMinMax, qGroupingSets, qPercentiles, qApproxDistinct,
+    qKmvDistinct,
     qWindowMisc, qScalarFuncs2, qDateArith, qArrayAgg, qTypedPipeline,
     qTopKAgg, qSetOpsAll, qJoinRange, qNullHandling, qPagination,
     qArgmaxLatest, qUnpivot, qExplodedJoin, qMomentStats, qSqlCte,
