@@ -1191,10 +1191,68 @@ object CorpusCuration {
         AND ts_us <= mn1 + (mx1 - mn1) * 75 // 100
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** The 3-D layout's box probe under the driver's oracle — the
+    * (user, time, value)-style table served through ONE three-column
+    * footprint manifest ([[graft.pipeline.Layout.compactZorder3Guarded]]
+    * writes it; [[graft.pipeline.Layout.servingReadBoxes]] prunes
+    * paths against it before planning). Same proof shape as
+    * [[manifestPrune]] with the third dimension live: any wrong
+    * footprint, wrongly-pruned path, or row lost across
+    * append → 3-D compact → manifest → probe → serve breaks the hash.
+    */
+  val manifestPrune3: Q = Q(
+    "pipe_manifest_prune3",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val root = scratchDir("manifest-prune3")
+      graft.pipeline.Layout.appendGuarded(ev, root)
+      graft.pipeline.Layout.compactZorder3Guarded(s, root, "user_id",
+        "ts_us", "cents", nFiles = 16)
+      val bRow = ev.agg(min($"user_id"), max($"user_id"),
+          min($"ts_us"), max($"ts_us"), min($"cents"), max($"cents"))
+        .head.toSeq
+      require(bRow.forall(_ != null),
+        "pipe_manifest_prune3: events table is empty")
+      val b = bRow.map(_.asInstanceOf[Long])
+      def lo(i: Int) = b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 25 / 100
+      def hi(i: Int) = b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 75 / 100
+      graft.pipeline.Layout.servingReadBoxes(s, root,
+        Seq(("user_id", lo(0), hi(0)), ("ts_us", lo(1), hi(1)),
+          ("cents", lo(2), hi(2)))) { df =>
+        df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"event_id").as("id_sum"), sum($"cents").as("cents_sum"))
+          .orderBy($"user_id")
+      }
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      b AS (
+        SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+          min(ts_us) AS mn1, max(ts_us) AS mx1,
+          min(cents) AS mn2, max(cents) AS mx2 FROM src)
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(event_id) AS BIGINT) AS id_sum,
+        CAST(sum(cents) AS BIGINT) AS cents_sum
+      FROM src, b
+      WHERE user_id >= mn0 + (mx0 - mn0) * 25 // 100
+        AND user_id <= mn0 + (mx0 - mn0) * 75 // 100
+        AND ts_us >= mn1 + (mx1 - mn1) * 25 // 100
+        AND ts_us <= mn1 + (mx1 - mn1) * 75 // 100
+        AND cents >= mn2 + (mx2 - mn2) * 25 // 100
+        AND cents <= mn2 + (mx2 - mn2) * 75 // 100
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
+    manifestPrune3,
     manifestPrune)
 }

@@ -277,6 +277,30 @@ object Layout {
       compactZorder(spark, tableDataDir(root), colA, colB, nFiles)
     }
 
+  /** 3-D form of [[compactZorder]]: the (user, time, quality)-style
+    * layout under the same staged-swap contract, with a THREE-column
+    * footprint manifest — one manifest serves 1-D, 2-D and 3-D box
+    * probes through [[servingReadBoxes]].
+    */
+  def compactZorder3(spark: SparkSession, dir: String, colA: String,
+      colB: String, colC: String, nFiles: Int): Unit = {
+    val snap = new SnapshotDir(spark, dir)
+    snap.recover()
+    require(snap.targetExists, s"compactZorder3: nothing to compact at $dir")
+    zorderWrite3(readComplete(spark, dir), colA, colB, colC,
+      snap.stagingPath, nFiles)
+    writeFootprintManifest(spark, snap.stagingPath, Seq(colA, colB, colC))
+    snap.swapIn()
+    ()
+  }
+
+  /** [[compactZorder3]] behind the writer lease. */
+  def compactZorder3Guarded(spark: SparkSession, root: String,
+      colA: String, colB: String, colC: String, nFiles: Int): Unit =
+    WriterLease.withLease(fsFor(spark, root), root, "compactZorder3") {
+      compactZorder3(spark, tableDataDir(root), colA, colB, colC, nFiles)
+    }
+
   /** Serving read of a guarded table: runs `use` on the snapshot,
     * retrying when the read trips over the swap's transient windows —
     * the sub-millisecond gap between the two promote renames (the
@@ -398,12 +422,12 @@ object Layout {
     * the statistics the write already persisted; no data pages are
     * touched. Distributed over files (a footer read is one small
     * ranged request each; at millions of files the driver must not
-    * serialize this). Returns None for a file with no usable stats
-    * (empty file, missing column) — callers must treat such files as
-    * always-scan.
+    * serialize this). Returns no row for a file with no usable stats
+    * for every column (empty file, missing column) — callers must
+    * treat such files as always-scan.
     */
   private def footerFootprints(spark: SparkSession, files: Seq[String],
-      colA: String, colB: String): Seq[(String, Long, Long, Long, Long)] = {
+      cols: Seq[String]): Seq[(String, Seq[(Long, Long)])] = {
     if (files.isEmpty) return Seq.empty
     val confBytes = {
       // Hadoop Configuration is not serializable as-is; ship the XML
@@ -416,17 +440,17 @@ object Layout {
       .flatMap { f =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.addResource(new java.io.ByteArrayInputStream(confBytes))
-        longStatsOf(f, conf, colA, colB)
+        longStatsOf(f, conf, cols)
       }
       .collect().toSeq
   }
 
-  /** One file's (name, minA, maxA, minB, maxB) from its footer, or
-    * None when statistics are absent for either column.
+  /** One file's (name, [(min, max)] per column) from its footer, or
+    * None when statistics are absent for ANY of the columns.
     */
   private def longStatsOf(file: String,
-      conf: org.apache.hadoop.conf.Configuration, colA: String,
-      colB: String): Option[(String, Long, Long, Long, Long)] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String]): Option[(String, Seq[(Long, Long)])] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
@@ -448,103 +472,132 @@ object Layout {
           else Some((longs.map(_._1).min, longs.map(_._2).max))
         }
       }
-      for { (ma, xa) <- minMax(colA); (mb, xb) <- minMax(colB) }
-        yield (new org.apache.hadoop.fs.Path(file).getName, ma, xa, mb, xb)
+      val boxes = cols.map(minMax)
+      if (boxes.exists(_.isEmpty)) None
+      else Some((new org.apache.hadoop.fs.Path(file).getName,
+        boxes.map(_.get)))
     } finally reader.close()
   }
 
   /** Write the footprint manifest for every top-level parquet file in
-    * `dir` (footer-only pass). Entries are keyed by file NAME, not
-    * path — the snapshot dir is renamed twice during the swap.
+    * `dir` (footer-only pass), for any number of long columns. Entries
+    * are keyed by file NAME, not path — the snapshot dir is renamed
+    * twice during the swap.
     */
   private[graft] def writeFootprintManifest(spark: SparkSession,
-      dir: String, colA: String, colB: String): Unit = {
+      dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "manifest needs at least one column")
     val fs = fsFor(spark, dir)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.toString)
-    val rows = footerFootprints(spark, files, colA, colB)
+    val rows = footerFootprints(spark, files, cols)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(dir, ManifestFile), true)
     try {
-      val header = s"# footprints v1\t$colA\t$colB\n"
+      val header = s"# footprints v1\t${cols.mkString("\t")}\n"
       out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      rows.sortBy(_._1).foreach { case (n, ma, xa, mb, xb) =>
-        out.write(s"$n\t$ma\t$xa\t$mb\t$xb\n"
+      rows.sortBy(_._1).foreach { case (n, boxes) =>
+        val cells = boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
+        out.write(s"$n\t${cells.mkString("\t")}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
   }
 
-  /** The manifest's entries, or empty when none exists (a table that
-    * has never compacted prunes nothing — correct, just not fast). A
-    * manifest whose header names DIFFERENT columns than the probe is
-    * ignored entirely: pruning on mismatched stats would drop live
-    * rows silently.
+  /** 2-column convenience form (the guarded 2-D table's compactions). */
+  private[graft] def writeFootprintManifest(spark: SparkSession,
+      dir: String, colA: String, colB: String): Unit =
+    writeFootprintManifest(spark, dir, Seq(colA, colB))
+
+  /** The manifest's column list and per-file boxes, or None when no
+    * manifest exists (a table that has never compacted prunes nothing —
+    * correct, just not fast).
     */
   private[graft] def readFootprintManifest(spark: SparkSession,
-      dataDir: String, colA: String, colB: String)
-      : Map[String, (Long, Long, Long, Long)] = {
+      dataDir: String): Option[(Seq[String], Map[String, Seq[(Long, Long)]])] = {
     val fs = fsFor(spark, dataDir)
     val p = new org.apache.hadoop.fs.Path(dataDir, ManifestFile)
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty).toSeq
-    if (lines.isEmpty) return Map.empty
+    if (lines.isEmpty) return None
     val header = lines.head.split('\t')
-    if (header.length != 3 || header(1) != colA || header(2) != colB)
-      return Map.empty
-    lines.tail.map { l =>
+    if (header.length < 2 || header(0) != "# footprints v1") return None
+    val cols = header.tail.toSeq
+    val entries = lines.tail.map { l =>
       val f = l.split('\t')
-      f(0) -> (f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+      f(0) -> cols.indices.map(i =>
+        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
     }.toMap
+    Some((cols, entries))
   }
 
   /** The box probe's path list: every complete data path, MINUS flat
-    * files whose manifested footprint does not intersect the box.
-    * Unmanifested paths — fresh append files, streaming `b<id>` batch
-    * dirs, anything written since the last compaction — are always
-    * kept: the manifest only ever REMOVES files it has proof about.
-    * Returns (kept, total) so callers can observe the shrink.
+    * files whose manifested footprint does not intersect the probe box
+    * on EVERY probed column. Probes may use any SUBSET of the
+    * manifest's columns (a 3-D layout serves 1-D/2-D/3-D probes from
+    * one manifest); a probe on a column the manifest does not carry
+    * disables pruning wholesale — pruning on missing stats would drop
+    * live rows silently. Unmanifested paths — fresh append files,
+    * streaming `b<id>` batch dirs, anything written since the last
+    * compaction — are always kept: the manifest only ever REMOVES
+    * files it has proof about. Returns (kept, total) so callers can
+    * observe the shrink.
     */
   private[graft] def boxPrunedPaths(spark: SparkSession, dataDir: String,
-      colA: String, loA: Long, hiA: Long, colB: String, loB: Long,
-      hiB: Long): (Seq[String], Int) = {
+      probes: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     val all = completeDataPaths(spark, dataDir)
-    val manifest = readFootprintManifest(spark, dataDir, colA, colB)
+    val pruner: Map[String, Seq[(Long, Long)]] =
+      readFootprintManifest(spark, dataDir) match {
+        case Some((cols, entries)) =>
+          val idx = probes.map { case (c, _, _) => cols.indexOf(c) }
+          if (idx.contains(-1)) Map.empty // probe on unmanifested column
+          else entries.view.mapValues(boxes => idx.map(boxes)).toMap
+        case None => Map.empty
+      }
     val kept = all.filter { p =>
-      manifest.get(new org.apache.hadoop.fs.Path(p).getName) match {
-        case Some((ma, xa, mb, xb)) =>
-          !(hiA < ma || loA > xa || hiB < mb || loB > xb)
+      pruner.get(new org.apache.hadoop.fs.Path(p).getName) match {
+        case Some(boxes) =>
+          probes.zip(boxes).forall { case ((_, lo, hi), (mn, mx)) =>
+            !(hi < mn || lo > mx)
+          }
         case None => true
       }
     }
     (kept, all.size)
   }
 
-  /** [[servingRead]] for a selective 2-D box probe: prunes the PATH
-    * list against the footprint manifest before `spark.read` ever
-    * plans, then applies the box filter (so row-group pruning and the
-    * exact predicate still run on whatever survives). Same retry
-    * contract and same lazy-plan caveat as [[servingRead]]. Result is
-    * identical to the unpruned read under the same filter — the
-    * manifest only removes files whose persisted footprint cannot
-    * intersect the box (LayoutManifestPruningSpec proves equality and
-    * observes the shrink).
+  /** 2-D convenience form of [[boxPrunedPaths]]. */
+  private[graft] def boxPrunedPaths(spark: SparkSession, dataDir: String,
+      colA: String, loA: Long, hiA: Long, colB: String, loB: Long,
+      hiB: Long): (Seq[String], Int) =
+    boxPrunedPaths(spark, dataDir, Seq((colA, loA, hiA), (colB, loB, hiB)))
+
+  /** [[servingRead]] for a selective box probe over any subset of the
+    * manifested columns: prunes the PATH list against the footprint
+    * manifest before `spark.read` ever plans, then applies the box
+    * filter (so row-group pruning and the exact predicate still run on
+    * whatever survives). Same retry contract and same lazy-plan caveat
+    * as [[servingRead]]. Result is identical to the unpruned read
+    * under the same filter — the manifest only removes files whose
+    * persisted footprint cannot intersect the box
+    * (LayoutManifestPruningSpec proves equality and observes the
+    * shrink, in 2-D and 3-D).
     */
-  def servingReadBox[A](spark: SparkSession, root: String, colA: String,
-      loA: Long, hiA: Long, colB: String, loB: Long, hiB: Long,
-      retries: Int = 60, backoffMs: Long = 25)(use: DataFrame => A): A = {
+  def servingReadBoxes[A](spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)], retries: Int = 60,
+      backoffMs: Long = 25)(use: DataFrame => A): A = {
+    require(probes.nonEmpty, "servingReadBoxes needs at least one probe")
     val dataDir = tableDataDir(root)
     var attempt = 0
     while (true) {
       try {
-        val (kept, _) = boxPrunedPaths(spark, dataDir, colA, loA, hiA,
-          colB, loB, hiB)
+        val (kept, _) = boxPrunedPaths(spark, dataDir, probes)
         val df =
           if (kept.isEmpty)
             // every file pruned: an empty result with the right schema
@@ -552,9 +605,10 @@ object Layout {
             // filtered to nothing rather than inventing a schema
             readComplete(spark, dataDir).limit(0)
           else spark.read.parquet(kept: _*)
-        return use(df.filter(
-          col(colA) >= loA && col(colA) <= hiA &&
-            col(colB) >= loB && col(colB) <= hiB))
+        val filtered = probes.foldLeft(df) { case (d, (c, lo, hi)) =>
+          d.filter(col(c) >= lo && col(c) <= hi)
+        }
+        return use(filtered)
       } catch {
         case e: Throwable if attempt < retries && isTransientMissing(e) =>
           attempt += 1
@@ -563,6 +617,13 @@ object Layout {
     }
     sys.error("unreachable")
   }
+
+  /** 2-D convenience form of [[servingReadBoxes]]. */
+  def servingReadBox[A](spark: SparkSession, root: String, colA: String,
+      loA: Long, hiA: Long, colB: String, loB: Long, hiB: Long,
+      retries: Int = 60, backoffMs: Long = 25)(use: DataFrame => A): A =
+    servingReadBoxes(spark, root,
+      Seq((colA, loA, hiA), (colB, loB, hiB)), retries, backoffMs)(use)
 
   /** Per-file [min, max] footprints of two columns — the exact
     * information parquet stores per row group and scans prune with. A

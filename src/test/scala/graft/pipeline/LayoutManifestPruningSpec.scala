@@ -131,14 +131,69 @@ class LayoutManifestPruningSpec extends AnyFunSuite {
       hiU, "ts_us", loT, hiT) { df => df.count() }
     assert(afterCompact == withExtras, "re-compaction changed the box result")
 
-    // 3. a manifest for the WRONG columns is ignored (no pruning, no loss)
-    assert(Layout.readFootprintManifest(spark, dataDir,
-      "event_id", "ts_us").isEmpty,
-      "column-mismatched manifest must be ignored")
+    // 3. a probe on a column the manifest does not carry disables
+    // pruning wholesale (no pruning, no loss)
     val (keptMismatch, totalMismatch) = Layout.boxPrunedPaths(spark,
       dataDir, "event_id", 0L, Long.MaxValue, "ts_us", loT, hiT)
     assert(keptMismatch.size == totalMismatch,
-      "mismatched manifest must prune nothing")
+      "a probe on an unmanifested column must prune nothing")
+    // and a SUBSET probe (1-D over a 2-col manifest) still prunes
+    val (kept1d, total1d) = Layout.boxPrunedPaths(spark, dataDir,
+      Seq(("user_id", loU, hiU)))
+    assert(kept1d.size < total1d,
+      "a 1-D subset probe over the 2-col manifest must still prune")
+  }
+
+  test("3-D layout: one manifest serves 3-D, 2-D and 1-D box probes; results equal the filtered full read") {
+    val sf = TestSpark.sfDir
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    val b = ev.agg(min($"user_id"), max($"user_id"), min($"ts_us"),
+        max($"ts_us"), min($"cents"), max($"cents"))
+      .head.toSeq.map(_.asInstanceOf[Long])
+    def mid(i: Int): (Long, Long) =
+      (b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 30 / 100,
+        b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 70 / 100)
+    val (loU, hiU) = mid(0); val (loT, hiT) = mid(1); val (loC, hiC) = mid(2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest3")
+      .resolve("table").toString
+    Layout.appendGuarded(ev, root)
+    Layout.compactZorder3Guarded(spark, root, "user_id", "ts_us", "cents",
+      nFiles = 64)
+    val dataDir = Layout.tableDataDir(root)
+
+    val probes3 = Seq(("user_id", loU, hiU), ("ts_us", loT, hiT),
+      ("cents", loC, hiC))
+    val (kept3, total3) = Layout.boxPrunedPaths(spark, dataDir, probes3)
+    assert(total3 == 64)
+    assert(kept3.size < total3 / 2,
+      s"3-D probe kept ${kept3.size}/$total3 — expected a real shrink")
+    info(s"3-D box keeps ${kept3.size}/$total3 files")
+    // subset probes off the SAME manifest: 2-D and 1-D both prune
+    val (kept2, _) = Layout.boxPrunedPaths(spark, dataDir, probes3.take(2))
+    val (kept1, _) = Layout.boxPrunedPaths(spark, dataDir, probes3.take(1))
+    assert(kept2.size < total3 && kept1.size < total3,
+      s"subset probes must prune: 2-D ${kept2.size}, 1-D ${kept1.size}")
+    // monotone: a wider probe can only keep more
+    assert(kept3.size <= kept2.size && kept2.size <= kept1.size,
+      "pruning must be monotone in probe dimensionality")
+
+    // equality with the filtered full read, for all three probe widths
+    for (probes <- Seq(probes3, probes3.take(2), probes3.take(1))) {
+      val full = Layout.servingRead(spark, root) { df =>
+        probes.foldLeft(df) { case (d, (c, lo, hi)) =>
+          d.filter(col(c) >= lo && col(c) <= hi)
+        }.select($"event_id").collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val pruned = Layout.servingReadBoxes(spark, root, probes) { df =>
+        df.select($"event_id").collect().map(_.getLong(0)).toSeq.sorted
+      }
+      assert(pruned == full,
+        s"${probes.size}-D pruned read diverged from the filtered full read")
+    }
   }
 
   test("empty-box probe returns zero rows without inventing a schema failure") {
