@@ -255,13 +255,29 @@ object Layout {
     * target) would then never run: the entire compacted snapshot would
     * be silently stranded. Proven by fault injection in
     * LayoutLiveWriterSpec.
+    *
+    * The append is BATCH-ATOMIC for readers: it lands as one
+    * `a<nonce>` subdirectory whose `_SUCCESS` marker appears only
+    * after every part file is committed, and [[completeDataPaths]]
+    * admits subdirectories only with the marker. A plain
+    * `mode("append")` into the data dir would expose the batch's part
+    * files ONE BY ONE as the job commit moves them — a concurrent
+    * serving read could aggregate half an append (the torn-append
+    * anomaly; observed as a non-multiple row count before this fix,
+    * now asserted away in LayoutLiveWriterSpec's reader). A dir left
+    * WITHOUT its marker is a crashed append whose caller never got an
+    * ack — compaction deletes it ([[graft.streaming
+    * .StreamingZorderIngest.compactCommitted]] does too: appends hold
+    * this same lease, so a torn `a` dir can never be in-progress while
+    * a compactor runs).
     */
   def appendGuarded(df: DataFrame, root: String): Unit = {
     val spark = df.sparkSession
     val dataDir = tableDataDir(root)
     WriterLease.withLease(fsFor(spark, root), root, "zorderAppend") {
       new SnapshotDir(spark, dataDir).recover()
-      df.write.mode("append").parquet(dataDir)
+      val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      df.write.mode("overwrite").parquet(s"$dataDir/a$nonce")
     }
   }
 
@@ -338,14 +354,18 @@ object Layout {
   /** The COMPLETE contents of a guarded table's data dir: top-level part
     * files (compacted flat layout) plus batch subdirectories that carry
     * their `_SUCCESS` marker — the streaming ingest's `b<id>` dirs
-    * (graft.streaming.StreamingZorderIngest). A dir WITHOUT the marker
-    * is a batch whose job commit was interrupted mid-crash: some part
-    * files landed, the rest did not — serving it would hand readers a
-    * TORN batch, and folding it would make the torn subset permanent
-    * when the checkpoint later replays the full batch next to it. The
-    * explicit path list replaces a blind `recursiveFileLookup`, which
-    * cannot tell complete from torn. One FS listing, O(#batches)
-    * entries.
+    * (graft.streaming.StreamingZorderIngest) and [[appendGuarded]]'s
+    * `a<nonce>` dirs alike. A dir WITHOUT the marker is a batch whose
+    * job commit was interrupted mid-crash: some part files landed, the
+    * rest did not — serving it would hand readers a TORN batch, and
+    * folding a torn `b` dir would make the torn subset permanent when
+    * the checkpoint later replays the full batch next to it (a torn
+    * `a` dir is simply a dead unacked append). The `_SUCCESS` gate is
+    * also what makes every append BATCH-ATOMIC for readers: a batch's
+    * part files land one by one, but the dir is admitted only once the
+    * marker — written after the last file — exists. The explicit path
+    * list replaces a blind `recursiveFileLookup`, which cannot tell
+    * complete from torn. One FS listing, O(#batches) entries.
     */
   private[graft] def completeDataPaths(spark: SparkSession,
       dataDir: String): Seq[String] = {

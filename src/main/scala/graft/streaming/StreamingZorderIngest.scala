@@ -106,11 +106,28 @@ object StreamingZorderIngest {
             n.startsWith("_") || n.startsWith(".")
           }
         val (files, dirs) = entries.partition(_.isFile)
-        val (fold, pending) = dirs.partition { st =>
-          batchId(st.getPath.getName).exists(_ <= frontier) &&
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        // b<id> dirs are governed by the CHECKPOINT: fold only at or
+        // below the commit frontier (above it they are replayable and
+        // must ride through the swap, torn or complete). Dirs WITHOUT
+        // a batch id (Layout.appendGuarded's a<nonce> batches) are
+        // governed by the LEASE we hold: complete ones are final —
+        // nothing can replay them, fold them now; torn ones are
+        // crashed appends whose caller never got an ack — drop them
+        // (they can never be in-progress here: appends take this same
+        // lease).
+        def complete(st: org.apache.hadoop.fs.FileStatus): Boolean =
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        val (batchDirs, leaseDirs) =
+          dirs.partition(st => batchId(st.getPath.getName).nonEmpty)
+        val (foldB, pending) = batchDirs.partition { st =>
+          batchId(st.getPath.getName).exists(_ <= frontier) && complete(st)
         }
-        val foldPaths = (files ++ fold).map(_.getPath.toString)
+        val (foldA, deadAppends) = leaseDirs.partition(complete)
+        deadAppends.foreach { st =>
+          if (!fs.delete(st.getPath, true)) throw new java.io.IOException(
+            s"compactCommitted: could not drop crashed append ${st.getPath}")
+        }
+        val foldPaths = (files ++ foldB ++ foldA).map(_.getPath.toString)
         if (foldPaths.nonEmpty) {
           Layout.zorderWrite(spark.read.parquet(foldPaths: _*), colA, colB,
             snap.stagingPath, nFiles)

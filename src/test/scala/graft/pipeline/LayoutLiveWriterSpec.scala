@@ -98,6 +98,14 @@ class LayoutLiveWriterSpec extends AnyFunSuite {
             // layout rewrite serialized against appends by the lease)
             assert(ids.length == got.size,
               s"poll $polls saw duplicated rows: ${ids.length} vs ${got.size}")
+            // ...and appends are BATCH-ATOMIC: every append is a
+            // _SUCCESS-gated a<nonce> dir, so a reader can never see a
+            // torn prefix of one — the visible count is always a whole
+            // number of rounds (the observable that was NOT guaranteed
+            // when appends landed as loose part files)
+            assert(ids.length % perRound == 0,
+              s"poll $polls saw a TORN append: ${ids.length} rows is not " +
+                s"a multiple of $perRound")
           } else Thread.sleep(20)
         }
       } catch { case t: Throwable => failure.compareAndSet(null, t) }
@@ -122,6 +130,38 @@ class LayoutLiveWriterSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_writer.lock")),
       "all writers must have released the lease")
     info(s"reader completed $polls consistent polls against live writers")
+  }
+
+  test("a crashed append (a-dir without _SUCCESS) is invisible to readers and dropped by compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-torn-append")
+      .resolve("table").toString
+    Layout.appendGuarded(rows(0, 100), root)
+    val dataDir = Layout.tableDataDir(root)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // plant the state a mid-job-commit crash leaves: an a<nonce> dir
+    // holding a real part file but NO _SUCCESS — the caller never got
+    // an ack for these rows
+    val torn = new org.apache.hadoop.fs.Path(dataDir, "adeadbeef")
+    fs.mkdirs(torn)
+    val donor = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(st => st.isDirectory && st.getPath.getName != "adeadbeef")
+      .head.getPath
+    val part = fs.listStatus(donor)
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(torn, part.getName), false,
+      spark.sparkContext.hadoopConfiguration)
+
+    val served = Layout.servingRead(spark, root) { df => df.count() }
+    assert(served == 100L,
+      s"a torn append must be invisible to serving reads: $served")
+
+    Layout.compactZorderGuarded(spark, root, "user_id", "ts_us", nFiles = 4)
+    assert(!fs.exists(torn), "compaction must drop the crashed append")
+    val after = Layout.servingRead(spark, root) { df => df.count() }
+    assert(after == 100L)
   }
 
   test("compaction crashed at the promote rename: the next guarded append recovers the stranded snapshot") {
@@ -151,10 +191,12 @@ class LayoutLiveWriterSpec extends AnyFunSuite {
 
     // THE hazard this composition exists for: the next ingest append must
     // recover the stranded snapshot first — a blind mode-append here
-    // would re-create the target with 300 rows and orphan the other 600
+    // would re-create the target with 300 rows and orphan the other 600.
+    // Read through servingRead: the fresh append is an a<nonce> SUBDIR,
+    // which a plain flat spark.read.parquet(dataDir) does not list.
     Layout.appendGuarded(rows(2, 300), root)
-    val ids = spark.read.parquet(dataDir)
-      .select($"event_id").collect().map(_.getLong(0)).sorted
+    val ids = Layout.servingRead(spark, root) { df =>
+      df.select($"event_id").collect().map(_.getLong(0)).sorted }
     assert(ids.sameElements(0L until 900L),
       s"append-after-crash lost rows: got ${ids.length} of 900")
 
