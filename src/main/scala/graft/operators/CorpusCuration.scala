@@ -1248,11 +1248,53 @@ object CorpusCuration {
         AND cents <= mn2 + (mx2 - mn2) * 75 // 100
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** The snapshot-VERSIONED table under the driver's oracle
+    * ([[graft.pipeline.VersionedTable]] — immutable files, one atomic
+    * manifest rename per version, the Iceberg/Delta architecture):
+    * three deterministic appends (events split by `event_id % 3`),
+    * one z-order compaction, then TIME TRAVEL — per-version row count
+    * and id sum for every published version, read back through
+    * `readVersion`. The oracle states each version's expected content
+    * declaratively (cumulative thirds; the compacted v4 must equal v3
+    * exactly — compaction is a pure layout change). Any version
+    * mis-published, any history row lost to the rewrite, or any
+    * snapshot bleeding into another breaks the hash.
+    */
+  val versionedTable: Q = Q(
+    "pipe_versioned_table",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("versioned-table")
+      (0 until 3).foreach { k =>
+        graft.pipeline.VersionedTable.append(
+          ev.filter(pmod($"event_id", lit(3L)) === k), root,
+          Seq("user_id", "ts_us"))
+      }
+      graft.pipeline.VersionedTable.compactZorder(s, root, nFiles = 8)
+      graft.pipeline.VersionedTable.versions(s, root).map { v =>
+        graft.pipeline.VersionedTable.readVersion(s, root, v)
+          .agg(lit(v).as("version"), count(lit(1)).as("n_rows"),
+            sum($"event_id").as("id_sum"),
+            sum($"user_id").as("user_sum"))
+      }.reduce(_ unionAll _).orderBy($"version")
+    },
+    Some("""WITH v(version) AS (VALUES (1), (2), (3), (4))
+      SELECT CAST(v.version AS BIGINT) AS version,
+        count(*) AS n_rows,
+        CAST(sum(e.event_id) AS BIGINT) AS id_sum,
+        CAST(sum(e.user_id) AS BIGINT) AS user_sum
+      FROM v JOIN events e
+        ON e.event_id % 3 < LEAST(v.version, 3)
+      GROUP BY v.version ORDER BY version"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
-    manifestPrune3,
+    manifestPrune3, versionedTable,
     manifestPrune)
 }

@@ -446,7 +446,8 @@ object Layout {
     * for every column (empty file, missing column) — callers must
     * treat such files as always-scan.
     */
-  private def footerFootprints(spark: SparkSession, files: Seq[String],
+  private[pipeline] def footerFootprints(spark: SparkSession,
+      files: Seq[String],
       cols: Seq[String]): Seq[(String, Seq[(Long, Long)])] = {
     if (files.isEmpty) return Seq.empty
     val confBytes = {

@@ -1,0 +1,304 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A SNAPSHOT-VERSIONED table — the Iceberg/Delta architecture in
+  * miniature, and the design point the [[SnapshotDir]]-swapped guarded
+  * table cannot reach: data files are IMMUTABLE and uniquely named,
+  * each version is a small manifest listing exactly the files (and
+  * their per-column [min,max] footprints) that make up that snapshot,
+  * and a version becomes visible through ONE atomic rename of its
+  * manifest. That single publish point buys, all at once:
+  *
+  *  - **Lock-free snapshot-isolated readers.** A reader resolves the
+  *    latest manifest, then reads files that can never be renamed or
+  *    deleted out from under it (until a vacuum past its retention
+  *    window) — no transient-missing retry loop, no swap gap, no torn
+  *    batches. The guarded table's `servingRead` needs all three.
+  *  - **Time travel.** Every historical manifest still names immutable
+  *    files; `readVersion(root, k)` is the table as-of version k.
+  *  - **Planning-time pruning for free.** The manifest IS the stats
+  *    manifest: appends and compactions record each new file's
+  *    footer-derived footprints, so `boxRead` prunes paths before
+  *    `spark.read` plans — no separate `_footprints.tsv` lifecycle.
+  *  - **Crash safety by construction.** A writer that dies before its
+  *    manifest rename has published nothing: its data files are
+  *    unreferenced garbage, collected by [[vacuum]]. There is no
+  *    recover() protocol because there is no intermediate state a
+  *    reader can observe.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   files/<uuid>-part-*.parquet   immutable data files
+  *   manifests/v<k>                one line per file: name \t min,max per stat col
+  *   _writer.lock                  WriterLease — writers serialize; readers never lock
+  * }}}
+  *
+  * Writers (append / compact / vacuum) serialize on the table's
+  * [[WriterLease]]; manifests are written to a dot-prefixed temp name
+  * and RENAMED into place, so a reader lists either the old set or the
+  * new set of versions, never a half-written manifest. The documented
+  * retention caveat is Iceberg's own: a reader pinning version k can
+  * be broken by a vacuum that drops k — retention (`keepVersions`) is
+  * the contract between reader latency and storage reclamation.
+  */
+object VersionedTable {
+
+  private def filesDir(root: String) = s"$root/files"
+  private def manifestsDir(root: String) = s"$root/manifests"
+
+  private def fsFor(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All published versions, ascending. One FS listing. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val dir = new Path(manifestsDir(root))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") &&
+        n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  private case class Manifest(statCols: Seq[String],
+      entries: Seq[(String, Seq[(Long, Long)])])
+
+  private def readManifest(spark: SparkSession, root: String,
+      v: Long): Manifest = {
+    val fs = fsFor(spark, root)
+    val in = fs.open(new Path(manifestsDir(root), s"v$v"))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head.startsWith("# versioned v1"),
+      s"corrupt manifest v$v at $root")
+    val statCols = lines.head.split('\t').toSeq.tail
+    val entries = lines.tail.map { l =>
+      val f = l.split('\t')
+      f(0) -> statCols.indices.map(i =>
+        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
+    }
+    Manifest(statCols, entries)
+  }
+
+  /** Publish `entries` as version `v`: write to a dot-prefixed temp
+    * name, then one atomic rename. The rename IS the commit.
+    */
+  private def writeManifest(spark: SparkSession, root: String, v: Long,
+      statCols: Seq[String],
+      entries: Seq[(String, Seq[(Long, Long)])]): Unit = {
+    val fs = fsFor(spark, root)
+    val dir = new Path(manifestsDir(root))
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-v$v")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(s"# versioned v1\t${statCols.mkString("\t")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      entries.sortBy(_._1).foreach { case (n, boxes) =>
+        val cells = boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
+        out.write(s"$n\t${cells.mkString("\t")}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"v$v")))
+      throw new java.io.IOException(s"manifest publish failed for v$v")
+  }
+
+  /** Write `df`'s rows as new immutable files and return their
+    * (name, footprints) entries — the shared data path of append and
+    * compact. The parquet job writes into a scratch dir; the part
+    * files are then MOVED into `files/` under a fresh uuid prefix.
+    * Nothing is visible to readers until some manifest names them.
+    */
+  private def writeFiles(df: DataFrame, root: String,
+      statCols: Seq[String],
+      shape: DataFrame => DataFrame = identity): Seq[(String, Seq[(Long, Long)])] = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = s"$root/.stage-$uuid"
+    shape(df).write.mode("overwrite").parquet(stage)
+    fs.mkdirs(new Path(filesDir(root)))
+    val moved = fs.listStatus(new Path(stage)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val dest = new Path(filesDir(root), s"$uuid-${st.getPath.getName}")
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"file move failed: ${st.getPath}")
+        dest.toString
+      }
+    fs.delete(new Path(stage), true)
+    Layout.footerFootprints(spark, moved, statCols).map {
+      case (name, boxes) => name -> boxes
+    }
+  }
+
+  /** Append `df` as a new version carrying footprint stats for
+    * `statCols` (the columns later [[boxRead]] probes can prune on).
+    * Returns the published version id. The first append fixes the
+    * table's stat columns; later appends must state the same list.
+    */
+  def append(df: DataFrame, root: String, statCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    require(statCols.nonEmpty, "append needs at least one stat column")
+    WriterLease.withLease(fsFor(spark, root), root, "vtAppend") {
+      val prev = latestVersion(spark, root)
+      val base = prev.map(readManifest(spark, root, _))
+      base.foreach { m =>
+        require(m.statCols == statCols,
+          s"stat columns are fixed at table creation: ${m.statCols} != $statCols")
+      }
+      val entries = writeFiles(df, root, statCols)
+      val v = prev.getOrElse(0L) + 1
+      writeManifest(spark, root, v, statCols,
+        base.map(_.entries).getOrElse(Seq.empty) ++ entries)
+      v
+    }
+  }
+
+  /** Rewrite the CURRENT snapshot z-ordered by the table's first two
+    * stat columns into `nFiles` files, published as a new version that
+    * references only the new files. Historical versions keep reading
+    * the old files until [[vacuum]] reclaims them.
+    */
+  def compactZorder(spark: SparkSession, root: String, nFiles: Int): Long =
+    WriterLease.withLease(fsFor(spark, root), root, "vtCompact") {
+      val v = latestVersion(spark, root).getOrElse(
+        sys.error(s"nothing to compact at $root"))
+      val m = readManifest(spark, root, v)
+      require(m.statCols.size >= 2,
+        "z-order compaction needs two stat columns")
+      val df = readEntries(spark, root, m)
+      val Seq(a, b) = m.statCols.take(2)
+      // same expression-keyed range exchange as Layout.zorderWrite —
+      // the z key routes and sorts rows without crossing the wire; the
+      // write target is the scratch dir writeFiles moves from
+      val entries = writeFiles(df, root, m.statCols,
+        shape = d => {
+          val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
+            max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
+          val z = Layout.zvalue16(
+            Layout.scale16(col(a), bounds(0), bounds(1)),
+            Layout.scale16(col(b), bounds(2), bounds(3)))
+          d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+        })
+      val nv = v + 1
+      writeManifest(spark, root, nv, m.statCols, entries)
+      nv
+    }
+
+  private def readEntries(spark: SparkSession, root: String,
+      m: Manifest): DataFrame = {
+    require(m.entries.nonEmpty, s"empty snapshot at $root")
+    spark.read.parquet(
+      m.entries.map(e => s"${filesDir(root)}/${e._1}"): _*)
+  }
+
+  /** The table at its LATEST version — plain `spark.read` over
+    * immutable files; no retry loop exists because no swap exists.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      latestVersion(spark, root).getOrElse(sys.error(s"no versions at $root")))
+
+  /** Time travel: the table exactly as-of version `v`. Readable until
+    * a vacuum's retention window drops v.
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    readEntries(spark, root, readManifest(spark, root, v))
+
+  /** Box probe over the latest version, path-pruned by the MANIFEST'S
+    * OWN footprints (probes on any subset of the stat columns), with
+    * the exact filter applied on the survivors. Returns the pruned
+    * DataFrame; `prunedFileCount` reports the shrink for observability.
+    */
+  def boxRead(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): DataFrame = {
+    val (kept, m) = prunedEntries(spark, root, probes)
+    val df =
+      if (kept.isEmpty) readEntries(spark, root, m).limit(0)
+      else spark.read.parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+    probes.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** (kept files, total files) for a box probe — the observable
+    * LayoutManifestPruningSpec-style tests assert on.
+    */
+  def prunedFileCount(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): (Int, Int) = {
+    val (kept, m) = prunedEntries(spark, root, probes)
+    (kept.size, m.entries.size)
+  }
+
+  private def prunedEntries(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): (Seq[String], Manifest) = {
+    require(probes.nonEmpty, "boxRead needs at least one probe")
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    val m = readManifest(spark, root, v)
+    val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
+    val kept =
+      if (idx.contains(-1)) m.entries.map(_._1) // unknown column: no pruning
+      else m.entries.collect {
+        case (name, boxes) if probes.zip(idx).forall {
+          case ((_, lo, hi), i) =>
+            val (mn, mx) = boxes(i); !(hi < mn || lo > mx)
+        } => name
+      }
+    (kept, m)
+  }
+
+  /** Reclaim storage: keep the newest `keepVersions` manifests, delete
+    * older manifests and every file no kept manifest references, plus
+    * any crashed writer's stage debris. The retention contract: a
+    * reader pinning a dropped version loses it — size `keepVersions`
+    * to the longest read you serve, exactly as Iceberg's
+    * expire_snapshots does. Returns (versions dropped, files deleted).
+    */
+  def vacuum(spark: SparkSession, root: String,
+      keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = fsFor(spark, root)
+    WriterLease.withLease(fs, root, "vtVacuum") {
+      val vs = versions(spark, root)
+      val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+      val referenced = keep
+        .flatMap(v => readManifest(spark, root, v).entries.map(_._1)).toSet
+      var filesDeleted = 0
+      val fd = new Path(filesDir(root))
+      if (fs.exists(fd)) fs.listStatus(fd).foreach { st =>
+        if (!referenced(st.getPath.getName)) {
+          if (!fs.delete(st.getPath, false)) throw new java.io.IOException(
+            s"vacuum: could not delete ${st.getPath}")
+          filesDeleted += 1
+        }
+      }
+      drop.foreach { v =>
+        if (!fs.delete(new Path(manifestsDir(root), s"v$v"), false))
+          throw new java.io.IOException(s"vacuum: could not drop manifest v$v")
+      }
+      // crashed writers leave .stage-* dirs and .tmp-v* manifests
+      fs.listStatus(new Path(root)).foreach { st =>
+        if (st.getPath.getName.startsWith(".stage-"))
+          fs.delete(st.getPath, true)
+      }
+      val md = new Path(manifestsDir(root))
+      if (fs.exists(md)) fs.listStatus(md).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-"))
+          fs.delete(st.getPath, false)
+      }
+      (drop.size, filesDeleted)
+    }
+  }
+}

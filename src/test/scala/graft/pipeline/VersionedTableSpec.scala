@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[VersionedTable]] — the manifest-published snapshot architecture:
+  * immutable files + one atomic rename per version. The properties the
+  * directory-swapped guarded table cannot offer, each proven here:
+  * lock-free snapshot-isolated readers (the racing reader uses NO
+  * retry logic at all), time travel, crash-published-nothing, vacuum
+  * with a retention window, and manifest-native stats pruning.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(round: Int, n: Int) =
+    spark.range(round.toLong * n, round.toLong * n + n)
+      .select(col("id").as("event_id"), (col("id") % 97).as("user_id"),
+        (col("id") * 1000L).as("ts_us"))
+
+  private val Stats = Seq("user_id", "ts_us")
+
+  test("append/read/time-travel: every version is exactly its history") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt")
+      .resolve("t").toString
+    val v1 = VersionedTable.append(rows(0, 100), root, Stats)
+    val v2 = VersionedTable.append(rows(1, 100), root, Stats)
+    val v3 = VersionedTable.append(rows(2, 100), root, Stats)
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, root).count() == 300)
+    // time travel: each version is the cumulative prefix
+    for ((v, k) <- Seq((v1, 1), (v2, 2), (v3, 3))) {
+      val ids = VersionedTable.readVersion(spark, root, v)
+        .select($"event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(0L until (k * 100L)),
+        s"version $v is not its exact history")
+    }
+    // stat columns are fixed at creation
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(rows(3, 10), root, Seq("event_id", "ts_us"))
+    }
+    assert(e.getMessage.contains("fixed at table creation"))
+  }
+
+  test("compaction publishes a new version; history still reads the old files until vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-c")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 300), root, Stats)
+    VersionedTable.append(rows(1, 300), root, Stats)
+    val cv = VersionedTable.compactZorder(spark, root, nFiles = 4)
+    assert(cv == 3L)
+    assert(VersionedTable.read(spark, root)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(0L until 600L), "compaction must be a pure layout change")
+    // history survives compaction (old files still referenced by v1/v2)
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 300)
+
+    // vacuum to the latest only: v1/v2 manifests and their files go
+    val (dropped, deleted) = VersionedTable.vacuum(spark, root, 1)
+    assert(dropped == 2 && deleted > 0,
+      s"vacuum should drop 2 versions and their files: $dropped/$deleted")
+    assert(VersionedTable.versions(spark, root) == Seq(3L))
+    assert(VersionedTable.read(spark, root).count() == 600,
+      "the kept version must be untouched by vacuum")
+    intercept[Exception] { // the documented retention contract
+      VersionedTable.readVersion(spark, root, 1L).count()
+    }
+  }
+
+  test("snapshot isolation: a racing reader with NO retry logic always sees a whole version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-iso")
+      .resolve("t").toString
+    val perRound = 150
+    val totalRounds = 8
+    val acked = new AtomicInteger(0)
+    val failure = new AtomicReference[Throwable](null)
+    val done = new AtomicBoolean(false)
+
+    val writer = new Thread(() => {
+      try {
+        for (r <- 0 until totalRounds) {
+          VersionedTable.append(rows(r, perRound), root, Stats)
+          acked.incrementAndGet()
+          if (r == 3 || r == 6) VersionedTable.compactZorder(spark, root, 4)
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, "vt-writer")
+
+    var polls = 0
+    val reader = new Thread(() => {
+      try {
+        while (!done.get() && failure.get() == null) {
+          val ackedBefore = acked.get()
+          if (ackedBefore > 0) {
+            // deliberately NO servingRead-style retry: immutable files +
+            // atomic manifest publish mean a plain read is always sound
+            val ids = VersionedTable.read(spark, root)
+              .select($"event_id").collect().map(_.getLong(0))
+            polls += 1
+            val got = ids.toSet
+            assert(ids.length == got.size, s"poll $polls duplicated rows")
+            assert(ids.length % perRound == 0,
+              s"poll $polls saw a torn version: ${ids.length}")
+            val want = 0L until (ackedBefore.toLong * perRound)
+            assert(want.forall(got),
+              s"poll $polls lost acked rows (acked=$ackedBefore)")
+          } else Thread.sleep(10)
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }, "vt-reader")
+
+    writer.start(); reader.start()
+    writer.join(600000)
+    done.set(true)
+    reader.join(600000)
+    if (failure.get() != null) throw failure.get()
+    assert(polls >= 3, s"reader must actually have raced the writer: $polls")
+    info(s"$polls retry-free consistent polls against a live writer")
+  }
+
+  test("a writer crashed at the manifest publish has published NOTHING; vacuum collects its debris") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.faulty.impl",
+      classOf[graft.streaming.FaultyRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val local = java.nio.file.Files.createTempDirectory("graft-vt-f")
+      .resolve("t").toString
+    val root = s"faulty://$local"
+    VersionedTable.append(rows(0, 100), root, Stats)
+
+    // crash the COMMIT POINT itself: the .tmp-v2 -> v2 rename
+    graft.streaming.FaultyRenameFs.failNextRenameSuffix.set(".tmp-v2")
+    val crash = intercept[java.io.IOException] {
+      VersionedTable.append(rows(1, 100), root, Stats)
+    }
+    assert(crash.getMessage.contains("manifest publish failed"))
+    // nothing published: latest still v1, content unchanged
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(VersionedTable.read(spark, root).count() == 100,
+      "a crashed writer must publish nothing")
+    // ...but its orphaned data files exist until vacuum collects them
+    val fs = new Path(root).getFileSystem(hconf)
+    val before = fs.listStatus(new Path(s"$root/files")).length
+    val (_, deleted) = VersionedTable.vacuum(spark, root, 1)
+    assert(deleted > 0, "vacuum must collect the crashed writer's files")
+    val after = fs.listStatus(new Path(s"$root/files")).length
+    assert(after < before)
+    assert(VersionedTable.read(spark, root).count() == 100)
+    // the failed append is simply retried — versions continue from v1
+    assert(VersionedTable.append(rows(1, 100), root, Stats) == 2L)
+    assert(VersionedTable.read(spark, root).count() == 200)
+  }
+
+  test("boxRead prunes files via the manifest's own footprints; result equals the filtered full read") {
+    val sf = TestSpark.sfDir
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+    val b = ev.agg(min($"user_id"), max($"user_id"),
+        min($"ts_us"), max($"ts_us")).head.toSeq.map(_.asInstanceOf[Long])
+    def mid(i: Int) = (b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 38 / 100,
+      b(2 * i) + (b(2 * i + 1) - b(2 * i)) * 62 / 100)
+    val (loU, hiU) = mid(0); val (loT, hiT) = mid(1)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-box")
+      .resolve("t").toString
+    VersionedTable.append(ev, root, Stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 64)
+    val probes = Seq(("user_id", loU, hiU), ("ts_us", loT, hiT))
+    val (kept, total) = VersionedTable.prunedFileCount(spark, root, probes)
+    assert(total == 64 && kept < total / 2,
+      s"manifest stats must prune: $kept/$total")
+    info(s"boxRead keeps $kept/$total files")
+    val full = VersionedTable.read(spark, root)
+      .filter($"user_id" >= loU && $"user_id" <= hiU &&
+        $"ts_us" >= loT && $"ts_us" <= hiT)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    val pruned = VersionedTable.boxRead(spark, root, probes)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.sameElements(full), "pruned read diverged")
+  }
+}

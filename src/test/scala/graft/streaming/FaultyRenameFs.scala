@@ -26,6 +26,11 @@ class FaultyRenameFs extends RawLocalFileSystem {
       FaultyRenameFs.failNextPromote.set(false)
       return false
     }
+    val suffix = FaultyRenameFs.failNextRenameSuffix.get()
+    if (suffix != null && src.toString.endsWith(suffix)) {
+      FaultyRenameFs.failNextRenameSuffix.set(null)
+      return false
+    }
     super.rename(src, dst)
   }
 
@@ -47,5 +52,12 @@ object FaultyRenameFs {
     * delete, leaving new base + .old markers + full delta remnants).
     */
   val failNextDeleteSuffix =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** When set, the next rename whose SOURCE ends with this suffix
+    * reports failure (false) and disarms — crashes
+    * VersionedTable.writeManifest at its commit point (the
+    * `.tmp-v<k>` → `v<k>` publish rename).
+    */
+  val failNextRenameSuffix =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 }
