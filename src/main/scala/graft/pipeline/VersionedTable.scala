@@ -68,7 +68,8 @@ object VersionedTable {
     versions(spark, root).lastOption
 
   private case class Manifest(statCols: Seq[String],
-      entries: Seq[(String, Seq[(Long, Long)])])
+      entries: Seq[(String, Seq[(Long, Long)])],
+      ingestBatch: Long = -1L)
 
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
@@ -81,20 +82,23 @@ object VersionedTable {
     require(lines.nonEmpty && lines.head.startsWith("# versioned v1"),
       s"corrupt manifest v$v at $root")
     val statCols = lines.head.split('\t').toSeq.tail
-    val entries = lines.tail.map { l =>
+    val ingestBatch = lines.tail
+      .find(_.startsWith("#ingest\t"))
+      .map(_.split('\t')(1).toLong).getOrElse(-1L)
+    val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val f = l.split('\t')
       f(0) -> statCols.indices.map(i =>
         (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
     }
-    Manifest(statCols, entries)
+    Manifest(statCols, entries, ingestBatch)
   }
 
   /** Publish `entries` as version `v`: write to a dot-prefixed temp
     * name, then one atomic rename. The rename IS the commit.
     */
   private def writeManifest(spark: SparkSession, root: String, v: Long,
-      statCols: Seq[String],
-      entries: Seq[(String, Seq[(Long, Long)])]): Unit = {
+      statCols: Seq[String], entries: Seq[(String, Seq[(Long, Long)])],
+      ingestBatch: Long): Unit = {
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
     fs.mkdirs(dir)
@@ -103,6 +107,9 @@ object VersionedTable {
     try {
       out.write(s"# versioned v1\t${statCols.mkString("\t")}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (ingestBatch >= 0)
+        out.write(s"#ingest\t$ingestBatch\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       entries.sortBy(_._1).foreach { case (n, boxes) =>
         val cells = boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
         out.write(s"$n\t${cells.mkString("\t")}\n"
@@ -147,7 +154,24 @@ object VersionedTable {
     * Returns the published version id. The first append fixes the
     * table's stat columns; later appends must state the same list.
     */
-  def append(df: DataFrame, root: String, statCols: Seq[String]): Long = {
+  def append(df: DataFrame, root: String, statCols: Seq[String]): Long =
+    appendBatch(df, root, statCols, ingestBatch = -1L)
+
+  /** [[append]] carrying a streaming INGEST FRONTIER: when
+    * `ingestBatch >= 0`, the manifest records it (carried forward by
+    * every later version), and an append whose batch id is at or below
+    * the recorded frontier is a REPLAY — it publishes nothing and
+    * returns the current version. That makes a `foreachBatch` sink
+    * exactly-once by construction: a batch crashed after its append
+    * but before the checkpoint commit is re-delivered, found at-or-
+    * below the frontier, and skipped — the idempotence lives in the
+    * same atomic manifest publish as the data, so there is no window
+    * where one is visible without the other (the zorder sink needs
+    * deterministic-overwrite dirs and a frontier gate at COMPACTION
+    * time to get the same guarantee).
+    */
+  def appendBatch(df: DataFrame, root: String, statCols: Seq[String],
+      ingestBatch: Long): Long = {
     val spark = df.sparkSession
     require(statCols.nonEmpty, "append needs at least one stat column")
     WriterLease.withLease(fsFor(spark, root), root, "vtAppend") {
@@ -157,11 +181,17 @@ object VersionedTable {
         require(m.statCols == statCols,
           s"stat columns are fixed at table creation: ${m.statCols} != $statCols")
       }
-      val entries = writeFiles(df, root, statCols)
-      val v = prev.getOrElse(0L) + 1
-      writeManifest(spark, root, v, statCols,
-        base.map(_.entries).getOrElse(Seq.empty) ++ entries)
-      v
+      val frontier = base.map(_.ingestBatch).getOrElse(-1L)
+      if (ingestBatch >= 0 && ingestBatch <= frontier) {
+        prev.get // replayed batch: already published, change nothing
+      } else {
+        val entries = writeFiles(df, root, statCols)
+        val v = prev.getOrElse(0L) + 1
+        writeManifest(spark, root, v, statCols,
+          base.map(_.entries).getOrElse(Seq.empty) ++ entries,
+          math.max(frontier, ingestBatch))
+        v
+      }
     }
   }
 
@@ -192,7 +222,7 @@ object VersionedTable {
           d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
         })
       val nv = v + 1
-      writeManifest(spark, root, nv, m.statCols, entries)
+      writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch)
       nv
     }
 
