@@ -448,7 +448,16 @@ object Layout {
     */
   private[pipeline] def footerFootprints(spark: SparkSession,
       files: Seq[String],
-      cols: Seq[String]): Seq[(String, Seq[(Long, Long)])] = {
+      cols: Seq[String]): Seq[(String, Seq[(Long, Long)])] =
+    footerStats(spark, files, cols).map { case (n, _, boxes) => (n, boxes) }
+
+  /** [[footerFootprints]] plus each file's EXACT row count (the footer
+    * records it per row group) — what lets a manifest serve `count(*)`
+    * without touching data.
+    */
+  private[pipeline] def footerStats(spark: SparkSession,
+      files: Seq[String],
+      cols: Seq[String]): Seq[(String, Long, Seq[(Long, Long)])] = {
     if (files.isEmpty) return Seq.empty
     val confBytes = {
       // Hadoop Configuration is not serializable as-is; ship the XML
@@ -466,12 +475,12 @@ object Layout {
       .collect().toSeq
   }
 
-  /** One file's (name, [(min, max)] per column) from its footer, or
-    * None when statistics are absent for ANY of the columns.
+  /** One file's (name, row count, [(min, max)] per column) from its
+    * footer, or None when statistics are absent for ANY of the columns.
     */
   private def longStatsOf(file: String,
       conf: org.apache.hadoop.conf.Configuration,
-      cols: Seq[String]): Option[(String, Seq[(Long, Long)])] = {
+      cols: Seq[String]): Option[(String, Long, Seq[(Long, Long)])] = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
@@ -496,7 +505,7 @@ object Layout {
       val boxes = cols.map(minMax)
       if (boxes.exists(_.isEmpty)) None
       else Some((new org.apache.hadoop.fs.Path(file).getName,
-        boxes.map(_.get)))
+        blocks.map(_.getRowCount).sum, boxes.map(_.get)))
     } finally reader.close()
   }
 

@@ -67,9 +67,11 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  private case class Manifest(statCols: Seq[String],
-      entries: Seq[(String, Seq[(Long, Long)])],
-      ingestBatch: Long = -1L)
+  private case class Entry(name: String, rows: Long,
+      boxes: Seq[(Long, Long)])
+
+  private case class Manifest(statCols: Seq[String], entries: Seq[Entry],
+      ingestBatch: Long = -1L, kind: String = "append")
 
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
@@ -79,40 +81,45 @@ object VersionedTable {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty).toSeq
-    require(lines.nonEmpty && lines.head.startsWith("# versioned v1"),
+    require(lines.nonEmpty && lines.head.startsWith("# versioned v2"),
       s"corrupt manifest v$v at $root")
     val statCols = lines.head.split('\t').toSeq.tail
     val ingestBatch = lines.tail
       .find(_.startsWith("#ingest\t"))
       .map(_.split('\t')(1).toLong).getOrElse(-1L)
+    val kind = lines.tail
+      .find(_.startsWith("#kind\t"))
+      .map(_.split('\t')(1)).getOrElse("append")
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val f = l.split('\t')
-      f(0) -> statCols.indices.map(i =>
-        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
+      Entry(f(0), f(1).toLong, statCols.indices.map(i =>
+        (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)))
     }
-    Manifest(statCols, entries, ingestBatch)
+    Manifest(statCols, entries, ingestBatch, kind)
   }
 
   /** Publish `entries` as version `v`: write to a dot-prefixed temp
     * name, then one atomic rename. The rename IS the commit.
     */
   private def writeManifest(spark: SparkSession, root: String, v: Long,
-      statCols: Seq[String], entries: Seq[(String, Seq[(Long, Long)])],
-      ingestBatch: Long): Unit = {
+      statCols: Seq[String], entries: Seq[Entry],
+      ingestBatch: Long, kind: String): Unit = {
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$v")
     val out = fs.create(tmp, true)
     try {
-      out.write(s"# versioned v1\t${statCols.mkString("\t")}\n"
+      out.write(s"# versioned v2\t${statCols.mkString("\t")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(s"#kind\t$kind\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (ingestBatch >= 0)
         out.write(s"#ingest\t$ingestBatch\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      entries.sortBy(_._1).foreach { case (n, boxes) =>
-        val cells = boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
-        out.write(s"$n\t${cells.mkString("\t")}\n"
+      entries.sortBy(_.name).foreach { e =>
+        val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
+        out.write(s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -128,7 +135,7 @@ object VersionedTable {
     */
   private def writeFiles(df: DataFrame, root: String,
       statCols: Seq[String],
-      shape: DataFrame => DataFrame = identity): Seq[(String, Seq[(Long, Long)])] = {
+      shape: DataFrame => DataFrame = identity): Seq[Entry] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -144,8 +151,8 @@ object VersionedTable {
         dest.toString
       }
     fs.delete(new Path(stage), true)
-    Layout.footerFootprints(spark, moved, statCols).map {
-      case (name, boxes) => name -> boxes
+    Layout.footerStats(spark, moved, statCols).map {
+      case (name, rows, boxes) => Entry(name, rows, boxes)
     }
   }
 
@@ -189,7 +196,7 @@ object VersionedTable {
         val v = prev.getOrElse(0L) + 1
         writeManifest(spark, root, v, statCols,
           base.map(_.entries).getOrElse(Seq.empty) ++ entries,
-          math.max(frontier, ingestBatch))
+          math.max(frontier, ingestBatch), kind = "append")
         v
       }
     }
@@ -222,7 +229,8 @@ object VersionedTable {
           d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
         })
       val nv = v + 1
-      writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch)
+      writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch,
+        kind = "compact")
       nv
     }
 
@@ -230,7 +238,7 @@ object VersionedTable {
       m: Manifest): DataFrame = {
     require(m.entries.nonEmpty, s"empty snapshot at $root")
     spark.read.parquet(
-      m.entries.map(e => s"${filesDir(root)}/${e._1}"): _*)
+      m.entries.map(e => s"${filesDir(root)}/${e.name}"): _*)
   }
 
   /** The table at its LATEST version — plain `spark.read` over
@@ -279,12 +287,12 @@ object VersionedTable {
     val m = readManifest(spark, root, v)
     val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
     val kept =
-      if (idx.contains(-1)) m.entries.map(_._1) // unknown column: no pruning
+      if (idx.contains(-1)) m.entries.map(_.name) // unknown column: no pruning
       else m.entries.collect {
-        case (name, boxes) if probes.zip(idx).forall {
+        case e if probes.zip(idx).forall {
           case ((_, lo, hi), i) =>
-            val (mn, mx) = boxes(i); !(hi < mn || lo > mx)
-        } => name
+            val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+        } => e.name
       }
     (kept, m)
   }
@@ -296,6 +304,54 @@ object VersionedTable {
     * to the longest read you serve, exactly as Iceberg's
     * expire_snapshots does. Returns (versions dropped, files deleted).
     */
+  /** Exact `count(*)` served from the MANIFEST alone — each entry
+    * carries its file's footer-recorded row count, so the answer
+    * touches no data files and no footers: one small text read. This
+    * is the metadata-only count every table format serves; at 100 TB
+    * the difference between this and a scan is the whole table.
+    */
+  def fastCount(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      sys.error(s"no versions at $root"))
+    readManifest(spark, root, v).entries.map(_.rows).sum
+  }
+
+  /** Incremental CHANGE read — the rows ADDED strictly after `fromV`
+    * up to and including `toV` (CDC-lite for an append-only table):
+    * the union of files introduced by APPEND versions in the range,
+    * resolved by manifest diffs. Compaction versions contribute
+    * nothing — they rewrite the same rows into new files, and counting
+    * those files would double every row they carry; an incremental
+    * consumer that polls `readChanges(lastSeen, latest)` therefore
+    * sees every appended row exactly once regardless of how many
+    * compactions ran in between. Requires the range's manifests to
+    * still be inside the vacuum retention window.
+    */
+  def readChanges(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
+    val vs = versions(spark, root)
+    val needed = (fromV to toV).filter(_ > 0)
+    require(needed.forall(vs.contains),
+      s"readChanges: versions ${needed.filterNot(vs.contains)} vacuumed " +
+        s"away — retention window too short for this consumer")
+    val added = (fromV + 1 to toV).flatMap { v =>
+      val m = readManifest(spark, root, v)
+      if (m.kind != "append") Seq.empty
+      else {
+        val prevNames =
+          if (v - 1 <= 0) Set.empty[String]
+          else readManifest(spark, root, v - 1).entries.map(_.name).toSet
+        m.entries.map(_.name).filterNot(prevNames)
+      }
+    }
+    if (added.isEmpty)
+      // empty changes still need the table's schema
+      read(spark, root).limit(0)
+    else spark.read.parquet(added.map(n => s"${filesDir(root)}/$n"): _*)
+  }
+
   def vacuum(spark: SparkSession, root: String,
       keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
@@ -304,7 +360,7 @@ object VersionedTable {
       val vs = versions(spark, root)
       val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
       val referenced = keep
-        .flatMap(v => readManifest(spark, root, v).entries.map(_._1)).toSet
+        .flatMap(v => readManifest(spark, root, v).entries.map(_.name)).toSet
       var filesDeleted = 0
       val fd = new Path(filesDir(root))
       if (fs.exists(fd)) fs.listStatus(fd).foreach { st =>

@@ -48,6 +48,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fixed at table creation"))
   }
 
+  test("fastCount serves exact counts from the manifest; readChanges sees each appended row once across compactions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-cdc")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 120), root, Stats)          // v1
+    VersionedTable.append(rows(1, 120), root, Stats)          // v2
+    VersionedTable.compactZorder(spark, root, nFiles = 4)     // v3 (rewrite)
+    VersionedTable.append(rows(2, 120), root, Stats)          // v4
+
+    // metadata-only count: no data read, exact, at any version
+    assert(VersionedTable.fastCount(spark, root) == 360)
+    assert(VersionedTable.fastCount(spark, root, Some(2L)) == 240)
+    assert(VersionedTable.fastCount(spark, root, Some(3L)) == 240,
+      "a compaction must not change the manifest-served count")
+
+    // incremental consumer: from v1 to latest sees rounds 1 and 2
+    // exactly once — the compaction in between contributes NOTHING
+    val changes = VersionedTable.readChanges(spark, root, 1L, 4L)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(changes.sameElements(120L until 360L),
+      s"changes must be exactly the appended rows: ${changes.length}")
+    // no-op range; and the full range equals the whole table
+    assert(VersionedTable.readChanges(spark, root, 4L, 4L).count() == 0)
+    assert(VersionedTable.readChanges(spark, root, 0L, 4L).count() == 360)
+    // a vacuumed-away range is refused loudly, not served wrong
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readChanges(spark, root, 1L, 4L)
+    }
+    assert(e.getMessage.contains("retention window"))
+  }
+
   test("compaction publishes a new version; history still reads the old files until vacuum") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-c")
       .resolve("t").toString
