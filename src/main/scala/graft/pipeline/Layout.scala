@@ -277,8 +277,27 @@ object Layout {
     WriterLease.withLease(fsFor(spark, root), root, "zorderAppend") {
       new SnapshotDir(spark, dataDir).recover()
       val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
-      df.write.mode("overwrite").parquet(s"$dataDir/a$nonce")
+      val dir = s"$dataDir/a$nonce"
+      df.write.mode("overwrite").parquet(dir)
+      ensureSuccessMarker(spark, dir)
     }
+  }
+
+  /** The `_SUCCESS` marker is the batch-visibility gate
+    * ([[completeDataPaths]]) AND what stops compaction from dropping
+    * the dir as a dead append — but committers can be configured not
+    * to write it (`mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    * false`, some object-store committers). The write job above has
+    * already succeeded when this runs, so writing the marker ourselves
+    * is exactly the committer's own semantics; without this, an ACKED
+    * append under a marker-less committer would be invisible to every
+    * reader and deleted by the next compaction.
+    */
+  private[graft] def ensureSuccessMarker(spark: SparkSession,
+      dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
   }
 
   /** [[compactZorder]] behind the same lease the ingest appends hold —

@@ -151,9 +151,27 @@ object VersionedTable {
         dest.toString
       }
     fs.delete(new Path(stage), true)
-    Layout.footerStats(spark, moved, statCols).map {
+    val entries = Layout.footerStats(spark, moved, statCols).map {
       case (name, rows, boxes) => Entry(name, rows, boxes)
     }
+    // FAIL LOUDLY, never silently lose rows: footerStats skips a file
+    // when any stat column has no usable LONG statistics (all-NULL
+    // column in that file, a non-Long column type, a misspelled
+    // column). Publishing only the survivors would make the skipped
+    // files' rows invisible to every read and the next vacuum would
+    // delete them permanently — with a green version id returned.
+    if (entries.size != moved.size) {
+      val have = entries.map(_.name).toSet
+      val missing = moved.map(new Path(_).getName).filterNot(have)
+      throw new IllegalArgumentException(
+        s"append aborted: ${missing.size} of ${moved.size} data files " +
+          s"have no usable long statistics for stat columns " +
+          s"${statCols.mkString("[", ", ", "]")} (non-Long column type, " +
+          s"all-NULL values, or a misspelled name?): " +
+          s"${missing.take(3).mkString(", ")}. Nothing was published; " +
+          "the moved files are unreferenced and will be vacuumed.")
+    }
+    entries
   }
 
   /** Append `df` as a new version carrying footprint stats for
@@ -297,13 +315,6 @@ object VersionedTable {
     (kept, m)
   }
 
-  /** Reclaim storage: keep the newest `keepVersions` manifests, delete
-    * older manifests and every file no kept manifest references, plus
-    * any crashed writer's stage debris. The retention contract: a
-    * reader pinning a dropped version loses it — size `keepVersions`
-    * to the longest read you serve, exactly as Iceberg's
-    * expire_snapshots does. Returns (versions dropped, files deleted).
-    */
   /** Exact `count(*)` served from the MANIFEST alone — each entry
     * carries its file's footer-recorded row count, so the answer
     * touches no data files and no footers: one small text read. This
@@ -331,27 +342,38 @@ object VersionedTable {
   def readChanges(spark: SparkSession, root: String, fromV: Long,
       toV: Long): DataFrame = {
     require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
-    val vs = versions(spark, root)
+    val vs = versions(spark, root).toSet
     val needed = (fromV to toV).filter(_ > 0)
     require(needed.forall(vs.contains),
       s"readChanges: versions ${needed.filterNot(vs.contains)} vacuumed " +
         s"away — retention window too short for this consumer")
-    val added = (fromV + 1 to toV).flatMap { v =>
+    // ONE manifest read per version: thread the previous version's
+    // name set through the fold (re-reading v-1 per step would double
+    // the manifest I/O a long-retention polling consumer pays)
+    var prevNames: Set[String] =
+      if (fromV <= 0) Set.empty
+      else readManifest(spark, root, fromV).entries.map(_.name).toSet
+    val added = Seq.newBuilder[String]
+    (fromV + 1 to toV).foreach { v =>
       val m = readManifest(spark, root, v)
-      if (m.kind != "append") Seq.empty
-      else {
-        val prevNames =
-          if (v - 1 <= 0) Set.empty[String]
-          else readManifest(spark, root, v - 1).entries.map(_.name).toSet
-        m.entries.map(_.name).filterNot(prevNames)
-      }
+      if (m.kind == "append")
+        added ++= m.entries.map(_.name).filterNot(prevNames)
+      prevNames = m.entries.map(_.name).toSet
     }
-    if (added.isEmpty)
+    val names = added.result()
+    if (names.isEmpty)
       // empty changes still need the table's schema
       read(spark, root).limit(0)
-    else spark.read.parquet(added.map(n => s"${filesDir(root)}/$n"): _*)
+    else spark.read.parquet(names.map(n => s"${filesDir(root)}/$n"): _*)
   }
 
+  /** Reclaim storage: keep the newest `keepVersions` manifests, delete
+    * older manifests and every file no kept manifest references, plus
+    * any crashed writer's stage debris. The retention contract: a
+    * reader pinning a dropped version loses it — size `keepVersions`
+    * to the longest read you serve, exactly as Iceberg's
+    * expire_snapshots does. Returns (versions dropped, files deleted).
+    */
   def vacuum(spark: SparkSession, root: String,
       keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")

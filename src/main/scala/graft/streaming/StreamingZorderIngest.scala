@@ -108,21 +108,31 @@ object StreamingZorderIngest {
         val (files, dirs) = entries.partition(_.isFile)
         // b<id> dirs are governed by the CHECKPOINT: fold only at or
         // below the commit frontier (above it they are replayable and
-        // must ride through the swap, torn or complete). Dirs WITHOUT
-        // a batch id (Layout.appendGuarded's a<nonce> batches) are
-        // governed by the LEASE we hold: complete ones are final —
-        // nothing can replay them, fold them now; torn ones are
-        // crashed appends whose caller never got an ack — drop them
-        // (they can never be in-progress here: appends take this same
-        // lease).
+        // must ride through the swap, torn or complete). a<nonce> dirs
+        // (Layout.appendGuarded's batches — 'a' + 32 hex chars, matched
+        // EXACTLY so a foreign subdirectory is carried through the
+        // swap, never deleted) are governed by the LEASE we hold:
+        // complete ones are final — nothing can replay them, fold them
+        // now; torn ones are crashed appends whose caller never got an
+        // ack — drop them (they can never be in-progress here: appends
+        // take this same lease, and the append writes its own marker
+        // even under a marker-less committer config).
         def complete(st: org.apache.hadoop.fs.FileStatus): Boolean =
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
-        val (batchDirs, leaseDirs) =
+        def isAppendDir(name: String): Boolean =
+          name.length == 33 && name.head == 'a' &&
+            name.tail.forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
+        val (batchDirs, rest) =
           dirs.partition(st => batchId(st.getPath.getName).nonEmpty)
-        val (foldB, pending) = batchDirs.partition { st =>
+        val (appendDirs, foreign) =
+          rest.partition(st => isAppendDir(st.getPath.getName))
+        val (foldB, pendingB) = batchDirs.partition { st =>
           batchId(st.getPath.getName).exists(_ <= frontier) && complete(st)
         }
-        val (foldA, deadAppends) = leaseDirs.partition(complete)
+        val (foldA, deadAppends) = appendDirs.partition(complete)
+        // foreign dirs: not ours to reason about — carry them, complete
+        // or not, exactly as the pre-a<nonce> code carried everything
+        val pending = pendingB ++ foreign
         deadAppends.foreach { st =>
           if (!fs.delete(st.getPath, true)) throw new java.io.IOException(
             s"compactCommitted: could not drop crashed append ${st.getPath}")
@@ -230,7 +240,12 @@ object StreamingZorderIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     WriterLease.withLease(fs, root, s"zorderIngest-b$batchId") {
       new SnapshotDir(spark, dataDir).recover()
-      batch.write.mode("overwrite").parquet(s"$dataDir/b$batchId")
+      val dir = s"$dataDir/b$batchId"
+      batch.write.mode("overwrite").parquet(dir)
+      // the marker is the visibility/fold gate; a marker-less committer
+      // config must not make acked batches invisible (see
+      // Layout.ensureSuccessMarker)
+      Layout.ensureSuccessMarker(spark, dir)
     }
   }
 }

@@ -126,6 +126,51 @@ class StreamingZorderIngestSpec extends AnyFunSuite {
       "ingest must release the lease")
   }
 
+  test("compactCommitted on a mixed table: folds complete guarded appends, drops dead ones, carries foreign dirs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-szi-mixed")
+    val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val root = base.resolve("table").toString
+    val ckpt = s"$base/ckpt"
+    def stream() = EventStreamPipeline.readEvents(spark, src.toString)
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+    TestSpark.writeEventsFile(src, "f0",
+      (0L until 50L).map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
+
+    // a guarded MANUAL append on the same table (lease-governed, not
+    // checkpoint-governed): complete -> compactCommitted may fold it
+    val extra = spark.range(1000, 1050)
+      .select($"id".as("event_id"), ($"id" % 7).as("user_id"),
+        ($"id" * 1000000L).as("ts_us"))
+    Layout.appendGuarded(extra, root)
+    val dataDir = Layout.tableDataDir(root)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a DEAD append: 'a' + 32 hex chars, no _SUCCESS — a crashed
+    // appendGuarded whose caller never got an ack; must be dropped
+    val dead = new org.apache.hadoop.fs.Path(dataDir,
+      "a" + "0123456789abcdef0123456789abcdef")
+    fs.mkdirs(dead)
+    // a FOREIGN dir: not b<id>, not a<hex32>, no _SUCCESS — not ours
+    // to reason about; must be carried through the swap untouched
+    val foreign = new org.apache.hadoop.fs.Path(dataDir, "user_export")
+    fs.mkdirs(foreign)
+
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
+    assert(servedIds(root) == ((0L until 50L) ++ (1000L until 1050L)),
+      "the complete guarded append must fold in, losslessly")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filterNot(n => n.startsWith("_")).toSet
+    assert(!names.exists(_.startsWith("a0123456789")),
+      "a dead (unacked) append must be dropped")
+    assert(names.contains("user_export"),
+      "a foreign dir must ride through the swap, never be deleted")
+    assert(!names.exists(n => n.startsWith("a") && n.length == 33),
+      "the complete append dir must have been folded away")
+  }
+
   test("rescue: a batch dir stranded in .staging by a crashed compaction survives the next fold, even once committed") {
     val base = java.nio.file.Files.createTempDirectory("graft-szi-rescue")
     val src = java.nio.file.Files.createDirectory(base.resolve("src"))
