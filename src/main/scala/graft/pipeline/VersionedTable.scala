@@ -71,7 +71,12 @@ object VersionedTable {
       boxes: Seq[(Long, Long)])
 
   private case class Manifest(statCols: Seq[String], entries: Seq[Entry],
-      ingestBatch: Long = -1L, kind: String = "append")
+      ingestBatch: Long = -1L, kind: String = "append",
+      schemaJson: Option[String] = None) {
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
@@ -90,12 +95,15 @@ object VersionedTable {
     val kind = lines.tail
       .find(_.startsWith("#kind\t"))
       .map(_.split('\t')(1)).getOrElse("append")
+    val schemaJson = lines.tail
+      .find(_.startsWith("#schema\t"))
+      .map(_.split('\t')(1))
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val f = l.split('\t')
       Entry(f(0), f(1).toLong, statCols.indices.map(i =>
         (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)))
     }
-    Manifest(statCols, entries, ingestBatch, kind)
+    Manifest(statCols, entries, ingestBatch, kind, schemaJson)
   }
 
   /** Publish `entries` as version `v`: write to a dot-prefixed temp
@@ -103,7 +111,7 @@ object VersionedTable {
     */
   private def writeManifest(spark: SparkSession, root: String, v: Long,
       statCols: Seq[String], entries: Seq[Entry],
-      ingestBatch: Long, kind: String): Unit = {
+      ingestBatch: Long, kind: String, schemaJson: Option[String]): Unit = {
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
     fs.mkdirs(dir)
@@ -117,6 +125,12 @@ object VersionedTable {
       if (ingestBatch >= 0)
         out.write(s"#ingest\t$ingestBatch\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      schemaJson.foreach { j =>
+        require(!j.contains('\t') && !j.contains('\n'),
+          "schema json must be single-line")
+        out.write(s"#schema\t$j\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       entries.sortBy(_.name).foreach { e =>
         val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
         out.write(s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\n"
@@ -210,14 +224,45 @@ object VersionedTable {
       if (ingestBatch >= 0 && ingestBatch <= frontier) {
         prev.get // replayed batch: already published, change nothing
       } else {
+        // SCHEMA EVOLUTION: the table schema is the union of every
+        // append's fields (add-column only; a column present in both
+        // must keep its exact type). It is stored IN the manifest, so
+        // reads never depend on footer merging, older files null-fill
+        // the added columns, and time travel serves each version under
+        // the schema it had THEN.
+        val merged = mergedSchema(base.flatMap(_.schema), df.schema)
         val entries = writeFiles(df, root, statCols)
         val v = prev.getOrElse(0L) + 1
         writeManifest(spark, root, v, statCols,
           base.map(_.entries).getOrElse(Seq.empty) ++ entries,
-          math.max(frontier, ingestBatch), kind = "append")
+          math.max(frontier, ingestBatch), kind = "append",
+          Some(merged.json))
         v
       }
     }
+  }
+
+  /** Old ∪ new fields, add-only: shared names must keep the exact
+    * dataType (silent coercion across files would be the
+    * schema-roulette this mechanism exists to eliminate).
+    */
+  private def mergedSchema(
+      old: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = old match {
+    case None => next
+    case Some(o) =>
+      val byName = next.fields.map(f => f.name -> f).toMap
+      o.fields.foreach { f =>
+        byName.get(f.name).foreach { n =>
+          require(n.dataType == f.dataType,
+            s"schema evolution is add-only: column '${f.name}' would " +
+              s"change ${f.dataType} -> ${n.dataType}")
+        }
+      }
+      val oldNames = o.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(
+        o.fields ++ next.fields.filterNot(f => oldNames(f.name)))
   }
 
   /** Rewrite the CURRENT snapshot z-ordered by the table's first two
@@ -248,15 +293,27 @@ object VersionedTable {
         })
       val nv = v + 1
       writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch,
-        kind = "compact")
+        kind = "compact", m.schemaJson)
       nv
     }
 
   private def readEntries(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
     require(m.entries.nonEmpty, s"empty snapshot at $root")
-    spark.read.parquet(
-      m.entries.map(e => s"${filesDir(root)}/${e.name}"): _*)
+    readNamed(spark, root, m, m.entries.map(_.name))
+  }
+
+  /** Read `names` under the manifest's stored schema: files written
+    * before a column was added null-fill it — no footer merging, no
+    * schema roulette from whichever file the reader samples first.
+    */
+  private def readNamed(spark: SparkSession, root: String, m: Manifest,
+      names: Seq[String]): DataFrame = {
+    val paths = names.map(n => s"${filesDir(root)}/$n")
+    m.schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** The table at its LATEST version — plain `spark.read` over
@@ -282,7 +339,7 @@ object VersionedTable {
     val (kept, m) = prunedEntries(spark, root, probes)
     val df =
       if (kept.isEmpty) readEntries(spark, root, m).limit(0)
-      else spark.read.parquet(kept.map(n => s"${filesDir(root)}/$n"): _*)
+      else readNamed(spark, root, m, kept)
     probes.foldLeft(df) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -354,17 +411,25 @@ object VersionedTable {
       if (fromV <= 0) Set.empty
       else readManifest(spark, root, fromV).entries.map(_.name).toSet
     val added = Seq.newBuilder[String]
+    var last: Option[Manifest] = None
     (fromV + 1 to toV).foreach { v =>
       val m = readManifest(spark, root, v)
       if (m.kind == "append")
         added ++= m.entries.map(_.name).filterNot(prevNames)
       prevNames = m.entries.map(_.name).toSet
+      last = Some(m)
     }
     val names = added.result()
     if (names.isEmpty)
       // empty changes still need the table's schema
       read(spark, root).limit(0)
-    else spark.read.parquet(names.map(n => s"${filesDir(root)}/$n"): _*)
+    else
+      // toV's schema: files appended before a column existed null-fill it
+      last match {
+        case Some(m) => readNamed(spark, root, m, names)
+        case None => spark.read.parquet(
+          names.map(n => s"${filesDir(root)}/$n"): _*)
+      }
   }
 
   /** Reclaim storage: keep the newest `keepVersions` manifests, delete

@@ -48,6 +48,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fixed at table creation"))
   }
 
+  test("schema evolution: add-only columns, manifest-stored schema, per-version schema history") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-schema")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 100), root, Stats)              // v1
+    // v2 appends a WIDER schema: new column `score`
+    VersionedTable.append(rows(1, 100).withColumn("score",
+      (col("event_id") % 5).cast("long")), root, Stats)           // v2
+
+    // latest read: union schema; pre-evolution rows null-fill score
+    val latest = VersionedTable.read(spark, root)
+    assert(latest.columns.toSeq == Seq("event_id", "user_id", "ts_us", "score"))
+    assert(latest.filter($"score".isNull).count() == 100,
+      "files written before the column existed must null-fill it")
+    assert(latest.filter($"score".isNotNull).count() == 100)
+
+    // time travel serves each version under the schema it had THEN
+    assert(VersionedTable.readVersion(spark, root, 1L).columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us"))
+
+    // compaction carries the evolved schema; box probes read under it
+    VersionedTable.compactZorder(spark, root, nFiles = 4)
+    val afterCompact = VersionedTable.read(spark, root)
+    assert(afterCompact.columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us", "score"))
+    assert(afterCompact.filter($"score".isNull).count() == 100,
+      "the rewrite must preserve the null-filled history rows")
+
+    // changing an existing column's type is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(rows(2, 10)
+        .withColumn("user_id", col("user_id").cast("int")), root, Stats)
+    }
+    assert(e.getMessage.contains("add-only"))
+  }
+
   test("fastCount serves exact counts from the manifest; readChanges sees each appended row once across compactions") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-cdc")
       .resolve("t").toString
