@@ -468,15 +468,20 @@ object Layout {
   private[pipeline] def footerFootprints(spark: SparkSession,
       files: Seq[String],
       cols: Seq[String]): Seq[(String, Seq[(Long, Long)])] =
-    footerStats(spark, files, cols).map { case (n, _, boxes) => (n, boxes) }
+    footerStats(spark, files, cols)
+      .collect { case (n, _, Some(boxes)) => (n, boxes) }
 
   /** [[footerFootprints]] plus each file's EXACT row count (the footer
     * records it per row group) — what lets a manifest serve `count(*)`
-    * without touching data.
+    * without touching data. One row per INPUT file: boxes are None
+    * when any stat column lacks usable long statistics (empty file,
+    * all-NULL column, non-Long type) — callers decide whether that is
+    * an error (a non-empty data file they must not lose) or expected
+    * (a zero-row rewrite output to discard).
     */
   private[pipeline] def footerStats(spark: SparkSession,
       files: Seq[String],
-      cols: Seq[String]): Seq[(String, Long, Seq[(Long, Long)])] = {
+      cols: Seq[String]): Seq[(String, Long, Option[Seq[(Long, Long)]])] = {
     if (files.isEmpty) return Seq.empty
     val confBytes = {
       // Hadoop Configuration is not serializable as-is; ship the XML
@@ -486,7 +491,7 @@ object Layout {
     }
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap { f =>
+      .map { f =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.addResource(new java.io.ByteArrayInputStream(confBytes))
         longStatsOf(f, conf, cols)
@@ -495,11 +500,12 @@ object Layout {
   }
 
   /** One file's (name, row count, [(min, max)] per column) from its
-    * footer, or None when statistics are absent for ANY of the columns.
+    * footer; boxes are None when statistics are absent for ANY of the
+    * columns.
     */
   private def longStatsOf(file: String,
       conf: org.apache.hadoop.conf.Configuration,
-      cols: Seq[String]): Option[(String, Long, Seq[(Long, Long)])] = {
+      cols: Seq[String]): (String, Long, Option[Seq[(Long, Long)]]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
@@ -522,9 +528,9 @@ object Layout {
         }
       }
       val boxes = cols.map(minMax)
-      if (boxes.exists(_.isEmpty)) None
-      else Some((new org.apache.hadoop.fs.Path(file).getName,
-        blocks.map(_.getRowCount).sum, boxes.map(_.get)))
+      (new org.apache.hadoop.fs.Path(file).getName,
+        blocks.map(_.getRowCount).sum,
+        if (boxes.exists(_.isEmpty)) None else Some(boxes.map(_.get)))
     } finally reader.close()
   }
 

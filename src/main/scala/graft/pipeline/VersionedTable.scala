@@ -165,27 +165,31 @@ object VersionedTable {
         dest.toString
       }
     fs.delete(new Path(stage), true)
-    val entries = Layout.footerStats(spark, moved, statCols).map {
-      case (name, rows, boxes) => Entry(name, rows, boxes)
+    val stats = Layout.footerStats(spark, moved, statCols)
+    // a ZERO-ROW output file (an empty write, or a delete's rewrite
+    // that removed a file's every row) carries no information — drop
+    // the file instead of manifesting it
+    val (emptyFiles, dataFiles) = stats.partition(_._2 == 0L)
+    emptyFiles.foreach { case (name, _, _) =>
+      fs.delete(new Path(filesDir(root), name), false)
+      ()
     }
-    // FAIL LOUDLY, never silently lose rows: footerStats skips a file
-    // when any stat column has no usable LONG statistics (all-NULL
-    // column in that file, a non-Long column type, a misspelled
-    // column). Publishing only the survivors would make the skipped
-    // files' rows invisible to every read and the next vacuum would
-    // delete them permanently — with a green version id returned.
-    if (entries.size != moved.size) {
-      val have = entries.map(_.name).toSet
-      val missing = moved.map(new Path(_).getName).filterNot(have)
+    // FAIL LOUDLY, never silently lose rows: a NON-empty file without
+    // usable LONG statistics for every stat column (all-NULL column,
+    // non-Long column type, misspelled name) cannot be manifested —
+    // publishing only the survivors would make the skipped files' rows
+    // invisible to every read and the next vacuum would delete them
+    // permanently, with a green version id returned.
+    val missing = dataFiles.collect { case (name, _, None) => name }
+    if (missing.nonEmpty)
       throw new IllegalArgumentException(
-        s"append aborted: ${missing.size} of ${moved.size} data files " +
+        s"append aborted: ${missing.size} of ${dataFiles.size} data files " +
           s"have no usable long statistics for stat columns " +
           s"${statCols.mkString("[", ", ", "]")} (non-Long column type, " +
           s"all-NULL values, or a misspelled name?): " +
           s"${missing.take(3).mkString(", ")}. Nothing was published; " +
           "the moved files are unreferenced and will be vacuumed.")
-    }
-    entries
+    dataFiles.map { case (name, rows, boxes) => Entry(name, rows, boxes.get) }
   }
 
   /** Append `df` as a new version carrying footprint stats for
@@ -370,6 +374,69 @@ object VersionedTable {
         } => e.name
       }
     (kept, m)
+  }
+
+  /** STATS-PRUNED copy-on-write DELETE: remove every row inside the
+    * box (all probes conjoined), published as one new version. The
+    * manifest's footprints drive the rewrite set — a file whose
+    * footprint cannot intersect the box is carried into the new
+    * version UNTOUCHED (same name, same bytes; at scale a selective
+    * delete rewrites ~O(√F) of F z-ordered files, not the table), and
+    * only intersecting files are re-read, filtered to their surviving
+    * rows, and rewritten. Files whose every row died simply vanish
+    * (zero-row rewrite outputs are dropped). History is preserved:
+    * older versions still reference the pre-delete files until
+    * [[vacuum]]. Probes must name manifested stat columns — a delete
+    * that cannot be stats-checked would have to rewrite everything,
+    * which the caller should request explicitly by compacting instead.
+    * Returns (new version, rows deleted); publishes NO new version
+    * when nothing matches.
+    */
+  def deleteRange(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): (Long, Long) = {
+    require(probes.nonEmpty, "deleteRange needs at least one probe")
+    WriterLease.withLease(fsFor(spark, root), root, "vtDelete") {
+      val v = latestVersion(spark, root).getOrElse(
+        sys.error(s"no versions at $root"))
+      val m = readManifest(spark, root, v)
+      val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
+      require(!idx.contains(-1),
+        s"deleteRange probes must name manifested stat columns " +
+          s"${m.statCols.mkString("[", ", ", "]")}; " +
+          s"got ${probes.map(_._1).mkString("[", ", ", "]")}")
+      val (touched, untouched) = m.entries.partition { e =>
+        probes.zip(idx).forall { case ((_, lo, hi), i) =>
+          val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+        }
+      }
+      if (touched.isEmpty) (v, 0L)
+      else {
+        val touchedDf = readNamed(spark, root, m, touched.map(_.name))
+        val inBox = probes.map { case (c, lo, hi) =>
+          col(c) >= lo && col(c) <= hi
+        }.reduce(_ && _)
+        val survivors = touchedDf.filter(!inBox)
+        val entries = writeFiles(survivors, root, m.statCols)
+        val survivorRows = entries.map(_.rows).sum
+        val deleted = touched.map(_.rows).sum - survivorRows
+        if (deleted == 0L) {
+          // nothing actually matched inside the candidate files: the
+          // rewrite is redundant — drop it, publish nothing
+          val fs = fsFor(spark, root)
+          entries.foreach(e =>
+            fs.delete(new Path(filesDir(root), e.name), false))
+          (v, 0L)
+        } else {
+          val nv = v + 1
+          // kind=delete: like compaction, the survivor files REWRITE
+          // existing rows — readChanges must not report them as new
+          writeManifest(spark, root, nv, m.statCols,
+            untouched ++ entries, m.ingestBatch, kind = "delete",
+            m.schemaJson)
+          (nv, deleted)
+        }
+      }
+    }
   }
 
   /** Exact `count(*)` served from the MANIFEST alone — each entry

@@ -48,6 +48,69 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fixed at table creation"))
   }
 
+  test("deleteRange: stats-pruned copy-on-write — untouched files keep their names; deleted rows gone; history intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-del")
+      .resolve("t").toString
+    // z-ordered layout so the box genuinely prunes the rewrite set
+    VersionedTable.append(rows(0, 2000), root, Stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 16)   // v2
+    val before = VersionedTable.read(spark, root)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+
+    // delete a selective 2-D box: users 10..30 within a ts range
+    val probes = Seq(("user_id", 10L, 30L), ("ts_us", 200000L, 1200000L))
+    val namesBefore = manifestNames(root)
+    val (nv, deleted) = VersionedTable.deleteRange(spark, root, probes)
+    assert(nv == 3L && deleted > 0, s"v$nv deleted=$deleted")
+    val after = VersionedTable.read(spark, root)
+    // exact semantics: rows inside the box gone, all others intact
+    val expectGone = before.filter { id =>
+      val u = id % 97; val t = id * 1000L
+      u >= 10 && u <= 30 && t >= 200000L && t <= 1200000L
+    }
+    assert(deleted == expectGone.size.toLong)
+    val got = after.select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(got == before -- expectGone, "delete changed the wrong rows")
+    assert(VersionedTable.fastCount(spark, root) == got.size.toLong,
+      "manifest counts must track the delete")
+
+    // COW efficiency: files outside the box are carried by NAME —
+    // they were never rewritten
+    val namesAfter = manifestNames(root)
+    val carried = namesBefore.intersect(namesAfter)
+    assert(carried.nonEmpty && carried.size < namesBefore.size,
+      s"expected a partial rewrite: carried ${carried.size}/${namesBefore.size}")
+    info(s"delete rewrote ${namesBefore.size - carried.size}/" +
+      s"${namesBefore.size} files, carried ${carried.size} untouched")
+
+    // history intact; readChanges does not re-report rewritten rows
+    assert(VersionedTable.readVersion(spark, root, 2L).count() == 2000,
+      "pre-delete history must survive until vacuum")
+    assert(VersionedTable.readChanges(spark, root, 2L, nv).count() == 0,
+      "a delete version must contribute nothing to change reads")
+
+    // a no-match delete publishes nothing
+    val (nv2, d2) = VersionedTable.deleteRange(spark, root,
+      Seq(("user_id", 5000L, 6000L)))
+    assert(nv2 == nv && d2 == 0L)
+    // an unmanifested probe column is refused, not silently full-rewritten
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.deleteRange(spark, root, Seq(("event_id", 0L, 10L)))
+    }
+    assert(e.getMessage.contains("manifested stat columns"))
+  }
+
+  private def manifestNames(root: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = VersionedTable.latestVersion(spark, root).get
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split('\n').filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split('\t')(0)).toSet
+  }
+
   test("schema evolution: add-only columns, manifest-stored schema, per-version schema history") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-schema")
       .resolve("t").toString
