@@ -72,7 +72,8 @@ object VersionedTable {
 
   private case class Manifest(statCols: Seq[String], entries: Seq[Entry],
       ingestBatch: Long = -1L, kind: String = "append",
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      newFiles: Seq[String] = Seq.empty) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -98,12 +99,15 @@ object VersionedTable {
     val schemaJson = lines.tail
       .find(_.startsWith("#schema\t"))
       .map(_.split('\t')(1))
+    val newFiles = lines.tail
+      .find(_.startsWith("#new\t"))
+      .map(_.split('\t')(1).split(',').toSeq).getOrElse(Seq.empty)
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val f = l.split('\t')
       Entry(f(0), f(1).toLong, statCols.indices.map(i =>
         (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)))
     }
-    Manifest(statCols, entries, ingestBatch, kind, schemaJson)
+    Manifest(statCols, entries, ingestBatch, kind, schemaJson, newFiles)
   }
 
   /** Publish `entries` as version `v`: write to a dot-prefixed temp
@@ -111,7 +115,8 @@ object VersionedTable {
     */
   private def writeManifest(spark: SparkSession, root: String, v: Long,
       statCols: Seq[String], entries: Seq[Entry],
-      ingestBatch: Long, kind: String, schemaJson: Option[String]): Unit = {
+      ingestBatch: Long, kind: String, schemaJson: Option[String],
+      newFiles: Seq[String] = Seq.empty): Unit = {
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
     fs.mkdirs(dir)
@@ -131,6 +136,9 @@ object VersionedTable {
         out.write(s"#schema\t$j\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
+      if (newFiles.nonEmpty)
+        out.write(s"#new\t${newFiles.mkString(",")}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       entries.sortBy(_.name).foreach { e =>
         val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
         out.write(s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\n"
@@ -439,6 +447,73 @@ object VersionedTable {
     }
   }
 
+  /** Keyed UPSERT (the MERGE INTO shape) as ONE atomic version: rows
+    * of `updates` replace current rows with the same key; new keys
+    * append. Copy-on-write with the same stats pruning as
+    * [[deleteRange]] — `keyCols` must be manifested stat columns, the
+    * updates' per-key-column [min,max] bounds the candidate set, and
+    * only candidate files are re-read (anti-joined on the keys) and
+    * rewritten; every other file is carried by name. The update rows
+    * land as their own files, recorded in the manifest's `#new` list
+    * so [[readChanges]] reports exactly the upserted rows (the
+    * rewritten survivors are existing rows and contribute nothing).
+    * `updates` must be key-unique — two update rows with one key would
+    * both land. Schema evolution applies as in [[appendBatch]].
+    * Returns (new version, rows replaced).
+    */
+  def upsertByKey(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
+    WriterLease.withLease(fsFor(spark, root), root, "vtUpsert") {
+      val v = latestVersion(spark, root).getOrElse(
+        sys.error(s"nothing to upsert into at $root"))
+      val m = readManifest(spark, root, v)
+      val idx = keyCols.map(m.statCols.indexOf)
+      require(!idx.contains(-1),
+        s"upsertByKey key columns must be manifested stat columns " +
+          s"${m.statCols.mkString("[", ", ", "]")}; got " +
+          keyCols.mkString("[", ", ", "]"))
+      val merged = mergedSchema(m.schema, updates.schema)
+      // the updates' key bounding box: any file that could hold one of
+      // the keys must intersect it (coarse but sound per dimension)
+      val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val boundsRow = updates.agg(aggs.head, aggs.tail: _*).head.toSeq
+      require(boundsRow.forall(_ != null), "upsertByKey: empty updates")
+      val bounds = boundsRow.map(_.asInstanceOf[Long])
+      val probes = keyCols.zipWithIndex.map { case (c, i) =>
+        (c, bounds(2 * i), bounds(2 * i + 1))
+      }
+      val pidx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
+      val (touched, untouched) = m.entries.partition { e =>
+        probes.zip(pidx).forall { case ((_, lo, hi), i) =>
+          val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+        }
+      }
+      val keyFrame = updates.select(keyCols.map(col): _*).distinct()
+      val rewritten =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val survivors = readNamed(spark, root, m, touched.map(_.name))
+            .join(broadcast(keyFrame), keyCols, "left_anti")
+          writeFiles(survivors, root, m.statCols)
+        }
+      val replaced = touched.map(_.rows).sum - rewritten.map(_.rows).sum
+      // align the updates to the evolved schema (older columns they
+      // lack null-fill; readNamed serves everything under `merged`)
+      val alignedUpdates = merged.fields.foldLeft(updates) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(merged.fieldNames.map(col): _*)
+      val newEntries = writeFiles(alignedUpdates, root, m.statCols)
+      val nv = v + 1
+      writeManifest(spark, root, nv, m.statCols,
+        untouched ++ rewritten ++ newEntries, m.ingestBatch,
+        kind = "upsert", Some(merged.json),
+        newFiles = newEntries.map(_.name))
+      (nv, replaced)
+    }
+  }
+
   /** Exact `count(*)` served from the MANIFEST alone — each entry
     * carries its file's footer-recorded row count, so the answer
     * touches no data files and no footers: one small text read. This
@@ -481,8 +556,15 @@ object VersionedTable {
     var last: Option[Manifest] = None
     (fromV + 1 to toV).foreach { v =>
       val m = readManifest(spark, root, v)
-      if (m.kind == "append")
-        added ++= m.entries.map(_.name).filterNot(prevNames)
+      m.kind match {
+        case "append" =>
+          added ++= m.entries.map(_.name).filterNot(prevNames)
+        case "upsert" =>
+          // only the update rows are changes; the version's rewritten
+          // survivor files carry EXISTING rows
+          added ++= m.newFiles
+        case _ => () // compact/delete: rewrites of existing rows
+      }
       prevNames = m.entries.map(_.name).toSet
       last = Some(m)
     }

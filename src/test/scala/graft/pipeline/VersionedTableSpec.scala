@@ -111,6 +111,53 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.split('\t')(0)).toSet
   }
 
+  test("upsertByKey: replaces matching keys, appends new ones, prunes the rewrite set, keeps change reads exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-ups")
+      .resolve("t").toString
+    // key = event_id; z-order on (event_id, ts_us) so key ranges prune.
+    // NOTE: Stats here is (event_id, ts_us), unlike the other tests
+    val keys = Seq("event_id")
+    val stats = Seq("event_id", "ts_us")
+    VersionedTable.append(rows(0, 2000), root, stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 16)   // v2
+
+    // updates: rewrite ts for keys 1800..1849 (existing), add
+    // 5000..5009 (new) — the key bounding box [1800, 5009] leaves the
+    // files holding ids < 1800 outside the rewrite set
+    val updates = spark.range(1800, 1850).union(spark.range(5000, 5010))
+      .select(col("id").as("event_id"), (col("id") % 97).as("user_id"),
+        lit(777777L).as("ts_us"))
+    val namesBefore = manifestNames(root)
+    val (nv, replaced) = VersionedTable.upsertByKey(spark, root, updates,
+      keys)
+    assert(nv == 3L && replaced == 50L, s"v$nv replaced=$replaced")
+
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == 2010, "2000 - 50 + 60 = 2010")
+    assert(after.filter($"ts_us" === 777777L).count() == 60,
+      "every update row must be present exactly once")
+    assert(after.filter($"event_id" === 1820L)
+      .head.getAs[Long]("ts_us") == 777777L, "matched keys must be replaced")
+    assert(after.filter($"event_id" === 50L)
+      .head.getAs[Long]("ts_us") == 50000L, "unmatched rows must be intact")
+
+    // COW: files entirely below the update key range survive by name
+    val carried = namesBefore.intersect(manifestNames(root))
+    assert(carried.nonEmpty,
+      "files outside the update key range must be carried untouched")
+    info(s"upsert carried ${carried.size}/${namesBefore.size} files")
+
+    // change reads: exactly the upserted rows, nothing rewritten
+    val changes = VersionedTable.readChanges(spark, root, 2L, nv)
+    assert(changes.count() == 60,
+      "changes must be exactly the update rows")
+    assert(changes.filter($"ts_us" =!= 777777L).count() == 0)
+
+    // history intact
+    assert(VersionedTable.readVersion(spark, root, 2L)
+      .filter($"event_id" === 120L).head.getAs[Long]("ts_us") == 120000L)
+  }
+
   test("schema evolution: add-only columns, manifest-stored schema, per-version schema history") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-schema")
       .resolve("t").toString
