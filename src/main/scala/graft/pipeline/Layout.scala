@@ -499,6 +499,47 @@ object Layout {
       .collect().toSeq
   }
 
+  /** Per-file BLOOM membership check for a point value — reads each
+    * candidate's footer + bloom pages only, never data. A file is kept
+    * (true) when the bloom says the value MAY be present, or when no
+    * bloom exists for the column (no proof → must scan). Distributed
+    * over files like [[footerStats]].
+    */
+  private[pipeline] def bloomMayContain(spark: SparkSession,
+      files: Seq[String], c: String, value: Long): Seq[(String, Boolean)] = {
+    if (files.isEmpty) return Seq.empty
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      spark.sparkContext.hadoopConfiguration.writeXml(baos)
+      baos.toByteArray
+    }
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.addResource(new java.io.ByteArrayInputStream(confBytes))
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val may =
+          try {
+            reader.getFooter.getBlocks.asScala.exists { block =>
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == c) match {
+                case None => true // column absent: no proof
+                case Some(cmd) =>
+                  val bloom =
+                    reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
+                  bloom == null || bloom.findHash(bloom.hash(value))
+              }
+            }
+          } finally reader.close()
+        (new org.apache.hadoop.fs.Path(f).getName, may)
+      }
+      .collect().toSeq
+  }
+
   /** One file's (name, row count, [(min, max)] per column) from its
     * footer; boxes are None when statistics are absent for ANY of the
     * columns.

@@ -162,7 +162,15 @@ object VersionedTable {
     val fs = fsFor(spark, root)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = s"$root/.stage-$uuid"
-    shape(df).write.mode("overwrite").parquet(stage)
+    // write parquet BLOOM FILTERS for every stat column: footprints
+    // prune RANGE probes, blooms prune POINT probes on the same
+    // columns — [[pointRead]] checks them footer-only, so an equality
+    // lookup on an unclustered stat column skips files the [min,max]
+    // box cannot rule out
+    val writer = statCols.foldLeft(shape(df).write.mode("overwrite")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(stage)
     fs.mkdirs(new Path(filesDir(root)))
     val moved = fs.listStatus(new Path(stage)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -513,6 +521,65 @@ object VersionedTable {
       (nv, replaced)
     }
   }
+
+  /** POINT lookup (`col = value`) with two metadata-only pruning
+    * stages before any data page is read: (1) the manifest's [min,max]
+    * footprints drop files whose range cannot contain the value; (2)
+    * each survivor's parquet BLOOM filter (written for every stat
+    * column, read footer-only) drops files that provably do not hold
+    * it — the stage that matters when the probed column is NOT the
+    * clustering order (a z-ordered (user, ts) layout spreads a given
+    * `event_id` stat column across wide ranges; the box keeps many
+    * files, the bloom keeps ~the one that has it, modulo the bloom's
+    * false-positive rate). The exact filter still runs on whatever
+    * survives, so false positives cost I/O, never correctness.
+    */
+  def pointRead(spark: SparkSession, root: String, c: String,
+      value: Long): DataFrame = {
+    val (kept, m) = pointCandidates(spark, root, c, value)
+    val df =
+      if (kept.isEmpty) readEntries(spark, root, m).limit(0)
+      else readNamed(spark, root, m, kept)
+    df.filter(col(c) === value)
+  }
+
+  /** (stats-kept, bloom-kept, total) file counts for a point probe —
+    * the two-stage shrink tests assert on.
+    */
+  def pointPrunedFileCount(spark: SparkSession, root: String, c: String,
+      value: Long): (Int, Int, Int) = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    val m = readManifest(spark, root, v)
+    val statsKept = statsCandidates(m, c, value)
+    val bloomKept = bloomSurvivors(spark, root, statsKept, c, value)
+    (statsKept.size, bloomKept.size, m.entries.size)
+  }
+
+  private def pointCandidates(spark: SparkSession, root: String,
+      c: String, value: Long): (Seq[String], Manifest) = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    val m = readManifest(spark, root, v)
+    val statsKept = statsCandidates(m, c, value)
+    (bloomSurvivors(spark, root, statsKept, c, value), m)
+  }
+
+  private def statsCandidates(m: Manifest, c: String,
+      value: Long): Seq[String] = {
+    val i = m.statCols.indexOf(c)
+    if (i < 0) m.entries.map(_.name) // unmanifested column: no pruning
+    else m.entries.collect {
+      case e if { val (mn, mx) = e.boxes(i); value >= mn && value <= mx } =>
+        e.name
+    }
+  }
+
+  private def bloomSurvivors(spark: SparkSession, root: String,
+      candidates: Seq[String], c: String, value: Long): Seq[String] =
+    Layout.bloomMayContain(spark,
+      candidates.map(n => s"${filesDir(root)}/$n"), c, value)
+      .collect { case (name, true) => name }
 
   /** Exact `count(*)` served from the MANIFEST alone — each entry
     * carries its file's footer-recorded row count, so the answer

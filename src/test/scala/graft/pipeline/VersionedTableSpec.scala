@@ -111,6 +111,45 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.split('\t')(0)).toSet
   }
 
+  test("pointRead: bloom filters prune files the [min,max] box cannot — footer-only, exact results") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-pt")
+      .resolve("t").toString
+    // cluster by (user_id, ts_us); event_id is a stat column but NOT
+    // the clustering order, so its per-file ranges are WIDE — the box
+    // keeps many files and only the bloom can pin the right one
+    val stats = Seq("user_id", "ts_us", "event_id")
+    VersionedTable.append(rows(0, 50000), root, stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 32)
+
+    var boxTotal = 0; var bloomTotal = 0
+    for (probe <- Seq(123L, 17777L, 49999L)) {
+      val (statsKept, bloomKept, total) =
+        VersionedTable.pointPrunedFileCount(spark, root, "event_id", probe)
+      assert(total == 32)
+      assert(bloomKept <= statsKept,
+        "bloom stage must only ever shrink the candidate set")
+      assert(bloomKept >= 1, "the holding file must survive the bloom")
+      boxTotal += statsKept; bloomTotal += bloomKept
+      val got = VersionedTable.pointRead(spark, root, "event_id", probe)
+        .collect()
+      assert(got.length == 1 && got.head.getAs[Long]("event_id") == probe,
+        s"point lookup for $probe returned ${got.length} rows")
+    }
+    info(s"3 probes: box kept $boxTotal files total, bloom kept $bloomTotal")
+    assert(bloomTotal < boxTotal,
+      s"blooms must beat the box on an unclustered column: " +
+        s"$bloomTotal vs $boxTotal")
+
+    // an absent value: zero rows, and (modulo bloom false positives)
+    // near-zero files read
+    val (_, bloomAbsent, _) =
+      VersionedTable.pointPrunedFileCount(spark, root, "event_id", 999999L)
+    assert(VersionedTable.pointRead(spark, root, "event_id", 999999L)
+      .count() == 0)
+    info(s"absent value: bloom kept $bloomAbsent files")
+    assert(bloomAbsent <= 4, s"absent value should bloom-prune to ~0 files")
+  }
+
   test("upsertByKey: replaces matching keys, appends new ones, prunes the rewrite set, keeps change reads exact") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-ups")
       .resolve("t").toString
