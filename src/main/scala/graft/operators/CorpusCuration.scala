@@ -1290,11 +1290,51 @@ object CorpusCuration {
         ON e.event_id % 3 < LEAST(v.version, 3)
       GROUP BY v.version ORDER BY version"""))
 
+  /** The versioned table's POINT-LOOKUP path under the driver's
+    * oracle: build the table (append + z-order compaction — blooms
+    * written for every stat column), then resolve a deterministic set
+    * of `event_id` equality probes through
+    * [[graft.pipeline.VersionedTable.pointRead]] — manifest box stage
+    * then footer-only bloom stage before any data page — and
+    * hash-match the unioned rows against the same IN-list stated over
+    * the source. A bloom that wrongly EXCLUDES the holding file (the
+    * only way blooms can break correctness) loses a row and breaks the
+    * hash. (`VersionedTableSpec` additionally asserts the two-stage
+    * file-count shrink; this entry pins the semantics.)
+    */
+  val pointLookup: Q = Q(
+    "pipe_point_lookup",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("point-lookup")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))
+      graft.pipeline.VersionedTable.compactZorder(s, root, nFiles = 16)
+      val maxId = ev.agg(max($"event_id")).head.getLong(0)
+      // 8 deterministic probes spread over the id space
+      val probes = (1L to 8L).map(k => maxId * k / 9)
+      probes.map(v =>
+          graft.pipeline.VersionedTable.pointRead(s, root, "event_id", v))
+        .reduce(_ unionAll _)
+        .select($"event_id", $"user_id", $"ts_us")
+        .orderBy($"event_id")
+    },
+    Some("""WITH b AS (SELECT max(event_id) AS mx FROM events),
+      probes AS (
+        SELECT DISTINCT mx * k // 9 AS pid
+        FROM b, unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS t(k))
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us
+      FROM events e JOIN probes p ON e.event_id = p.pid
+      ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
-    manifestPrune3, versionedTable,
+    manifestPrune3, versionedTable, pointLookup,
     manifestPrune)
 }
