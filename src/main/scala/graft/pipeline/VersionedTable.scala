@@ -250,7 +250,7 @@ object VersionedTable {
         // reads never depend on footer merging, older files null-fill
         // the added columns, and time travel serves each version under
         // the schema it had THEN.
-        val merged = mergedSchema(base.flatMap(_.schema), df.schema)
+        val merged = mergedSchema(tableSchema(spark, root, base), df.schema)
         val entries = writeFiles(df, root, statCols)
         val v = prev.getOrElse(0L) + 1
         writeManifest(spark, root, v, statCols,
@@ -261,6 +261,23 @@ object VersionedTable {
       }
     }
   }
+
+  /** The base manifest's effective schema — the stored one, or, for a
+    * table written BEFORE schema storage existed (no `#schema` line),
+    * the schema of its current files (one footer pass, migration
+    * only). Without this fallback, the first post-upgrade append would
+    * stamp ITS OWN field list as the whole table schema and silently
+    * drop every old column the new batch happens to lack.
+    */
+  private def tableSchema(spark: SparkSession, root: String,
+      base: Option[Manifest])
+      : Option[org.apache.spark.sql.types.StructType] =
+    base.flatMap { m =>
+      m.schema.orElse {
+        if (m.entries.isEmpty) None
+        else Some(readNamed(spark, root, m, m.entries.map(_.name)).schema)
+      }
+    }
 
   /** Old ∪ new fields, add-only: shared names must keep the exact
     * dataType (silent coercion across files would be the
@@ -297,30 +314,42 @@ object VersionedTable {
       val m = readManifest(spark, root, v)
       require(m.statCols.size >= 2,
         "z-order compaction needs two stat columns")
-      val df = readEntries(spark, root, m)
-      val Seq(a, b) = m.statCols.take(2)
-      // same expression-keyed range exchange as Layout.zorderWrite —
-      // the z key routes and sorts rows without crossing the wire; the
-      // write target is the scratch dir writeFiles moves from
-      val entries = writeFiles(df, root, m.statCols,
-        shape = d => {
-          val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
-            max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
-          val z = Layout.zvalue16(
-            Layout.scale16(col(a), bounds(0), bounds(1)),
-            Layout.scale16(col(b), bounds(2), bounds(3)))
-          d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
-        })
-      val nv = v + 1
-      writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch,
-        kind = "compact", m.schemaJson)
-      nv
+      if (m.entries.isEmpty) v // emptied table: nothing to lay out
+      else {
+        val df = readEntries(spark, root, m)
+        val Seq(a, b) = m.statCols.take(2)
+        // same expression-keyed range exchange as Layout.zorderWrite —
+        // the z key routes and sorts rows without crossing the wire;
+        // the write target is the scratch dir writeFiles moves from
+        val entries = writeFiles(df, root, m.statCols,
+          shape = d => {
+            val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
+              max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
+            val z = Layout.zvalue16(
+              Layout.scale16(col(a), bounds(0), bounds(1)),
+              Layout.scale16(col(b), bounds(2), bounds(3)))
+            d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+          })
+        val nv = v + 1
+        writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch,
+          kind = "compact", m.schemaJson)
+        nv
+      }
     }
 
   private def readEntries(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
-    require(m.entries.nonEmpty, s"empty snapshot at $root")
-    readNamed(spark, root, m, m.entries.map(_.name))
+    if (m.entries.isEmpty)
+      // a legitimately EMPTIED table (a delete that matched every row)
+      // must stay readable: zero rows under the stored schema
+      m.schema match {
+        case Some(s) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => sys.error(
+          s"empty snapshot with no stored schema at $root")
+      }
+    else readNamed(spark, root, m, m.entries.map(_.name))
   }
 
   /** Read `names` under the manifest's stored schema: files written
@@ -374,21 +403,35 @@ object VersionedTable {
     (kept.size, m.entries.size)
   }
 
+  /** The ONE statement of box-vs-footprint intersection, shared by
+    * boxRead, deleteRange and upsertByKey (a semantics fix must land
+    * in exactly one place): entries split into (may-intersect,
+    * cannot-intersect), or None when any probe names an unmanifested
+    * column — the caller decides whether that disables pruning
+    * (boxRead) or is an error (DML must never guess).
+    */
+  private def partitionByBox(m: Manifest,
+      probes: Seq[(String, Long, Long)])
+      : Option[(Seq[Entry], Seq[Entry])] = {
+    val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
+    if (idx.contains(-1)) None
+    else Some(m.entries.partition { e =>
+      probes.zip(idx).forall { case ((_, lo, hi), i) =>
+        val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+      }
+    })
+  }
+
   private def prunedEntries(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): (Seq[String], Manifest) = {
     require(probes.nonEmpty, "boxRead needs at least one probe")
     val v = latestVersion(spark, root).getOrElse(
       sys.error(s"no versions at $root"))
     val m = readManifest(spark, root, v)
-    val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
-    val kept =
-      if (idx.contains(-1)) m.entries.map(_.name) // unknown column: no pruning
-      else m.entries.collect {
-        case e if probes.zip(idx).forall {
-          case ((_, lo, hi), i) =>
-            val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
-        } => e.name
-      }
+    val kept = partitionByBox(m, probes) match {
+      case Some((touched, _)) => touched.map(_.name)
+      case None => m.entries.map(_.name) // unknown column: no pruning
+    }
     (kept, m)
   }
 
@@ -415,23 +458,21 @@ object VersionedTable {
       val v = latestVersion(spark, root).getOrElse(
         sys.error(s"no versions at $root"))
       val m = readManifest(spark, root, v)
-      val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
-      require(!idx.contains(-1),
-        s"deleteRange probes must name manifested stat columns " +
-          s"${m.statCols.mkString("[", ", ", "]")}; " +
-          s"got ${probes.map(_._1).mkString("[", ", ", "]")}")
-      val (touched, untouched) = m.entries.partition { e =>
-        probes.zip(idx).forall { case ((_, lo, hi), i) =>
-          val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
-        }
-      }
+      val (touched, untouched) = partitionByBox(m, probes).getOrElse(
+        throw new IllegalArgumentException(
+          s"deleteRange probes must name manifested stat columns " +
+            s"${m.statCols.mkString("[", ", ", "]")}; " +
+            s"got ${probes.map(_._1).mkString("[", ", ", "]")}"))
       if (touched.isEmpty) (v, 0L)
       else {
         val touchedDf = readNamed(spark, root, m, touched.map(_.name))
         val inBox = probes.map { case (c, lo, hi) =>
           col(c) >= lo && col(c) <= hi
         }.reduce(_ && _)
-        val survivors = touchedDf.filter(!inBox)
+        // NULL-safe: for a row with a NULL probed column, inBox is
+        // NULL, and filter(!NULL) would DROP the row — a NULL is
+        // outside any box, so it must SURVIVE the delete
+        val survivors = touchedDf.filter(!coalesce(inBox, lit(false)))
         val entries = writeFiles(survivors, root, m.statCols)
         val survivorRows = entries.map(_.rows).sum
         val deleted = touched.map(_.rows).sum - survivorRows
@@ -476,49 +517,67 @@ object VersionedTable {
       val v = latestVersion(spark, root).getOrElse(
         sys.error(s"nothing to upsert into at $root"))
       val m = readManifest(spark, root, v)
-      val idx = keyCols.map(m.statCols.indexOf)
-      require(!idx.contains(-1),
+      require(keyCols.forall(m.statCols.contains),
         s"upsertByKey key columns must be manifested stat columns " +
           s"${m.statCols.mkString("[", ", ", "]")}; got " +
           keyCols.mkString("[", ", ", "]"))
-      val merged = mergedSchema(m.schema, updates.schema)
-      // the updates' key bounding box: any file that could hold one of
-      // the keys must intersect it (coarse but sound per dimension)
-      val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-      val boundsRow = updates.agg(aggs.head, aggs.tail: _*).head.toSeq
-      require(boundsRow.forall(_ != null), "upsertByKey: empty updates")
-      val bounds = boundsRow.map(_.asInstanceOf[Long])
-      val probes = keyCols.zipWithIndex.map { case (c, i) =>
-        (c, bounds(2 * i), bounds(2 * i + 1))
-      }
-      val pidx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
-      val (touched, untouched) = m.entries.partition { e =>
-        probes.zip(pidx).forall { case ((_, lo, hi), i) =>
-          val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+      val merged = mergedSchema(tableSchema(spark, root, Some(m)),
+        updates.schema)
+      // updates is consumed by THREE actions (bounds agg, key-frame
+      // broadcast, the aligned write) — a derived MERGE source would
+      // re-execute its whole lineage each time unpinned
+      val pinned = updates.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // the updates' key bounding box: any file that could hold one
+        // of the keys must intersect it (coarse but sound per
+        // dimension). count(col) vs count(*) also proves NO NULL keys:
+        // NULL = NULL never joins, so a NULL-key update row would
+        // neither replace nor be replaceable — it would duplicate on
+        // every repeated upsert.
+        val aggs = count(lit(1)) +:
+          keyCols.flatMap(c =>
+            Seq(count(col(c)), min(col(c)), max(col(c))))
+        val r = pinned.agg(aggs.head, aggs.tail: _*).head
+        val total = r.getLong(0)
+        require(total > 0, "upsertByKey: empty updates")
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          require(r.getLong(1 + 3 * i) == total,
+            s"upsertByKey: ${total - r.getLong(1 + 3 * i)} update rows " +
+              s"carry a NULL key '$c' — NULL keys can neither replace " +
+              "nor be replaced and would duplicate on every upsert")
         }
-      }
-      val keyFrame = updates.select(keyCols.map(col): _*).distinct()
-      val rewritten =
-        if (touched.isEmpty) Seq.empty
-        else {
-          val survivors = readNamed(spark, root, m, touched.map(_.name))
-            .join(broadcast(keyFrame), keyCols, "left_anti")
-          writeFiles(survivors, root, m.statCols)
+        val probes = keyCols.zipWithIndex.map { case (c, i) =>
+          (c, r.getLong(2 + 3 * i), r.getLong(3 + 3 * i))
         }
-      val replaced = touched.map(_.rows).sum - rewritten.map(_.rows).sum
-      // align the updates to the evolved schema (older columns they
-      // lack null-fill; readNamed serves everything under `merged`)
-      val alignedUpdates = merged.fields.foldLeft(updates) { (d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(merged.fieldNames.map(col): _*)
-      val newEntries = writeFiles(alignedUpdates, root, m.statCols)
-      val nv = v + 1
-      writeManifest(spark, root, nv, m.statCols,
-        untouched ++ rewritten ++ newEntries, m.ingestBatch,
-        kind = "upsert", Some(merged.json),
-        newFiles = newEntries.map(_.name))
-      (nv, replaced)
+        val (touched, untouched) = partitionByBox(m, probes).get
+        val keyFrame = pinned.select(keyCols.map(col): _*).distinct()
+        val rewritten =
+          if (touched.isEmpty) Seq.empty
+          else {
+            val survivors = readNamed(spark, root, m, touched.map(_.name))
+              .join(broadcast(keyFrame), keyCols, "left_anti")
+            writeFiles(survivors, root, m.statCols)
+          }
+        val replaced = touched.map(_.rows).sum - rewritten.map(_.rows).sum
+        // align the updates to the evolved schema (older columns they
+        // lack null-fill; readNamed serves everything under `merged`)
+        val alignedUpdates = merged.fields.foldLeft(pinned: DataFrame) {
+          (d, f) =>
+            if (d.columns.contains(f.name)) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(merged.fieldNames.map(col): _*)
+        val newEntries = writeFiles(alignedUpdates, root, m.statCols)
+        val nv = v + 1
+        writeManifest(spark, root, nv, m.statCols,
+          untouched ++ rewritten ++ newEntries, m.ingestBatch,
+          kind = "upsert", Some(merged.json),
+          newFiles = newEntries.map(_.name))
+        (nv, replaced)
+      } finally {
+        pinned.unpersist()
+        ()
+      }
     }
   }
 
@@ -536,7 +595,7 @@ object VersionedTable {
     */
   def pointRead(spark: SparkSession, root: String, c: String,
       value: Long): DataFrame = {
-    val (kept, m) = pointCandidates(spark, root, c, value)
+    val (_, kept, m) = pointCandidates(spark, root, c, value)
     val df =
       if (kept.isEmpty) readEntries(spark, root, m).limit(0)
       else readNamed(spark, root, m, kept)
@@ -548,21 +607,20 @@ object VersionedTable {
     */
   def pointPrunedFileCount(spark: SparkSession, root: String, c: String,
       value: Long): (Int, Int, Int) = {
-    val v = latestVersion(spark, root).getOrElse(
-      sys.error(s"no versions at $root"))
-    val m = readManifest(spark, root, v)
-    val statsKept = statsCandidates(m, c, value)
-    val bloomKept = bloomSurvivors(spark, root, statsKept, c, value)
+    val (statsKept, bloomKept, m) = pointCandidates(spark, root, c, value)
     (statsKept.size, bloomKept.size, m.entries.size)
   }
 
+  /** (stats-stage candidates, bloom-stage survivors, manifest) — the
+    * ONE implementation of the two-stage point prune.
+    */
   private def pointCandidates(spark: SparkSession, root: String,
-      c: String, value: Long): (Seq[String], Manifest) = {
+      c: String, value: Long): (Seq[String], Seq[String], Manifest) = {
     val v = latestVersion(spark, root).getOrElse(
       sys.error(s"no versions at $root"))
     val m = readManifest(spark, root, v)
     val statsKept = statsCandidates(m, c, value)
-    (bloomSurvivors(spark, root, statsKept, c, value), m)
+    (statsKept, bloomSurvivors(spark, root, statsKept, c, value), m)
   }
 
   private def statsCandidates(m: Manifest, c: String,
@@ -637,8 +695,10 @@ object VersionedTable {
     }
     val names = added.result()
     if (names.isEmpty)
-      // empty changes still need the table's schema
-      read(spark, root).limit(0)
+      // empty changes still need a schema — toV's, not the latest's:
+      // a consumer unioning per-version change batches must get the
+      // schema as-of the range it asked for
+      readVersion(spark, root, toV).limit(0)
     else
       // toV's schema: files appended before a column existed null-fill it
       last match {

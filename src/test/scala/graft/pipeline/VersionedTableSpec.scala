@@ -100,6 +100,52 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("manifested stat columns"))
   }
 
+  test("delete edge semantics: NULL probed columns survive; an emptied table stays readable; NULL update keys are refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-null")
+      .resolve("t").toString
+    // rows 0..99 plus 10 rows whose ts_us is NULL (score column makes
+    // the schema carry a nullable stat-adjacent field is not needed —
+    // NULL lands directly in a PROBED column here)
+    val base = rows(0, 100)
+    val withNulls = base.union(
+      spark.range(900, 910).select(col("id").as("event_id"),
+        (col("id") % 97).as("user_id"),
+        lit(null).cast("long").as("ts_us")))
+    VersionedTable.append(withNulls, root, Seq("user_id", "event_id"))
+
+    // delete a ts box: the NULL-ts rows are OUTSIDE any box and must
+    // survive (the un-coalesced filter(!inBox) would drop them)
+    val (_, deleted) = VersionedTable.deleteRange(spark, root,
+      Seq(("user_id", 0L, 96L), ("event_id", 0L, 49L)))
+    assert(deleted == 50L, s"deleted=$deleted")
+    val left = VersionedTable.read(spark, root)
+    assert(left.count() == 60, "50..99 plus the 10 NULL-ts rows")
+    assert(left.filter($"ts_us".isNull).count() == 10,
+      "rows with a NULL in an unprobed column must survive a delete")
+
+    // delete EVERYTHING: the emptied table must stay readable
+    val (_, d2) = VersionedTable.deleteRange(spark, root,
+      Seq(("event_id", 0L, 10000L)))
+    assert(d2 == 60L)
+    assert(VersionedTable.read(spark, root).count() == 0,
+      "an emptied table must serve zero rows, not throw")
+    assert(VersionedTable.fastCount(spark, root) == 0L)
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us"))
+    // and life continues: append after total delete
+    VersionedTable.append(rows(0, 10), root, Seq("user_id", "event_id"))
+    assert(VersionedTable.read(spark, root).count() == 10)
+
+    // NULL keys in an upsert are refused loudly, not duplicated forever
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.upsertByKey(spark, root,
+        rows(0, 5).withColumn("event_id",
+          when($"event_id" === 2L, lit(null)).otherwise($"event_id")),
+        Seq("event_id"))
+    }
+    assert(e.getMessage.contains("NULL key"))
+  }
+
   private def manifestNames(root: String): Set[String] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
