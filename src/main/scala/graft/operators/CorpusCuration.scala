@@ -1314,8 +1314,11 @@ object CorpusCuration {
         Seq("user_id", "ts_us", "event_id"))
       graft.pipeline.VersionedTable.compactZorder(s, root, nFiles = 16)
       val maxId = ev.agg(max($"event_id")).head.getLong(0)
-      // 8 deterministic probes spread over the id space
-      val probes = (1L to 8L).map(k => maxId * k / 9)
+      // 8 deterministic probes spread over the id space — DEDUPED to
+      // mirror the oracle's SELECT DISTINCT pid: on a tiny id space
+      // (maxId < 9) two probe formulas collide, and unioning both
+      // pointReads would double their rows on the engine side only
+      val probes = (1L to 8L).map(k => maxId * k / 9).distinct
       probes.map(v =>
           graft.pipeline.VersionedTable.pointRead(s, root, "event_id", v))
         .reduce(_ unionAll _)

@@ -9,14 +9,31 @@ import org.apache.spark.sql.functions._
   * table cannot reach: data files are IMMUTABLE and uniquely named,
   * each version is a small manifest listing exactly the files (and
   * their per-column [min,max] footprints) that make up that snapshot,
-  * and a version becomes visible through ONE atomic rename of its
-  * manifest. That single publish point buys, all at once:
+  * and a version becomes visible through ONE atomic compare-and-swap
+  * publish of its manifest. That single publish point buys, all at
+  * once:
   *
   *  - **Lock-free snapshot-isolated readers.** A reader resolves the
   *    latest manifest, then reads files that can never be renamed or
   *    deleted out from under it (until a vacuum past its retention
   *    window) — no transient-missing retry loop, no swap gap, no torn
   *    batches. The guarded table's `servingRead` needs all three.
+  *  - **Lock-free OPTIMISTIC writers.** No writer takes a lock, ever:
+  *    each writes its immutable data files, then attempts to publish
+  *    `manifests/v<k>` with an exclusive create-if-absent (the CAS).
+  *    Exactly one concurrent writer wins each version number; a loser
+  *    re-reads the new base and REBASES — an append re-points its new
+  *    files at the winner's entry list and retries (appends NEVER
+  *    abort: every lost race means someone else committed, so the
+  *    system always makes progress); a compaction carries files
+  *    appended since its base snapshot (appends and compaction
+  *    commute) and aborts only when a concurrent writer rewrote one of
+  *    its INPUT files; a delete/upsert rebases over concurrent commits
+  *    that provably cannot overlap its box/keys and otherwise restarts
+  *    from the new base. This is Iceberg's optimistic concurrency: the
+  *    version-file create is the one serialization point, and
+  *    conflicts are detected from manifest content, not prevented by a
+  *    global writer lock.
   *  - **Time travel.** Every historical manifest still names immutable
   *    files; `readVersion(root, k)` is the table as-of version k.
   *  - **Planning-time pruning for free.** The manifest IS the stats
@@ -24,30 +41,60 @@ import org.apache.spark.sql.functions._
   *    footer-derived footprints, so `boxRead` prunes paths before
   *    `spark.read` plans — no separate `_footprints.tsv` lifecycle.
   *  - **Crash safety by construction.** A writer that dies before its
-  *    manifest rename has published nothing: its data files are
+  *    manifest CAS has published nothing: its data files are
   *    unreferenced garbage, collected by [[vacuum]]. There is no
   *    recover() protocol because there is no intermediate state a
-  *    reader can observe.
+  *    reader can observe. And because the CAS is create-if-ABSENT (a
+  *    hard-link that fails `EEXIST` on local filesystems, a
+  *    no-overwrite rename on HDFS-like ones), a fenced-out zombie —
+  *    a writer resuming from a GC stall after a successor published —
+  *    fails its publish loudly instead of silently clobbering the
+  *    successor's version manifest.
   *
   * Layout under `root/`:
   * {{{
   *   files/<uuid>-part-*.parquet   immutable data files
   *   manifests/v<k>                one line per file: name \t min,max per stat col
-  *   _writer.lock                  WriterLease — writers serialize; readers never lock
+  *   _writer.lock                  only vacuum serializes (vs other vacuums)
   * }}}
   *
-  * Writers (append / compact / vacuum) serialize on the table's
-  * [[WriterLease]]; manifests are written to a dot-prefixed temp name
-  * and RENAMED into place, so a reader lists either the old set or the
-  * new set of versions, never a half-written manifest. The documented
-  * retention caveat is Iceberg's own: a reader pinning version k can
-  * be broken by a vacuum that drops k — retention (`keepVersions`) is
-  * the contract between reader latency and storage reclamation.
+  * Manifests are written to a nonce-suffixed temp name (two racers for
+  * the same version must never share a temp path) and linked/renamed
+  * into place, so a reader lists either the old set or the new set of
+  * versions, never a half-written manifest. The documented retention
+  * caveat is Iceberg's own: a reader pinning version k can be broken
+  * by a vacuum that drops k — retention (`keepVersions`) is the
+  * contract between reader latency and storage reclamation. With
+  * lock-free writers, [[vacuum]] additionally honors a GRACE window
+  * (`graceMs`): an unreferenced data file younger than the grace may
+  * belong to a writer between its file writes and its manifest CAS,
+  * and is left alone — exactly Iceberg's orphan-file retention.
   */
 object VersionedTable {
 
   private def filesDir(root: String) = s"$root/files"
   private def manifestsDir(root: String) = s"$root/manifests"
+
+  /** Unreferenced files younger than this are presumed to belong to an
+    * in-flight writer (between its data writes and its manifest CAS)
+    * and survive [[vacuum]] — Iceberg's orphan-file retention default
+    * is days for the same reason; tests pass 0 for immediate collection.
+    */
+  val DefaultVacuumGraceMs: Long = 24L * 60 * 60 * 1000
+
+  /** Bounded restarts for delete/upsert under true conflicts (a
+    * concurrent commit that rewrote this writer's input files or added
+    * rows inside its box). Appends and rebases never count against it.
+    */
+  val MaxDmlRestarts: Int = 8
+
+  /** ONE-SHOT test seam: consumed (reset to noop) by the next publish
+    * attempt, so a spec can inject a competing commit into the exact
+    * window between a writer's snapshot read and its CAS — the window
+    * all the rebase logic exists for. Noop in production.
+    */
+  private[pipeline] val beforePublishHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
   private def fsFor(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,6 +114,10 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  private def latestManifest(spark: SparkSession,
+      root: String): Option[(Long, Manifest)] =
+    latestVersion(spark, root).map(v => (v, readManifest(spark, root, v)))
+
   private case class Entry(name: String, rows: Long,
       boxes: Seq[(Long, Long)])
 
@@ -77,6 +128,7 @@ object VersionedTable {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    def names: Set[String] = entries.map(_.name).toSet
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -110,17 +162,25 @@ object VersionedTable {
     Manifest(statCols, entries, ingestBatch, kind, schemaJson, newFiles)
   }
 
-  /** Publish `entries` as version `v`: write to a dot-prefixed temp
-    * name, then one atomic rename. The rename IS the commit.
+  /** Attempt to publish `entries` as version `v`: write the manifest
+    * to a NONCE-suffixed temp name (concurrent losers for the same
+    * version must never share a temp path — an overwriting racer could
+    * otherwise swap its content under this writer's commit), then one
+    * atomic create-if-absent of `v<k>`. Returns true iff THIS call
+    * published v; false iff v already exists (lost the CAS — the
+    * caller re-reads the new base and rebases). Any other failure
+    * throws: a writer crashed here has published NOTHING.
     */
-  private def writeManifest(spark: SparkSession, root: String, v: Long,
+  private def tryPublish(spark: SparkSession, root: String, v: Long,
       statCols: Seq[String], entries: Seq[Entry],
       ingestBatch: Long, kind: String, schemaJson: Option[String],
-      newFiles: Seq[String] = Seq.empty): Unit = {
+      newFiles: Seq[String] = Seq.empty): Boolean = {
+    beforePublishHook.getAndSet(() => ())()
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-v$v")
+    val nonce = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val tmp = new Path(dir, s".tmp-v$v-$nonce")
     val out = fs.create(tmp, true)
     try {
       out.write(s"# versioned v2\t${statCols.mkString("\t")}\n"
@@ -145,8 +205,48 @@ object VersionedTable {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
-    if (!fs.rename(tmp, new Path(dir, s"v$v")))
-      throw new java.io.IOException(s"manifest publish failed for v$v")
+    val won = commitCas(fs, tmp, new Path(dir, s"v$v"))
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** The CAS itself: make `dest` exist with `tmp`'s (complete) content
+    * iff `dest` does not already exist. Per-filesystem primitive, the
+    * same dispatch discipline as [[WriterLease.createExclusive]]:
+    * local filesystems hard-LINK the temp file into place — `link(2)`
+    * is kernel-atomic and fails `EEXIST`, and the destination appears
+    * fully formed because it IS the already-complete temp inode (a
+    * plain local rename would silently overwrite a destination, which
+    * is exactly how a fenced-out zombie writer could clobber its
+    * successor's published version). HDFS-like filesystems get
+    * `rename`, which their namenode already refuses when the
+    * destination exists; a false return re-checks existence to split
+    * "lost the race" (return false) from "I/O failure" (throw).
+    */
+  private def commitCas(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+    def generic(): Boolean =
+      if (fs.exists(dest)) false
+      else if (fs.rename(tmp, dest)) true
+      else if (fs.exists(dest)) false // lost the race at the rename itself
+      else throw new java.io.IOException(
+        s"manifest publish failed for ${dest.getName} (rename " +
+          s"$tmp -> $dest returned false with no competing manifest)")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem
+          if fs.getScheme == "file" =>
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+        try {
+          java.nio.file.Files.createLink(d, t)
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException => generic()
+        }
+      case _ => generic()
+    }
   }
 
   /** Write `df`'s rows as new immutable files and return their
@@ -208,6 +308,22 @@ object VersionedTable {
     dataFiles.map { case (name, rows, boxes) => Entry(name, rows, boxes.get) }
   }
 
+  /** Best-effort removal of files written but never published (a DML
+    * restart after a true conflict) — [[vacuum]] would collect them
+    * anyway; immediate cleanup just keeps the grace window honest.
+    */
+  private def discard(spark: SparkSession, root: String,
+      entries: Seq[Entry]): Unit = {
+    val fs = fsFor(spark, root)
+    entries.foreach { e =>
+      try fs.delete(new Path(filesDir(root), e.name), false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  private def backoff(attempt: Int): Unit =
+    if (attempt > 0) Thread.sleep(math.min(40L, 5L * attempt))
+
   /** Append `df` as a new version carrying footprint stats for
     * `statCols` (the columns later [[boxRead]] probes can prune on).
     * Returns the published version id. The first append fixes the
@@ -228,38 +344,53 @@ object VersionedTable {
     * where one is visible without the other (the zorder sink needs
     * deterministic-overwrite dirs and a frontier gate at COMPACTION
     * time to get the same guarantee).
+    *
+    * LOCK-FREE: concurrent appends all commit. The data files are
+    * written exactly once; only the cheap manifest CAS retries, each
+    * retry re-pointing the same new files at the newest entry list.
+    * An append never aborts — a lost CAS means another writer
+    * committed, so retrying is globally productive, the classic
+    * optimistic-commit argument.
     */
   def appendBatch(df: DataFrame, root: String, statCols: Seq[String],
       ingestBatch: Long): Long = {
     val spark = df.sparkSession
     require(statCols.nonEmpty, "append needs at least one stat column")
-    WriterLease.withLease(fsFor(spark, root), root, "vtAppend") {
-      val prev = latestVersion(spark, root)
-      val base = prev.map(readManifest(spark, root, _))
-      base.foreach { m =>
+    var written: Seq[Entry] = null
+    var attempt = 0
+    while (true) {
+      val base = latestManifest(spark, root)
+      base.foreach { case (_, m) =>
         require(m.statCols == statCols,
           s"stat columns are fixed at table creation: ${m.statCols} != $statCols")
       }
-      val frontier = base.map(_.ingestBatch).getOrElse(-1L)
+      val frontier = base.map(_._2.ingestBatch).getOrElse(-1L)
       if (ingestBatch >= 0 && ingestBatch <= frontier) {
-        prev.get // replayed batch: already published, change nothing
-      } else {
-        // SCHEMA EVOLUTION: the table schema is the union of every
-        // append's fields (add-column only; a column present in both
-        // must keep its exact type). It is stored IN the manifest, so
-        // reads never depend on footer merging, older files null-fill
-        // the added columns, and time travel serves each version under
-        // the schema it had THEN.
-        val merged = mergedSchema(tableSchema(spark, root, base), df.schema)
-        val entries = writeFiles(df, root, statCols)
-        val v = prev.getOrElse(0L) + 1
-        writeManifest(spark, root, v, statCols,
-          base.map(_.entries).getOrElse(Seq.empty) ++ entries,
-          math.max(frontier, ingestBatch), kind = "append",
-          Some(merged.json))
-        v
+        // replayed batch: already published (possibly by a racing
+        // twin), change nothing; any files this loop already wrote are
+        // unreferenced and will be vacuumed
+        if (written != null) discard(spark, root, written)
+        return base.get._1
       }
+      // SCHEMA EVOLUTION: the table schema is the union of every
+      // append's fields (add-column only; a column present in both
+      // must keep its exact type). It is stored IN the manifest, so
+      // reads never depend on footer merging, older files null-fill
+      // the added columns, and time travel serves each version under
+      // the schema it had THEN.
+      val merged = mergedSchema(
+        tableSchema(spark, root, base.map(_._2)), df.schema)
+      if (written == null) written = writeFiles(df, root, statCols)
+      val v = base.map(_._1).getOrElse(0L) + 1
+      if (tryPublish(spark, root, v, statCols,
+          base.map(_._2.entries).getOrElse(Seq.empty) ++ written,
+          math.max(frontier, ingestBatch), kind = "append",
+          Some(merged.json)))
+        return v
+      attempt += 1
+      backoff(attempt)
     }
+    sys.error("unreachable")
   }
 
   /** The base manifest's effective schema — the stored one, or, for a
@@ -278,6 +409,23 @@ object VersionedTable {
         else Some(readNamed(spark, root, m, m.entries.map(_.name)).schema)
       }
     }
+
+  /** The schema a REBASED publish must carry: the newest base's
+    * effective schema (concurrent appends may have evolved it) unioned
+    * with this writer's own. Resolving through [[tableSchema]] also
+    * migrates legacy schema-less manifests — delete and compact used
+    * to propagate `schemaJson` verbatim, so a delete that emptied a
+    * legacy table published an empty, schema-less, unreadable snapshot.
+    */
+  private def publishSchema(spark: SparkSession, root: String,
+      newest: Manifest,
+      own: Option[org.apache.spark.sql.types.StructType]): Option[String] = {
+    val base = tableSchema(spark, root, Some(newest))
+    own match {
+      case Some(s) => Some(mergedSchema(base, s).json)
+      case None => base.map(_.json)
+    }
+  }
 
   /** Old ∪ new fields, add-only: shared names must keep the exact
     * dataType (silent coercion across files would be the
@@ -302,40 +450,62 @@ object VersionedTable {
         o.fields ++ next.fields.filterNot(f => oldNames(f.name)))
   }
 
-  /** Rewrite the CURRENT snapshot z-ordered by the table's first two
-    * stat columns into `nFiles` files, published as a new version that
-    * references only the new files. Historical versions keep reading
-    * the old files until [[vacuum]] reclaims them.
+  /** Rewrite the base snapshot z-ordered by the table's first two
+    * stat columns into `nFiles` files, published as a new version.
+    * Historical versions keep reading the old files until [[vacuum]]
+    * reclaims them.
+    *
+    * CONCURRENCY: compaction commutes with appends — a lost CAS
+    * rebases by carrying every file appended since its base snapshot
+    * into the new manifest unchanged (those files were not part of the
+    * layout job, and a later compaction will fold them). It conflicts
+    * only with a commit that REWROTE one of its input files (another
+    * compaction, a delete, an upsert): compacting stale inputs would
+    * resurrect deleted rows, so that aborts loudly — compaction is
+    * optional maintenance, rerunnable at will, and must never trump a
+    * data-changing commit.
     */
-  def compactZorder(spark: SparkSession, root: String, nFiles: Int): Long =
-    WriterLease.withLease(fsFor(spark, root), root, "vtCompact") {
-      val v = latestVersion(spark, root).getOrElse(
-        sys.error(s"nothing to compact at $root"))
-      val m = readManifest(spark, root, v)
-      require(m.statCols.size >= 2,
-        "z-order compaction needs two stat columns")
-      if (m.entries.isEmpty) v // emptied table: nothing to lay out
-      else {
-        val df = readEntries(spark, root, m)
-        val Seq(a, b) = m.statCols.take(2)
-        // same expression-keyed range exchange as Layout.zorderWrite —
-        // the z key routes and sorts rows without crossing the wire;
-        // the write target is the scratch dir writeFiles moves from
-        val entries = writeFiles(df, root, m.statCols,
-          shape = d => {
-            val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
-              max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
-            val z = Layout.zvalue16(
-              Layout.scale16(col(a), bounds(0), bounds(1)),
-              Layout.scale16(col(b), bounds(2), bounds(3)))
-            d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
-          })
-        val nv = v + 1
-        writeManifest(spark, root, nv, m.statCols, entries, m.ingestBatch,
-          kind = "compact", m.schemaJson)
-        nv
+  def compactZorder(spark: SparkSession, root: String, nFiles: Int): Long = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"nothing to compact at $root"))
+    require(m0.statCols.size >= 2,
+      "z-order compaction needs two stat columns")
+    if (m0.entries.isEmpty) return v0 // emptied table: nothing to lay out
+    val df = readEntries(spark, root, m0)
+    val Seq(a, b) = m0.statCols.take(2)
+    // same expression-keyed range exchange as Layout.zorderWrite —
+    // the z key routes and sorts rows without crossing the wire;
+    // the write target is the scratch dir writeFiles moves from
+    val entries = writeFiles(df, root, m0.statCols,
+      shape = d => {
+        val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
+          max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
+        val z = Layout.zvalue16(
+          Layout.scale16(col(a), bounds(0), bounds(1)),
+          Layout.scale16(col(b), bounds(2), bounds(3)))
+        d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+      })
+    val baseNames = m0.names
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      if (!baseNames.subsetOf(lm.names)) {
+        discard(spark, root, entries)
+        throw new java.util.ConcurrentModificationException(
+          s"compactZorder at $root: a concurrent commit rewrote this " +
+            "compaction's input files (delete/upsert/compaction); the " +
+            "stale layout was discarded — re-run the compaction")
       }
+      val carried = lm.entries.filterNot(e => baseNames(e.name))
+      if (tryPublish(spark, root, lv + 1, m0.statCols, entries ++ carried,
+          lm.ingestBatch, kind = "compact",
+          publishSchema(spark, root, lm, None)))
+        return lv + 1
+      attempt += 1
+      backoff(attempt)
     }
+    sys.error("unreachable")
+  }
 
   private def readEntries(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
@@ -415,12 +585,14 @@ object VersionedTable {
       : Option[(Seq[Entry], Seq[Entry])] = {
     val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
     if (idx.contains(-1)) None
-    else Some(m.entries.partition { e =>
-      probes.zip(idx).forall { case ((_, lo, hi), i) =>
-        val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
-      }
-    })
+    else Some(m.entries.partition(e => boxIntersects(e, probes, idx)))
   }
+
+  private def boxIntersects(e: Entry, probes: Seq[(String, Long, Long)],
+      idx: Seq[Int]): Boolean =
+    probes.zip(idx).forall { case ((_, lo, hi), i) =>
+      val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+    }
 
   private def prunedEntries(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): (Seq[String], Manifest) = {
@@ -450,135 +622,249 @@ object VersionedTable {
     * which the caller should request explicitly by compacting instead.
     * Returns (new version, rows deleted); publishes NO new version
     * when nothing matches.
+    *
+    * CONCURRENCY: a lost CAS rebases over concurrent commits that
+    * provably cannot overlap — every input file still present in the
+    * newest manifest and no since-base file whose footprint intersects
+    * the box. A true overlap (an input rewritten from under the
+    * delete, or an append that may have landed rows INSIDE the box —
+    * rows this delete's rewrite never saw) restarts the whole delete
+    * from the new base, up to [[MaxDmlRestarts]] times.
     */
   def deleteRange(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): (Long, Long) = {
     require(probes.nonEmpty, "deleteRange needs at least one probe")
-    WriterLease.withLease(fsFor(spark, root), root, "vtDelete") {
-      val v = latestVersion(spark, root).getOrElse(
-        sys.error(s"no versions at $root"))
-      val m = readManifest(spark, root, v)
-      val (touched, untouched) = partitionByBox(m, probes).getOrElse(
-        throw new IllegalArgumentException(
-          s"deleteRange probes must name manifested stat columns " +
-            s"${m.statCols.mkString("[", ", ", "]")}; " +
-            s"got ${probes.map(_._1).mkString("[", ", ", "]")}"))
-      if (touched.isEmpty) (v, 0L)
-      else {
-        val touchedDf = readNamed(spark, root, m, touched.map(_.name))
-        val inBox = probes.map { case (c, lo, hi) =>
-          col(c) >= lo && col(c) <= hi
-        }.reduce(_ && _)
-        // NULL-safe: for a row with a NULL probed column, inBox is
-        // NULL, and filter(!NULL) would DROP the row — a NULL is
-        // outside any box, so it must SURVIVE the delete
-        val survivors = touchedDf.filter(!coalesce(inBox, lit(false)))
-        val entries = writeFiles(survivors, root, m.statCols)
-        val survivorRows = entries.map(_.rows).sum
-        val deleted = touched.map(_.rows).sum - survivorRows
-        if (deleted == 0L) {
-          // nothing actually matched inside the candidate files: the
-          // rewrite is redundant — drop it, publish nothing
-          val fs = fsFor(spark, root)
-          entries.foreach(e =>
-            fs.delete(new Path(filesDir(root), e.name), false))
-          (v, 0L)
-        } else {
-          val nv = v + 1
-          // kind=delete: like compaction, the survivor files REWRITE
-          // existing rows — readChanges must not report them as new
-          writeManifest(spark, root, nv, m.statCols,
-            untouched ++ entries, m.ingestBatch, kind = "delete",
-            m.schemaJson)
-          (nv, deleted)
-        }
+    var restarts = 0
+    while (true) {
+      deleteOnce(spark, root, probes) match {
+        case Some(r) => return r
+        case None =>
+          restarts += 1
+          if (restarts >= MaxDmlRestarts)
+            throw new java.util.ConcurrentModificationException(
+              s"deleteRange at $root: $restarts consecutive conflicting " +
+                "commits (appends into the box or rewrites of the " +
+                "candidate files); giving up — retry when ingest quiesces")
+          backoff(restarts)
       }
     }
+    sys.error("unreachable")
   }
+
+  /** One optimistic delete attempt: Some(result) on publish or no-op,
+    * None on a true conflict (caller restarts from the new base).
+    */
+  private def deleteOnce(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): Option[(Long, Long)] = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    val idx = probes.map { case (c, _, _) => m0.statCols.indexOf(c) }
+    val (touched, _) = partitionByBox(m0, probes).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteRange probes must name manifested stat columns " +
+          s"${m0.statCols.mkString("[", ", ", "]")}; " +
+          s"got ${probes.map(_._1).mkString("[", ", ", "]")}"))
+    if (touched.isEmpty) return Some((v0, 0L))
+    val touchedDf = readNamed(spark, root, m0, touched.map(_.name))
+    val inBox = probes.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    // NULL-safe: for a row with a NULL probed column, inBox is
+    // NULL, and filter(!NULL) would DROP the row — a NULL is
+    // outside any box, so it must SURVIVE the delete
+    val survivors = touchedDf.filter(!coalesce(inBox, lit(false)))
+    val entries = writeFiles(survivors, root, m0.statCols)
+    val survivorRows = entries.map(_.rows).sum
+    val deleted = touched.map(_.rows).sum - survivorRows
+    if (deleted == 0L) {
+      // nothing actually matched inside the candidate files: the
+      // rewrite is redundant — drop it, publish nothing
+      discard(spark, root, entries)
+      return Some((v0, 0L))
+    }
+    val touchedNames = touched.map(_.name).toSet
+    val baseNames = m0.names
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      val conflict =
+        !touchedNames.subsetOf(lm.names) ||
+          lm.entries.exists(e =>
+            !baseNames(e.name) && boxIntersects(e, probes, idx))
+      if (conflict) {
+        discard(spark, root, entries)
+        return None
+      }
+      val untouched = lm.entries.filterNot(e => touchedNames(e.name))
+      // kind=delete: like compaction, the survivor files REWRITE
+      // existing rows — readChanges must not report them as new
+      if (tryPublish(spark, root, lv + 1, m0.statCols,
+          untouched ++ entries, lm.ingestBatch, kind = "delete",
+          publishSchema(spark, root, lm, None)))
+        return Some((lv + 1, deleted))
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
+  /** When the update key set is small, the per-file candidate test a
+    * sparse-but-wide upsert uses: the update keys are collected (at
+    * most this many tuples) and a file is a candidate only if SOME key
+    * tuple lies inside its per-column boxes — two keys at the extremes
+    * of the id space then rewrite two files, not the whole table the
+    * single global bounding box would cover.
+    */
+  val SparseKeyProbeLimit: Long = 4096L
 
   /** Keyed UPSERT (the MERGE INTO shape) as ONE atomic version: rows
     * of `updates` replace current rows with the same key; new keys
     * append. Copy-on-write with the same stats pruning as
     * [[deleteRange]] — `keyCols` must be manifested stat columns, the
-    * updates' per-key-column [min,max] bounds the candidate set, and
-    * only candidate files are re-read (anti-joined on the keys) and
-    * rewritten; every other file is carried by name. The update rows
-    * land as their own files, recorded in the manifest's `#new` list
-    * so [[readChanges]] reports exactly the upserted rows (the
-    * rewritten survivors are existing rows and contribute nothing).
-    * `updates` must be key-unique — two update rows with one key would
-    * both land. Schema evolution applies as in [[appendBatch]].
+    * updates' per-key-column [min,max] bounds the candidate set
+    * (refined per-key when the key set is small, see
+    * [[SparseKeyProbeLimit]]), and only candidate files are re-read
+    * (anti-joined on the keys) and rewritten; every other file is
+    * carried by name. The update rows land as their own files,
+    * recorded in the manifest's `#new` list so [[readChanges]] reports
+    * exactly the upserted rows (the rewritten survivors are existing
+    * rows and contribute nothing). `updates` must be key-unique —
+    * verified, not assumed: duplicate-key update rows would both land
+    * as an atomically committed corruption, so they fail loudly like
+    * NULL keys do. Schema evolution applies as in [[appendBatch]].
     * Returns (new version, rows replaced).
+    *
+    * CONCURRENCY: same optimistic protocol as [[deleteRange]] — rebase
+    * over provably disjoint commits, restart (bounded) when an input
+    * file was rewritten or a since-base file may hold one of the keys.
     */
   def upsertByKey(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String]): (Long, Long) = {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
-    WriterLease.withLease(fsFor(spark, root), root, "vtUpsert") {
-      val v = latestVersion(spark, root).getOrElse(
-        sys.error(s"nothing to upsert into at $root"))
-      val m = readManifest(spark, root, v)
-      require(keyCols.forall(m.statCols.contains),
-        s"upsertByKey key columns must be manifested stat columns " +
-          s"${m.statCols.mkString("[", ", ", "]")}; got " +
-          keyCols.mkString("[", ", ", "]"))
-      val merged = mergedSchema(tableSchema(spark, root, Some(m)),
-        updates.schema)
-      // updates is consumed by THREE actions (bounds agg, key-frame
-      // broadcast, the aligned write) — a derived MERGE source would
-      // re-execute its whole lineage each time unpinned
-      val pinned = updates.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // the updates' key bounding box: any file that could hold one
-        // of the keys must intersect it (coarse but sound per
-        // dimension). count(col) vs count(*) also proves NO NULL keys:
-        // NULL = NULL never joins, so a NULL-key update row would
-        // neither replace nor be replaceable — it would duplicate on
-        // every repeated upsert.
-        val aggs = count(lit(1)) +:
-          keyCols.flatMap(c =>
-            Seq(count(col(c)), min(col(c)), max(col(c))))
-        val r = pinned.agg(aggs.head, aggs.tail: _*).head
-        val total = r.getLong(0)
-        require(total > 0, "upsertByKey: empty updates")
-        keyCols.zipWithIndex.foreach { case (c, i) =>
-          require(r.getLong(1 + 3 * i) == total,
-            s"upsertByKey: ${total - r.getLong(1 + 3 * i)} update rows " +
-              s"carry a NULL key '$c' — NULL keys can neither replace " +
-              "nor be replaced and would duplicate on every upsert")
+    // updates is consumed by several actions (bounds agg, key-frame
+    // broadcast, the aligned write; all of it again per restart) — a
+    // derived MERGE source would re-execute its whole lineage each
+    // time unpinned
+    val pinned = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var restarts = 0
+      while (true) {
+        upsertOnce(spark, root, pinned, keyCols) match {
+          case Some(r) => return r
+          case None =>
+            restarts += 1
+            if (restarts >= MaxDmlRestarts)
+              throw new java.util.ConcurrentModificationException(
+                s"upsertByKey at $root: $restarts consecutive conflicting " +
+                  "commits; giving up — retry when ingest quiesces")
+            backoff(restarts)
         }
-        val probes = keyCols.zipWithIndex.map { case (c, i) =>
-          (c, r.getLong(2 + 3 * i), r.getLong(3 + 3 * i))
-        }
-        val (touched, untouched) = partitionByBox(m, probes).get
-        val keyFrame = pinned.select(keyCols.map(col): _*).distinct()
-        val rewritten =
-          if (touched.isEmpty) Seq.empty
-          else {
-            val survivors = readNamed(spark, root, m, touched.map(_.name))
-              .join(broadcast(keyFrame), keyCols, "left_anti")
-            writeFiles(survivors, root, m.statCols)
-          }
-        val replaced = touched.map(_.rows).sum - rewritten.map(_.rows).sum
-        // align the updates to the evolved schema (older columns they
-        // lack null-fill; readNamed serves everything under `merged`)
-        val alignedUpdates = merged.fields.foldLeft(pinned: DataFrame) {
-          (d, f) =>
-            if (d.columns.contains(f.name)) d
-            else d.withColumn(f.name, lit(null).cast(f.dataType))
-        }.select(merged.fieldNames.map(col): _*)
-        val newEntries = writeFiles(alignedUpdates, root, m.statCols)
-        val nv = v + 1
-        writeManifest(spark, root, nv, m.statCols,
-          untouched ++ rewritten ++ newEntries, m.ingestBatch,
-          kind = "upsert", Some(merged.json),
-          newFiles = newEntries.map(_.name))
-        (nv, replaced)
-      } finally {
-        pinned.unpersist()
-        ()
       }
+      sys.error("unreachable")
+    } finally {
+      pinned.unpersist()
+      ()
     }
+  }
+
+  private def upsertOnce(spark: SparkSession, root: String,
+      pinned: DataFrame, keyCols: Seq[String]): Option[(Long, Long)] = {
+    val (_, m) = latestManifest(spark, root).getOrElse(
+      sys.error(s"nothing to upsert into at $root"))
+    require(keyCols.forall(m.statCols.contains),
+      s"upsertByKey key columns must be manifested stat columns " +
+        s"${m.statCols.mkString("[", ", ", "]")}; got " +
+        keyCols.mkString("[", ", ", "]"))
+    val merged = mergedSchema(tableSchema(spark, root, Some(m)),
+      pinned.schema)
+    // the updates' key bounding box: any file that could hold one
+    // of the keys must intersect it (coarse but sound per
+    // dimension). count(col) vs count(*) also proves NO NULL keys:
+    // NULL = NULL never joins, so a NULL-key update row would
+    // neither replace nor be replaceable — it would duplicate on
+    // every repeated upsert. countDistinct over the key tuple proves
+    // KEY-UNIQUENESS: two update rows with one key would both land.
+    val aggs = count(lit(1)) +:
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*) +:
+      keyCols.flatMap(c =>
+        Seq(count(col(c)), min(col(c)), max(col(c))))
+    val r = pinned.agg(aggs.head, aggs.tail: _*).head
+    val total = r.getLong(0)
+    val distinctKeys = r.getLong(1)
+    require(total > 0, "upsertByKey: empty updates")
+    keyCols.zipWithIndex.foreach { case (c, i) =>
+      require(r.getLong(2 + 3 * i) == total,
+        s"upsertByKey: ${total - r.getLong(2 + 3 * i)} update rows " +
+          s"carry a NULL key '$c' — NULL keys can neither replace " +
+          "nor be replaced and would duplicate on every upsert")
+    }
+    require(distinctKeys == total,
+      s"upsertByKey: ${total - distinctKeys} duplicate-key update rows " +
+        s"over ${keyCols.mkString("(", ", ", ")")} — both copies would " +
+        "land as an atomically committed corruption; de-duplicate the " +
+        "updates first")
+    val probes = keyCols.zipWithIndex.map { case (c, i) =>
+      (c, r.getLong(3 + 3 * i), r.getLong(4 + 3 * i))
+    }
+    val keyIdx = keyCols.map(m.statCols.indexOf)
+    val keyFrame = pinned.select(keyCols.map(col): _*).distinct()
+    // SPARSE-KEY refinement: with few keys, test files against the
+    // actual key tuples instead of one global box — updates touching
+    // keys at both extremes of the id space otherwise make the box
+    // cover everything and degrade to a full-table rewrite. The
+    // collect is bounded by SparseKeyProbeLimit rows of key columns.
+    val keyTuples: Option[Seq[Seq[Long]]] =
+      if (total <= SparseKeyProbeLimit)
+        Some(keyFrame.collect().toSeq.map(row =>
+          keyCols.indices.map(i => row.getLong(i))))
+      else None
+    def mayHoldKeys(e: Entry): Boolean = keyTuples match {
+      case Some(ks) => ks.exists(k =>
+        keyIdx.zipWithIndex.forall { case (bi, ki) =>
+          val (mn, mx) = e.boxes(bi); k(ki) >= mn && k(ki) <= mx
+        })
+      case None => boxIntersects(e, probes, keyIdx)
+    }
+    val (touched, _) = m.entries.partition(mayHoldKeys)
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val survivors = readNamed(spark, root, m, touched.map(_.name))
+          .join(broadcast(keyFrame), keyCols, "left_anti")
+        writeFiles(survivors, root, m.statCols)
+      }
+    val replaced = touched.map(_.rows).sum - rewritten.map(_.rows).sum
+    // align the updates to the evolved schema (older columns they
+    // lack null-fill; readNamed serves everything under `merged`)
+    val alignedUpdates = merged.fields.foldLeft(pinned: DataFrame) {
+      (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(merged.fieldNames.map(col): _*)
+    val newEntries = writeFiles(alignedUpdates, root, m.statCols)
+    val touchedNames = touched.map(_.name).toSet
+    val baseNames = m.names
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      val conflict =
+        !touchedNames.subsetOf(lm.names) ||
+          lm.entries.exists(e => !baseNames(e.name) && mayHoldKeys(e))
+      if (conflict) {
+        discard(spark, root, rewritten ++ newEntries)
+        return None
+      }
+      val untouched = lm.entries.filterNot(e => touchedNames(e.name))
+      if (tryPublish(spark, root, lv + 1, m.statCols,
+          untouched ++ rewritten ++ newEntries, lm.ingestBatch,
+          kind = "upsert", publishSchema(spark, root, lm, Some(merged)),
+          newFiles = newEntries.map(_.name)))
+        return Some((lv + 1, replaced))
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
   }
 
   /** POINT lookup (`col = value`) with two metadata-only pruning
@@ -676,7 +962,7 @@ object VersionedTable {
     // the manifest I/O a long-retention polling consumer pays)
     var prevNames: Set[String] =
       if (fromV <= 0) Set.empty
-      else readManifest(spark, root, fromV).entries.map(_.name).toSet
+      else readManifest(spark, root, fromV).names
     val added = Seq.newBuilder[String]
     var last: Option[Manifest] = None
     (fromV + 1 to toV).foreach { v =>
@@ -690,7 +976,7 @@ object VersionedTable {
           added ++= m.newFiles
         case _ => () // compact/delete: rewrites of existing rows
       }
-      prevNames = m.entries.map(_.name).toSet
+      prevNames = m.names
       last = Some(m)
     }
     val names = added.result()
@@ -708,18 +994,125 @@ object VersionedTable {
       }
   }
 
+  /** Full CHANGE-DATA-CAPTURE read — every row-level change strictly
+    * after `fromV` up to and including `toV`, as Delta/Iceberg CDC
+    * state it: the table's rows plus `_change_type`
+    * (`"insert"`/`"delete"`) and `_commit_version` (the version that
+    * committed the change). Where [[readChanges]] serves append-only
+    * consumers (inserted rows, no markers), this serves a consumer
+    * MIRRORING a table with DML: applying each version's deletes and
+    * inserts in order reproduces `readVersion` exactly at every step
+    * (an updated row is a delete of its old self plus an insert of its
+    * new self — the MERGE decomposition).
+    *
+    * Everything is resolved from MANIFEST DIFFS — no change log is
+    * written, no data is duplicated: history is linear (every
+    * published v rebased onto exactly v-1, the CAS guarantees it), so
+    *  - append: the added files ARE the inserts;
+    *  - compact: a pure rewrite — contributes nothing;
+    *  - delete: the removed files held the old rows, the added files
+    *    hold the survivors; removed-minus-added (multiset `EXCEPT
+    *    ALL`, computed over exactly the touched files) is the deleted
+    *    rows;
+    *  - upsert: the `#new` files are the inserts; removed-minus-
+    *    rewritten is the replaced rows' old selves, emitted as
+    *    deletes.
+    * Per-version change schemas are aligned to `toV`'s (add-only
+    * evolution: earlier versions null-fill later columns). Requires
+    * the range's manifests AND the pre-image files of its
+    * delete/upsert versions to still be inside the vacuum retention
+    * window, exactly like [[readChanges]].
+    */
+  def readChangesCdc(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"readChangesCdc: fromV $fromV > toV $toV")
+    val vs = versions(spark, root).toSet
+    val needed = (fromV to toV).filter(_ > 0)
+    require(needed.forall(vs.contains),
+      s"readChangesCdc: versions ${needed.filterNot(vs.contains)} " +
+        "vacuumed away — retention window too short for this consumer")
+    val target = readVersion(spark, root, toV).limit(0)
+    require(!target.columns.contains("_change_type") &&
+      !target.columns.contains("_commit_version"),
+      "readChangesCdc: the table already carries a CDC column name")
+    val fields = target.schema.fields.toSeq
+    def aligned(df: DataFrame): DataFrame =
+      fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(fields.map(f => col(f.name)): _*)
+    def tag(df: DataFrame, change: String, v: Long): DataFrame =
+      aligned(df).withColumn("_change_type", lit(change))
+        .withColumn("_commit_version", lit(v))
+    var prev: Option[Manifest] =
+      if (fromV <= 0) None else Some(readManifest(spark, root, fromV))
+    val parts = Seq.newBuilder[DataFrame]
+    (fromV + 1 to toV).foreach { v =>
+      val m = readManifest(spark, root, v)
+      val prevNames = prev.map(_.names).getOrElse(Set.empty)
+      // order-stable name lists (sets would scramble file order)
+      val removed = prev.map(_.entries.map(_.name)
+        .filterNot(m.names)).getOrElse(Seq.empty)
+      val added = m.entries.map(_.name).filterNot(prevNames)
+      m.kind match {
+        case "append" =>
+          if (added.nonEmpty)
+            parts += tag(readNamed(spark, root, m, added), "insert", v)
+        case "delete" =>
+          // the added files of a delete version are survivor rewrites
+          val old = readNamed(spark, root, m, removed)
+          val dels =
+            if (added.isEmpty) old
+            else old.exceptAll(readNamed(spark, root, m, added))
+          parts += tag(dels, "delete", v)
+        case "upsert" =>
+          val newSet = m.newFiles.toSet
+          val rewrites = added.filterNot(newSet)
+          if (removed.nonEmpty) {
+            val old = readNamed(spark, root, m, removed)
+            val dels =
+              if (rewrites.isEmpty) old
+              else old.exceptAll(readNamed(spark, root, m, rewrites))
+            parts += tag(dels, "delete", v)
+          }
+          if (m.newFiles.nonEmpty)
+            parts += tag(readNamed(spark, root, m, m.newFiles), "insert", v)
+        case _ => () // compact: a pure layout rewrite, no row changed
+      }
+      prev = Some(m)
+    }
+    parts.result() match {
+      case Seq() => tag(target, "insert", toV).limit(0)
+      case ps => ps.reduce(_ unionAll _)
+    }
+  }
+
   /** Reclaim storage: keep the newest `keepVersions` manifests, delete
     * older manifests and every file no kept manifest references, plus
     * any crashed writer's stage debris. The retention contract: a
     * reader pinning a dropped version loses it — size `keepVersions`
     * to the longest read you serve, exactly as Iceberg's
-    * expire_snapshots does. Returns (versions dropped, files deleted).
+    * expire_snapshots does. With LOCK-FREE writers, `graceMs` is the
+    * second contract: an unreferenced file younger than the grace may
+    * belong to a writer between its data writes and its manifest CAS
+    * (nothing marks it — that's what makes the writers lock-free), so
+    * only files older than the grace are collected; size it to the
+    * longest write you run (Iceberg's orphan-file retention, default a
+    * day). Vacuum itself still serializes against other vacuums via
+    * the writer lease — two concurrent reclaims racing the same
+    * listing would double-delete — but never blocks, and is never
+    * blocked by, data writers. Returns (versions dropped, files
+    * deleted).
     */
-  def vacuum(spark: SparkSession, root: String,
-      keepVersions: Int): (Int, Int) = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int,
+      graceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
+    require(graceMs >= 0, "graceMs must be non-negative")
     val fs = fsFor(spark, root)
     WriterLease.withLease(fs, root, "vtVacuum") {
+      val now = System.currentTimeMillis()
+      def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        now - st.getModificationTime > graceMs
       val vs = versions(spark, root)
       val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
       val referenced = keep
@@ -727,7 +1120,7 @@ object VersionedTable {
       var filesDeleted = 0
       val fd = new Path(filesDir(root))
       if (fs.exists(fd)) fs.listStatus(fd).foreach { st =>
-        if (!referenced(st.getPath.getName)) {
+        if (!referenced(st.getPath.getName) && aged(st)) {
           if (!fs.delete(st.getPath, false)) throw new java.io.IOException(
             s"vacuum: could not delete ${st.getPath}")
           filesDeleted += 1
@@ -737,14 +1130,16 @@ object VersionedTable {
         if (!fs.delete(new Path(manifestsDir(root), s"v$v"), false))
           throw new java.io.IOException(s"vacuum: could not drop manifest v$v")
       }
-      // crashed writers leave .stage-* dirs and .tmp-v* manifests
+      // crashed writers leave .stage-* dirs and .tmp-v* manifests;
+      // LIVE writers do too, between their writes and their CAS — the
+      // grace window is what separates them
       fs.listStatus(new Path(root)).foreach { st =>
-        if (st.getPath.getName.startsWith(".stage-"))
+        if (st.getPath.getName.startsWith(".stage-") && aged(st))
           fs.delete(st.getPath, true)
       }
       val md = new Path(manifestsDir(root))
       if (fs.exists(md)) fs.listStatus(md).foreach { st =>
-        if (st.getPath.getName.startsWith(".tmp-"))
+        if (st.getPath.getName.startsWith(".tmp-") && aged(st))
           fs.delete(st.getPath, false)
       }
       (drop.size, filesDeleted)

@@ -173,27 +173,49 @@ object StreamingZorderIngest {
       throw new java.io.IOException(
         s"compactCommitted: rename $from -> $to failed")
 
-  /** Move `b<id>` dirs stranded in a leftover `.staging` back into the
-    * data dir, before the next fold's overwrite deletes them. Only runs
-    * when the TARGET exists — a crash inside swapIn leaves no target and
-    * [[SnapshotDir.recover]] promotes the whole staging dir (batch dirs
-    * included), so the stranded-next-to-a-live-target window is the one
-    * this covers. When the data dir already holds a copy of the same
-    * batch (the crash-then-replay case — deterministic overwrite makes
-    * the contents identical), keep whichever copy is complete.
+  /** Move EVERY subdirectory stranded in a leftover `.staging` back into
+    * the data dir, before the next fold's overwrite deletes them. Only
+    * runs when the TARGET exists — a crash inside swapIn leaves no target
+    * and [[SnapshotDir.recover]] promotes the whole staging dir (batch
+    * dirs included), so the stranded-next-to-a-live-target window is the
+    * one this covers. `b<id>` dirs get the replay-aware treatment: when
+    * the data dir already holds a copy of the same batch (the
+    * crash-then-replay case — deterministic overwrite makes the contents
+    * identical), keep whichever copy is complete. FOREIGN dirs (anything
+    * the fold moved as pending — the compaction carries them, complete or
+    * not) have no replay and no `_SUCCESS` contract we may reason about:
+    * the stranded copy may be the ONLY copy, so it is always moved back,
+    * and a name collision with something that reappeared in the data dir
+    * is an operator-visible error, never a silent delete — the
+    * carried-through-the-swap contract means this code NEVER deletes a
+    * dir it does not own.
     */
   private def rescueStranded(fs: org.apache.hadoop.fs.FileSystem,
       dataDir: String, stagingPath: String): Unit = {
     val staging = new org.apache.hadoop.fs.Path(stagingPath)
     if (fs.exists(staging)) {
       fs.listStatus(staging).toSeq
-        .filter(st => st.isDirectory && batchId(st.getPath.getName).nonEmpty)
+        // the same visibility filter as the fold's own listing: _/. names
+        // are job internals (a crashed zorderWrite's `_temporary`) or
+        // markers, never carried data — everything else the fold could
+        // have moved as pending is rescued
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
         .foreach { st =>
           val dest = new org.apache.hadoop.fs.Path(dataDir, st.getPath.getName)
           def complete(p: org.apache.hadoop.fs.Path): Boolean =
             fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
           if (!fs.exists(dest)) renameOrThrow(fs, st.getPath, dest)
-          else if (complete(st.getPath) && !complete(dest)) {
+          else if (batchId(st.getPath.getName).isEmpty) {
+            // foreign dir AND a same-named dir back in the data dir:
+            // unreachable by this pipeline's own moves (the pending
+            // rename removed it from the data dir), so something
+            // external recreated it. Neither copy is ours to discard.
+            throw new java.io.IOException(
+              s"compactCommitted: foreign dir ${st.getPath.getName} is " +
+                s"stranded in staging AND present in $dataDir — refusing " +
+                "to guess which copy wins; resolve manually")
+          } else if (complete(st.getPath) && !complete(dest)) {
             // a torn replay landed next to the complete stranded copy:
             // promote the complete one (correct even if no further
             // replay ever runs)

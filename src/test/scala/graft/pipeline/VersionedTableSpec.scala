@@ -302,7 +302,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readChanges(spark, root, 4L, 4L).count() == 0)
     assert(VersionedTable.readChanges(spark, root, 0L, 4L).count() == 360)
     // a vacuumed-away range is refused loudly, not served wrong
-    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
     val e = intercept[IllegalArgumentException] {
       VersionedTable.readChanges(spark, root, 1L, 4L)
     }
@@ -323,7 +323,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, root, 1L).count() == 300)
 
     // vacuum to the latest only: v1/v2 manifests and their files go
-    val (dropped, deleted) = VersionedTable.vacuum(spark, root, 1)
+    val (dropped, deleted) = VersionedTable.vacuum(spark, root, 1, graceMs = 0L)
     assert(dropped == 2 && deleted > 0,
       s"vacuum should drop 2 versions and their files: $dropped/$deleted")
     assert(VersionedTable.versions(spark, root) == Seq(3L))
@@ -397,7 +397,7 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.append(rows(0, 100), root, Stats)
 
     // crash the COMMIT POINT itself: the .tmp-v2 -> v2 rename
-    graft.streaming.FaultyRenameFs.failNextRenameSuffix.set(".tmp-v2")
+    graft.streaming.FaultyRenameFs.failNextRenameSrcContains.set(".tmp-v2-")
     val crash = intercept[java.io.IOException] {
       VersionedTable.append(rows(1, 100), root, Stats)
     }
@@ -409,7 +409,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // ...but its orphaned data files exist until vacuum collects them
     val fs = new Path(root).getFileSystem(hconf)
     val before = fs.listStatus(new Path(s"$root/files")).length
-    val (_, deleted) = VersionedTable.vacuum(spark, root, 1)
+    val (_, deleted) = VersionedTable.vacuum(spark, root, 1, graceMs = 0L)
     assert(deleted > 0, "vacuum must collect the crashed writer's files")
     val after = fs.listStatus(new Path(s"$root/files")).length
     assert(after < before)

@@ -31,6 +31,11 @@ class FaultyRenameFs extends RawLocalFileSystem {
       FaultyRenameFs.failNextRenameSuffix.set(null)
       return false
     }
+    val frag = FaultyRenameFs.failNextRenameSrcContains.get()
+    if (frag != null && src.toString.contains(frag)) {
+      FaultyRenameFs.failNextRenameSrcContains.set(null)
+      return false
+    }
     super.rename(src, dst)
   }
 
@@ -54,10 +59,17 @@ object FaultyRenameFs {
   val failNextDeleteSuffix =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   /** When set, the next rename whose SOURCE ends with this suffix
-    * reports failure (false) and disarms — crashes
-    * VersionedTable.writeManifest at its commit point (the
-    * `.tmp-v<k>` → `v<k>` publish rename).
+    * reports failure (false) and disarms.
     */
   val failNextRenameSuffix =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** When set, the next rename whose SOURCE CONTAINS this fragment
+    * reports failure (false) and disarms — crashes
+    * VersionedTable.tryPublish at its commit point (the nonce-suffixed
+    * `.tmp-v<k>-<nonce>` → `v<k>` publish rename; the nonce is why a
+    * suffix match cannot target it).
+    */
+  val failNextRenameSrcContains =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 }

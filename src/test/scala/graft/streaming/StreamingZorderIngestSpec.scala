@@ -235,4 +235,61 @@ class StreamingZorderIngestSpec extends AnyFunSuite {
     assert(servedIds(root) == (0L until 200L),
       "a redundant stranded copy must not duplicate the batch's rows")
   }
+
+  test("rescue: a FOREIGN dir stranded in .staging by a crashed compaction is moved back, never deleted") {
+    val base = java.nio.file.Files.createTempDirectory("graft-szi-foreign")
+    val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val root = base.resolve("table").toString
+    val ckpt = s"$base/ckpt"
+    def stream() = EventStreamPipeline.readEvents(spark, src.toString)
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+    TestSpark.writeEventsFile(src, "f0",
+      (0L until 50L).map(i => (i, (i + 1) * 60000000000L, i % 7, "view")))
+    StreamingZorderIngest.ingestAvailable(stream(), root, ckpt)
+
+    val dataDir = Layout.tableDataDir(root)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = dataDir + ".staging"
+
+    // ——— the advisor's exact sequence: a compaction folded the flat
+    // files into .staging, moved the foreign dir in as PENDING (the
+    // carry-through-the-swap move), and crashed before swapIn. The
+    // stranded foreign copy is the ONLY copy; the old rescue (b<id>
+    // dirs only) left it in staging and the next fold's
+    // mode=overwrite write deleted it permanently.
+    Layout.zorderWrite(Layout.servingRead(spark, root)(identity),
+      "user_id", "ts_us", stagingPath, 2)
+    val foreignStranded =
+      new org.apache.hadoop.fs.Path(stagingPath, "user_export")
+    fs.mkdirs(foreignStranded)
+    val payload = new org.apache.hadoop.fs.Path(foreignStranded, "keep.txt")
+    val out = fs.create(payload, true)
+    out.write("precious".getBytes("UTF-8")); out.close()
+    // a crashed zorderWrite's job-internal dir must NOT be rescued
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagingPath, "_temporary"))
+
+    StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+      "user_id", "ts_us", nFiles = 4)
+    assert(servedIds(root) == (0L until 50L), "fold must stay lossless")
+    val rescued = new org.apache.hadoop.fs.Path(dataDir, "user_export")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(rescued, "keep.txt")),
+      "the stranded foreign dir's content must survive the next fold")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dataDir, "_temporary")),
+      "job-internal staging debris must not be rescued into the data dir")
+
+    // and the collision case fails LOUDLY instead of guessing:
+    // re-strand the foreign dir while a same-named dir exists in data
+    Layout.zorderWrite(Layout.servingRead(spark, root)(identity),
+      "user_id", "ts_us", stagingPath, 2)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagingPath, "user_export"))
+    val boom = intercept[java.io.IOException] {
+      StreamingZorderIngest.compactCommitted(spark, root, ckpt,
+        "user_id", "ts_us", nFiles = 4)
+    }
+    assert(boom.getMessage.contains("refusing to guess"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(rescued, "keep.txt")),
+      "the collision abort must leave both copies in place")
+  }
 }
