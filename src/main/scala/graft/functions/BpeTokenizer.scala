@@ -74,6 +74,72 @@ object BpeTokenizer {
     merges.result()
   }
 
+  /** [[train]] at production vocabulary sizes: the same merges, learned
+    * INCREMENTALLY. [[train]] recounts every pair over the whole
+    * vocabulary per iteration (O(merges × vocab) — fine at the frozen
+    * 40/48-rule fixtures, quadratic pain at a 5k+ tier); this keeps
+    * exact pair counts in a (count desc, pair asc)-ordered tree plus a
+    * pair→words index, and each merge touches only the words that
+    * CONTAIN the merged pair — remove their old pairs' contributions,
+    * re-merge, add the new ones. Counts stay exact longs and the
+    * argmax tie-break is the same (count desc, lexicographic asc), so
+    * the output is IDENTICAL to [[train]]'s, property-pinned in
+    * BpeHeapEncodeSpec. The index may hold stale word ids (a word that
+    * no longer contains the pair); their deltas cancel exactly, so
+    * staleness costs work, never correctness.
+    */
+  def trainIncremental(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    val words = wordCounts.map(_._1.map(_.toString).toVector).toArray
+    val wcnt = wordCounts.map(_._2).toArray
+    val cnt = mutable.Map.empty[(String, String), Long]
+    val where = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val set = mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), d: Long): Unit = {
+      val old = cnt.getOrElse(p, 0L)
+      if (old != 0L) set.remove((old, p._1, p._2))
+      val nu = old + d
+      if (nu != 0L) { cnt(p) = nu; set.add((nu, p._1, p._2)); () }
+      else { cnt.remove(p); () }
+    }
+    words.indices.foreach { wi =>
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, wcnt(wi))
+        where.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var it = 0
+    while (it < numMerges && set.nonEmpty) {
+      val (_, a, b) = set.head
+      val p = (a, b)
+      out += p
+      where.getOrElse(p, mutable.Set.empty).toSeq.foreach { wi =>
+        val s = words(wi)
+        var i = 0
+        while (i < s.length - 1) { bump((s(i), s(i + 1)), -wcnt(wi)); i += 1 }
+        val ns = mergePair(s, p)
+        words(wi) = ns
+        i = 0
+        while (i < ns.length - 1) {
+          val np = (ns(i), ns(i + 1))
+          bump(np, wcnt(wi))
+          where.getOrElseUpdate(np, mutable.Set.empty) += wi
+          i += 1
+        }
+      }
+      where.remove(p)
+      it += 1
+    }
+    out.result()
+  }
+
   /** One left-to-right non-overlapping merge pass of `pair` over a
     * symbol sequence — the training-side twin of encode's replacement
     * (a merge consumes both symbols; scanning resumes AFTER the merged
@@ -114,6 +180,99 @@ object BpeTokenizer {
     var syms = word.map(_.toString).toVector
     merges.foreach { m => syms = mergePair(syms, m) }
     syms
+  }
+
+  /** HEAP-walk encode — the production-vocabulary shape of [[encode]].
+    * [[encode]] scans EVERY rule over the symbol list (O(merges × L)
+    * per word): the right reference semantics and exactly what the SQL
+    * oracle replays, but the wrong algorithm at a 30k–50k-merge
+    * production vocabulary (~10⁹ rule passes over a 20k-word corpus
+    * vocab). This walks only the word's ADJACENT PAIRS with a rank
+    * heap — O(L log L) per word, INDEPENDENT of merge-table size:
+    * each adjacent pair that has a rank enters a priority queue; the
+    * lowest-rank (ties: leftmost) instance merges; a merge invalidates
+    * its neighbors' stale entries lazily (per-node version stamps) and
+    * enqueues the ≤2 new pairs it creates.
+    *
+    * EQUIVALENT to [[encode]] for any [[wellFormed]] table, which
+    * training always emits (property-pinned in BpeHeapEncodeSpec on
+    * both frozen fixtures and random trained tables):
+    *  - a merge of rule r creates only pairs CONTAINING r's output, and
+    *    any rule using that output is learned strictly later, so new
+    *    pairs always rank > r — the minimum present rank never
+    *    decreases, giving exactly the rank-order rule sequence;
+    *  - within one rank, leftmost-first single merges ARE the
+    *    left-to-right non-overlapping pass ([[mergePair]]'s semantics —
+    *    the tie-break on the left node's original char offset is what
+    *    makes `aaa` under (a,a) give [aa, a], never [a, aa]).
+    *
+    * Node indices double as those offsets: node i starts at word
+    * offset i forever (merges fold the right symbol into the LEFT
+    * node), so list order equals index order and the tie-break is free.
+    */
+  final class RankEncoder(merges: Seq[(String, String)])
+      extends Serializable {
+    require(wellFormed(merges),
+      "RankEncoder needs a well-formed merge table (training output)")
+    private val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+    private case class E(r: Int, pos: Int, l: Int, rt: Int, vl: Int, vr: Int)
+    // PriorityQueue is a max-heap: invert so the head is the lowest
+    // (rank, position) — rank order first, leftmost-first within a rank
+    private val ord: Ordering[E] = Ordering.by(e => (-e.r, -e.pos))
+
+    def encode(word: String): Seq[String] = {
+      val n = word.length
+      if (n == 0) return Seq.empty
+      if (n == 1) return Seq(word)
+      val sym = new Array[String](n)
+      val next = new Array[Int](n)
+      val prev = new Array[Int](n)
+      val ver = new Array[Int](n)
+      val alive = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        sym(i) = String.valueOf(word.charAt(i))
+        next(i) = i + 1; prev(i) = i - 1; alive(i) = true
+        i += 1
+      }
+      next(n - 1) = -1
+      val pq = mutable.PriorityQueue.empty[E](ord)
+      def push(l: Int): Unit = {
+        val rt = next(l)
+        if (rt >= 0) rank.get((sym(l), sym(rt))).foreach { r =>
+          pq.enqueue(E(r, l, l, rt, ver(l), ver(rt)))
+        }
+      }
+      i = 0
+      while (i < n - 1) { push(i); i += 1 }
+      while (pq.nonEmpty) {
+        val e = pq.dequeue()
+        // lazy invalidation: the entry is live iff both nodes are
+        // alive, still adjacent, and unchanged since it was enqueued
+        if (alive(e.l) && alive(e.rt) && next(e.l) == e.rt &&
+            ver(e.l) == e.vl && ver(e.rt) == e.vr) {
+          sym(e.l) = sym(e.l) + sym(e.rt)
+          alive(e.rt) = false
+          val nn = next(e.rt)
+          next(e.l) = nn
+          if (nn >= 0) prev(nn) = e.l
+          ver(e.l) += 1
+          if (prev(e.l) >= 0) push(prev(e.l))
+          push(e.l)
+        }
+      }
+      val out = Seq.newBuilder[String]
+      var c = 0 // node 0 has no left neighbor, so it can never be merged away
+      while (c >= 0) { out += sym(c); c = next(c) }
+      out.result()
+    }
+
+    /** Byte-level heap encode: [[toByteChars]] then [[encode]] — the
+      * fast twin of [[encodeBytes]].
+      */
+    def encodeBytes(word: String): Seq[String] = encode(toByteChars(word))
   }
 
   /** A merge table is well-formed iff each rule's two symbols are
@@ -220,16 +379,21 @@ object BpeTokenizer {
     * per-DISTINCT-word UDF every `ta_bpe_*`/`pipe_*_bpe` entry shares.
     */
   def encodeUdf(merges: Seq[(String, String)])
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf((w: String) => encode(w, merges))
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // heap-walk encoder: identical pieces (BpeHeapEncodeSpec pins the
+    // equivalence), O(L log L) per word instead of O(merges × L)
+    val enc = new RankEncoder(merges)
+    org.apache.spark.sql.functions.udf((w: String) => enc.encode(w))
       .asNondeterministic()
+  }
 
   /** [[encodeUdf]] continued through [[vocabIds]] to token ids. */
   def encodeIdsUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ids = vocabIds(merges)
+    val enc = new RankEncoder(merges)
     org.apache.spark.sql.functions
-      .udf((w: String) => encode(w, merges).map(p => ids(p).toLong))
+      .udf((w: String) => enc.encode(w).map(p => ids(p).toLong))
       .asNondeterministic()
   }
 
@@ -320,17 +484,20 @@ object BpeTokenizer {
     * nondeterministic-pin contract.
     */
   def encodeBytesUdf(merges: Seq[(String, String)])
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val enc = new RankEncoder(merges)
     org.apache.spark.sql.functions
-      .udf((w: String) => encodeBytes(w, merges))
+      .udf((w: String) => enc.encodeBytes(w))
       .asNondeterministic()
+  }
 
   /** Byte-level id encode: total for arbitrary words. */
   def encodeByteIdsUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ids = byteVocabIds(merges)
+    val enc = new RankEncoder(merges)
     org.apache.spark.sql.functions
-      .udf((w: String) => encodeBytes(w, merges).map(p => ids(p).toLong))
+      .udf((w: String) => enc.encodeBytes(w).map(p => ids(p).toLong))
       .asNondeterministic()
   }
 
@@ -343,9 +510,10 @@ object BpeTokenizer {
   def encodeBytesWithIdsUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ids = byteVocabIds(merges)
+    val enc = new RankEncoder(merges)
     org.apache.spark.sql.functions
       .udf((w: String) =>
-        encodeBytes(w, merges).map(p => (p, ids(p).toLong)))
+        enc.encodeBytes(w).map(p => (p, ids(p).toLong)))
       .asNondeterministic()
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.queries.RelationalQueries.Q
 import graft.queries.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1333,11 +1333,107 @@ object CorpusCuration {
       FROM events e JOIN probes p ON e.event_id = p.pid
       ORDER BY e.event_id"""))
 
+  /** Row-level CHANGE DATA CAPTURE over the versioned table under the
+    * driver's oracle ([[graft.pipeline.VersionedTable.readChangesCdc]]
+    * — Delta/Iceberg-style `_change_type` insert/delete rows resolved
+    * from manifest diffs alone, no change log): one deterministic DML
+    * history (append everything → delete a user-id box → upsert every
+    * `event_id % 7 == 0` key with a shifted user id → z-order compact),
+    * then the full-range CDC feed aggregated per (version, change
+    * type), PLUS a `final_mirror` row aggregating the table a polling
+    * consumer reconstructs by replaying that feed from empty. The
+    * oracle states every version's expected change set declaratively —
+    * the MERGE decomposition is pinned exactly: v2's deletes are the
+    * box rows, v3's deletes are the surviving `%7` rows' OLD selves,
+    * v3's inserts are all update rows, the compaction contributes
+    * NOTHING (no v4 group may appear), and the mirror must equal
+    * (survivors ∪ updates). The engine additionally proves
+    * mirror == `read` by multiset difference before emitting anything.
+    */
+  val versionedCdc: Q = Q(
+    "pipe_versioned_cdc",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("versioned-cdc")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))                       // v1
+      val b = ev.agg(min($"user_id"), max($"user_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) * 25 / 100, mn + (mx - mn) * 75 / 100)
+      graft.pipeline.VersionedTable.deleteRange(s, root,
+        Seq(("user_id", lo, hi)))                                  // v2
+      val updates = ev.filter(pmod($"event_id", lit(7L)) === 0)
+        .withColumn("user_id", $"user_id" + 1000000L)
+      graft.pipeline.VersionedTable.upsertByKey(s, root, updates,
+        Seq("event_id"))                                           // v3
+      graft.pipeline.VersionedTable.compactZorder(s, root, nFiles = 8) // v4
+      val latest = graft.pipeline.VersionedTable
+        .latestVersion(s, root).get
+      val cdc = graft.pipeline.VersionedTable
+        .readChangesCdc(s, root, 0L, latest)
+      // replay the feed from empty — the mirror IS the consumer's view
+      val data = Seq($"event_id", $"user_id", $"ts_us")
+      val mirror = (1L to latest).foldLeft(Option.empty[DataFrame]) {
+        (acc, v) =>
+          val batch = cdc.filter($"_commit_version" === v)
+          val ins = batch.filter($"_change_type" === "insert")
+            .select(data: _*)
+          val del = batch.filter($"_change_type" === "delete")
+            .select(data: _*)
+          Some(acc.fold(ins)(m => m.exceptAll(del).unionAll(ins)))
+      }.get
+      // the CDC contract, proven before anything is emitted:
+      // mirror == read, as multisets
+      val table = graft.pipeline.VersionedTable.read(s, root)
+        .select(data: _*)
+      require(mirror.exceptAll(table).isEmpty &&
+        table.exceptAll(mirror).isEmpty,
+        "pipe_versioned_cdc: the CDC-replayed mirror diverged from read()")
+      cdc.select($"_commit_version".as("version"),
+          $"_change_type".as("change"), $"event_id", $"user_id")
+        .unionAll(mirror.select(lit(99L).as("version"),
+          lit("final_mirror").as("change"), $"event_id", $"user_id"))
+        .groupBy($"version", $"change")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"event_id").as("id_sum"), sum($"user_id").as("user_sum"))
+        .orderBy($"version", $"change")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b),
+      upd AS (
+        SELECT event_id, user_id + 1000000 AS user_id FROM src
+        WHERE event_id % 7 = 0),
+      changes AS (
+        SELECT 1 AS version, 'insert' AS change, event_id, user_id FROM src
+        UNION ALL
+        SELECT 2, 'delete', event_id, user_id FROM src, box
+        WHERE user_id BETWEEN lo AND hi
+        UNION ALL
+        SELECT 3, 'delete', event_id, user_id FROM src, box
+        WHERE event_id % 7 = 0 AND user_id NOT BETWEEN lo AND hi
+        UNION ALL
+        SELECT 3, 'insert', event_id, user_id FROM upd
+        UNION ALL
+        SELECT 99, 'final_mirror', event_id, user_id FROM src, box
+        WHERE user_id NOT BETWEEN lo AND hi AND event_id % 7 <> 0
+        UNION ALL
+        SELECT 99, 'final_mirror', event_id, user_id FROM upd)
+      SELECT CAST(version AS BIGINT) AS version, change,
+        count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        CAST(sum(user_id) AS BIGINT) AS user_sum
+      FROM changes GROUP BY 1, 2 ORDER BY version, change"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
-    manifestPrune3, versionedTable, pointLookup,
+    manifestPrune3, versionedTable, pointLookup, versionedCdc,
     manifestPrune)
 }

@@ -499,15 +499,42 @@ object Layout {
       .collect().toSeq
   }
 
+  /** Below this many candidate files, [[bloomMayContain]] reads the
+    * footers in a DRIVER loop instead of launching a Spark job: a
+    * point lookup is latency-shaped, and after the manifest box stage
+    * typically leaves a handful of survivors, per-job scheduling
+    * overhead (task serialization, scheduling, result fetch) dominates
+    * the footer reads themselves. Above it, the check distributes over
+    * executors exactly as before — thousands of candidates is a
+    * bandwidth problem, not a latency one.
+    */
+  private[pipeline] val BloomDriverLoopLimit: Int = 32
+
   /** Per-file BLOOM membership check for a point value — reads each
     * candidate's footer + bloom pages only, never data. A file is kept
     * (true) when the bloom says the value MAY be present, or when no
-    * bloom exists for the column (no proof → must scan). Distributed
-    * over files like [[footerStats]].
+    * bloom exists for the column (no proof → must scan). Small
+    * candidate sets are checked on the driver ([[BloomDriverLoopLimit]]
+    * — serving-path latency); large ones distribute over files like
+    * [[footerStats]].
     */
   private[pipeline] def bloomMayContain(spark: SparkSession,
-      files: Seq[String], c: String, value: Long): Seq[(String, Boolean)] = {
+      files: Seq[String], c: String, value: Long,
+      driverLoopLimit: Int = BloomDriverLoopLimit)
+      : Seq[(String, Boolean)] = {
     if (files.isEmpty) return Seq.empty
+    if (files.size <= driverLoopLimit) {
+      // driver-LOCAL parallelism (ForkJoin common pool): the footers
+      // still read concurrently, but no task serialization, no
+      // scheduler round-trip, no result fetch — the job machinery is
+      // the latency, not the footer I/O
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      return files.asJava.parallelStream()
+        .map[(String, Boolean)](f => bloomCheckOne(f, conf, c, value))
+        .collect(java.util.stream.Collectors.toList[(String, Boolean)])
+        .asScala.toSeq
+    }
     val confBytes = {
       val baos = new java.io.ByteArrayOutputStream()
       spark.sparkContext.hadoopConfiguration.writeXml(baos)
@@ -518,26 +545,35 @@ object Layout {
       .map { f =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.addResource(new java.io.ByteArrayInputStream(confBytes))
-        import scala.jdk.CollectionConverters._
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val may =
-          try {
-            reader.getFooter.getBlocks.asScala.exists { block =>
-              block.getColumns.asScala
-                .find(_.getPath.toDotString == c) match {
-                case None => true // column absent: no proof
-                case Some(cmd) =>
-                  val bloom =
-                    reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
-                  bloom == null || bloom.findHash(bloom.hash(value))
-              }
-            }
-          } finally reader.close()
-        (new org.apache.hadoop.fs.Path(f).getName, may)
+        bloomCheckOne(f, conf, c, value)
       }
       .collect().toSeq
+  }
+
+  /** One file's bloom verdict — the shared body of the driver-loop and
+    * distributed paths of [[bloomMayContain]].
+    */
+  private def bloomCheckOne(f: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      c: String, value: Long): (String, Boolean) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val may =
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == c) match {
+            case None => true // column absent: no proof
+            case Some(cmd) =>
+              val bloom =
+                reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
+              bloom == null || bloom.findHash(bloom.hash(value))
+          }
+        }
+      } finally reader.close()
+    (new org.apache.hadoop.fs.Path(f).getName, may)
   }
 
   /** One file's (name, row count, [(min, max)] per column) from its

@@ -7,15 +7,13 @@ import org.apache.spark.sql.functions._
 /** A SNAPSHOT-VERSIONED table — the Iceberg/Delta architecture in
   * miniature, and the design point the [[SnapshotDir]]-swapped guarded
   * table cannot reach: data files are IMMUTABLE and uniquely named,
-  * each version is a small manifest listing exactly the files (and
-  * their per-column [min,max] footprints) that make up that snapshot,
-  * and a version becomes visible through ONE atomic compare-and-swap
-  * publish of its manifest. That single publish point buys, all at
-  * once:
+  * each version is described by a small metadata tree, and a version
+  * becomes visible through ONE atomic compare-and-swap publish of its
+  * root. That single publish point buys, all at once:
   *
   *  - **Lock-free snapshot-isolated readers.** A reader resolves the
-  *    latest manifest, then reads files that can never be renamed or
-  *    deleted out from under it (until a vacuum past its retention
+  *    latest manifest list, then reads files that can never be renamed
+  *    or deleted out from under it (until a vacuum past its retention
   *    window) — no transient-missing retry loop, no swap gap, no torn
   *    batches. The guarded table's `servingRead` needs all three.
   *  - **Lock-free OPTIMISTIC writers.** No writer takes a lock, ever:
@@ -23,52 +21,71 @@ import org.apache.spark.sql.functions._
   *    `manifests/v<k>` with an exclusive create-if-absent (the CAS).
   *    Exactly one concurrent writer wins each version number; a loser
   *    re-reads the new base and REBASES — an append re-points its new
-  *    files at the winner's entry list and retries (appends NEVER
+  *    shard at the winner's shard list and retries (appends NEVER
   *    abort: every lost race means someone else committed, so the
-  *    system always makes progress); a compaction carries files
-  *    appended since its base snapshot (appends and compaction
-  *    commute) and aborts only when a concurrent writer rewrote one of
-  *    its INPUT files; a delete/upsert rebases over concurrent commits
+  *    system always makes progress); a compaction carries shards
+  *    added since its base snapshot (appends and compaction commute)
+  *    and aborts only when a concurrent writer rewrote one of its
+  *    INPUT shards; a delete/upsert rebases over concurrent commits
   *    that provably cannot overlap its box/keys and otherwise restarts
   *    from the new base. This is Iceberg's optimistic concurrency: the
   *    version-file create is the one serialization point, and
   *    conflicts are detected from manifest content, not prevented by a
   *    global writer lock.
-  *  - **Time travel.** Every historical manifest still names immutable
-  *    files; `readVersion(root, k)` is the table as-of version k.
-  *  - **Planning-time pruning for free.** The manifest IS the stats
-  *    manifest: appends and compactions record each new file's
-  *    footer-derived footprints, so `boxRead` prunes paths before
-  *    `spark.read` plans — no separate `_footprints.tsv` lifecycle.
+  *  - **Time travel.** Every historical manifest list still names
+  *    immutable shards over immutable files; `readVersion(root, k)` is
+  *    the table as-of version k.
+  *  - **Planning-time pruning for free.** The metadata IS the stats
+  *    manifest, at two levels: the manifest list records each SHARD's
+  *    aggregate [min,max] footprint, each shard records its FILES'
+  *    footprints — so `boxRead` prunes whole shards from one small
+  *    list read, then files from only the surviving shards, before
+  *    `spark.read` plans anything.
+  *  - **Bounded per-commit metadata.** The Iceberg two-level shape:
+  *    `manifests/v<k>` is a MANIFEST LIST (one line per shard);
+  *    entries live in immutable `manifests/s-<uuid>` SHARD files. An
+  *    append writes one new shard (its own entries) plus one list
+  *    (O(#shards) lines) — never the table's whole entry set, which a
+  *    flat manifest would rewrite per commit (at 100 TB / 128 MB files
+  *    that is ~800k entries, tens of MB, per append). DML rewrites
+  *    only the shards holding touched files and carries every other
+  *    shard BY REFERENCE; appends opportunistically fold runt shards
+  *    ([[ShardMergeFanIn]]) so the list stays short-bounded.
   *  - **Crash safety by construction.** A writer that dies before its
-  *    manifest CAS has published nothing: its data files are
-  *    unreferenced garbage, collected by [[vacuum]]. There is no
-  *    recover() protocol because there is no intermediate state a
-  *    reader can observe. And because the CAS is create-if-ABSENT (a
+  *    manifest CAS has published nothing: its data files and shard
+  *    files are unreferenced garbage, collected by [[vacuum]]. There
+  *    is no recover() protocol because there is no intermediate state
+  *    a reader can observe. And because the CAS is create-if-ABSENT (a
   *    hard-link that fails `EEXIST` on local filesystems, a
   *    no-overwrite rename on HDFS-like ones), a fenced-out zombie —
   *    a writer resuming from a GC stall after a successor published —
   *    fails its publish loudly instead of silently clobbering the
-  *    successor's version manifest.
+  *    successor's version.
   *
   * Layout under `root/`:
   * {{{
   *   files/<uuid>-part-*.parquet   immutable data files
-  *   manifests/v<k>                one line per file: name \t min,max per stat col
-  *   _writer.lock                  only vacuum serializes (vs other vacuums)
+  *   manifests/v<k>                manifest LIST: one line per shard
+  *                                 (name, #files, rows, aggregate box)
+  *   manifests/s-<uuid>            immutable shard: one line per file
+  *                                 (name, rows, per-col [min,max])
+  *   _writer.lock                  only vacuum serializes (vs vacuums)
   * }}}
   *
-  * Manifests are written to a nonce-suffixed temp name (two racers for
-  * the same version must never share a temp path) and linked/renamed
-  * into place, so a reader lists either the old set or the new set of
-  * versions, never a half-written manifest. The documented retention
+  * Tables written before the two-level format (a flat `# versioned v2`
+  * manifest carrying inline entries) stay readable; the first write
+  * migrates the inline entries into a real shard. Lists and shards are
+  * written to nonce-suffixed temp names (two racers for the same
+  * version must never share a temp path) and linked/renamed into
+  * place, so a reader lists either the old set or the new set of
+  * versions, never a half-written file. The documented retention
   * caveat is Iceberg's own: a reader pinning version k can be broken
   * by a vacuum that drops k — retention (`keepVersions`) is the
   * contract between reader latency and storage reclamation. With
   * lock-free writers, [[vacuum]] additionally honors a GRACE window
-  * (`graceMs`): an unreferenced data file younger than the grace may
-  * belong to a writer between its file writes and its manifest CAS,
-  * and is left alone — exactly Iceberg's orphan-file retention.
+  * (`graceMs`): an unreferenced data/shard file younger than the grace
+  * may belong to a writer between its writes and its manifest CAS, and
+  * is left alone — exactly Iceberg's orphan-file retention.
   */
 object VersionedTable {
 
@@ -83,10 +100,26 @@ object VersionedTable {
   val DefaultVacuumGraceMs: Long = 24L * 60 * 60 * 1000
 
   /** Bounded restarts for delete/upsert under true conflicts (a
-    * concurrent commit that rewrote this writer's input files or added
-    * rows inside its box). Appends and rebases never count against it.
+    * concurrent commit that rewrote this writer's input shards or
+    * added rows inside its box). Appends and rebases never count
+    * against it.
     */
   val MaxDmlRestarts: Int = 8
+
+  /** Appends fold runt shards so the manifest list stays short: when
+    * at least this many shards carry ≤ [[ShardMergeMaxFiles]] entries
+    * each, the append merges them into one shard alongside its own new
+    * shard (Iceberg's manifest merging). Merging never makes an append
+    * abort — if a concurrent DML rewrote one of the merge inputs, the
+    * retry simply publishes unmerged.
+    */
+  private[pipeline] val ShardMergeFanIn: Int = 8
+
+  /** Only shards at or below this many entries are merge candidates —
+    * folding big shards would re-pay their write cost for no list
+    * shrink that matters.
+    */
+  private[pipeline] val ShardMergeMaxFiles: Long = 512L
 
   /** ONE-SHOT test seam: consumed (reset to noop) by the next publish
     * attempt, so a spec can inject a competing commit into the exact
@@ -121,26 +154,119 @@ object VersionedTable {
   private case class Entry(name: String, rows: Long,
       boxes: Seq[(Long, Long)])
 
-  private case class Manifest(statCols: Seq[String], entries: Seq[Entry],
-      ingestBatch: Long = -1L, kind: String = "append",
-      schemaJson: Option[String] = None,
-      newFiles: Seq[String] = Seq.empty) {
+  /** One manifest-list line: an immutable shard file plus its entry
+    * count, row sum and per-stat-column AGGREGATE [min,max] — the
+    * union bound over its entries' boxes, which is what lets a probe
+    * prune whole shards from the list alone (an entry's box intersects
+    * ⇒ the aggregate intersects; contrapositive: aggregate misses ⇒
+    * every entry misses). A legacy flat manifest parses as one
+    * synthetic ref with an EMPTY name (entries inline); writers
+    * migrate it on their next publish.
+    */
+  private case class ShardRef(name: String, files: Long, rows: Long,
+      boxes: Seq[(Long, Long)])
+
+  /** A resolved version: header metadata, the shard list, and LAZY
+    * per-shard entry loading — the planning paths (append publish,
+    * box/point pruning, fastCount) never load entries of shards they
+    * pruned; full-read paths (`entries`) resolve everything once.
+    */
+  private class Manifest(
+      val statCols: Seq[String],
+      val shards: Seq[ShardRef],
+      loader: ShardRef => Seq[Entry],
+      val ingestBatch: Long,
+      val kind: String,
+      val schemaJson: Option[String],
+      val newFiles: Seq[String]) {
+    private val cache =
+      scala.collection.mutable.Map.empty[String, Seq[Entry]]
+    def entriesOf(r: ShardRef): Seq[Entry] =
+      cache.getOrElseUpdate(r.name, loader(r))
+    /** Shards actually OPENED so far — the planning-cost observable:
+      * a selective probe should resolve from the list plus a handful
+      * of shards, never the whole metadata tree.
+      */
+    def loadedShards: Int = cache.size
+    lazy val entries: Seq[Entry] = shards.flatMap(entriesOf)
+    lazy val names: Set[String] = entries.map(_.name).toSet
+    def shardNames: Set[String] = shards.map(_.name).toSet
+    def totalFiles: Long = shards.map(_.files).sum
+    /** Flat pre-shard manifest: inline entries under an empty-name ref. */
+    def legacy: Boolean = shards.exists(_.name.isEmpty)
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    def names: Set[String] = entries.map(_.name).toSet
+  }
+
+  private def entryLine(e: Entry): String = {
+    val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
+    s"${e.name}\t${e.rows}\t${cells.mkString("\t")}"
+  }
+
+  private def parseEntry(l: String, nCols: Int): Entry = {
+    val f = l.split('\t')
+    Entry(f(0), f(1).toLong, (0 until nCols).map(i =>
+      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)))
+  }
+
+  /** The union bound over entry boxes — a shard's aggregate footprint. */
+  private def aggBoxes(entries: Seq[Entry], nCols: Int): Seq[(Long, Long)] =
+    (0 until nCols).map { i =>
+      (entries.map(_.boxes(i)._1).min, entries.map(_.boxes(i)._2).max)
+    }
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Parse an immutable shard file into its entries. */
+  private def readShard(spark: SparkSession, root: String,
+      name: String, nCols: Int): Seq[Entry] = {
+    val fs = fsFor(spark, root)
+    val text = readText(fs, new Path(manifestsDir(root), name))
+    val lines = text.split('\n').filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head.startsWith("# vtshard v1"),
+      s"corrupt shard $name at $root")
+    lines.tail.map(parseEntry(_, nCols))
+  }
+
+  /** Write `entries` as one immutable shard file; None for an empty
+    * list (an empty shard carries no information — dropping it is what
+    * keeps emptied shards out of every later list). Written BEFORE any
+    * CAS attempt and uuid-named, so a lost race reuses it unchanged.
+    */
+  private def writeShard(spark: SparkSession, root: String,
+      statCols: Seq[String], entries: Seq[Entry]): Option[ShardRef] = {
+    if (entries.isEmpty) return None
+    val fs = fsFor(spark, root)
+    val dir = new Path(manifestsDir(root))
+    fs.mkdirs(dir)
+    val name = s"s-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = fs.create(new Path(dir, name), false)
+    try {
+      out.write(s"# vtshard v1\t${statCols.mkString("\t")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      entries.sortBy(_.name).foreach { e =>
+        out.write((entryLine(e) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+    Some(ShardRef(name, entries.size.toLong, entries.map(_.rows).sum,
+      aggBoxes(entries, statCols.size)))
   }
 
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
     val fs = fsFor(spark, root)
-    val in = fs.open(new Path(manifestsDir(root), s"v$v"))
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val text = readText(fs, new Path(manifestsDir(root), s"v$v"))
     val lines = text.split('\n').filter(_.nonEmpty).toSeq
-    require(lines.nonEmpty && lines.head.startsWith("# versioned v2"),
+    require(lines.nonEmpty && (lines.head.startsWith("# versioned v2") ||
+      lines.head.startsWith("# versioned v3")),
       s"corrupt manifest v$v at $root")
+    val sharded = lines.head.startsWith("# versioned v3")
     val statCols = lines.head.split('\t').toSeq.tail
     val ingestBatch = lines.tail
       .find(_.startsWith("#ingest\t"))
@@ -154,16 +280,30 @@ object VersionedTable {
     val newFiles = lines.tail
       .find(_.startsWith("#new\t"))
       .map(_.split('\t')(1).split(',').toSeq).getOrElse(Seq.empty)
-    val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
-      val f = l.split('\t')
-      Entry(f(0), f(1).toLong, statCols.indices.map(i =>
-        (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)))
+    if (sharded) {
+      val refs = lines.tail.filter(_.startsWith("#shard\t")).map { l =>
+        val f = l.split('\t')
+        ShardRef(f(1), f(2).toLong, f(3).toLong, statCols.indices.map(i =>
+          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)))
+      }
+      new Manifest(statCols, refs,
+        r => readShard(spark, root, r.name, statCols.size),
+        ingestBatch, kind, schemaJson, newFiles)
+    } else {
+      // legacy flat manifest: inline entries as one synthetic shard
+      val inline = lines.tail.filterNot(_.startsWith("#"))
+        .map(parseEntry(_, statCols.size))
+      val refs =
+        if (inline.isEmpty) Seq.empty
+        else Seq(ShardRef("", inline.size.toLong, inline.map(_.rows).sum,
+          aggBoxes(inline, statCols.size)))
+      new Manifest(statCols, refs, _ => inline,
+        ingestBatch, kind, schemaJson, newFiles)
     }
-    Manifest(statCols, entries, ingestBatch, kind, schemaJson, newFiles)
   }
 
-  /** Attempt to publish `entries` as version `v`: write the manifest
-    * to a NONCE-suffixed temp name (concurrent losers for the same
+  /** Attempt to publish `shards` as version `v`'s manifest LIST: write
+    * it to a NONCE-suffixed temp name (concurrent losers for the same
     * version must never share a temp path — an overwriting racer could
     * otherwise swap its content under this writer's commit), then one
     * atomic create-if-absent of `v<k>`. Returns true iff THIS call
@@ -172,9 +312,11 @@ object VersionedTable {
     * throws: a writer crashed here has published NOTHING.
     */
   private def tryPublish(spark: SparkSession, root: String, v: Long,
-      statCols: Seq[String], entries: Seq[Entry],
+      statCols: Seq[String], shards: Seq[ShardRef],
       ingestBatch: Long, kind: String, schemaJson: Option[String],
       newFiles: Seq[String] = Seq.empty): Boolean = {
+    require(shards.forall(_.name.nonEmpty),
+      "legacy inline entries must be migrated to a shard before publish")
     beforePublishHook.getAndSet(() => ())()
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
@@ -183,7 +325,7 @@ object VersionedTable {
     val tmp = new Path(dir, s".tmp-v$v-$nonce")
     val out = fs.create(tmp, true)
     try {
-      out.write(s"# versioned v2\t${statCols.mkString("\t")}\n"
+      out.write(s"# versioned v3\t${statCols.mkString("\t")}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.write(s"#kind\t$kind\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -199,9 +341,10 @@ object VersionedTable {
       if (newFiles.nonEmpty)
         out.write(s"#new\t${newFiles.mkString(",")}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      entries.sortBy(_.name).foreach { e =>
-        val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
-        out.write(s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\n"
+      shards.sortBy(_.name).foreach { r =>
+        val cells = r.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
+        out.write((s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
+          s"${cells.mkString("\t")}\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -313,16 +456,34 @@ object VersionedTable {
     * anyway; immediate cleanup just keeps the grace window honest.
     */
   private def discard(spark: SparkSession, root: String,
-      entries: Seq[Entry]): Unit = {
+      entries: Seq[Entry], shards: Seq[ShardRef] = Seq.empty): Unit = {
     val fs = fsFor(spark, root)
     entries.foreach { e =>
       try fs.delete(new Path(filesDir(root), e.name), false)
+      catch { case _: Exception => () }
+    }
+    shards.filter(_.name.nonEmpty).foreach { r =>
+      try fs.delete(new Path(manifestsDir(root), r.name), false)
       catch { case _: Exception => () }
     }
   }
 
   private def backoff(attempt: Int): Unit =
     if (attempt > 0) Thread.sleep(math.min(40L, 5L * attempt))
+
+  /** The latest manifest's shard list with any legacy inline entries
+    * MIGRATED into a real shard file — what every publish must carry
+    * (the list format stores references only). Migration cost is one
+    * O(F) shard write, paid once per legacy table; a CAS loss may
+    * orphan the migration shard (vacuumed later), never lose it.
+    */
+  private def materializedShards(spark: SparkSession, root: String,
+      m: Manifest): Seq[ShardRef] =
+    if (!m.legacy) m.shards
+    else m.shards.flatMap { r =>
+      if (r.name.nonEmpty) Some(r)
+      else writeShard(spark, root, m.statCols, m.entriesOf(r))
+    }
 
   /** Append `df` as a new version carrying footprint stats for
     * `statCols` (the columns later [[boxRead]] probes can prune on).
@@ -345,18 +506,26 @@ object VersionedTable {
     * deterministic-overwrite dirs and a frontier gate at COMPACTION
     * time to get the same guarantee).
     *
-    * LOCK-FREE: concurrent appends all commit. The data files are
-    * written exactly once; only the cheap manifest CAS retries, each
-    * retry re-pointing the same new files at the newest entry list.
-    * An append never aborts — a lost CAS means another writer
-    * committed, so retrying is globally productive, the classic
-    * optimistic-commit argument.
+    * LOCK-FREE: concurrent appends all commit. The data files and the
+    * new shard are written exactly once; only the cheap manifest-list
+    * CAS retries, each retry re-pointing the same new shard at the
+    * newest shard list. An append never aborts — a lost CAS means
+    * another writer committed, so retrying is globally productive, the
+    * classic optimistic-commit argument. Metadata cost per append:
+    * ONE shard (this append's entries) + ONE list (a line per shard) —
+    * never the table's entry set. When the list accumulates runt
+    * shards ([[ShardMergeFanIn]] of ≤ [[ShardMergeMaxFiles]] entries),
+    * the append folds them into one shard on its first attempt; if a
+    * concurrent DML rewrote a fold input, the retry publishes unmerged
+    * rather than ever aborting.
     */
   def appendBatch(df: DataFrame, root: String, statCols: Seq[String],
       ingestBatch: Long): Long = {
     val spark = df.sparkSession
     require(statCols.nonEmpty, "append needs at least one stat column")
     var written: Seq[Entry] = null
+    var writtenShard: Option[ShardRef] = None
+    var merged: Option[(Set[String], ShardRef)] = None
     var attempt = 0
     while (true) {
       val base = latestManifest(spark, root)
@@ -369,7 +538,7 @@ object VersionedTable {
         // replayed batch: already published (possibly by a racing
         // twin), change nothing; any files this loop already wrote are
         // unreferenced and will be vacuumed
-        if (written != null) discard(spark, root, written)
+        if (written != null) discard(spark, root, written, writtenShard.toSeq)
         return base.get._1
       }
       // SCHEMA EVOLUTION: the table schema is the union of every
@@ -378,14 +547,41 @@ object VersionedTable {
       // reads never depend on footer merging, older files null-fill
       // the added columns, and time travel serves each version under
       // the schema it had THEN.
-      val merged = mergedSchema(
+      val merged0 = mergedSchema(
         tableSchema(spark, root, base.map(_._2)), df.schema)
-      if (written == null) written = writeFiles(df, root, statCols)
+      if (written == null) {
+        written = writeFiles(df, root, statCols)
+        writtenShard = writeShard(spark, root, statCols, written)
+      }
+      val baseShards = base.map { case (_, m) =>
+        materializedShards(spark, root, m) }.getOrElse(Seq.empty)
+      // opportunistic shard merging, first attempt only (a retry after
+      // a lost CAS publishes unmerged — rebase must stay trivial).
+      // BOUNDED: fold only the FanIn smallest runts, so one append's
+      // metadata write stays O(FanIn × MaxFiles) entries however big
+      // the table is — amortized, a steady append stream folds runts
+      // as fast as it creates them
+      if (attempt == 0 && merged.isEmpty) {
+        val runts = baseShards.filter(_.files <= ShardMergeMaxFiles)
+          .sortBy(_.files).take(ShardMergeFanIn)
+        if (runts.size >= ShardMergeFanIn) {
+          val m = base.get._2
+          val folded = writeShard(spark, root, statCols,
+            runts.flatMap(m.entriesOf))
+          merged = folded.map(s => (runts.map(_.name).toSet, s))
+        }
+      }
+      val publishShards = merged match {
+        case Some((srcNames, foldedShard))
+            if srcNames.subsetOf(baseShards.map(_.name).toSet) =>
+          baseShards.filterNot(r => srcNames(r.name)) :+ foldedShard
+        case _ => baseShards
+      }
       val v = base.map(_._1).getOrElse(0L) + 1
       if (tryPublish(spark, root, v, statCols,
-          base.map(_._2.entries).getOrElse(Seq.empty) ++ written,
+          publishShards ++ writtenShard.toSeq,
           math.max(frontier, ingestBatch), kind = "append",
-          Some(merged.json)))
+          Some(merged0.json)))
         return v
       attempt += 1
       backoff(attempt)
@@ -453,17 +649,21 @@ object VersionedTable {
   /** Rewrite the base snapshot z-ordered by the table's first two
     * stat columns into `nFiles` files, published as a new version.
     * Historical versions keep reading the old files until [[vacuum]]
-    * reclaims them.
+    * reclaims them. Compaction is ALSO the metadata compactor: the new
+    * version's list is one shard (plus any since-base carries) however
+    * many shards the base had.
     *
     * CONCURRENCY: compaction commutes with appends — a lost CAS
-    * rebases by carrying every file appended since its base snapshot
-    * into the new manifest unchanged (those files were not part of the
-    * layout job, and a later compaction will fold them). It conflicts
-    * only with a commit that REWROTE one of its input files (another
-    * compaction, a delete, an upsert): compacting stale inputs would
-    * resurrect deleted rows, so that aborts loudly — compaction is
-    * optional maintenance, rerunnable at will, and must never trump a
-    * data-changing commit.
+    * rebases by carrying every SHARD added since its base snapshot
+    * into the new list unchanged (those shards' files were not part of
+    * the layout job, and a later compaction will fold them). It
+    * conflicts only with a commit that REWROTE one of its input shards
+    * (another compaction, a delete, an upsert): compacting stale
+    * inputs would resurrect deleted rows, so that aborts loudly —
+    * compaction is optional maintenance, rerunnable at will, and must
+    * never trump a data-changing commit. On a legacy flat-manifest
+    * base the conflict check degrades to "any concurrent commit
+    * restarts the compaction" (shard identity does not exist yet).
     */
   def compactZorder(spark: SparkSession, root: String, nFiles: Int): Long = {
     val (v0, m0) = latestManifest(spark, root).getOrElse(
@@ -485,19 +685,24 @@ object VersionedTable {
           Layout.scale16(col(b), bounds(2), bounds(3)))
         d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
       })
-    val baseNames = m0.names
+    val compactShard = writeShard(spark, root, m0.statCols, entries)
+    val baseShardNames = m0.shardNames
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      if (!baseNames.subsetOf(lm.names)) {
-        discard(spark, root, entries)
+      val conflict =
+        if (m0.legacy) lv != v0
+        else !baseShardNames.subsetOf(lm.shardNames)
+      if (conflict) {
+        discard(spark, root, entries, compactShard.toSeq)
         throw new java.util.ConcurrentModificationException(
           s"compactZorder at $root: a concurrent commit rewrote this " +
-            "compaction's input files (delete/upsert/compaction); the " +
+            "compaction's input shards (delete/upsert/compaction); the " +
             "stale layout was discarded — re-run the compaction")
       }
-      val carried = lm.entries.filterNot(e => baseNames(e.name))
-      if (tryPublish(spark, root, lv + 1, m0.statCols, entries ++ carried,
+      val carried = lm.shards.filterNot(r => baseShardNames(r.name))
+      if (tryPublish(spark, root, lv + 1, m0.statCols,
+          compactShard.toSeq ++ carried,
           lm.ingestBatch, kind = "compact",
           publishSchema(spark, root, lm, None)))
         return lv + 1
@@ -548,10 +753,12 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     readEntries(spark, root, readManifest(spark, root, v))
 
-  /** Box probe over the latest version, path-pruned by the MANIFEST'S
-    * OWN footprints (probes on any subset of the stat columns), with
-    * the exact filter applied on the survivors. Returns the pruned
-    * DataFrame; `prunedFileCount` reports the shrink for observability.
+  /** Box probe over the latest version, path-pruned by the metadata's
+    * OWN footprints at BOTH levels — whole shards from the manifest
+    * list's aggregate boxes (without opening them), then files from
+    * the surviving shards' entries — with the exact filter applied on
+    * the survivors. Returns the pruned DataFrame; `prunedFileCount`
+    * reports the shrink for observability.
     */
   def boxRead(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): DataFrame = {
@@ -565,34 +772,52 @@ object VersionedTable {
   }
 
   /** (kept files, total files) for a box probe — the observable
-    * LayoutManifestPruningSpec-style tests assert on.
+    * LayoutManifestPruningSpec-style tests assert on. The total comes
+    * from the manifest list's per-shard counts: metadata-only, no
+    * shard outside the probe is ever opened.
     */
   def prunedFileCount(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): (Int, Int) = {
     val (kept, m) = prunedEntries(spark, root, probes)
-    (kept.size, m.entries.size)
+    (kept.size, m.totalFiles.toInt)
   }
 
-  /** The ONE statement of box-vs-footprint intersection, shared by
-    * boxRead, deleteRange and upsertByKey (a semantics fix must land
-    * in exactly one place): entries split into (may-intersect,
-    * cannot-intersect), or None when any probe names an unmanifested
-    * column — the caller decides whether that disables pruning
-    * (boxRead) or is an error (DML must never guess).
+  /** Box-vs-footprint intersection, shared by every probing path. */
+  private def boxHit(boxes: Seq[(Long, Long)],
+      probes: Seq[(String, Long, Long)], idx: Seq[Int]): Boolean =
+    probes.zip(idx).forall { case ((_, lo, hi), i) =>
+      val (mn, mx) = boxes(i); !(hi < mn || lo > mx)
+    }
+
+  private def boxIntersects(e: Entry, probes: Seq[(String, Long, Long)],
+      idx: Seq[Int]): Boolean = boxHit(e.boxes, probes, idx)
+
+  /** The shards a box probe cannot rule out from the list alone — the
+    * legacy inline pseudo-shard is always a candidate (it has a real
+    * aggregate box, but DML paths also need it surfaced for
+    * migration). Entry-level pruning then runs inside only these.
+    */
+  private def shardCandidates(m: Manifest,
+      probes: Seq[(String, Long, Long)], idx: Seq[Int]): Seq[ShardRef] =
+    m.shards.filter(r => r.name.isEmpty || boxHit(r.boxes, probes, idx))
+
+  /** The ONE statement of two-level box pruning, shared by boxRead and
+    * deleteRange (a semantics fix must land in exactly one place):
+    * (touched entries, candidate shards), or None when any probe names
+    * an unmanifested column — the caller decides whether that disables
+    * pruning (boxRead) or is an error (DML must never guess).
     */
   private def partitionByBox(m: Manifest,
       probes: Seq[(String, Long, Long)])
-      : Option[(Seq[Entry], Seq[Entry])] = {
+      : Option[(Seq[Entry], Seq[ShardRef])] = {
     val idx = probes.map { case (c, _, _) => m.statCols.indexOf(c) }
     if (idx.contains(-1)) None
-    else Some(m.entries.partition(e => boxIntersects(e, probes, idx)))
-  }
-
-  private def boxIntersects(e: Entry, probes: Seq[(String, Long, Long)],
-      idx: Seq[Int]): Boolean =
-    probes.zip(idx).forall { case ((_, lo, hi), i) =>
-      val (mn, mx) = e.boxes(i); !(hi < mn || lo > mx)
+    else {
+      val cands = shardCandidates(m, probes, idx)
+      Some((cands.flatMap(r => m.entriesOf(r))
+        .filter(e => boxIntersects(e, probes, idx)), cands))
     }
+  }
 
   private def prunedEntries(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): (Seq[String], Manifest) = {
@@ -609,27 +834,32 @@ object VersionedTable {
 
   /** STATS-PRUNED copy-on-write DELETE: remove every row inside the
     * box (all probes conjoined), published as one new version. The
-    * manifest's footprints drive the rewrite set — a file whose
-    * footprint cannot intersect the box is carried into the new
-    * version UNTOUCHED (same name, same bytes; at scale a selective
-    * delete rewrites ~O(√F) of F z-ordered files, not the table), and
-    * only intersecting files are re-read, filtered to their surviving
-    * rows, and rewritten. Files whose every row died simply vanish
-    * (zero-row rewrite outputs are dropped). History is preserved:
-    * older versions still reference the pre-delete files until
-    * [[vacuum]]. Probes must name manifested stat columns — a delete
-    * that cannot be stats-checked would have to rewrite everything,
-    * which the caller should request explicitly by compacting instead.
-    * Returns (new version, rows deleted); publishes NO new version
-    * when nothing matches.
+    * metadata footprints drive the rewrite set at both levels — a
+    * SHARD whose aggregate box cannot intersect is carried into the
+    * new list BY REFERENCE (never opened); inside candidate shards, a
+    * FILE whose footprint cannot intersect is carried into a
+    * replacement shard by name (same file, same bytes; at scale a
+    * selective delete rewrites ~O(√F) of F z-ordered files, not the
+    * table), and only intersecting files are re-read, filtered to
+    * their surviving rows, and rewritten. Files whose every row died
+    * simply vanish (zero-row rewrite outputs are dropped). History is
+    * preserved: older versions still reference the pre-delete files
+    * until [[vacuum]]. Probes must name manifested stat columns — a
+    * delete that cannot be stats-checked would have to rewrite
+    * everything, which the caller should request explicitly by
+    * compacting instead. Returns (new version, rows deleted);
+    * publishes NO new version when nothing matches.
     *
     * CONCURRENCY: a lost CAS rebases over concurrent commits that
-    * provably cannot overlap — every input file still present in the
-    * newest manifest and no since-base file whose footprint intersects
-    * the box. A true overlap (an input rewritten from under the
-    * delete, or an append that may have landed rows INSIDE the box —
-    * rows this delete's rewrite never saw) restarts the whole delete
-    * from the new base, up to [[MaxDmlRestarts]] times.
+    * provably cannot overlap — every candidate shard still present in
+    * the newest list and no since-base shard whose AGGREGATE box
+    * intersects the delete box (coarser than the per-file check a flat
+    * manifest allowed, still sound: an aggregate that misses proves
+    * every member file misses). A true overlap (a candidate shard
+    * rewritten from under the delete, or an append that may have
+    * landed rows INSIDE the box — rows this delete's rewrite never
+    * saw) restarts the whole delete from the new base, up to
+    * [[MaxDmlRestarts]] times.
     */
   def deleteRange(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): (Long, Long) = {
@@ -644,7 +874,7 @@ object VersionedTable {
             throw new java.util.ConcurrentModificationException(
               s"deleteRange at $root: $restarts consecutive conflicting " +
                 "commits (appends into the box or rewrites of the " +
-                "candidate files); giving up — retry when ingest quiesces")
+                "candidate shards); giving up — retry when ingest quiesces")
           backoff(restarts)
       }
     }
@@ -659,12 +889,13 @@ object VersionedTable {
     val (v0, m0) = latestManifest(spark, root).getOrElse(
       sys.error(s"no versions at $root"))
     val idx = probes.map { case (c, _, _) => m0.statCols.indexOf(c) }
-    val (touched, _) = partitionByBox(m0, probes).getOrElse(
+    val (touched, candShards) = partitionByBox(m0, probes).getOrElse(
       throw new IllegalArgumentException(
         s"deleteRange probes must name manifested stat columns " +
           s"${m0.statCols.mkString("[", ", ", "]")}; " +
           s"got ${probes.map(_._1).mkString("[", ", ", "]")}"))
     if (touched.isEmpty) return Some((v0, 0L))
+    val touchedNames = touched.map(_.name).toSet
     val touchedDf = readNamed(spark, root, m0, touched.map(_.name))
     val inBox = probes.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
@@ -682,24 +913,35 @@ object VersionedTable {
       discard(spark, root, entries)
       return Some((v0, 0L))
     }
-    val touchedNames = touched.map(_.name).toSet
-    val baseNames = m0.names
+    // candidate shards are REWRITTEN: their untouched entries carry
+    // into replacement shards by name, the survivors land in one new
+    // shard; every non-candidate shard rides the list by reference
+    val survivorShard = writeShard(spark, root, m0.statCols, entries)
+    val replacements = candShards.flatMap { r =>
+      writeShard(spark, root, m0.statCols,
+        m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
+    }
+    val candNames = candShards.map(_.name).toSet
+    val baseShardNames = m0.shardNames
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
       val conflict =
-        !touchedNames.subsetOf(lm.names) ||
-          lm.entries.exists(e =>
-            !baseNames(e.name) && boxIntersects(e, probes, idx))
+        if (m0.legacy) lv != v0
+        else
+          !candNames.subsetOf(lm.shardNames) ||
+            lm.shards.exists(r =>
+              !baseShardNames(r.name) && boxHit(r.boxes, probes, idx))
       if (conflict) {
-        discard(spark, root, entries)
+        discard(spark, root, entries, replacements ++ survivorShard.toSeq)
         return None
       }
-      val untouched = lm.entries.filterNot(e => touchedNames(e.name))
+      val untouched = lm.shards.filterNot(r => candNames(r.name))
       // kind=delete: like compaction, the survivor files REWRITE
       // existing rows — readChanges must not report them as new
       if (tryPublish(spark, root, lv + 1, m0.statCols,
-          untouched ++ entries, lm.ingestBatch, kind = "delete",
+          untouched ++ replacements ++ survivorShard.toSeq,
+          lm.ingestBatch, kind = "delete",
           publishSchema(spark, root, lm, None)))
         return Some((lv + 1, deleted))
       attempt += 1
@@ -713,30 +955,33 @@ object VersionedTable {
     * most this many tuples) and a file is a candidate only if SOME key
     * tuple lies inside its per-column boxes — two keys at the extremes
     * of the id space then rewrite two files, not the whole table the
-    * single global bounding box would cover.
+    * single global bounding box would cover. The same test prunes
+    * SHARDS via their aggregate boxes first.
     */
   val SparseKeyProbeLimit: Long = 4096L
 
   /** Keyed UPSERT (the MERGE INTO shape) as ONE atomic version: rows
     * of `updates` replace current rows with the same key; new keys
-    * append. Copy-on-write with the same stats pruning as
+    * append. Copy-on-write with the same two-level stats pruning as
     * [[deleteRange]] — `keyCols` must be manifested stat columns, the
     * updates' per-key-column [min,max] bounds the candidate set
     * (refined per-key when the key set is small, see
     * [[SparseKeyProbeLimit]]), and only candidate files are re-read
     * (anti-joined on the keys) and rewritten; every other file is
-    * carried by name. The update rows land as their own files,
-    * recorded in the manifest's `#new` list so [[readChanges]] reports
-    * exactly the upserted rows (the rewritten survivors are existing
-    * rows and contribute nothing). `updates` must be key-unique —
-    * verified, not assumed: duplicate-key update rows would both land
-    * as an atomically committed corruption, so they fail loudly like
-    * NULL keys do. Schema evolution applies as in [[appendBatch]].
-    * Returns (new version, rows replaced).
+    * carried — shards the keys cannot touch by REFERENCE, untouched
+    * files inside candidate shards by name. The update rows land as
+    * their own files, recorded in the manifest's `#new` list so
+    * [[readChanges]] reports exactly the upserted rows (the rewritten
+    * survivors are existing rows and contribute nothing). `updates`
+    * must be key-unique — verified, not assumed: duplicate-key update
+    * rows would both land as an atomically committed corruption, so
+    * they fail loudly like NULL keys do. Schema evolution applies as
+    * in [[appendBatch]]. Returns (new version, rows replaced).
     *
     * CONCURRENCY: same optimistic protocol as [[deleteRange]] — rebase
     * over provably disjoint commits, restart (bounded) when an input
-    * file was rewritten or a since-base file may hold one of the keys.
+    * shard was rewritten or a since-base shard may hold one of the
+    * keys.
     */
   def upsertByKey(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String]): (Long, Long) = {
@@ -770,7 +1015,7 @@ object VersionedTable {
 
   private def upsertOnce(spark: SparkSession, root: String,
       pinned: DataFrame, keyCols: Seq[String]): Option[(Long, Long)] = {
-    val (_, m) = latestManifest(spark, root).getOrElse(
+    val (v0, m) = latestManifest(spark, root).getOrElse(
       sys.error(s"nothing to upsert into at $root"))
     require(keyCols.forall(m.statCols.contains),
       s"upsertByKey key columns must be manifested stat columns " +
@@ -819,14 +1064,18 @@ object VersionedTable {
         Some(keyFrame.collect().toSeq.map(row =>
           keyCols.indices.map(i => row.getLong(i))))
       else None
-    def mayHoldKeys(e: Entry): Boolean = keyTuples match {
+    def mayHoldKeys(boxes: Seq[(Long, Long)]): Boolean = keyTuples match {
       case Some(ks) => ks.exists(k =>
         keyIdx.zipWithIndex.forall { case (bi, ki) =>
-          val (mn, mx) = e.boxes(bi); k(ki) >= mn && k(ki) <= mx
+          val (mn, mx) = boxes(bi); k(ki) >= mn && k(ki) <= mx
         })
-      case None => boxIntersects(e, probes, keyIdx)
+      case None => boxHit(boxes, probes, keyIdx)
     }
-    val (touched, _) = m.entries.partition(mayHoldKeys)
+    val candShards = m.shards.filter(r =>
+      r.name.isEmpty || mayHoldKeys(r.boxes))
+    val touched = candShards.flatMap(r => m.entriesOf(r))
+      .filter(e => mayHoldKeys(e.boxes))
+    val touchedNames = touched.map(_.name).toSet
     val rewritten =
       if (touched.isEmpty) Seq.empty
       else {
@@ -843,21 +1092,36 @@ object VersionedTable {
         else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(merged.fieldNames.map(col): _*)
     val newEntries = writeFiles(alignedUpdates, root, m.statCols)
-    val touchedNames = touched.map(_.name).toSet
-    val baseNames = m.names
+    // replacement shards: candidate shards lose their touched files,
+    // keep everything else by name; the rewritten survivors and the
+    // update rows land as new shards
+    val rewrittenShard = writeShard(spark, root, m.statCols, rewritten)
+    val newShard = writeShard(spark, root, m.statCols, newEntries)
+    val replacements = candShards.flatMap { r =>
+      writeShard(spark, root, m.statCols,
+        m.entriesOf(r).filterNot(e => touchedNames(e.name)))
+    }
+    val candNames = candShards.map(_.name).toSet
+    val baseShardNames = m.shardNames
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
       val conflict =
-        !touchedNames.subsetOf(lm.names) ||
-          lm.entries.exists(e => !baseNames(e.name) && mayHoldKeys(e))
+        if (m.legacy) lv != v0
+        else
+          !candNames.subsetOf(lm.shardNames) ||
+            lm.shards.exists(r =>
+              !baseShardNames(r.name) && mayHoldKeys(r.boxes))
       if (conflict) {
-        discard(spark, root, rewritten ++ newEntries)
+        discard(spark, root, rewritten ++ newEntries,
+          replacements ++ rewrittenShard.toSeq ++ newShard.toSeq)
         return None
       }
-      val untouched = lm.entries.filterNot(e => touchedNames(e.name))
+      val untouched = lm.shards.filterNot(r => candNames(r.name))
       if (tryPublish(spark, root, lv + 1, m.statCols,
-          untouched ++ rewritten ++ newEntries, lm.ingestBatch,
+          untouched ++ replacements ++ rewrittenShard.toSeq ++
+            newShard.toSeq,
+          lm.ingestBatch,
           kind = "upsert", publishSchema(spark, root, lm, Some(merged)),
           newFiles = newEntries.map(_.name)))
         return Some((lv + 1, replaced))
@@ -867,17 +1131,22 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
-  /** POINT lookup (`col = value`) with two metadata-only pruning
-    * stages before any data page is read: (1) the manifest's [min,max]
-    * footprints drop files whose range cannot contain the value; (2)
-    * each survivor's parquet BLOOM filter (written for every stat
-    * column, read footer-only) drops files that provably do not hold
-    * it — the stage that matters when the probed column is NOT the
-    * clustering order (a z-ordered (user, ts) layout spreads a given
-    * `event_id` stat column across wide ranges; the box keeps many
-    * files, the bloom keeps ~the one that has it, modulo the bloom's
-    * false-positive rate). The exact filter still runs on whatever
-    * survives, so false positives cost I/O, never correctness.
+  /** POINT lookup (`col = value`) with THREE metadata-only pruning
+    * stages before any data page is read: (1) the manifest list's
+    * aggregate shard boxes drop whole shards without opening them;
+    * (2) the surviving shards' [min,max] file footprints drop files
+    * whose range cannot contain the value; (3) each survivor's parquet
+    * BLOOM filter (written for every stat column, read footer-only)
+    * drops files that provably do not hold it — the stage that matters
+    * when the probed column is NOT the clustering order (a z-ordered
+    * (user, ts) layout spreads a given `event_id` stat column across
+    * wide ranges; the box keeps many files, the bloom keeps ~the one
+    * that has it, modulo the bloom's false-positive rate). The exact
+    * filter still runs on whatever survives, so false positives cost
+    * I/O, never correctness. Small candidate sets bloom-check in a
+    * driver loop ([[Layout.BloomDriverLoopLimit]]) — point lookups are
+    * latency-shaped, and a Spark job per probe is scheduling overhead
+    * at serving time.
     */
   def pointRead(spark: SparkSession, root: String, c: String,
       value: Long): DataFrame = {
@@ -894,11 +1163,11 @@ object VersionedTable {
   def pointPrunedFileCount(spark: SparkSession, root: String, c: String,
       value: Long): (Int, Int, Int) = {
     val (statsKept, bloomKept, m) = pointCandidates(spark, root, c, value)
-    (statsKept.size, bloomKept.size, m.entries.size)
+    (statsKept.size, bloomKept.size, m.totalFiles.toInt)
   }
 
   /** (stats-stage candidates, bloom-stage survivors, manifest) — the
-    * ONE implementation of the two-stage point prune.
+    * ONE implementation of the multi-stage point prune.
     */
   private def pointCandidates(spark: SparkSession, root: String,
       c: String, value: Long): (Seq[String], Seq[String], Manifest) = {
@@ -913,10 +1182,15 @@ object VersionedTable {
       value: Long): Seq[String] = {
     val i = m.statCols.indexOf(c)
     if (i < 0) m.entries.map(_.name) // unmanifested column: no pruning
-    else m.entries.collect {
-      case e if { val (mn, mx) = e.boxes(i); value >= mn && value <= mx } =>
-        e.name
-    }
+    else m.shards
+      .filter(r => r.name.isEmpty || {
+        val (mn, mx) = r.boxes(i); value >= mn && value <= mx
+      })
+      .flatMap(r => m.entriesOf(r))
+      .collect {
+        case e if { val (mn, mx) = e.boxes(i); value >= mn && value <= mx } =>
+          e.name
+      }
   }
 
   private def bloomSurvivors(spark: SparkSession, root: String,
@@ -925,17 +1199,17 @@ object VersionedTable {
       candidates.map(n => s"${filesDir(root)}/$n"), c, value)
       .collect { case (name, true) => name }
 
-  /** Exact `count(*)` served from the MANIFEST alone — each entry
-    * carries its file's footer-recorded row count, so the answer
-    * touches no data files and no footers: one small text read. This
-    * is the metadata-only count every table format serves; at 100 TB
-    * the difference between this and a scan is the whole table.
+  /** Exact `count(*)` served from the MANIFEST LIST alone — each shard
+    * line carries its row sum, so the answer touches no data files, no
+    * footers, and no shard files: one small text read. This is the
+    * metadata-only count every table format serves; at 100 TB the
+    * difference between this and a scan is the whole table.
     */
   def fastCount(spark: SparkSession, root: String,
       version: Option[Long] = None): Long = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       sys.error(s"no versions at $root"))
-    readManifest(spark, root, v).entries.map(_.rows).sum
+    readManifest(spark, root, v).shards.map(_.rows).sum
   }
 
   /** Incremental CHANGE read — the rows ADDED strictly after `fromV`
@@ -1087,22 +1361,22 @@ object VersionedTable {
     }
   }
 
-  /** Reclaim storage: keep the newest `keepVersions` manifests, delete
-    * older manifests and every file no kept manifest references, plus
-    * any crashed writer's stage debris. The retention contract: a
-    * reader pinning a dropped version loses it — size `keepVersions`
-    * to the longest read you serve, exactly as Iceberg's
-    * expire_snapshots does. With LOCK-FREE writers, `graceMs` is the
-    * second contract: an unreferenced file younger than the grace may
-    * belong to a writer between its data writes and its manifest CAS
-    * (nothing marks it — that's what makes the writers lock-free), so
-    * only files older than the grace are collected; size it to the
-    * longest write you run (Iceberg's orphan-file retention, default a
-    * day). Vacuum itself still serializes against other vacuums via
-    * the writer lease — two concurrent reclaims racing the same
-    * listing would double-delete — but never blocks, and is never
-    * blocked by, data writers. Returns (versions dropped, files
-    * deleted).
+  /** Reclaim storage: keep the newest `keepVersions` manifest lists,
+    * delete older lists and every data file and SHARD file no kept
+    * list references, plus any crashed writer's stage debris. The
+    * retention contract: a reader pinning a dropped version loses it —
+    * size `keepVersions` to the longest read you serve, exactly as
+    * Iceberg's expire_snapshots does. With LOCK-FREE writers,
+    * `graceMs` is the second contract: an unreferenced file younger
+    * than the grace may belong to a writer between its writes and its
+    * manifest CAS (nothing marks it — that's what makes the writers
+    * lock-free), so only files older than the grace are collected;
+    * size it to the longest write you run (Iceberg's orphan-file
+    * retention, default a day). Vacuum itself still serializes against
+    * other vacuums via the writer lease — two concurrent reclaims
+    * racing the same listing would double-delete — but never blocks,
+    * and is never blocked by, data writers. Returns (versions dropped,
+    * files deleted — data and shard files both).
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int,
       graceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
@@ -1115,8 +1389,11 @@ object VersionedTable {
         now - st.getModificationTime > graceMs
       val vs = versions(spark, root)
       val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-      val referenced = keep
-        .flatMap(v => readManifest(spark, root, v).entries.map(_.name)).toSet
+      val keptManifests = keep.map(v => readManifest(spark, root, v))
+      val referenced = keptManifests
+        .flatMap(_.entries.map(_.name)).toSet
+      val referencedShards = keptManifests
+        .flatMap(_.shardNames).filter(_.nonEmpty).toSet
       var filesDeleted = 0
       val fd = new Path(filesDir(root))
       if (fs.exists(fd)) fs.listStatus(fd).foreach { st =>
@@ -1130,19 +1407,96 @@ object VersionedTable {
         if (!fs.delete(new Path(manifestsDir(root), s"v$v"), false))
           throw new java.io.IOException(s"vacuum: could not drop manifest v$v")
       }
-      // crashed writers leave .stage-* dirs and .tmp-v* manifests;
-      // LIVE writers do too, between their writes and their CAS — the
-      // grace window is what separates them
+      // crashed writers leave .stage-* dirs, .tmp-v* manifests and
+      // unreferenced s-* shards; LIVE writers do too, between their
+      // writes and their CAS — the grace window is what separates them
       fs.listStatus(new Path(root)).foreach { st =>
         if (st.getPath.getName.startsWith(".stage-") && aged(st))
           fs.delete(st.getPath, true)
       }
       val md = new Path(manifestsDir(root))
       if (fs.exists(md)) fs.listStatus(md).foreach { st =>
-        if (st.getPath.getName.startsWith(".tmp-") && aged(st))
+        val n = st.getPath.getName
+        if (n.startsWith(".tmp-") && aged(st))
           fs.delete(st.getPath, false)
+        else if (n.startsWith("s-") && !referencedShards(n) && aged(st)) {
+          if (!fs.delete(st.getPath, false)) throw new java.io.IOException(
+            s"vacuum: could not delete shard ${st.getPath}")
+          filesDeleted += 1
+        }
       }
       (drop.size, filesDeleted)
+    }
+  }
+
+  // ——— Test seams: name-level and shard-level visibility the public
+  // API deliberately hides (specs assert carried-by-name COW economics
+  // and list-size bounds; the shard study fabricates metadata).
+
+  /** Entry file names of version v — spec helper (the flat format let
+    * tests read these straight off the manifest text; the two-level
+    * format keeps them inside shard files).
+    */
+  private[pipeline] def entryNames(spark: SparkSession, root: String,
+      v: Long): Set[String] =
+    readManifest(spark, root, v).names
+
+  /** Shard count of version v's manifest list. */
+  private[pipeline] def shardCount(spark: SparkSession, root: String,
+      v: Long): Int =
+    readManifest(spark, root, v).shards.count(_.name.nonEmpty)
+
+  /** (shards opened, total shards, files kept) for a box probe — the
+    * two-level planning-cost observable the shard study asserts on: a
+    * selective probe must resolve from the manifest list plus only the
+    * shards whose aggregate box it intersects.
+    */
+  private[pipeline] def boxProbeStats(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): (Int, Int, Int) = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    val m = readManifest(spark, root, v)
+    val kept = partitionByBox(m, probes) match {
+      case Some((touched, _)) => touched.map(_.name)
+      case None => m.entries.map(_.name)
+    }
+    (m.loadedShards, m.shards.size, kept.size)
+  }
+
+  /** Fabricate a version from synthetic entries — STUDY/SPEC ONLY: the
+    * metadata paths (publish cost, list parsing, shard pruning) are
+    * real, the named data files need not exist. `entriesPerShard`
+    * splits the entries into consecutive shards; 0 writes the LEGACY
+    * flat format instead (inline entries), for migration and
+    * format-comparison fixtures.
+    */
+  private[pipeline] def fabricateVersion(spark: SparkSession, root: String,
+      v: Long, statCols: Seq[String],
+      entries: Seq[(String, Long, Seq[(Long, Long)])],
+      entriesPerShard: Int,
+      schemaJson: Option[String]): Unit = {
+    val es = entries.map { case (n, rows, boxes) => Entry(n, rows, boxes) }
+    if (entriesPerShard > 0) {
+      val shards = es.grouped(entriesPerShard).toSeq
+        .flatMap(g => writeShard(spark, root, statCols, g))
+      require(tryPublish(spark, root, v, statCols, shards, -1L, "append",
+        schemaJson), s"fabricateVersion: v$v already exists")
+    } else {
+      // legacy flat format, verbatim what the pre-shard writer produced
+      val fs = fsFor(spark, root)
+      val dir = new Path(manifestsDir(root))
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, s"v$v"), false)
+      try {
+        out.write(s"# versioned v2\t${statCols.mkString("\t")}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write("#kind\tappend\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        schemaJson.foreach(j => out.write(s"#schema\t$j\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        es.sortBy(_.name).foreach(e => out.write((entryLine(e) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      } finally out.close()
     }
   }
 }

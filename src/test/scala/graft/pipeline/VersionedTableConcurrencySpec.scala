@@ -39,15 +39,11 @@ class VersionedTableConcurrencySpec extends AnyFunSuite {
     VersionedTable.read(spark, root)
       .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
 
-  /** Entry file names of version v, read straight off the manifest
-    * text — the carried-by-name assertions need name-level visibility
-    * the public API deliberately hides.
+  /** Entry file names of version v — the carried-by-name assertions
+    * need name-level visibility the public API deliberately hides.
     */
   private def manifestNames(root: String, v: Long): Set[String] =
-    java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(s"$root/manifests/v$v")).asScala
-      .filterNot(l => l.startsWith("#") || l.isEmpty)
-      .map(_.split('\t')(0)).toSet
+    VersionedTable.entryNames(spark, root, v)
 
   private def manifestText(root: String, v: Long): String =
     new String(java.nio.file.Files.readAllBytes(

@@ -146,16 +146,9 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL key"))
   }
 
-  private def manifestNames(root: String): Set[String] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = VersionedTable.latestVersion(spark, root).get
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v"))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.split('\n').filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(_.split('\t')(0)).toSet
-  }
+  private def manifestNames(root: String): Set[String] =
+    VersionedTable.entryNames(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
 
   test("pointRead: bloom filters prune files the [min,max] box cannot — footer-only, exact results") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-pt")
@@ -195,6 +188,51 @@ class VersionedTableSpec extends AnyFunSuite {
     info(s"absent value: bloom kept $bloomAbsent files")
     assert(bloomAbsent <= 4, s"absent value should bloom-prune to ~0 files")
   }
+
+  test("small candidate sets bloom-check in a DRIVER loop: identical verdicts, lower latency than a Spark job") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-blp")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 20000), root,
+      Seq("user_id", "ts_us", "event_id"))
+    VersionedTable.compactZorder(spark, root, nFiles = 12)
+    val files = fsList(root + "/files")
+    assert(files.size >= 4 && files.size <= Layout.BloomDriverLoopLimit,
+      s"fixture must land under the driver-loop limit, got ${files.size}")
+    val value = 12345L
+    // warm both paths (JIT, footer cache, job-machinery classloading)
+    Layout.bloomMayContain(spark, files, "event_id", value)
+    Layout.bloomMayContain(spark, files, "event_id", value,
+      driverLoopLimit = 0)
+    def best(f: => Seq[(String, Boolean)]): (Long, Seq[(String, Boolean)]) = {
+      var bestNs = Long.MaxValue
+      var r: Seq[(String, Boolean)] = null
+      (0 until 5).foreach { _ =>
+        val t0 = System.nanoTime()
+        r = f
+        bestNs = math.min(bestNs, System.nanoTime() - t0)
+      }
+      (bestNs, r)
+    }
+    val (driverNs, a) =
+      best(Layout.bloomMayContain(spark, files, "event_id", value))
+    val (distNs, b) = best(Layout.bloomMayContain(spark, files,
+      "event_id", value, driverLoopLimit = 0))
+    assert(a.sortBy(_._1) == b.sortBy(_._1),
+      "driver-loop and distributed bloom checks must agree exactly")
+    info(f"bloom check over ${files.size} files: driver loop " +
+      f"${driverNs / 1e6}%.2f ms vs spark job ${distNs / 1e6}%.2f ms " +
+      f"(${distNs.toDouble / driverNs}%.1fx)")
+    assert(driverNs < distNs,
+      f"a point lookup's bloom stage over ${files.size} files must be " +
+        f"faster on the driver (${driverNs / 1e6}%.2f ms) than as a " +
+        f"Spark job (${distNs / 1e6}%.2f ms) — scheduling overhead " +
+        "dominates at serving-path candidate counts")
+  }
+
+  private def fsList(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith(".")) // skip .crc sidecars
+      .map(_.getAbsolutePath)
 
   test("upsertByKey: replaces matching keys, appends new ones, prunes the rewrite set, keeps change reads exact") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-ups")
