@@ -1429,11 +1429,141 @@ object CorpusCuration {
         CAST(sum(user_id) AS BIGINT) AS user_sum
       FROM changes GROUP BY 1, 2 ORDER BY version, change"""))
 
+  /** MERGE-ON-READ deletes on the versioned table under the driver's
+    * oracle ([[graft.pipeline.VersionedTable.deleteRangeMor]] — the
+    * Iceberg-v2 shape: a delete is ONE metadata marker, no data files
+    * rewritten; readers apply it, `fastCount` subtracts its exact
+    * matched count, and the marker is FILE-scoped so later appends
+    * inside the same box survive). The staged history exercises every
+    * contract: append+compact → mor-delete a user-id box → re-append
+    * rows INSIDE the box (they must survive) → materialize (visible
+    * rows unchanged) → z-order compact (ditto). Each stage emits its
+    * aggregate; `fast_count` is the manifest-served count after the
+    * marker — any wrong marker scope, a double-subtraction, a
+    * resurrected row, or a materialization that changes visible data
+    * breaks the hash against the declaratively stated stages.
+    */
+  val versionedMor: Q = Q(
+    "pipe_versioned_mor",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("versioned-mor")
+      val stats = Seq("user_id", "ts_us", "event_id")
+      graft.pipeline.VersionedTable.append(ev, root, stats)        // v1
+      graft.pipeline.VersionedTable.compactZorder(s, root, 8)      // v2
+      val b = ev.agg(min($"user_id"), max($"user_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) * 25 / 100, mn + (mx - mn) * 75 / 100)
+      graft.pipeline.VersionedTable.deleteRangeMor(s, root,
+        Seq(("user_id", lo, hi)))                                  // v3
+      def stage(name: String) = graft.pipeline.VersionedTable
+        .read(s, root)
+        .agg(lit(name).as("stage"), count(lit(1)).as("n_rows"),
+          sum($"event_id").as("id_sum"), sum($"user_id").as("user_sum"))
+      val afterMor = stage("after_mor")
+      val fastRow = Seq(("fast_count",
+          graft.pipeline.VersionedTable.fastCount(s, root), 0L, 0L))
+        .toDF("stage", "n_rows", "id_sum", "user_sum")
+      graft.pipeline.VersionedTable.append(
+        ev.filter(pmod($"event_id", lit(5L)) === 0), root, stats)  // v4
+      val afterAppend = stage("after_append")
+      graft.pipeline.VersionedTable.materializeDeletes(s, root)    // v5
+      val afterMat = stage("after_materialize")
+      graft.pipeline.VersionedTable.compactZorder(s, root, 8)      // v6
+      val afterCmp = stage("after_compact")
+      afterMor.unionAll(fastRow).unionAll(afterAppend)
+        .unionAll(afterMat).unionAll(afterCmp)
+        .orderBy($"stage")
+    },
+    Some("""WITH src AS (SELECT event_id, user_id FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b),
+      vis AS (SELECT event_id, user_id FROM src, box
+              WHERE user_id NOT BETWEEN lo AND hi),
+      fin AS (SELECT event_id, user_id FROM vis
+              UNION ALL
+              SELECT event_id, user_id FROM src WHERE event_id % 5 = 0),
+      stages AS (
+        SELECT 'after_mor' AS stage, count(*) AS n_rows,
+          sum(event_id) AS id_sum, sum(user_id) AS user_sum FROM vis
+        UNION ALL
+        SELECT 'fast_count', count(*), 0, 0 FROM vis
+        UNION ALL
+        SELECT 'after_append', count(*), sum(event_id), sum(user_id) FROM fin
+        UNION ALL
+        SELECT 'after_materialize', count(*), sum(event_id),
+          sum(user_id) FROM fin
+        UNION ALL
+        SELECT 'after_compact', count(*), sum(event_id), sum(user_id)
+        FROM fin)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(id_sum AS BIGINT) AS id_sum,
+        CAST(user_sum AS BIGINT) AS user_sum
+      FROM stages ORDER BY stage"""))
+
+  /** The versioned table served through PLAIN SQL under the driver's
+    * oracle ([[graft.pipeline.VersionedTable.sqlRead]] — a custom
+    * FileIndex turns the query's own pushed predicates into manifest
+    * shard/file pruning, the Delta/Iceberg Spark-integration shape):
+    * build + z-order compact the table, register a temp view, and run
+    * the probe as ordinary `spark.sql` — no boxRead, no explicit
+    * probes; the WHERE clause itself drives the pruning. Hash-matched
+    * against the same window stated over the raw events, so a wrongly
+    * pruned file (a row lost to pruning) or a mistranslated predicate
+    * breaks the hash.
+    */
+  val vtSql: Q = Q(
+    "pipe_vt_sql",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-sql")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))
+      graft.pipeline.VersionedTable.compactZorder(s, root, nFiles = 16)
+      graft.pipeline.VersionedTable.sqlRead(s, root)
+        .createOrReplaceTempView("graft_vt_sql")
+      val b = ev.agg(min($"user_id"), max($"user_id"),
+        min($"ts_us"), max($"ts_us")).head
+      def pct(lo: Long, hi: Long, p: Int) = lo + (hi - lo) * p / 100
+      val (uLo, uHi) = (pct(b.getLong(0), b.getLong(1), 25),
+        pct(b.getLong(0), b.getLong(1), 75))
+      val (tLo, tHi) = (pct(b.getLong(2), b.getLong(3), 25),
+        pct(b.getLong(2), b.getLong(3), 75))
+      s.sql(s"""SELECT user_id, count(*) AS n_events,
+          CAST(sum(event_id) AS BIGINT) AS id_sum,
+          min(ts_us) AS first_us, max(ts_us) AS last_us
+        FROM graft_vt_sql
+        WHERE user_id >= $uLo AND user_id <= $uHi
+          AND ts_us >= $tLo AND ts_us <= $tHi
+        GROUP BY user_id ORDER BY user_id""")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (
+        SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+          min(ts_us) AS mn1, max(ts_us) AS mx1 FROM src)
+      SELECT user_id, count(*) AS n_events,
+        CAST(sum(event_id) AS BIGINT) AS id_sum,
+        min(ts_us) AS first_us, max(ts_us) AS last_us
+      FROM src, b
+      WHERE user_id >= mn0 + (mx0 - mn0) * 25 // 100
+        AND user_id <= mn0 + (mx0 - mn0) * 75 // 100
+        AND ts_us >= mn1 + (mx1 - mn1) * 25 // 100
+        AND ts_us <= mn1 + (mx1 - mn1) * 75 // 100
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
-    manifestPrune)
+    versionedMor, vtSql, manifestPrune)
 }

@@ -151,7 +151,7 @@ object VersionedTable {
       root: String): Option[(Long, Manifest)] =
     latestVersion(spark, root).map(v => (v, readManifest(spark, root, v)))
 
-  private case class Entry(name: String, rows: Long,
+  private[pipeline] case class Entry(name: String, rows: Long,
       boxes: Seq[(Long, Long)])
 
   /** One manifest-list line: an immutable shard file plus its entry
@@ -163,22 +163,37 @@ object VersionedTable {
     * synthetic ref with an EMPTY name (entries inline); writers
     * migrate it on their next publish.
     */
-  private case class ShardRef(name: String, files: Long, rows: Long,
+  private[pipeline] case class ShardRef(name: String, files: Long, rows: Long,
       boxes: Seq[(Long, Long)])
+
+  /** A MERGE-ON-READ delete marker — Iceberg v2's delete-file idea in
+    * range form: instead of rewriting the files a delete touches, the
+    * manifest records the box predicate, the exact count of visible
+    * rows it matched WHEN COMMITTED, and the FILE SET it applies to
+    * (the box-intersecting files that existed at commit time — scoping
+    * by file is what keeps rows APPENDED later inside the same box
+    * alive, exactly like Iceberg's sequence-number scoping). Readers
+    * apply `NOT box` to rows from the marker's files; compaction and
+    * COW DML materialize markers away.
+    */
+  private[pipeline] case class MorDelete(probes: Seq[(String, Long, Long)],
+      matched: Long, files: Set[String])
 
   /** A resolved version: header metadata, the shard list, and LAZY
     * per-shard entry loading — the planning paths (append publish,
     * box/point pruning, fastCount) never load entries of shards they
     * pruned; full-read paths (`entries`) resolve everything once.
     */
-  private class Manifest(
+  private[pipeline] class Manifest(
       val statCols: Seq[String],
       val shards: Seq[ShardRef],
       loader: ShardRef => Seq[Entry],
       val ingestBatch: Long,
       val kind: String,
       val schemaJson: Option[String],
-      val newFiles: Seq[String]) {
+      val newFiles: Seq[String],
+      val committedAtMs: Long = -1L,
+      val morDeletes: Seq[MorDelete] = Seq.empty) {
     private val cache =
       scala.collection.mutable.Map.empty[String, Seq[Entry]]
     def entriesOf(r: ShardRef): Seq[Entry] =
@@ -280,6 +295,18 @@ object VersionedTable {
     val newFiles = lines.tail
       .find(_.startsWith("#new\t"))
       .map(_.split('\t')(1).split(',').toSeq).getOrElse(Seq.empty)
+    val committedAtMs = lines.tail
+      .find(_.startsWith("#ts\t"))
+      .map(_.split('\t')(1).toLong).getOrElse(-1L)
+    // #mordel \t matched \t k \t (col lo hi){k} \t files-comma-joined
+    val morDeletes = lines.tail.filter(_.startsWith("#mordel\t")).map { l =>
+      val f = l.split('\t')
+      val matched = f(1).toLong
+      val k = f(2).toInt
+      val probes = (0 until k).map(i =>
+        (f(3 + 3 * i), f(4 + 3 * i).toLong, f(5 + 3 * i).toLong))
+      MorDelete(probes, matched, f(3 + 3 * k).split(',').toSet)
+    }
     if (sharded) {
       val refs = lines.tail.filter(_.startsWith("#shard\t")).map { l =>
         val f = l.split('\t')
@@ -288,7 +315,7 @@ object VersionedTable {
       }
       new Manifest(statCols, refs,
         r => readShard(spark, root, r.name, statCols.size),
-        ingestBatch, kind, schemaJson, newFiles)
+        ingestBatch, kind, schemaJson, newFiles, committedAtMs, morDeletes)
     } else {
       // legacy flat manifest: inline entries as one synthetic shard
       val inline = lines.tail.filterNot(_.startsWith("#"))
@@ -298,7 +325,7 @@ object VersionedTable {
         else Seq(ShardRef("", inline.size.toLong, inline.map(_.rows).sum,
           aggBoxes(inline, statCols.size)))
       new Manifest(statCols, refs, _ => inline,
-        ingestBatch, kind, schemaJson, newFiles)
+        ingestBatch, kind, schemaJson, newFiles, committedAtMs, morDeletes)
     }
   }
 
@@ -314,7 +341,8 @@ object VersionedTable {
   private def tryPublish(spark: SparkSession, root: String, v: Long,
       statCols: Seq[String], shards: Seq[ShardRef],
       ingestBatch: Long, kind: String, schemaJson: Option[String],
-      newFiles: Seq[String] = Seq.empty): Boolean = {
+      newFiles: Seq[String] = Seq.empty,
+      morDeletes: Seq[MorDelete] = Seq.empty): Boolean = {
     require(shards.forall(_.name.nonEmpty),
       "legacy inline entries must be migrated to a shard before publish")
     beforePublishHook.getAndSet(() => ())()
@@ -329,6 +357,14 @@ object VersionedTable {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.write(s"#kind\t$kind\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the PUBLISHER's wall clock — powers readAsOf/history exactly as
+      // Iceberg's snapshot timestamps do, with the same caveat: under
+      // writer clock skew, timestamp-as-of resolves against whatever
+      // the winners stamped (versionAsOf picks the LARGEST version at
+      // or before the asked instant, so a skewed-early stamp can only
+      // widen, never corrupt, the answer)
+      out.write(s"#ts\t${System.currentTimeMillis()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (ingestBatch >= 0)
         out.write(s"#ingest\t$ingestBatch\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -341,6 +377,16 @@ object VersionedTable {
       if (newFiles.nonEmpty)
         out.write(s"#new\t${newFiles.mkString(",")}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      morDeletes.foreach { md =>
+        val cells = md.probes.flatMap { case (c, lo, hi) =>
+          require(!c.contains('\t') && !c.contains(','),
+            s"mor-delete column name unserializable: '$c'")
+          Seq(c, lo.toString, hi.toString)
+        }
+        out.write((s"#mordel\t${md.matched}\t${md.probes.size}\t" +
+          s"${cells.mkString("\t")}\t${md.files.toSeq.sorted.mkString(",")}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       shards.sortBy(_.name).foreach { r =>
         val cells = r.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
         out.write((s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
@@ -578,10 +624,14 @@ object VersionedTable {
         case _ => baseShards
       }
       val v = base.map(_._1).getOrElse(0L) + 1
+      // mor-delete markers carry through appends untouched: they are
+      // scoped to THEIR files, so the appended rows — even ones inside
+      // a marker's box — are never affected by them
       if (tryPublish(spark, root, v, statCols,
           publishShards ++ writtenShard.toSeq,
           math.max(frontier, ingestBatch), kind = "append",
-          Some(merged0.json)))
+          Some(merged0.json),
+          morDeletes = base.map(_._2.morDeletes).getOrElse(Seq.empty)))
         return v
       attempt += 1
       backoff(attempt)
@@ -692,7 +742,11 @@ object VersionedTable {
       val (lv, lm) = latestManifest(spark, root).get
       val conflict =
         if (m0.legacy) lv != v0
-        else !baseShardNames.subsetOf(lm.shardNames)
+        else !baseShardNames.subsetOf(lm.shardNames) ||
+          // the layout read applied exactly m0's markers; a marker
+          // added (or materialized away) since would make the rewrite
+          // stale — compaction is rerunnable maintenance, abort
+          lm.morDeletes != m0.morDeletes
       if (conflict) {
         discard(spark, root, entries, compactShard.toSeq)
         throw new java.util.ConcurrentModificationException(
@@ -712,6 +766,95 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** BIN-PACK small-file compaction — Iceberg's `optimize` binpack:
+    * rewrite ONLY files below `minRows` into ~`targetRows` outputs,
+    * carrying every adequately-sized file by name (and every shard the
+    * candidates don't live in by reference). Where [[compactZorder]]
+    * rewrites the whole table to restore clustering, this is the cheap
+    * steady-state maintenance a streaming ingest needs: each
+    * micro-batch appends a runt file, and folding runts costs
+    * O(small-file rows), never O(table). The bins are range-grouped on
+    * the first stat column so locality degrades gently (a later
+    * z-order compaction restores it fully). Visible rows are unchanged
+    * — change reads and CDC treat it exactly like a compaction.
+    * Mor-delete markers are materialized first ([[materializeDeletes]]
+    * — a rewrite must never resurrect logically deleted rows). Returns
+    * (published version, file-count reduction); publishes nothing when
+    * fewer than two candidates exist.
+    *
+    * CONCURRENCY: optimistic like [[deleteRange]] — since-base appends
+    * are carried by reference (their files are not inputs); a commit
+    * that rewrote a candidate shard restarts the pack.
+    */
+  def compactSmallFiles(spark: SparkSession, root: String, minRows: Long,
+      targetRows: Long): (Long, Int) = {
+    require(minRows >= 1 && targetRows >= minRows,
+      "compactSmallFiles needs 1 <= minRows <= targetRows")
+    var restarts = 0
+    while (true) {
+      materializeDeletes(spark, root)
+      packOnce(spark, root, minRows, targetRows) match {
+        case Some(r) => return r
+        case None =>
+          restarts += 1
+          if (restarts >= MaxDmlRestarts)
+            throw new java.util.ConcurrentModificationException(
+              s"compactSmallFiles at $root: $restarts consecutive " +
+                "conflicting commits; giving up")
+          backoff(restarts)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def packOnce(spark: SparkSession, root: String, minRows: Long,
+      targetRows: Long): Option[(Long, Int)] = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"nothing to compact at $root"))
+    if (m0.morDeletes.nonEmpty) return None // wrapper materializes first
+    val candShards = m0.shards.filter(r =>
+      r.name.isEmpty || m0.entriesOf(r).exists(_.rows < minRows))
+    val touched = candShards.flatMap(r => m0.entriesOf(r))
+      .filter(_.rows < minRows)
+    if (touched.size < 2) return Some((v0, 0)) // nothing to gain
+    val touchedNames = touched.map(_.name).toSet
+    val totalRows = touched.map(_.rows).sum
+    val nBins = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    val a = m0.statCols.head
+    val entries = writeFiles(
+      readNamed(spark, root, m0, touched.map(_.name)), root, m0.statCols,
+      shape = d =>
+        if (nBins == 1) d.coalesce(1)
+        else d.repartitionByRange(nBins, col(a)).sortWithinPartitions(col(a)))
+    val packedShard = writeShard(spark, root, m0.statCols, entries)
+    val replacements = candShards.flatMap { r =>
+      writeShard(spark, root, m0.statCols,
+        m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
+    }
+    val candNames = candShards.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      val conflict =
+        if (m0.legacy) lv != v0
+        else !candNames.subsetOf(lm.shardNames) || lm.morDeletes.nonEmpty
+      if (conflict) {
+        discard(spark, root, entries, replacements ++ packedShard.toSeq)
+        return None
+      }
+      val untouched = lm.shards.filterNot(r => candNames(r.name))
+      // kind=compact: a pure rewrite — change reads and CDC skip it
+      if (tryPublish(spark, root, lv + 1, m0.statCols,
+          untouched ++ replacements ++ packedShard.toSeq,
+          lm.ingestBatch, kind = "compact",
+          publishSchema(spark, root, lm, None)))
+        return Some((lv + 1, touched.size - entries.size))
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
   private def readEntries(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
     if (m.entries.isEmpty)
@@ -724,7 +867,34 @@ object VersionedTable {
         case None => sys.error(
           s"empty snapshot with no stored schema at $root")
       }
-    else readNamed(spark, root, m, m.entries.map(_.name))
+    else readVisible(spark, root, m, m.entries.map(_.name))
+  }
+
+  /** The conjoined box predicate of a probe list. */
+  private def boxPredicate(probes: Seq[(String, Long, Long)]): Column =
+    probes.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+
+  /** Read `names` with the manifest's MERGE-ON-READ delete markers
+    * applied — the VISIBLE rows. Files are grouped by their marker-
+    * coverage signature so each group's `NOT box` predicates belong to
+    * its own scan (they push into parquet row-group pruning like any
+    * filter), then unioned; a file outside every marker's file set
+    * reads completely clean. NULL-safe like the COW delete: a NULL
+    * probed column is outside any box and survives.
+    */
+  private def readVisible(spark: SparkSession, root: String, m: Manifest,
+      names: Seq[String]): DataFrame = {
+    if (m.morDeletes.isEmpty) return readNamed(spark, root, m, names)
+    val groups = names.groupBy(n =>
+      m.morDeletes.zipWithIndex.collect { case (md, i) if md.files(n) => i })
+    groups.toSeq.sortBy(_._1.mkString(",")) // deterministic plan shape
+      .map { case (idxs, ns) =>
+        idxs.foldLeft(readNamed(spark, root, m, ns)) { (d, i) =>
+          d.filter(!coalesce(boxPredicate(m.morDeletes(i).probes),
+            lit(false)))
+        }
+      }.reduce(_ unionAll _)
   }
 
   /** Read `names` under the manifest's stored schema: files written
@@ -753,6 +923,223 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     readEntries(spark, root, readManifest(spark, root, v))
 
+  /** The commit log: (version, committed-at epoch millis, kind) for
+    * every version still inside the retention window, ascending —
+    * Iceberg's snapshot history. Timestamps are the publishers' wall
+    * clocks (-1 for versions committed before timestamps existed);
+    * kinds are append/compact/delete/upsert. O(#versions) small list
+    * reads, no shard or data access.
+    */
+  def history(spark: SparkSession, root: String): Seq[(Long, Long, String)] =
+    versions(spark, root).map { v =>
+      val m = readManifest(spark, root, v)
+      (v, m.committedAtMs, m.kind)
+    }
+
+  /** The newest version committed AT OR BEFORE `tsMillis` — what
+    * `readAsOf` resolves through. Errors when the instant precedes the
+    * table (or precedes retention: the version that was current then
+    * has been vacuumed, and serving the oldest SURVIVOR would silently
+    * time-travel forward). Versions predating timestamp storage
+    * (committedAtMs = -1) are treated as infinitely old — a best-
+    * effort lower bound, exactly what an upgraded-in-place table can
+    * still answer.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val h = history(spark, root)
+    require(h.nonEmpty, s"no versions at $root")
+    val atOrBefore = h.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"readAsOf($tsMillis) at $root: the earliest retained version " +
+        s"was committed at ${h.head._2} — the instant precedes the " +
+        "table (or its retention window)")
+    atOrBefore.last._1
+  }
+
+  /** Timestamp time travel: the table as it was at `tsMillis`
+    * (the newest version committed at or before it).
+    */
+  def readAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
+
+  /** The PLAIN-SQL serving path: the table as a DataFrame whose file
+    * listing is a custom [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * — the exact extension point Delta's and Iceberg's Spark
+    * integrations use. Catalyst pushes each query's data filters into
+    * `listFiles`, where they become manifest box probes: whole shards
+    * drop from the list's aggregate boxes, files from the survivors'
+    * footprints, and a pure equality probe additionally bloom-checks
+    * the remainder (driver-loop only — planning must not launch jobs).
+    * So `spark.sql("... WHERE user_id BETWEEN a AND b")` over a temp
+    * view of this frame plans a scan over ONLY the pruned files, with
+    * the predicates still pushed into parquet row-group pruning below
+    * — no bespoke API in the query path at all. Filters the extractor
+    * does not understand (ORs, casts, unknown columns) simply disable
+    * pruning for their conjunct: pruning only ever narrows on proof.
+    *
+    * A snapshot with MERGE-ON-READ markers falls back to the
+    * marker-aware reader (`NOT box` is per-file-group row filtering a
+    * file listing cannot express) — identical results, no manifest
+    * file pruning until the markers are materialized.
+    */
+  def sqlRead(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      sys.error(s"no versions at $root"))
+    val m = readManifest(spark, root, v)
+    if (m.morDeletes.nonEmpty || m.entries.isEmpty)
+      return readEntries(spark, root, m)
+    sqlReadIndexed(spark, root, m)._1
+  }
+
+  /** [[sqlRead]] exposing its FileIndex — the spec observable for
+    * what the pushed filters actually pruned. Marker-free snapshots
+    * only (the public method falls back before reaching here).
+    */
+  private[pipeline] def sqlReadIndexed(spark: SparkSession, root: String,
+      version: Option[Long]): (DataFrame, VersionedFileIndex) = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      sys.error(s"no versions at $root"))
+    sqlReadIndexed(spark, root, readManifest(spark, root, v))
+  }
+
+  private def sqlReadIndexed(spark: SparkSession, root: String,
+      m: Manifest): (DataFrame, VersionedFileIndex) = {
+    val schema = m.schema
+      .orElse(tableSchema(spark, root, Some(m)))
+      .getOrElse(sys.error(s"no schema resolvable at $root"))
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new VersionedFileIndex(spark, root, m)
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(
+        index,
+        new org.apache.spark.sql.types.StructType(),
+        schema,
+        None,
+        new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat,
+        Map.empty[String, String])(cs)
+    (cs.baseRelationToDataFrame(relation), index)
+  }
+
+  /** The manifest-driven [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * behind [[sqlRead]]. File statuses come from ONE `files/` listing
+    * at construction (immutable files — only a vacuum past retention
+    * can invalidate them, the same reader contract as everywhere
+    * else); `listFiles` translates the pushed conjuncts into box
+    * probes and reuses the shard-then-file pruning the explicit
+    * [[boxRead]] path uses.
+    */
+  private[pipeline] class VersionedFileIndex(spark: SparkSession,
+      root: String, m: Manifest)
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+
+    private val statuses: Map[String, org.apache.hadoop.fs.FileStatus] = {
+      val fs = fsFor(spark, root)
+      fs.listStatus(new Path(filesDir(root)))
+        .map(st => st.getPath.getName -> st).toMap
+    }
+    private def statusOf(n: String): org.apache.hadoop.fs.FileStatus =
+      statuses.getOrElse(n, sys.error(
+        s"manifested file missing from $root/files: $n (vacuumed past " +
+          "this reader's snapshot?)"))
+
+    /** Spec observable: files kept by the last `listFiles` call. */
+    @volatile private[pipeline] var lastKeptFiles: Int = -1
+
+    override def rootPaths: Seq[Path] = Seq(new Path(filesDir(root)))
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      new org.apache.spark.sql.types.StructType()
+    override def inputFiles: Array[String] =
+      m.entries.map(e => s"${filesDir(root)}/${e.name}").toArray
+    override def sizeInBytes: Long =
+      m.entries.map(e => statusOf(e.name).getLen).sum
+    override def refresh(): Unit = ()
+
+    override def listFiles(
+        partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
+        : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+      val (probes, equalities) = extractProbes(dataFilters)
+      val kept0: Seq[String] =
+        if (probes.isEmpty) m.entries.map(_.name)
+        else partitionByBox(m, probes) match {
+          case Some((touched, _)) => touched.map(_.name)
+          case None => m.entries.map(_.name)
+        }
+      // a pure equality probe gets the footer-bloom stage too — but
+      // only the driver-loop tier: query PLANNING must not launch jobs
+      val kept = equalities.headOption match {
+        case Some((c, v)) if kept0.size <= Layout.BloomDriverLoopLimit =>
+          bloomSurvivors(spark, root, kept0, c, v)
+        case _ => kept0
+      }
+      lastKeptFiles = kept.size
+      Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        kept.map(statusOf).toArray))
+    }
+
+    /** Conjuncts → per-stat-column [lo, hi] intersections (+ the
+      * equality probes among them). Unknown shapes contribute nothing:
+      * pruning narrows only on what it can prove.
+      */
+    private def extractProbes(filters: Seq[Expression])
+        : (Seq[(String, Long, Long)], Seq[(String, Long)]) = {
+      val lo = scala.collection.mutable.Map.empty[String, Long]
+      val hi = scala.collection.mutable.Map.empty[String, Long]
+      val eqs = Seq.newBuilder[(String, Long)]
+      def statCol(e: Expression): Option[String] = e match {
+        case a: AttributeReference if m.statCols.contains(a.name) =>
+          Some(a.name)
+        case _ => None
+      }
+      def longLit(e: Expression): Option[Long] = e match {
+        case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+          Some(v.toLong)
+        case _ => None
+      }
+      def narrowLo(c: String, v: Long): Unit =
+        lo(c) = math.max(lo.getOrElse(c, Long.MinValue), v)
+      def narrowHi(c: String, v: Long): Unit =
+        hi(c) = math.min(hi.getOrElse(c, Long.MaxValue), v)
+      def walk(e: Expression): Unit = e match {
+        case And(l, r) => walk(l); walk(r)
+        case GreaterThanOrEqual(a, b) =>
+          statCol(a).zip(longLit(b)).foreach { case (c, v) => narrowLo(c, v) }
+          statCol(b).zip(longLit(a)).foreach { case (c, v) => narrowHi(c, v) }
+        case LessThanOrEqual(a, b) =>
+          statCol(a).zip(longLit(b)).foreach { case (c, v) => narrowHi(c, v) }
+          statCol(b).zip(longLit(a)).foreach { case (c, v) => narrowLo(c, v) }
+        case GreaterThan(a, b) =>
+          statCol(a).zip(longLit(b)).foreach { case (c, v) =>
+            if (v < Long.MaxValue) narrowLo(c, v + 1) }
+          statCol(b).zip(longLit(a)).foreach { case (c, v) =>
+            if (v > Long.MinValue) narrowHi(c, v - 1) }
+        case LessThan(a, b) =>
+          statCol(a).zip(longLit(b)).foreach { case (c, v) =>
+            if (v > Long.MinValue) narrowHi(c, v - 1) }
+          statCol(b).zip(longLit(a)).foreach { case (c, v) =>
+            if (v < Long.MaxValue) narrowLo(c, v + 1) }
+        case EqualTo(a, b) =>
+          statCol(a).zip(longLit(b)).foreach { case (c, v) =>
+            narrowLo(c, v); narrowHi(c, v); eqs += ((c, v)) }
+          statCol(b).zip(longLit(a)).foreach { case (c, v) =>
+            narrowLo(c, v); narrowHi(c, v); eqs += ((c, v)) }
+        case _ => () // OR / cast / udf / unknown: no proof, no pruning
+      }
+      filters.foreach(walk)
+      val probes = (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
+        (c, lo.getOrElse(c, Long.MinValue), hi.getOrElse(c, Long.MaxValue))
+      }
+      (probes, eqs.result())
+    }
+  }
+
   /** Box probe over the latest version, path-pruned by the metadata's
     * OWN footprints at BOTH levels — whole shards from the manifest
     * list's aggregate boxes (without opening them), then files from
@@ -765,7 +1152,7 @@ object VersionedTable {
     val (kept, m) = prunedEntries(spark, root, probes)
     val df =
       if (kept.isEmpty) readEntries(spark, root, m).limit(0)
-      else readNamed(spark, root, m, kept)
+      else readVisible(spark, root, m, kept)
     probes.foldLeft(df) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -832,6 +1219,166 @@ object VersionedTable {
     (kept, m)
   }
 
+  /** Markers accumulate until a materialization folds them into the
+    * data — reads pay one NOT-box filter per marker on covered files,
+    * so the count is capped: [[deleteRangeMor]] at the cap
+    * auto-materializes first, exactly like Iceberg compacting delete
+    * files when they pile up.
+    */
+  val MaxMorDeletes: Int = 16
+
+  /** MERGE-ON-READ range delete — the metadata-only sibling of
+    * [[deleteRange]]: instead of rewriting every box-intersecting
+    * file (O(√F) data writes for a selective box on a z-ordered
+    * table), publish ONE manifest that records the box, the exact
+    * visible-row count it matched, and the file set it applies to.
+    * Readers ([[read]]/[[readVersion]]/[[boxRead]]/[[pointRead]])
+    * apply `NOT box` to rows from those files; rows APPENDED later —
+    * even inside the same box — are untouched because the marker is
+    * file-scoped (Iceberg's sequence-number scoping, by name).
+    * [[fastCount]] stays exact (the matched count was computed against
+    * the then-visible snapshot, and the covered files stay immutable
+    * until materialization). CDC emits the marker's rows as ordinary
+    * deletes. The delete itself writes NO data files: at 100 TB a
+    * selective delete becomes one small scan (the count) plus one
+    * metadata CAS. [[materializeDeletes]], [[compactZorder]], and any
+    * COW DML fold markers into the data; markers are capped at
+    * [[MaxMorDeletes]] (auto-materializing at the cap). Returns
+    * (version, rows logically deleted); publishes nothing when no
+    * visible row matches.
+    *
+    * CONCURRENCY: optimistic like [[deleteRange]] — restarts when a
+    * concurrent commit rewrote a candidate shard (the count basis) or
+    * changed the marker list; appends never conflict with it.
+    */
+  def deleteRangeMor(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): (Long, Long) = {
+    require(probes.nonEmpty, "deleteRangeMor needs at least one probe")
+    var restarts = 0
+    while (true) {
+      morDeleteOnce(spark, root, probes) match {
+        case Some(r) => return r
+        case None =>
+          restarts += 1
+          if (restarts >= MaxDmlRestarts)
+            throw new java.util.ConcurrentModificationException(
+              s"deleteRangeMor at $root: $restarts consecutive " +
+                "conflicting commits; giving up — retry when ingest quiesces")
+          backoff(restarts)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def morDeleteOnce(spark: SparkSession, root: String,
+      probes: Seq[(String, Long, Long)]): Option[(Long, Long)] = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    if (m0.morDeletes.size >= MaxMorDeletes) {
+      materializeDeletes(spark, root)
+      return None // restart against the materialized base
+    }
+    val (touched, candShards) = partitionByBox(m0, probes).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteRangeMor probes must name manifested stat columns " +
+          s"${m0.statCols.mkString("[", ", ", "]")}; " +
+          s"got ${probes.map(_._1).mkString("[", ", ", "]")}"))
+    if (touched.isEmpty) return Some((v0, 0L))
+    val files = touched.map(_.name).toSet
+    // the exact VISIBLE matched count — existing markers applied, so
+    // overlapping mor-deletes never double-count and fastCount's
+    // subtraction stays exact
+    val matched = readVisible(spark, root, m0, touched.map(_.name))
+      .filter(coalesce(boxPredicate(probes), lit(false))).count()
+    if (matched == 0L) return Some((v0, 0L))
+    val candNames = candShards.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      val conflict =
+        if (m0.legacy) lv != v0
+        else
+          !candNames.subsetOf(lm.shardNames) || // count basis rewritten
+            lm.morDeletes != m0.morDeletes      // marker list changed
+      if (conflict) return None
+      if (tryPublish(spark, root, lv + 1, m0.statCols, lm.shards,
+          lm.ingestBatch, kind = "mordelete",
+          publishSchema(spark, root, lm, None),
+          morDeletes = lm.morDeletes :+ MorDelete(probes, matched, files)))
+        return Some((lv + 1, matched))
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
+  /** Fold every mor-delete marker into the data: rewrite ONLY the
+    * marker-covered files to their visible rows (untouched files and
+    * shards carry as in [[deleteRange]]), publish marker-free. Visible
+    * rows are unchanged — CDC treats it like a compaction. Returns the
+    * published version (or the current one when no markers exist).
+    */
+  def materializeDeletes(spark: SparkSession, root: String): Long = {
+    var restarts = 0
+    while (true) {
+      materializeOnce(spark, root) match {
+        case Some(v) => return v
+        case None =>
+          restarts += 1
+          if (restarts >= MaxDmlRestarts)
+            throw new java.util.ConcurrentModificationException(
+              s"materializeDeletes at $root: $restarts consecutive " +
+                "conflicting commits; giving up")
+          backoff(restarts)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def materializeOnce(spark: SparkSession,
+      root: String): Option[Long] = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    if (m0.morDeletes.isEmpty) return Some(v0)
+    val covered = m0.morDeletes.flatMap(_.files).toSet
+    val candShards = m0.shards.filter(r =>
+      r.name.isEmpty || m0.entriesOf(r).exists(e => covered(e.name)))
+    val touched = candShards.flatMap(r => m0.entriesOf(r))
+      .filter(e => covered(e.name))
+    val touchedNames = touched.map(_.name).toSet
+    val entries = writeFiles(
+      readVisible(spark, root, m0, touched.map(_.name)),
+      root, m0.statCols)
+    val survivorShard = writeShard(spark, root, m0.statCols, entries)
+    val replacements = candShards.flatMap { r =>
+      writeShard(spark, root, m0.statCols,
+        m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
+    }
+    val candNames = candShards.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      val conflict =
+        if (m0.legacy) lv != v0
+        else
+          !candNames.subsetOf(lm.shardNames) ||
+            lm.morDeletes != m0.morDeletes
+      if (conflict) {
+        discard(spark, root, entries, replacements ++ survivorShard.toSeq)
+        return None
+      }
+      val untouched = lm.shards.filterNot(r => candNames(r.name))
+      if (tryPublish(spark, root, lv + 1, m0.statCols,
+          untouched ++ replacements ++ survivorShard.toSeq,
+          lm.ingestBatch, kind = "materialize",
+          publishSchema(spark, root, lm, None)))
+        return Some(lv + 1)
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
   /** STATS-PRUNED copy-on-write DELETE: remove every row inside the
     * box (all probes conjoined), published as one new version. The
     * metadata footprints drive the rewrite set at both levels — a
@@ -866,6 +1413,10 @@ object VersionedTable {
     require(probes.nonEmpty, "deleteRange needs at least one probe")
     var restarts = 0
     while (true) {
+      // COW DML computes against raw files — fold any mor-delete
+      // markers into the data first so its rewrites cannot resurrect
+      // logically deleted rows
+      materializeDeletes(spark, root)
       deleteOnce(spark, root, probes) match {
         case Some(r) => return r
         case None =>
@@ -888,6 +1439,7 @@ object VersionedTable {
       probes: Seq[(String, Long, Long)]): Option[(Long, Long)] = {
     val (v0, m0) = latestManifest(spark, root).getOrElse(
       sys.error(s"no versions at $root"))
+    if (m0.morDeletes.nonEmpty) return None // wrapper materializes first
     val idx = probes.map { case (c, _, _) => m0.statCols.indexOf(c) }
     val (touched, candShards) = partitionByBox(m0, probes).getOrElse(
       throw new IllegalArgumentException(
@@ -930,6 +1482,7 @@ object VersionedTable {
         if (m0.legacy) lv != v0
         else
           !candNames.subsetOf(lm.shardNames) ||
+            lm.morDeletes.nonEmpty || // a racing mor-delete landed
             lm.shards.exists(r =>
               !baseShardNames(r.name) && boxHit(r.boxes, probes, idx))
       if (conflict) {
@@ -995,6 +1548,9 @@ object VersionedTable {
     try {
       var restarts = 0
       while (true) {
+        // same rule as deleteRange: COW rewrites must not resurrect
+        // rows a mor-delete marker logically removed
+        materializeDeletes(spark, root)
         upsertOnce(spark, root, pinned, keyCols) match {
           case Some(r) => return r
           case None =>
@@ -1017,6 +1573,7 @@ object VersionedTable {
       pinned: DataFrame, keyCols: Seq[String]): Option[(Long, Long)] = {
     val (v0, m) = latestManifest(spark, root).getOrElse(
       sys.error(s"nothing to upsert into at $root"))
+    if (m.morDeletes.nonEmpty) return None // wrapper materializes first
     require(keyCols.forall(m.statCols.contains),
       s"upsertByKey key columns must be manifested stat columns " +
         s"${m.statCols.mkString("[", ", ", "]")}; got " +
@@ -1110,6 +1667,7 @@ object VersionedTable {
         if (m.legacy) lv != v0
         else
           !candNames.subsetOf(lm.shardNames) ||
+            lm.morDeletes.nonEmpty || // a racing mor-delete landed
             lm.shards.exists(r =>
               !baseShardNames(r.name) && mayHoldKeys(r.boxes))
       if (conflict) {
@@ -1153,7 +1711,7 @@ object VersionedTable {
     val (_, kept, m) = pointCandidates(spark, root, c, value)
     val df =
       if (kept.isEmpty) readEntries(spark, root, m).limit(0)
-      else readNamed(spark, root, m, kept)
+      else readVisible(spark, root, m, kept)
     df.filter(col(c) === value)
   }
 
@@ -1209,7 +1767,11 @@ object VersionedTable {
       version: Option[Long] = None): Long = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       sys.error(s"no versions at $root"))
-    readManifest(spark, root, v).shards.map(_.rows).sum
+    val m = readManifest(spark, root, v)
+    // mor-delete markers recorded their EXACT visible-match count when
+    // committed, against files that stay immutable until the marker is
+    // materialized away — the subtraction is exact, never an estimate
+    m.shards.map(_.rows).sum - m.morDeletes.map(_.matched).sum
   }
 
   /** Incremental CHANGE read — the rows ADDED strictly after `fromV`
@@ -1351,7 +1913,22 @@ object VersionedTable {
           }
           if (m.newFiles.nonEmpty)
             parts += tag(readNamed(spark, root, m, m.newFiles), "insert", v)
-        case _ => () // compact: a pure layout rewrite, no row changed
+        case "mordelete" =>
+          // the marker(s) this version appended: their deleted rows are
+          // exactly the PREVIOUS version's visible rows inside the box,
+          // restricted to the marker's own files — the same basis the
+          // marker's matched count was computed against
+          val pm = prev.getOrElse(sys.error(
+            s"mordelete at v$v with no previous version"))
+          m.morDeletes.drop(pm.morDeletes.size).foreach { md =>
+            val names = pm.entries.map(_.name).filter(md.files)
+            if (names.nonEmpty)
+              parts += tag(readVisible(spark, root, pm, names)
+                .filter(coalesce(boxPredicate(md.probes), lit(false))),
+                "delete", v)
+          }
+        // compact / materialize: pure rewrites, no visible row changed
+        case _ => ()
       }
       prev = Some(m)
     }
@@ -1441,6 +2018,11 @@ object VersionedTable {
       v: Long): Set[String] =
     readManifest(spark, root, v).names
 
+  /** Mor-delete marker count of version v — spec observable. */
+  private[pipeline] def morDeleteCount(spark: SparkSession, root: String,
+      v: Long): Int =
+    readManifest(spark, root, v).morDeletes.size
+
   /** Shard count of version v's manifest list. */
   private[pipeline] def shardCount(spark: SparkSession, root: String,
       v: Long): Int =
@@ -1461,6 +2043,44 @@ object VersionedTable {
       case None => m.entries.map(_.name)
     }
     (m.loadedShards, m.shards.size, kept.size)
+  }
+
+  /** Rewrite version v's metadata in the FLAT pre-shard format — SPEC
+    * ONLY: inline entries under `# versioned v2`, shard files deleted.
+    * The caller guarantees no OTHER version references v's shards
+    * (true for a single-version table). This is how migration tests
+    * obtain a real legacy table with real data files.
+    */
+  private[pipeline] def flattenToLegacy(spark: SparkSession, root: String,
+      v: Long): Unit = {
+    val m = readManifest(spark, root, v)
+    require(m.morDeletes.isEmpty,
+      "flattenToLegacy: the flat format predates mor-delete markers")
+    val es = m.entries
+    val fs = fsFor(spark, root)
+    val dir = new Path(manifestsDir(root))
+    require(fs.delete(new Path(dir, s"v$v"), false),
+      s"flattenToLegacy: could not drop v$v")
+    val out = fs.create(new Path(dir, s"v$v"), false)
+    try {
+      out.write(s"# versioned v2\t${m.statCols.mkString("\t")}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(s"#kind\t${m.kind}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (m.ingestBatch >= 0)
+        out.write(s"#ingest\t${m.ingestBatch}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      m.schemaJson.foreach(j => out.write(s"#schema\t$j\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      if (m.newFiles.nonEmpty)
+        out.write(s"#new\t${m.newFiles.mkString(",")}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      es.sortBy(_.name).foreach(e => out.write((entryLine(e) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    } finally out.close()
+    m.shards.map(_.name).filter(_.nonEmpty).foreach { n =>
+      fs.delete(new Path(dir, n), false)
+    }
   }
 
   /** Fabricate a version from synthetic entries — STUDY/SPEC ONLY: the

@@ -234,6 +234,110 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter(f => f.isFile && !f.getName.startsWith(".")) // skip .crc sidecars
       .map(_.getAbsolutePath)
 
+  test("history + readAsOf: timestamp time travel resolves the newest version at or before the instant") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-asof")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 100), root, Stats)            // v1
+    Thread.sleep(5)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.append(rows(1, 100), root, Stats)            // v2
+    VersionedTable.deleteRange(spark, root, Seq(("user_id", 0L, 96L))) // v3
+
+    val h = VersionedTable.history(spark, root)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.map(_._3) == Seq("append", "append", "delete"))
+    assert(h.forall(_._2 > 0), "every commit must carry its timestamp")
+    assert(h.map(_._2) == h.map(_._2).sorted, "commit times ascend")
+
+    assert(VersionedTable.versionAsOf(spark, root, tMid) == 1L)
+    assert(VersionedTable.readAsOf(spark, root, tMid).count() == 100)
+    assert(VersionedTable
+      .readAsOf(spark, root, System.currentTimeMillis()).count() ==
+      VersionedTable.read(spark, root).count())
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, root, h.head._2 - 10000)
+    }
+    assert(e.getMessage.contains("precedes"))
+  }
+
+  test("flat pre-shard manifests (real data): readable, prunable, DML-able, and shard-migrated on first write") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-flat")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 2000), root, Stats)
+    VersionedTable.flattenToLegacy(spark, root, 1L)     // the v2 on-disk form
+
+    // reads, counts and pruning all work off the inline entries
+    assert(VersionedTable.read(spark, root).count() == 2000)
+    assert(VersionedTable.fastCount(spark, root) == 2000L)
+    val probes = Seq(("user_id", 10L, 20L))
+    val viaBox = VersionedTable.boxRead(spark, root, probes)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val expect = (0L until 2000L).filter(id => id % 97 >= 10 && id % 97 <= 20)
+    assert(viaBox == expect.toSet)
+
+    // the first append MIGRATES: inline entries become a real shard,
+    // carried by file NAME (no data rewrite), plus the append's own
+    val namesBefore = VersionedTable.entryNames(spark, root, 1L)
+    VersionedTable.append(rows(1, 100), root, Stats)
+    assert(VersionedTable.shardCount(spark, root, 2L) >= 2,
+      "migration must produce real shards")
+    val namesAfter = VersionedTable.entryNames(spark, root, 2L)
+    assert(namesBefore.subsetOf(namesAfter),
+      "migration must carry the legacy files by name")
+    assert(VersionedTable.read(spark, root).count() == 2100)
+
+    // DML straight onto a flat table publishes sharded metadata too
+    val root2 = java.nio.file.Files.createTempDirectory("graft-vt-flat2")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 2000), root2, Stats)
+    VersionedTable.flattenToLegacy(spark, root2, 1L)
+    val (dv, deleted) = VersionedTable.deleteRange(spark, root2,
+      Seq(("user_id", 10L, 20L)))
+    assert(dv == 2L && deleted == expect.size.toLong)
+    assert(VersionedTable.shardCount(spark, root2, 2L) >= 1)
+    assert(VersionedTable.read(spark, root2).count() == 2000L - deleted)
+    // and compaction folds a flat table into one shard
+    val cv = VersionedTable.compactZorder(spark, root2, nFiles = 4)
+    assert(VersionedTable.shardCount(spark, root2, cv) == 1)
+    assert(VersionedTable.read(spark, root2).count() == 2000L - deleted)
+  }
+
+  test("compactSmallFiles: bin-packs only the runts — big files carried by name, rows identical, change reads silent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-pack")
+      .resolve("t").toString
+    val stats = Seq("user_id", "ts_us", "event_id")
+    VersionedTable.append(rows(0, 4000), root, stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 4) // 4 ~1000-row files
+    (0 until 10).foreach { k =>
+      VersionedTable.append(rows(10 + k, 100), root, stats) // runt files
+    }
+    val before = VersionedTable.read(spark, root).count()
+    val latest0 = VersionedTable.latestVersion(spark, root).get
+    val namesBefore = VersionedTable.entryNames(spark, root, latest0)
+
+    val (v, reduced) =
+      VersionedTable.compactSmallFiles(spark, root, minRows = 500,
+        targetRows = 1000)
+    assert(reduced > 0, "ten runt appends must leave something to pack")
+    val namesAfter = VersionedTable.entryNames(spark, root, v)
+    assert(namesAfter.size == namesBefore.size - reduced)
+    info(s"packed ${namesBefore.size} files down to ${namesAfter.size}")
+    assert(VersionedTable.read(spark, root).count() == before)
+    assert(VersionedTable.fastCount(spark, root) == before)
+    // the four adequately-sized files are carried BY NAME — binpack
+    // must never rewrite what is already big enough
+    assert(namesBefore.intersect(namesAfter).size >= 4)
+    // change reads: every appended row exactly once across the pack
+    assert(VersionedTable.readChanges(spark, root, 0, v).count() == before)
+    // CDC: a pure rewrite contributes nothing
+    assert(VersionedTable.readChangesCdc(spark, root, v - 1, v).isEmpty)
+    // idempotent: a second pack finds nothing under minRows
+    val (v2, r2) =
+      VersionedTable.compactSmallFiles(spark, root, 500, 1000)
+    assert(v2 == v && r2 == 0, "repacking a packed table must be a no-op")
+  }
+
   test("upsertByKey: replaces matching keys, appends new ones, prunes the rewrite set, keeps change reads exact") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-ups")
       .resolve("t").toString
