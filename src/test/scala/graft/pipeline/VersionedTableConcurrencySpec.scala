@@ -330,4 +330,74 @@ class VersionedTableConcurrencySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(100000L, 100001L))
     assert(VersionedTable.fastCount(spark, root) == 16 * 50L)
   }
+
+  test("mor-delete ∥ append: the marker rebases over the append and stays scoped to ITS files — the late in-box rows survive") {
+    val root = freshRoot("mor-app")
+    VersionedTable.append(rows(0, 400), root, Stats)
+    // inject an append (with rows INSIDE the delete box) into the
+    // mor-delete's read-to-CAS window: the marker loses the CAS,
+    // rebases (its candidate shards are intact, the marker list
+    // unchanged), and must still apply only to the files it counted
+    VersionedTable.beforePublishHook.set(() => {
+      VersionedTable.append(rows(0, 100), root, Stats) // ids 0..99 again
+      ()
+    })
+    val (mv, matched) = VersionedTable.deleteRangeMor(spark, root,
+      Seq(("user_id", 10L, 30L)))
+    assert(mv == 3L, s"hook append v2, rebased marker v3: $mv")
+    val expectGone = (0L until 400L).filter(id =>
+      id % 97 >= 10 && id % 97 <= 30)
+    assert(matched == expectGone.size.toLong,
+      "the marker's count basis is ITS snapshot, not the racer's rows")
+    // the racer's in-box rows survive: file-scoped semantics
+    val survivors = ids(root)
+    val lateInBox = (0L until 100L).filter(id =>
+      id % 97 >= 10 && id % 97 <= 30)
+    assert(lateInBox.forall(survivors.contains),
+      "rows appended concurrently inside the box must survive the marker")
+    assert(VersionedTable.fastCount(spark, root) ==
+      (400 + 100 - expectGone.size).toLong)
+  }
+
+  test("mor-delete ∥ COW delete: the marker's count basis was rewritten — it restarts and recounts on the new base") {
+    val root = freshRoot("mor-cow")
+    VersionedTable.append(rows(0, 400), root, Stats)
+    // the COW delete rewrites files the marker counted against:
+    // publishing the stale count would corrupt fastCount forever
+    VersionedTable.beforePublishHook.set(() => {
+      VersionedTable.deleteRange(spark, root, Seq(("user_id", 10L, 20L)))
+      ()
+    })
+    val (_, matched) = VersionedTable.deleteRangeMor(spark, root,
+      Seq(("user_id", 15L, 30L)))
+    // recounted on the post-COW base: 15..20 already gone
+    val expect = (0L until 400L).filter(id =>
+      id % 97 >= 21 && id % 97 <= 30)
+    assert(matched == expect.size.toLong,
+      s"restart must recount on the new base: $matched vs ${expect.size}")
+    val visible = (0L until 400L).filterNot(id =>
+      id % 97 >= 10 && id % 97 <= 30)
+    assert(ids(root) == visible)
+    assert(VersionedTable.fastCount(spark, root) == visible.size.toLong)
+  }
+
+  test("binpack ∥ append: the pack loses the CAS, rebases, and carries the racer's shard by reference") {
+    val root = freshRoot("pack-app")
+    (0 until 6).foreach(k => VersionedTable.append(rows(k, 50), root, Stats))
+    VersionedTable.beforePublishHook.set(() => {
+      VersionedTable.append(rows(10, 50), root, Stats)
+      ()
+    })
+    val (pv, reduced) = VersionedTable.compactSmallFiles(spark, root,
+      minRows = 40L, targetRows = 1000L)
+    assert(reduced > 0)
+    // both landed: the pack's rows AND the racer's
+    assert(VersionedTable.read(spark, root).count() == 350L)
+    assert(VersionedTable.fastCount(spark, root) == 350L)
+    // the racer's files rode in by NAME (they were not pack inputs)
+    val racerNames = manifestNames(root, 7L) -- manifestNames(root, 6L)
+    assert(racerNames.nonEmpty &&
+      racerNames.subsetOf(manifestNames(root, pv)),
+      "the concurrently appended files must carry by name through the pack")
+  }
 }
