@@ -978,39 +978,53 @@ object VersionedTable {
     * does not understand (ORs, casts, unknown columns) simply disable
     * pruning for their conjunct: pruning only ever narrows on proof.
     *
-    * A snapshot with MERGE-ON-READ markers falls back to the
-    * marker-aware reader (`NOT box` is per-file-group row filtering a
-    * file listing cannot express) — identical results, no manifest
-    * file pruning until the markers are materialized.
+    * A snapshot with MERGE-ON-READ markers is served as ONE pruned
+    * relation PER marker-coverage group (each with its own `NOT box`
+    * filters, unioned) — the pushed predicates still prune each
+    * group's files through the manifest, and the markers still apply
+    * exactly to their files.
     */
   def sqlRead(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    sqlReadWithIndexes(spark, root, version)._1
+
+  /** [[sqlRead]] exposing its FileIndex(es) — the spec observable for
+    * what the pushed filters actually pruned: one index for a
+    * marker-free snapshot, one per marker-coverage group otherwise
+    * (empty for an empty snapshot).
+    */
+  private[pipeline] def sqlReadWithIndexes(spark: SparkSession,
+      root: String, version: Option[Long])
+      : (DataFrame, Seq[VersionedFileIndex]) = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       sys.error(s"no versions at $root"))
     val m = readManifest(spark, root, v)
-    if (m.morDeletes.nonEmpty || m.entries.isEmpty)
-      return readEntries(spark, root, m)
-    sqlReadIndexed(spark, root, m)._1
-  }
-
-  /** [[sqlRead]] exposing its FileIndex — the spec observable for
-    * what the pushed filters actually pruned. Marker-free snapshots
-    * only (the public method falls back before reaching here).
-    */
-  private[pipeline] def sqlReadIndexed(spark: SparkSession, root: String,
-      version: Option[Long]): (DataFrame, VersionedFileIndex) = {
-    val v = version.orElse(latestVersion(spark, root)).getOrElse(
-      sys.error(s"no versions at $root"))
-    sqlReadIndexed(spark, root, readManifest(spark, root, v))
+    if (m.entries.isEmpty) return (readEntries(spark, root, m), Seq.empty)
+    if (m.morDeletes.isEmpty) {
+      val (df, ix) = sqlReadIndexed(spark, root, m, None)
+      return (df, Seq(ix))
+    }
+    val groups = m.entries.map(_.name).groupBy(n =>
+      m.morDeletes.zipWithIndex.collect { case (md, i) if md.files(n) => i })
+    val parts = groups.toSeq.sortBy(_._1.mkString(","))
+      .map { case (idxs, ns) =>
+        val (df, ix) = sqlReadIndexed(spark, root, m, Some(ns.toSet))
+        (idxs.foldLeft(df) { (d, i) =>
+          d.filter(!coalesce(boxPredicate(m.morDeletes(i).probes),
+            lit(false)))
+        }, ix)
+      }
+    (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2))
   }
 
   private def sqlReadIndexed(spark: SparkSession, root: String,
-      m: Manifest): (DataFrame, VersionedFileIndex) = {
+      m: Manifest, subset: Option[Set[String]])
+      : (DataFrame, VersionedFileIndex) = {
     val schema = m.schema
       .orElse(tableSchema(spark, root, Some(m)))
       .getOrElse(sys.error(s"no schema resolvable at $root"))
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val index = new VersionedFileIndex(spark, root, m)
+    val index = new VersionedFileIndex(spark, root, m, subset)
     val relation = org.apache.spark.sql.execution.datasources
       .HadoopFsRelation(
         index,
@@ -1032,7 +1046,7 @@ object VersionedTable {
     * [[boxRead]] path uses.
     */
   private[pipeline] class VersionedFileIndex(spark: SparkSession,
-      root: String, m: Manifest)
+      root: String, m: Manifest, subset: Option[Set[String]] = None)
       extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualTo, Expression, GreaterThan,
@@ -1051,25 +1065,39 @@ object VersionedTable {
     /** Spec observable: files kept by the last `listFiles` call. */
     @volatile private[pipeline] var lastKeptFiles: Int = -1
 
+    /** The index's file universe — the whole snapshot, or one
+      * marker-coverage group's slice of it.
+      */
+    private def universe: Seq[String] = subset match {
+      case Some(s) => m.entries.map(_.name).filter(s)
+      case None => m.entries.map(_.name)
+    }
+
     override def rootPaths: Seq[Path] = Seq(new Path(filesDir(root)))
     override def partitionSchema: org.apache.spark.sql.types.StructType =
       new org.apache.spark.sql.types.StructType()
     override def inputFiles: Array[String] =
-      m.entries.map(e => s"${filesDir(root)}/${e.name}").toArray
+      universe.map(n => s"${filesDir(root)}/$n").toArray
     override def sizeInBytes: Long =
-      m.entries.map(e => statusOf(e.name).getLen).sum
+      universe.map(n => statusOf(n).getLen).sum
     override def refresh(): Unit = ()
 
     override def listFiles(
         partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
         : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
       val (probes, equalities) = extractProbes(dataFilters)
-      val kept0: Seq[String] =
-        if (probes.isEmpty) m.entries.map(_.name)
+      val pruned: Seq[String] =
+        if (probes.isEmpty) universe
         else partitionByBox(m, probes) match {
-          case Some((touched, _)) => touched.map(_.name)
-          case None => m.entries.map(_.name)
+          case Some((touched, _)) =>
+            val u = subset
+            u match {
+              case Some(s) => touched.map(_.name).filter(s)
+              case None => touched.map(_.name)
+            }
+          case None => universe
         }
+      val kept0 = pruned
       // a pure equality probe gets the footer-bloom stage too — but
       // only the driver-loop tier: query PLANNING must not launch jobs
       val kept = equalities.headOption match {

@@ -25,14 +25,38 @@ object StreamingVersionedIngest {
     * `Trigger.AvailableNow`. `afterBatch` is the fault-injection seam:
     * throwing from it after the append but before the checkpoint
     * commit forces a replay of a fully-published batch.
+    *
+    * MAINTENANCE CADENCE: each micro-batch appends one runt file set;
+    * left alone, a long-running stream degrades reads one small file
+    * at a time. `packEvery > 0` folds them as they accumulate — every
+    * `packEvery`-th batch runs [[VersionedTable.compactSmallFiles]]
+    * (rewrite only files under `packMinRows`, big files carried by
+    * name — O(runt rows) per fold, never O(table)). The pack is a pure
+    * rewrite published AFTER the batch's own append, so exactly-once
+    * is untouched: a crash between append and pack just defers the
+    * fold to the next cadence hit, and a replayed batch (at-or-below
+    * the frontier) skips the pack along with the append.
     */
   def ingestAvailable(stream: DataFrame, root: String,
       checkpointDir: String, statCols: Seq[String],
-      afterBatch: Long => Unit = _ => ()): Unit = {
+      afterBatch: Long => Unit = _ => (),
+      packEvery: Int = 0,
+      packMinRows: Long = 100000L,
+      packTargetRows: Long = 1000000L): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: java.lang.Long) =>
         if (!batch.isEmpty) {
-          VersionedTable.appendBatch(batch, root, statCols, batchId)
+          val spark = batch.sparkSession
+          val before = VersionedTable.latestVersion(spark, root)
+          val v = VersionedTable.appendBatch(batch, root, statCols, batchId)
+          // a REPLAYED batch publishes nothing (v == the old frontier
+          // version) — maintenance must not run twice for it either
+          val published = !before.contains(v)
+          if (published && packEvery > 0 && batchId % packEvery == 0) {
+            VersionedTable.compactSmallFiles(spark, root,
+              packMinRows, packTargetRows)
+            ()
+          }
           afterBatch(batchId)
         }
       }

@@ -33,7 +33,7 @@ class VersionedSqlReadSpec extends AnyFunSuite {
     val root = tmp("graft-vt-sql")
     VersionedTable.append(rows(0, 50000), root, Stats)
     VersionedTable.compactZorder(spark, root, nFiles = 32)
-    val (df, index) = VersionedTable.sqlReadIndexed(spark, root, None)
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
     df.createOrReplaceTempView("vt_sql")
 
     // full scan: nothing to prove, nothing pruned
@@ -95,13 +95,31 @@ class VersionedSqlReadSpec extends AnyFunSuite {
       .head.getLong(0) == 1000L)
     assert(spark.sql("SELECT count(*) FROM vt_evo").head.getLong(0) == 2000L)
 
-    // a mor marker makes sqlRead fall back to the marker-aware reader:
-    // identical rows, still SQL-queryable
-    VersionedTable.deleteRangeMor(spark, root, Seq(("user_id", 10L, 30L)))
-    val fb = VersionedTable.sqlRead(spark, root)
+    // mor markers: SQL serving splits into one pruned relation per
+    // marker-coverage group — marker semantics exact AND the pushed
+    // filters still prune each group's files. The marker and the probe
+    // key on ts_us (monotone in id), so per-file ranges are narrow at
+    // ANY write parallelism and both coverage grouping and pruning
+    // have something to bite on.
+    VersionedTable.deleteRangeMor(spark, root,
+      Seq(("ts_us", 100000L, 300000L)))
+    val (fb, indexes) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    assert(indexes.size >= 2,
+      "a partially-covered snapshot must split into coverage groups")
     fb.createOrReplaceTempView("vt_mor")
     val viaSql = spark.sql("SELECT count(*) FROM vt_mor").head.getLong(0)
     assert(viaSql == VersionedTable.read(spark, root).count())
     assert(viaSql == VersionedTable.fastCount(spark, root))
+    // a selective box through SQL: correct under the marker AND pruned
+    val boxSql = spark.sql(
+      "SELECT count(*) FROM vt_mor WHERE ts_us >= 1500000 AND ts_us <= 1600000")
+      .head.getLong(0)
+    val brute = VersionedTable.read(spark, root)
+      .filter($"ts_us" >= 1500000L && $"ts_us" <= 1600000L).count()
+    assert(boxSql == brute && boxSql > 0)
+    val kept = indexes.map(ix => math.max(0, ix.lastKeptFiles)).sum
+    val total = indexes.map(_.inputFiles.length).sum
+    assert(kept < total,
+      s"marker groups must still prune on pushed filters: $kept/$total")
   }
 }

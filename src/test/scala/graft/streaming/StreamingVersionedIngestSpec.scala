@@ -76,4 +76,44 @@ class StreamingVersionedIngestSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
       graft.pipeline.WriterLease.LeaseFileName)))
   }
+
+  test("pack cadence: every Nth batch folds the stream's runt files; rows exactly once; replay skips the pack too") {
+    val base = java.nio.file.Files.createTempDirectory("graft-svi-pack")
+    val src = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val root = base.resolve("table").toString
+    val ckpt = s"$base/ckpt"
+    def stream() = EventStreamPipeline.readEvents(spark, src.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"user_id",
+        expr(graft.queries.Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+
+    (0 until 6).foreach { k =>
+      TestSpark.writeEventsFile(src, s"f$k",
+        (k * 50L until (k + 1) * 50L).map(i =>
+          (i, (i + 1) * 60000000000L, i % 7, "view")))
+    }
+    // every 2nd batch folds everything under 10k rows (i.e. all of it)
+    StreamingVersionedIngest.ingestAvailable(stream(), root, ckpt, Stats,
+      packEvery = 2, packMinRows = 10000L, packTargetRows = 100000L)
+    assert(servedIds(root) == (0L until 300L),
+      "pack maintenance must never change the rows")
+    assert(VersionedTable.fastCount(spark, root) == 300L)
+    val latest = VersionedTable.latestVersion(spark, root).get
+    // the folds really ran: more versions than batches, compact kinds
+    // interleaved, and the final file count is a handful, not 6+ runts
+    val kinds = VersionedTable.history(spark, root).map(_._3)
+    assert(kinds.count(_ == "compact") >= 2,
+      s"pack cadence must have folded at least twice: $kinds")
+    // change reads across packs: every streamed row exactly once
+    assert(VersionedTable.readChanges(spark, root, 0, latest).count() == 300L)
+    // after dropping history, the live file set is a few packed files,
+    // not one runt set per batch
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    val liveFiles = new java.io.File(s"$root/files").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("."))
+    assert(liveFiles < kinds.count(_ == "append"),
+      s"the packed table must hold fewer files ($liveFiles) than " +
+        s"batches appended (${kinds.count(_ == "append")})")
+    assert(servedIds(root) == (0L until 300L), "vacuum must not touch live data")
+  }
 }
