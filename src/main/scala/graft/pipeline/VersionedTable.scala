@@ -151,8 +151,14 @@ object VersionedTable {
       root: String): Option[(Long, Manifest)] =
     latestVersion(spark, root).map(v => (v, readManifest(spark, root, v)))
 
+  /** One data file's manifest record. `bytes` (file length, recorded
+    * at write) lets the SQL path synthesize its FileStatus from
+    * metadata alone — planning a scan then never lists `files/`, the
+    * O(F)-RPC step a cloud object store bills per page; -1 marks
+    * pre-upgrade entries, which fall back to one directory listing.
+    */
   private[pipeline] case class Entry(name: String, rows: Long,
-      boxes: Seq[(Long, Long)])
+      boxes: Seq[(Long, Long)], bytes: Long = -1L)
 
   /** One manifest-list line: an immutable shard file plus its entry
     * count, row sum and per-stat-column AGGREGATE [min,max] — the
@@ -216,13 +222,16 @@ object VersionedTable {
 
   private def entryLine(e: Entry): String = {
     val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
-    s"${e.name}\t${e.rows}\t${cells.mkString("\t")}"
+    // bytes rides as a TRAILING column: older lines simply lack it
+    // (parse yields -1), so the format stays line-compatible both ways
+    s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\t${e.bytes}"
   }
 
   private def parseEntry(l: String, nCols: Int): Entry = {
     val f = l.split('\t')
+    val bytes = if (f.length > 2 + 2 * nCols) f(2 + 2 * nCols).toLong else -1L
     Entry(f(0), f(1).toLong, (0 until nCols).map(i =>
-      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)))
+      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)), bytes)
   }
 
   /** The union bound over entry boxes — a shard's aggregate footprint. */
@@ -461,12 +470,14 @@ object VersionedTable {
     }
     writer.parquet(stage)
     fs.mkdirs(new Path(filesDir(root)))
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
     val moved = fs.listStatus(new Path(stage)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map { st =>
         val dest = new Path(filesDir(root), s"$uuid-${st.getPath.getName}")
         if (!fs.rename(st.getPath, dest))
           throw new java.io.IOException(s"file move failed: ${st.getPath}")
+        sizes(dest.getName) = st.getLen // recorded in the manifest entry
         dest.toString
       }
     fs.delete(new Path(stage), true)
@@ -494,7 +505,9 @@ object VersionedTable {
           s"all-NULL values, or a misspelled name?): " +
           s"${missing.take(3).mkString(", ")}. Nothing was published; " +
           "the moved files are unreferenced and will be vacuumed.")
-    dataFiles.map { case (name, rows, boxes) => Entry(name, rows, boxes.get) }
+    dataFiles.map { case (name, rows, boxes) =>
+      Entry(name, rows, boxes.get, sizes.getOrElse(name, -1L))
+    }
   }
 
   /** Best-effort removal of files written but never published (a DML
@@ -1052,11 +1065,25 @@ object VersionedTable {
       And, AttributeReference, EqualTo, Expression, GreaterThan,
       GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 
-    private val statuses: Map[String, org.apache.hadoop.fs.FileStatus] = {
-      val fs = fsFor(spark, root)
-      fs.listStatus(new Path(filesDir(root)))
-        .map(st => st.getPath.getName -> st).toMap
-    }
+    /** File statuses SYNTHESIZED from the manifest's recorded byte
+      * sizes — planning never lists `files/` (at 800k files on an
+      * object store that listing is paged RPC, billed and slow).
+      * Tables written before sizes were recorded (any entry with
+      * bytes < 0) fall back to ONE directory listing; the entries'
+      * next rewrite records sizes and retires the fallback.
+      */
+    private lazy val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
+      if (m.entries.forall(_.bytes >= 0))
+        m.entries.map { e =>
+          e.name -> new org.apache.hadoop.fs.FileStatus(
+            e.bytes, false, 1, 128L * 1024 * 1024, 0L,
+            new Path(filesDir(root), e.name))
+        }.toMap
+      else {
+        val fs = fsFor(spark, root)
+        fs.listStatus(new Path(filesDir(root)))
+          .map(st => st.getPath.getName -> st).toMap
+      }
     private def statusOf(n: String): org.apache.hadoop.fs.FileStatus =
       statuses.getOrElse(n, sys.error(
         s"manifested file missing from $root/files: $n (vacuumed past " +

@@ -40,6 +40,13 @@ class VersionedSqlReadSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM vt_sql").head.getLong(0) == 50000L)
     assert(index.lastKeptFiles == 32)
 
+    // size accounting comes from MANIFEST-recorded bytes (planning
+    // never lists files/): it must equal the files' real lengths
+    val realBytes = index.inputFiles
+      .map(p => new java.io.File(p.stripPrefix("file:")).length()).sum
+    assert(index.sizeInBytes == realBytes,
+      s"manifest bytes ${index.sizeInBytes} != on-disk $realBytes")
+
     // a selective 2-D box in PLAIN SQL prunes files before the scan
     val got = spark.sql(
       """SELECT event_id FROM vt_sql
