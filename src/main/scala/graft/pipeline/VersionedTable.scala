@@ -1356,7 +1356,10 @@ object VersionedTable {
           !candNames.subsetOf(lm.shardNames) || // count basis rewritten
             lm.morDeletes != m0.morDeletes      // marker list changed
       if (conflict) return None
-      if (tryPublish(spark, root, lv + 1, m0.statCols, lm.shards,
+      // materializedShards migrates a legacy base's inline entries into
+      // a real shard file — the list format stores references only
+      if (tryPublish(spark, root, lv + 1, m0.statCols,
+          materializedShards(spark, root, lm),
           lm.ingestBatch, kind = "mordelete",
           publishSchema(spark, root, lm, None),
           morDeletes = lm.morDeletes :+ MorDelete(probes, matched, files)))

@@ -301,6 +301,19 @@ class VersionedTableSpec extends AnyFunSuite {
     val cv = VersionedTable.compactZorder(spark, root2, nFiles = 4)
     assert(VersionedTable.shardCount(spark, root2, cv) == 1)
     assert(VersionedTable.read(spark, root2).count() == 2000L - deleted)
+
+    // a MOR delete straight onto a flat table migrates it too
+    val root3 = java.nio.file.Files.createTempDirectory("graft-vt-flat3")
+      .resolve("t").toString
+    VersionedTable.append(rows(0, 2000), root3, Stats)
+    VersionedTable.flattenToLegacy(spark, root3, 1L)
+    val (mv, matched) = VersionedTable.deleteRangeMor(spark, root3,
+      Seq(("user_id", 10L, 20L)))
+    assert(mv == 2L && matched == expect.size.toLong)
+    assert(VersionedTable.shardCount(spark, root3, mv) >= 1,
+      "the mor publish must migrate the inline entries to real shards")
+    assert(VersionedTable.read(spark, root3).count() == 2000L - matched)
+    assert(VersionedTable.fastCount(spark, root3) == 2000L - matched)
   }
 
   test("compactSmallFiles: bin-packs only the runts — big files carried by name, rows identical, change reads silent") {
