@@ -316,6 +316,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.fastCount(spark, root3) == 2000L - matched)
   }
 
+  test("appends fold runt shards: the manifest list stays bounded, file names and rows preserved") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-fold")
+      .resolve("t").toString
+    (0 until 20).foreach { k =>
+      VersionedTable.append(rows(k, 50), root, Stats)
+    }
+    val v = VersionedTable.latestVersion(spark, root).get
+    // each append adds one shard; every FanIn-th folds FanIn runts into
+    // one, so the list oscillates below FanIn + 1 instead of growing
+    // one line per commit forever
+    assert(VersionedTable.shardCount(spark, root, v) <=
+      VersionedTable.ShardMergeFanIn + 1,
+      s"list must stay fold-bounded, got " +
+        s"${VersionedTable.shardCount(spark, root, v)} shards")
+    // folding is METADATA-only: the first append's files survive by name
+    assert(VersionedTable.entryNames(spark, root, 1L)
+      .subsetOf(VersionedTable.entryNames(spark, root, v)),
+      "folds must regroup entries, never rewrite data files")
+    assert(VersionedTable.read(spark, root).count() == 1000L)
+    assert(VersionedTable.fastCount(spark, root) == 1000L)
+    // change reads across folds: every appended row exactly once
+    assert(VersionedTable.readChanges(spark, root, 0, v).count() == 1000L)
+  }
+
   test("compactSmallFiles: bin-packs only the runts — big files carried by name, rows identical, change reads silent") {
     val root = java.nio.file.Files.createTempDirectory("graft-vt-pack")
       .resolve("t").toString
