@@ -375,6 +375,22 @@ object BpeTokenizer {
   // the pin exists in exactly one place and a new consumer cannot
   // silently reintroduce the blowup.
 
+  /** The encode functions a UDF should close over: the heap-walk
+    * [[RankEncoder]] when the merge table is training-shaped
+    * ([[wellFormed]] — the property the heap's equivalence proof
+    * needs), the reference sequential-scan [[encode]]/[[encodeBytes]]
+    * otherwise. A hand-built or truncated merge table thus still gets
+    * a working encoder with the reference rank-order semantics instead
+    * of a construction-time exception; the fast path stays the default
+    * because training output is always well-formed.
+    */
+  private def encoderFor(merges: Seq[(String, String)])
+      : (String => Seq[String], String => Seq[String]) =
+    if (wellFormed(merges)) {
+      val enc = new RankEncoder(merges)
+      (enc.encode _, enc.encodeBytes _)
+    } else (w => encode(w, merges), w => encodeBytes(w, merges))
+
   /** Subword pieces of one `[a-z]+` word under `merges` — the memoized
     * per-DISTINCT-word UDF every `ta_bpe_*`/`pipe_*_bpe` entry shares.
     */
@@ -382,8 +398,8 @@ object BpeTokenizer {
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     // heap-walk encoder: identical pieces (BpeHeapEncodeSpec pins the
     // equivalence), O(L log L) per word instead of O(merges × L)
-    val enc = new RankEncoder(merges)
-    org.apache.spark.sql.functions.udf((w: String) => enc.encode(w))
+    val (enc, _) = encoderFor(merges)
+    org.apache.spark.sql.functions.udf((w: String) => enc(w))
       .asNondeterministic()
   }
 
@@ -391,9 +407,9 @@ object BpeTokenizer {
   def encodeIdsUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ids = vocabIds(merges)
-    val enc = new RankEncoder(merges)
+    val (enc, _) = encoderFor(merges)
     org.apache.spark.sql.functions
-      .udf((w: String) => enc.encode(w).map(p => ids(p).toLong))
+      .udf((w: String) => enc(w).map(p => ids(p).toLong))
       .asNondeterministic()
   }
 
@@ -485,9 +501,9 @@ object BpeTokenizer {
     */
   def encodeBytesUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val enc = new RankEncoder(merges)
+    val (_, encB) = encoderFor(merges)
     org.apache.spark.sql.functions
-      .udf((w: String) => enc.encodeBytes(w))
+      .udf((w: String) => encB(w))
       .asNondeterministic()
   }
 
@@ -495,9 +511,9 @@ object BpeTokenizer {
   def encodeByteIdsUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ids = byteVocabIds(merges)
-    val enc = new RankEncoder(merges)
+    val (_, encB) = encoderFor(merges)
     org.apache.spark.sql.functions
-      .udf((w: String) => enc.encodeBytes(w).map(p => ids(p).toLong))
+      .udf((w: String) => encB(w).map(p => ids(p).toLong))
       .asNondeterministic()
   }
 
@@ -510,10 +526,10 @@ object BpeTokenizer {
   def encodeBytesWithIdsUdf(merges: Seq[(String, String)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ids = byteVocabIds(merges)
-    val enc = new RankEncoder(merges)
+    val (_, encB) = encoderFor(merges)
     org.apache.spark.sql.functions
       .udf((w: String) =>
-        enc.encodeBytes(w).map(p => (p, ids(p).toLong)))
+        encB(w).map(p => (p, ids(p).toLong)))
       .asNondeterministic()
   }
 

@@ -165,12 +165,16 @@ object VersionedTable {
     * union bound over its entries' boxes, which is what lets a probe
     * prune whole shards from the list alone (an entry's box intersects
     * ⇒ the aggregate intersects; contrapositive: aggregate misses ⇒
-    * every entry misses). A legacy flat manifest parses as one
-    * synthetic ref with an EMPTY name (entries inline); writers
-    * migrate it on their next publish.
+    * every entry misses). `minRows` is the smallest entry row count in
+    * the shard (-1 on lines written before it was recorded): it lets
+    * small-file compaction select candidate shards from the LIST alone
+    * instead of opening every shard each pack cadence — the O(all
+    * shards) metadata walk the two-level format exists to avoid. A
+    * legacy flat manifest parses as one synthetic ref with an EMPTY
+    * name (entries inline); writers migrate it on their next publish.
     */
   private[pipeline] case class ShardRef(name: String, files: Long, rows: Long,
-      boxes: Seq[(Long, Long)])
+      boxes: Seq[(Long, Long)], minRows: Long = -1L)
 
   /** A MERGE-ON-READ delete marker — Iceberg v2's delete-file idea in
     * range form: instead of rewriting the files a delete touches, the
@@ -200,10 +204,16 @@ object VersionedTable {
       val newFiles: Seq[String],
       val committedAtMs: Long = -1L,
       val morDeletes: Seq[MorDelete] = Seq.empty) {
+    // ConcurrentHashMap, not a mutable.Map: a Manifest is captured by
+    // VersionedFileIndex, whose listFiles runs at Catalyst PLANNING
+    // time — two threads running SQL over the same sqlRead view prune
+    // concurrently, and getOrElseUpdate on an unsynchronized HashMap
+    // under that race can corrupt the map. computeIfAbsent also loads
+    // each shard exactly once under contention.
     private val cache =
-      scala.collection.mutable.Map.empty[String, Seq[Entry]]
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
     def entriesOf(r: ShardRef): Seq[Entry] =
-      cache.getOrElseUpdate(r.name, loader(r))
+      cache.computeIfAbsent(r.name, _ => loader(r))
     /** Shards actually OPENED so far — the planning-cost observable:
       * a selective probe should resolve from the list plus a handful
       * of shards, never the whole metadata tree.
@@ -279,7 +289,7 @@ object VersionedTable {
       }
     } finally out.close()
     Some(ShardRef(name, entries.size.toLong, entries.map(_.rows).sum,
-      aggBoxes(entries, statCols.size)))
+      aggBoxes(entries, statCols.size), entries.map(_.rows).min))
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -319,8 +329,11 @@ object VersionedTable {
     if (sharded) {
       val refs = lines.tail.filter(_.startsWith("#shard\t")).map { l =>
         val f = l.split('\t')
+        val n = statCols.size
+        // minRows rides as a trailing cell: older lines lack it (-1)
+        val mr = if (f.length > 4 + 2 * n) f(4 + 2 * n).toLong else -1L
         ShardRef(f(1), f(2).toLong, f(3).toLong, statCols.indices.map(i =>
-          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)))
+          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)), mr)
       }
       new Manifest(statCols, refs,
         r => readShard(spark, root, r.name, statCols.size),
@@ -332,7 +345,7 @@ object VersionedTable {
       val refs =
         if (inline.isEmpty) Seq.empty
         else Seq(ShardRef("", inline.size.toLong, inline.map(_.rows).sum,
-          aggBoxes(inline, statCols.size)))
+          aggBoxes(inline, statCols.size), inline.map(_.rows).min))
       new Manifest(statCols, refs, _ => inline,
         ingestBatch, kind, schemaJson, newFiles, committedAtMs, morDeletes)
     }
@@ -399,7 +412,7 @@ object VersionedTable {
       shards.sortBy(_.name).foreach { r =>
         val cells = r.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
         out.write((s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
-          s"${cells.mkString("\t")}\n")
+          s"${cells.mkString("\t")}\t${r.minRows}\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -544,6 +557,84 @@ object VersionedTable {
       else writeShard(spark, root, m.statCols, m.entriesOf(r))
     }
 
+  /** Rebase a writer's publish onto the newest manifest `lm`. The
+    * writer computed its outputs against base `m0`, planning to REPLACE
+    * the candidate shards `candNames` — whose entry-name set is the
+    * only data it read or rewrote. Resolves what the publish must CARRY
+    * from `lm`, at the FILE level rather than the shard-name level (a
+    * concurrent append's runt-shard fold is a pure metadata reshuffle —
+    * same file names, new shard names — and must COMMUTE with this
+    * writer instead of burning its bounded restarts):
+    *  - a still-present candidate shard is dropped (the writer's
+    *    replacement shards supersede it);
+    *  - a base non-candidate shard is carried by reference (immutable,
+    *    provably disjoint from the writer's candidate entries);
+    *  - a since-base shard is OPENED (there are few — appends and fold
+    *    outputs since the snapshot): entries belonging to the writer's
+    *    candidate set are STRIPPED into a rewritten carry shard
+    *    (carrying a fold output unstripped would duplicate untouched
+    *    entries and resurrect deleted ones), and the rest are tested
+    *    with `newEntryConflict` (e.g. an append that may have landed
+    *    rows inside a delete's box — testing carried-over OLD entries
+    *    too is harmless: a non-candidate base entry's box provably
+    *    misses, so the test can only fire on genuinely new data).
+    * Returns None — a TRUE conflict; restart or abort — when a
+    * candidate entry is GONE from `lm` (a concurrent commit rewrote the
+    * writer's input data, not just re-sharded it) or a new entry trips
+    * the check. Stripped carry shards written by an attempt that then
+    * loses its CAS are unreferenced and vacuumed like any other
+    * pre-publish debris.
+    */
+  private def rebaseCarry(spark: SparkSession, root: String,
+      m0: Manifest, lm: Manifest, candNames: Set[String],
+      newEntryConflict: Entry => Boolean): Option[Seq[ShardRef]] = {
+    val candEntries: Set[String] = m0.shards
+      .filter(r => candNames(r.name))
+      .flatMap(m0.entriesOf).map(_.name).toSet
+    val baseShardNames = m0.shardNames
+    val carried = Seq.newBuilder[ShardRef]
+    val found = scala.collection.mutable.Set.empty[String]
+    var conflict = false
+    lm.shards.foreach { r =>
+      if (!conflict) {
+        if (candNames(r.name)) found ++= m0.entriesOf(r).map(_.name)
+        else if (baseShardNames(r.name)) carried += r
+        else {
+          val es = lm.entriesOf(r)
+          val (inCand, rest) = es.partition(e => candEntries(e.name))
+          if (rest.exists(newEntryConflict)) conflict = true
+          else {
+            found ++= inCand.map(_.name)
+            if (inCand.isEmpty) carried += r
+            else carried ++= writeShard(spark, root, m0.statCols, rest)
+          }
+        }
+      }
+    }
+    if (conflict || !candEntries.forall(found)) None
+    else Some(carried.result())
+  }
+
+  /** The conflict HALF of [[rebaseCarry]] for writers that carry `lm`'s
+    * shard list untouched (a mor-delete marker publish — metadata only,
+    * nothing rewritten): true iff every entry of the base candidate
+    * shards is still present SOMEWHERE in `lm`, wherever folds moved it.
+    */
+  private def filesStillPresent(m0: Manifest, lm: Manifest,
+      candNames: Set[String]): Boolean = {
+    val candEntries: Set[String] = m0.shards
+      .filter(r => candNames(r.name))
+      .flatMap(m0.entriesOf).map(_.name).toSet
+    val baseShardNames = m0.shardNames
+    val found = scala.collection.mutable.Set.empty[String]
+    lm.shards.foreach { r =>
+      if (candNames(r.name)) found ++= m0.entriesOf(r).map(_.name)
+      else if (!baseShardNames(r.name))
+        found ++= lm.entriesOf(r).map(_.name).filter(candEntries)
+    }
+    candEntries.forall(found)
+  }
+
   /** Append `df` as a new version carrying footprint stats for
     * `statCols` (the columns later [[boxRead]] probes can prune on).
     * Returns the published version id. The first append fixes the
@@ -579,7 +670,19 @@ object VersionedTable {
     * rather than ever aborting.
     */
   def appendBatch(df: DataFrame, root: String, statCols: Seq[String],
-      ingestBatch: Long): Long = {
+      ingestBatch: Long): Long =
+    appendBatchDetailed(df, root, statCols, ingestBatch)._1
+
+  /** [[appendBatch]] that additionally reports whether THIS call
+    * published a new version (`false` = the batch id was at or below
+    * the recorded frontier: a replay that changed nothing). Callers
+    * gating maintenance on "did my batch land" need this explicit
+    * signal — inferring it by comparing version numbers around the
+    * call misclassifies a replay whenever a concurrent writer advanced
+    * the table in between.
+    */
+  def appendBatchDetailed(df: DataFrame, root: String, statCols: Seq[String],
+      ingestBatch: Long): (Long, Boolean) = {
     val spark = df.sparkSession
     require(statCols.nonEmpty, "append needs at least one stat column")
     var written: Seq[Entry] = null
@@ -598,7 +701,7 @@ object VersionedTable {
         // twin), change nothing; any files this loop already wrote are
         // unreferenced and will be vacuumed
         if (written != null) discard(spark, root, written, writtenShard.toSeq)
-        return base.get._1
+        return (base.get._1, false)
       }
       // SCHEMA EVOLUTION: the table schema is the union of every
       // append's fields (add-column only; a column present in both
@@ -645,7 +748,7 @@ object VersionedTable {
           math.max(frontier, ingestBatch), kind = "append",
           Some(merged0.json),
           morDeletes = base.map(_._2.morDeletes).getOrElse(Seq.empty)))
-        return v
+        return (v, true)
       attempt += 1
       backoff(attempt)
     }
@@ -753,26 +856,31 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      val conflict =
-        if (m0.legacy) lv != v0
-        else !baseShardNames.subsetOf(lm.shardNames) ||
-          // the layout read applied exactly m0's markers; a marker
-          // added (or materialized away) since would make the rewrite
-          // stale — compaction is rerunnable maintenance, abort
-          lm.morDeletes != m0.morDeletes
-      if (conflict) {
-        discard(spark, root, entries, compactShard.toSeq)
-        throw new java.util.ConcurrentModificationException(
-          s"compactZorder at $root: a concurrent commit rewrote this " +
-            "compaction's input shards (delete/upsert/compaction); the " +
-            "stale layout was discarded — re-run the compaction")
+      // the layout read applied exactly m0's markers; a marker added
+      // (or materialized away) since would make the rewrite stale.
+      // Shard-identity conflicts resolve at the FILE level through
+      // rebaseCarry: a concurrent runt-shard fold (same files, new
+      // shard names) commutes; a rewrite of any input FILE aborts —
+      // compaction is rerunnable maintenance and must never trump a
+      // data-changing commit.
+      val carriedOpt =
+        if (m0.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
+        else if (lm.morDeletes != m0.morDeletes) None
+        else rebaseCarry(spark, root, m0, lm, baseShardNames, _ => false)
+      carriedOpt match {
+        case None =>
+          discard(spark, root, entries, compactShard.toSeq)
+          throw new java.util.ConcurrentModificationException(
+            s"compactZorder at $root: a concurrent commit rewrote this " +
+              "compaction's input files (delete/upsert/compaction); the " +
+              "stale layout was discarded — re-run the compaction")
+        case Some(carried) =>
+          if (tryPublish(spark, root, lv + 1, m0.statCols,
+              compactShard.toSeq ++ carried,
+              lm.ingestBatch, kind = "compact",
+              publishSchema(spark, root, lm, None)))
+            return lv + 1
       }
-      val carried = lm.shards.filterNot(r => baseShardNames(r.name))
-      if (tryPublish(spark, root, lv + 1, m0.statCols,
-          compactShard.toSeq ++ carried,
-          lm.ingestBatch, kind = "compact",
-          publishSchema(spark, root, lm, None)))
-        return lv + 1
       attempt += 1
       backoff(attempt)
     }
@@ -825,8 +933,15 @@ object VersionedTable {
     val (v0, m0) = latestManifest(spark, root).getOrElse(
       sys.error(s"nothing to compact at $root"))
     if (m0.morDeletes.nonEmpty) return None // wrapper materializes first
+    // candidate selection from the manifest LIST alone: each shard line
+    // records its smallest entry row count, so a pack cadence with no
+    // runts costs one list read, not an O(all shards) metadata walk
+    // (pre-minRows lines, -1, still open their shard once — their next
+    // rewrite records it and retires the fallback)
     val candShards = m0.shards.filter(r =>
-      r.name.isEmpty || m0.entriesOf(r).exists(_.rows < minRows))
+      r.name.isEmpty ||
+        (if (r.minRows >= 0) r.minRows < minRows
+         else m0.entriesOf(r).exists(_.rows < minRows)))
     val touched = candShards.flatMap(r => m0.entriesOf(r))
       .filter(_.rows < minRows)
     if (touched.size < 2) return Some((v0, 0)) // nothing to gain
@@ -848,20 +963,22 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      val conflict =
-        if (m0.legacy) lv != v0
-        else !candNames.subsetOf(lm.shardNames) || lm.morDeletes.nonEmpty
-      if (conflict) {
-        discard(spark, root, entries, replacements ++ packedShard.toSeq)
-        return None
+      val carriedOpt =
+        if (m0.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
+        else if (lm.morDeletes.nonEmpty) None
+        else rebaseCarry(spark, root, m0, lm, candNames, _ => false)
+      carriedOpt match {
+        case None =>
+          discard(spark, root, entries, replacements ++ packedShard.toSeq)
+          return None
+        case Some(carried) =>
+          // kind=compact: a pure rewrite — change reads and CDC skip it
+          if (tryPublish(spark, root, lv + 1, m0.statCols,
+              carried ++ replacements ++ packedShard.toSeq,
+              lm.ingestBatch, kind = "compact",
+              publishSchema(spark, root, lm, None)))
+            return Some((lv + 1, touched.size - entries.size))
       }
-      val untouched = lm.shards.filterNot(r => candNames(r.name))
-      // kind=compact: a pure rewrite — change reads and CDC skip it
-      if (tryPublish(spark, root, lv + 1, m0.statCols,
-          untouched ++ replacements ++ packedShard.toSeq,
-          lm.ingestBatch, kind = "compact",
-          publishSchema(spark, root, lm, None)))
-        return Some((lv + 1, touched.size - entries.size))
       attempt += 1
       backoff(attempt)
     }
@@ -1353,7 +1470,9 @@ object VersionedTable {
       val conflict =
         if (m0.legacy) lv != v0
         else
-          !candNames.subsetOf(lm.shardNames) || // count basis rewritten
+          // count basis rewritten — FILE-level: a concurrent fold that
+          // merely re-sharded the candidate entries commutes
+          !filesStillPresent(m0, lm, candNames) ||
             lm.morDeletes != m0.morDeletes      // marker list changed
       if (conflict) return None
       // materializedShards migrates a legacy base's inline entries into
@@ -1416,21 +1535,21 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      val conflict =
-        if (m0.legacy) lv != v0
-        else
-          !candNames.subsetOf(lm.shardNames) ||
-            lm.morDeletes != m0.morDeletes
-      if (conflict) {
-        discard(spark, root, entries, replacements ++ survivorShard.toSeq)
-        return None
+      val carriedOpt =
+        if (m0.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
+        else if (lm.morDeletes != m0.morDeletes) None
+        else rebaseCarry(spark, root, m0, lm, candNames, _ => false)
+      carriedOpt match {
+        case None =>
+          discard(spark, root, entries, replacements ++ survivorShard.toSeq)
+          return None
+        case Some(carried) =>
+          if (tryPublish(spark, root, lv + 1, m0.statCols,
+              carried ++ replacements ++ survivorShard.toSeq,
+              lm.ingestBatch, kind = "materialize",
+              publishSchema(spark, root, lm, None)))
+            return Some(lv + 1)
       }
-      val untouched = lm.shards.filterNot(r => candNames(r.name))
-      if (tryPublish(spark, root, lv + 1, m0.statCols,
-          untouched ++ replacements ++ survivorShard.toSeq,
-          lm.ingestBatch, kind = "materialize",
-          publishSchema(spark, root, lm, None)))
-        return Some(lv + 1)
       attempt += 1
       backoff(attempt)
     }
@@ -1532,29 +1651,31 @@ object VersionedTable {
         m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
     }
     val candNames = candShards.map(_.name).toSet
-    val baseShardNames = m0.shardNames
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      val conflict =
-        if (m0.legacy) lv != v0
-        else
-          !candNames.subsetOf(lm.shardNames) ||
-            lm.morDeletes.nonEmpty || // a racing mor-delete landed
-            lm.shards.exists(r =>
-              !baseShardNames(r.name) && boxHit(r.boxes, probes, idx))
-      if (conflict) {
-        discard(spark, root, entries, replacements ++ survivorShard.toSeq)
-        return None
+      // conflicts at the FILE level (rebaseCarry): a concurrent fold of
+      // the candidate shards commutes; an entry that actually LEFT the
+      // table, or a since-base entry whose box intersects the delete
+      // box (rows this delete's rewrite never saw), restarts
+      val carriedOpt =
+        if (m0.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
+        else if (lm.morDeletes.nonEmpty) None // a racing mor-delete landed
+        else rebaseCarry(spark, root, m0, lm, candNames,
+          e => boxIntersects(e, probes, idx))
+      carriedOpt match {
+        case None =>
+          discard(spark, root, entries, replacements ++ survivorShard.toSeq)
+          return None
+        case Some(carried) =>
+          // kind=delete: like compaction, the survivor files REWRITE
+          // existing rows — readChanges must not report them as new
+          if (tryPublish(spark, root, lv + 1, m0.statCols,
+              carried ++ replacements ++ survivorShard.toSeq,
+              lm.ingestBatch, kind = "delete",
+              publishSchema(spark, root, lm, None)))
+            return Some((lv + 1, deleted))
       }
-      val untouched = lm.shards.filterNot(r => candNames(r.name))
-      // kind=delete: like compaction, the survivor files REWRITE
-      // existing rows — readChanges must not report them as new
-      if (tryPublish(spark, root, lv + 1, m0.statCols,
-          untouched ++ replacements ++ survivorShard.toSeq,
-          lm.ingestBatch, kind = "delete",
-          publishSchema(spark, root, lm, None)))
-        return Some((lv + 1, deleted))
       attempt += 1
       backoff(attempt)
     }
@@ -1717,30 +1838,28 @@ object VersionedTable {
         m.entriesOf(r).filterNot(e => touchedNames(e.name)))
     }
     val candNames = candShards.map(_.name).toSet
-    val baseShardNames = m.shardNames
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      val conflict =
-        if (m.legacy) lv != v0
-        else
-          !candNames.subsetOf(lm.shardNames) ||
-            lm.morDeletes.nonEmpty || // a racing mor-delete landed
-            lm.shards.exists(r =>
-              !baseShardNames(r.name) && mayHoldKeys(r.boxes))
-      if (conflict) {
-        discard(spark, root, rewritten ++ newEntries,
-          replacements ++ rewrittenShard.toSeq ++ newShard.toSeq)
-        return None
+      val carriedOpt =
+        if (m.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
+        else if (lm.morDeletes.nonEmpty) None // a racing mor-delete landed
+        else rebaseCarry(spark, root, m, lm, candNames,
+          e => mayHoldKeys(e.boxes))
+      carriedOpt match {
+        case None =>
+          discard(spark, root, rewritten ++ newEntries,
+            replacements ++ rewrittenShard.toSeq ++ newShard.toSeq)
+          return None
+        case Some(carried) =>
+          if (tryPublish(spark, root, lv + 1, m.statCols,
+              carried ++ replacements ++ rewrittenShard.toSeq ++
+                newShard.toSeq,
+              lm.ingestBatch,
+              kind = "upsert", publishSchema(spark, root, lm, Some(merged)),
+              newFiles = newEntries.map(_.name)))
+            return Some((lv + 1, replaced))
       }
-      val untouched = lm.shards.filterNot(r => candNames(r.name))
-      if (tryPublish(spark, root, lv + 1, m.statCols,
-          untouched ++ replacements ++ rewrittenShard.toSeq ++
-            newShard.toSeq,
-          lm.ingestBatch,
-          kind = "upsert", publishSchema(spark, root, lm, Some(merged)),
-          newFiles = newEntries.map(_.name)))
-        return Some((lv + 1, replaced))
       attempt += 1
       backoff(attempt)
     }

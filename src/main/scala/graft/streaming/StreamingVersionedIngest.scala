@@ -47,11 +47,11 @@ object StreamingVersionedIngest {
       .foreachBatch { (batch: DataFrame, batchId: java.lang.Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val before = VersionedTable.latestVersion(spark, root)
-          val v = VersionedTable.appendBatch(batch, root, statCols, batchId)
-          // a REPLAYED batch publishes nothing (v == the old frontier
-          // version) — maintenance must not run twice for it either
-          val published = !before.contains(v)
+          // appendBatch reports replay EXPLICITLY — inferring it from
+          // version numbers misclassifies a replay whenever a
+          // concurrent writer advances the table between the calls
+          val (_, published) = VersionedTable
+            .appendBatchDetailed(batch, root, statCols, batchId)
           if (published && packEvery > 0 && batchId % packEvery == 0) {
             VersionedTable.compactSmallFiles(spark, root,
               packMinRows, packTargetRows)

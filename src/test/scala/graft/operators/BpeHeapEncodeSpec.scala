@@ -147,4 +147,33 @@ class BpeHeapEncodeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("well-formed"))
   }
+
+  test("UDFs over a malformed table fall back to the scan encoder instead of throwing at construction") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // hand-built table: rule 0 uses rule 1's output — NOT well-formed
+    // (a truncated or reordered vendor file has exactly this shape),
+    // so the heap path's equivalence proof does not apply; the UDF
+    // must keep the reference sequential-scan semantics instead of
+    // failing its construction
+    val bad = Seq(("ab", "c"), ("a", "b"))
+    assert(!BpeTokenizer.wellFormed(bad))
+    val words = Seq("abcab", "aabbcc", "cabab")
+    val got = words.toDF("w")
+      .select(BpeTokenizer.encodeUdf(bad)($"w").as("ps"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == words.map(w => BpeTokenizer.encode(w, bad)),
+      "fallback must reproduce the scan semantics exactly")
+    val gotBytes = words.toDF("w")
+      .select(BpeTokenizer.encodeBytesUdf(bad)($"w").as("ps"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(gotBytes == words.map(w => BpeTokenizer.encodeBytes(w, bad)))
+    // and a well-formed table still takes the heap path (same results)
+    val good = Seq(("a", "b"), ("ab", "c"))
+    assert(BpeTokenizer.wellFormed(good))
+    val gotGood = words.toDF("w")
+      .select(BpeTokenizer.encodeUdf(good)($"w").as("ps"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(gotGood == words.map(w => BpeTokenizer.encode(w, good)))
+  }
 }

@@ -400,4 +400,54 @@ class VersionedTableConcurrencySpec extends AnyFunSuite {
       racerNames.subsetOf(manifestNames(root, pv)),
       "the concurrently appended files must carry by name through the pack")
   }
+
+  test("compact ∥ runt-shard fold: a fold is a pure metadata reshuffle — the compaction COMMUTES instead of aborting") {
+    val root = freshRoot("compact-fold")
+    // ShardMergeFanIn runt shards: the NEXT append will fold them
+    (0 until VersionedTable.ShardMergeFanIn).foreach(k =>
+      VersionedTable.append(rows(k, 40), root, Stats))
+    val before = VersionedTable.shardCount(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    // inject an append into the compaction's read-to-CAS window: it
+    // folds every base runt into one new shard (same FILES, new shard
+    // names) — the name-level conflict check would spuriously abort
+    VersionedTable.beforePublishHook.set(() => {
+      VersionedTable.append(rows(20, 40), root, Stats)
+      assert(VersionedTable.shardCount(spark, root,
+        VersionedTable.latestVersion(spark, root).get) < before,
+        "fixture: the injected append must actually fold the runts")
+      ()
+    })
+    val cv = VersionedTable.compactZorder(spark, root, nFiles = 4)
+    val n = VersionedTable.ShardMergeFanIn * 40L
+    assert(cv == VersionedTable.versions(spark, root).max)
+    assert(ids(root) == ((0L until n) ++ (800L until 840L)),
+      "compaction must carry the fold's rows exactly once — no " +
+        "duplication from carrying the fold output unstripped, no loss")
+    assert(VersionedTable.fastCount(spark, root) == n + 40L)
+  }
+
+  test("delete ∥ runt-shard fold that swallowed its candidates: the delete strips the fold output and commits exactly once") {
+    val root = freshRoot("del-fold")
+    // rounds 0..FanIn-1: disjoint ts_us ranges, one runt shard each
+    (0 until VersionedTable.ShardMergeFanIn).foreach(k =>
+      VersionedTable.append(rows(k, 40), root, Stats))
+    // the delete box covers exactly round 0 (ts_us = id*1000, ids 0..39)
+    VersionedTable.beforePublishHook.set(() => {
+      // the injected append folds ALL runts — including the delete's
+      // candidate shard — into one mixed shard; carrying that fold
+      // output unstripped would RESURRECT the deleted rows and
+      // DUPLICATE the survivors
+      VersionedTable.append(rows(30, 40), root, Stats)
+      ()
+    })
+    val (_, deleted) = VersionedTable.deleteRange(spark, root,
+      Seq(("ts_us", 0L, 39L * 1000L)))
+    assert(deleted == 40L)
+    val n = VersionedTable.ShardMergeFanIn * 40L
+    assert(ids(root) == ((40L until n) ++ (1200L until 1240L)),
+      "rounds 1..FanIn-1 and the injected round must survive exactly " +
+        "once; round 0 must be gone")
+    assert(VersionedTable.fastCount(spark, root) == n - 40L + 40L)
+  }
 }

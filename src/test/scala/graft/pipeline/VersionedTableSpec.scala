@@ -626,4 +626,34 @@ class VersionedTableSpec extends AnyFunSuite {
       .select($"event_id").collect().map(_.getLong(0)).sorted
     assert(pruned.sameElements(full), "pruned read diverged")
   }
+
+  test("shard lines record minRows; pre-minRows lines still pack via the open-the-shard fallback") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt-minrows")
+      .resolve("t").toString
+    (0 until 3).foreach(k => VersionedTable.append(rows(k, 50), root, Stats))
+    val mPath = java.nio.file.Paths.get(
+      s"$root/manifests/v${VersionedTable.latestVersion(spark, root).get}")
+    val shardLines = java.nio.file.Files.readAllLines(mPath)
+      .toArray.map(_.toString).filter(_.startsWith("#shard\t")).toSeq
+    assert(shardLines.nonEmpty && shardLines.forall { l =>
+      val f = l.split('\t')
+      f.length == 4 + 2 * Stats.size + 1 && f.last.toLong >= 0
+    }, "each shard line must carry its trailing minRows cell")
+    // degrade the manifest to the pre-minRows line shape (drop the
+    // trailing cell) and verify the pack still finds its candidates
+    // through the open-the-shard fallback
+    val degraded = java.nio.file.Files.readAllLines(mPath)
+      .toArray.map(_.toString).map { l =>
+        if (l.startsWith("#shard\t"))
+          l.split('\t').dropRight(1).mkString("\t")
+        else l
+      }
+    java.nio.file.Files.delete(mPath)
+    java.nio.file.Files.write(mPath,
+      degraded.mkString("\n").getBytes("UTF-8"))
+    val (_, reduced) = VersionedTable.compactSmallFiles(spark, root,
+      minRows = 40L, targetRows = 1000L)
+    assert(reduced > 0, "fallback candidate selection must still pack")
+    assert(VersionedTable.read(spark, root).count() == 150L)
+  }
 }
