@@ -1559,11 +1559,98 @@ object CorpusCuration {
         AND ts_us <= mn1 + (mx1 - mn1) * 75 // 100
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** TYPED column statistics under the driver's oracle: the versioned
+    * table records string (and date/timestamp/decimal) min-max bounds
+    * per file — Iceberg's typed bounds, with truncated string bounds —
+    * and [[graft.pipeline.VersionedTable.sqlRead]]'s FileIndex turns
+    * pushed STRING predicates into manifest probes. The table is
+    * lang-clustered so the bounds have something to bite on
+    * (`VersionedTypedStatsSpec` asserts the observed numFiles shrink;
+    * this entry pins the semantics): three probe shapes — string
+    * equality, string IN-list, string range conjoined with a second
+    * typed column's equality — each aggregated and hash-matched
+    * against the same predicates stated over the raw parquet. A bound
+    * truncated unsoundly, a mistranslated probe, or a file wrongly
+    * pruned loses rows and breaks the hash.
+    */
+  val vtStringPrune: Q = Q(
+    "pipe_vt_string_prune",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .repartitionByRange(12, $"lang", $"doc_id")
+      val root = scratchDir("vt-string-prune")
+      graft.pipeline.VersionedTable.append(docs, root,
+        Seq("doc_id", "n_chars"), Seq("lang", "source"))
+      graft.pipeline.VersionedTable.sqlRead(s, root)
+        .createOrReplaceTempView("graft_vt_typed")
+      def agg(label: String, where: String) =
+        s.sql(s"""SELECT '$label' AS probe, lang,
+            count(*) AS n_docs, sum(n_chars) AS chars_sum
+          FROM graft_vt_typed WHERE $where GROUP BY lang""")
+      agg("eq", "lang = 'de'")
+        .unionAll(agg("in", "lang IN ('es', 'zh')"))
+        .unionAll(agg("range_and",
+          "lang >= 'en' AND lang <= 'fr' AND source = 'src7'"))
+        .orderBy($"probe", $"lang")
+    },
+    Some("""WITH probes AS (
+        SELECT 'eq' AS probe, lang, count(*) AS n_docs,
+          sum(n_chars) AS chars_sum
+        FROM documents WHERE lang = 'de' GROUP BY lang
+        UNION ALL
+        SELECT 'in', lang, count(*), sum(n_chars)
+        FROM documents WHERE lang IN ('es', 'zh') GROUP BY lang
+        UNION ALL
+        SELECT 'range_and', lang, count(*), sum(n_chars)
+        FROM documents
+        WHERE lang >= 'en' AND lang <= 'fr' AND source = 'src7'
+        GROUP BY lang)
+      SELECT probe, lang, n_docs, CAST(chars_sum AS BIGINT) AS chars_sum
+      FROM probes ORDER BY probe, lang"""))
+
+  /** `WHERE id IN (…)` — THE point-lookup batch shape — through plain
+    * SQL over the versioned table: the FileIndex translates the
+    * IN-list into a union of point probes (box stage per value, then
+    * the per-value footer-bloom stage), so the batch lookup plans a
+    * scan over only the files that can hold SOME asked id. Same probe
+    * ids as `pipe_point_lookup`, which resolves them through the
+    * explicit pointRead API — this entry pins that the SQL spelling
+    * reaches the same rows with no bespoke API in the query path.
+    */
+  val vtSqlIn: Q = Q(
+    "pipe_vt_sql_in",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-sql-in")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))
+      graft.pipeline.VersionedTable.compactZorder(s, root, nFiles = 16)
+      graft.pipeline.VersionedTable.sqlRead(s, root)
+        .createOrReplaceTempView("graft_vt_in")
+      val maxId = ev.agg(max($"event_id")).head.getLong(0)
+      val probes = (1L to 8L).map(k => maxId * k / 9).distinct
+      s.sql(s"""SELECT event_id, user_id, ts_us FROM graft_vt_in
+        WHERE event_id IN (${probes.mkString(", ")})
+        ORDER BY event_id""")
+    },
+    Some("""WITH b AS (SELECT max(event_id) AS mx FROM events),
+      probes AS (
+        SELECT DISTINCT mx * k // 9 AS pid
+        FROM b, unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS t(k))
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us
+      FROM events e JOIN probes p ON e.event_id = p.pid
+      ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
-    versionedMor, vtSql, manifestPrune)
+    versionedMor, vtSql, vtStringPrune, vtSqlIn, manifestPrune)
 }

@@ -576,6 +576,119 @@ object Layout {
     (new org.apache.hadoop.fs.Path(f).getName, may)
   }
 
+  // ——— TYPED footer bounds: the string/date/timestamp/decimal stats
+  // the versioned manifest records beyond its Long boxes. Kind chars:
+  // 's' = string (UTF-8 byte bounds, hex-encoded; min prefix-truncated
+  // to [[StringBoundBytes]] — a prefix is ≤ the original, a sound
+  // lower bound; max truncate-INCREMENTED à la Iceberg — bump the last
+  // non-0xFF byte, a sound upper bound; an untruncatable max is an
+  // open side), 'l' = long-backed (int32/int64 physical: dates as
+  // epoch days, timestamps as micros, ints), 'd' = decimal unscaled
+  // (int32/int64 physical, precision ≤ 18). Either side of a bound is
+  // None when the footer cannot prove it — callers treat None as
+  // "cannot prune on this side".
+
+  private[pipeline] val StringBoundBytes = 32
+
+  private[pipeline] def hexEnc(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private[pipeline] def hexDec(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  private[pipeline] def bytesCompare(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  private[pipeline] def truncMin(b: Array[Byte]): Array[Byte] =
+    b.take(StringBoundBytes)
+
+  private[pipeline] def truncMax(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StringBoundBytes) Some(b)
+    else {
+      val t = b.take(StringBoundBytes)
+      var i = t.length - 1
+      while (i >= 0 && t(i) == -1) i -= 1
+      if (i < 0) None // all 0xFF: no finite upper bound at this width
+      else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
+    }
+
+  /** [[footerStats]] PLUS encoded typed bounds per `typedCols` entry —
+    * one footer open per file for both. Typed bounds are best-effort
+    * (None disables pruning on that side); long-column stats keep the
+    * strict all-or-nothing contract [[footerStats]] documents.
+    */
+  private[pipeline] def footerStatsTyped(spark: SparkSession,
+      files: Seq[String], cols: Seq[String],
+      typedCols: Seq[(String, Char)])
+      : Seq[(String, Long, Option[Seq[(Long, Long)]],
+        Seq[(Option[String], Option[String])])] = {
+    if (files.isEmpty) return Seq.empty
+    if (typedCols.isEmpty)
+      return footerStats(spark, files, cols).map { case (n, r, b) =>
+        (n, r, b, Seq.empty)
+      }
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      spark.sparkContext.hadoopConfiguration.writeXml(baos)
+      baos.toByteArray
+    }
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.addResource(new java.io.ByteArrayInputStream(confBytes))
+        val (n, rows, boxes) = longStatsOf(f, conf, cols)
+        (n, rows, boxes, typedStatsOf(f, conf, typedCols))
+      }
+      .collect().toSeq
+  }
+
+  /** One file's encoded typed bounds from its footer. */
+  private def typedStatsOf(file: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      typedCols: Seq[(String, Char)])
+      : Seq[(Option[String], Option[String])] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      typedCols.map { case (c, kind) =>
+        val stats = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+          .map(_.getStatistics)
+        if (stats.isEmpty || stats.exists(s =>
+            s == null || s.isEmpty || !s.hasNonNullValue)) (None, None)
+        else kind match {
+          case 's' =>
+            val bs = stats.collect {
+              case b: org.apache.parquet.column.statistics.BinaryStatistics =>
+                (b.genericGetMin.getBytes, b.genericGetMax.getBytes)
+            }
+            if (bs.size != stats.size) (None, None)
+            else {
+              val mn = bs.map(_._1).reduce((a, b) =>
+                if (bytesCompare(a, b) <= 0) a else b)
+              val mx = bs.map(_._2).reduce((a, b) =>
+                if (bytesCompare(a, b) >= 0) a else b)
+              (Some(hexEnc(truncMin(mn))), truncMax(mx).map(hexEnc))
+            }
+          case _ => // 'l' and 'd': int32/int64 physical
+            val ls = stats.collect {
+              case l: org.apache.parquet.column.statistics.LongStatistics =>
+                (l.getMin, l.getMax)
+              case i: org.apache.parquet.column.statistics.IntStatistics =>
+                (i.getMin.toLong, i.getMax.toLong)
+            }
+            if (ls.size != stats.size) (None, None)
+            else (Some(ls.map(_._1).min.toString),
+              Some(ls.map(_._2).max.toString))
+        }
+      }
+    } finally reader.close()
+  }
+
   /** One file's (name, row count, [(min, max)] per column) from its
     * footer; boxes are None when statistics are absent for ANY of the
     * columns.

@@ -151,14 +151,43 @@ object VersionedTable {
       root: String): Option[(Long, Manifest)] =
     latestVersion(spark, root).map(v => (v, readManifest(spark, root, v)))
 
+  /** A TYPED stat column — the columns real corpora filter by that a
+    * Long box cannot carry: name plus a one-char kind driving bound
+    * encoding and probe comparison ('s' string: truncated UTF-8 byte
+    * bounds, hex-encoded; 'l' long-backed: date epoch days, timestamp
+    * micros, ints; 'd' decimal: unscaled long, `scale` recorded so
+    * only scale-exact literals translate to probes). Fixed at table
+    * creation like the Long stat columns; used for READ pruning only
+    * (sqlRead / the FileIndex) — DML probes stay Long.
+    */
+  private[pipeline] case class TypedCol(name: String, kind: Char,
+      scale: Int = 0)
+
+  /** One side of a typed bound: None = unprovable at write time (no
+    * footer stats, untruncatable max) = unbounded on that side.
+    */
+  private[pipeline] type TBound = (Option[String], Option[String])
+
+  /** Encoded-bound ordering per kind: numeric for long-backed kinds,
+    * unsigned byte-lexicographic (parquet's UTF8 order) for strings.
+    */
+  private[pipeline] def tCompare(kind: Char, a: String, b: String): Int =
+    kind match {
+      case 's' => Layout.bytesCompare(Layout.hexDec(a), Layout.hexDec(b))
+      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    }
+
   /** One data file's manifest record. `bytes` (file length, recorded
     * at write) lets the SQL path synthesize its FileStatus from
     * metadata alone — planning a scan then never lists `files/`, the
     * O(F)-RPC step a cloud object store bills per page; -1 marks
     * pre-upgrade entries, which fall back to one directory listing.
+    * `tboxes` are the typed-column bounds (empty on tables without
+    * typed stat columns).
     */
   private[pipeline] case class Entry(name: String, rows: Long,
-      boxes: Seq[(Long, Long)], bytes: Long = -1L)
+      boxes: Seq[(Long, Long)], bytes: Long = -1L,
+      tboxes: Seq[TBound] = Seq.empty)
 
   /** One manifest-list line: an immutable shard file plus its entry
     * count, row sum and per-stat-column AGGREGATE [min,max] — the
@@ -174,7 +203,8 @@ object VersionedTable {
     * name (entries inline); writers migrate it on their next publish.
     */
   private[pipeline] case class ShardRef(name: String, files: Long, rows: Long,
-      boxes: Seq[(Long, Long)], minRows: Long = -1L)
+      boxes: Seq[(Long, Long)], minRows: Long = -1L,
+      tboxes: Seq[TBound] = Seq.empty)
 
   /** A MERGE-ON-READ delete marker — Iceberg v2's delete-file idea in
     * range form: instead of rewriting the files a delete touches, the
@@ -203,7 +233,8 @@ object VersionedTable {
       val schemaJson: Option[String],
       val newFiles: Seq[String],
       val committedAtMs: Long = -1L,
-      val morDeletes: Seq[MorDelete] = Seq.empty) {
+      val morDeletes: Seq[MorDelete] = Seq.empty,
+      val typedCols: Seq[TypedCol] = Seq.empty) {
     // ConcurrentHashMap, not a mutable.Map: a Manifest is captured by
     // VersionedFileIndex, whose listFiles runs at Catalyst PLANNING
     // time — two threads running SQL over the same sqlRead view prune
@@ -230,24 +261,61 @@ object VersionedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** A typed-bound cell: `-` = unbounded side, `=payload` otherwise
+    * (payload may be empty: the empty string is a real bound).
+    */
+  private def tCell(b: Option[String]): String =
+    b.map("=" + _).getOrElse("-")
+
+  private def tParse(cell: String): Option[String] =
+    if (cell == "-") None else Some(cell.substring(1))
+
   private def entryLine(e: Entry): String = {
     val cells = e.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
     // bytes rides as a TRAILING column: older lines simply lack it
-    // (parse yields -1), so the format stays line-compatible both ways
-    s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\t${e.bytes}"
+    // (parse yields -1), so the format stays line-compatible both
+    // ways; typed-bound cells trail AFTER bytes (tables with typed
+    // columns are created with them, so their lines always carry both)
+    val typed = e.tboxes.flatMap { case (lo, hi) =>
+      Seq(tCell(lo), tCell(hi)) }
+    (s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\t${e.bytes}" +:
+      typed).mkString("\t")
   }
 
-  private def parseEntry(l: String, nCols: Int): Entry = {
+  private def parseEntry(l: String, nCols: Int, nTyped: Int = 0): Entry = {
     val f = l.split('\t')
     val bytes = if (f.length > 2 + 2 * nCols) f(2 + 2 * nCols).toLong else -1L
+    val tb =
+      if (nTyped == 0) Seq.empty
+      else (0 until nTyped).map { i =>
+        (tParse(f(3 + 2 * nCols + 2 * i)), tParse(f(4 + 2 * nCols + 2 * i)))
+      }
     Entry(f(0), f(1).toLong, (0 until nCols).map(i =>
-      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)), bytes)
+      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)), bytes, tb)
   }
 
   /** The union bound over entry boxes — a shard's aggregate footprint. */
   private def aggBoxes(entries: Seq[Entry], nCols: Int): Seq[(Long, Long)] =
     (0 until nCols).map { i =>
       (entries.map(_.boxes(i)._1).min, entries.map(_.boxes(i)._2).max)
+    }
+
+  /** The union bound over entry TYPED boxes: any unbounded side makes
+    * the aggregate side unbounded (sound — the shard then never prunes
+    * on that side).
+    */
+  private def aggTyped(entries: Seq[Entry],
+      typed: Seq[TypedCol]): Seq[TBound] =
+    typed.zipWithIndex.map { case (tc, i) =>
+      val los = entries.map(_.tboxes(i)._1)
+      val his = entries.map(_.tboxes(i)._2)
+      val lo = if (los.exists(_.isEmpty)) None
+        else Some(los.flatten.reduce((a, b) =>
+          if (tCompare(tc.kind, a, b) <= 0) a else b))
+      val hi = if (his.exists(_.isEmpty)) None
+        else Some(his.flatten.reduce((a, b) =>
+          if (tCompare(tc.kind, a, b) >= 0) a else b))
+      (lo, hi)
     }
 
   private def readText(fs: FileSystem, p: Path): String = {
@@ -258,13 +326,13 @@ object VersionedTable {
 
   /** Parse an immutable shard file into its entries. */
   private def readShard(spark: SparkSession, root: String,
-      name: String, nCols: Int): Seq[Entry] = {
+      name: String, nCols: Int, nTyped: Int): Seq[Entry] = {
     val fs = fsFor(spark, root)
     val text = readText(fs, new Path(manifestsDir(root), name))
     val lines = text.split('\n').filter(_.nonEmpty).toSeq
     require(lines.nonEmpty && lines.head.startsWith("# vtshard v1"),
       s"corrupt shard $name at $root")
-    lines.tail.map(parseEntry(_, nCols))
+    lines.tail.map(parseEntry(_, nCols, nTyped))
   }
 
   /** Write `entries` as one immutable shard file; None for an empty
@@ -273,8 +341,11 @@ object VersionedTable {
     * CAS attempt and uuid-named, so a lost race reuses it unchanged.
     */
   private def writeShard(spark: SparkSession, root: String,
-      statCols: Seq[String], entries: Seq[Entry]): Option[ShardRef] = {
+      statCols: Seq[String], entries: Seq[Entry],
+      typed: Seq[TypedCol] = Seq.empty): Option[ShardRef] = {
     if (entries.isEmpty) return None
+    require(entries.forall(_.tboxes.size == typed.size),
+      "entry typed-bound arity must match the table's typed columns")
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
     fs.mkdirs(dir)
@@ -289,7 +360,8 @@ object VersionedTable {
       }
     } finally out.close()
     Some(ShardRef(name, entries.size.toLong, entries.map(_.rows).sum,
-      aggBoxes(entries, statCols.size), entries.map(_.rows).min))
+      aggBoxes(entries, statCols.size), entries.map(_.rows).min,
+      aggTyped(entries, typed)))
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -317,6 +389,13 @@ object VersionedTable {
     val committedAtMs = lines.tail
       .find(_.startsWith("#ts\t"))
       .map(_.split('\t')(1).toLong).getOrElse(-1L)
+    // #typedcols \t name:kind:scale ... (absent on untyped tables)
+    val typedCols = lines.tail
+      .find(_.startsWith("#typedcols\t"))
+      .map(_.split('\t').toSeq.tail.map { spec =>
+        val p = spec.split(':')
+        TypedCol(p(0), p(1).head, p(2).toInt)
+      }).getOrElse(Seq.empty)
     // #mordel \t matched \t k \t (col lo hi){k} \t files-comma-joined
     val morDeletes = lines.tail.filter(_.startsWith("#mordel\t")).map { l =>
       val f = l.split('\t')
@@ -330,16 +409,24 @@ object VersionedTable {
       val refs = lines.tail.filter(_.startsWith("#shard\t")).map { l =>
         val f = l.split('\t')
         val n = statCols.size
-        // minRows rides as a trailing cell: older lines lack it (-1)
+        // minRows rides as a trailing cell: older lines lack it (-1);
+        // typed aggregate bounds trail after it on typed tables
         val mr = if (f.length > 4 + 2 * n) f(4 + 2 * n).toLong else -1L
+        val tb =
+          if (typedCols.isEmpty) Seq.empty
+          else typedCols.indices.map { i =>
+            (tParse(f(5 + 2 * n + 2 * i)), tParse(f(6 + 2 * n + 2 * i)))
+          }
         ShardRef(f(1), f(2).toLong, f(3).toLong, statCols.indices.map(i =>
-          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)), mr)
+          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)), mr, tb)
       }
       new Manifest(statCols, refs,
-        r => readShard(spark, root, r.name, statCols.size),
-        ingestBatch, kind, schemaJson, newFiles, committedAtMs, morDeletes)
+        r => readShard(spark, root, r.name, statCols.size, typedCols.size),
+        ingestBatch, kind, schemaJson, newFiles, committedAtMs, morDeletes,
+        typedCols)
     } else {
       // legacy flat manifest: inline entries as one synthetic shard
+      // (the flat format predates typed columns)
       val inline = lines.tail.filterNot(_.startsWith("#"))
         .map(parseEntry(_, statCols.size))
       val refs =
@@ -364,9 +451,12 @@ object VersionedTable {
       statCols: Seq[String], shards: Seq[ShardRef],
       ingestBatch: Long, kind: String, schemaJson: Option[String],
       newFiles: Seq[String] = Seq.empty,
-      morDeletes: Seq[MorDelete] = Seq.empty): Boolean = {
+      morDeletes: Seq[MorDelete] = Seq.empty,
+      typedCols: Seq[TypedCol] = Seq.empty): Boolean = {
     require(shards.forall(_.name.nonEmpty),
       "legacy inline entries must be migrated to a shard before publish")
+    require(shards.forall(_.tboxes.size == typedCols.size),
+      "shard typed-bound arity must match the table's typed columns")
     beforePublishHook.getAndSet(() => ())()
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))
@@ -390,6 +480,14 @@ object VersionedTable {
       if (ingestBatch >= 0)
         out.write(s"#ingest\t$ingestBatch\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (typedCols.nonEmpty) {
+        typedCols.foreach(tc => require(!tc.name.contains(':') &&
+          !tc.name.contains('\t'), s"typed column name unserializable: " +
+          s"'${tc.name}'"))
+        out.write((s"#typedcols\t" + typedCols.map(tc =>
+          s"${tc.name}:${tc.kind}:${tc.scale}").mkString("\t") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       schemaJson.foreach { j =>
         require(!j.contains('\t') && !j.contains('\n'),
           "schema json must be single-line")
@@ -411,8 +509,11 @@ object VersionedTable {
       }
       shards.sortBy(_.name).foreach { r =>
         val cells = r.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
-        out.write((s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
-          s"${cells.mkString("\t")}\t${r.minRows}\n")
+        val typed = r.tboxes.flatMap { case (lo, hi) =>
+          Seq(tCell(lo), tCell(hi)) }
+        val head = s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
+          s"${cells.mkString("\t")}\t${r.minRows}"
+        out.write(((head +: typed).mkString("\t") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -467,21 +568,35 @@ object VersionedTable {
     * Nothing is visible to readers until some manifest names them.
     */
   private def writeFiles(df: DataFrame, root: String,
-      statCols: Seq[String],
+      statCols: Seq[String], typed: Seq[TypedCol] = Seq.empty,
       shape: DataFrame => DataFrame = identity): Seq[Entry] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = s"$root/.stage-$uuid"
-    // write parquet BLOOM FILTERS for every stat column: footprints
-    // prune RANGE probes, blooms prune POINT probes on the same
-    // columns — [[pointRead]] checks them footer-only, so an equality
-    // lookup on an unclustered stat column skips files the [min,max]
-    // box cannot rule out
-    val writer = statCols.foldLeft(shape(df).write.mode("overwrite")) {
-      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }
-    writer.parquet(stage)
+    // write parquet BLOOM FILTERS for every stat column (typed ones
+    // too): footprints prune RANGE probes, blooms prune POINT probes
+    // on the same columns — [[pointRead]] checks them footer-only, so
+    // an equality lookup on an unclustered stat column skips files the
+    // [min,max] box cannot rule out
+    val writer = (statCols ++ typed.map(_.name))
+      .foldLeft(shape(df).write.mode("overwrite")) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+    // Spark still DEFAULTS to INT96 timestamps, which carry NO usable
+    // parquet statistics — a timestamp typed column would silently
+    // never prune. Force INT64 micros for the write (what Iceberg
+    // always writes) and restore the session conf after; readers
+    // handle both physical forms transparently.
+    val tsNames = typed.map(_.name).toSet
+    val needsMicros = df.schema.fields.exists(f => tsNames(f.name) &&
+      f.dataType == org.apache.spark.sql.types.TimestampType)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.get(tsKey)
+    val flip = needsMicros && prevTs == "INT96"
+    if (flip) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try writer.parquet(stage)
+    finally if (flip) spark.conf.set(tsKey, prevTs)
     fs.mkdirs(new Path(filesDir(root)))
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val moved = fs.listStatus(new Path(stage)).toSeq
@@ -494,12 +609,13 @@ object VersionedTable {
         dest.toString
       }
     fs.delete(new Path(stage), true)
-    val stats = Layout.footerStats(spark, moved, statCols)
+    val stats = Layout.footerStatsTyped(spark, moved, statCols,
+      typed.map(tc => (tc.name, tc.kind)))
     // a ZERO-ROW output file (an empty write, or a delete's rewrite
     // that removed a file's every row) carries no information — drop
     // the file instead of manifesting it
     val (emptyFiles, dataFiles) = stats.partition(_._2 == 0L)
-    emptyFiles.foreach { case (name, _, _) =>
+    emptyFiles.foreach { case (name, _, _, _) =>
       fs.delete(new Path(filesDir(root), name), false)
       ()
     }
@@ -508,8 +624,10 @@ object VersionedTable {
     // non-Long column type, misspelled name) cannot be manifested —
     // publishing only the survivors would make the skipped files' rows
     // invisible to every read and the next vacuum would delete them
-    // permanently, with a green version id returned.
-    val missing = dataFiles.collect { case (name, _, None) => name }
+    // permanently, with a green version id returned. TYPED bounds are
+    // best-effort by design (an unprovable bound just disables pruning
+    // on that side), so they never abort.
+    val missing = dataFiles.collect { case (name, _, None, _) => name }
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"append aborted: ${missing.size} of ${dataFiles.size} data files " +
@@ -518,8 +636,8 @@ object VersionedTable {
           s"all-NULL values, or a misspelled name?): " +
           s"${missing.take(3).mkString(", ")}. Nothing was published; " +
           "the moved files are unreferenced and will be vacuumed.")
-    dataFiles.map { case (name, rows, boxes) =>
-      Entry(name, rows, boxes.get, sizes.getOrElse(name, -1L))
+    dataFiles.map { case (name, rows, boxes, tb) =>
+      Entry(name, rows, boxes.get, sizes.getOrElse(name, -1L), tb)
     }
   }
 
@@ -554,7 +672,7 @@ object VersionedTable {
     if (!m.legacy) m.shards
     else m.shards.flatMap { r =>
       if (r.name.nonEmpty) Some(r)
-      else writeShard(spark, root, m.statCols, m.entriesOf(r))
+      else writeShard(spark, root, m.statCols, m.entriesOf(r), m.typedCols)
     }
 
   /** Rebase a writer's publish onto the newest manifest `lm`. The
@@ -606,7 +724,8 @@ object VersionedTable {
           else {
             found ++= inCand.map(_.name)
             if (inCand.isEmpty) carried += r
-            else carried ++= writeShard(spark, root, m0.statCols, rest)
+            else carried ++= writeShard(spark, root, m0.statCols, rest,
+              m0.typedCols)
           }
         }
       }
@@ -642,6 +761,45 @@ object VersionedTable {
     */
   def append(df: DataFrame, root: String, statCols: Seq[String]): Long =
     appendBatch(df, root, statCols, ingestBatch = -1L)
+
+  /** [[append]] declaring TYPED stat columns as well: string / date /
+    * timestamp / int / decimal(≤18) columns whose truncated min-max
+    * bounds ride in the manifest so [[sqlRead]] prunes files on the
+    * columns real corpora filter by (language, source, date) — the
+    * Iceberg typed-bounds idea. Fixed at table creation like the Long
+    * stat columns; read-pruning only (DML probes stay Long).
+    */
+  def append(df: DataFrame, root: String, statCols: Seq[String],
+      typedStatCols: Seq[String]): Long =
+    appendBatchDetailed(df, root, statCols, ingestBatch = -1L,
+      typedStatCols)._1
+
+  /** The typed-column kinds an append's schema induces — rejected
+    * loudly when a declared column is missing or of an unsupported
+    * type (a silent skip would quietly disable the pruning the caller
+    * asked for).
+    */
+  private def deriveTyped(schema: org.apache.spark.sql.types.StructType,
+      names: Seq[String]): Seq[TypedCol] =
+    names.map { n =>
+      val f = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"typed stat column '$n' is not in the append schema " +
+            schema.fieldNames.mkString("[", ", ", "]")))
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType => TypedCol(n, 's')
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.IntegerType => TypedCol(n, 'l')
+        case d: org.apache.spark.sql.types.DecimalType
+            if d.precision <= 18 => TypedCol(n, 'd', d.scale)
+        case other => throw new IllegalArgumentException(
+          s"typed stat column '$n' has unsupported type $other — " +
+            "supported: string, date, timestamp, int, decimal(p<=18); " +
+            "LongType columns belong in statCols")
+      }
+    }
 
   /** [[append]] carrying a streaming INGEST FRONTIER: when
     * `ingestBatch >= 0`, the manifest records it (carried forward by
@@ -682,7 +840,8 @@ object VersionedTable {
     * the table in between.
     */
   def appendBatchDetailed(df: DataFrame, root: String, statCols: Seq[String],
-      ingestBatch: Long): (Long, Boolean) = {
+      ingestBatch: Long, typedStatCols: Seq[String] = Seq.empty)
+      : (Long, Boolean) = {
     val spark = df.sparkSession
     require(statCols.nonEmpty, "append needs at least one stat column")
     var written: Seq[Entry] = null
@@ -694,7 +853,15 @@ object VersionedTable {
       base.foreach { case (_, m) =>
         require(m.statCols == statCols,
           s"stat columns are fixed at table creation: ${m.statCols} != $statCols")
+        require(m.typedCols.map(_.name) == typedStatCols,
+          s"typed stat columns are fixed at table creation: " +
+            s"${m.typedCols.map(_.name)} != $typedStatCols")
       }
+      // kinds come from the MANIFEST for an existing table (add-only
+      // schema evolution keeps them stable); the first append derives
+      // them from its own schema and fixes them for the table's life
+      val typed = base.map(_._2.typedCols)
+        .getOrElse(deriveTyped(df.schema, typedStatCols))
       val frontier = base.map(_._2.ingestBatch).getOrElse(-1L)
       if (ingestBatch >= 0 && ingestBatch <= frontier) {
         // replayed batch: already published (possibly by a racing
@@ -712,8 +879,8 @@ object VersionedTable {
       val merged0 = mergedSchema(
         tableSchema(spark, root, base.map(_._2)), df.schema)
       if (written == null) {
-        written = writeFiles(df, root, statCols)
-        writtenShard = writeShard(spark, root, statCols, written)
+        written = writeFiles(df, root, statCols, typed)
+        writtenShard = writeShard(spark, root, statCols, written, typed)
       }
       val baseShards = base.map { case (_, m) =>
         materializedShards(spark, root, m) }.getOrElse(Seq.empty)
@@ -729,7 +896,7 @@ object VersionedTable {
         if (runts.size >= ShardMergeFanIn) {
           val m = base.get._2
           val folded = writeShard(spark, root, statCols,
-            runts.flatMap(m.entriesOf))
+            runts.flatMap(m.entriesOf), typed)
           merged = folded.map(s => (runts.map(_.name).toSet, s))
         }
       }
@@ -747,7 +914,8 @@ object VersionedTable {
           publishShards ++ writtenShard.toSeq,
           math.max(frontier, ingestBatch), kind = "append",
           Some(merged0.json),
-          morDeletes = base.map(_._2.morDeletes).getOrElse(Seq.empty)))
+          morDeletes = base.map(_._2.morDeletes).getOrElse(Seq.empty),
+          typedCols = typed))
         return (v, true)
       attempt += 1
       backoff(attempt)
@@ -842,7 +1010,7 @@ object VersionedTable {
     // same expression-keyed range exchange as Layout.zorderWrite —
     // the z key routes and sorts rows without crossing the wire;
     // the write target is the scratch dir writeFiles moves from
-    val entries = writeFiles(df, root, m0.statCols,
+    val entries = writeFiles(df, root, m0.statCols, m0.typedCols,
       shape = d => {
         val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
           max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
@@ -851,7 +1019,8 @@ object VersionedTable {
           Layout.scale16(col(b), bounds(2), bounds(3)))
         d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
       })
-    val compactShard = writeShard(spark, root, m0.statCols, entries)
+    val compactShard = writeShard(spark, root, m0.statCols, entries,
+      m0.typedCols)
     val baseShardNames = m0.shardNames
     var attempt = 0
     while (true) {
@@ -878,7 +1047,8 @@ object VersionedTable {
           if (tryPublish(spark, root, lv + 1, m0.statCols,
               compactShard.toSeq ++ carried,
               lm.ingestBatch, kind = "compact",
-              publishSchema(spark, root, lm, None)))
+              publishSchema(spark, root, lm, None),
+              typedCols = m0.typedCols))
             return lv + 1
       }
       attempt += 1
@@ -951,13 +1121,15 @@ object VersionedTable {
     val a = m0.statCols.head
     val entries = writeFiles(
       readNamed(spark, root, m0, touched.map(_.name)), root, m0.statCols,
+      m0.typedCols,
       shape = d =>
         if (nBins == 1) d.coalesce(1)
         else d.repartitionByRange(nBins, col(a)).sortWithinPartitions(col(a)))
-    val packedShard = writeShard(spark, root, m0.statCols, entries)
+    val packedShard = writeShard(spark, root, m0.statCols, entries,
+      m0.typedCols)
     val replacements = candShards.flatMap { r =>
       writeShard(spark, root, m0.statCols,
-        m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
+        m0.entriesOf(r).filterNot(e => touchedNames(e.name)), m0.typedCols)
     }
     val candNames = candShards.map(_.name).toSet
     var attempt = 0
@@ -976,7 +1148,8 @@ object VersionedTable {
           if (tryPublish(spark, root, lv + 1, m0.statCols,
               carried ++ replacements ++ packedShard.toSeq,
               lm.ingestBatch, kind = "compact",
-              publishSchema(spark, root, lm, None)))
+              publishSchema(spark, root, lm, None),
+              typedCols = m0.typedCols))
             return Some((lv + 1, touched.size - entries.size))
       }
       attempt += 1
@@ -1180,7 +1353,7 @@ object VersionedTable {
       extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualTo, Expression, GreaterThan,
-      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+      GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 
     /** File statuses SYNTHESIZED from the manifest's recorded byte
       * sizes — planning never lists `files/` (at 800k files on an
@@ -1229,25 +1402,35 @@ object VersionedTable {
     override def listFiles(
         partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
         : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
-      val (probes, equalities) = extractProbes(dataFilters)
-      val pruned: Seq[String] =
-        if (probes.isEmpty) universe
-        else partitionByBox(m, probes) match {
-          case Some((touched, _)) =>
-            val u = subset
-            u match {
-              case Some(s) => touched.map(_.name).filter(s)
-              case None => touched.map(_.name)
-            }
-          case None => universe
-        }
-      val kept0 = pruned
-      // a pure equality probe gets the footer-bloom stage too — but
-      // only the driver-loop tier: query PLANNING must not launch jobs
-      val kept = equalities.headOption match {
+      val ps = extractProbes(dataFilters)
+      val inUniverse: String => Boolean = subset match {
+        case Some(s) => s
+        case None => _ => true
+      }
+      val kept0: Seq[String] =
+        if (ps.isEmpty) universe
+        else m.shards
+          .filter(r => r.name.isEmpty || boundsHit(r.boxes, r.tboxes, ps))
+          .flatMap(r => m.entriesOf(r))
+          .filter(e => boundsHit(e.boxes, e.tboxes, ps))
+          .map(_.name).filter(inUniverse)
+      // a pure equality (or small IN-list) probe on a LONG stat column
+      // gets the footer-bloom stage too — but only the driver-loop
+      // tier: query PLANNING must not launch jobs
+      val kept = ps.eqs.headOption match {
         case Some((c, v)) if kept0.size <= Layout.BloomDriverLoopLimit =>
           bloomSurvivors(spark, root, kept0, c, v)
-        case _ => kept0
+        case _ => ps.ins.headOption match {
+          case Some((i, vs)) if vs.size <= BloomInValueCap &&
+              kept0.size <= Layout.BloomDriverLoopLimit =>
+            // a file survives when ANY of the IN values may be present
+            val c = m.statCols(i)
+            val any = vs.map(v =>
+              bloomSurvivors(spark, root, kept0, c, v).toSet)
+              .reduce(_ union _)
+            kept0.filter(any)
+          case _ => kept0
+        }
       }
       lastKeptFiles = kept.size
       Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
@@ -1255,18 +1438,68 @@ object VersionedTable {
         kept.map(statusOf).toArray))
     }
 
-    /** Conjuncts → per-stat-column [lo, hi] intersections (+ the
-      * equality probes among them). Unknown shapes contribute nothing:
-      * pruning narrows only on what it can prove.
+    /** The pushed conjuncts, translated: long-column [lo, hi]
+      * intersections and IN-lists (by stat-column index), typed-column
+      * encoded ranges and IN-lists (by typed-column index), and the
+      * long equalities the bloom stage can use. Unknown shapes
+      * contribute nothing: pruning narrows only on what it can prove.
       */
-    private def extractProbes(filters: Seq[Expression])
-        : (Seq[(String, Long, Long)], Seq[(String, Long)]) = {
-      val lo = scala.collection.mutable.Map.empty[String, Long]
-      val hi = scala.collection.mutable.Map.empty[String, Long]
+    private case class Probes(
+        boxes: Seq[(Int, Long, Long)],
+        ins: Seq[(Int, Seq[Long])],
+        tranges: Seq[(Int, Option[String], Option[String])],
+        tins: Seq[(Int, Seq[String])],
+        eqs: Seq[(String, Long)]) {
+      def isEmpty: Boolean =
+        boxes.isEmpty && ins.isEmpty && tranges.isEmpty && tins.isEmpty
+    }
+
+    /** Can a file/shard with these bounds hold a row passing every
+      * probe? Typed bounds may be absent (legacy pseudo-shard, an
+      * unprovable side): absence never prunes.
+      */
+    private def boundsHit(boxes: Seq[(Long, Long)], tb: Seq[TBound],
+        ps: Probes): Boolean = {
+      def tLo(i: Int): Option[String] =
+        if (tb.isEmpty) None else tb(i)._1
+      def tHi(i: Int): Option[String] =
+        if (tb.isEmpty) None else tb(i)._2
+      ps.boxes.forall { case (i, lo, hi) =>
+        val (mn, mx) = boxes(i); !(hi < mn || lo > mx)
+      } &&
+      ps.ins.forall { case (i, vs) =>
+        val (mn, mx) = boxes(i); vs.exists(v => v >= mn && v <= mx)
+      } &&
+      ps.tranges.forall { case (i, lo, hi) =>
+        val k = m.typedCols(i).kind
+        hi.zip(tLo(i)).forall { case (h, mn) => tCompare(k, h, mn) >= 0 } &&
+        lo.zip(tHi(i)).forall { case (l, mx) => tCompare(k, l, mx) <= 0 }
+      } &&
+      ps.tins.forall { case (i, vs) =>
+        val k = m.typedCols(i).kind
+        vs.exists(v =>
+          tLo(i).forall(mn => tCompare(k, v, mn) >= 0) &&
+          tHi(i).forall(mx => tCompare(k, v, mx) <= 0))
+      }
+    }
+
+    private def extractProbes(filters: Seq[Expression]): Probes = {
+      val lo = scala.collection.mutable.Map.empty[Int, Long]
+      val hi = scala.collection.mutable.Map.empty[Int, Long]
+      val tlo = scala.collection.mutable.Map.empty[Int, String]
+      val thi = scala.collection.mutable.Map.empty[Int, String]
       val eqs = Seq.newBuilder[(String, Long)]
-      def statCol(e: Expression): Option[String] = e match {
+      val ins = Seq.newBuilder[(Int, Seq[Long])]
+      val tins = Seq.newBuilder[(Int, Seq[String])]
+      def statIdx(e: Expression): Option[Int] = e match {
         case a: AttributeReference if m.statCols.contains(a.name) =>
-          Some(a.name)
+          Some(m.statCols.indexOf(a.name))
+        case _ => None
+      }
+      def typedIdx(e: Expression): Option[Int] = e match {
+        case a: AttributeReference =>
+          val i = m.typedCols.indexWhere(_.name == a.name)
+          if (i >= 0) Some(i) else None
         case _ => None
       }
       def longLit(e: Expression): Option[Long] = e match {
@@ -1275,42 +1508,128 @@ object VersionedTable {
           Some(v.toLong)
         case _ => None
       }
-      def narrowLo(c: String, v: Long): Unit =
-        lo(c) = math.max(lo.getOrElse(c, Long.MinValue), v)
-      def narrowHi(c: String, v: Long): Unit =
-        hi(c) = math.min(hi.getOrElse(c, Long.MaxValue), v)
+      /** A literal of the exact type the typed column carries, encoded
+        * the way its bounds are; anything else (a cast, a collated
+        * string, a scale-mismatched decimal) yields no proof.
+        */
+      def typedLit(i: Int, e: Expression): Option[String] = {
+        val tc = m.typedCols(i)
+        (tc.kind, e) match {
+          case ('s', Literal(u: org.apache.spark.unsafe.types.UTF8String, t))
+              if t == org.apache.spark.sql.types.StringType =>
+            Some(Layout.hexEnc(u.getBytes))
+          case ('l', Literal(v: Int, org.apache.spark.sql.types.DateType)) =>
+            Some(v.toString)
+          case ('l', Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType)) => Some(v.toString)
+          case ('l', Literal(v: Long,
+              org.apache.spark.sql.types.TimestampType)) => Some(v.toString)
+          case ('l', Literal(v: Long,
+              org.apache.spark.sql.types.TimestampNTZType)) =>
+            Some(v.toString)
+          case ('d', Literal(d: org.apache.spark.sql.types.Decimal,
+              dt: org.apache.spark.sql.types.DecimalType))
+              if dt.scale == tc.scale && dt.precision <= 18 =>
+            Some(d.toUnscaledLong.toString)
+          case _ => None
+        }
+      }
+      def narrowLo(i: Int, v: Long): Unit =
+        lo(i) = math.max(lo.getOrElse(i, Long.MinValue), v)
+      def narrowHi(i: Int, v: Long): Unit =
+        hi(i) = math.min(hi.getOrElse(i, Long.MaxValue), v)
+      def tNarrowLo(i: Int, v: String): Unit = {
+        val k = m.typedCols(i).kind
+        tlo(i) = tlo.get(i).filter(tCompare(k, _, v) >= 0).getOrElse(v)
+      }
+      def tNarrowHi(i: Int, v: String): Unit = {
+        val k = m.typedCols(i).kind
+        thi(i) = thi.get(i).filter(tCompare(k, _, v) <= 0).getOrElse(v)
+      }
+      // typed strict comparisons relax to inclusive (sound: the pruned
+      // set only grows); long ones stay exact via ±1
+      def cmp(a: Expression, b: Expression,
+          longA: (Int, Long) => Unit, longB: (Int, Long) => Unit,
+          typedA: (Int, String) => Unit,
+          typedB: (Int, String) => Unit): Unit = {
+        statIdx(a).zip(longLit(b)).foreach { case (i, v) => longA(i, v) }
+        statIdx(b).zip(longLit(a)).foreach { case (i, v) => longB(i, v) }
+        typedIdx(a).foreach(i => typedLit(i, b).foreach(v => typedA(i, v)))
+        typedIdx(b).foreach(i => typedLit(i, a).foreach(v => typedB(i, v)))
+      }
+      def inValues(a: Expression, vs: Seq[Any],
+          types: Seq[Expression]): Unit = {
+        if (vs.size > InProbeCap || vs.isEmpty) return
+        statIdx(a).foreach { i =>
+          val longs = types.flatMap(longLit)
+          if (longs.size == vs.size) ins += ((i, longs))
+        }
+        typedIdx(a).foreach { i =>
+          val typeds = types.flatMap(t => typedLit(i, t))
+          if (typeds.size == vs.size) tins += ((i, typeds))
+        }
+      }
       def walk(e: Expression): Unit = e match {
         case And(l, r) => walk(l); walk(r)
         case GreaterThanOrEqual(a, b) =>
-          statCol(a).zip(longLit(b)).foreach { case (c, v) => narrowLo(c, v) }
-          statCol(b).zip(longLit(a)).foreach { case (c, v) => narrowHi(c, v) }
+          cmp(a, b, narrowLo, narrowHi, tNarrowLo, tNarrowHi)
         case LessThanOrEqual(a, b) =>
-          statCol(a).zip(longLit(b)).foreach { case (c, v) => narrowHi(c, v) }
-          statCol(b).zip(longLit(a)).foreach { case (c, v) => narrowLo(c, v) }
+          cmp(a, b, narrowHi, narrowLo, tNarrowHi, tNarrowLo)
         case GreaterThan(a, b) =>
-          statCol(a).zip(longLit(b)).foreach { case (c, v) =>
-            if (v < Long.MaxValue) narrowLo(c, v + 1) }
-          statCol(b).zip(longLit(a)).foreach { case (c, v) =>
-            if (v > Long.MinValue) narrowHi(c, v - 1) }
+          cmp(a, b,
+            (i, v) => if (v < Long.MaxValue) narrowLo(i, v + 1),
+            (i, v) => if (v > Long.MinValue) narrowHi(i, v - 1),
+            tNarrowLo, tNarrowHi)
         case LessThan(a, b) =>
-          statCol(a).zip(longLit(b)).foreach { case (c, v) =>
-            if (v > Long.MinValue) narrowHi(c, v - 1) }
-          statCol(b).zip(longLit(a)).foreach { case (c, v) =>
-            if (v < Long.MaxValue) narrowLo(c, v + 1) }
+          cmp(a, b,
+            (i, v) => if (v > Long.MinValue) narrowHi(i, v - 1),
+            (i, v) => if (v < Long.MaxValue) narrowLo(i, v + 1),
+            tNarrowHi, tNarrowLo)
         case EqualTo(a, b) =>
-          statCol(a).zip(longLit(b)).foreach { case (c, v) =>
-            narrowLo(c, v); narrowHi(c, v); eqs += ((c, v)) }
-          statCol(b).zip(longLit(a)).foreach { case (c, v) =>
-            narrowLo(c, v); narrowHi(c, v); eqs += ((c, v)) }
+          statIdx(a).zip(longLit(b)).foreach { case (i, v) =>
+            narrowLo(i, v); narrowHi(i, v); eqs += ((m.statCols(i), v)) }
+          statIdx(b).zip(longLit(a)).foreach { case (i, v) =>
+            narrowLo(i, v); narrowHi(i, v); eqs += ((m.statCols(i), v)) }
+          cmp(a, b, (_, _) => (), (_, _) => (),
+            (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) },
+            (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) })
+        case In(a, list) =>
+          // WHERE id IN (…) — THE point-lookup batch shape: a union of
+          // point probes, capped at InProbeCap (falls back to no
+          // pruning above it, never to a wrong plan)
+          inValues(a, list, list)
+        case InSet(a, set) =>
+          // the optimizer's large-IN form: values are internal
+          // representations — re-wrap as literals of the child's type
+          // so the one decoding path serves both shapes
+          val lits = set.toSeq.map(v => Literal(v, a.dataType): Expression)
+          inValues(a, lits, lits)
         case _ => () // OR / cast / udf / unknown: no proof, no pruning
       }
       filters.foreach(walk)
-      val probes = (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
-        (c, lo.getOrElse(c, Long.MinValue), hi.getOrElse(c, Long.MaxValue))
-      }
-      (probes, eqs.result())
+      Probes(
+        (lo.keySet ++ hi.keySet).toSeq.sorted.map { i =>
+          (i, lo.getOrElse(i, Long.MinValue), hi.getOrElse(i, Long.MaxValue))
+        },
+        ins.result(),
+        (tlo.keySet ++ thi.keySet).toSeq.sorted.map { i =>
+          (i, tlo.get(i), thi.get(i))
+        },
+        tins.result(),
+        eqs.result())
     }
   }
+
+  /** IN-lists longer than this fall back to no pruning — a probe per
+    * value is driver work, and a thousand-value IN belongs to a join,
+    * not a manifest walk.
+    */
+  private[pipeline] val InProbeCap: Int = 64
+
+  /** At most this many IN values get the per-value footer-bloom stage
+    * (each value is one footer read per candidate file).
+    */
+  private[pipeline] val BloomInValueCap: Int = 8
 
   /** Box probe over the latest version, path-pruned by the metadata's
     * OWN footprints at BOTH levels — whole shards from the manifest
@@ -1481,7 +1800,8 @@ object VersionedTable {
           materializedShards(spark, root, lm),
           lm.ingestBatch, kind = "mordelete",
           publishSchema(spark, root, lm, None),
-          morDeletes = lm.morDeletes :+ MorDelete(probes, matched, files)))
+          morDeletes = lm.morDeletes :+ MorDelete(probes, matched, files),
+          typedCols = m0.typedCols))
         return Some((lv + 1, matched))
       attempt += 1
       backoff(attempt)
@@ -1525,11 +1845,12 @@ object VersionedTable {
     val touchedNames = touched.map(_.name).toSet
     val entries = writeFiles(
       readVisible(spark, root, m0, touched.map(_.name)),
-      root, m0.statCols)
-    val survivorShard = writeShard(spark, root, m0.statCols, entries)
+      root, m0.statCols, m0.typedCols)
+    val survivorShard = writeShard(spark, root, m0.statCols, entries,
+      m0.typedCols)
     val replacements = candShards.flatMap { r =>
       writeShard(spark, root, m0.statCols,
-        m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
+        m0.entriesOf(r).filterNot(e => touchedNames(e.name)), m0.typedCols)
     }
     val candNames = candShards.map(_.name).toSet
     var attempt = 0
@@ -1547,7 +1868,8 @@ object VersionedTable {
           if (tryPublish(spark, root, lv + 1, m0.statCols,
               carried ++ replacements ++ survivorShard.toSeq,
               lm.ingestBatch, kind = "materialize",
-              publishSchema(spark, root, lm, None)))
+              publishSchema(spark, root, lm, None),
+              typedCols = m0.typedCols))
             return Some(lv + 1)
       }
       attempt += 1
@@ -1633,7 +1955,7 @@ object VersionedTable {
     // NULL, and filter(!NULL) would DROP the row — a NULL is
     // outside any box, so it must SURVIVE the delete
     val survivors = touchedDf.filter(!coalesce(inBox, lit(false)))
-    val entries = writeFiles(survivors, root, m0.statCols)
+    val entries = writeFiles(survivors, root, m0.statCols, m0.typedCols)
     val survivorRows = entries.map(_.rows).sum
     val deleted = touched.map(_.rows).sum - survivorRows
     if (deleted == 0L) {
@@ -1645,10 +1967,11 @@ object VersionedTable {
     // candidate shards are REWRITTEN: their untouched entries carry
     // into replacement shards by name, the survivors land in one new
     // shard; every non-candidate shard rides the list by reference
-    val survivorShard = writeShard(spark, root, m0.statCols, entries)
+    val survivorShard = writeShard(spark, root, m0.statCols, entries,
+      m0.typedCols)
     val replacements = candShards.flatMap { r =>
       writeShard(spark, root, m0.statCols,
-        m0.entriesOf(r).filterNot(e => touchedNames(e.name)))
+        m0.entriesOf(r).filterNot(e => touchedNames(e.name)), m0.typedCols)
     }
     val candNames = candShards.map(_.name).toSet
     var attempt = 0
@@ -1673,7 +1996,8 @@ object VersionedTable {
           if (tryPublish(spark, root, lv + 1, m0.statCols,
               carried ++ replacements ++ survivorShard.toSeq,
               lm.ingestBatch, kind = "delete",
-              publishSchema(spark, root, lm, None)))
+              publishSchema(spark, root, lm, None),
+              typedCols = m0.typedCols))
             return Some((lv + 1, deleted))
       }
       attempt += 1
@@ -1817,7 +2141,7 @@ object VersionedTable {
       else {
         val survivors = readNamed(spark, root, m, touched.map(_.name))
           .join(broadcast(keyFrame), keyCols, "left_anti")
-        writeFiles(survivors, root, m.statCols)
+        writeFiles(survivors, root, m.statCols, m.typedCols)
       }
     val replaced = touched.map(_.rows).sum - rewritten.map(_.rows).sum
     // align the updates to the evolved schema (older columns they
@@ -1827,15 +2151,18 @@ object VersionedTable {
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(merged.fieldNames.map(col): _*)
-    val newEntries = writeFiles(alignedUpdates, root, m.statCols)
+    val newEntries = writeFiles(alignedUpdates, root, m.statCols,
+      m.typedCols)
     // replacement shards: candidate shards lose their touched files,
     // keep everything else by name; the rewritten survivors and the
     // update rows land as new shards
-    val rewrittenShard = writeShard(spark, root, m.statCols, rewritten)
-    val newShard = writeShard(spark, root, m.statCols, newEntries)
+    val rewrittenShard = writeShard(spark, root, m.statCols, rewritten,
+      m.typedCols)
+    val newShard = writeShard(spark, root, m.statCols, newEntries,
+      m.typedCols)
     val replacements = candShards.flatMap { r =>
       writeShard(spark, root, m.statCols,
-        m.entriesOf(r).filterNot(e => touchedNames(e.name)))
+        m.entriesOf(r).filterNot(e => touchedNames(e.name)), m.typedCols)
     }
     val candNames = candShards.map(_.name).toSet
     var attempt = 0
@@ -1857,7 +2184,8 @@ object VersionedTable {
                 newShard.toSeq,
               lm.ingestBatch,
               kind = "upsert", publishSchema(spark, root, lm, Some(merged)),
-              newFiles = newEntries.map(_.name)))
+              newFiles = newEntries.map(_.name),
+              typedCols = m.typedCols))
             return Some((lv + 1, replaced))
       }
       attempt += 1
@@ -2233,6 +2561,8 @@ object VersionedTable {
     val m = readManifest(spark, root, v)
     require(m.morDeletes.isEmpty,
       "flattenToLegacy: the flat format predates mor-delete markers")
+    require(m.typedCols.isEmpty,
+      "flattenToLegacy: the flat format predates typed stat columns")
     val es = m.entries
     val fs = fsFor(spark, root)
     val dir = new Path(manifestsDir(root))

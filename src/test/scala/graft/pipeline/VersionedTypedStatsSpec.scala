@@ -1,0 +1,265 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TYPED column statistics in the versioned manifest — the Iceberg
+  * idea the Long-only boxes couldn't reach: string / date / timestamp
+  * / decimal min-max bounds per file (strings truncated: prefix min,
+  * truncate-incremented max), aggregated per shard, translated from
+  * the SQL path's pushed filters in [[VersionedTable.sqlRead]]'s
+  * FileIndex. Real corpora filter on exactly these columns (language,
+  * source, date), so without typed bounds every such query scans the
+  * table. Also pins the `IN`-list translation — THE point-lookup batch
+  * shape — for both long and typed columns, with the cap fallback.
+  */
+class VersionedTypedStatsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).resolve("t").toString
+
+  /** 20k docs: id, lang (10 values), day (date), ts (timestamp),
+    * price (decimal(12,2)) — lang-clustered so typed bounds are narrow
+    * per file, ids spread within each lang file.
+    */
+  private def docs(n: Long) =
+    spark.range(0, n)
+      .select($"id",
+        concat(lit("lang_"), format_string("%02d", $"id" % 10))
+          .as("lang"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          ($"id" % 300).cast("int")).as("day"),
+        timestamp_micros($"id" * 1000000L).as("ts"),
+        ($"id" % 1000).cast("decimal(12,2)").as("price"))
+      .repartitionByRange(16, $"lang", $"id")
+
+  test("string/date/timestamp/decimal bounds prune SQL scans; every shape stays exact") {
+    val root = tmp("graft-vt-typed")
+    val n = 20000L
+    VersionedTable.append(docs(n), root, Seq("id"),
+      Seq("lang", "day", "ts", "price"))
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_typed")
+    val total = spark.sql("SELECT count(*) FROM vt_typed").head.getLong(0)
+    assert(total == n)
+    val all = index.lastKeptFiles
+    assert(all == 16, s"fixture: 16 files expected, got $all")
+
+    // string equality: a lang-clustered layout keeps ~1/10 of files
+    val eq = spark.sql(
+      "SELECT count(*) FROM vt_typed WHERE lang = 'lang_03'")
+      .head.getLong(0)
+    assert(eq == (0L until n).count(_ % 10 == 3))
+    val eqKept = index.lastKeptFiles
+    info(s"lang equality kept $eqKept/$all files")
+    assert(eqKept < all / 2, s"string equality must prune: $eqKept/$all")
+
+    // string range
+    val rg = spark.sql("""SELECT count(*) FROM vt_typed
+        WHERE lang >= 'lang_02' AND lang <= 'lang_04'""").head.getLong(0)
+    assert(rg == (0L until n).count(id => id % 10 >= 2 && id % 10 <= 4))
+    assert(index.lastKeptFiles < all, "string range must prune")
+
+    // string IN-list
+    val inL = spark.sql(
+      "SELECT count(*) FROM vt_typed WHERE lang IN ('lang_01', 'lang_07')")
+      .head.getLong(0)
+    assert(inL == (0L until n).count(id => id % 10 == 1 || id % 10 == 7))
+    val inKept = index.lastKeptFiles
+    info(s"lang IN(2) kept $inKept/$all files")
+    assert(inKept < all, "a string IN-list must prune")
+
+    // date range (DateType literal = epoch-day Int)
+    val dt = spark.sql("""SELECT count(*) FROM vt_typed
+        WHERE day >= DATE'2020-09-27'""").head.getLong(0)
+    assert(dt == (0L until n).count(_ % 300 >= 270))
+    assert(index.lastKeptFiles <= all)
+
+    // timestamp range (micros literal via timestamp_micros, folded)
+    val ts = spark.sql(s"""SELECT count(*) FROM vt_typed
+        WHERE ts < timestamp_micros(${5000L * 1000000L})""").head.getLong(0)
+    assert(ts == 5000L)
+    val tsKept = index.lastKeptFiles
+    info(s"timestamp range kept $tsKept/$all files")
+
+    // decimal equality at the exact stored scale
+    val dec = spark.sql("""SELECT count(*) FROM vt_typed
+        WHERE price = CAST(137.00 AS DECIMAL(12,2))""").head.getLong(0)
+    assert(dec == (0L until n).count(_ % 1000 == 137))
+
+    // OR gives no per-conjunct proof: no pruning, result exact
+    val or = spark.sql("""SELECT count(*) FROM vt_typed
+        WHERE lang = 'lang_00' OR lang = 'lang_09'""").head.getLong(0)
+    assert(or == (0L until n).count(id => id % 10 == 0 || id % 10 == 9))
+    assert(index.lastKeptFiles == all, "OR must disable pruning, not break it")
+  }
+
+  test("date/timestamp/decimal ranges prune on a time-clustered layout") {
+    val root = tmp("graft-vt-time")
+    val n = 10000L
+    // all three typed columns monotone in id, id-range-clustered: every
+    // range probe has narrow per-file bounds to bite on
+    val rows = spark.range(0, n)
+      .select($"id",
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          ($"id" / 100L).cast("int")).as("day"),
+        timestamp_micros($"id" * 1000000L).as("ts"),
+        $"id".cast("decimal(12,2)").as("price"))
+      .repartitionByRange(10, $"id")
+    VersionedTable.append(rows, root, Seq("id"), Seq("day", "ts", "price"))
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_time")
+
+    val dt = spark.sql("""SELECT count(*) FROM vt_time
+        WHERE day >= DATE'2020-01-01' AND day < DATE'2020-01-11'""")
+      .head.getLong(0)
+    assert(dt == 1000L)
+    val dayKept = index.lastKeptFiles
+    info(s"date range kept $dayKept/10 files")
+    assert(dayKept <= 3, s"a 10% date range must prune: $dayKept/10")
+
+    val ts = spark.sql(s"""SELECT count(*) FROM vt_time
+        WHERE ts >= timestamp_micros(${8000L * 1000000L})""").head.getLong(0)
+    assert(ts == 2000L)
+    val tsKept = index.lastKeptFiles
+    info(s"timestamp range kept $tsKept/10 files")
+    assert(tsKept <= 4, s"a 20% timestamp range must prune: $tsKept/10")
+
+    val dec = spark.sql("""SELECT count(*) FROM vt_time
+        WHERE price <= CAST(499.00 AS DECIMAL(12,2))""").head.getLong(0)
+    assert(dec == 500L)
+    val decKept = index.lastKeptFiles
+    info(s"decimal range kept $decKept/10 files")
+    assert(decKept <= 2, s"a 5% decimal range must prune: $decKept/10")
+  }
+
+  test("long IN-lists prune as a union of point probes, bloom-staged; above the cap pruning backs off") {
+    val root = tmp("graft-vt-in")
+    val n = 20000L
+    val base = spark.range(0, n)
+      .select($"id".as("event_id"), ($"id" % 97).as("user_id"),
+        ($"id" * 1000L).as("ts_us"))
+      .repartitionByRange(16, $"event_id")
+    VersionedTable.append(base, root, Seq("event_id", "user_id"))
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_in")
+
+    val vals = Seq(3L, 9999L, 19998L)
+    val got = spark.sql(
+      s"SELECT event_id FROM vt_in WHERE event_id IN (${vals.mkString(",")})")
+      .as[Long].collect().toSet
+    assert(got == vals.toSet)
+    val kept = index.lastKeptFiles
+    info(s"IN(${vals.size}) kept $kept/16 files")
+    assert(kept <= vals.size,
+      s"an IN-list over a range-clustered column must keep at most one " +
+        s"file per value: $kept")
+
+    // above the cap: exact result, pruning off (never a wrong plan)
+    val big = (0L until n by (n / 100)).take(80)
+    val gotBig = spark.sql(
+      s"SELECT count(*) FROM vt_in WHERE event_id IN (${big.mkString(",")})")
+      .head.getLong(0)
+    assert(gotBig == big.size.toLong)
+    assert(index.lastKeptFiles == 16,
+      "an over-cap IN-list must fall back to no pruning")
+
+    // IN composes with a conjunctive box on another column
+    val mix = spark.sql(
+      s"""SELECT count(*) FROM vt_in
+          WHERE event_id IN (${vals.mkString(",")}) AND user_id <= 10""")
+      .head.getLong(0)
+    assert(mix == vals.count(_ % 97 <= 10))
+  }
+
+  test("truncated string bounds stay sound: 32-byte-plus strings lose no rows and still prune") {
+    val root = tmp("graft-vt-trunc")
+    // two groups of long strings (shared 40-byte prefixes, distinct
+    // tails) — bounds must truncate yet keep every row findable
+    val pfxA = "a" * 40
+    val pfxB = "b" * 40
+    val rows = spark.range(0, 2000)
+      .select($"id",
+        when($"id" % 2 === 0, concat(lit(pfxA), format_string("%06d", $"id")))
+          .otherwise(concat(lit(pfxB), format_string("%06d", $"id")))
+          .as("url"))
+      .repartitionByRange(8, $"url")
+    VersionedTable.append(rows, root, Seq("id"), Seq("url"))
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_trunc")
+    // a point lookup on a full long string: found despite truncation
+    val needle = pfxB + "%06d".format(1001)
+    val hit = spark.sql(
+      s"SELECT id FROM vt_trunc WHERE url = '$needle'")
+      .as[Long].collect().toSeq
+    assert(hit == Seq(1001L), "truncated bounds must never lose a row")
+    // and the a-prefix files were pruned away for a b-prefix probe
+    assert(index.lastKeptFiles < 8,
+      s"prefix-distinct files must prune: ${index.lastKeptFiles}/8")
+    // range over one prefix group
+    val cnt = spark.sql(
+      s"SELECT count(*) FROM vt_trunc WHERE url >= '$pfxB'").head.getLong(0)
+    assert(cnt == 1000L)
+  }
+
+  test("all-NULL typed column yields unknown bounds: kept for every probe, semantics exact") {
+    val root = tmp("graft-vt-null")
+    val withLang = spark.range(0, 500)
+      .select($"id", concat(lit("x_"), $"id" % 5).as("lang"))
+    VersionedTable.append(withLang, root, Seq("id"), Seq("lang"))    // v1
+    val nullLang = spark.range(500, 1000)
+      .select($"id", lit(null).cast("string").as("lang"))
+    VersionedTable.append(nullLang, root, Seq("id"), Seq("lang"))    // v2
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_null")
+    val got = spark.sql(
+      "SELECT count(*) FROM vt_null WHERE lang = 'x_3'").head.getLong(0)
+    assert(got == 100L)
+    // the null-lang files have unknown bounds: never pruned (sound),
+    // and their NULL rows never match an equality anyway
+    assert(spark.sql("SELECT count(*) FROM vt_null WHERE lang IS NULL")
+      .head.getLong(0) == 500L)
+    assert(index.inputFiles.nonEmpty)
+  }
+
+  test("typed bounds survive DML rewrites and folds; typed columns are fixed at creation") {
+    val root = tmp("graft-vt-dml")
+    val n = 10000L
+    VersionedTable.append(docs(n), root, Seq("id"),
+      Seq("lang", "day", "ts", "price"))
+    // COW delete on the LONG stat column rewrites files — the rewrite
+    // must re-derive typed bounds for the survivors (the narrow
+    // filter-only rewrite keeps each input file's lang band, so the
+    // probe must still prune afterwards)
+    val (_, deleted) = VersionedTable.deleteRange(spark, root,
+      Seq(("id", 0L, 999L)))
+    assert(deleted == 1000L)
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_dml")
+    val total = spark.sql("SELECT count(*) FROM vt_dml").head.getLong(0)
+    assert(total == n - 1000L)
+    val all = index.lastKeptFiles
+    val got = spark.sql(
+      "SELECT count(*) FROM vt_dml WHERE lang = 'lang_04'").head.getLong(0)
+    assert(got == (1000L until n).count(_ % 10 == 4))
+    info(s"post-DML lang probe kept ${index.lastKeptFiles}/$all files")
+    assert(index.lastKeptFiles < all,
+      "rewritten files must carry re-derived typed bounds that prune")
+    // typed columns are fixed at creation
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(docs(100), root, Seq("id"), Seq("lang"))
+    }
+    assert(e.getMessage.contains("typed stat columns are fixed"))
+    // and an append whose schema lacks a declared typed column fails
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.append(
+        spark.range(0, 10).select($"id", lit("x").as("nope")),
+        tmp("graft-vt-miss"), Seq("id"), Seq("lang"))
+    }
+    assert(e2.getMessage.contains("not in the append schema"))
+  }
+}
