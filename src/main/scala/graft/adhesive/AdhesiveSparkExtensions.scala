@@ -25,18 +25,22 @@ case class CreateAdhesiveFunctionCommand(
   }
 }
 
-/** Parser that recognizes the adhesive `CREATE FUNCTION` grammar and
+/** Parser that recognizes the adhesive `CREATE FUNCTION` grammar (and
+  * the versioned-table DDL/DML, [[graft.pipeline.VersionedSql]]) and
   * delegates everything else to Spark's parser — the Spark-idiomatic
   * equivalent of DataFusion's `FunctionFactory` hook the reference plugs
   * into (`src/fusion.rs:22-80`): Spark has no factory for
   * source-carrying DDL, so the extension point is the parser.
   */
-class AdhesiveSqlParser(delegate: ParserInterface) extends ParserInterface {
+class AdhesiveSqlParser(session: () => SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     AdhesiveDdl.parse(sqlText) match {
       case Some(stmt) => CreateAdhesiveFunctionCommand(stmt)
-      case None       => delegate.parsePlan(sqlText)
+      case None =>
+        graft.pipeline.VersionedSql.parse(session(), sqlText, delegate)
+          .getOrElse(delegate.parsePlan(sqlText))
     }
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -63,7 +67,8 @@ class AdhesiveSqlParser(delegate: ParserInterface) extends ParserInterface {
   */
 class AdhesiveSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectParser((_, delegate) => new AdhesiveSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new AdhesiveSqlParser(() => session, delegate))
     // runs in the user-provided-rules batch, after Spark's own constant
     // folding has turned literal-valued subtrees into Literals
     ext.injectOptimizerRule(_ => AdhesiveConstantFolding)

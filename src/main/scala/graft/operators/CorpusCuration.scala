@@ -1646,11 +1646,101 @@ object CorpusCuration {
       FROM events e JOIN probes p ON e.event_id = p.pid
       ORDER BY e.event_id"""))
 
+  /** SQL DML routed to the versioned table under the driver's oracle
+    * ([[graft.pipeline.VersionedSql]] through the session extension's
+    * parser): `CREATE VERSIONED TABLE … KEYS(event_id)`, a SQL
+    * `DELETE … WHERE <box>`, a SQL `MERGE INTO … USING (SELECT …) ON
+    * keys … UPDATE SET * … INSERT *`, and a SQL `UPDATE … SET …
+    * WHERE <box>` — each dispatching to the same optimistic commits
+    * as the API path (deleteRange / upsertByKey), the view refreshed
+    * per statement. The result reads the table back THROUGH the view
+    * plus the per-statement affected counts; the oracle replays the
+    * whole sequence declaratively over the raw events, so a verb with
+    * the wrong semantics (a lost delete, a double-applied update, a
+    * merge that appended instead of replacing) breaks the hash.
+    */
+  val vtSqlDml: Q = Q(
+    "pipe_vt_sql_dml",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-sql-dml")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))
+      s.sql(s"CREATE VERSIONED TABLE graft_vt_dml LOCATION '$root' " +
+        "KEYS(event_id)")
+      val b = ev.agg(min($"user_id"), max($"user_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) * 25 / 100, mn + (mx - mn) * 75 / 100)
+      val del = s.sql(
+        s"DELETE FROM graft_vt_dml WHERE user_id BETWEEN $lo AND $hi").head
+      s.table("graft_vt_dml")
+        .filter(pmod($"event_id", lit(7L)) === 0)
+        .withColumn("user_id", $"user_id" + 1000000L)
+        .createOrReplaceTempView("graft_vt_dml_updates")
+      val mrg = s.sql(
+        """MERGE INTO graft_vt_dml USING graft_vt_dml_updates
+           ON graft_vt_dml.event_id = graft_vt_dml_updates.event_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").head
+      val upd = s.sql(
+        s"""UPDATE graft_vt_dml SET ts_us = ts_us + 5
+            WHERE user_id >= ${1000000L + lo}""").head
+      s.sql("""SELECT 'final' AS stage, count(*) AS n_rows,
+            CAST(sum(user_id) AS BIGINT) AS user_sum,
+            CAST(sum(ts_us) AS BIGINT) AS ts_sum
+          FROM graft_vt_dml""")
+        .unionAll(Seq(
+          ("deleted", del.getLong(1), 0L, 0L),
+          ("merged", mrg.getLong(1), 0L, 0L),
+          ("updated", upd.getLong(1), 0L, 0L))
+          .toDF("stage", "n_rows", "user_sum", "ts_sum"))
+        .orderBy($"stage")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b),
+      -- after DELETE: rows outside the box
+      vis AS (SELECT event_id, user_id, ts_us FROM src, box
+              WHERE user_id NOT BETWEEN lo AND hi),
+      -- MERGE source: visible %7 keys, user_id shifted
+      upd AS (SELECT event_id, user_id + 1000000 AS user_id, ts_us
+              FROM vis WHERE event_id % 7 = 0),
+      -- after MERGE: non-%7 visible rows plus the update rows
+      merged AS (
+        SELECT event_id, user_id, ts_us FROM vis WHERE event_id % 7 <> 0
+        UNION ALL SELECT event_id, user_id, ts_us FROM upd),
+      -- after UPDATE: shift ts_us where user_id >= 1000000 + lo
+      fin AS (
+        SELECT event_id, user_id,
+          CASE WHEN user_id >= 1000000 + lo THEN ts_us + 5 ELSE ts_us END
+            AS ts_us
+        FROM merged, box),
+      stages AS (
+        SELECT 'final' AS stage, count(*) AS n_rows,
+          sum(user_id) AS user_sum, sum(ts_us) AS ts_sum FROM fin
+        UNION ALL
+        SELECT 'deleted', (SELECT count(*) FROM src, box
+          WHERE user_id BETWEEN lo AND hi), 0, 0
+        UNION ALL
+        SELECT 'merged', (SELECT count(*) FROM upd), 0, 0
+        UNION ALL
+        SELECT 'updated', (SELECT count(*) FROM merged, box
+          WHERE user_id >= 1000000 + lo), 0, 0)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(user_sum AS BIGINT) AS user_sum,
+        CAST(ts_sum AS BIGINT) AS ts_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
-    versionedMor, vtSql, vtStringPrune, vtSqlIn, manifestPrune)
+    versionedMor, vtSql, vtStringPrune, vtSqlIn, vtSqlDml, manifestPrune)
 }

@@ -1,0 +1,331 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** SQL DML routed to the [[VersionedTable]] — the missing half of the
+  * SQL story: [[VersionedTable.sqlRead]] made the table READABLE from
+  * plain SQL (a temp view over the pruning FileIndex); this makes it
+  * WRITABLE from plain SQL. `CREATE VERSIONED TABLE name LOCATION
+  * '…' KEYS(…)` registers a root under a session-visible name (and
+  * serves it as a temp view); `DELETE FROM name WHERE <box>`,
+  * `UPDATE name SET … WHERE <box>` and `MERGE INTO name USING src ON
+  * keys … UPDATE SET * … INSERT *` then dispatch to
+  * [[VersionedTable.deleteRange]]/[[VersionedTable.deleteRangeMor]],
+  * [[VersionedTable.upsertByKey]] — the SAME optimistic lock-free
+  * commit protocol as the API path; a SQL delete racing an API append
+  * rebases or restarts exactly like an API delete (pinned in
+  * `VersionedTableConcurrencySpec`). Statements over names that are
+  * NOT registered fall through to Spark's own parser untouched.
+  *
+  * The WHERE grammar for DELETE/UPDATE is the table's pruning algebra
+  * — a conjunction of range/equality comparisons on LONG stat columns
+  * (what [[VersionedTable.deleteRange]] accepts). Anything else is
+  * rejected LOUDLY, not approximated: DML must never guess
+  * (`boxProbes` below mirrors the FileIndex's extractor but errors on
+  * unknown shapes instead of backing off, because backing off on a
+  * READ widens a scan while backing off on a DELETE would rewrite the
+  * wrong rows).
+  */
+object VersionedSql {
+
+  /** A registered table: root, MERGE/UPDATE key columns, and whether
+    * DELETE publishes a merge-on-read marker instead of a COW rewrite.
+    */
+  case class Registration(root: String, keyCols: Seq[String],
+      morDeletes: Boolean)
+
+  // registry keyed per session (a name is a session-level handle like
+  // the temp view it serves), weak so a dropped session frees its maps
+  private val registries =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Registration]]()
+
+  private def registry(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Registration] =
+    registries.synchronized {
+      var m = registries.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Registration]()
+        registries.put(spark, m)
+      }
+      m
+    }
+
+  def register(spark: SparkSession, name: String, root: String,
+      keyCols: Seq[String] = Seq.empty,
+      morDeletes: Boolean = false): Unit = {
+    registry(spark).put(name.toLowerCase(java.util.Locale.ROOT),
+      Registration(root, keyCols, morDeletes))
+    refreshView(spark, name)
+  }
+
+  def lookup(spark: SparkSession, name: String): Option[Registration] =
+    Option(registry(spark).get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** (Re)serve the registered table as a temp view at its LATEST
+    * version — called at registration and after every DML so plain
+    * SELECTs over the name observe the committed result. A root with
+    * no versions yet registers without a view (the first append brings
+    * it).
+    */
+  def refreshView(spark: SparkSession, name: String): Unit =
+    lookup(spark, name).foreach { reg =>
+      if (VersionedTable.latestVersion(spark, reg.root).nonEmpty)
+        VersionedTable.sqlRead(spark, reg.root)
+          .createOrReplaceTempView(name)
+    }
+
+  // ——— statement grammar (the AdhesiveDdl discipline: recognize OUR
+  // statements with anchored regexes, delegate everything else)
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+KEYS\s*\(([^)]*)\))?(\s+MOR\s+DELETES)?\s*;?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val MergeRe =
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
+
+  /** Recognize a versioned-table DML/DDL statement; None delegates to
+    * Spark's parser. DELETE/UPDATE/MERGE intercept ONLY registered
+    * names — Spark's own DML over its catalogs is untouched.
+    */
+  def parse(spark: SparkSession, sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
+    case CreateRe(name, location, keys, mor) =>
+      val keyCols = Option(keys).map(_.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      Some(CreateVersionedTableCommand(name, location, keyCols,
+        mor != null))
+    case DeleteRe(name, where) if lookup(spark, name).isDefined =>
+      val reg = lookup(spark, name).get
+      Some(VersionedDeleteCommand(name, reg,
+        boxProbes(delegate.parseExpression(where), name)))
+    case UpdateRe(name, setClause, where) if lookup(spark, name).isDefined =>
+      val reg = lookup(spark, name).get
+      require(reg.keyCols.nonEmpty,
+        s"UPDATE $name: the registration declares no KEYS — an update " +
+          "is a keyed replace and needs them (CREATE VERSIONED TABLE " +
+          "... KEYS(...))")
+      Some(VersionedUpdateCommand(name, reg, splitSetList(setClause),
+        boxProbes(delegate.parseExpression(where), name)))
+    case MergeRe(name, _, source, on) if lookup(spark, name).isDefined =>
+      val reg = lookup(spark, name).get
+      val keys = mergeKeys(delegate.parseExpression(on), name)
+      require(reg.keyCols.isEmpty || keys.sorted == reg.keyCols.sorted,
+        s"MERGE INTO $name: ON keys $keys != registered KEYS " +
+          s"${reg.keyCols}")
+      val src = source.trim
+      val sourceSql =
+        if (src.startsWith("(")) src.stripPrefix("(").stripSuffix(")")
+        else s"SELECT * FROM $src"
+      Some(VersionedMergeCommand(name, reg, sourceSql, keys))
+    case _ => None
+  }
+
+  /** WHERE → box probes, LOUD on anything the box algebra cannot
+    * express exactly (OR, functions, non-long literals, unknown
+    * shapes). BETWEEN arrives pre-lowered to >= AND <= by the parser.
+    */
+  private[pipeline] def boxProbes(e: Expression,
+      table: String): Seq[(String, Long, Long)] = {
+    val lo = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val hi = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def colOf(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        Some(u.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Long] = x match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case _ => None
+    }
+    def bad(x: Expression): Nothing =
+      throw new IllegalArgumentException(
+        s"DELETE/UPDATE on versioned table '$table': WHERE must be a " +
+          "conjunction of <longStatCol> {=, <, <=, >, >=, BETWEEN} " +
+          s"<integer literal>; cannot express: $x")
+    def narrowLo(c: String, v: Long): Unit =
+      lo(c) = math.max(lo.getOrElse(c, Long.MinValue), v)
+    def narrowHi(c: String, v: Long): Unit =
+      hi(c) = math.min(hi.getOrElse(c, Long.MaxValue), v)
+    def cmp(a: Expression, b: Expression,
+        direct: (String, Long) => Unit,
+        flipped: (String, Long) => Unit, whole: Expression): Unit =
+      colOf(a).zip(litOf(b)).map { case (c, v) => direct(c, v) }
+        .orElse(colOf(b).zip(litOf(a)).map { case (c, v) => flipped(c, v) })
+        .getOrElse(bad(whole))
+    def walk(x: Expression): Unit = x match {
+      case And(l, r) => walk(l); walk(r)
+      // the parser leaves BETWEEN as an unresolved 'between' call —
+      // lower it here (analysis would rewrite it to >= AND <=)
+      case w: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if w.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && w.arguments.size == 3 =>
+        (colOf(w.arguments(0)), litOf(w.arguments(1)),
+          litOf(w.arguments(2))) match {
+          case (Some(c), Some(l), Some(h)) => narrowLo(c, l); narrowHi(c, h)
+          case _ => bad(w)
+        }
+      case w @ GreaterThanOrEqual(a, b) => cmp(a, b, narrowLo, narrowHi, w)
+      case w @ LessThanOrEqual(a, b) => cmp(a, b, narrowHi, narrowLo, w)
+      case w @ GreaterThan(a, b) => cmp(a, b,
+        (c, v) => narrowLo(c, math.addExact(v, 1L)),
+        (c, v) => narrowHi(c, math.subtractExact(v, 1L)), w)
+      case w @ LessThan(a, b) => cmp(a, b,
+        (c, v) => narrowHi(c, math.subtractExact(v, 1L)),
+        (c, v) => narrowLo(c, math.addExact(v, 1L)), w)
+      case w @ EqualTo(a, b) => cmp(a, b,
+        (c, v) => { narrowLo(c, v); narrowHi(c, v) },
+        (c, v) => { narrowLo(c, v); narrowHi(c, v) }, w)
+      case other => bad(other)
+    }
+    walk(e)
+    (lo.keySet ++ hi.keySet).toSeq.map { c =>
+      (c, lo.getOrElse(c, Long.MinValue), hi.getOrElse(c, Long.MaxValue))
+    }
+  }
+
+  /** The MERGE ON conjunction → unqualified key column names; each
+    * conjunct must equate the same column on both sides.
+    */
+  private def mergeKeys(e: Expression, table: String): Seq[String] = {
+    def last(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case _ => None
+    }
+    def walk(x: Expression): Seq[String] = x match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, b) =>
+        (last(a), last(b)) match {
+          case (Some(ka), Some(kb)) if ka.equalsIgnoreCase(kb) => Seq(ka)
+          case _ => throw new IllegalArgumentException(
+            s"MERGE INTO $table: ON must equate the same column on " +
+              s"both sides (t.k = s.k); cannot express: $x")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO $table: ON must be a conjunction of key " +
+          s"equalities; cannot express: $other")
+    }
+    walk(e)
+  }
+
+  /** Split a SET list on TOP-LEVEL commas (commas inside function
+    * calls stay put) into (column, expression-sql) pairs.
+    */
+  private[pipeline] def splitSetList(s: String): Seq[(String, String)] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    s.zipWithIndex.foreach { case (ch, i) =>
+      ch match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    parts += s.substring(start)
+    parts.result().map { p =>
+      val eq = p.indexOf('=')
+      require(eq > 0, s"SET clause piece is not <col> = <expr>: '$p'")
+      (p.substring(0, eq).trim, p.substring(eq + 1).trim)
+    }
+  }
+}
+
+/** `CREATE VERSIONED TABLE name LOCATION '…' [KEYS(…)] [MOR DELETES]`
+  * — registers the root under the name and serves it as a temp view
+  * (when it already has versions; otherwise the first append brings
+  * the view via the next DML's refresh).
+  */
+case class CreateVersionedTableCommand(name: String, location: String,
+    keyCols: Seq[String], morDeletes: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedSql.register(spark, name, location, keyCols, morDeletes)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM name WHERE <box>` → [[VersionedTable.deleteRange]]
+  * (or [[VersionedTable.deleteRangeMor]] under `MOR DELETES`); emits
+  * (version, rows_affected), refreshes the view.
+  */
+case class VersionedDeleteCommand(name: String,
+    reg: VersionedSql.Registration,
+    probes: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("rows_affected", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) =
+      if (reg.morDeletes) VersionedTable.deleteRangeMor(spark, reg.root,
+        probes)
+      else VersionedTable.deleteRange(spark, reg.root, probes)
+    VersionedSql.refreshView(spark, name)
+    Seq(Row(v, n))
+  }
+}
+
+/** `UPDATE name SET c = expr, … WHERE <box>` — the box's VISIBLE rows
+  * with the SET expressions applied, replaced through
+  * [[VersionedTable.upsertByKey]] on the registered keys: one atomic
+  * version, same optimistic protocol. SET may not touch a key column
+  * (a key rewrite is a delete+insert — MERGE territory).
+  */
+case class VersionedUpdateCommand(name: String,
+    reg: VersionedSql.Registration, sets: Seq[(String, String)],
+    probes: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("rows_affected", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    sets.foreach { case (c, _) =>
+      require(!reg.keyCols.exists(_.equalsIgnoreCase(c)),
+        s"UPDATE $name: SET must not touch key column '$c'")
+    }
+    val matched = VersionedTable.boxRead(spark, reg.root, probes)
+    val updated = sets.foldLeft(matched) { case (d, (c, ex)) =>
+      d.withColumn(c, org.apache.spark.sql.functions.expr(ex))
+    }
+    val (v, n) =
+      if (updated.isEmpty)
+        (VersionedTable.latestVersion(spark, reg.root).getOrElse(0L), 0L)
+      else VersionedTable.upsertByKey(spark, reg.root, updated, reg.keyCols)
+    VersionedSql.refreshView(spark, name)
+    Seq(Row(v, n))
+  }
+}
+
+/** `MERGE INTO name USING src ON t.k = s.k WHEN MATCHED THEN UPDATE
+  * SET * WHEN NOT MATCHED THEN INSERT *` — the canonical upsert shape,
+  * dispatched to [[VersionedTable.upsertByKey]]. The source SQL is
+  * planned at RUN time against the current session (temp views and
+  * registered versioned views both work).
+  */
+case class VersionedMergeCommand(name: String,
+    reg: VersionedSql.Registration, sourceSql: String,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("rows_replaced", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source = spark.sql(sourceSql)
+    val (v, n) = VersionedTable.upsertByKey(spark, reg.root, source, keyCols)
+    VersionedSql.refreshView(spark, name)
+    Seq(Row(v, n))
+  }
+}

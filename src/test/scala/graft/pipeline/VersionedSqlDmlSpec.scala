@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DML routed to the versioned table ([[VersionedSql]] through the
+  * session extension's parser): `CREATE VERSIONED TABLE … KEYS(…)`,
+  * `DELETE FROM … WHERE <box>`, `UPDATE … SET … WHERE <box>`,
+  * `MERGE INTO … USING … ON keys … UPDATE SET * … INSERT *` — each
+  * dispatching to the SAME optimistic lock-free commits as the API
+  * path (deleteRange/deleteRangeMor/upsertByKey), with the served view
+  * refreshed after every statement. Pins: semantics of each verb
+  * (including MOR delete mode), the loud rejection of WHERE shapes the
+  * box algebra cannot express exactly, delegation of DML over
+  * unregistered names to Spark's parser, and a SQL-path writer racing
+  * an API append (the protocol is shared, so the race resolves
+  * exactly like an API delete's).
+  */
+class VersionedSqlDmlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(round: Int, n: Int) =
+    spark.range(round.toLong * n, round.toLong * n + n)
+      .select(col("id").as("event_id"), (col("id") % 97).as("user_id"),
+        (col("id") * 1000L).as("ts_us"))
+
+  private val Stats = Seq("user_id", "ts_us", "event_id")
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-vtdml-$tag")
+      .resolve("t").toString
+
+  private def ids(root: String): Seq[Long] =
+    VersionedTable.read(spark, root)
+      .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("CREATE/DELETE/UPDATE/MERGE round-trip: SQL verbs hit the same commits as the API") {
+    val root = freshRoot("verbs")
+    VersionedTable.append(rows(0, 400), root, Stats)
+    spark.sql(s"CREATE VERSIONED TABLE vt_dml LOCATION '$root' " +
+      "KEYS(event_id)")
+    // the registration serves the current version as a view
+    assert(spark.sql("SELECT count(*) FROM vt_dml").head.getLong(0) == 400L)
+
+    // DELETE: a box on a long stat column, COW
+    val del = spark.sql(
+      "DELETE FROM vt_dml WHERE user_id BETWEEN 0 AND 10").head
+    assert(del.getLong(1) == (0L until 400L).count(_ % 97 <= 10))
+    assert(ids(root) == (0L until 400L).filterNot(_ % 97 <= 10),
+      "SQL delete must commit exactly the API delete's result")
+    // the view refreshed to the committed version
+    assert(spark.sql("SELECT count(*) FROM vt_dml").head.getLong(0) ==
+      (400L - del.getLong(1)))
+
+    // UPDATE: box-matched rows keyed-replaced through upsertByKey
+    val upd = spark.sql(
+      "UPDATE vt_dml SET ts_us = ts_us + 1000000 WHERE user_id >= 90")
+    assert(upd.head.getLong(1) > 0)
+    val shifted = VersionedTable.read(spark, root)
+      .filter($"user_id" >= 90 && $"ts_us" =!= $"event_id" * 1000L)
+      .count()
+    assert(shifted == (0L until 400L).count(_ % 97 >= 90),
+      "every box row must carry the SET expression, none twice")
+    assert(VersionedTable.read(spark, root).count() == 400L -
+      del.getLong(1), "UPDATE must replace, never add or drop")
+
+    // MERGE: canonical upsert — updates replace, new keys append
+    spark.range(0, 50)
+      .select(($"id" + 10000L).as("event_id"), lit(7L).as("user_id"),
+        lit(0L).as("ts_us"))
+      .unionAll(rows(0, 400).filter($"event_id" % 50 === 0)
+        .withColumn("user_id", $"user_id" + 500L))
+      .createOrReplaceTempView("vt_dml_src")
+    val mrg = spark.sql(
+      """MERGE INTO vt_dml USING vt_dml_src ON vt_dml.event_id =
+         vt_dml_src.event_id WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").head
+    // replaced = source keys currently visible (some %50 rows died in
+    // the DELETE above)
+    val visible = (0L until 400L).filterNot(_ % 97 <= 10).toSet
+    assert(mrg.getLong(1) ==
+      (0L until 400L).count(id => id % 50 == 0 && visible(id)))
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == 400L - del.getLong(1) + 50L +
+      (0L until 400L).count(id => id % 50 == 0 && !visible(id)))
+    assert(after.filter($"user_id" === 7L).count() == 50L)
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_dml WHERE user_id >= 500").head.getLong(0)
+      == 400L / 50)
+  }
+
+  test("MOR DELETES mode publishes a marker instead of a rewrite; unregistered names delegate to Spark") {
+    val root = freshRoot("mor")
+    VersionedTable.append(rows(0, 300), root, Stats)
+    spark.sql(s"CREATE VERSIONED TABLE vt_mor_dml LOCATION '$root' " +
+      "KEYS(event_id) MOR DELETES")
+    val before = VersionedTable.entryNames(spark, root, 1L)
+    val del = spark.sql(
+      "DELETE FROM vt_mor_dml WHERE ts_us >= 0 AND ts_us <= 99000").head
+    assert(del.getLong(1) == 100L)
+    val v = VersionedTable.latestVersion(spark, root).get
+    assert(VersionedTable.morDeleteCount(spark, root, v) == 1,
+      "MOR mode must publish a marker")
+    assert(VersionedTable.entryNames(spark, root, v) == before,
+      "MOR delete must rewrite NO data files")
+    assert(spark.sql("SELECT count(*) FROM vt_mor_dml").head.getLong(0)
+      == 200L)
+    assert(VersionedTable.fastCount(spark, root) == 200L)
+    // an unregistered name falls through to Spark's parser (which
+    // rejects DML on a temp view in ITS words, not ours)
+    rows(0, 10).createOrReplaceTempView("vt_plain_view")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM vt_plain_view WHERE user_id = 1")
+    }
+    assert(!e.getMessage.contains("versioned table"),
+      s"unregistered DML must delegate to Spark, got: ${e.getMessage}")
+  }
+
+  test("WHERE shapes the box algebra cannot express exactly are rejected loudly") {
+    val root = freshRoot("reject")
+    VersionedTable.append(rows(0, 100), root, Stats)
+    spark.sql(s"CREATE VERSIONED TABLE vt_rej LOCATION '$root' " +
+      "KEYS(event_id)")
+    def rejects(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.contains("cannot express"),
+        s"$sql must reject loudly, got: ${e.getMessage}")
+    }
+    rejects("DELETE FROM vt_rej WHERE user_id = 1 OR user_id = 5")
+    rejects("DELETE FROM vt_rej WHERE abs(user_id) = 1")
+    rejects("DELETE FROM vt_rej WHERE user_id != 3")
+    rejects("UPDATE vt_rej SET ts_us = 0 WHERE user_id IN (1, 2)")
+    // a delete on a non-stat column passes the parser but the table
+    // itself refuses to guess (deleteRange's own contract)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM vt_rej WHERE nope = 3")
+    }
+    assert(e.getMessage.contains("manifested stat columns"))
+  }
+
+  test("SQL delete ∥ API append racing: the shared optimistic protocol resolves it like an API delete") {
+    val root = freshRoot("race")
+    VersionedTable.append(rows(0, 400), root, Stats)
+    spark.sql(s"CREATE VERSIONED TABLE vt_race LOCATION '$root' " +
+      "KEYS(event_id)")
+    // disjoint concurrent append injected into the SQL delete's
+    // read-to-CAS window: the delete REBASES (both commit)
+    VersionedTable.beforePublishHook.set(() => {
+      val outside = spark.range(30000, 30100)
+        .select($"id".as("event_id"), ($"id" % 7 + 50L).as("user_id"),
+          ($"id" * 1000L).as("ts_us"))
+      VersionedTable.append(outside, root, Stats)
+      ()
+    })
+    val del = spark.sql(
+      "DELETE FROM vt_race WHERE user_id <= 10").head
+    assert(del.getLong(1) == (0L until 400L).count(_ % 97 <= 10))
+    assert(ids(root) == ((0L until 400L).filterNot(_ % 97 <= 10) ++
+      (30000L until 30100L)),
+      "both the SQL delete and the racing API append must stand")
+    // and the served view observes the post-race table
+    assert(spark.sql("SELECT count(*) FROM vt_race").head.getLong(0) ==
+      VersionedTable.read(spark, root).count())
+  }
+}
