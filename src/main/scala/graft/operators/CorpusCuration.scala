@@ -1736,11 +1736,106 @@ object CorpusCuration {
         CAST(ts_sum AS BIGINT) AS ts_sum
       FROM stages ORDER BY stage"""))
 
+  /** EQUALITY-delete MOR markers under the driver's oracle
+    * ([[graft.pipeline.VersionedTable.deleteKeysMor]] — Iceberg v2's
+    * equality deletes, the GDPR / dedup-removal shape: one metadata
+    * marker per key-set delete, no data files rewritten; readers
+    * anti-join covered files on the key; `fastCount` subtracts the
+    * exact matched count; markers are file-scoped). The staged history
+    * exercises both storage tiers and every contract: append+compact →
+    * INLINE-tier key delete (≤ cap) → SIDECAR-tier key delete (every
+    * `%7` id) → overlapping BOX marker (its matched count must see
+    * only still-visible rows) → re-append already-deleted keys (they
+    * survive: file scoping) → materialize (visible rows unchanged).
+    * Each stage emits its aggregate plus the manifest-served
+    * fast_count; any resurrection, double-subtraction, wrong tier
+    * semantics, or marker mis-scoping breaks the hash against the
+    * declaratively stated stages.
+    */
+  val versionedMorKeys: Q = Q(
+    "pipe_versioned_mor_keys",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("versioned-mor-keys")
+      val stats = Seq("user_id", "ts_us", "event_id")
+      graft.pipeline.VersionedTable.append(ev, root, stats)         // v1
+      graft.pipeline.VersionedTable.compactZorder(s, root, 8)       // v2
+      val maxId = ev.agg(max($"event_id")).head.getLong(0)
+      // inline tier: 8 deterministic ids spread over the id space
+      val small = (1L to 8L).map(k => maxId * k / 9).distinct
+      graft.pipeline.VersionedTable.deleteKeysMor(s, root,
+        "event_id", small.toDF("event_id"))                         // v3
+      // sidecar tier: every visible %7 id (well past the inline cap)
+      val big = ev.filter(pmod($"event_id", lit(7L)) === 0)
+        .select($"event_id")
+      graft.pipeline.VersionedTable.deleteKeysMor(s, root,
+        "event_id", big)                                            // v4
+      // overlapping box marker: counts only still-visible rows
+      val b = ev.agg(min($"user_id"), max($"user_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) * 40 / 100, mn + (mx - mn) * 60 / 100)
+      graft.pipeline.VersionedTable.deleteRangeMor(s, root,
+        Seq(("user_id", lo, hi)))                                   // v5
+      def stage(name: String) = graft.pipeline.VersionedTable
+        .read(s, root)
+        .agg(lit(name).as("stage"), count(lit(1)).as("n_rows"),
+          sum($"event_id").as("id_sum"), sum($"user_id").as("user_sum"))
+      val afterMarks = stage("after_markers")
+      val fastRow = Seq(("fast_count",
+          graft.pipeline.VersionedTable.fastCount(s, root), 0L, 0L))
+        .toDF("stage", "n_rows", "id_sum", "user_sum")
+      // re-append three of the inline-deleted keys: file scoping must
+      // keep them alive under the existing markers
+      graft.pipeline.VersionedTable.append(
+        ev.filter($"event_id".isin(small.take(3): _*)), root, stats) // v6
+      val afterAppend = stage("after_append")
+      graft.pipeline.VersionedTable.materializeDeletes(s, root)     // v7
+      val afterMat = stage("after_materialize")
+      afterMarks.unionAll(fastRow).unionAll(afterAppend)
+        .unionAll(afterMat).orderBy($"stage")
+    },
+    Some("""WITH src AS (SELECT event_id, user_id FROM events),
+      b AS (SELECT max(event_id) AS mxid FROM src),
+      small AS (SELECT DISTINCT mxid * k // 9 AS pid
+                FROM b, unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS t(k)),
+      u AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 40 // 100 AS lo,
+                     mn + (mx - mn) * 60 // 100 AS hi FROM u),
+      vis AS (
+        SELECT event_id, user_id FROM src, box
+        WHERE event_id NOT IN (SELECT pid FROM small)
+          AND event_id % 7 <> 0
+          AND user_id NOT BETWEEN lo AND hi),
+      readd AS (
+        SELECT event_id, user_id FROM src
+        WHERE event_id IN (SELECT pid FROM small
+                           ORDER BY pid LIMIT 3)),
+      fin AS (SELECT * FROM vis UNION ALL SELECT * FROM readd),
+      stages AS (
+        SELECT 'after_markers' AS stage, count(*) AS n_rows,
+          sum(event_id) AS id_sum, sum(user_id) AS user_sum FROM vis
+        UNION ALL
+        SELECT 'fast_count', count(*), 0, 0 FROM vis
+        UNION ALL
+        SELECT 'after_append', count(*), sum(event_id), sum(user_id)
+        FROM fin
+        UNION ALL
+        SELECT 'after_materialize', count(*), sum(event_id),
+          sum(user_id) FROM fin)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(id_sum AS BIGINT) AS id_sum,
+        CAST(user_sum AS BIGINT) AS user_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
     qualityBuckets, shardManifest, datasetCard, gopherRules, globalShuffle,
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
-    versionedMor, vtSql, vtStringPrune, vtSqlIn, vtSqlDml, manifestPrune)
+    versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
+    manifestPrune)
 }

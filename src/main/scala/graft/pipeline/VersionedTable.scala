@@ -206,18 +206,38 @@ object VersionedTable {
       boxes: Seq[(Long, Long)], minRows: Long = -1L,
       tboxes: Seq[TBound] = Seq.empty)
 
-  /** A MERGE-ON-READ delete marker — Iceberg v2's delete-file idea in
-    * range form: instead of rewriting the files a delete touches, the
-    * manifest records the box predicate, the exact count of visible
-    * rows it matched WHEN COMMITTED, and the FILE SET it applies to
-    * (the box-intersecting files that existed at commit time — scoping
-    * by file is what keeps rows APPENDED later inside the same box
-    * alive, exactly like Iceberg's sequence-number scoping). Readers
-    * apply `NOT box` to rows from the marker's files; compaction and
-    * COW DML materialize markers away.
+  /** A MERGE-ON-READ delete marker — Iceberg v2's delete-file idea:
+    * instead of rewriting the files a delete touches, the manifest
+    * records the delete's PREDICATE, the exact count of visible rows
+    * it matched WHEN COMMITTED, and the FILE SET it applies to (the
+    * candidate files that existed at commit time — scoping by file is
+    * what keeps rows APPENDED later alive, exactly like Iceberg's
+    * sequence-number scoping). Readers subtract the marker from rows
+    * of its files; compaction and COW DML materialize markers away.
+    * Two forms: a range BOX ([[MorDelete]]) and a KEY SET
+    * ([[MorKeyDelete]] — Iceberg's equality deletes, the GDPR /
+    * dedup-removal shape).
     */
+  private[pipeline] sealed trait Marker {
+    def matched: Long
+    def files: Set[String]
+  }
+
+  /** Range-box marker: readers apply `NOT box` to the files' rows. */
   private[pipeline] case class MorDelete(probes: Seq[(String, Long, Long)],
-      matched: Long, files: Set[String])
+      matched: Long, files: Set[String]) extends Marker
+
+  /** Key-set marker over ONE long stat column: small key sets ride
+    * INLINE in the manifest line; larger ones spill to an immutable
+    * parquet SIDECAR (`manifests/k-<uuid>.parquet`, one `k` column)
+    * that readers anti-join, plus a small bloom over the keys
+    * (base64, empty when the set was too large to bloom usefully) so
+    * a point read on the key column can skip the marker entirely when
+    * its probed value provably isn't deleted.
+    */
+  private[pipeline] case class MorKeyDelete(keyCol: String,
+      inline: Seq[Long], sidecar: Option[String], bloom: String,
+      matched: Long, files: Set[String]) extends Marker
 
   /** A resolved version: header metadata, the shard list, and LAZY
     * per-shard entry loading — the planning paths (append publish,
@@ -233,7 +253,7 @@ object VersionedTable {
       val schemaJson: Option[String],
       val newFiles: Seq[String],
       val committedAtMs: Long = -1L,
-      val morDeletes: Seq[MorDelete] = Seq.empty,
+      val morDeletes: Seq[Marker] = Seq.empty,
       val typedCols: Seq[TypedCol] = Seq.empty) {
     // ConcurrentHashMap, not a mutable.Map: a Manifest is captured by
     // VersionedFileIndex, whose listFiles runs at Catalyst PLANNING
@@ -397,13 +417,24 @@ object VersionedTable {
         TypedCol(p(0), p(1).head, p(2).toInt)
       }).getOrElse(Seq.empty)
     // #mordel \t matched \t k \t (col lo hi){k} \t files-comma-joined
-    val morDeletes = lines.tail.filter(_.startsWith("#mordel\t")).map { l =>
-      val f = l.split('\t')
-      val matched = f(1).toLong
-      val k = f(2).toInt
-      val probes = (0 until k).map(i =>
-        (f(3 + 3 * i), f(4 + 3 * i).toLong, f(5 + 3 * i).toLong))
-      MorDelete(probes, matched, f(3 + 3 * k).split(',').toSet)
+    // #morkey \t matched \t keyCol \t inline-keys|- \t sidecar|- \t bloom|- \t files
+    val morDeletes: Seq[Marker] = lines.tail.flatMap {
+      case l if l.startsWith("#mordel\t") =>
+        val f = l.split('\t')
+        val matched = f(1).toLong
+        val k = f(2).toInt
+        val probes = (0 until k).map(i =>
+          (f(3 + 3 * i), f(4 + 3 * i).toLong, f(5 + 3 * i).toLong))
+        Some(MorDelete(probes, matched, f(3 + 3 * k).split(',').toSet))
+      case l if l.startsWith("#morkey\t") =>
+        val f = l.split('\t')
+        val inline = if (f(3) == "-") Seq.empty[Long]
+          else f(3).split(',').toSeq.map(_.toLong)
+        Some(MorKeyDelete(f(2), inline,
+          if (f(4) == "-") None else Some(f(4)),
+          if (f(5) == "-") "" else f(5),
+          f(1).toLong, f(6).split(',').toSet))
+      case _ => None
     }
     if (sharded) {
       val refs = lines.tail.filter(_.startsWith("#shard\t")).map { l =>
@@ -451,7 +482,7 @@ object VersionedTable {
       statCols: Seq[String], shards: Seq[ShardRef],
       ingestBatch: Long, kind: String, schemaJson: Option[String],
       newFiles: Seq[String] = Seq.empty,
-      morDeletes: Seq[MorDelete] = Seq.empty,
+      morDeletes: Seq[Marker] = Seq.empty,
       typedCols: Seq[TypedCol] = Seq.empty): Boolean = {
     require(shards.forall(_.name.nonEmpty),
       "legacy inline entries must be migrated to a shard before publish")
@@ -497,15 +528,26 @@ object VersionedTable {
       if (newFiles.nonEmpty)
         out.write(s"#new\t${newFiles.mkString(",")}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      morDeletes.foreach { md =>
-        val cells = md.probes.flatMap { case (c, lo, hi) =>
-          require(!c.contains('\t') && !c.contains(','),
-            s"mor-delete column name unserializable: '$c'")
-          Seq(c, lo.toString, hi.toString)
-        }
-        out.write((s"#mordel\t${md.matched}\t${md.probes.size}\t" +
-          s"${cells.mkString("\t")}\t${md.files.toSeq.sorted.mkString(",")}\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      morDeletes.foreach {
+        case md: MorDelete =>
+          val cells = md.probes.flatMap { case (c, lo, hi) =>
+            require(!c.contains('\t') && !c.contains(','),
+              s"mor-delete column name unserializable: '$c'")
+            Seq(c, lo.toString, hi.toString)
+          }
+          out.write((s"#mordel\t${md.matched}\t${md.probes.size}\t" +
+            s"${cells.mkString("\t")}\t${md.files.toSeq.sorted.mkString(",")}\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case mk: MorKeyDelete =>
+          require(!mk.keyCol.contains('\t') && !mk.keyCol.contains(','),
+            s"mor-delete column name unserializable: '${mk.keyCol}'")
+          val inline =
+            if (mk.inline.isEmpty) "-" else mk.inline.mkString(",")
+          val side = mk.sidecar.getOrElse("-")
+          val bloom = if (mk.bloom.isEmpty) "-" else mk.bloom
+          out.write((s"#morkey\t${mk.matched}\t${mk.keyCol}\t$inline\t" +
+            s"$side\t$bloom\t${mk.files.toSeq.sorted.mkString(",")}\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       shards.sortBy(_.name).foreach { r =>
         val cells = r.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
@@ -1187,17 +1229,53 @@ object VersionedTable {
     * probed column is outside any box and survives.
     */
   private def readVisible(spark: SparkSession, root: String, m: Manifest,
-      names: Seq[String]): DataFrame = {
-    if (m.morDeletes.isEmpty) return readNamed(spark, root, m, names)
+      names: Seq[String],
+      skip: Marker => Boolean = _ => false): DataFrame = {
+    val live = m.morDeletes.filterNot(skip)
+    if (live.isEmpty) return readNamed(spark, root, m, names)
     val groups = names.groupBy(n =>
-      m.morDeletes.zipWithIndex.collect { case (md, i) if md.files(n) => i })
+      live.zipWithIndex.collect { case (md, i) if md.files(n) => i })
     groups.toSeq.sortBy(_._1.mkString(",")) // deterministic plan shape
       .map { case (idxs, ns) =>
         idxs.foldLeft(readNamed(spark, root, m, ns)) { (d, i) =>
-          d.filter(!coalesce(boxPredicate(m.morDeletes(i).probes),
-            lit(false)))
+          applyMarker(spark, root, d, live(i))
         }
       }.reduce(_ unionAll _)
+  }
+
+  /** Subtract one marker's rows from `d` (rows of its covered files).
+    * NULL-safe for both forms: a NULL boxed/keyed value is outside any
+    * box and in no key set, so it always SURVIVES. A sidecar key set
+    * anti-joins (left_anti keeps NULL-key rows — NULL never matches);
+    * an inline set is a negated isin, coalesced for the same reason.
+    */
+  private def applyMarker(spark: SparkSession, root: String, d: DataFrame,
+      mk: Marker): DataFrame = mk match {
+    case md: MorDelete =>
+      d.filter(!coalesce(boxPredicate(md.probes), lit(false)))
+    case k: MorKeyDelete => k.sidecar match {
+      case None =>
+        d.filter(!coalesce(col(k.keyCol).isin(k.inline: _*), lit(false)))
+      case Some(f) =>
+        d.join(spark.read.parquet(s"${manifestsDir(root)}/$f")
+          .select(col("k").as(k.keyCol)), Seq(k.keyCol), "left_anti")
+    }
+  }
+
+  /** The rows a marker DELETES from `vis` (its files' visible rows) —
+    * the positive form [[applyMarker]] negates; CDC emits these.
+    */
+  private def markerMatches(spark: SparkSession, root: String,
+      vis: DataFrame, mk: Marker): DataFrame = mk match {
+    case md: MorDelete =>
+      vis.filter(coalesce(boxPredicate(md.probes), lit(false)))
+    case k: MorKeyDelete => k.sidecar match {
+      case None =>
+        vis.filter(coalesce(col(k.keyCol).isin(k.inline: _*), lit(false)))
+      case Some(f) =>
+        vis.join(spark.read.parquet(s"${manifestsDir(root)}/$f")
+          .select(col("k").as(k.keyCol)), Seq(k.keyCol), "left_semi")
+    }
   }
 
   /** Read `names` under the manifest's stored schema: files written
@@ -1313,8 +1391,7 @@ object VersionedTable {
       .map { case (idxs, ns) =>
         val (df, ix) = sqlReadIndexed(spark, root, m, Some(ns.toSet))
         (idxs.foldLeft(df) { (d, i) =>
-          d.filter(!coalesce(boxPredicate(m.morDeletes(i).probes),
-            lit(false)))
+          applyMarker(spark, root, d, m.morDeletes(i))
         }, ix)
       }
     (parts.map(_._1).reduce(_ unionAll _), parts.map(_._2))
@@ -1809,6 +1886,206 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Inline key sets up to this many keys ride in the manifest line
+    * itself; larger sets spill to a parquet sidecar.
+    */
+  val InlineKeyCap: Int = 64
+
+  /** Key-set markers bloom their keys (for [[pointRead]]'s marker
+    * skip) up to this many keys — beyond it the fixed-size bloom
+    * saturates into uselessness, so none is stored.
+    */
+  private[pipeline] val KeyBloomMaxKeys: Long = 8192L
+
+  private val KeyBloomBits = 1 << 16 // 8 KiB of bits, k=2 probes
+
+  private def keyBloomHashes(v: Long): (Int, Int) = {
+    var x = v * -7046029254386353131L
+    x ^= (x >>> 32); x *= -4417276706812531889L; x ^= (x >>> 29)
+    ((x & (KeyBloomBits - 1)).toInt,
+      ((x >>> 17) & (KeyBloomBits - 1)).toInt)
+  }
+
+  private def buildKeyBloom(keys: Seq[Long]): String = {
+    val words = new Array[Long](KeyBloomBits / 64)
+    keys.foreach { v =>
+      val (h1, h2) = keyBloomHashes(v)
+      words(h1 >> 6) |= (1L << (h1 & 63))
+      words(h2 >> 6) |= (1L << (h2 & 63))
+    }
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[pipeline] def keyBloomMayContain(b64: String, v: Long): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val words = new Array[Long](bytes.length / 8)
+    (0 until words.length).foreach(i => words(i) = bb.getLong())
+    val (h1, h2) = keyBloomHashes(v)
+    ((words(h1 >> 6) >>> (h1 & 63)) & 1L) == 1L &&
+      ((words(h2 >> 6) >>> (h2 & 63)) & 1L) == 1L
+  }
+
+  /** MERGE-ON-READ equality delete — Iceberg v2's EQUALITY DELETE
+    * files, the GDPR / dedup-removal shape: delete every visible row
+    * whose `keyCol` (a manifested LONG stat column) is in `keys`,
+    * publishing ONE metadata marker and rewriting NO data files. Small
+    * key sets ([[InlineKeyCap]]) ride inline in the manifest; larger
+    * ones spill to an immutable parquet sidecar that readers
+    * anti-join, with a bloom over the keys (up to
+    * [[KeyBloomMaxKeys]]) letting a [[pointRead]] on the key column
+    * skip the marker when its probed value provably isn't deleted.
+    * Candidate files resolve through the same two-level stats pruning
+    * as [[upsertByKey]] (sparse per-key refinement under
+    * [[SparseKeyProbeLimit]], the global [min,max] box above);
+    * `matched` is counted against the then-visible snapshot, so
+    * [[fastCount]] stays exact under overlapping box and key markers.
+    * Everything else (file scoping, the [[MaxMorDeletes]] cap with
+    * auto-materialization, CDC emission, optimistic restarts) behaves
+    * exactly like [[deleteRangeMor]]. Returns (version, rows
+    * logically deleted); publishes nothing when no visible row
+    * matches. `keys` must be a one-column frame; NULL and duplicate
+    * keys are dropped (a NULL key matches no row by SQL semantics).
+    */
+  def deleteKeysMor(spark: SparkSession, root: String, keyCol: String,
+      keys: DataFrame): (Long, Long) = {
+    require(keys.schema.fields.length == 1,
+      s"deleteKeysMor: keys must be a ONE-column frame, got " +
+        keys.columns.mkString("[", ", ", "]"))
+    require(keys.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType,
+      "deleteKeysMor: the key column must be LongType (it probes a " +
+        "long stat column)")
+    val kf = keys.na.drop()
+      .select(col(keys.columns.head).as("k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var restarts = 0
+      while (true) {
+        morKeyDeleteOnce(spark, root, keyCol, kf) match {
+          case Some(r) => return r
+          case None =>
+            restarts += 1
+            if (restarts >= MaxDmlRestarts)
+              throw new java.util.ConcurrentModificationException(
+                s"deleteKeysMor at $root: $restarts consecutive " +
+                  "conflicting commits; giving up — retry when ingest " +
+                  "quiesces")
+            backoff(restarts)
+        }
+      }
+      sys.error("unreachable")
+    } finally {
+      kf.unpersist()
+      ()
+    }
+  }
+
+  private def morKeyDeleteOnce(spark: SparkSession, root: String,
+      keyCol: String, kf: DataFrame): Option[(Long, Long)] = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    if (m0.morDeletes.size >= MaxMorDeletes) {
+      materializeDeletes(spark, root)
+      return None // restart against the materialized base
+    }
+    val ki = m0.statCols.indexOf(keyCol)
+    require(ki >= 0,
+      s"deleteKeysMor key column must be a manifested stat column " +
+        s"${m0.statCols.mkString("[", ", ", "]")}; got '$keyCol'")
+    val st = kf.agg(count(lit(1)), min(col("k")), max(col("k"))).head
+    val n = st.getLong(0)
+    if (n == 0L) return Some((v0, 0L))
+    val (mn, mx) = (st.getLong(1), st.getLong(2))
+    // sparse-key refinement, as in upsertByKey: few keys test files
+    // against the actual values, not one global box
+    val keyVals: Option[Seq[Long]] =
+      if (n <= SparseKeyProbeLimit)
+        Some(kf.collect().map(_.getLong(0)).sorted.toSeq)
+      else None
+    def mayHold(boxes: Seq[(Long, Long)]): Boolean = {
+      val (bmn, bmx) = boxes(ki)
+      keyVals match {
+        case Some(ks) => ks.exists(v => v >= bmn && v <= bmx)
+        case None => !(mx < bmn || mn > bmx)
+      }
+    }
+    val candShards = m0.shards.filter(r => r.name.isEmpty || mayHold(r.boxes))
+    val touched = candShards.flatMap(r => m0.entriesOf(r))
+      .filter(e => mayHold(e.boxes))
+    if (touched.isEmpty) return Some((v0, 0L))
+    val files = touched.map(_.name).toSet
+    // exact VISIBLE matched count (existing markers applied) — what
+    // keeps fastCount's subtraction exact under overlapping markers
+    val probeFrame =
+      if (keyVals.isDefined) broadcast(kf.select(col("k").as(keyCol)))
+      else kf.select(col("k").as(keyCol))
+    val matched = readVisible(spark, root, m0, touched.map(_.name))
+      .join(probeFrame, Seq(keyCol), "left_semi").count()
+    if (matched == 0L) return Some((v0, 0L))
+    val (inline, sidecar) =
+      if (n <= InlineKeyCap) (keyVals.get, None)
+      else (Seq.empty[Long], Some(writeKeySidecar(spark, root, kf)))
+    val bloom =
+      if (n <= KeyBloomMaxKeys)
+        buildKeyBloom(keyVals.getOrElse(
+          kf.collect().map(_.getLong(0)).toSeq))
+      else ""
+    val candNames = candShards.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      val conflict =
+        if (m0.legacy) lv != v0
+        else
+          !filesStillPresent(m0, lm, candNames) ||
+            lm.morDeletes != m0.morDeletes
+      if (conflict) {
+        sidecar.foreach { f =>
+          try fsFor(spark, root).delete(
+            new Path(manifestsDir(root), f), false)
+          catch { case _: Exception => () }
+        }
+        return None
+      }
+      if (tryPublish(spark, root, lv + 1, m0.statCols,
+          materializedShards(spark, root, lm),
+          lm.ingestBatch, kind = "mordelete",
+          publishSchema(spark, root, lm, None),
+          morDeletes = lm.morDeletes :+
+            MorKeyDelete(keyCol, inline, sidecar, bloom, matched, files),
+          typedCols = m0.typedCols))
+        return Some((lv + 1, matched))
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
+  /** One immutable parquet key sidecar under `manifests/` — written
+    * like a data file: a staged Spark write, the single part MOVED to
+    * its final `k-<uuid>.parquet` name. Unreferenced sidecars (a lost
+    * race, a materialized-away marker) are vacuumed like shards.
+    */
+  private def writeKeySidecar(spark: SparkSession, root: String,
+      kf: DataFrame): String = {
+    val fs = fsFor(spark, root)
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = s"$root/.stage-key-$uuid"
+    kf.select(col("k")).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new Path(stage)).toSeq
+      .find(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"key sidecar write produced no part: $stage"))
+    val name = s"k-$uuid.parquet"
+    fs.mkdirs(new Path(manifestsDir(root)))
+    if (!fs.rename(part.getPath, new Path(manifestsDir(root), name)))
+      throw new java.io.IOException(s"sidecar move failed: $stage")
+    fs.delete(new Path(stage), true)
+    name
+  }
+
   /** Fold every mor-delete marker into the data: rewrite ONLY the
     * marker-covered files to their visible rows (untouched files and
     * shards carry as in [[deleteRange]]), publish marker-free. Visible
@@ -2214,9 +2491,20 @@ object VersionedTable {
   def pointRead(spark: SparkSession, root: String, c: String,
       value: Long): DataFrame = {
     val (_, kept, m) = pointCandidates(spark, root, c, value)
+    // a key-set marker on the PROBED column whose bloom proves the
+    // value undeleted can be skipped wholesale: the marker can only
+    // remove rows with keyCol == value, and the bloom says there are
+    // none — a serving-latency win (no sidecar anti-join) that can
+    // never change the answer (bloom false positives just keep the
+    // marker applied)
+    val skip: Marker => Boolean = {
+      case k: MorKeyDelete if k.keyCol == c && k.bloom.nonEmpty =>
+        !keyBloomMayContain(k.bloom, value)
+      case _ => false
+    }
     val df =
       if (kept.isEmpty) readEntries(spark, root, m).limit(0)
-      else readVisible(spark, root, m, kept)
+      else readVisible(spark, root, m, kept, skip)
     df.filter(col(c) === value)
   }
 
@@ -2428,9 +2716,8 @@ object VersionedTable {
           m.morDeletes.drop(pm.morDeletes.size).foreach { md =>
             val names = pm.entries.map(_.name).filter(md.files)
             if (names.nonEmpty)
-              parts += tag(readVisible(spark, root, pm, names)
-                .filter(coalesce(boxPredicate(md.probes), lit(false))),
-                "delete", v)
+              parts += tag(markerMatches(spark, root,
+                readVisible(spark, root, pm, names), md), "delete", v)
           }
         // compact / materialize: pure rewrites, no visible row changed
         case _ => ()
@@ -2476,6 +2763,9 @@ object VersionedTable {
         .flatMap(_.entries.map(_.name)).toSet
       val referencedShards = keptManifests
         .flatMap(_.shardNames).filter(_.nonEmpty).toSet
+      val referencedSidecars = keptManifests
+        .flatMap(_.morDeletes)
+        .collect { case k: MorKeyDelete => k.sidecar }.flatten.toSet
       var filesDeleted = 0
       val fd = new Path(filesDir(root))
       if (fs.exists(fd)) fs.listStatus(fd).foreach { st =>
@@ -2504,6 +2794,13 @@ object VersionedTable {
         else if (n.startsWith("s-") && !referencedShards(n) && aged(st)) {
           if (!fs.delete(st.getPath, false)) throw new java.io.IOException(
             s"vacuum: could not delete shard ${st.getPath}")
+          filesDeleted += 1
+        }
+        else if (n.startsWith("k-") && !referencedSidecars(n) && aged(st)) {
+          // key-marker sidecars: unreferenced after materialization,
+          // a lost CAS, or retention dropping their versions
+          if (!fs.delete(st.getPath, false)) throw new java.io.IOException(
+            s"vacuum: could not delete key sidecar ${st.getPath}")
           filesDeleted += 1
         }
       }

@@ -211,4 +211,106 @@ class VersionedTableMorSpec extends AnyFunSuite {
         assert(batch.isEmpty, s"$kind at v$v must emit no CDC rows")
     }
   }
+
+  test("equality-delete markers: inline and sidecar key sets, zero rewrites, no resurrection, exact fastCount under overlapping key+box markers") {
+    val root = tmp("graft-vt-morkey")
+    VersionedTable.append(rows(0, 4000), root, Stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 8)           // v2
+    val filesBefore = dataFiles(root)
+    val before = ids(VersionedTable.read(spark, root))
+
+    // INLINE tier: a small key set rides in the manifest line
+    val smallKeys = (0L until 4000L by 173L).toSeq
+    val (v3, m3) = VersionedTable.deleteKeysMor(spark, root, "event_id",
+      smallKeys.toDF("event_id"))
+    assert(m3 == smallKeys.size.toLong)
+    assert(dataFiles(root) == filesBefore,
+      "an equality mor delete must write NO data files")
+    assert(new java.io.File(s"$root/manifests").listFiles()
+      .count(_.getName.startsWith("k-")) == 0,
+      "an inline key set must not spill a sidecar")
+    val afterSmall = before -- smallKeys.toSet
+    assert(ids(VersionedTable.read(spark, root)) == afterSmall)
+    assert(VersionedTable.fastCount(spark, root) == afterSmall.size.toLong)
+
+    // SIDECAR tier: a key set past InlineKeyCap spills to parquet
+    val bigKeys = (0L until 4000L).filter(_ % 7 == 0)
+      .filterNot(smallKeys.contains)
+    assert(bigKeys.size > VersionedTable.InlineKeyCap)
+    val (_, mBig) = VersionedTable.deleteKeysMor(spark, root, "event_id",
+      bigKeys.toDF("event_id"))
+    assert(mBig == bigKeys.size.toLong)
+    assert(new java.io.File(s"$root/manifests").listFiles()
+      .count(_.getName.startsWith("k-")) == 1,
+      "a big key set must spill exactly one sidecar")
+    val afterBig = afterSmall -- bigKeys.toSet
+    assert(ids(VersionedTable.read(spark, root)) == afterBig)
+    assert(VersionedTable.fastCount(spark, root) == afterBig.size.toLong)
+
+    // OVERLAPPING box marker on rows some of which the key markers
+    // already deleted: matched counts only VISIBLE rows — fastCount
+    // stays exact under key+box markers together
+    val (_, mBox) = VersionedTable.deleteRangeMor(spark, root,
+      Seq(("user_id", 0L, 20L)))
+    val boxGone = afterBig.filter(_ % 97 <= 20)
+    assert(mBox == boxGone.size.toLong)
+    val afterBox = afterBig -- boxGone
+    assert(ids(VersionedTable.read(spark, root)) == afterBox)
+    assert(VersionedTable.fastCount(spark, root) == afterBox.size.toLong)
+
+    // file-scoping: a re-append of already-deleted keys SURVIVES (the
+    // markers cover only their files)
+    VersionedTable.append(rows(0, 4000)
+      .filter($"event_id".isin(smallKeys.take(5): _*)), root, Stats)
+    val afterApp = afterBox ++ smallKeys.take(5)
+    assert(ids(VersionedTable.read(spark, root)) == afterApp,
+      "key markers are file-scoped: later appends survive")
+    assert(VersionedTable.fastCount(spark, root) == afterApp.size.toLong)
+
+    // materialization folds key+box markers away; nothing resurrects
+    VersionedTable.materializeDeletes(spark, root)
+    assert(VersionedTable.morDeleteCount(spark, root,
+      VersionedTable.latestVersion(spark, root).get) == 0)
+    assert(ids(VersionedTable.read(spark, root)) == afterApp,
+      "materialization must not change visible rows")
+    assert(VersionedTable.fastCount(spark, root) == afterApp.size.toLong)
+    // a vacuum then reclaims the now-unreferenced sidecar
+    VersionedTable.vacuum(spark, root, keepVersions = 1, graceMs = 0L)
+    assert(new java.io.File(s"$root/manifests").listFiles()
+      .count(_.getName.startsWith("k-")) == 0,
+      "materialized-away sidecars must vacuum")
+    // COW delete after the fold: still exact (no hidden marker state)
+    val (_, cow) = VersionedTable.deleteRange(spark, root,
+      Seq(("user_id", 90L, 96L)))
+    assert(cow == afterApp.count(_ % 97 >= 90).toLong)
+  }
+
+  test("pointRead skips a key marker its bloom proves irrelevant; bloom positives keep it applied") {
+    val root = tmp("graft-vt-morbloom")
+    VersionedTable.append(rows(0, 3000), root, Stats)
+    VersionedTable.compactZorder(spark, root, nFiles = 8)
+    val keys = (100L until 200L).toSeq // sidecar tier (> InlineKeyCap)
+    VersionedTable.deleteKeysMor(spark, root, "event_id",
+      keys.toDF("event_id"))
+    // a deleted key: empty result (marker applied — bloom hit)
+    assert(VersionedTable.pointRead(spark, root, "event_id", 150L)
+      .count() == 0L)
+    // an undeleted key: found (whether the marker was skipped or
+    // applied, the answer is identical — the skip is latency-only)
+    assert(ids(VersionedTable.pointRead(spark, root, "event_id", 2500L))
+      == Set(2500L))
+    // a point read on a DIFFERENT column can never skip the marker
+    assert(VersionedTable.pointRead(spark, root, "user_id", 150L % 97)
+      .filter($"event_id" === 150L).count() == 0L)
+    // CDC emits the key marker's rows as ordinary deletes: a replayed
+    // mirror from empty equals the table
+    val latest = VersionedTable.latestVersion(spark, root).get
+    val cdc = VersionedTable.readChangesCdc(spark, root, 0L, latest)
+    val cols = Seq($"event_id", $"user_id", $"ts_us")
+    val mirror = cdc.filter($"_change_type" === "insert").select(cols: _*)
+      .exceptAll(cdc.filter($"_change_type" === "delete").select(cols: _*))
+    val table = VersionedTable.read(spark, root).select(cols: _*)
+    assert(mirror.exceptAll(table).isEmpty && table.exceptAll(mirror).isEmpty,
+      "CDC mirror must equal read() across an equality-delete version")
+  }
 }
