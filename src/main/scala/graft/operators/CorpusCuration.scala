@@ -1830,6 +1830,101 @@ object CorpusCuration {
         CAST(user_sum AS BIGINT) AS user_sum
       FROM stages ORDER BY stage"""))
 
+  /** The CDC feed as an incremental SOURCE under the driver's oracle
+    * ([[graft.streaming.VersionedCdcMirror]] — a version-frontier
+    * poller over `readChangesCdc` whose exactly-once marker is the
+    * DOWNSTREAM table's own ingest frontier, committed atomically with
+    * each applied batch): a source table runs a DML history (append →
+    * delete box → upsert), a row MIRROR and a maintained per-user
+    * AGGREGATE sync incrementally — interleaved with the commits, with
+    * a deliberate mid-stream REPLAY of an already-applied batch (the
+    * crash-redelivery case, which must change nothing) — and both
+    * downstreams' final contents are hash-matched against the same
+    * history stated declaratively. The engine additionally proves
+    * mirror == source before emitting.
+    */
+  val vtCdcMirror: Q = Q(
+    "pipe_vt_cdc_mirror",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val src = scratchDir("cdc-mirror-src")
+      val mirror = scratchDir("cdc-mirror-mir")
+      val agg = scratchDir("cdc-mirror-agg")
+      val keys = Seq("event_id")
+      def sync(): Unit = {
+        graft.streaming.VersionedCdcMirror.syncMirror(s, src, mirror, keys)
+        graft.streaming.VersionedCdcMirror.syncCountSum(s, src, agg,
+          "user_id", "event_id")
+        ()
+      }
+      graft.pipeline.VersionedTable.append(ev, src,
+        Seq("user_id", "ts_us", "event_id"))                       // v1
+      sync()
+      val b = ev.agg(min($"user_id"), max($"user_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) * 25 / 100, mn + (mx - mn) * 75 / 100)
+      graft.pipeline.VersionedTable.deleteRange(s, src,
+        Seq(("user_id", lo, hi)))                                  // v2
+      sync()
+      // the CRASH-REDELIVERY case: v2's batch re-applied verbatim must
+      // be recognized as a replay and change nothing
+      val cdc2 = graft.pipeline.VersionedTable.readChangesCdc(s, src, 1L, 2L)
+      val data = Seq($"event_id", $"user_id", $"ts_us")
+      val (_, replayed) = graft.pipeline.VersionedTable.applyCdcBatch(
+        s, mirror,
+        cdc2.filter($"_change_type" === "insert").select(data: _*),
+        cdc2.filter($"_change_type" === "delete").select($"event_id")
+          .distinct(), keys, 2L)
+      require(!replayed,
+        "pipe_vt_cdc_mirror: a replayed batch must be skipped")
+      graft.pipeline.VersionedTable.upsertByKey(s, src,
+        ev.filter(pmod($"event_id", lit(7L)) === 0)
+          .withColumn("user_id", $"user_id" + 1000000L),
+        Seq("event_id"))                                           // v3
+      sync()
+      // the consumer contract, proven before anything is emitted
+      val srcNow = graft.pipeline.VersionedTable.read(s, src)
+        .select(data: _*)
+      val mirNow = graft.pipeline.VersionedTable.read(s, mirror)
+        .select(data: _*)
+      require(mirNow.exceptAll(srcNow).isEmpty &&
+        srcNow.exceptAll(mirNow).isEmpty,
+        "pipe_vt_cdc_mirror: mirror diverged from source")
+      val mirrorRow = mirNow
+        .agg(lit("mirror").as("stage"), count(lit(1)).as("n_rows"),
+          sum($"event_id").as("id_sum"), sum($"user_id").as("user_sum"))
+      val viewRow = graft.pipeline.VersionedTable.read(s, agg)
+        .agg(lit("view").as("stage"), count(lit(1)).as("n_rows"),
+          sum($"n_rows").as("id_sum"), sum($"val_sum").as("user_sum"))
+      mirrorRow.unionAll(viewRow).orderBy($"stage")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b),
+      vis AS (SELECT event_id, user_id FROM src, box
+              WHERE user_id NOT BETWEEN lo AND hi),
+      fin AS (
+        SELECT event_id, user_id FROM vis WHERE event_id % 7 <> 0
+        UNION ALL
+        SELECT event_id, user_id + 1000000 FROM src WHERE event_id % 7 = 0),
+      view AS (
+        SELECT user_id, count(*) AS n_rows, sum(event_id) AS val_sum
+        FROM fin GROUP BY user_id),
+      stages AS (
+        SELECT 'mirror' AS stage, count(*) AS n_rows,
+          sum(event_id) AS id_sum, sum(user_id) AS user_sum FROM fin
+        UNION ALL
+        SELECT 'view', count(*), sum(n_rows), sum(val_sum) FROM view)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(id_sum AS BIGINT) AS id_sum,
+        CAST(user_sum AS BIGINT) AS user_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -1837,5 +1932,6 @@ object CorpusCuration {
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
+    vtCdcMirror,
     manifestPrune)
 }

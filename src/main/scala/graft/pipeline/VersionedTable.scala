@@ -2471,6 +2471,181 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Apply ONE CDC batch to this table ATOMICALLY and EXACTLY-ONCE —
+    * the downstream half of a change-data feed: `upserts` replace
+    * current rows with the same key (new keys append), `deleteKeys`
+    * (a one-column-per-key frame of key tuples) remove theirs, and the
+    * whole application publishes as ONE version whose manifest records
+    * `sourceVersion` as its ingest frontier. A replay — the poller
+    * crashed after this commit and re-delivers the batch — finds the
+    * frontier at-or-past `sourceVersion` and changes NOTHING, exactly
+    * the [[appendBatch]] idempotence argument: the marker commits in
+    * the same atomic publish as the data, so there is no window where
+    * one is visible without the other. This is what lets
+    * [[graft.streaming.VersionedCdcMirror]] maintain a mirror or a
+    * derived aggregate from [[readChangesCdc]] with exactly-once
+    * semantics across mid-stream restarts. Returns (version, applied —
+    * false for a replay).
+    *
+    * Copy-on-write with the same two-level stats pruning and
+    * optimistic protocol as [[upsertByKey]]; existing mor-delete
+    * markers materialize first. A batch against a not-yet-existing
+    * table must carry no deletes (a CDC stream's first version is pure
+    * inserts) and CREATES the table with `keyCols` as its stat
+    * columns.
+    */
+  def applyCdcBatch(spark: SparkSession, root: String, upserts: DataFrame,
+      deleteKeys: DataFrame, keyCols: Seq[String],
+      sourceVersion: Long): (Long, Boolean) = {
+    require(keyCols.nonEmpty, "applyCdcBatch needs at least one key column")
+    require(deleteKeys.columns.length == keyCols.length,
+      s"deleteKeys must be one column per key: got " +
+        s"${deleteKeys.columns.length} for ${keyCols.size} keys")
+    if (latestVersion(spark, root).isEmpty) {
+      require(deleteKeys.isEmpty,
+        s"applyCdcBatch at $root: the table does not exist yet — the " +
+          "first batch must be pure inserts")
+      return appendBatchDetailed(upserts, root, keyCols, sourceVersion)
+    }
+    val keyFrame = deleteKeys.toDF(keyCols: _*)
+      .unionByName(upserts.select(keyCols.map(col): _*))
+      .na.drop().distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinnedUpserts = upserts.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var restarts = 0
+      while (true) {
+        materializeDeletes(spark, root)
+        applyCdcOnce(spark, root, pinnedUpserts, keyFrame, keyCols,
+          sourceVersion) match {
+          case Some(r) => return r
+          case None =>
+            restarts += 1
+            if (restarts >= MaxDmlRestarts)
+              throw new java.util.ConcurrentModificationException(
+                s"applyCdcBatch at $root: $restarts consecutive " +
+                  "conflicting commits; giving up")
+            backoff(restarts)
+        }
+      }
+      sys.error("unreachable")
+    } finally {
+      keyFrame.unpersist(); pinnedUpserts.unpersist()
+      ()
+    }
+  }
+
+  private def applyCdcOnce(spark: SparkSession, root: String,
+      upserts: DataFrame, keyFrame: DataFrame, keyCols: Seq[String],
+      sourceVersion: Long): Option[(Long, Boolean)] = {
+    val (v0, m) = latestManifest(spark, root).get
+    if (m.ingestBatch >= sourceVersion) return Some((v0, false)) // replay
+    if (m.morDeletes.nonEmpty) return None // wrapper materializes first
+    require(keyCols.forall(m.statCols.contains),
+      s"applyCdcBatch key columns must be manifested stat columns " +
+        s"${m.statCols.mkString("[", ", ", "]")}; got " +
+        keyCols.mkString("[", ", ", "]"))
+    val merged = mergedSchema(tableSchema(spark, root, Some(m)),
+      upserts.schema)
+    val keyIdx = keyCols.map(m.statCols.indexOf)
+    val aggs = count(lit(1)) +: keyCols.flatMap(c =>
+      Seq(min(col(c)), max(col(c))))
+    val st = keyFrame.agg(aggs.head, aggs.tail: _*).head
+    val total = st.getLong(0)
+    if (total == 0L && upserts.isEmpty) {
+      // a version with no row changes (compaction-only range): publish
+      // ONLY the frontier so the replay contract still advances —
+      // carried shards unchanged
+      var attempt = 0
+      while (true) {
+        val (lv, lm) = latestManifest(spark, root).get
+        if (lm.ingestBatch >= sourceVersion) return Some((lv, false))
+        if (tryPublish(spark, root, lv + 1, m.statCols,
+            materializedShards(spark, root, lm), sourceVersion,
+            kind = "append", publishSchema(spark, root, lm, None),
+            morDeletes = lm.morDeletes, typedCols = m.typedCols))
+          return Some((lv + 1, true))
+        attempt += 1
+        backoff(attempt)
+      }
+    }
+    val probes = keyCols.zipWithIndex.map { case (c, i) =>
+      (c, st.getLong(1 + 2 * i), st.getLong(2 + 2 * i))
+    }
+    val keyTuples: Option[Seq[Seq[Long]]] =
+      if (total <= SparseKeyProbeLimit)
+        Some(keyFrame.collect().toSeq.map(row =>
+          keyCols.indices.map(i => row.getLong(i))))
+      else None
+    def mayHoldKeys(boxes: Seq[(Long, Long)]): Boolean = keyTuples match {
+      case Some(ks) => ks.exists(k =>
+        keyIdx.zipWithIndex.forall { case (bi, ki) =>
+          val (bmn, bmx) = boxes(bi); k(ki) >= bmn && k(ki) <= bmx
+        })
+      case None => boxHit(boxes, probes, keyIdx)
+    }
+    val candShards = m.shards.filter(r =>
+      r.name.isEmpty || mayHoldKeys(r.boxes))
+    val touched = candShards.flatMap(r => m.entriesOf(r))
+      .filter(e => mayHoldKeys(e.boxes))
+    val touchedNames = touched.map(_.name).toSet
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else writeFiles(readNamed(spark, root, m, touched.map(_.name))
+        .join(broadcast(keyFrame), keyCols, "left_anti"),
+        root, m.statCols, m.typedCols)
+    val alignedUpserts = merged.fields.foldLeft(upserts: DataFrame) {
+      (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(merged.fieldNames.map(col): _*)
+    val newEntries = writeFiles(alignedUpserts, root, m.statCols,
+      m.typedCols)
+    val rewrittenShard = writeShard(spark, root, m.statCols, rewritten,
+      m.typedCols)
+    val newShard = writeShard(spark, root, m.statCols, newEntries,
+      m.typedCols)
+    val replacements = candShards.flatMap { r =>
+      writeShard(spark, root, m.statCols,
+        m.entriesOf(r).filterNot(e => touchedNames(e.name)), m.typedCols)
+    }
+    val candNames = candShards.map(_.name).toSet
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).get
+      if (lm.ingestBatch >= sourceVersion) {
+        // a racing twin applied this batch: ours is a replay
+        discard(spark, root, rewritten ++ newEntries,
+          replacements ++ rewrittenShard.toSeq ++ newShard.toSeq)
+        return Some((lv, false))
+      }
+      val carriedOpt =
+        if (m.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
+        else if (lm.morDeletes.nonEmpty) None
+        else rebaseCarry(spark, root, m, lm, candNames,
+          e => mayHoldKeys(e.boxes))
+      carriedOpt match {
+        case None =>
+          discard(spark, root, rewritten ++ newEntries,
+            replacements ++ rewrittenShard.toSeq ++ newShard.toSeq)
+          return None
+        case Some(carried) =>
+          if (tryPublish(spark, root, lv + 1, m.statCols,
+              carried ++ replacements ++ rewrittenShard.toSeq ++
+                newShard.toSeq,
+              sourceVersion, kind = "upsert",
+              publishSchema(spark, root, lm, Some(merged)),
+              newFiles = newEntries.map(_.name),
+              typedCols = m.typedCols))
+            return Some((lv + 1, true))
+      }
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
+  }
+
   /** POINT lookup (`col = value`) with THREE metadata-only pruning
     * stages before any data page is read: (1) the manifest list's
     * aggregate shard boxes drop whole shards without opening them;
@@ -2566,6 +2741,13 @@ object VersionedTable {
     // materialized away — the subtraction is exact, never an estimate
     m.shards.map(_.rows).sum - m.morDeletes.map(_.matched).sum
   }
+
+  /** The ingest frontier recorded by version v's manifest (-1 when the
+    * table has never been written through a frontier-carrying path) —
+    * what a CDC poller reads to resume exactly-once.
+    */
+  def ingestFrontier(spark: SparkSession, root: String, v: Long): Long =
+    readManifest(spark, root, v).ingestBatch
 
   /** Incremental CHANGE read — the rows ADDED strictly after `fromV`
     * up to and including `toV` (CDC-lite for an append-only table):
