@@ -220,6 +220,30 @@ object StreamingDedupPipeline {
     // also pins the batch content against source-side races
     val docs = batch.localCheckpoint()
     val sh = graft.operators.Dedup.hashedShinglesOf(docs).localCheckpoint()
+    val admitted = admitDocs(docs, sh, storeDir, batchId)
+
+    docs.join(admitted, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+
+    val keptSh = sh.join(admitted, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    writeStoreDelta(spark, keptSh, storeDir, batchId)
+  }
+
+  /** The batch's ADMITTED doc ids — cross-batch rejection against the
+    * posting store's committed dirs strictly below `upTo`, then the
+    * within-batch sequential greedy, then the unshingled passthrough.
+    * Pure READ of the store: the write half is [[writeStoreDelta]], so
+    * a composed pipeline (admission here, landing in a versioned
+    * table, store maintained from the table's own CDC feed —
+    * [[StreamingDedupVersionedIngest]]) shares admission semantics
+    * with the classic kept-dir pipeline by construction.
+    */
+  private[streaming] def admitDocs(docs: DataFrame, sh: DataFrame,
+      storeDir: String, upTo: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val batchId = upTo
 
     // ---- cross-batch rejection against the maintained posting index:
     // every store read is filtered to the BATCH's shingle set before any
@@ -306,40 +330,51 @@ object StreamingDedupPipeline {
     // relation — always admitted (they carry no store shingles either)
     val unshingled = docs.select($"doc_id")
       .join(sh.select($"doc_id"), Seq("doc_id"), "left_anti")
-    val admitted = kept.unionAll(unshingled)
+    kept.unionAll(unshingled)
+  }
 
-    // ---- deterministic, per-batch-partition writes (replay = overwrite).
-    // A fold batch (batchId % FoldEvery == 0) folds every committed delta
-    // below it into its own partition; its readers start at this batch.
-    val keptSh = sh.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+  /** Write ONE store delta — the admitted docs' shingle rows as dir
+    * `batch=<dirId>` under postings/df/shingles, with the LSM fold on
+    * [[FoldEvery]]-divisible ids and GC below the fold horizon. A
+    * deterministic function of (keptSh, committed dirs < dirId) into
+    * dirId's own partitions with overwrite — a crashed attempt's
+    * half-written dir is excluded from reads and overwritten by the
+    * replay, the pipeline's replay-safety contract.
+    */
+  private[streaming] def writeStoreDelta(spark: SparkSession,
+      keptSh: DataFrame, storeDir: String, dirId: Long): Unit = {
+    import spark.implicits._
     val keptPost = keptSh
       .select(explode($"shingles").as("sh"), $"doc_id")
-    val isFold = batchId % FoldEvery == 0L && batchId > 0L
-
-    docs.join(admitted, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+    val isFold = dirId % FoldEvery == 0L && dirId > 0L
 
     val shinglesOut =
       if (isFold)
-        readOrEmpty(spark, s"$storeDir/shingles", batchId, keptSh.filter(lit(false)))
+        readOrEmpty(spark, s"$storeDir/shingles", dirId,
+            keptSh.filter(lit(false)))
           .select($"doc_id", $"shingles").unionAll(keptSh)
       else keptSh
     shinglesOut.write.mode("overwrite")
-      .parquet(s"$storeDir/shingles/batch=$batchId")
+      .parquet(s"$storeDir/shingles/batch=$dirId")
 
+    val storePost = readOrEmpty(spark, s"$storeDir/postings", dirId,
+        keptPost.filter(lit(false)).select($"sh", $"doc_id"))
+      .select($"sh", $"doc_id")
     val postOut =
-      if (isFold) storePost.select($"sh", $"a_id".as("doc_id"))
-        .unionAll(keptPost.select($"sh", $"doc_id"))
+      if (isFold) storePost.unionAll(keptPost.select($"sh", $"doc_id"))
       else keptPost.select($"sh", $"doc_id")
     postOut.write.mode("overwrite")
-      .parquet(s"$storeDir/postings/batch=$batchId")
+      .parquet(s"$storeDir/postings/batch=$dirId")
 
     val batchKeptDf = keptPost.groupBy($"sh").agg(count(lit(1)).as("n"))
     val dfOut =
-      if (isFold) storeDf.unionAll(batchKeptDf)
-        .groupBy($"sh").agg(sum($"n").as("n"))
+      if (isFold)
+        readOrEmpty(spark, s"$storeDir/df", dirId,
+            batchKeptDf.filter(lit(false)))
+          .select($"sh", $"n").unionAll(batchKeptDf)
+          .groupBy($"sh").agg(sum($"n").as("n"))
       else batchKeptDf
-    dfOut.write.mode("overwrite").parquet(s"$storeDir/df/batch=$batchId")
+    dfOut.write.mode("overwrite").parquet(s"$storeDir/df/batch=$dirId")
 
     // dirs below the fold horizon are folded into it: no future batch
     // (including a replay of THIS batch, which reads ≥ its own horizon)
@@ -348,7 +383,7 @@ object StreamingDedupPipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (root <- Seq("shingles", "postings", "df"))
       batchDirs(spark, s"$storeDir/$root")
-        .filter { case (_, b) => b < foldHorizon(batchId) }
+        .filter { case (_, b) => b < foldHorizon(dirId) }
         .foreach { case (p, _) => fs.delete(p, true) }
   }
 }
