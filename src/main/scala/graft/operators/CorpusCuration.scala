@@ -1688,9 +1688,12 @@ object CorpusCuration {
       val upd = s.sql(
         s"""UPDATE graft_vt_dml SET ts_us = ts_us + 5
             WHERE user_id >= ${1000000L + lo}""").head
+      // ts_us is epoch MICROS: a raw sum overflows Long past ~5k rows
+      // (ANSI arithmetic fails loudly at sf0.1) — fingerprint the
+      // column through a bounded transform both engines state verbatim
       s.sql("""SELECT 'final' AS stage, count(*) AS n_rows,
             CAST(sum(user_id) AS BIGINT) AS user_sum,
-            CAST(sum(ts_us) AS BIGINT) AS ts_sum
+            CAST(sum(ts_us % 1000000) AS BIGINT) AS ts_sum
           FROM graft_vt_dml""")
         .unionAll(Seq(
           ("deleted", del.getLong(1), 0L, 0L),
@@ -1722,7 +1725,7 @@ object CorpusCuration {
         FROM merged, box),
       stages AS (
         SELECT 'final' AS stage, count(*) AS n_rows,
-          sum(user_id) AS user_sum, sum(ts_us) AS ts_sum FROM fin
+          sum(user_id) AS user_sum, sum(ts_us % 1000000) AS ts_sum FROM fin
         UNION ALL
         SELECT 'deleted', (SELECT count(*) FROM src, box
           WHERE user_id BETWEEN lo AND hi), 0, 0

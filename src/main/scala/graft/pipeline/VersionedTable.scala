@@ -1713,7 +1713,12 @@ object VersionedTable {
     * list's aggregate boxes (without opening them), then files from
     * the surviving shards' entries — with the exact filter applied on
     * the survivors. Returns the pruned DataFrame; `prunedFileCount`
-    * reports the shrink for observability.
+    * reports the shrink for observability. Long stat columns only by
+    * construction (the probe tuple is Long); TYPED-column pruning
+    * (string/date/timestamp/decimal) goes through [[sqlRead]] — a
+    * plain `.filter(...)` on its frame pushes into the FileIndex and
+    * prunes identically, so `sqlRead(root).filter($"lang" === "de")`
+    * IS the typed boxRead.
     */
   def boxRead(spark: SparkSession, root: String,
       probes: Seq[(String, Long, Long)]): DataFrame = {

@@ -96,6 +96,13 @@ class VersionedTypedStatsSpec extends AnyFunSuite {
         WHERE lang = 'lang_00' OR lang = 'lang_09'""").head.getLong(0)
     assert(or == (0L until n).count(id => id % 10 == 0 || id % 10 == 9))
     assert(index.lastKeptFiles == all, "OR must disable pruning, not break it")
+
+    // the DataFrame-API spelling prunes identically: a plain .filter on
+    // the sqlRead frame IS the typed boxRead (same pushdown, same index)
+    val viaApi = df.filter($"lang" === "lang_03").count()
+    assert(viaApi == eq)
+    assert(index.lastKeptFiles == eqKept,
+      "DataFrame .filter must prune exactly like the SQL spelling")
   }
 
   test("date/timestamp/decimal ranges prune on a time-clustered layout") {
