@@ -94,6 +94,14 @@ object VersionedSql {
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val MergeRe =
     """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*""".r
+  private val SnapshotViewRe =
+    """(?is)\s*CREATE\s+VERSIONED\s+VIEW\s+(\w+)\s+AS\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val ChangesViewRe =
+    """(?is)\s*CREATE\s+VERSIONED\s+CHANGES\s+VIEW\s+(\w+)\s+AS\s+(\w+)\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""".r
 
   /** Recognize a versioned-table DML/DDL statement; None delegates to
     * Spark's parser. DELETE/UPDATE/MERGE intercept ONLY registered
@@ -129,6 +137,20 @@ object VersionedSql {
         if (src.startsWith("(")) src.stripPrefix("(").stripSuffix(")")
         else s"SELECT * FROM $src"
       Some(VersionedMergeCommand(name, reg, sourceSql, keys))
+    case HistoryRe(name) if lookup(spark, name).isDefined =>
+      Some(VersionedHistoryCommand(lookup(spark, name).get))
+    case VacuumRe(name, retain, grace) if lookup(spark, name).isDefined =>
+      Some(VersionedVacuumCommand(lookup(spark, name).get,
+        Option(retain).map(_.toInt).getOrElse(2),
+        Option(grace).map(_.toLong)
+          .getOrElse(VersionedTable.DefaultVacuumGraceMs)))
+    case SnapshotViewRe(view, name, v, ts) if lookup(spark, name).isDefined =>
+      Some(VersionedSnapshotViewCommand(view, lookup(spark, name).get,
+        Option(v).map(_.toLong), Option(ts).map(_.toLong)))
+    case ChangesViewRe(view, name, from, to)
+        if lookup(spark, name).isDefined =>
+      Some(VersionedChangesViewCommand(view, lookup(spark, name).get,
+        from.toLong, to.toLong))
     case _ => None
   }
 
@@ -307,6 +329,73 @@ case class VersionedUpdateCommand(name: String,
       else VersionedTable.upsertByKey(spark, reg.root, updated, reg.keyCols)
     VersionedSql.refreshView(spark, name)
     Seq(Row(v, n))
+  }
+}
+
+/** `DESCRIBE HISTORY name` — the commit log as rows (version,
+  * committed-at epoch millis, kind), newest first: Delta's
+  * DESCRIBE HISTORY shape over [[VersionedTable.history]].
+  */
+case class VersionedHistoryCommand(reg: VersionedSql.Registration)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at_ms", LongType, nullable = false)(),
+    AttributeReference("kind",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.history(spark, reg.root).reverse
+      .map { case (v, ts, kind) => Row(v, ts, kind) }
+}
+
+/** `VACUUM name [RETAIN n VERSIONS] [GRACE ms MS]` —
+  * [[VersionedTable.vacuum]]: retention defaults to 2 versions, the
+  * orphan grace to the production default (tests state `GRACE 0 MS`
+  * explicitly). Emits (versions_dropped, files_deleted).
+  */
+case class VersionedVacuumCommand(reg: VersionedSql.Registration,
+    keepVersions: Int, graceMs: Long) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("versions_dropped", LongType, nullable = false)(),
+    AttributeReference("files_deleted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dropped, deleted) =
+      VersionedTable.vacuum(spark, reg.root, keepVersions, graceMs)
+    Seq(Row(dropped.toLong, deleted.toLong))
+  }
+}
+
+/** `CREATE VERSIONED VIEW v AS name [VERSION AS OF k | TIMESTAMP AS OF
+  * ms]` — time travel through SQL: a temp view pinned to the stated
+  * snapshot (or the current latest), served through the pruning
+  * FileIndex like any [[VersionedTable.sqlRead]]. The pin is REAL:
+  * later DML on the table does not move the view.
+  */
+case class VersionedSnapshotViewCommand(view: String,
+    reg: VersionedSql.Registration, version: Option[Long],
+    tsMillis: Option[Long]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.orElse(tsMillis.map(ts =>
+      VersionedTable.versionAsOf(spark, reg.root, ts)))
+    VersionedTable.sqlRead(spark, reg.root, v)
+      .createOrReplaceTempView(view)
+    Seq.empty
+  }
+}
+
+/** `CREATE VERSIONED CHANGES VIEW v AS name FROM a TO b` — the CDC
+  * feed as a SQL relation: `_change_type` / `_commit_version` rows of
+  * [[VersionedTable.readChangesCdc]] over (a, b].
+  */
+case class VersionedChangesViewCommand(view: String,
+    reg: VersionedSql.Registration, fromV: Long, toV: Long)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.readChangesCdc(spark, reg.root, fromV, toV)
+      .createOrReplaceTempView(view)
+    Seq.empty
   }
 }
 

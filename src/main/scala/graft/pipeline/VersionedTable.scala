@@ -3012,6 +3012,13 @@ object VersionedTable {
       v: Long): Int =
     readManifest(spark, root, v).morDeletes.size
 
+  /** Distinct files covered by version v's markers — the study
+    * observable for candidate-set pruning.
+    */
+  private[pipeline] def morDeleteCoveredFiles(spark: SparkSession,
+      root: String, v: Long): Int =
+    readManifest(spark, root, v).morDeletes.flatMap(_.files).toSet.size
+
   /** Shard count of version v's manifest list. */
   private[pipeline] def shardCount(spark: SparkSession, root: String,
       v: Long): Int =

@@ -141,6 +141,57 @@ class VersionedSqlDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("manifested stat columns"))
   }
 
+  test("DESCRIBE HISTORY / VACUUM / time-travel views / changes views: the whole lifecycle is SQL-drivable") {
+    val root = freshRoot("ops")
+    VersionedTable.append(rows(0, 200), root, Stats)                  // v1
+    spark.sql(s"CREATE VERSIONED TABLE vt_ops LOCATION '$root' " +
+      "KEYS(event_id)")
+    spark.sql("DELETE FROM vt_ops WHERE user_id <= 5")                // v2
+    VersionedTable.append(rows(1, 200), root, Stats)                  // v3
+
+    // DESCRIBE HISTORY: the commit log, newest first
+    val hist = spark.sql("DESCRIBE HISTORY vt_ops").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(hist.map(_.getString(2)).toSeq == Seq("append", "delete",
+      "append"))
+    assert(hist.forall(_.getLong(1) > 0L), "commit timestamps recorded")
+
+    // time travel: a view PINNED to v1 (pre-delete) — later DML does
+    // not move it
+    spark.sql("CREATE VERSIONED VIEW vt_ops_v1 AS vt_ops VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM vt_ops_v1").head.getLong(0)
+      == 200L)
+    // and a timestamp pin resolves to the newest version at-or-before
+    val t1 = hist.find(_.getLong(0) == 1L).get.getLong(1)
+    spark.sql("CREATE VERSIONED VIEW vt_ops_t1 AS vt_ops " +
+      s"TIMESTAMP AS OF $t1")
+    assert(spark.sql("SELECT count(*) FROM vt_ops_t1").head.getLong(0)
+      == 200L)
+
+    // CDC as a SQL relation over (1, 3]
+    spark.sql("CREATE VERSIONED CHANGES VIEW vt_ops_cdc AS vt_ops " +
+      "FROM 1 TO 3")
+    val cdc = spark.sql("""SELECT _change_type, count(*) FROM vt_ops_cdc
+        GROUP BY 1 ORDER BY 1""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cdc("delete") == (0L until 200L).count(_ % 97 <= 5).toLong)
+    assert(cdc("insert") == 200L)
+
+    // VACUUM with explicit retention + zero grace: v1 drops, its
+    // now-unreferenced files are reclaimed, the pinned view dies with
+    // its version (the documented retention contract)
+    val vac = spark.sql("VACUUM vt_ops RETAIN 2 VERSIONS GRACE 0 MS").head
+    assert(vac.getLong(0) == 1L, "one version dropped")
+    assert(vac.getLong(1) > 0L, "the dropped version's files reclaimed")
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    // the served view refreshes on SQL statements; an API writer calls
+    // refreshView explicitly (a temp view is a pinned snapshot — the
+    // same reader contract as everywhere else)
+    VersionedSql.refreshView(spark, "vt_ops")
+    assert(spark.sql("SELECT count(*) FROM vt_ops").head.getLong(0) ==
+      VersionedTable.read(spark, root).count())
+  }
+
   test("SQL delete ∥ API append racing: the shared optimistic protocol resolves it like an API delete") {
     val root = freshRoot("race")
     VersionedTable.append(rows(0, 400), root, Stats)
