@@ -1928,6 +1928,60 @@ object CorpusCuration {
         CAST(user_sum AS BIGINT) AS user_sum
       FROM stages ORDER BY stage"""))
 
+  /** TYPED-column DML under the driver's oracle
+    * ([[graft.pipeline.VersionedTable.deleteWhere]] through the SQL
+    * DELETE route): the retention statements real corpora run —
+    * delete a LANGUAGE, then delete by a string range conjoined with
+    * an untranslatable modulus (the typed conjunct prunes candidate
+    * files, the exact predicate decides rows). The final state and
+    * per-statement affected counts hash-match a declarative DuckDB
+    * replay; a candidate set pruned too hard (a lost row) or a
+    * mistranslated typed literal breaks the hash.
+    */
+  val vtDeleteWhere: Q = Q(
+    "pipe_vt_delete_where",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .repartitionByRange(12, $"lang", $"doc_id")
+      val root = scratchDir("vt-delete-where")
+      graft.pipeline.VersionedTable.append(docs, root,
+        Seq("doc_id", "n_chars"), Seq("lang", "source"))
+      s.sql(s"CREATE VERSIONED TABLE graft_vt_dw LOCATION '$root'")
+      val d1 = s.sql("DELETE FROM graft_vt_dw WHERE lang = 'de'").head
+      val d2 = s.sql("""DELETE FROM graft_vt_dw
+        WHERE source >= 'src14' AND source <= 'src16'
+          AND doc_id % 2 = 0""").head
+      s.sql("""SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars_sum
+          FROM graft_vt_dw GROUP BY lang""")
+        .unionAll(Seq(
+          ("_deleted_lang", d1.getLong(1), 0L),
+          ("_deleted_range", d2.getLong(1), 0L))
+          .toDF("lang", "n_docs", "chars_sum"))
+        .orderBy($"lang")
+    },
+    Some("""WITH alive AS (
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang <> 'de'
+          AND NOT (source >= 'src14' AND source <= 'src16'
+                   AND doc_id % 2 = 0)),
+      stages AS (
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars_sum
+        FROM alive GROUP BY lang
+        UNION ALL
+        SELECT '_deleted_lang',
+          (SELECT count(*) FROM documents WHERE lang = 'de'), 0
+        UNION ALL
+        SELECT '_deleted_range',
+          (SELECT count(*) FROM documents WHERE lang <> 'de'
+           AND source >= 'src14' AND source <= 'src16'
+           AND doc_id % 2 = 0), 0)
+      SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(chars_sum AS BIGINT) AS chars_sum
+      FROM stages ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -1935,6 +1989,6 @@ object CorpusCuration {
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
-    vtCdcMirror,
+    vtCdcMirror, vtDeleteWhere,
     manifestPrune)
 }

@@ -115,9 +115,7 @@ object VersionedSql {
       Some(CreateVersionedTableCommand(name, location, keyCols,
         mor != null))
     case DeleteRe(name, where) if lookup(spark, name).isDefined =>
-      val reg = lookup(spark, name).get
-      Some(VersionedDeleteCommand(name, reg,
-        boxProbes(delegate.parseExpression(where), name)))
+      Some(VersionedDeleteCommand(name, lookup(spark, name).get, where))
     case UpdateRe(name, setClause, where) if lookup(spark, name).isDefined =>
       val reg = lookup(spark, name).get
       require(reg.keyCols.nonEmpty,
@@ -168,9 +166,13 @@ object VersionedSql {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    // INTEGER literals only, by their SQL type: a DateType literal is
+    // also an Int internally, and treating it as a long probe would
+    // hijack typed predicates from the deleteWhere path
     def litOf(x: Expression): Option[Long] = x match {
-      case Literal(v: Long, _) => Some(v)
-      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        Some(v.toLong)
       case _ => None
     }
     def bad(x: Expression): Nothing =
@@ -282,21 +284,40 @@ case class CreateVersionedTableCommand(name: String, location: String,
   }
 }
 
-/** `DELETE FROM name WHERE <box>` → [[VersionedTable.deleteRange]]
-  * (or [[VersionedTable.deleteRangeMor]] under `MOR DELETES`); emits
-  * (version, rows_affected), refreshes the view.
+/** `DELETE FROM name WHERE <pred>` — a long-box WHERE dispatches to
+  * [[VersionedTable.deleteRange]] (or
+  * [[VersionedTable.deleteRangeMor]] under `MOR DELETES`); a predicate
+  * over TYPED stat columns (dates, strings — the retention shape)
+  * takes the COW [[VersionedTable.deleteWhere]] path, which requires
+  * at least one stats-checkable conjunct and rejects loudly otherwise.
+  * MOR mode is long-box only (a typed marker is not representable):
+  * a typed WHERE under `MOR DELETES` errors rather than silently
+  * switching cost models. Emits (version, rows_affected), refreshes
+  * the view.
   */
 case class VersionedDeleteCommand(name: String,
     reg: VersionedSql.Registration,
-    probes: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+    where: String) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("rows_affected", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (v, n) =
-      if (reg.morDeletes) VersionedTable.deleteRangeMor(spark, reg.root,
-        probes)
-      else VersionedTable.deleteRange(spark, reg.root, probes)
+    val parsed = spark.sessionState.sqlParser.parseExpression(where)
+    val longProbes =
+      try Some(VersionedSql.boxProbes(parsed, name))
+      catch { case _: IllegalArgumentException => None }
+    val (v, n) = longProbes match {
+      case Some(probes) if reg.morDeletes =>
+        VersionedTable.deleteRangeMor(spark, reg.root, probes)
+      case Some(probes) =>
+        VersionedTable.deleteRange(spark, reg.root, probes)
+      case None =>
+        require(!reg.morDeletes,
+          s"DELETE FROM $name: MOR DELETES supports long-box WHERE " +
+            "only; this predicate needs the copy-on-write path — " +
+            "re-register without MOR DELETES or use the API")
+        VersionedTable.deleteWhere(spark, reg.root, where)
+    }
     VersionedSql.refreshView(spark, name)
     Seq(Row(v, n))
   }

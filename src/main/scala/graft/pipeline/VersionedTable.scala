@@ -2222,21 +2222,38 @@ object VersionedTable {
       sys.error(s"no versions at $root"))
     if (m0.morDeletes.nonEmpty) return None // wrapper materializes first
     val idx = probes.map { case (c, _, _) => m0.statCols.indexOf(c) }
-    val (touched, candShards) = partitionByBox(m0, probes).getOrElse(
-      throw new IllegalArgumentException(
-        s"deleteRange probes must name manifested stat columns " +
-          s"${m0.statCols.mkString("[", ", ", "]")}; " +
-          s"got ${probes.map(_._1).mkString("[", ", ", "]")}"))
+    require(!idx.contains(-1),
+      s"deleteRange probes must name manifested stat columns " +
+        s"${m0.statCols.mkString("[", ", ", "]")}; " +
+        s"got ${probes.map(_._1).mkString("[", ", ", "]")}")
+    deleteCore(spark, root, v0, m0,
+      hit = (boxes, _) => boxHit(boxes, probes, idx),
+      rowPred = boxPredicate(probes))
+  }
+
+  /** The shared COW-delete body of [[deleteRange]] and [[deleteWhere]]:
+    * `hit` decides candidacy from a file's (long boxes, typed bounds) —
+    * it must be a sound over-approximation of "may hold a matching
+    * row"; `rowPred` is the EXACT row predicate (NULL-safe negation
+    * applied here). The same `hit` drives the rebase conflict test, so
+    * a since-base entry that may hold matching rows restarts the
+    * delete.
+    */
+  private def deleteCore(spark: SparkSession, root: String,
+      v0: Long, m0: Manifest,
+      hit: (Seq[(Long, Long)], Seq[TBound]) => Boolean,
+      rowPred: Column): Option[(Long, Long)] = {
+    val candShards = m0.shards.filter(r =>
+      r.name.isEmpty || hit(r.boxes, r.tboxes))
+    val touched = candShards.flatMap(r => m0.entriesOf(r))
+      .filter(e => hit(e.boxes, e.tboxes))
     if (touched.isEmpty) return Some((v0, 0L))
     val touchedNames = touched.map(_.name).toSet
     val touchedDf = readNamed(spark, root, m0, touched.map(_.name))
-    val inBox = probes.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi
-    }.reduce(_ && _)
-    // NULL-safe: for a row with a NULL probed column, inBox is
-    // NULL, and filter(!NULL) would DROP the row — a NULL is
-    // outside any box, so it must SURVIVE the delete
-    val survivors = touchedDf.filter(!coalesce(inBox, lit(false)))
+    // NULL-safe: for a row where rowPred evaluates to NULL,
+    // filter(!NULL) would DROP the row — a NULL never matches a
+    // delete predicate, so it must SURVIVE
+    val survivors = touchedDf.filter(!coalesce(rowPred, lit(false)))
     val entries = writeFiles(survivors, root, m0.statCols, m0.typedCols)
     val survivorRows = entries.map(_.rows).sum
     val deleted = touched.map(_.rows).sum - survivorRows
@@ -2267,7 +2284,7 @@ object VersionedTable {
         if (m0.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
         else if (lm.morDeletes.nonEmpty) None // a racing mor-delete landed
         else rebaseCarry(spark, root, m0, lm, candNames,
-          e => boxIntersects(e, probes, idx))
+          e => hit(e.boxes, e.tboxes))
       carriedOpt match {
         case None =>
           discard(spark, root, entries, replacements ++ survivorShard.toSeq)
@@ -2286,6 +2303,190 @@ object VersionedTable {
       backoff(attempt)
     }
     sys.error("unreachable")
+  }
+
+  /** COW DELETE by a conjunctive SQL predicate over stat columns —
+    * LONG and TYPED both, so the retention statement every corpus
+    * needs works directly:
+    * {{{
+    *   deleteWhere(spark, root, "day < DATE'2020-06-01'")
+    *   deleteWhere(spark, root, "lang = 'old' AND doc_id >= 1000")
+    * }}}
+    * The predicate is parsed by Spark's parser; its conjuncts
+    * translate to long boxes and typed ranges exactly as the SQL
+    * FileIndex translates pushed filters (strict typed comparisons
+    * relax to inclusive for PRUNING only — the row rewrite applies the
+    * EXACT predicate, NULL-safe). Conjuncts the stats algebra cannot
+    * express merely widen the candidate set provided at least ONE
+    * conjunct translates — a predicate with no stats-checkable
+    * conjunct at all would silently rewrite the whole table and is
+    * rejected loudly instead. Same optimistic protocol, marker
+    * materialization, and file-level rebase as [[deleteRange]]; the
+    * conflict test uses the same translated bounds, so a since-base
+    * append that may hold matching rows restarts the delete.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicateSql: String): (Long, Long) = {
+    var restarts = 0
+    while (true) {
+      materializeDeletes(spark, root)
+      deleteWhereOnce(spark, root, predicateSql) match {
+        case Some(r) => return r
+        case None =>
+          restarts += 1
+          if (restarts >= MaxDmlRestarts)
+            throw new java.util.ConcurrentModificationException(
+              s"deleteWhere at $root: $restarts consecutive conflicting " +
+                "commits; giving up — retry when ingest quiesces")
+          backoff(restarts)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def deleteWhereOnce(spark: SparkSession, root: String,
+      predicateSql: String): Option[(Long, Long)] = {
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"no versions at $root"))
+    if (m0.morDeletes.nonEmpty) return None // wrapper materializes first
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val (longs, typeds) = translateConjuncts(parsed, m0)
+    require(longs.nonEmpty || typeds.nonEmpty,
+      s"deleteWhere at $root: no conjunct of '$predicateSql' is " +
+        s"stats-checkable against long stat columns " +
+        s"${m0.statCols.mkString("[", ", ", "]")} or typed columns " +
+        s"${m0.typedCols.map(_.name).mkString("[", ", ", "]")} — a " +
+        "delete that cannot be stats-checked would rewrite the whole " +
+        "table; request that explicitly by compacting instead")
+    def hit(boxes: Seq[(Long, Long)], tb: Seq[TBound]): Boolean =
+      longs.forall { case (i, lo, hi) =>
+        val (mn, mx) = boxes(i); !(hi < mn || lo > mx)
+      } &&
+      typeds.forall { case (i, lo, hi) =>
+        val k = m0.typedCols(i).kind
+        def side(b: Option[String]): Option[String] =
+          if (tb.isEmpty) None else b
+        hi.zip(side(tb(i)._1)).forall { case (h, mn) =>
+          tCompare(k, h, mn) >= 0 } &&
+        lo.zip(side(tb(i)._2)).forall { case (l, mx) =>
+          tCompare(k, l, mx) <= 0 }
+      }
+    deleteCore(spark, root, v0, m0, hit, expr(predicateSql))
+  }
+
+  /** The parsed predicate's conjuncts as (long boxes by stat-col
+    * index, typed ranges by typed-col index) — the DML twin of the
+    * FileIndex extractor, over the PARSER's unresolved output
+    * (UnresolvedAttribute names, typed literals). Untranslatable
+    * conjuncts contribute nothing (they only widen candidacy; the row
+    * rewrite applies the exact predicate).
+    */
+  private def translateConjuncts(e0: org.apache.spark.sql.catalyst
+      .expressions.Expression, m: Manifest)
+      : (Seq[(Int, Long, Long)], Seq[(Int, Option[String], Option[String])]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val lo = scala.collection.mutable.Map.empty[Int, Long]
+    val hi = scala.collection.mutable.Map.empty[Int, Long]
+    val tlo = scala.collection.mutable.Map.empty[Int, String]
+    val thi = scala.collection.mutable.Map.empty[Int, String]
+    def nameOf(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        Some(u.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def statIdx(x: Expression): Option[Int] =
+      nameOf(x).map(m.statCols.indexOf).filter(_ >= 0)
+    def typedIdx(x: Expression): Option[Int] =
+      nameOf(x).map(n => m.typedCols.indexWhere(_.name == n))
+        .filter(_ >= 0)
+    def longLit(x: Expression): Option[Long] = x match {
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        Some(v.toLong)
+      case _ => None
+    }
+    def typedLit(i: Int, x: Expression): Option[String] = {
+      val tc = m.typedCols(i)
+      (tc.kind, x) match {
+        case ('s', Literal(u: org.apache.spark.unsafe.types.UTF8String, t))
+            if t == org.apache.spark.sql.types.StringType =>
+          Some(Layout.hexEnc(u.getBytes))
+        case ('l', Literal(v: Int, org.apache.spark.sql.types.DateType)) =>
+          Some(v.toString)
+        case ('l', Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType)) => Some(v.toString)
+        case ('l', Literal(v: Long,
+            org.apache.spark.sql.types.TimestampType)) => Some(v.toString)
+        case ('l', Literal(v: Long,
+            org.apache.spark.sql.types.TimestampNTZType)) =>
+          Some(v.toString)
+        case ('d', Literal(d: org.apache.spark.sql.types.Decimal,
+            dt: org.apache.spark.sql.types.DecimalType))
+            if dt.scale == tc.scale && dt.precision <= 18 =>
+          Some(d.toUnscaledLong.toString)
+        case _ => None
+      }
+    }
+    def narrowLo(i: Int, v: Long): Unit =
+      lo(i) = math.max(lo.getOrElse(i, Long.MinValue), v)
+    def narrowHi(i: Int, v: Long): Unit =
+      hi(i) = math.min(hi.getOrElse(i, Long.MaxValue), v)
+    def tNarrowLo(i: Int, v: String): Unit = {
+      val k = m.typedCols(i).kind
+      tlo(i) = tlo.get(i).filter(tCompare(k, _, v) >= 0).getOrElse(v)
+    }
+    def tNarrowHi(i: Int, v: String): Unit = {
+      val k = m.typedCols(i).kind
+      thi(i) = thi.get(i).filter(tCompare(k, _, v) <= 0).getOrElse(v)
+    }
+    def cmp(a: Expression, b: Expression,
+        longA: (Int, Long) => Unit, longB: (Int, Long) => Unit,
+        typedA: (Int, String) => Unit,
+        typedB: (Int, String) => Unit): Unit = {
+      statIdx(a).zip(longLit(b)).foreach { case (i, v) => longA(i, v) }
+      statIdx(b).zip(longLit(a)).foreach { case (i, v) => longB(i, v) }
+      typedIdx(a).foreach(i => typedLit(i, b).foreach(v => typedA(i, v)))
+      typedIdx(b).foreach(i => typedLit(i, a).foreach(v => typedB(i, v)))
+    }
+    def walk(x: Expression): Unit = x match {
+      case And(l, r) => walk(l); walk(r)
+      // the parser leaves BETWEEN unresolved — lower it here
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.size == 3 =>
+        walk(GreaterThanOrEqual(f.arguments(0), f.arguments(1)))
+        walk(LessThanOrEqual(f.arguments(0), f.arguments(2)))
+      case GreaterThanOrEqual(a, b) =>
+        cmp(a, b, narrowLo, narrowHi, tNarrowLo, tNarrowHi)
+      case LessThanOrEqual(a, b) =>
+        cmp(a, b, narrowHi, narrowLo, tNarrowHi, tNarrowLo)
+      case GreaterThan(a, b) =>
+        cmp(a, b,
+          (i, v) => if (v < Long.MaxValue) narrowLo(i, v + 1),
+          (i, v) => if (v > Long.MinValue) narrowHi(i, v - 1),
+          tNarrowLo, tNarrowHi) // typed stricts relax to inclusive
+      case LessThan(a, b) =>
+        cmp(a, b,
+          (i, v) => if (v > Long.MinValue) narrowHi(i, v - 1),
+          (i, v) => if (v < Long.MaxValue) narrowLo(i, v + 1),
+          tNarrowHi, tNarrowLo)
+      case EqualTo(a, b) =>
+        cmp(a, b,
+          (i, v) => { narrowLo(i, v); narrowHi(i, v) },
+          (i, v) => { narrowLo(i, v); narrowHi(i, v) },
+          (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) },
+          (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) })
+      case _ => () // untranslated: widens candidacy only
+    }
+    walk(e0)
+    ((lo.keySet ++ hi.keySet).toSeq.sorted.map { i =>
+      (i, lo.getOrElse(i, Long.MinValue), hi.getOrElse(i, Long.MaxValue))
+    },
+      (tlo.keySet ++ thi.keySet).toSeq.sorted.map { i =>
+        (i, tlo.get(i), thi.get(i))
+      })
   }
 
   /** When the update key set is small, the per-file candidate test a

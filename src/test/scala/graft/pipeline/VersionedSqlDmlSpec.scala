@@ -119,26 +119,76 @@ class VersionedSqlDmlSpec extends AnyFunSuite {
       s"unregistered DML must delegate to Spark, got: ${e.getMessage}")
   }
 
-  test("WHERE shapes the box algebra cannot express exactly are rejected loudly") {
+  test("WHERE shapes the stats algebra cannot check at all are rejected loudly") {
     val root = freshRoot("reject")
     VersionedTable.append(rows(0, 100), root, Stats)
     spark.sql(s"CREATE VERSIONED TABLE vt_rej LOCATION '$root' " +
       "KEYS(event_id)")
-    def rejects(sql: String): Unit = {
+    // DELETE predicates with NO stats-checkable conjunct fall through
+    // the long-box fast path to deleteWhere, which refuses to rewrite
+    // the whole table silently
+    def rejectsDelete(sql: String): Unit = {
       val e = intercept[Exception] { spark.sql(sql) }
-      assert(e.getMessage.contains("cannot express"),
+      assert(e.getMessage.contains("stats-checkable"),
         s"$sql must reject loudly, got: ${e.getMessage}")
     }
-    rejects("DELETE FROM vt_rej WHERE user_id = 1 OR user_id = 5")
-    rejects("DELETE FROM vt_rej WHERE abs(user_id) = 1")
-    rejects("DELETE FROM vt_rej WHERE user_id != 3")
-    rejects("UPDATE vt_rej SET ts_us = 0 WHERE user_id IN (1, 2)")
-    // a delete on a non-stat column passes the parser but the table
-    // itself refuses to guess (deleteRange's own contract)
-    val e = intercept[IllegalArgumentException] {
+    rejectsDelete("DELETE FROM vt_rej WHERE user_id = 1 OR user_id = 5")
+    rejectsDelete("DELETE FROM vt_rej WHERE abs(user_id) = 1")
+    rejectsDelete("DELETE FROM vt_rej WHERE user_id != 3")
+    // a NAMED but unmanifested column translates syntactically and the
+    // table itself refuses to guess (deleteRange's own contract)
+    val eNope = intercept[Exception] {
       spark.sql("DELETE FROM vt_rej WHERE nope = 3")
     }
-    assert(e.getMessage.contains("manifested stat columns"))
+    assert(eNope.getMessage.contains("manifested stat columns"))
+    // UPDATE keeps the strict long-box grammar (it keys on boxRead)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE vt_rej SET ts_us = 0 WHERE user_id IN (1, 2)")
+    }
+    assert(e.getMessage.contains("cannot express"))
+    // a PARTIALLY checkable conjunction is allowed: the checkable
+    // conjunct prunes, the exact predicate decides rows
+    val del = spark.sql("DELETE FROM vt_rej WHERE user_id <= 10 AND " +
+      "event_id % 2 = 0").head
+    assert(del.getLong(1) ==
+      (0L until 100L).count(id => id % 97 <= 10 && id % 2 == 0))
+    assert(ids(root) ==
+      (0L until 100L).filterNot(id => id % 97 <= 10 && id % 2 == 0))
+  }
+
+  test("typed SQL DELETE: the retention statement works on string/date columns") {
+    val root = freshRoot("typed-del")
+    val docs = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        concat(lit("lang_"), $"id" % 4).as("lang"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          ($"id" % 100).cast("int")).as("day"))
+      .repartitionByRange(8, $"lang", $"doc_id")
+    VersionedTable.append(docs, root, Seq("doc_id"), Seq("lang", "day"))
+    spark.sql(s"CREATE VERSIONED TABLE vt_typed_del LOCATION '$root'")
+    // delete one language through plain SQL
+    val del = spark.sql(
+      "DELETE FROM vt_typed_del WHERE lang = 'lang_2'").head
+    assert(del.getLong(1) == 500L)
+    assert(VersionedTable.read(spark, root)
+      .filter($"lang" === "lang_2").count() == 0L)
+    assert(VersionedTable.read(spark, root).count() == 1500L)
+    // date retention: everything before a cutoff dies
+    val del2 = spark.sql(
+      "DELETE FROM vt_typed_del WHERE day < DATE'2020-01-11'").head
+    assert(del2.getLong(1) == (0L until 2000L)
+      .count(id => id % 4 != 2 && id % 100 < 10).toLong)
+    assert(VersionedTable.read(spark, root).count() ==
+      1500L - del2.getLong(1))
+    // MOR mode refuses typed predicates instead of switching cost model
+    val root2 = freshRoot("typed-del-mor")
+    VersionedTable.append(docs, root2, Seq("doc_id"), Seq("lang", "day"))
+    spark.sql(s"CREATE VERSIONED TABLE vt_typed_mor LOCATION '$root2' " +
+      "MOR DELETES")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM vt_typed_mor WHERE lang = 'lang_0'")
+    }
+    assert(e.getMessage.contains("MOR DELETES supports long-box"))
   }
 
   test("DESCRIBE HISTORY / VACUUM / time-travel views / changes views: the whole lifecycle is SQL-drivable") {

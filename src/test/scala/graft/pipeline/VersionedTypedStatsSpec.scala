@@ -233,6 +233,74 @@ class VersionedTypedStatsSpec extends AnyFunSuite {
     assert(index.inputFiles.nonEmpty)
   }
 
+  test("typed bounds survive runt-shard folds: the folded shard re-aggregates them and pruning keeps biting") {
+    val root = tmp("graft-vt-fold-typed")
+    // one language per append: ShardMergeFanIn runts, then the
+    // FanIn+1-th append folds them — the fold must carry and
+    // re-aggregate the typed bounds, not drop them
+    (0 until VersionedTable.ShardMergeFanIn + 1).foreach { g =>
+      val part = spark.range(g * 1000L, g * 1000L + 1000L)
+        .select($"id", lit(f"lang_$g%02d").as("lang"))
+      VersionedTable.append(part, root, Seq("id"), Seq("lang"))
+    }
+    val v = VersionedTable.latestVersion(spark, root).get
+    assert(VersionedTable.shardCount(spark, root, v) <
+      VersionedTable.ShardMergeFanIn + 1,
+      "fixture: the fold must have fired")
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_fold_typed")
+    val total = spark.sql("SELECT count(*) FROM vt_fold_typed")
+      .head.getLong(0)
+    assert(total == (VersionedTable.ShardMergeFanIn + 1) * 1000L)
+    val all = index.lastKeptFiles
+    val one = spark.sql(
+      "SELECT count(*) FROM vt_fold_typed WHERE lang = 'lang_02'")
+      .head.getLong(0)
+    assert(one == 1000L)
+    info(s"post-fold lang probe kept ${index.lastKeptFiles}/$all files")
+    assert(index.lastKeptFiles < all / 2,
+      "typed bounds must survive the fold and keep pruning")
+  }
+
+  test("deleteWhere rewrites ONLY the typed-candidate files; the exact predicate decides rows") {
+    val root = tmp("graft-vt-delwhere")
+    val n = 10000L
+    VersionedTable.append(docs(n), root, Seq("id"),
+      Seq("lang", "day", "ts", "price"))
+    val v1 = VersionedTable.latestVersion(spark, root).get
+    val before = VersionedTable.entryNames(spark, root, v1)
+    val (_, deleted) = VersionedTable.deleteWhere(spark, root,
+      "lang = 'lang_03'")
+    assert(deleted == n / 10)
+    val v2 = VersionedTable.latestVersion(spark, root).get
+    val after = VersionedTable.entryNames(spark, root, v2)
+    val untouchedCarried = (before intersect after).size
+    val rewritten = (before -- after).size
+    info(s"deleteWhere rewrote $rewritten of ${before.size} files")
+    assert(rewritten <= before.size / 2,
+      s"typed pruning must bound the rewrite: $rewritten/${before.size}")
+    assert(untouchedCarried == before.size - rewritten,
+      "untouched files carry by name")
+    assert(VersionedTable.read(spark, root)
+      .filter($"lang" === "lang_03").count() == 0L)
+    assert(VersionedTable.fastCount(spark, root) == n - deleted)
+    // a COMPOUND predicate: typed conjunct prunes, full predicate
+    // (including the untranslatable modulus) decides rows exactly
+    val (_, d2) = VersionedTable.deleteWhere(spark, root,
+      "lang = 'lang_05' AND id % 2 = 0")
+    assert(d2 == (0L until n).count(id => id % 10 == 5 && id % 2 == 0))
+    // date retention through the API
+    val (_, d3) = VersionedTable.deleteWhere(spark, root,
+      "day < DATE'2020-01-31'")
+    assert(d3 == (0L until n).count(id => id % 10 != 3 &&
+      !(id % 10 == 5 && id % 2 == 0) && id % 300 < 30))
+    // a predicate with NO stats-checkable conjunct is refused
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.deleteWhere(spark, root, "id % 7 = 0")
+    }
+    assert(e.getMessage.contains("stats-checkable"))
+  }
+
   test("typed bounds survive DML rewrites and folds; typed columns are fixed at creation") {
     val root = tmp("graft-vt-dml")
     val n = 10000L
