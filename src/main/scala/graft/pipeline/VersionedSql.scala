@@ -25,14 +25,17 @@ import org.apache.spark.sql.{Row, SparkSession}
   * `VersionedTableConcurrencySpec`). Statements over names that are
   * NOT registered fall through to Spark's own parser untouched.
   *
-  * The WHERE grammar for DELETE/UPDATE is the table's pruning algebra
-  * — a conjunction of range/equality comparisons on LONG stat columns
-  * (what [[VersionedTable.deleteRange]] accepts). Anything else is
-  * rejected LOUDLY, not approximated: DML must never guess
-  * (`boxProbes` below mirrors the FileIndex's extractor but errors on
-  * unknown shapes instead of backing off, because backing off on a
-  * READ widens a scan while backing off on a DELETE would rewrite the
-  * wrong rows).
+  * DELETE's WHERE takes the fast long-box path when it fits the box
+  * algebra and otherwise routes to [[VersionedTable.deleteWhere]]
+  * (typed columns — dates, strings — the retention shape), which
+  * demands at least one stats-checkable conjunct: a delete that
+  * cannot be stats-checked would silently rewrite the whole table, so
+  * it is rejected loudly (`boxProbes` mirrors the FileIndex extractor
+  * but ERRORS on unknown shapes instead of backing off — backing off
+  * on a read widens a scan; on a delete it would rewrite the wrong
+  * rows). UPDATE reads its matches through the pruning FileIndex and
+  * accepts any predicate: its rewrite is keyed and bounded by the
+  * match set, so a wide read is safe where a wide delete is not.
   */
 object VersionedSql {
 
@@ -123,7 +126,7 @@ object VersionedSql {
           "is a keyed replace and needs them (CREATE VERSIONED TABLE " +
           "... KEYS(...))")
       Some(VersionedUpdateCommand(name, reg, splitSetList(setClause),
-        boxProbes(delegate.parseExpression(where), name)))
+        where))
     case MergeRe(name, _, source, on) if lookup(spark, name).isDefined =>
       val reg = lookup(spark, name).get
       val keys = mergeKeys(delegate.parseExpression(on), name)
@@ -323,15 +326,20 @@ case class VersionedDeleteCommand(name: String,
   }
 }
 
-/** `UPDATE name SET c = expr, … WHERE <box>` — the box's VISIBLE rows
-  * with the SET expressions applied, replaced through
+/** `UPDATE name SET c = expr, … WHERE <pred>` — the predicate's
+  * VISIBLE rows with the SET expressions applied, replaced through
   * [[VersionedTable.upsertByKey]] on the registered keys: one atomic
-  * version, same optimistic protocol. SET may not touch a key column
+  * version, same optimistic protocol. The matching READ goes through
+  * [[VersionedTable.sqlRead]]'s pruning FileIndex, so ANY predicate is
+  * accepted — long boxes, typed columns, IN-lists prune; unprovable
+  * shapes scan wider but decide rows exactly (an update's rewrite is
+  * keyed and bounded by its matches, so a wide read is safe where a
+  * wide DELETE rewrite would not be). SET may not touch a key column
   * (a key rewrite is a delete+insert — MERGE territory).
   */
 case class VersionedUpdateCommand(name: String,
     reg: VersionedSql.Registration, sets: Seq[(String, String)],
-    probes: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+    where: String) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("rows_affected", LongType, nullable = false)())
@@ -340,9 +348,15 @@ case class VersionedUpdateCommand(name: String,
       require(!reg.keyCols.exists(_.equalsIgnoreCase(c)),
         s"UPDATE $name: SET must not touch key column '$c'")
     }
-    val matched = VersionedTable.boxRead(spark, reg.root, probes)
+    val matched = VersionedTable.sqlRead(spark, reg.root)
+      .filter(org.apache.spark.sql.functions.expr(where))
+    // SQL UPDATE assignment semantics: the SET expression coerces to
+    // the column's EXISTING type (SET ts_us = 0 must not narrow a
+    // LongType column to the literal's IntegerType)
     val updated = sets.foldLeft(matched) { case (d, (c, ex)) =>
-      d.withColumn(c, org.apache.spark.sql.functions.expr(ex))
+      val e = org.apache.spark.sql.functions.expr(ex)
+      d.withColumn(c, d.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(f => e.cast(f.dataType)).getOrElse(e))
     }
     val (v, n) =
       if (updated.isEmpty)

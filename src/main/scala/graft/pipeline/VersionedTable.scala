@@ -1046,21 +1046,46 @@ object VersionedTable {
       sys.error(s"nothing to compact at $root"))
     require(m0.statCols.size >= 2,
       "z-order compaction needs two stat columns")
-    if (m0.entries.isEmpty) return v0 // emptied table: nothing to lay out
-    val df = readEntries(spark, root, m0)
     val Seq(a, b) = m0.statCols.take(2)
     // same expression-keyed range exchange as Layout.zorderWrite —
     // the z key routes and sorts rows without crossing the wire;
     // the write target is the scratch dir writeFiles moves from
-    val entries = writeFiles(df, root, m0.statCols, m0.typedCols,
-      shape = d => {
-        val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
-          max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
-        val z = Layout.zvalue16(
-          Layout.scale16(col(a), bounds(0), bounds(1)),
-          Layout.scale16(col(b), bounds(2), bounds(3)))
-        d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
-      })
+    compactRewrite(spark, root, v0, m0, d => {
+      val bounds = d.agg(min(col(a)), max(col(a)), min(col(b)),
+        max(col(b))).head.toSeq.map(_.asInstanceOf[Long])
+      val z = Layout.zvalue16(
+        Layout.scale16(col(a), bounds(0), bounds(1)),
+        Layout.scale16(col(b), bounds(2), bounds(3)))
+      d.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+    })
+  }
+
+  /** Rewrite the base snapshot range-CLUSTERED by arbitrary columns —
+    * the layout maintenance a TYPED layout needs (cluster by language,
+    * by (lang, id), by day) that the two-long-column z-order cannot
+    * express. Same full-rewrite concurrency contract as
+    * [[compactZorder]]: commutes with appends and folds, aborts on a
+    * rewritten input file.
+    */
+  def compactClustered(spark: SparkSession, root: String, nFiles: Int,
+      by: Seq[String]): Long = {
+    require(by.nonEmpty, "compactClustered needs at least one column")
+    val (v0, m0) = latestManifest(spark, root).getOrElse(
+      sys.error(s"nothing to compact at $root"))
+    compactRewrite(spark, root, v0, m0, d =>
+      d.repartitionByRange(nFiles, by.map(col): _*)
+        .sortWithinPartitions(by.map(col): _*))
+  }
+
+  /** The shared full-rewrite body of [[compactZorder]] and
+    * [[compactClustered]]: read the base snapshot, rewrite it through
+    * `shape`, publish optimistically with the file-level rebase.
+    */
+  private def compactRewrite(spark: SparkSession, root: String,
+      v0: Long, m0: Manifest, shape: DataFrame => DataFrame): Long = {
+    if (m0.entries.isEmpty) return v0 // emptied table: nothing to lay out
+    val df = readEntries(spark, root, m0)
+    val entries = writeFiles(df, root, m0.statCols, m0.typedCols, shape)
     val compactShard = writeShard(spark, root, m0.statCols, entries,
       m0.typedCols)
     val baseShardNames = m0.shardNames
@@ -1082,7 +1107,7 @@ object VersionedTable {
         case None =>
           discard(spark, root, entries, compactShard.toSeq)
           throw new java.util.ConcurrentModificationException(
-            s"compactZorder at $root: a concurrent commit rewrote this " +
+            s"compaction at $root: a concurrent commit rewrote this " +
               "compaction's input files (delete/upsert/compaction); the " +
               "stale layout was discarded — re-run the compaction")
         case Some(carried) =>

@@ -141,11 +141,15 @@ class VersionedSqlDmlSpec extends AnyFunSuite {
       spark.sql("DELETE FROM vt_rej WHERE nope = 3")
     }
     assert(eNope.getMessage.contains("manifested stat columns"))
-    // UPDATE keeps the strict long-box grammar (it keys on boxRead)
-    val e = intercept[Exception] {
-      spark.sql("UPDATE vt_rej SET ts_us = 0 WHERE user_id IN (1, 2)")
-    }
-    assert(e.getMessage.contains("cannot express"))
+    // UPDATE reads its matches through the pruning FileIndex: ANY
+    // predicate is accepted (the rewrite is keyed and match-bounded)
+    val upd = spark.sql(
+      "UPDATE vt_rej SET ts_us = 0 WHERE user_id IN (1, 2)").head
+    assert(upd.getLong(1) ==
+      (0L until 100L).count(id => id % 97 == 1 || id % 97 == 2))
+    assert(VersionedTable.read(spark, root)
+      .filter($"ts_us" === 0L && $"user_id".isin(1L, 2L))
+      .count() == upd.getLong(1))
     // a PARTIALLY checkable conjunction is allowed: the checkable
     // conjunct prunes, the exact predicate decides rows
     val del = spark.sql("DELETE FROM vt_rej WHERE user_id <= 10 AND " +

@@ -324,6 +324,21 @@ class VersionedTypedStatsSpec extends AnyFunSuite {
     info(s"post-DML lang probe kept ${index.lastKeptFiles}/$all files")
     assert(index.lastKeptFiles < all,
       "rewritten files must carry re-derived typed bounds that prune")
+    // compactClustered restores a typed layout the DML scrambled:
+    // cluster by (lang, id) and the lang probe prunes hard again
+    VersionedTable.compactClustered(spark, root, nFiles = 10,
+      Seq("lang", "id"))
+    val (df2, Seq(index2)) =
+      VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df2.createOrReplaceTempView("vt_dml2")
+    val got2 = spark.sql(
+      "SELECT count(*) FROM vt_dml2 WHERE lang = 'lang_04'").head.getLong(0)
+    assert(got2 == got)
+    info(s"post-compactClustered lang probe kept " +
+      s"${index2.lastKeptFiles}/10 files")
+    assert(index2.lastKeptFiles <= 2,
+      s"a lang-clustered rewrite must restore tight pruning: " +
+        s"${index2.lastKeptFiles}/10")
     // typed columns are fixed at creation
     val e = intercept[IllegalArgumentException] {
       VersionedTable.append(docs(100), root, Seq("id"), Seq("lang"))
