@@ -48,6 +48,13 @@ object StreamingDedupVersionedIngest {
     */
   val Stats: Seq[String] = Seq("doc_id", "n_chars")
 
+  /** The doc table's TYPED stat columns: the admitted corpus records
+    * lang/source bounds per file, so the one-language probes every
+    * corpus serves prune straight off the manifest
+    * ([[graft.pipeline.VersionedTable]] typed statistics).
+    */
+  val TypedStats: Seq[String] = Seq("lang", "source")
+
   /** Drain `srcDir` (AvailableNow) through greedy dedup admission into
     * the versioned table at `tableRoot`; the posting store under
     * `storeDir` is maintained from the table's change feed.
@@ -88,7 +95,8 @@ object StreamingDedupVersionedIngest {
       StreamingDedupPipeline.admitDocs(docs, sh, storeDir, f + 1),
       Seq("doc_id"), "left_semi")
     // 3. land exactly-once (a replay publishes nothing)
-    VersionedTable.appendBatchDetailed(admitted, tableRoot, Stats, batchId)
+    VersionedTable.appendBatchDetailed(admitted, tableRoot, Stats, batchId,
+      TypedStats)
     // 4. index what landed
     syncStore(spark, tableRoot, storeDir)
   }

@@ -42,7 +42,8 @@ object StreamingVersionedIngest {
       afterBatch: Long => Unit = _ => (),
       packEvery: Int = 0,
       packMinRows: Long = 100000L,
-      packTargetRows: Long = 1000000L): Unit = {
+      packTargetRows: Long = 1000000L,
+      typedStatCols: Seq[String] = Seq.empty): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: java.lang.Long) =>
         if (!batch.isEmpty) {
@@ -51,7 +52,8 @@ object StreamingVersionedIngest {
           // version numbers misclassifies a replay whenever a
           // concurrent writer advances the table between the calls
           val (_, published) = VersionedTable
-            .appendBatchDetailed(batch, root, statCols, batchId)
+            .appendBatchDetailed(batch, root, statCols, batchId,
+              typedStatCols)
           if (published && packEvery > 0 && batchId % packEvery == 0) {
             VersionedTable.compactSmallFiles(spark, root,
               packMinRows, packTargetRows)

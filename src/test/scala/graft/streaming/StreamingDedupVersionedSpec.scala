@@ -99,6 +99,18 @@ class StreamingDedupVersionedSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(storeIds == shingledKept,
       "the store must hold exactly the table's shingled docs")
+    // the admitted corpus carries TYPED lang/source bounds: a
+    // one-language SQL probe over the landed table answers exactly
+    // (pruning is layout-dependent; exactness is not)
+    VersionedTable.sqlRead(spark, root)
+      .createOrReplaceTempView("sdv_table")
+    val langs = VersionedTable.read(spark, root)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (someLang, n) = langs.head
+    assert(spark.sql(
+      s"SELECT count(*) FROM sdv_table WHERE lang = '$someLang'")
+      .head.getLong(0) == n)
   }
 
   test("mid-stream crash after a fully processed batch: the replay lands nothing twice and admission stays exact") {
