@@ -246,6 +246,45 @@ class VersionedSqlDmlSpec extends AnyFunSuite {
       VersionedTable.read(spark, root).count())
   }
 
+  test("deleteWhere ∥ append INTO the typed predicate: true conflict — the restart deletes the late rows too") {
+    def docs(from: Long, n: Long, lang: String) =
+      spark.range(from, from + n)
+        .select($"id".as("doc_id"), lit(lang).as("lang"))
+    val root = freshRoot("typed-conflict")
+    VersionedTable.append(
+      docs(0, 300, "keep").unionAll(docs(300, 100, "purge"))
+        .repartitionByRange(4, $"lang", $"doc_id"),
+      root, Seq("doc_id"), Seq("lang"))
+    // competing append lands INSIDE the typed predicate — rows the
+    // delete's first rewrite never saw; the typed-bounds conflict test
+    // must catch them and the restart must delete them too
+    VersionedTable.beforePublishHook.set(() => {
+      VersionedTable.append(docs(1000, 50, "purge"), root,
+        Seq("doc_id"), Seq("lang"))
+      ()
+    })
+    val (_, deleted) = VersionedTable.deleteWhere(spark, root,
+      "lang = 'purge'")
+    assert(deleted == 150L,
+      s"the restarted delete must also kill the late in-predicate rows: $deleted")
+    assert(VersionedTable.read(spark, root)
+      .filter($"lang" === "purge").count() == 0L)
+    assert(VersionedTable.read(spark, root).count() == 300L)
+
+    // and a DISJOINT concurrent append REBASES: both commit, one pass
+    VersionedTable.beforePublishHook.set(() => {
+      VersionedTable.append(docs(2000, 50, "other"), root,
+        Seq("doc_id"), Seq("lang"))
+      ()
+    })
+    val (_, d2) = VersionedTable.deleteWhere(spark, root, "lang = 'keep'")
+    assert(d2 == 300L)
+    assert(VersionedTable.read(spark, root)
+      .select($"lang").distinct().as[String].collect().toSet ==
+      Set("other"),
+      "the disjoint append must survive the rebased delete")
+  }
+
   test("SQL delete ∥ API append racing: the shared optimistic protocol resolves it like an API delete") {
     val root = freshRoot("race")
     VersionedTable.append(rows(0, 400), root, Stats)
