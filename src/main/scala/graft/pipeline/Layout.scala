@@ -681,9 +681,44 @@ object Layout {
               case i: org.apache.parquet.column.statistics.IntStatistics =>
                 (i.getMin.toLong, i.getMax.toLong)
             }
-            if (ls.size != stats.size) (None, None)
-            else (Some(ls.map(_._1).min.toString),
-              Some(ls.map(_._2).max.toString))
+            // TIMESTAMP unit normalization: probe literals are MICROS
+            // (Spark's internal timestamp), but the footer stats are in
+            // whatever unit the file was written with — under
+            // outputTimestampType=TIMESTAMP_MILLIS the LongStatistics
+            // are millis, and comparing them against micro literals
+            // would wrongly prune files that hold matching rows (row
+            // loss through deleteWhere's candidate test). Read the
+            // column's logical-type unit and normalize: MILLIS scale
+            // exactly by 1000 (stored values are whole millis, so the
+            // converted bounds stay exact); NANOS or a mixed/unknown
+            // unit yields no proof. Non-timestamp 'l'/'d' columns
+            // (dates, ints, decimals) carry no timestamp annotation
+            // and pass through unscaled.
+            val chunks = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == c)
+            val factor: Option[Long] = {
+              import org.apache.parquet.schema.LogicalTypeAnnotation
+              val units = chunks.map(
+                _.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation => Some(t.getUnit)
+                  case _ => None
+                })
+              if (units.forall(_.isEmpty)) Some(1L) // not a timestamp
+              else if (units.exists(_.isEmpty)) None // mixed: no proof
+              else units.head.get match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                case _ => None // NANOS etc.: not expressible exactly
+              }
+            }
+            (factor, ls.size == stats.size) match {
+              case (Some(f), true) =>
+                try (Some(math.multiplyExact(ls.map(_._1).min, f).toString),
+                  Some(math.multiplyExact(ls.map(_._2).max, f).toString))
+                catch { case _: ArithmeticException => (None, None) }
+              case _ => (None, None)
+            }
         }
       }
     } finally reader.close()

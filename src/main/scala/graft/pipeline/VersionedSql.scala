@@ -248,27 +248,59 @@ object VersionedSql {
     walk(e)
   }
 
-  /** Split a SET list on TOP-LEVEL commas (commas inside function
-    * calls stay put) into (column, expression-sql) pairs.
+  /** Positions in `s` that sit at paren depth 0 AND outside any SQL
+    * string literal — the only places a statement-structure token
+    * (',', '=', a keyword) may be recognized. Quote handling follows
+    * the SQL lexer: single quotes delimit strings with `''` as the
+    * escaped quote; double quotes delimit quoted identifiers.
     */
-  private[pipeline] def splitSetList(s: String): Seq[(String, String)] = {
-    val parts = Seq.newBuilder[String]
+  private def topLevelMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
     var depth = 0
-    var start = 0
-    s.zipWithIndex.foreach { case (ch, i) =>
-      ch match {
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) {
+        if (ch == quote) {
+          // '' inside a single-quoted literal is an escaped quote,
+          // not a close-then-open
+          if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'')
+            i += 1
+          else quote = 0
+        }
+      } else ch match {
+        case '\'' | '"' => quote = ch
         case '(' => depth += 1
         case ')' => depth -= 1
-        case ',' if depth == 0 =>
-          parts += s.substring(start, i); start = i + 1
-        case _ => ()
+        case _ => mask(i) = depth == 0
       }
+      i += 1
+    }
+    mask
+  }
+
+  /** Split a SET list on TOP-LEVEL commas (commas inside function
+    * calls or string literals stay put) into (column, expression-sql)
+    * pairs; the `=` split likewise ignores quoted regions, so
+    * `SET note = 'a=b, c'` parses as one assignment.
+    */
+  private[pipeline] def splitSetList(s: String): Seq[(String, String)] = {
+    val mask = topLevelMask(s)
+    val parts = Seq.newBuilder[String]
+    var start = 0
+    s.zipWithIndex.foreach { case (ch, i) =>
+      if (ch == ',' && mask(i)) { parts += s.substring(start, i); start = i + 1 }
     }
     parts += s.substring(start)
+    var off = 0
     parts.result().map { p =>
-      val eq = p.indexOf('=')
+      val eq = (0 until p.length).find(i => p.charAt(i) == '=' &&
+        mask(off + i)).getOrElse(-1)
       require(eq > 0, s"SET clause piece is not <col> = <expr>: '$p'")
-      (p.substring(0, eq).trim, p.substring(eq + 1).trim)
+      val r = (p.substring(0, eq).trim, p.substring(eq + 1).trim)
+      off += p.length + 1
+      r
     }
   }
 }
@@ -348,22 +380,44 @@ case class VersionedUpdateCommand(name: String,
       require(!reg.keyCols.exists(_.equalsIgnoreCase(c)),
         s"UPDATE $name: SET must not touch key column '$c'")
     }
-    val matched = VersionedTable.sqlRead(spark, reg.root)
-      .filter(org.apache.spark.sql.functions.expr(where))
-    // SQL UPDATE assignment semantics: the SET expression coerces to
-    // the column's EXISTING type (SET ts_us = 0 must not narrow a
-    // LongType column to the literal's IntegerType)
-    val updated = sets.foldLeft(matched) { case (d, (c, ex)) =>
-      val e = org.apache.spark.sql.functions.expr(ex)
-      d.withColumn(c, d.schema.fields.find(_.name.equalsIgnoreCase(c))
-        .map(f => e.cast(f.dataType)).getOrElse(e))
+    // PINNED read-compute-commit: the match set is read at an explicit
+    // base version and the upsert is anchored to it — a commit landing
+    // between the matched read and the publish that could hold one of
+    // the matched keys (a concurrent MERGE replacing a matched row)
+    // conflicts and the WHOLE statement recomputes from a fresh read.
+    // Retrying only the commit would re-publish SET values computed
+    // from the stale row: the classic lost update.
+    var restarts = 0
+    while (restarts < VersionedTable.MaxDmlRestarts) {
+      VersionedTable.materializeDeletes(spark, reg.root)
+      val v0 = VersionedTable.latestVersion(spark, reg.root).getOrElse(
+        sys.error(s"UPDATE $name: no versions at ${reg.root}"))
+      val matched = VersionedTable.sqlRead(spark, reg.root, Some(v0))
+        .filter(org.apache.spark.sql.functions.expr(where))
+      // SQL UPDATE assignment semantics: the SET expression coerces to
+      // the column's EXISTING type (SET ts_us = 0 must not narrow a
+      // LongType column to the literal's IntegerType)
+      val updated = sets.foldLeft(matched) { case (d, (c, ex)) =>
+        val e = org.apache.spark.sql.functions.expr(ex)
+        d.withColumn(c, d.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => e.cast(f.dataType)).getOrElse(e))
+      }
+      val res =
+        if (updated.isEmpty) Some((v0, 0L))
+        else VersionedTable.upsertByKeyPinned(spark, reg.root, updated,
+          reg.keyCols, v0)
+      res match {
+        case Some((v, n)) =>
+          VersionedSql.refreshView(spark, name)
+          return Seq(Row(v, n))
+        case None =>
+          restarts += 1
+          VersionedTable.backoff(restarts)
+      }
     }
-    val (v, n) =
-      if (updated.isEmpty)
-        (VersionedTable.latestVersion(spark, reg.root).getOrElse(0L), 0L)
-      else VersionedTable.upsertByKey(spark, reg.root, updated, reg.keyCols)
-    VersionedSql.refreshView(spark, name)
-    Seq(Row(v, n))
+    throw new java.util.ConcurrentModificationException(
+      s"UPDATE $name: ${VersionedTable.MaxDmlRestarts} consecutive " +
+        "conflicting commits; giving up — retry when ingest quiesces")
   }
 }
 

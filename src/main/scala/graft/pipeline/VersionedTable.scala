@@ -628,17 +628,14 @@ object VersionedTable {
     // Spark still DEFAULTS to INT96 timestamps, which carry NO usable
     // parquet statistics — a timestamp typed column would silently
     // never prune. Force INT64 micros for the write (what Iceberg
-    // always writes) and restore the session conf after; readers
-    // handle both physical forms transparently.
+    // always writes); readers handle both physical forms
+    // transparently, and the stat reader normalizes units, so this
+    // flip is a pruning enabler, never a correctness requirement.
     val tsNames = typed.map(_.name).toSet
     val needsMicros = df.schema.fields.exists(f => tsNames(f.name) &&
       f.dataType == org.apache.spark.sql.types.TimestampType)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.get(tsKey)
-    val flip = needsMicros && prevTs == "INT96"
-    if (flip) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try writer.parquet(stage)
-    finally if (flip) spark.conf.set(tsKey, prevTs)
+    if (needsMicros) TsConfGuard.withMicros(spark)(writer.parquet(stage))
+    else writer.parquet(stage)
     fs.mkdirs(new Path(filesDir(root)))
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val moved = fs.listStatus(new Path(stage)).toSeq
@@ -683,6 +680,42 @@ object VersionedTable {
     }
   }
 
+  /** Serializes the INT96→TIMESTAMP_MICROS session-conf flip across
+    * CONCURRENT writers of one session: `outputTimestampType` has no
+    * per-write option, so the flip must touch the shared SQLConf — a
+    * naive set/restore pair interleaved across two writers could
+    * restore INT96 under a typed-timestamp write still in flight
+    * (silently disabling its declared pruning — the stats would be
+    * INT96, useless). A REFERENCE COUNT keyed by the session's conf
+    * fixes that: the first writer in flips, the last one out restores,
+    * and every typed write in between observes MICROS. Unrelated
+    * concurrent writes of the same session briefly write INT64 micros
+    * instead of INT96 — a physical-format change only, transparent to
+    * readers (and strictly richer in statistics).
+    */
+  private object TsConfGuard {
+    private val key = "spark.sql.parquet.outputTimestampType"
+    private final class State { var depth = 0; var savedInt96 = false }
+    private val states =
+      new java.util.concurrent.ConcurrentHashMap[AnyRef, State]()
+    def withMicros[T](spark: SparkSession)(body: => T): T = {
+      val st = states.computeIfAbsent(spark.sessionState.conf,
+        _ => new State)
+      st.synchronized {
+        if (st.depth == 0) {
+          st.savedInt96 = spark.conf.get(key) == "INT96"
+          if (st.savedInt96) spark.conf.set(key, "TIMESTAMP_MICROS")
+        }
+        st.depth += 1
+      }
+      try body
+      finally st.synchronized {
+        st.depth -= 1
+        if (st.depth == 0 && st.savedInt96) spark.conf.set(key, "INT96")
+      }
+    }
+  }
+
   /** Best-effort removal of files written but never published (a DML
     * restart after a true conflict) — [[vacuum]] would collect them
     * anyway; immediate cleanup just keeps the grace window honest.
@@ -700,7 +733,7 @@ object VersionedTable {
     }
   }
 
-  private def backoff(attempt: Int): Unit =
+  private[pipeline] def backoff(attempt: Int): Unit =
     if (attempt > 0) Thread.sleep(math.min(40L, 5L * attempt))
 
   /** The latest manifest's shard list with any legacy inline entries
@@ -2389,11 +2422,15 @@ object VersionedTable {
       } &&
       typeds.forall { case (i, lo, hi) =>
         val k = m0.typedCols(i).kind
-        def side(b: Option[String]): Option[String] =
-          if (tb.isEmpty) None else b
-        hi.zip(side(tb(i)._1)).forall { case (h, mn) =>
+        // bounds resolved LAZILY like the FileIndex's boundsHit: an
+        // entry with no typed boxes at all (legacy pseudo-shard, a
+        // migrated manifest) must soundly NOT prune, not throw on
+        // tb(i)
+        def tLo: Option[String] = if (tb.isEmpty) None else tb(i)._1
+        def tHi: Option[String] = if (tb.isEmpty) None else tb(i)._2
+        hi.zip(tLo).forall { case (h, mn) =>
           tCompare(k, h, mn) >= 0 } &&
-        lo.zip(side(tb(i)._2)).forall { case (l, mx) =>
+        lo.zip(tHi).forall { case (l, mx) =>
           tCompare(k, l, mx) <= 0 }
       }
     deleteCore(spark, root, v0, m0, hit, expr(predicateSql))
@@ -2580,10 +2617,41 @@ object VersionedTable {
     }
   }
 
+  /** ONE optimistic upsert attempt computed against an EXPLICIT base
+    * version — the primitive SQL UPDATE/MERGE need for read-my-matches
+    * integrity: the caller read its match set at `baseV`, derived
+    * `updates` from those rows, and must NOT commit them over a table
+    * that moved in a way that could invalidate the derivation. The
+    * existing rebase protocol provides exactly that test when anchored
+    * at `baseV`: a since-base commit that provably cannot hold any of
+    * the keys is rebased over (carried by reference); one that might —
+    * a MERGE replacing a matched key's row, an append landing the key
+    * again — returns None, and the CALLER recomputes from a fresh
+    * read (retrying internally would re-commit the stale rows: the
+    * lost-update bug this method exists to close). Returns
+    * Some((version, replaced)) on publish, None on conflict or when
+    * mor-delete markers exist at the base (materialize first).
+    */
+  private[pipeline] def upsertByKeyPinned(spark: SparkSession,
+      root: String, updates: DataFrame, keyCols: Seq[String],
+      baseV: Long): Option[(Long, Long)] = {
+    val pinned = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertOnce(spark, root, pinned, keyCols, Some(baseV))
+    finally {
+      pinned.unpersist()
+      ()
+    }
+  }
+
   private def upsertOnce(spark: SparkSession, root: String,
-      pinned: DataFrame, keyCols: Seq[String]): Option[(Long, Long)] = {
-    val (v0, m) = latestManifest(spark, root).getOrElse(
-      sys.error(s"nothing to upsert into at $root"))
+      pinned: DataFrame, keyCols: Seq[String],
+      baseV: Option[Long] = None): Option[(Long, Long)] = {
+    val (v0, m) = baseV match {
+      case Some(b) => (b, readManifest(spark, root, b))
+      case None => latestManifest(spark, root).getOrElse(
+        sys.error(s"nothing to upsert into at $root"))
+    }
     if (m.morDeletes.nonEmpty) return None // wrapper materializes first
     require(keyCols.forall(m.statCols.contains),
       s"upsertByKey key columns must be manifested stat columns " +

@@ -352,4 +352,87 @@ class VersionedTypedStatsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not in the append schema"))
   }
+
+  test("TIMESTAMP_MILLIS-written files normalize footer bounds to micros: no row lost to unit-mismatched pruning") {
+    // the writer only forces TIMESTAMP_MICROS when the session conf is
+    // INT96 — under TIMESTAMP_MILLIS the footer LongStatistics are in
+    // MILLIS while every probe literal is MICROS; without logical-type
+    // unit normalization the bounds look 1000x too small and a ts
+    // range probe silently prunes files that HOLD matching rows
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    val root = tmp("graft-vt-millis")
+    val n = 8000L
+    try {
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      VersionedTable.append(
+        spark.range(0, n).select($"id",
+          timestamp_millis($"id" * 1000L).as("ts"))
+          .repartitionByRange(8, $"id"),
+        root, Seq("id"), Seq("ts"))
+    } finally spark.conf.set(key, prev)
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_millis")
+    // probe the top quarter: every row has ts = id seconds
+    val cut = java.time.Instant.ofEpochSecond(n * 3 / 4).toString
+      .replace("T", " ").replace("Z", "")
+    val got = spark.sql(
+      s"SELECT count(*) FROM vt_millis WHERE ts >= TIMESTAMP'$cut'")
+      .head.getLong(0)
+    assert(got == n / 4,
+      s"unit-mismatched pruning lost rows: got $got of ${n / 4}")
+    info(s"millis-written ts probe kept ${index.lastKeptFiles}/8 files")
+    assert(index.lastKeptFiles < 8,
+      "normalized millis bounds must still prune")
+    // deleteWhere's candidate test shares the translation: the delete
+    // must find its rows inside millis-written files
+    val (_, deleted) = VersionedTable.deleteWhere(spark, root,
+      s"ts >= TIMESTAMP'$cut'")
+    assert(deleted == n / 4,
+      s"deleteWhere lost rows to unit-mismatched candidacy: $deleted")
+    assert(VersionedTable.fastCount(spark, root) == n - n / 4)
+  }
+
+  test("concurrent typed-timestamp appends under INT96: the conf flip is refcounted, both writers get usable bounds") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    val roots = Seq(tmp("graft-vt-int96-a"), tmp("graft-vt-int96-b"))
+    try {
+      spark.conf.set(key, "INT96")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = roots.map(root => Future {
+        (0 until 3).foreach { _ =>
+          VersionedTable.append(
+            spark.range(0, 2000).select($"id",
+              timestamp_micros($"id" * 1000000L).as("ts"))
+              .repartitionByRange(4, $"id"),
+            root, Seq("id"), Seq("ts"))
+        }
+      })
+      fs.foreach(Await.result(_, 120.seconds))
+      // the LAST writer out restored the session conf
+      assert(spark.conf.get(key) == "INT96",
+        s"conf not restored: ${spark.conf.get(key)}")
+    } finally spark.conf.set(key, prev)
+    // an interleaved naive restore would have left one writer on
+    // INT96 — its files then carry NO usable ts stats and the probe
+    // keeps everything; with the refcount both tables prune
+    roots.foreach { root =>
+      val (df, Seq(index)) =
+        VersionedTable.sqlReadWithIndexes(spark, root, None)
+      df.createOrReplaceTempView("vt_int96")
+      val got = spark.sql(
+        """SELECT count(*) FROM vt_int96
+           WHERE ts >= TIMESTAMP'1970-01-01 00:25:00'""").head.getLong(0)
+      assert(got == 3 * 500L)
+      val all = VersionedTable.entryNames(spark, root,
+        VersionedTable.latestVersion(spark, root).get).size
+      info(s"ts probe kept ${index.lastKeptFiles}/$all files")
+      assert(index.lastKeptFiles < all,
+        s"typed ts bounds unusable (INT96 leaked into a write): " +
+          s"${index.lastKeptFiles}/$all")
+    }
+  }
 }
