@@ -1982,6 +1982,167 @@ object CorpusCuration {
         CAST(chars_sum AS BIGINT) AS chars_sum
       FROM stages ORDER BY lang"""))
 
+  /** STRING-keyed DML over the versioned table under the driver's
+    * oracle — the promotion real corpora need (doc ids / URLs / GUIDs
+    * are strings, not longs): the documents table keyed by a string
+    * `sid`, one [[graft.pipeline.VersionedTable.upsertByKey]] that
+    * replaces every `%7` doc (shifted char count) and inserts a small
+    * set of new sids in ONE atomic version, then a
+    * [[graft.pipeline.VersionedTable.deleteKeysMor]] removing every
+    * 'de' document BY KEY (the GDPR shape — a metadata marker with a
+    * string parquet sidecar, zero data files rewritten). Candidate
+    * files resolve through the typed truncated string bounds; the
+    * oracle replays the whole sequence declaratively, so a wrong
+    * candidate set (lost replace), a marker that misses or
+    * over-matches, or an encoding mismatch between probe and bound
+    * breaks the hash.
+    */
+  val vtKeysTyped: Q = Q(
+    "pipe_vt_keys_typed",
+    (s, d) => {
+      import s.implicits._
+      val src = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          concat($"source", lit(":"), $"doc_id").as("sid"))
+      val root = scratchDir("vt-keys-typed")
+      graft.pipeline.VersionedTable.append(
+        src.repartitionByRange(12, $"sid"), root,
+        Seq("doc_id", "n_chars"), Seq("sid", "lang"))
+      val updates = src.filter($"doc_id" % 7 === 0)
+        .withColumn("n_chars", $"n_chars" + 1000000L)
+        .unionByName(src.filter($"doc_id" % 997 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"lang",
+            $"source", $"doc_id".as("n_chars"),
+            concat(lit("new:"), $"doc_id").as("sid")))
+      val (_, replaced) = graft.pipeline.VersionedTable.upsertByKey(
+        s, root, updates, Seq("sid"))
+      val delKeys = graft.pipeline.VersionedTable.read(s, root)
+        .filter($"lang" === "de").select($"sid")
+      val (_, deleted) = graft.pipeline.VersionedTable.deleteKeysMor(
+        s, root, "sid", delKeys)
+      graft.pipeline.VersionedTable.read(s, root)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
+        .select(lit("final").as("stage"), $"lang", $"n_docs",
+          $"chars_sum".cast(LongType).as("chars_sum"))
+        .unionAll(Seq(("replaced", "-", replaced, 0L),
+          ("deleted", "-", deleted, 0L))
+          .toDF("stage", "lang", "n_docs", "chars_sum"))
+        .orderBy($"stage", $"lang")
+    },
+    Some("""WITH src AS (
+        SELECT doc_id, lang, source, n_chars,
+               source || ':' || CAST(doc_id AS VARCHAR) AS sid
+        FROM documents),
+      ups AS (
+        SELECT doc_id, lang, source, n_chars + 1000000 AS n_chars, sid
+        FROM src WHERE doc_id % 7 = 0),
+      ins AS (
+        SELECT doc_id + 10000000 AS doc_id, lang, source,
+               doc_id AS n_chars,
+               'new:' || CAST(doc_id AS VARCHAR) AS sid
+        FROM src WHERE doc_id % 997 = 0),
+      merged AS (
+        SELECT * FROM src WHERE doc_id % 7 <> 0
+        UNION ALL SELECT * FROM ups
+        UNION ALL SELECT * FROM ins),
+      fin AS (SELECT * FROM merged WHERE lang <> 'de'),
+      stages AS (
+        SELECT 'final' AS stage, lang, count(*) AS n_docs,
+               sum(n_chars) AS chars_sum
+        FROM fin GROUP BY lang
+        UNION ALL
+        SELECT 'replaced', '-', (SELECT count(*) FROM ups), 0
+        UNION ALL
+        SELECT 'deleted', '-',
+               (SELECT count(*) FROM merged WHERE lang = 'de'), 0)
+      SELECT stage, lang, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(chars_sum AS BIGINT) AS chars_sum
+      FROM stages ORDER BY stage, lang"""))
+
+  /** FULL-grammar SQL MERGE under the driver's oracle — the canonical
+    * CDC-upsert-with-tombstones statement the star-only grammar could
+    * not express: one MERGE with a conditional DELETE clause
+    * (`s.op='d'`), a conditional UPDATE (`s.op='u'`, SET referencing
+    * BOTH sides), and a guarded column-list INSERT, all landing as ONE
+    * atomic version. The oracle replays the clause semantics
+    * declaratively (first-match-wins claims, deletes removed, updates
+    * shifted, inserts appended); the engine additionally emits the
+    * per-clause affected counts from the command's own result row, so
+    * a clause claiming the wrong rows, a non-atomic landing, or a
+    * wrong count breaks the hash.
+    */
+  val vtMergeFull: Q = Q(
+    "pipe_vt_merge_full",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-merge-full")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))
+      s.sql(s"CREATE VERSIONED TABLE graft_vt_mf LOCATION '$root' " +
+        "KEYS(event_id)")
+      val mx = ev.agg(max($"event_id")).head.getLong(0)
+      ev.filter(pmod($"event_id", lit(5L)) === 0 ||
+          pmod($"event_id", lit(7L)) === 0)
+        .withColumn("op",
+          when(pmod($"event_id", lit(5L)) === 0, "d").otherwise("u"))
+        .unionByName(s.range(1, 6)
+          .select(($"id" + mx).as("event_id"), $"id".as("user_id"),
+            $"id".as("ts_us"), lit("i").as("op")))
+        .createOrReplaceTempView("graft_vt_mf_src")
+      val r = s.sql(
+        """MERGE INTO graft_vt_mf USING graft_vt_mf_src AS src
+           ON graft_vt_mf.event_id = src.event_id
+           WHEN MATCHED AND src.op = 'd' THEN DELETE
+           WHEN MATCHED AND src.op = 'u' THEN
+             UPDATE SET user_id = src.user_id + 1000000
+           WHEN NOT MATCHED AND src.op = 'i' THEN
+             INSERT (event_id, user_id, ts_us)
+             VALUES (src.event_id, src.user_id + 500, src.ts_us)""")
+        .head
+      s.sql("""SELECT 'final' AS stage, count(*) AS n_rows,
+            CAST(sum(user_id) AS BIGINT) AS user_sum,
+            CAST(sum(ts_us % 1000000) AS BIGINT) AS ts_sum
+          FROM graft_vt_mf""")
+        .unionAll(Seq(
+          ("updated", r.getLong(1), 0L, 0L),
+          ("deleted", r.getLong(2), 0L, 0L),
+          ("inserted", r.getLong(3), 0L, 0L))
+          .toDF("stage", "n_rows", "user_sum", "ts_sum"))
+        .orderBy($"stage")
+    },
+    Some("""WITH src0 AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT max(event_id) AS mx FROM src0),
+      fin AS (
+        SELECT event_id,
+          CASE WHEN event_id % 5 <> 0 AND event_id % 7 = 0
+               THEN user_id + 1000000 ELSE user_id END AS user_id,
+          ts_us
+        FROM src0 WHERE event_id % 5 <> 0
+        UNION ALL
+        SELECT mx + k, k + 500, CAST(k AS BIGINT)
+        FROM b, unnest([1, 2, 3, 4, 5]) AS t(k)),
+      stages AS (
+        SELECT 'final' AS stage, count(*) AS n_rows,
+          sum(user_id) AS user_sum, sum(ts_us % 1000000) AS ts_sum
+        FROM fin
+        UNION ALL
+        SELECT 'updated', (SELECT count(*) FROM src0
+          WHERE event_id % 5 <> 0 AND event_id % 7 = 0), 0, 0
+        UNION ALL
+        SELECT 'deleted', (SELECT count(*) FROM src0
+          WHERE event_id % 5 = 0), 0, 0
+        UNION ALL
+        SELECT 'inserted', 5, 0, 0)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(user_sum AS BIGINT) AS user_sum,
+        CAST(ts_sum AS BIGINT) AS ts_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -1989,6 +2150,6 @@ object CorpusCuration {
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
-    vtCdcMirror, vtDeleteWhere,
+    vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull,
     manifestPrune)
 }

@@ -95,8 +95,8 @@ object VersionedSql {
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
-  private val MergeRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
+  private val MergePrefixRe =
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+([\s\S]*)""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
   private val VacuumRe =
@@ -127,17 +127,16 @@ object VersionedSql {
           "... KEYS(...))")
       Some(VersionedUpdateCommand(name, reg, splitSetList(setClause),
         where))
-    case MergeRe(name, _, source, on) if lookup(spark, name).isDefined =>
+    case MergePrefixRe(name, alias, rest) if lookup(spark, name).isDefined =>
       val reg = lookup(spark, name).get
-      val keys = mergeKeys(delegate.parseExpression(on), name)
+      val parsed = parseMergeBody(name, rest)
+      val keys = mergeKeys(delegate.parseExpression(parsed.onCond), name)
       require(reg.keyCols.isEmpty || keys.sorted == reg.keyCols.sorted,
         s"MERGE INTO $name: ON keys $keys != registered KEYS " +
           s"${reg.keyCols}")
-      val src = source.trim
-      val sourceSql =
-        if (src.startsWith("(")) src.stripPrefix("(").stripSuffix(")")
-        else s"SELECT * FROM $src"
-      Some(VersionedMergeCommand(name, reg, sourceSql, keys))
+      Some(VersionedMergeCommand(name, reg, Option(alias),
+        parsed.sourceSql, parsed.sourceAlias, parsed.onCond, keys,
+        parsed.clauses))
     case HistoryRe(name) if lookup(spark, name).isDefined =>
       Some(VersionedHistoryCommand(lookup(spark, name).get))
     case VacuumRe(name, retain, grace) if lookup(spark, name).isDefined =>
@@ -278,6 +277,197 @@ object VersionedSql {
       i += 1
     }
     mask
+  }
+
+  /** First top-level occurrence of keyword `word` in `s` (word
+    * boundaries, case-insensitive, outside parens and string
+    * literals), or -1. `from` starts the scan.
+    */
+  private def findTopLevelWord(s: String, mask: Array[Boolean],
+      word: String, from: Int = 0): Int = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    var i = lower.indexOf(w, from)
+    while (i >= 0) {
+      val okLeft = i == 0 || !wordChar(lower.charAt(i - 1))
+      val okRight = i + w.length >= s.length ||
+        !wordChar(lower.charAt(i + w.length))
+      if (okLeft && okRight && mask(i)) return i
+      i = lower.indexOf(w, i + 1)
+    }
+    -1
+  }
+
+  /** One `WHEN [NOT] MATCHED [AND <cond>] THEN <action>` clause of a
+    * MERGE statement. Clause order is evaluation order within each
+    * match class: a row is claimed by the FIRST clause whose condition
+    * holds (SQL's MERGE semantics).
+    */
+  private[pipeline] sealed trait MergeAction
+  private[pipeline] case object MergeUpdateStar extends MergeAction
+  private[pipeline] case class MergeUpdateSet(
+      sets: Seq[(String, String)]) extends MergeAction
+  private[pipeline] case object MergeDelete extends MergeAction
+  private[pipeline] case object MergeInsertStar extends MergeAction
+  private[pipeline] case class MergeInsertValues(cols: Seq[String],
+      exprs: Seq[String]) extends MergeAction
+  private[pipeline] case class MergeClause(matched: Boolean,
+      cond: Option[String], action: MergeAction)
+
+  private[pipeline] case class ParsedMerge(sourceSql: String,
+      sourceAlias: Option[String], onCond: String,
+      clauses: Seq[MergeClause])
+
+  /** Parse everything after `MERGE INTO name [AS a] USING` — the
+    * source (bare name, or parenthesized subquery, either with an
+    * optional alias), the top-level ON condition (scanned with
+    * balanced parens and quote skipping, so a subquery source
+    * containing its own JOIN … ON parses correctly), and the WHEN
+    * clause list. Unsupported shapes fail loudly with the statement
+    * fragment named — the grammar never silently deviates.
+    */
+  private[pipeline] def parseMergeBody(table: String,
+      rest0: String): ParsedMerge = {
+    val rest = rest0.trim.stripSuffix(";").trim
+    val mask = topLevelMask(rest)
+    val onPos = findTopLevelWord(rest, mask, "on")
+    require(onPos > 0, s"MERGE INTO $table: no top-level ON clause")
+    val sourcePart = rest.substring(0, onPos).trim
+    val afterOn = rest.substring(onPos + 2)
+    val maskAfter = topLevelMask(afterOn)
+    val firstWhen = findTopLevelWord(afterOn, maskAfter, "when")
+    require(firstWhen > 0,
+      s"MERGE INTO $table: no WHEN clause after ON")
+    val onCond = afterOn.substring(0, firstWhen).trim
+    // split the clause list on successive top-level WHENs
+    val whenPositions = Iterator.iterate(firstWhen)(p =>
+      findTopLevelWord(afterOn, maskAfter, "when", p + 4))
+      .takeWhile(_ >= 0).toSeq
+    val clauses = whenPositions.zipAll(whenPositions.drop(1), -1, -1)
+      .collect { case (a, b) if a >= 0 =>
+        val end = if (b < 0) afterOn.length else b
+        parseMergeClause(table, afterOn.substring(a + 4, end).trim)
+      }
+    require(clauses.nonEmpty, s"MERGE INTO $table: no WHEN clauses")
+    // the source: bare name (optional alias) or (subquery) (optional
+    // alias); a bare name defaults its alias to itself so unqualified
+    // statements keep working
+    val (sourceSql, sourceAlias) =
+      if (sourcePart.startsWith("(")) {
+        // find the matching close paren with quote skipping
+        var depth = 0
+        var close = -1
+        var qi = 0
+        var quote: Char = 0
+        while (qi < sourcePart.length && close < 0) {
+          val ch = sourcePart.charAt(qi)
+          if (quote != 0) { if (ch == quote) quote = 0 }
+          else ch match {
+            case '\'' | '"' => quote = ch
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = qi
+            case _ => ()
+          }
+          qi += 1
+        }
+        require(close > 0,
+          s"MERGE INTO $table: unbalanced parens in USING source")
+        val inner = sourcePart.substring(1, close).trim
+        val tail = sourcePart.substring(close + 1).trim
+        val alias =
+          if (tail.isEmpty) None
+          else {
+            val t = tail.split("\\s+").toSeq
+            t match {
+              case Seq(a) if a.matches("(?i)\\w+") => Some(a)
+              case Seq(as, a) if as.equalsIgnoreCase("as") &&
+                a.matches("(?i)\\w+") => Some(a)
+              case _ => throw new IllegalArgumentException(
+                s"MERGE INTO $table: cannot parse source alias '$tail'")
+            }
+          }
+        (inner, alias)
+      } else {
+        val t = sourcePart.split("\\s+").toSeq
+        t match {
+          case Seq(n) if n.matches("\\w+") =>
+            (s"SELECT * FROM $n", Some(n))
+          case Seq(n, a) if n.matches("\\w+") && a.matches("(?i)\\w+") =>
+            (s"SELECT * FROM $n", Some(a))
+          case Seq(n, as, a) if n.matches("\\w+") &&
+            as.equalsIgnoreCase("as") && a.matches("(?i)\\w+") =>
+            (s"SELECT * FROM $n", Some(a))
+          case _ => throw new IllegalArgumentException(
+            s"MERGE INTO $table: cannot parse USING source " +
+              s"'$sourcePart'")
+        }
+      }
+    ParsedMerge(sourceSql, sourceAlias, onCond, clauses)
+  }
+
+  private val MatchedHeadRe = """(?is)^(NOT\s+)?MATCHED\b([\s\S]*)$""".r
+  private val UpdateSetRe = """(?is)^UPDATE\s+SET\s+([\s\S]*)$""".r
+  private val InsertValuesRe =
+    """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([\s\S]*)\)\s*$""".r
+
+  private def parseMergeClause(table: String,
+      clause: String): MergeClause = {
+    val MatchedHeadRe(notK, rest) = clause: @unchecked
+    val matched = notK == null
+    val mask = topLevelMask(rest)
+    val thenPos = findTopLevelWord(rest, mask, "then")
+    require(thenPos >= 0,
+      s"MERGE INTO $table: WHEN clause without THEN: '$clause'")
+    val condPart = rest.substring(0, thenPos).trim
+    val cond =
+      if (condPart.isEmpty) None
+      else {
+        require(condPart.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("and"),
+          s"MERGE INTO $table: expected AND <cond> before THEN, got " +
+            s"'$condPart'")
+        Some(condPart.substring(3).trim)
+      }
+    val action = rest.substring(thenPos + 4).trim
+    val act: MergeAction =
+      if (matched) action match {
+        case UpdateSetRe(sets) =>
+          if (sets.trim == "*") MergeUpdateStar
+          else MergeUpdateSet(splitSetList(sets.trim))
+        case a if a.equalsIgnoreCase("delete") => MergeDelete
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO $table: WHEN MATCHED supports UPDATE SET …|* " +
+            s"and DELETE; got '$other'")
+      } else action match {
+        case a if a.replaceAll("\\s+", " ")
+          .equalsIgnoreCase("insert *") => MergeInsertStar
+        case InsertValuesRe(cols, exprs) =>
+          val cs = cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          val es = splitTopLevelCommas(exprs)
+          require(cs.size == es.size,
+            s"MERGE INTO $table: INSERT column list (${cs.size}) and " +
+              s"VALUES list (${es.size}) differ")
+          MergeInsertValues(cs, es)
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO $table: WHEN NOT MATCHED supports INSERT * and " +
+            s"INSERT (cols) VALUES (exprs); got '$other'")
+      }
+    MergeClause(matched, cond, act)
+  }
+
+  /** Split on top-level commas (quote- and paren-aware). */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val mask = topLevelMask(s)
+    val parts = Seq.newBuilder[String]
+    var start = 0
+    s.zipWithIndex.foreach { case (ch, i) =>
+      if (ch == ',' && mask(i)) {
+        parts += s.substring(start, i); start = i + 1
+      }
+    }
+    parts += s.substring(start)
+    parts.result().map(_.trim)
   }
 
   /** Split a SET list on TOP-LEVEL commas (commas inside function
@@ -488,22 +678,170 @@ case class VersionedChangesViewCommand(view: String,
   }
 }
 
-/** `MERGE INTO name USING src ON t.k = s.k WHEN MATCHED THEN UPDATE
-  * SET * WHEN NOT MATCHED THEN INSERT *` — the canonical upsert shape,
-  * dispatched to [[VersionedTable.upsertByKey]]. The source SQL is
-  * planned at RUN time against the current session (temp views and
-  * registered versioned views both work).
+/** Full-grammar SQL MERGE dispatched to ONE atomic versioned commit:
+  * {{{
+  *   MERGE INTO t [AS a] USING src|(<subquery>) [AS s] ON t.k = s.k
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET …|* | DELETE]...
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
+  *                                         INSERT (cols) VALUES (…)]...
+  * }}}
+  * SQL MERGE semantics: each matched target row is claimed by the
+  * FIRST matched clause whose condition holds (later clauses never
+  * see it); unmatched source rows likewise by the first not-matched
+  * clause. The claimed updates and inserts land as upserts, the
+  * claimed DELETE rows as key deletes, all in ONE atomic version via
+  * the keyed-changes commit — the CDC-upsert-with-tombstones
+  * statement is expressible directly. A target row matched by two
+  * source rows is SQL's cardinality violation and fails loudly, as
+  * does a NULL source key.
+  *
+  * PINNED read-compute-commit like [[VersionedUpdateCommand]]: the
+  * match sets are computed against an explicit base version; a
+  * concurrent commit that could hold one of the keys conflicts and
+  * the whole statement recomputes from a fresh read.
   */
 case class VersionedMergeCommand(name: String,
-    reg: VersionedSql.Registration, sourceSql: String,
-    keyCols: Seq[String]) extends LeafRunnableCommand {
+    reg: VersionedSql.Registration, targetAlias: Option[String],
+    sourceSql: String, sourceAlias: Option[String], onCond: String,
+    keyCols: Seq[String], clauses: Seq[VersionedSql.MergeClause])
+    extends LeafRunnableCommand {
+  import VersionedSql._
+  import org.apache.spark.sql.functions.{coalesce, col, count,
+    countDistinct, expr, lit}
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
-    AttributeReference("rows_replaced", LongType, nullable = false)())
+    AttributeReference("rows_updated", LongType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val source = spark.sql(sourceSql)
-    val (v, n) = VersionedTable.upsertByKey(spark, reg.root, source, keyCols)
-    VersionedSql.refreshView(spark, name)
-    Seq(Row(v, n))
+    clauses.foreach {
+      case MergeClause(_, _, MergeUpdateSet(sets)) =>
+        sets.foreach { case (c, _) =>
+          require(!keyCols.exists(_.equalsIgnoreCase(c)),
+            s"MERGE INTO $name: UPDATE SET must not touch key " +
+              s"column '$c'")
+        }
+      case _ => ()
+    }
+    val tA = targetAlias.getOrElse(name)
+    val sA = sourceAlias.getOrElse("__merge_src")
+    var restarts = 0
+    while (restarts < VersionedTable.MaxDmlRestarts) {
+      VersionedTable.materializeDeletes(spark, reg.root)
+      val v0 = VersionedTable.latestVersion(spark, reg.root).getOrElse(
+        sys.error(s"MERGE INTO $name: no versions at ${reg.root}"))
+      val target = VersionedTable.sqlRead(spark, reg.root, Some(v0))
+      val tgt = target.alias(tA)
+      val source = spark.sql(sourceSql).alias(sA)
+      val on = expr(onCond)
+      val tgtFields = target.schema.fields.toSeq
+      def fieldType(c: String) =
+        tgtFields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"MERGE INTO $name: unknown target column '$c'"))
+      // ——— matched rows, claimed clause by clause in statement order
+      val joined = tgt.join(source, on, "inner")
+      var remaining = joined
+      val updates = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      val deletes = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      clauses.filter(_.matched).foreach { cl =>
+        val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
+          .getOrElse(lit(true))
+        val claimed = remaining.filter(c)
+        remaining = remaining.filter(!c)
+        cl.action match {
+          case MergeUpdateStar =>
+            updates += claimed.select(tgtFields.map(f =>
+              col(s"$sA.${f.name}").as(f.name)): _*)
+          case MergeUpdateSet(sets) =>
+            updates += claimed.select(tgtFields.map { f =>
+              sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, e)) =>
+                  expr(e).cast(f.dataType).as(f.name)
+                case None => col(s"$tA.${f.name}").as(f.name)
+              }
+            }: _*)
+          case MergeDelete =>
+            deletes += claimed.select(keyCols.map(k =>
+              col(s"$tA.$k").as(k)): _*)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: $other is not a MATCHED action")
+        }
+      }
+      // ——— unmatched source rows
+      val unmatched = source.join(tgt, on, "left_anti")
+      var rem2 = unmatched
+      val inserts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      clauses.filterNot(_.matched).foreach { cl =>
+        val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
+          .getOrElse(lit(true))
+        val claimed = rem2.filter(c)
+        rem2 = rem2.filter(!c)
+        cl.action match {
+          case MergeInsertStar =>
+            inserts += claimed.select(tgtFields
+              .filter(f => claimed.columns.contains(f.name))
+              .map(f => col(f.name).as(f.name)): _*)
+          case MergeInsertValues(cols, exprs) =>
+            inserts += claimed.select(cols.zip(exprs).map {
+              case (cn, e) => expr(e).cast(fieldType(cn)).as(cn)
+            }: _*)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: $other is not a NOT MATCHED action")
+        }
+      }
+      def unionAllByName(fs: Seq[org.apache.spark.sql.DataFrame]) =
+        fs.reduceOption((a, b) =>
+          a.unionByName(b, allowMissingColumns = true))
+      val upserts = unionAllByName(updates.result() ++ inserts.result())
+      val delKeys = unionAllByName(deletes.result())
+        .getOrElse(target.select(keyCols.map(col): _*).limit(0))
+      val updatedN = updates.result().map(_.count()).sum
+      val deletedN = deletes.result().map(_.count()).sum
+      val insertedN = inserts.result().map(_.count()).sum
+      if (updatedN + deletedN + insertedN == 0L) {
+        VersionedSql.refreshView(spark, name)
+        return Seq(Row(v0, 0L, 0L, 0L))
+      }
+      // cardinality violation / NULL keys: two source rows claiming
+      // one target key (or a NULL key) would land as silent
+      // corruption — SQL MERGE rejects both
+      upserts.foreach { up =>
+        val aggs = count(lit(1)) +:
+          countDistinct(col(keyCols.head), keyCols.tail.map(col): _*) +:
+          keyCols.map(c => count(col(c)))
+        val r = up.agg(aggs.head, aggs.tail: _*).head
+        val total = r.getLong(0)
+        // NULL check FIRST: countDistinct excludes NULL tuples, so a
+        // NULL key would otherwise masquerade as a duplicate
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          require(r.getLong(2 + i) == total,
+            s"MERGE INTO $name: NULL source key '$c'")
+        }
+        require(r.getLong(1) == total,
+          s"MERGE INTO $name: ${total - r.getLong(1)} duplicate-key " +
+            "rows (a target row matched by multiple source rows, or " +
+            "duplicate inserts) — SQL MERGE cardinality violation")
+      }
+      val res = upserts match {
+        case Some(up) =>
+          VersionedTable.applyKeyedChangesPinned(spark, reg.root, up,
+            delKeys, keyCols, v0)
+        case None => // pure-delete MERGE
+          VersionedTable.applyKeyedChangesPinned(spark, reg.root,
+            target.limit(0), delKeys, keyCols, v0)
+      }
+      res match {
+        case Some(v) =>
+          VersionedSql.refreshView(spark, name)
+          return Seq(Row(v, updatedN, deletedN, insertedN))
+        case None =>
+          restarts += 1
+          VersionedTable.backoff(restarts)
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"MERGE INTO $name: ${VersionedTable.MaxDmlRestarts} consecutive " +
+        "conflicting commits; giving up — retry when ingest quiesces")
   }
 }

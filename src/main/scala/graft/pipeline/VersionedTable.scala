@@ -227,17 +227,23 @@ object VersionedTable {
   private[pipeline] case class MorDelete(probes: Seq[(String, Long, Long)],
       matched: Long, files: Set[String]) extends Marker
 
-  /** Key-set marker over ONE long stat column: small key sets ride
-    * INLINE in the manifest line; larger ones spill to an immutable
-    * parquet SIDECAR (`manifests/k-<uuid>.parquet`, one `k` column)
-    * that readers anti-join, plus a small bloom over the keys
-    * (base64, empty when the set was too large to bloom usefully) so
-    * a point read on the key column can skip the marker entirely when
-    * its probed value provably isn't deleted.
+  /** Key-set marker over ONE long stat column OR one STRING typed
+    * stat column (`kind`: 'L' long, 's' string — the doc-id / URL /
+    * GUID shape real corpora key on): small key sets ride INLINE in
+    * the manifest line (`inline` for longs, `inlineTyped` hex-encoded
+    * UTF-8 for strings — hex keeps arbitrary key bytes clear of the
+    * manifest's tab/comma framing); larger ones spill to an immutable
+    * parquet SIDECAR (`manifests/k-<uuid>.parquet`, one `k` column of
+    * the key's own type) that readers anti-join, plus — for long keys
+    * — a small bloom over the keys (base64, empty when the set was too
+    * large to bloom usefully) so a point read on the key column can
+    * skip the marker entirely when its probed value provably isn't
+    * deleted.
     */
   private[pipeline] case class MorKeyDelete(keyCol: String,
       inline: Seq[Long], sidecar: Option[String], bloom: String,
-      matched: Long, files: Set[String]) extends Marker
+      matched: Long, files: Set[String], kind: Char = 'L',
+      inlineTyped: Seq[String] = Seq.empty) extends Marker
 
   /** A resolved version: header metadata, the shard list, and LAZY
     * per-shard entry loading — the planning paths (append publish,
@@ -430,10 +436,16 @@ object VersionedTable {
         val f = l.split('\t')
         val inline = if (f(3) == "-") Seq.empty[Long]
           else f(3).split(',').toSeq.map(_.toLong)
+        // kind + typed inline ride as TRAILING cells: lines written
+        // before string keys existed simply lack them (long marker)
+        val kind = if (f.length > 7) f(7).head else 'L'
+        val inlineTyped =
+          if (f.length > 8 && f(8) != "-") f(8).split(',').toSeq
+          else Seq.empty[String]
         Some(MorKeyDelete(f(2), inline,
           if (f(4) == "-") None else Some(f(4)),
           if (f(5) == "-") "" else f(5),
-          f(1).toLong, f(6).split(',').toSet))
+          f(1).toLong, f(6).split(',').toSet, kind, inlineTyped))
       case _ => None
     }
     if (sharded) {
@@ -545,8 +557,13 @@ object VersionedTable {
             if (mk.inline.isEmpty) "-" else mk.inline.mkString(",")
           val side = mk.sidecar.getOrElse("-")
           val bloom = if (mk.bloom.isEmpty) "-" else mk.bloom
+          // typed inline keys are hex-encoded by construction — safe
+          // against the line's tab/comma framing by the alphabet alone
+          val ityped =
+            if (mk.inlineTyped.isEmpty) "-" else mk.inlineTyped.mkString(",")
           out.write((s"#morkey\t${mk.matched}\t${mk.keyCol}\t$inline\t" +
-            s"$side\t$bloom\t${mk.files.toSeq.sorted.mkString(",")}\n")
+            s"$side\t$bloom\t${mk.files.toSeq.sorted.mkString(",")}\t" +
+            s"${mk.kind}\t$ityped\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       shards.sortBy(_.name).foreach { r =>
@@ -1307,16 +1324,30 @@ object VersionedTable {
     * anti-joins (left_anti keeps NULL-key rows — NULL never matches);
     * an inline set is a negated isin, coalesced for the same reason.
     */
+  /** A key marker's inline values as Spark literals of the key's own
+    * type — long for 'L', decoded UTF-8 strings for 's'.
+    */
+  private def inlineKeyValues(k: MorKeyDelete): Seq[Any] =
+    if (k.kind == 's')
+      k.inlineTyped.map(h => new String(Layout.hexDec(h),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else k.inline
+
   private def applyMarker(spark: SparkSession, root: String, d: DataFrame,
       mk: Marker): DataFrame = mk match {
     case md: MorDelete =>
       d.filter(!coalesce(boxPredicate(md.probes), lit(false)))
     case k: MorKeyDelete => k.sidecar match {
       case None =>
-        d.filter(!coalesce(col(k.keyCol).isin(k.inline: _*), lit(false)))
+        d.filter(!coalesce(
+          col(k.keyCol).isin(inlineKeyValues(k): _*), lit(false)))
       case Some(f) =>
+        // a USING-join moves the key column to the FRONT of the
+        // output — restore the input order, or the positional union
+        // across marker-coverage groups silently misaligns columns
         d.join(spark.read.parquet(s"${manifestsDir(root)}/$f")
           .select(col("k").as(k.keyCol)), Seq(k.keyCol), "left_anti")
+          .select(d.columns.map(col): _*)
     }
   }
 
@@ -1329,10 +1360,14 @@ object VersionedTable {
       vis.filter(coalesce(boxPredicate(md.probes), lit(false)))
     case k: MorKeyDelete => k.sidecar match {
       case None =>
-        vis.filter(coalesce(col(k.keyCol).isin(k.inline: _*), lit(false)))
+        vis.filter(coalesce(
+          col(k.keyCol).isin(inlineKeyValues(k): _*), lit(false)))
       case Some(f) =>
+        // restore the input column order after the USING-join, as in
+        // [[applyMarker]]
         vis.join(spark.read.parquet(s"${manifestsDir(root)}/$f")
           .select(col("k").as(k.keyCol)), Seq(k.keyCol), "left_semi")
+          .select(vis.columns.map(col): _*)
     }
   }
 
@@ -1993,7 +2028,9 @@ object VersionedTable {
 
   /** MERGE-ON-READ equality delete — Iceberg v2's EQUALITY DELETE
     * files, the GDPR / dedup-removal shape: delete every visible row
-    * whose `keyCol` (a manifested LONG stat column) is in `keys`,
+    * whose `keyCol` (a manifested LONG stat column, or a STRING typed
+    * stat column — the doc-id / URL / user-GUID key real corpora
+    * delete by) is in `keys`,
     * publishing ONE metadata marker and rewriting NO data files. Small
     * key sets ([[InlineKeyCap]]) ride inline in the manifest; larger
     * ones spill to an immutable parquet sidecar that readers
@@ -2017,10 +2054,12 @@ object VersionedTable {
     require(keys.schema.fields.length == 1,
       s"deleteKeysMor: keys must be a ONE-column frame, got " +
         keys.columns.mkString("[", ", ", "]"))
-    require(keys.schema.fields.head.dataType ==
-      org.apache.spark.sql.types.LongType,
-      "deleteKeysMor: the key column must be LongType (it probes a " +
-        "long stat column)")
+    val kt = keys.schema.fields.head.dataType
+    require(kt == org.apache.spark.sql.types.LongType ||
+      kt == org.apache.spark.sql.types.StringType,
+      s"deleteKeysMor: the key frame must be LongType (probing a long " +
+        s"stat column) or StringType (probing a string typed column); " +
+        s"got $kt")
     val kf = keys.na.drop()
       .select(col(keys.columns.head).as("k")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2054,48 +2093,61 @@ object VersionedTable {
       materializeDeletes(spark, root)
       return None // restart against the materialized base
     }
-    val ki = m0.statCols.indexOf(keyCol)
-    require(ki >= 0,
-      s"deleteKeysMor key column must be a manifested stat column " +
-        s"${m0.statCols.mkString("[", ", ", "]")}; got '$keyCol'")
-    val st = kf.agg(count(lit(1)), min(col("k")), max(col("k"))).head
-    val n = st.getLong(0)
-    if (n == 0L) return Some((v0, 0L))
-    val (mn, mx) = (st.getLong(1), st.getLong(2))
-    // sparse-key refinement, as in upsertByKey: few keys test files
-    // against the actual values, not one global box
-    val keyVals: Option[Seq[Long]] =
-      if (n <= SparseKeyProbeLimit)
-        Some(kf.collect().map(_.getLong(0)).sorted.toSeq)
-      else None
-    def mayHold(boxes: Seq[(Long, Long)]): Boolean = {
-      val (bmn, bmx) = boxes(ki)
-      keyVals match {
-        case Some(ks) => ks.exists(v => v >= bmn && v <= bmx)
-        case None => !(mx < bmn || mn > bmx)
-      }
+    val ki = keyIndex(m0, keyCol, "deleteKeysMor")
+    // the frame's type must match the key's storage class — a long
+    // frame probing a string column (or vice versa) is a caller bug,
+    // not a silent no-match
+    val ft = kf.schema.fields.head.dataType
+    ki match {
+      case Left(_) => require(ft == org.apache.spark.sql.types.LongType,
+        s"deleteKeysMor: '$keyCol' is a long stat column but the key " +
+          s"frame is $ft")
+      case Right(_) => require(ft == org.apache.spark.sql.types.StringType,
+        s"deleteKeysMor: '$keyCol' is a string typed column but the " +
+          s"key frame is $ft")
     }
-    val candShards = m0.shards.filter(r => r.name.isEmpty || mayHold(r.boxes))
+    val n = kf.count()
+    if (n == 0L) return Some((v0, 0L))
+    // sparse-key refinement, as in upsertByKey: few keys test files
+    // against the actual values, not one global box; string keys test
+    // against the typed truncated bounds
+    val hit = keyedCandidateTest(m0, Seq(keyCol),
+      kf.select(col("k").as(keyCol)), n, "deleteKeysMor")
+    val candShards = m0.shards.filter(r =>
+      r.name.isEmpty || hit(r.boxes, r.tboxes))
     val touched = candShards.flatMap(r => m0.entriesOf(r))
-      .filter(e => mayHold(e.boxes))
+      .filter(e => hit(e.boxes, e.tboxes))
     if (touched.isEmpty) return Some((v0, 0L))
     val files = touched.map(_.name).toSet
     // exact VISIBLE matched count (existing markers applied) — what
     // keeps fastCount's subtraction exact under overlapping markers
     val probeFrame =
-      if (keyVals.isDefined) broadcast(kf.select(col("k").as(keyCol)))
+      if (n <= SparseKeyProbeLimit) broadcast(kf.select(col("k").as(keyCol)))
       else kf.select(col("k").as(keyCol))
     val matched = readVisible(spark, root, m0, touched.map(_.name))
       .join(probeFrame, Seq(keyCol), "left_semi").count()
     if (matched == 0L) return Some((v0, 0L))
-    val (inline, sidecar) =
-      if (n <= InlineKeyCap) (keyVals.get, None)
-      else (Seq.empty[Long], Some(writeKeySidecar(spark, root, kf)))
-    val bloom =
-      if (n <= KeyBloomMaxKeys)
-        buildKeyBloom(keyVals.getOrElse(
-          kf.collect().map(_.getLong(0)).toSeq))
-      else ""
+    val (inline, inlineTyped, sidecar) = ki match {
+      case Left(_) if n <= InlineKeyCap =>
+        (kf.collect().map(_.getLong(0)).sorted.toSeq,
+          Seq.empty[String], None)
+      case Right(_) if n <= InlineKeyCap =>
+        (Seq.empty[Long],
+          kf.collect().map(r => encodeStrKey(r.getString(0))).sorted.toSeq,
+          None)
+      case _ =>
+        (Seq.empty[Long], Seq.empty[String],
+          Some(writeKeySidecar(spark, root, kf)))
+    }
+    // the footer-bloom marker skip serves LONG point reads only —
+    // string point probes go through the FileIndex, which never needs
+    // the marker bloom
+    val bloom = ki match {
+      case Left(_) if n <= KeyBloomMaxKeys =>
+        buildKeyBloom(kf.collect().map(_.getLong(0)).toSeq)
+      case _ => ""
+    }
+    val kind = ki match { case Left(_) => 'L'; case Right(_) => 's' }
     val candNames = candShards.map(_.name).toSet
     var attempt = 0
     while (true) {
@@ -2118,7 +2170,8 @@ object VersionedTable {
           lm.ingestBatch, kind = "mordelete",
           publishSchema(spark, root, lm, None),
           morDeletes = lm.morDeletes :+
-            MorKeyDelete(keyCol, inline, sidecar, bloom, matched, files),
+            MorKeyDelete(keyCol, inline, sidecar, bloom, matched, files,
+              kind, inlineTyped),
           typedCols = m0.typedCols))
         return Some((lv + 1, matched))
       attempt += 1
@@ -2561,11 +2614,107 @@ object VersionedTable {
     */
   val SparseKeyProbeLimit: Long = 4096L
 
+  /** How a DML key column resolves against the manifest:
+    * Left(long stat index) or Right(typed index — STRING kind only).
+    * Real corpora key on strings (doc ids, URLs, user GUIDs), which is
+    * why the typed path exists; date/timestamp/decimal keys are
+    * rejected loudly — encode those as long stat columns (epoch
+    * days/micros, unscaled), where the box algebra is exact.
+    */
+  private def keyIndex(m: Manifest, c: String,
+      what: String): Either[Int, Int] = {
+    val li = m.statCols.indexOf(c)
+    if (li >= 0) Left(li)
+    else {
+      val ti = m.typedCols.indexWhere(_.name == c)
+      require(ti >= 0,
+        s"$what key column '$c' must be a manifested stat column " +
+          s"${m.statCols.mkString("[", ", ", "]")} or a typed stat " +
+          s"column ${m.typedCols.map(_.name).mkString("[", ", ", "]")}")
+      require(m.typedCols(ti).kind == 's',
+        s"$what key column '$c' is a '${m.typedCols(ti).kind}'-kind " +
+          "typed column — keyed DML supports LONG stat columns and " +
+          "STRING typed columns; encode date/timestamp/decimal keys " +
+          "as long stat columns (epoch days/micros, unscaled)")
+      Right(ti)
+    }
+  }
+
+  /** A string key value in the typed-bound encoding (hex UTF-8 bytes,
+    * compared with parquet's unsigned byte order) — the SAME encoding
+    * the manifest's 's' bounds use, so probe-vs-bound comparisons are
+    * exact.
+    */
+  private def encodeStrKey(s: String): String =
+    Layout.hexEnc(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The per-file "may hold one of the keys" test for keyed DML, over
+    * MIXED long and string key columns. Sparse key sets (≤
+    * [[SparseKeyProbeLimit]]) test the actual values — two keys at the
+    * extremes of the key space touch two files, not the global-box
+    * span; larger sets fall back to one bounds aggregate per column.
+    * String tests run against the manifest's TRUNCATED bounds (prefix
+    * min ≤ every value, increment-truncated max ≥), so candidacy can
+    * only widen, never miss; an absent bound side never prunes.
+    * `keyFrame`'s columns must be NULL-free and positionally aligned
+    * with `keyCols`.
+    */
+  private def keyedCandidateTest(m: Manifest, keyCols: Seq[String],
+      keyFrame: DataFrame, total: Long, what: String)
+      : (Seq[(Long, Long)], Seq[TBound]) => Boolean = {
+    val idx = keyCols.map(c => keyIndex(m, c, what))
+    val keyTuples: Option[Seq[Seq[Any]]] =
+      if (total <= SparseKeyProbeLimit)
+        Some(keyFrame.collect().toSeq.map(row =>
+          idx.zipWithIndex.map {
+            case (Left(_), p) => row.getLong(p)
+            case (Right(_), p) => encodeStrKey(row.getString(p))
+          }))
+      else None
+    // dense bounds: computed ONLY when the sparse set is too large
+    // (the extra aggregate is one bounded job on the key frame)
+    lazy val dense: Seq[(Any, Any)] = {
+      val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val st = keyFrame.agg(aggs.head, aggs.tail: _*).head
+      idx.zipWithIndex.map {
+        case (Left(_), p) => (st.getLong(2 * p), st.getLong(2 * p + 1))
+        case (Right(_), p) =>
+          (encodeStrKey(st.getString(2 * p)),
+            encodeStrKey(st.getString(2 * p + 1)))
+      }
+    }
+    // may [lo, hi] (encoded) intersect typed bound ti? Absent bounds
+    // (legacy pseudo-shard, unprovable side) never prune.
+    def strHit(tb: Seq[TBound], ti: Int, lo: String, hi: String): Boolean = {
+      def tLo = if (tb.isEmpty) None else tb(ti)._1
+      def tHi = if (tb.isEmpty) None else tb(ti)._2
+      tLo.forall(mn => tCompare('s', hi, mn) >= 0) &&
+        tHi.forall(mx => tCompare('s', lo, mx) <= 0)
+    }
+    (boxes, tb) => keyTuples match {
+      case Some(ks) => ks.exists(t => idx.zip(t).forall {
+        case (Left(i), v) =>
+          val (mn, mx) = boxes(i)
+          val lv = v.asInstanceOf[Long]; lv >= mn && lv <= mx
+        case (Right(ti), v) =>
+          val e = v.asInstanceOf[String]; strHit(tb, ti, e, e)
+      })
+      case None => idx.zip(dense).forall {
+        case (Left(i), (lo, hi)) =>
+          val (mn, mx) = boxes(i)
+          !(hi.asInstanceOf[Long] < mn || lo.asInstanceOf[Long] > mx)
+        case (Right(ti), (lo, hi)) =>
+          strHit(tb, ti, lo.asInstanceOf[String], hi.asInstanceOf[String])
+      }
+    }
+  }
+
   /** Keyed UPSERT (the MERGE INTO shape) as ONE atomic version: rows
     * of `updates` replace current rows with the same key; new keys
     * append. Copy-on-write with the same two-level stats pruning as
-    * [[deleteRange]] — `keyCols` must be manifested stat columns, the
-    * updates' per-key-column [min,max] bounds the candidate set
+    * [[deleteRange]] — each of `keyCols` must be a manifested LONG
+    * stat column or a STRING typed stat column (mixed keys work), the
+    * updates' per-key-column bounds limit the candidate set
     * (refined per-key when the key set is small, see
     * [[SparseKeyProbeLimit]]), and only candidate files are re-read
     * (anti-joined on the keys) and rewritten; every other file is
@@ -2653,30 +2802,23 @@ object VersionedTable {
         sys.error(s"nothing to upsert into at $root"))
     }
     if (m.morDeletes.nonEmpty) return None // wrapper materializes first
-    require(keyCols.forall(m.statCols.contains),
-      s"upsertByKey key columns must be manifested stat columns " +
-        s"${m.statCols.mkString("[", ", ", "]")}; got " +
-        keyCols.mkString("[", ", ", "]"))
     val merged = mergedSchema(tableSchema(spark, root, Some(m)),
       pinned.schema)
-    // the updates' key bounding box: any file that could hold one
-    // of the keys must intersect it (coarse but sound per
-    // dimension). count(col) vs count(*) also proves NO NULL keys:
-    // NULL = NULL never joins, so a NULL-key update row would
-    // neither replace nor be replaceable — it would duplicate on
-    // every repeated upsert. countDistinct over the key tuple proves
-    // KEY-UNIQUENESS: two update rows with one key would both land.
+    // count(col) vs count(*) proves NO NULL keys: NULL = NULL never
+    // joins, so a NULL-key update row would neither replace nor be
+    // replaceable — it would duplicate on every repeated upsert.
+    // countDistinct over the key tuple proves KEY-UNIQUENESS: two
+    // update rows with one key would both land.
     val aggs = count(lit(1)) +:
       countDistinct(col(keyCols.head), keyCols.tail.map(col): _*) +:
-      keyCols.flatMap(c =>
-        Seq(count(col(c)), min(col(c)), max(col(c))))
+      keyCols.map(c => count(col(c)))
     val r = pinned.agg(aggs.head, aggs.tail: _*).head
     val total = r.getLong(0)
     val distinctKeys = r.getLong(1)
     require(total > 0, "upsertByKey: empty updates")
     keyCols.zipWithIndex.foreach { case (c, i) =>
-      require(r.getLong(2 + 3 * i) == total,
-        s"upsertByKey: ${total - r.getLong(2 + 3 * i)} update rows " +
+      require(r.getLong(2 + i) == total,
+        s"upsertByKey: ${total - r.getLong(2 + i)} update rows " +
           s"carry a NULL key '$c' — NULL keys can neither replace " +
           "nor be replaced and would duplicate on every upsert")
     }
@@ -2685,32 +2827,19 @@ object VersionedTable {
         s"over ${keyCols.mkString("(", ", ", ")")} — both copies would " +
         "land as an atomically committed corruption; de-duplicate the " +
         "updates first")
-    val probes = keyCols.zipWithIndex.map { case (c, i) =>
-      (c, r.getLong(3 + 3 * i), r.getLong(4 + 3 * i))
-    }
-    val keyIdx = keyCols.map(m.statCols.indexOf)
     val keyFrame = pinned.select(keyCols.map(col): _*).distinct()
-    // SPARSE-KEY refinement: with few keys, test files against the
-    // actual key tuples instead of one global box — updates touching
-    // keys at both extremes of the id space otherwise make the box
-    // cover everything and degrade to a full-table rewrite. The
-    // collect is bounded by SparseKeyProbeLimit rows of key columns.
-    val keyTuples: Option[Seq[Seq[Long]]] =
-      if (total <= SparseKeyProbeLimit)
-        Some(keyFrame.collect().toSeq.map(row =>
-          keyCols.indices.map(i => row.getLong(i))))
-      else None
-    def mayHoldKeys(boxes: Seq[(Long, Long)]): Boolean = keyTuples match {
-      case Some(ks) => ks.exists(k =>
-        keyIdx.zipWithIndex.forall { case (bi, ki) =>
-          val (mn, mx) = boxes(bi); k(ki) >= mn && k(ki) <= mx
-        })
-      case None => boxHit(boxes, probes, keyIdx)
-    }
+    // SPARSE-KEY refinement (inside keyedCandidateTest): with few
+    // keys, test files against the actual key tuples instead of one
+    // global box — updates touching keys at both extremes of the key
+    // space otherwise make the box cover everything and degrade to a
+    // full-table rewrite. Long keys probe the boxes, string keys the
+    // typed truncated bounds.
+    val mayHoldKeys = keyedCandidateTest(m, keyCols, keyFrame, total,
+      "upsertByKey")
     val candShards = m.shards.filter(r =>
-      r.name.isEmpty || mayHoldKeys(r.boxes))
+      r.name.isEmpty || mayHoldKeys(r.boxes, r.tboxes))
     val touched = candShards.flatMap(r => m.entriesOf(r))
-      .filter(e => mayHoldKeys(e.boxes))
+      .filter(e => mayHoldKeys(e.boxes, e.tboxes))
     val touchedNames = touched.map(_.name).toSet
     val rewritten =
       if (touched.isEmpty) Seq.empty
@@ -2748,7 +2877,7 @@ object VersionedTable {
         if (m.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
         else if (lm.morDeletes.nonEmpty) None // a racing mor-delete landed
         else rebaseCarry(spark, root, m, lm, candNames,
-          e => mayHoldKeys(e.boxes))
+          e => mayHoldKeys(e.boxes, e.tboxes))
       carriedOpt match {
         case None =>
           discard(spark, root, rewritten ++ newEntries,
@@ -2804,6 +2933,16 @@ object VersionedTable {
       require(deleteKeys.isEmpty,
         s"applyCdcBatch at $root: the table does not exist yet — the " +
           "first batch must be pure inserts")
+      // auto-creation manifests keyCols as LONG stat columns; a
+      // string-keyed mirror must be created explicitly (an append
+      // declaring the key as a typed stat column) before the feed runs
+      val strKeys = keyCols.filter(c => upserts.schema.fields.exists(f =>
+        f.name == c &&
+          f.dataType == org.apache.spark.sql.types.StringType))
+      require(strKeys.isEmpty,
+        s"applyCdcBatch at $root: cannot auto-create a table keyed on " +
+          s"string columns ${strKeys.mkString("[", ", ", "]")} — create " +
+          "it first with an append declaring them as typed stat columns")
       return appendBatchDetailed(upserts, root, keyCols, sourceVersion)
     }
     val keyFrame = deleteKeys.toDF(keyCols: _*)
@@ -2817,7 +2956,7 @@ object VersionedTable {
       while (true) {
         materializeDeletes(spark, root)
         applyCdcOnce(spark, root, pinnedUpserts, keyFrame, keyCols,
-          sourceVersion) match {
+          Some(sourceVersion), None) match {
           case Some(r) => return r
           case None =>
             restarts += 1
@@ -2835,33 +2974,64 @@ object VersionedTable {
     }
   }
 
+  /** ONE atomic keyed-changes commit (upserts + key deletes in one
+    * version) computed against an EXPLICIT base — the SQL MERGE
+    * primitive, sharing [[applyCdcBatch]]'s engine without its ingest
+    * frontier: the caller derived `upserts`/`deleteKeys` from reads at
+    * `baseV`, and a since-base commit that could hold one of the keys
+    * conflicts (None — the caller recomputes from a fresh read, the
+    * same lost-update discipline as [[upsertByKeyPinned]]). Returns
+    * the published version.
+    */
+  private[pipeline] def applyKeyedChangesPinned(spark: SparkSession,
+      root: String, upserts: DataFrame, deleteKeys: DataFrame,
+      keyCols: Seq[String], baseV: Long): Option[Long] = {
+    require(deleteKeys.columns.length == keyCols.length,
+      s"deleteKeys must be one column per key: got " +
+        s"${deleteKeys.columns.length} for ${keyCols.size} keys")
+    val keyFrame = deleteKeys.toDF(keyCols: _*)
+      .unionByName(upserts.select(keyCols.map(col): _*))
+      .na.drop().distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinnedUpserts = upserts.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyCdcOnce(spark, root, pinnedUpserts, keyFrame, keyCols,
+      None, Some(baseV)).map(_._1)
+    finally {
+      keyFrame.unpersist(); pinnedUpserts.unpersist()
+      ()
+    }
+  }
+
   private def applyCdcOnce(spark: SparkSession, root: String,
       upserts: DataFrame, keyFrame: DataFrame, keyCols: Seq[String],
-      sourceVersion: Long): Option[(Long, Boolean)] = {
-    val (v0, m) = latestManifest(spark, root).get
-    if (m.ingestBatch >= sourceVersion) return Some((v0, false)) // replay
+      frontier: Option[Long], baseV: Option[Long])
+      : Option[(Long, Boolean)] = {
+    val (v0, m) = baseV match {
+      case Some(b) => (b, readManifest(spark, root, b))
+      case None => latestManifest(spark, root).get
+    }
+    frontier.foreach { sv =>
+      if (m.ingestBatch >= sv) return Some((v0, false)) // replay
+    }
     if (m.morDeletes.nonEmpty) return None // wrapper materializes first
-    require(keyCols.forall(m.statCols.contains),
-      s"applyCdcBatch key columns must be manifested stat columns " +
-        s"${m.statCols.mkString("[", ", ", "]")}; got " +
-        keyCols.mkString("[", ", ", "]"))
     val merged = mergedSchema(tableSchema(spark, root, Some(m)),
       upserts.schema)
-    val keyIdx = keyCols.map(m.statCols.indexOf)
-    val aggs = count(lit(1)) +: keyCols.flatMap(c =>
-      Seq(min(col(c)), max(col(c))))
-    val st = keyFrame.agg(aggs.head, aggs.tail: _*).head
-    val total = st.getLong(0)
+    val total = keyFrame.count()
     if (total == 0L && upserts.isEmpty) {
+      val sv = frontier.getOrElse(
+        // no frontier, no changes: a MERGE that matched nothing —
+        // publish nothing
+        return Some((v0, true)))
       // a version with no row changes (compaction-only range): publish
       // ONLY the frontier so the replay contract still advances —
       // carried shards unchanged
       var attempt = 0
       while (true) {
         val (lv, lm) = latestManifest(spark, root).get
-        if (lm.ingestBatch >= sourceVersion) return Some((lv, false))
+        if (lm.ingestBatch >= sv) return Some((lv, false))
         if (tryPublish(spark, root, lv + 1, m.statCols,
-            materializedShards(spark, root, lm), sourceVersion,
+            materializedShards(spark, root, lm), sv,
             kind = "append", publishSchema(spark, root, lm, None),
             morDeletes = lm.morDeletes, typedCols = m.typedCols))
           return Some((lv + 1, true))
@@ -2869,25 +3039,12 @@ object VersionedTable {
         backoff(attempt)
       }
     }
-    val probes = keyCols.zipWithIndex.map { case (c, i) =>
-      (c, st.getLong(1 + 2 * i), st.getLong(2 + 2 * i))
-    }
-    val keyTuples: Option[Seq[Seq[Long]]] =
-      if (total <= SparseKeyProbeLimit)
-        Some(keyFrame.collect().toSeq.map(row =>
-          keyCols.indices.map(i => row.getLong(i))))
-      else None
-    def mayHoldKeys(boxes: Seq[(Long, Long)]): Boolean = keyTuples match {
-      case Some(ks) => ks.exists(k =>
-        keyIdx.zipWithIndex.forall { case (bi, ki) =>
-          val (bmn, bmx) = boxes(bi); k(ki) >= bmn && k(ki) <= bmx
-        })
-      case None => boxHit(boxes, probes, keyIdx)
-    }
+    val mayHoldKeys = keyedCandidateTest(m, keyCols, keyFrame, total,
+      "applyCdcBatch")
     val candShards = m.shards.filter(r =>
-      r.name.isEmpty || mayHoldKeys(r.boxes))
+      r.name.isEmpty || mayHoldKeys(r.boxes, r.tboxes))
     val touched = candShards.flatMap(r => m.entriesOf(r))
-      .filter(e => mayHoldKeys(e.boxes))
+      .filter(e => mayHoldKeys(e.boxes, e.tboxes))
     val touchedNames = touched.map(_.name).toSet
     val rewritten =
       if (touched.isEmpty) Seq.empty
@@ -2913,7 +3070,7 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val (lv, lm) = latestManifest(spark, root).get
-      if (lm.ingestBatch >= sourceVersion) {
+      if (frontier.exists(lm.ingestBatch >= _)) {
         // a racing twin applied this batch: ours is a replay
         discard(spark, root, rewritten ++ newEntries,
           replacements ++ rewrittenShard.toSeq ++ newShard.toSeq)
@@ -2923,7 +3080,7 @@ object VersionedTable {
         if (m.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
         else if (lm.morDeletes.nonEmpty) None
         else rebaseCarry(spark, root, m, lm, candNames,
-          e => mayHoldKeys(e.boxes))
+          e => mayHoldKeys(e.boxes, e.tboxes))
       carriedOpt match {
         case None =>
           discard(spark, root, rewritten ++ newEntries,
@@ -2933,7 +3090,7 @@ object VersionedTable {
           if (tryPublish(spark, root, lv + 1, m.statCols,
               carried ++ replacements ++ rewrittenShard.toSeq ++
                 newShard.toSeq,
-              sourceVersion, kind = "upsert",
+              frontier.getOrElse(lm.ingestBatch), kind = "upsert",
               publishSchema(spark, root, lm, Some(merged)),
               newFiles = newEntries.map(_.name),
               typedCols = m.typedCols))

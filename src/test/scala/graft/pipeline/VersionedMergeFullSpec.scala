@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full SQL MERGE grammar over the versioned table — conditional
+  * matched clauses, the DELETE action, and column-list INSERT, all in
+  * ONE atomic version: the CDC-upsert-with-tombstones statement
+  * (`WHEN MATCHED AND s.op='d' THEN DELETE …`) that the star-only
+  * grammar could not express. Clause order is SQL's: a row is claimed
+  * by the FIRST clause whose condition holds. Also pins the parser
+  * hardening: a subquery source containing its own `JOIN … ON` finds
+  * the top-level ON; quoted strings with commas/equals survive both
+  * scanners; cardinality violations fail loudly.
+  */
+class VersionedMergeFullSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).resolve("t").toString
+
+  private def freshTable(tag: String, n: Long): (String, String) = {
+    val root = tmp(tag)
+    VersionedTable.append(
+      spark.range(0, n).select($"id".as("k"), ($"id" % 100).as("v"),
+        concat(lit("g"), $"id" % 3).as("grp")),
+      root, Seq("k", "v"), Seq("grp"))
+    val name = tag.replace("-", "_")
+    spark.sql(s"CREATE VERSIONED TABLE $name LOCATION '$root' KEYS(k)")
+    (name, root)
+  }
+
+  test("tombstone MERGE: conditional DELETE + conditional UPDATE + column-list INSERT in one version") {
+    val (name, root) = freshTable("graft-merge-full", 1000L)
+    Seq((5L, 50L, "del"), (10L, 60L, "del"), (7L, 70L, "upd"),
+      (14L, 80L, "upd"), (5000L, 90L, "ins"), (5001L, 91L, "del"))
+      .toDF("k", "v", "op")
+      .createOrReplaceTempView("merge_src")
+    val r = spark.sql(
+      s"""MERGE INTO $name USING merge_src AS s ON $name.k = s.k
+          WHEN MATCHED AND s.op = 'del' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.v + 1000
+          WHEN NOT MATCHED AND s.op <> 'del' THEN
+            INSERT (k, v) VALUES (s.k, s.v + 5)""").head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 1L)),
+      s"updated/deleted/inserted = $r")
+    // exactly ONE new version: all three actions landed atomically
+    val t = spark.table(name)
+    assert(t.count() == 1000L - 2 + 1)
+    assert(t.filter($"k".isin(5L, 10L)).count() == 0L)
+    assert(t.filter($"k" === 7L).select($"v").head.getLong(0) == 1070L)
+    assert(t.filter($"k" === 14L).select($"v").head.getLong(0) == 1080L)
+    // the unmatched 'del' row (k=5001) was claimed by NO insert clause
+    assert(t.filter($"k" === 5001L).count() == 0L)
+    val ins = t.filter($"k" === 5000L)
+    assert(ins.select($"v").head.getLong(0) == 95L)
+    // grp was not in the INSERT column list: null-filled
+    assert(ins.select($"grp").head.isNullAt(0))
+    // history: the whole statement is one upsert version
+    val kinds = VersionedTable.history(spark, root).map(_._3)
+    assert(kinds.count(_ == "upsert") == 1, s"kinds: $kinds")
+  }
+
+  test("clause ORDER claims rows first-match-wins") {
+    val (name, _) = freshTable("graft-merge-order", 100L)
+    Seq((3L, 1L, "x"), (4L, 2L, "y")).toDF("k", "v", "op")
+      .createOrReplaceTempView("merge_order_src")
+    // first clause (v < 2) claims k=3; the later unconditional update
+    // claims k=4 — if order were violated both would take the first
+    spark.sql(
+      s"""MERGE INTO $name USING merge_order_src AS s ON $name.k = s.k
+          WHEN MATCHED AND s.v < 2 THEN UPDATE SET v = 111
+          WHEN MATCHED THEN UPDATE SET v = 222
+          WHEN NOT MATCHED THEN INSERT *""")
+    val t = spark.table(name)
+    assert(t.filter($"k" === 3L).select($"v").head.getLong(0) == 111L)
+    assert(t.filter($"k" === 4L).select($"v").head.getLong(0) == 222L)
+  }
+
+  test("USING subquery with an inner JOIN ... ON finds the top-level ON; quoted strings survive the scanners") {
+    val (name, _) = freshTable("graft-merge-sub", 50L)
+    spark.range(0, 5).select($"id".as("k"), lit(7L).as("w"))
+      .createOrReplaceTempView("merge_sub_a")
+    spark.range(0, 5).select($"id".as("k"), lit(3L).as("u"))
+      .createOrReplaceTempView("merge_sub_b")
+    val r = spark.sql(
+      s"""MERGE INTO $name USING (
+            SELECT a.k, a.w + b.u AS v,
+                   'g=0, (raw)' AS grp
+            FROM merge_sub_a a JOIN merge_sub_b b ON a.k = b.k) AS s
+          ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v, grp = 'x, ''y'' = z'
+          WHEN NOT MATCHED THEN INSERT *""").head
+    assert(r.getLong(1) == 5L && r.getLong(3) == 0L)
+    val t = spark.table(name)
+    assert(t.filter($"k" < 5).select($"v").collect()
+      .forall(_.getLong(0) == 10L))
+    assert(t.filter($"k" === 1L).select($"grp").head.getString(0) ==
+      "x, 'y' = z")
+  }
+
+  test("cardinality violation (two source rows per target key) fails loudly; NULL key fails loudly") {
+    val (name, _) = freshTable("graft-merge-card", 20L)
+    Seq((3L, 1L), (3L, 2L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_dup_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING merge_dup_src AS s
+        ON $name.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("cardinality"))
+    Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+      .toDF("k", "v").createOrReplaceTempView("merge_null_src")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING merge_null_src AS s
+        ON $name.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e2.getMessage.contains("NULL source key"))
+  }
+
+  test("unsupported clause shapes are rejected loudly, not misparsed") {
+    val (name, _) = freshTable("graft-merge-errs", 10L)
+    spark.range(0, 2).select($"id".as("k"), $"id".as("v"))
+      .createOrReplaceTempView("merge_err_src")
+    val e1 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name USING merge_err_src AS s
+        ON $name.k = s.k
+        WHEN MATCHED THEN INSERT *""")
+    }
+    assert(e1.getMessage.contains("WHEN MATCHED supports"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name USING merge_err_src AS s
+        ON $name.k = s.k
+        WHEN NOT MATCHED THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("WHEN NOT MATCHED supports"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name USING merge_err_src AS s
+        ON $name.k = s.k OR s.v = 1
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e3.getMessage.contains("conjunction of key"))
+  }
+
+  test("a MERGE with DELETE racing an append restarts from a fresh read, not a stale one") {
+    val (name, root) = freshTable("graft-merge-race", 200L)
+    // the racing append lands a NEW row for a key this MERGE deletes:
+    // the pinned-base conflict must force a statement restart whose
+    // fresh read sees (and deletes) the raced copy too
+    VersionedTable.beforePublishHook.set(() =>
+      VersionedTable.append(
+        Seq((9L, 999L, "raced")).toDF("k", "v", "grp"),
+        root, Seq("k", "v"), Seq("grp")))
+    Seq((9L, 0L, "del"), (11L, 5L, "upd")).toDF("k", "v", "op")
+      .createOrReplaceTempView("merge_race_src")
+    spark.sql(
+      s"""MERGE INTO $name USING merge_race_src AS s ON $name.k = s.k
+          WHEN MATCHED AND s.op = 'del' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = 777
+          WHEN NOT MATCHED THEN INSERT *""")
+    val t = spark.table(name)
+    assert(t.filter($"k" === 9L).count() == 0L,
+      "the raced duplicate of k=9 must be deleted by the restart")
+    assert(t.filter($"k" === 11L).select($"v").head.getLong(0) == 777L)
+    assert(t.count() == 200L - 1)
+  }
+}
