@@ -2143,6 +2143,111 @@ object CorpusCuration {
         CAST(ts_sum AS BIGINT) AS ts_sum
       FROM stages ORDER BY stage"""))
 
+  /** The CDC feed consumed through the REAL Structured Streaming
+    * source ([[graft.streaming.VersionedCdcStreamProvider]] —
+    * `readStream.format(...).option("root", …)`, offsets = table
+    * versions, batches = deterministic `readChangesCdc` ranges) under
+    * the driver's oracle: the SAME deterministic DML history as
+    * `pipe_versioned_cdc` (append → box delete → keyed upsert →
+    * z-order compact), but the feed arrives via a live streaming query
+    * drained in TWO rounds (v1 first, then the DML versions — a
+    * multi-batch incremental read, not one big replay). The streamed
+    * rows must aggregate exactly as the batch feed does (same oracle),
+    * the replayed mirror must equal `read()` before anything is
+    * emitted, and the compaction version must contribute nothing.
+    */
+  val vtCdcStream: Q = Q(
+    "pipe_vt_cdc_stream",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-cdc-stream")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))                       // v1
+      val q = s.readStream
+        .format(classOf[graft.streaming.VersionedCdcStreamProvider].getName)
+        .option("root", root).load()
+        .writeStream.format("memory")
+        .queryName("graft_vt_cdc_stream_sink")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // round 1: the initial load (v1)
+        val b = ev.agg(min($"user_id"), max($"user_id")).head
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) =
+          (mn + (mx - mn) * 25 / 100, mn + (mx - mn) * 75 / 100)
+        graft.pipeline.VersionedTable.deleteRange(s, root,
+          Seq(("user_id", lo, hi)))                                // v2
+        val updates = ev.filter(pmod($"event_id", lit(7L)) === 0)
+          .withColumn("user_id", $"user_id" + 1000000L)
+        graft.pipeline.VersionedTable.upsertByKey(s, root, updates,
+          Seq("event_id"))                                         // v3
+        graft.pipeline.VersionedTable.compactZorder(s, root, 8)    // v4
+        q.processAllAvailable() // round 2: the DML versions
+      } finally q.stop()
+      // rebase the memory sink onto a fresh plan: MemoryPlan is not
+      // multi-instantiable, so the self-referencing exceptAll fold
+      // below cannot deduplicate its attributes otherwise
+      val sunk = s.table("graft_vt_cdc_stream_sink")
+      val feed = s.createDataFrame(sunk.rdd, sunk.schema)
+      // replay the streamed feed from empty; the mirror must equal
+      // read() as multisets BEFORE anything is emitted
+      val data = Seq($"event_id", $"user_id", $"ts_us")
+      val latest = graft.pipeline.VersionedTable.latestVersion(s, root).get
+      val mirror = (1L to latest).foldLeft(Option.empty[DataFrame]) {
+        (acc, v) =>
+          val batch = feed.filter($"_commit_version" === v)
+          val ins = batch.filter($"_change_type" === "insert")
+            .select(data: _*)
+          val del = batch.filter($"_change_type" === "delete")
+            .select(data: _*)
+          Some(acc.fold(ins)(m => m.exceptAll(del).unionAll(ins)))
+      }.get
+      val table = graft.pipeline.VersionedTable.read(s, root)
+        .select(data: _*)
+      require(mirror.exceptAll(table).isEmpty &&
+        table.exceptAll(mirror).isEmpty,
+        "pipe_vt_cdc_stream: the stream-replayed mirror diverged " +
+          "from read()")
+      feed.select($"_commit_version".as("version"),
+          $"_change_type".as("change"), $"event_id", $"user_id")
+        .unionAll(mirror.select(lit(99L).as("version"),
+          lit("final_mirror").as("change"), $"event_id", $"user_id"))
+        .groupBy($"version", $"change")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"event_id").as("id_sum"), sum($"user_id").as("user_sum"))
+        .orderBy($"version", $"change")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b),
+      upd AS (
+        SELECT event_id, user_id + 1000000 AS user_id FROM src
+        WHERE event_id % 7 = 0),
+      changes AS (
+        SELECT 1 AS version, 'insert' AS change, event_id, user_id FROM src
+        UNION ALL
+        SELECT 2, 'delete', event_id, user_id FROM src, box
+        WHERE user_id BETWEEN lo AND hi
+        UNION ALL
+        SELECT 3, 'delete', event_id, user_id FROM src, box
+        WHERE event_id % 7 = 0 AND user_id NOT BETWEEN lo AND hi
+        UNION ALL
+        SELECT 3, 'insert', event_id, user_id FROM upd
+        UNION ALL
+        SELECT 99, 'final_mirror', event_id, user_id FROM src, box
+        WHERE user_id NOT BETWEEN lo AND hi AND event_id % 7 <> 0
+        UNION ALL
+        SELECT 99, 'final_mirror', event_id, user_id FROM upd)
+      SELECT CAST(version AS BIGINT) AS version, change,
+        count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        CAST(sum(user_id) AS BIGINT) AS user_sum
+      FROM changes GROUP BY 1, 2 ORDER BY version, change"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -2150,6 +2255,6 @@ object CorpusCuration {
     splitLeakage, zorderKey, zorderKey3, zorderRoundtrip, guardedIngest,
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
-    vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull,
+    vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull, vtCdcStream,
     manifestPrune)
 }
