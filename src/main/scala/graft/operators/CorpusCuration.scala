@@ -2248,6 +2248,65 @@ object CorpusCuration {
         CAST(sum(user_id) AS BIGINT) AS user_sum
       FROM changes GROUP BY 1, 2 ORDER BY version, change"""))
 
+  /** DECLARED cluster transforms (hidden partitioning) under the
+    * driver's oracle: three UNSORTED plain appends into a table whose
+    * first append declared `identity(user_id)` clustering — every
+    * append range-clusters itself, so a user-id band probe prunes
+    * files THROUGH THE MANIFEST with no compaction step (the engine
+    * REQUIRES kept < total via `prunedFileCount` before emitting
+    * anything — a silently unclustered append fails the query, not
+    * just a perf budget). The emitted band aggregate hash-matches the
+    * declaratively stated band, so clustering can never trade
+    * correctness for layout: rows are only ever moved, not lost.
+    */
+  val vtCluster: Q = Q(
+    "pipe_vt_cluster",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-cluster")
+      // AQE's small-partition coalescing would fold a tiny test-scale
+      // append into one file and hide the layout observable; the
+      // cluster shape itself is what's under test
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prev = s.conf.get(coalesceKey)
+      try {
+        s.conf.set(coalesceKey, "false")
+        (0 until 3).foreach { k =>
+          graft.pipeline.VersionedTable.append(
+            ev.filter(pmod($"event_id", lit(3L)) === k), root,
+            Seq("user_id", "ts_us", "event_id"), Seq.empty,
+            Seq("identity(user_id)"))
+        }
+      } finally s.conf.set(coalesceKey, prev)
+      val b = ev.agg(min($"user_id"), max($"user_id")).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) * 25 / 100, mn + (mx - mn) * 75 / 100)
+      val (kept, total) = graft.pipeline.VersionedTable
+        .prunedFileCount(s, root, Seq(("user_id", lo, hi)))
+      require(kept < total,
+        s"pipe_vt_cluster: clustered appends must prune the band " +
+          s"probe through the manifest: kept $kept of $total files")
+      graft.pipeline.VersionedTable.sqlRead(s, root)
+        .filter($"user_id".between(lo, hi))
+        .groupBy(pmod($"event_id", lit(3L)).as("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"event_id").as("id_sum"), sum($"user_id").as("user_sum"))
+        .orderBy($"chunk")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b)
+      SELECT event_id % 3 AS chunk, count(*) AS n_rows,
+        CAST(sum(event_id) AS BIGINT) AS id_sum,
+        CAST(sum(user_id) AS BIGINT) AS user_sum
+      FROM src, box WHERE user_id BETWEEN lo AND hi
+      GROUP BY 1 ORDER BY chunk"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -2256,5 +2315,6 @@ object CorpusCuration {
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
     vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull, vtCdcStream,
+    vtCluster,
     manifestPrune)
 }

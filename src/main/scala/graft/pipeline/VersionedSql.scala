@@ -90,7 +90,7 @@ object VersionedSql {
   // statements with anchored regexes, delegate everything else)
 
   private val CreateRe =
-    """(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+KEYS\s*\(([^)]*)\))?(\s+MOR\s+DELETES)?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'(?:\s+KEYS\s*\(([^)]*)\))?(?:\s+CLUSTER\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?(\s+MOR\s+DELETES)?\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpdateRe =
@@ -112,11 +112,14 @@ object VersionedSql {
     */
   def parse(spark: SparkSession, sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
-    case CreateRe(name, location, keys, mor) =>
+    case CreateRe(name, location, keys, cluster, mor) =>
       val keyCols = Option(keys).map(_.split(',').toSeq
         .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      val clusterBy = Option(cluster)
+        .map(splitTopLevelCommas(_).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
       Some(CreateVersionedTableCommand(name, location, keyCols,
-        mor != null))
+        mor != null, clusterBy))
     case DeleteRe(name, where) if lookup(spark, name).isDefined =>
       Some(VersionedDeleteCommand(name, lookup(spark, name).get, where))
     case UpdateRe(name, setClause, where) if lookup(spark, name).isDefined =>
@@ -495,15 +498,33 @@ object VersionedSql {
   }
 }
 
-/** `CREATE VERSIONED TABLE name LOCATION '…' [KEYS(…)] [MOR DELETES]`
-  * — registers the root under the name and serves it as a temp view
-  * (when it already has versions; otherwise the first append brings
-  * the view via the next DML's refresh).
+/** `CREATE VERSIONED TABLE name LOCATION '…' [KEYS(…)]
+  * [CLUSTER BY (…)] [MOR DELETES]` — registers the root under the
+  * name and serves it as a temp view (when it already has versions;
+  * otherwise the first append brings the view via the next DML's
+  * refresh). A declared CLUSTER BY is VALIDATED against the table's
+  * manifest-stored spec (the spec itself is fixed by the first
+  * append, which is where storage comes into existence) — declaring a
+  * spec the table does not actually enforce would be a silent layout
+  * lie, so a mismatch or a not-yet-created table rejects loudly.
   */
 case class CreateVersionedTableCommand(name: String, location: String,
-    keyCols: Seq[String], morDeletes: Boolean) extends LeafRunnableCommand {
+    keyCols: Seq[String], morDeletes: Boolean,
+    clusterBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
+    if (clusterBy.nonEmpty) {
+      require(VersionedTable.latestVersion(spark, location).nonEmpty,
+        s"CREATE VERSIONED TABLE $name: CLUSTER BY declares the " +
+          "spec the table ENFORCES, and the spec is fixed by the " +
+          "first append — create the table with " +
+          "append(df, root, statCols, typedStatCols, clusterBy) " +
+          "first, then register it")
+      val actual = VersionedTable.clusterSpecOf(spark, location)
+      require(actual == clusterBy.map(_.trim),
+        s"CREATE VERSIONED TABLE $name: declared CLUSTER BY " +
+          s"$clusterBy != the table's stored spec $actual")
+    }
     VersionedSql.register(spark, name, location, keyCols, morDeletes)
     Seq.empty
   }

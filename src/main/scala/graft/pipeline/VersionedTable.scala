@@ -260,7 +260,8 @@ object VersionedTable {
       val newFiles: Seq[String],
       val committedAtMs: Long = -1L,
       val morDeletes: Seq[Marker] = Seq.empty,
-      val typedCols: Seq[TypedCol] = Seq.empty) {
+      val typedCols: Seq[TypedCol] = Seq.empty,
+      val clusterSpec: Seq[String] = Seq.empty) {
     // ConcurrentHashMap, not a mutable.Map: a Manifest is captured by
     // VersionedFileIndex, whose listFiles runs at Catalyst PLANNING
     // time — two threads running SQL over the same sqlRead view prune
@@ -422,6 +423,10 @@ object VersionedTable {
         val p = spec.split(':')
         TypedCol(p(0), p(1).head, p(2).toInt)
       }).getOrElse(Seq.empty)
+    // #cluster \t transform ... (absent on unclustered tables)
+    val clusterSpec = lines.tail
+      .find(_.startsWith("#cluster\t"))
+      .map(_.split('\t').toSeq.tail).getOrElse(Seq.empty)
     // #mordel \t matched \t k \t (col lo hi){k} \t files-comma-joined
     // #morkey \t matched \t keyCol \t inline-keys|- \t sidecar|- \t bloom|- \t files
     val morDeletes: Seq[Marker] = lines.tail.flatMap {
@@ -466,7 +471,7 @@ object VersionedTable {
       new Manifest(statCols, refs,
         r => readShard(spark, root, r.name, statCols.size, typedCols.size),
         ingestBatch, kind, schemaJson, newFiles, committedAtMs, morDeletes,
-        typedCols)
+        typedCols, clusterSpec)
     } else {
       // legacy flat manifest: inline entries as one synthetic shard
       // (the flat format predates typed columns)
@@ -495,7 +500,8 @@ object VersionedTable {
       ingestBatch: Long, kind: String, schemaJson: Option[String],
       newFiles: Seq[String] = Seq.empty,
       morDeletes: Seq[Marker] = Seq.empty,
-      typedCols: Seq[TypedCol] = Seq.empty): Boolean = {
+      typedCols: Seq[TypedCol] = Seq.empty,
+      clusterSpec: Seq[String] = Seq.empty): Boolean = {
     require(shards.forall(_.name.nonEmpty),
       "legacy inline entries must be migrated to a shard before publish")
     require(shards.forall(_.tboxes.size == typedCols.size),
@@ -529,6 +535,12 @@ object VersionedTable {
           s"'${tc.name}'"))
         out.write((s"#typedcols\t" + typedCols.map(tc =>
           s"${tc.name}:${tc.kind}:${tc.scale}").mkString("\t") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      if (clusterSpec.nonEmpty) {
+        clusterSpec.foreach(t => require(!t.contains('\t'),
+          s"cluster transform unserializable: '$t'"))
+        out.write((s"#cluster\t" + clusterSpec.mkString("\t") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       schemaJson.foreach { j =>
@@ -866,6 +878,20 @@ object VersionedTable {
     appendBatchDetailed(df, root, statCols, ingestBatch = -1L,
       typedStatCols)._1
 
+  /** [[append]] additionally DECLARING a cluster spec (first append
+    * only — fixed for the table's life, applied automatically by every
+    * later append): Iceberg's hidden partitioning. Transforms: a bare
+    * column / `identity(col)`, `days(col)`, `truncate(w, col)`,
+    * `bucket(n, col)`. Fresh appends then land range-clustered by the
+    * transform values, so the manifest's min-max bounds prune probes
+    * on the UNDERLYING columns without waiting for a manual
+    * [[compactClustered]].
+    */
+  def append(df: DataFrame, root: String, statCols: Seq[String],
+      typedStatCols: Seq[String], clusterBy: Seq[String]): Long =
+    appendBatchDetailed(df, root, statCols, ingestBatch = -1L,
+      typedStatCols, clusterBy)._1
+
   /** The typed-column kinds an append's schema induces — rejected
     * loudly when a declared column is missing or of an unsupported
     * type (a silent skip would quietly disable the pruning the caller
@@ -891,6 +917,72 @@ object VersionedTable {
             "supported: string, date, timestamp, int, decimal(p<=18); " +
             "LongType columns belong in statCols")
       }
+    }
+
+  // ——— DECLARED CLUSTER TRANSFORMS (hidden partitioning): Iceberg's
+  // partition-spec idea re-expressed as a layout shape the table
+  // applies on EVERY append, so fresh data prunes without waiting for
+  // a manual compactClustered. Transforms: `col` / `identity(col)`
+  // (raw value), `days(col)` (calendar day of a date/timestamp),
+  // `truncate(w, col)` (w-char prefix of a string, or w-sized numeric
+  // bin), `bucket(n, col)` (hash bucket — co-locates a key's rows so
+  // keyed DML rewrites one file per key; bucket values are not
+  // manifested, so it aids DML locality and file sizing, not
+  // min-max scan pruning — use truncate/identity for that).
+  // Declared at table creation, stored in the manifest (`#cluster`),
+  // carried by every publish.
+
+  private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val TruncClusterRe =
+    """(?i)truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val DaysRe = """(?i)days\(\s*(\w+)\s*\)""".r
+  private val IdentityRe = """(?i)identity\(\s*(\w+)\s*\)""".r
+  private val BareColRe = """(\w+)""".r
+
+  /** The column a cluster transform reads — also the parse validator:
+    * an unparseable transform fails at declaration, not silently at
+    * some later append.
+    */
+  private[pipeline] def clusterColumn(t: String): String = t.trim match {
+    case BucketRe(_, c) => c
+    case TruncClusterRe(_, c) => c
+    case DaysRe(c) => c
+    case IdentityRe(c) => c
+    case BareColRe(c) => c
+    case other => throw new IllegalArgumentException(
+      s"unparseable cluster transform '$other' — supported: col, " +
+        "identity(col), days(col), bucket(n, col), truncate(w, col)")
+  }
+
+  private def clusterExpr(t: String,
+      schema: org.apache.spark.sql.types.StructType): Column =
+    t.trim match {
+      case BucketRe(n, c) => pmod(hash(col(c)), lit(n.toInt))
+      case TruncClusterRe(w, c) =>
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.StringType) =>
+            substring(col(c), 1, w.toInt)
+          case _ => col(c) - pmod(col(c), lit(w.toLong))
+        }
+      case DaysRe(c) => date_trunc("DAY", col(c))
+      case IdentityRe(c) => col(c)
+      case BareColRe(c) => col(c)
+      case other => throw new IllegalArgumentException(
+        s"unparseable cluster transform '$other'")
+    }
+
+  /** The write shape a cluster spec induces: range-partition by the
+    * transform values and sort within partitions, so each output
+    * file covers a NARROW transform range — which is what makes the
+    * manifest's min-max (long and typed) bounds tight on the
+    * underlying columns for monotonic transforms. AQE coalesces the
+    * small trailing partitions of a small append.
+    */
+  private def clusterShape(spec: Seq[String]): DataFrame => DataFrame =
+    if (spec.isEmpty) identity
+    else d => {
+      val exprs = spec.map(t => clusterExpr(t, d.schema))
+      d.repartitionByRange(exprs: _*).sortWithinPartitions(exprs: _*)
     }
 
   /** [[append]] carrying a streaming INGEST FRONTIER: when
@@ -932,7 +1024,8 @@ object VersionedTable {
     * the table in between.
     */
   def appendBatchDetailed(df: DataFrame, root: String, statCols: Seq[String],
-      ingestBatch: Long, typedStatCols: Seq[String] = Seq.empty)
+      ingestBatch: Long, typedStatCols: Seq[String] = Seq.empty,
+      clusterBy: Seq[String] = Seq.empty)
       : (Long, Boolean) = {
     val spark = df.sparkSession
     require(statCols.nonEmpty, "append needs at least one stat column")
@@ -948,12 +1041,28 @@ object VersionedTable {
         require(m.typedCols.map(_.name) == typedStatCols,
           s"typed stat columns are fixed at table creation: " +
             s"${m.typedCols.map(_.name)} != $typedStatCols")
+        // an existing table's spec applies automatically; a RESTATED
+        // spec must match (declaring a different one mid-life would
+        // silently fork the layout contract)
+        require(clusterBy.isEmpty ||
+          m.clusterSpec == clusterBy.map(_.trim),
+          s"cluster spec is fixed at table creation: " +
+            s"${m.clusterSpec} != $clusterBy")
       }
       // kinds come from the MANIFEST for an existing table (add-only
       // schema evolution keeps them stable); the first append derives
       // them from its own schema and fixes them for the table's life
       val typed = base.map(_._2.typedCols)
         .getOrElse(deriveTyped(df.schema, typedStatCols))
+      // likewise the cluster spec: first append declares and fixes it
+      val spec = base.map(_._2.clusterSpec).getOrElse(
+        clusterBy.map { t =>
+          val c = clusterColumn(t)
+          require(df.schema.fieldNames.contains(c),
+            s"cluster transform '$t' names unknown column '$c' " +
+              s"(schema: ${df.schema.fieldNames.mkString(", ")})")
+          t.trim
+        })
       val frontier = base.map(_._2.ingestBatch).getOrElse(-1L)
       if (ingestBatch >= 0 && ingestBatch <= frontier) {
         // replayed batch: already published (possibly by a racing
@@ -971,7 +1080,8 @@ object VersionedTable {
       val merged0 = mergedSchema(
         tableSchema(spark, root, base.map(_._2)), df.schema)
       if (written == null) {
-        written = writeFiles(df, root, statCols, typed)
+        written = writeFiles(df, root, statCols, typed,
+          shape = clusterShape(spec))
         writtenShard = writeShard(spark, root, statCols, written, typed)
       }
       val baseShards = base.map { case (_, m) =>
@@ -1007,7 +1117,7 @@ object VersionedTable {
           math.max(frontier, ingestBatch), kind = "append",
           Some(merged0.json),
           morDeletes = base.map(_._2.morDeletes).getOrElse(Seq.empty),
-          typedCols = typed))
+          typedCols = typed, clusterSpec = spec))
         return (v, true)
       attempt += 1
       backoff(attempt)
@@ -1165,7 +1275,7 @@ object VersionedTable {
               compactShard.toSeq ++ carried,
               lm.ingestBatch, kind = "compact",
               publishSchema(spark, root, lm, None),
-              typedCols = m0.typedCols))
+              typedCols = m0.typedCols, clusterSpec = m0.clusterSpec))
             return lv + 1
       }
       attempt += 1
@@ -1266,7 +1376,7 @@ object VersionedTable {
               carried ++ replacements ++ packedShard.toSeq,
               lm.ingestBatch, kind = "compact",
               publishSchema(spark, root, lm, None),
-              typedCols = m0.typedCols))
+              typedCols = m0.typedCols, clusterSpec = m0.clusterSpec))
             return Some((lv + 1, touched.size - entries.size))
       }
       attempt += 1
@@ -1976,7 +2086,7 @@ object VersionedTable {
           lm.ingestBatch, kind = "mordelete",
           publishSchema(spark, root, lm, None),
           morDeletes = lm.morDeletes :+ MorDelete(probes, matched, files),
-          typedCols = m0.typedCols))
+          typedCols = m0.typedCols, clusterSpec = m0.clusterSpec))
         return Some((lv + 1, matched))
       attempt += 1
       backoff(attempt)
@@ -2172,7 +2282,7 @@ object VersionedTable {
           morDeletes = lm.morDeletes :+
             MorKeyDelete(keyCol, inline, sidecar, bloom, matched, files,
               kind, inlineTyped),
-          typedCols = m0.typedCols))
+          typedCols = m0.typedCols, clusterSpec = m0.clusterSpec))
         return Some((lv + 1, matched))
       attempt += 1
       backoff(attempt)
@@ -2262,7 +2372,7 @@ object VersionedTable {
               carried ++ replacements ++ survivorShard.toSeq,
               lm.ingestBatch, kind = "materialize",
               publishSchema(spark, root, lm, None),
-              typedCols = m0.typedCols))
+              typedCols = m0.typedCols, clusterSpec = m0.clusterSpec))
             return Some(lv + 1)
       }
       attempt += 1
@@ -2407,7 +2517,7 @@ object VersionedTable {
               carried ++ replacements ++ survivorShard.toSeq,
               lm.ingestBatch, kind = "delete",
               publishSchema(spark, root, lm, None),
-              typedCols = m0.typedCols))
+              typedCols = m0.typedCols, clusterSpec = m0.clusterSpec))
             return Some((lv + 1, deleted))
       }
       attempt += 1
@@ -2856,8 +2966,10 @@ object VersionedTable {
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(merged.fieldNames.map(col): _*)
+    // update rows land under the declared cluster shape too — every
+    // write path honors the spec, exactly like Iceberg partitioning
     val newEntries = writeFiles(alignedUpdates, root, m.statCols,
-      m.typedCols)
+      m.typedCols, shape = clusterShape(m.clusterSpec))
     // replacement shards: candidate shards lose their touched files,
     // keep everything else by name; the rewritten survivors and the
     // update rows land as new shards
@@ -2890,7 +3002,7 @@ object VersionedTable {
               lm.ingestBatch,
               kind = "upsert", publishSchema(spark, root, lm, Some(merged)),
               newFiles = newEntries.map(_.name),
-              typedCols = m.typedCols))
+              typedCols = m.typedCols, clusterSpec = m.clusterSpec))
             return Some((lv + 1, replaced))
       }
       attempt += 1
@@ -3033,7 +3145,7 @@ object VersionedTable {
         if (tryPublish(spark, root, lv + 1, m.statCols,
             materializedShards(spark, root, lm), sv,
             kind = "append", publishSchema(spark, root, lm, None),
-            morDeletes = lm.morDeletes, typedCols = m.typedCols))
+            morDeletes = lm.morDeletes, typedCols = m.typedCols, clusterSpec = m.clusterSpec))
           return Some((lv + 1, true))
         attempt += 1
         backoff(attempt)
@@ -3057,7 +3169,7 @@ object VersionedTable {
         else d.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(merged.fieldNames.map(col): _*)
     val newEntries = writeFiles(alignedUpserts, root, m.statCols,
-      m.typedCols)
+      m.typedCols, shape = clusterShape(m.clusterSpec))
     val rewrittenShard = writeShard(spark, root, m.statCols, rewritten,
       m.typedCols)
     val newShard = writeShard(spark, root, m.statCols, newEntries,
@@ -3093,7 +3205,7 @@ object VersionedTable {
               frontier.getOrElse(lm.ingestBatch), kind = "upsert",
               publishSchema(spark, root, lm, Some(merged)),
               newFiles = newEntries.map(_.name),
-              typedCols = m.typedCols))
+              typedCols = m.typedCols, clusterSpec = m.clusterSpec))
             return Some((lv + 1, true))
       }
       attempt += 1
@@ -3457,6 +3569,13 @@ object VersionedTable {
   private[pipeline] def entryNames(spark: SparkSession, root: String,
       v: Long): Set[String] =
     readManifest(spark, root, v).names
+
+  /** The table's declared cluster spec (empty when none) — what the
+    * SQL CREATE's CLUSTER BY validates against.
+    */
+  private[pipeline] def clusterSpecOf(spark: SparkSession,
+      root: String): Seq[String] =
+    latestManifest(spark, root).map(_._2.clusterSpec).getOrElse(Seq.empty)
 
   /** Mor-delete marker count of version v — spec observable. */
   private[pipeline] def morDeleteCount(spark: SparkSession, root: String,
