@@ -2307,6 +2307,74 @@ object CorpusCuration {
       FROM src, box WHERE user_id BETWEEN lo AND hi
       GROUP BY 1 ORDER BY chunk"""))
 
+  /** SQL schema evolution under the driver's oracle — `ALTER
+    * VERSIONED TABLE … ADD COLUMNS` as a METADATA-ONLY version
+    * ([[graft.pipeline.VersionedTable.addColumns]]): the statement
+    * adds a `boost` column (no data touched), a later append fills it
+    * for new rows while every pre-evolution row serves NULL, and a
+    * PINNED pre-evolution view keeps its own narrower schema (the
+    * engine REQUIRES the pinned view lacks the column before emitting
+    * anything). Both table states aggregate in one result; the oracle
+    * replays the whole evolution declaratively, so a leaked column,
+    * a wrong null-fill, or a rewritten data file breaks the hash.
+    */
+  val vtAddColumns: Q = Q(
+    "pipe_vt_add_columns",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-add-columns")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))                       // v1
+      s.sql(s"CREATE VERSIONED TABLE graft_vt_evolve LOCATION " +
+        s"'$root' KEYS(event_id)")
+      s.sql("CREATE VERSIONED VIEW graft_vt_evolve_v1 AS " +
+        "graft_vt_evolve VERSION AS OF 1")
+      s.sql("ALTER VERSIONED TABLE graft_vt_evolve ADD COLUMNS " +
+        "(boost BIGINT)")                                          // v2
+      val mx = ev.agg(max($"event_id")).head.getLong(0)
+      graft.pipeline.VersionedTable.append(
+        ev.filter(pmod($"event_id", lit(9L)) === 0)
+          .select(($"event_id" + mx + 1).as("event_id"), $"user_id",
+            $"ts_us", pmod($"event_id", lit(5L)).as("boost")),
+        root, Seq("user_id", "ts_us", "event_id"))                 // v3
+      graft.pipeline.VersionedSql.refreshView(s, "graft_vt_evolve")
+      // the pinned pre-evolution view must serve its OWN schema
+      require(!s.table("graft_vt_evolve_v1").columns.contains("boost"),
+        "pipe_vt_add_columns: the pinned v1 view leaked the evolved " +
+          "column backward")
+      s.table("graft_vt_evolve_v1")
+        .agg(lit("pre").as("stage"), count(lit(1)).as("n_rows"),
+          sum($"user_id").as("user_sum"), lit(0L).as("boost_sum"))
+        .unionAll(s.table("graft_vt_evolve")
+          .agg(lit("post").as("stage"), count(lit(1)).as("n_rows"),
+            sum($"user_id").as("user_sum"),
+            sum(coalesce($"boost", lit(-1L))).as("boost_sum")))
+        .orderBy($"stage")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id FROM events),
+      b AS (SELECT max(event_id) AS mx FROM src),
+      added AS (
+        SELECT event_id + mx + 1 AS event_id, user_id,
+               event_id % 5 AS boost
+        FROM src, b WHERE event_id % 9 = 0),
+      stages AS (
+        SELECT 'pre' AS stage, count(*) AS n_rows,
+          sum(user_id) AS user_sum, 0 AS boost_sum
+        FROM src
+        UNION ALL
+        SELECT 'post', (SELECT count(*) FROM src) + count(*),
+          (SELECT sum(user_id) FROM src) + sum(user_id),
+          -1 * (SELECT count(*) FROM src) + sum(boost)
+        FROM added)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(user_sum AS BIGINT) AS user_sum,
+        CAST(boost_sum AS BIGINT) AS boost_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -2315,6 +2383,6 @@ object CorpusCuration {
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
     vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull, vtCdcStream,
-    vtCluster,
+    vtCluster, vtAddColumns,
     manifestPrune)
 }

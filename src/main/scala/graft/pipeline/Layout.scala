@@ -612,21 +612,23 @@ object Layout {
       else Some(t.take(i + 1).updated(i, (t(i) + 1).toByte))
     }
 
-  /** [[footerStats]] PLUS encoded typed bounds per `typedCols` entry —
-    * one footer open per file for both. Typed bounds are best-effort
-    * (None disables pruning on that side); long-column stats keep the
-    * strict all-or-nothing contract [[footerStats]] documents.
+  /** [[footerStats]] PLUS encoded typed bounds per `typedCols` entry
+    * PLUS per-column NULL counts over `cols ++ typedCols` — all
+    * footer-only, distributed over executors, no data pages read.
+    * Typed bounds are best-effort (None
+    * disables pruning on that side); long-column stats keep the strict
+    * all-or-nothing contract [[footerStats]] documents; null counts
+    * are -1 when any row group omits them (absence never prunes), and
+    * a column entirely ABSENT from the file (written before add-only
+    * evolution introduced it) counts the file's EVERY row as null —
+    * which is what the reader serves for it.
     */
   private[pipeline] def footerStatsTyped(spark: SparkSession,
       files: Seq[String], cols: Seq[String],
       typedCols: Seq[(String, Char)])
       : Seq[(String, Long, Option[Seq[(Long, Long)]],
-        Seq[(Option[String], Option[String])])] = {
+        Seq[(Option[String], Option[String])], Seq[Long])] = {
     if (files.isEmpty) return Seq.empty
-    if (typedCols.isEmpty)
-      return footerStats(spark, files, cols).map { case (n, r, b) =>
-        (n, r, b, Seq.empty)
-      }
     val confBytes = {
       val baos = new java.io.ByteArrayOutputStream()
       spark.sparkContext.hadoopConfiguration.writeXml(baos)
@@ -638,9 +640,39 @@ object Layout {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.addResource(new java.io.ByteArrayInputStream(confBytes))
         val (n, rows, boxes) = longStatsOf(f, conf, cols)
-        (n, rows, boxes, typedStatsOf(f, conf, typedCols))
+        val tb =
+          if (typedCols.isEmpty)
+            Seq.empty[(Option[String], Option[String])]
+          else typedStatsOf(f, conf, typedCols)
+        (n, rows, boxes, tb, nullStatsOf(f, conf,
+          cols ++ typedCols.map(_._1), rows))
       }
       .collect().toSeq
+  }
+
+  /** One file's per-column null counts from its footer (see
+    * [[footerStatsTyped]] for the -1 / absent-column contract).
+    */
+  private def nullStatsOf(file: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String], fileRows: Long): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.map { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+        if (chunks.isEmpty) fileRows // absent column: null-filled
+        else {
+          val ns = chunks.map(_.getStatistics).map(s =>
+            if (s == null || !s.isNumNullsSet) -1L else s.getNumNulls)
+          if (ns.exists(_ < 0)) -1L else ns.sum
+        }
+      }
+    } finally reader.close()
   }
 
   /** One file's encoded typed bounds from its footer. */

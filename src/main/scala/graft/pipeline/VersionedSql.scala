@@ -99,6 +99,8 @@ object VersionedSql {
     """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+([\s\S]*)""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
+  private val AlterAddRe =
+    """(?is)\s*ALTER\s+VERSIONED\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*""".r
   private val SnapshotViewRe =
@@ -142,6 +144,9 @@ object VersionedSql {
         parsed.clauses))
     case HistoryRe(name) if lookup(spark, name).isDefined =>
       Some(VersionedHistoryCommand(lookup(spark, name).get))
+    case AlterAddRe(name, colsDdl) if lookup(spark, name).isDefined =>
+      Some(VersionedAddColumnsCommand(name, lookup(spark, name).get,
+        colsDdl))
     case VacuumRe(name, retain, grace) if lookup(spark, name).isDefined =>
       Some(VersionedVacuumCommand(lookup(spark, name).get,
         Option(retain).map(_.toInt).getOrElse(2),
@@ -646,6 +651,27 @@ case class VersionedHistoryCommand(reg: VersionedSql.Registration)
   override def run(spark: SparkSession): Seq[Row] =
     VersionedTable.history(spark, reg.root).reverse
       .map { case (v, ts, kind) => Row(v, ts, kind) }
+}
+
+/** `ALTER VERSIONED TABLE name ADD COLUMNS (c1 TYPE, c2 TYPE, …)` —
+  * SQL schema evolution routed to the metadata-only
+  * [[VersionedTable.addColumns]]: one new version, no data touched,
+  * old files null-fill, historical versions keep their own schema.
+  * The column list is parsed by Spark's own DDL parser, so every SQL
+  * type spelling works. Emits the published version; refreshes the
+  * view so SELECTs observe the new columns immediately.
+  */
+case class VersionedAddColumnsCommand(name: String,
+    reg: VersionedSql.Registration, colsDdl: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    val v = VersionedTable.addColumns(spark, reg.root, cols)
+    VersionedSql.refreshView(spark, name)
+    Seq(Row(v))
+  }
 }
 
 /** `VACUUM name [RETAIN n VERSIONS] [GRACE ms MS]` —

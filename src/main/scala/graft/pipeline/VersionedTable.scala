@@ -187,7 +187,14 @@ object VersionedTable {
     */
   private[pipeline] case class Entry(name: String, rows: Long,
       boxes: Seq[(Long, Long)], bytes: Long = -1L,
-      tboxes: Seq[TBound] = Seq.empty)
+      tboxes: Seq[TBound] = Seq.empty,
+      nulls: Seq[Long] = Seq.empty) {
+    /** Null count of column i over statCols ++ typedCols; -1 =
+      * unknown (pre-upgrade entry, or the footer omitted it) — never
+      * prunes.
+      */
+    def nullsAt(i: Int): Long = if (i < nulls.length) nulls(i) else -1L
+  }
 
   /** One manifest-list line: an immutable shard file plus its entry
     * count, row sum and per-stat-column AGGREGATE [min,max] — the
@@ -204,7 +211,13 @@ object VersionedTable {
     */
   private[pipeline] case class ShardRef(name: String, files: Long, rows: Long,
       boxes: Seq[(Long, Long)], minRows: Long = -1L,
-      tboxes: Seq[TBound] = Seq.empty)
+      tboxes: Seq[TBound] = Seq.empty,
+      nulls: Seq[Long] = Seq.empty) {
+    /** Aggregate null count of column i over the shard's entries; -1
+      * = unknown somewhere — never prunes.
+      */
+    def nullsAt(i: Int): Long = if (i < nulls.length) nulls(i) else -1L
+  }
 
   /** A MERGE-ON-READ delete marker — Iceberg v2's delete-file idea:
     * instead of rewriting the files a delete touches, the manifest
@@ -302,11 +315,14 @@ object VersionedTable {
     // bytes rides as a TRAILING column: older lines simply lack it
     // (parse yields -1), so the format stays line-compatible both
     // ways; typed-bound cells trail AFTER bytes (tables with typed
-    // columns are created with them, so their lines always carry both)
+    // columns are created with them, so their lines always carry
+    // both); per-column NULL counts trail LAST (older lines lack
+    // them: unknown, never prunes)
     val typed = e.tboxes.flatMap { case (lo, hi) =>
       Seq(tCell(lo), tCell(hi)) }
-    (s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\t${e.bytes}" +:
-      typed).mkString("\t")
+    val nulls = e.nulls.map(_.toString)
+    ((s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\t${e.bytes}" +:
+      typed) ++ nulls).mkString("\t")
   }
 
   private def parseEntry(l: String, nCols: Int, nTyped: Int = 0): Entry = {
@@ -317,14 +333,28 @@ object VersionedTable {
       else (0 until nTyped).map { i =>
         (tParse(f(3 + 2 * nCols + 2 * i)), tParse(f(4 + 2 * nCols + 2 * i)))
       }
+    val nullsBase = 3 + 2 * nCols + 2 * nTyped
+    val nulls =
+      if (f.length >= nullsBase + nCols + nTyped)
+        (0 until nCols + nTyped).map(i => f(nullsBase + i).toLong)
+      else Seq.empty[Long]
     Entry(f(0), f(1).toLong, (0 until nCols).map(i =>
-      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)), bytes, tb)
+      (f(2 + 2 * i).toLong, f(3 + 2 * i).toLong)), bytes, tb, nulls)
   }
 
   /** The union bound over entry boxes — a shard's aggregate footprint. */
   private def aggBoxes(entries: Seq[Entry], nCols: Int): Seq[(Long, Long)] =
     (0 until nCols).map { i =>
       (entries.map(_.boxes(i)._1).min, entries.map(_.boxes(i)._2).max)
+    }
+
+  /** Aggregate null counts over entry nulls: the sum when every entry
+    * knows its count, -1 (unknown, never prunes) when any does not.
+    */
+  private def aggNulls(entries: Seq[Entry], nTotal: Int): Seq[Long] =
+    (0 until nTotal).map { i =>
+      val ns = entries.map(_.nullsAt(i))
+      if (ns.exists(_ < 0)) -1L else ns.sum
     }
 
   /** The union bound over entry TYPED boxes: any unbounded side makes
@@ -388,7 +418,8 @@ object VersionedTable {
     } finally out.close()
     Some(ShardRef(name, entries.size.toLong, entries.map(_.rows).sum,
       aggBoxes(entries, statCols.size), entries.map(_.rows).min,
-      aggTyped(entries, typed)))
+      aggTyped(entries, typed),
+      aggNulls(entries, statCols.size + typed.size)))
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -465,8 +496,14 @@ object VersionedTable {
           else typedCols.indices.map { i =>
             (tParse(f(5 + 2 * n + 2 * i)), tParse(f(6 + 2 * n + 2 * i)))
           }
+        val t = typedCols.size
+        val nullsBase = 5 + 2 * n + 2 * t
+        val nulls =
+          if (f.length >= nullsBase + n + t)
+            (0 until n + t).map(i => f(nullsBase + i).toLong)
+          else Seq.empty[Long]
         ShardRef(f(1), f(2).toLong, f(3).toLong, statCols.indices.map(i =>
-          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)), mr, tb)
+          (f(4 + 2 * i).toLong, f(5 + 2 * i).toLong)), mr, tb, nulls)
       }
       new Manifest(statCols, refs,
         r => readShard(spark, root, r.name, statCols.size, typedCols.size),
@@ -582,9 +619,10 @@ object VersionedTable {
         val cells = r.boxes.flatMap { case (mn, mx) => Seq(mn, mx) }
         val typed = r.tboxes.flatMap { case (lo, hi) =>
           Seq(tCell(lo), tCell(hi)) }
+        val nulls = r.nulls.map(_.toString)
         val head = s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
           s"${cells.mkString("\t")}\t${r.minRows}"
-        out.write(((head +: typed).mkString("\t") + "\n")
+        out.write((((head +: typed) ++ nulls).mkString("\t") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -683,7 +721,7 @@ object VersionedTable {
     // that removed a file's every row) carries no information — drop
     // the file instead of manifesting it
     val (emptyFiles, dataFiles) = stats.partition(_._2 == 0L)
-    emptyFiles.foreach { case (name, _, _, _) =>
+    emptyFiles.foreach { case (name, _, _, _, _) =>
       fs.delete(new Path(filesDir(root), name), false)
       ()
     }
@@ -695,7 +733,7 @@ object VersionedTable {
     // permanently, with a green version id returned. TYPED bounds are
     // best-effort by design (an unprovable bound just disables pruning
     // on that side), so they never abort.
-    val missing = dataFiles.collect { case (name, _, None, _) => name }
+    val missing = dataFiles.collect { case (name, _, None, _, _) => name }
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"append aborted: ${missing.size} of ${dataFiles.size} data files " +
@@ -704,8 +742,8 @@ object VersionedTable {
           s"all-NULL values, or a misspelled name?): " +
           s"${missing.take(3).mkString(", ")}. Nothing was published; " +
           "the moved files are unreferenced and will be vacuumed.")
-    dataFiles.map { case (name, rows, boxes, tb) =>
-      Entry(name, rows, boxes.get, sizes.getOrElse(name, -1L), tb)
+    dataFiles.map { case (name, rows, boxes, tb, nulls) =>
+      Entry(name, rows, boxes.get, sizes.getOrElse(name, -1L), tb, nulls)
     }
   }
 
@@ -1162,6 +1200,12 @@ object VersionedTable {
   /** Old ∪ new fields, add-only: shared names must keep the exact
     * dataType (silent coercion across files would be the
     * schema-roulette this mechanism exists to eliminate).
+    * NULLABILITY UNIONS: a shared field is nullable if EITHER side's
+    * is, and a field missing from the other side's batches becomes
+    * nullable unconditionally — those files null-fill it at read. A
+    * kept non-nullable flag would let the optimizer fold `c IS NULL`
+    * to a constant-false empty scan over files that really do hold
+    * nulls: silently wrong answers, not just a missed optimization.
     */
   private def mergedSchema(
       old: Option[org.apache.spark.sql.types.StructType],
@@ -1178,8 +1222,59 @@ object VersionedTable {
         }
       }
       val oldNames = o.fieldNames.toSet
-      org.apache.spark.sql.types.StructType(
-        o.fields ++ next.fields.filterNot(f => oldNames(f.name)))
+      val keptOld = o.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(n) => f.copy(nullable = f.nullable || n.nullable)
+          case None => f.copy(nullable = true) // new files null-fill it
+        }
+      }
+      val added = next.fields.filterNot(f => oldNames(f.name))
+        .map(_.copy(nullable = true)) // old files null-fill it
+      org.apache.spark.sql.types.StructType(keptOld ++ added)
+  }
+
+  /** METADATA-ONLY add-column schema evolution — the explicit form of
+    * what an append with a wider schema does implicitly: publish a new
+    * version whose stored schema carries the new columns, with every
+    * shard carried by reference and NO data touched. Old files (all of
+    * them, here) null-fill the added columns at read; historical
+    * versions keep serving their own narrower schema — time travel to
+    * a pre-evolution version never shows the new columns. Added
+    * columns are forced nullable (every existing row IS null in them);
+    * adding an existing name is an error, not a silent no-op — the
+    * add-only contract lives in [[mergedSchema]], this is its
+    * statement form. Returns the published version.
+    *
+    * CONCURRENCY: optimistic like everything else — the publish
+    * carries the NEWEST manifest's shards and schema, so it commutes
+    * with concurrent appends/DML (a lost CAS just re-reads and
+    * retries; nothing here can conflict, the change is pure metadata).
+    */
+  def addColumns(spark: SparkSession, root: String,
+      newCols: org.apache.spark.sql.types.StructType): Long = {
+    require(newCols.fields.nonEmpty, "addColumns: no columns given")
+    var attempt = 0
+    while (true) {
+      val (lv, lm) = latestManifest(spark, root).getOrElse(
+        sys.error(s"addColumns: no versions at $root"))
+      val base = tableSchema(spark, root, Some(lm)).getOrElse(
+        sys.error(s"addColumns: no schema resolvable at $root"))
+      val clash = newCols.fieldNames.filter(base.fieldNames.contains)
+      require(clash.isEmpty,
+        s"addColumns at $root: column(s) ${clash.mkString(", ")} " +
+          "already exist — evolution is add-only")
+      val merged = org.apache.spark.sql.types.StructType(
+        base.fields ++ newCols.fields.map(_.copy(nullable = true)))
+      if (tryPublish(spark, root, lv + 1, lm.statCols,
+          materializedShards(spark, root, lm), lm.ingestBatch,
+          kind = "evolve", Some(merged.json),
+          morDeletes = lm.morDeletes, typedCols = lm.typedCols,
+          clusterSpec = lm.clusterSpec))
+        return lv + 1
+      attempt += 1
+      backoff(attempt)
+    }
+    sys.error("unreachable")
   }
 
   /** Rewrite the base snapshot z-ordered by the table's first two
@@ -1633,7 +1728,8 @@ object VersionedTable {
       extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualTo, Expression, GreaterThan,
-      GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+      GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
+      LessThanOrEqual, Literal}
 
     /** File statuses SYNTHESIZED from the manifest's recorded byte
       * sizes — planning never lists `files/` (at 800k files on an
@@ -1690,9 +1786,10 @@ object VersionedTable {
       val kept0: Seq[String] =
         if (ps.isEmpty) universe
         else m.shards
-          .filter(r => r.name.isEmpty || boundsHit(r.boxes, r.tboxes, ps))
+          .filter(r => r.name.isEmpty ||
+            boundsHit(r.boxes, r.tboxes, r.nullsAt, r.rows, ps))
           .flatMap(r => m.entriesOf(r))
-          .filter(e => boundsHit(e.boxes, e.tboxes, ps))
+          .filter(e => boundsHit(e.boxes, e.tboxes, e.nullsAt, e.rows, ps))
           .map(_.name).filter(inUniverse)
       // a pure equality (or small IN-list) probe on a LONG stat column
       // gets the footer-bloom stage too — but only the driver-loop
@@ -1720,26 +1817,31 @@ object VersionedTable {
 
     /** The pushed conjuncts, translated: long-column [lo, hi]
       * intersections and IN-lists (by stat-column index), typed-column
-      * encoded ranges and IN-lists (by typed-column index), and the
-      * long equalities the bloom stage can use. Unknown shapes
-      * contribute nothing: pruning narrows only on what it can prove.
+      * encoded ranges and IN-lists (by typed-column index), the
+      * long equalities the bloom stage can use, and NULL checks
+      * (Left = stat index, Right = typed index; true = IS NULL).
+      * Unknown shapes contribute nothing: pruning narrows only on
+      * what it can prove.
       */
     private case class Probes(
         boxes: Seq[(Int, Long, Long)],
         ins: Seq[(Int, Seq[Long])],
         tranges: Seq[(Int, Option[String], Option[String])],
         tins: Seq[(Int, Seq[String])],
-        eqs: Seq[(String, Long)]) {
+        eqs: Seq[(String, Long)],
+        nullChecks: Seq[(Either[Int, Int], Boolean)]) {
       def isEmpty: Boolean =
-        boxes.isEmpty && ins.isEmpty && tranges.isEmpty && tins.isEmpty
+        boxes.isEmpty && ins.isEmpty && tranges.isEmpty &&
+          tins.isEmpty && nullChecks.isEmpty
     }
 
     /** Can a file/shard with these bounds hold a row passing every
       * probe? Typed bounds may be absent (legacy pseudo-shard, an
-      * unprovable side): absence never prunes.
+      * unprovable side): absence never prunes; null counts likewise
+      * (-1 = unknown passes both null checks).
       */
     private def boundsHit(boxes: Seq[(Long, Long)], tb: Seq[TBound],
-        ps: Probes): Boolean = {
+        nullsAt: Int => Long, rows: Long, ps: Probes): Boolean = {
       def tLo(i: Int): Option[String] =
         if (tb.isEmpty) None else tb(i)._1
       def tHi(i: Int): Option[String] =
@@ -1760,6 +1862,15 @@ object VersionedTable {
         vs.exists(v =>
           tLo(i).forall(mn => tCompare(k, v, mn) >= 0) &&
           tHi(i).forall(mx => tCompare(k, v, mx) <= 0))
+      } &&
+      ps.nullChecks.forall { case (idx, isNull) =>
+        val i = idx match {
+          case Left(si) => si
+          case Right(ti) => m.statCols.size + ti
+        }
+        val n = nullsAt(i)
+        // -1 (unknown) passes both directions: n != 0 and n != rows
+        if (isNull) n != 0L else n != rows
       }
     }
 
@@ -1771,6 +1882,7 @@ object VersionedTable {
       val eqs = Seq.newBuilder[(String, Long)]
       val ins = Seq.newBuilder[(Int, Seq[Long])]
       val tins = Seq.newBuilder[(Int, Seq[String])]
+      val nullChecks = Seq.newBuilder[(Either[Int, Int], Boolean)]
       def statIdx(e: Expression): Option[Int] = e match {
         case a: AttributeReference if m.statCols.contains(a.name) =>
           Some(m.statCols.indexOf(a.name))
@@ -1884,6 +1996,17 @@ object VersionedTable {
           // so the one decoding path serves both shapes
           val lits = set.toSeq.map(v => Literal(v, a.dataType): Expression)
           inValues(a, lits, lits)
+        case IsNull(a) =>
+          // `WHERE c IS NULL` keeps only files whose recorded null
+          // count is nonzero (or unknown) — Iceberg's
+          // null_value_counts pruning
+          statIdx(a).foreach(i => nullChecks += ((Left(i), true)))
+          typedIdx(a).foreach(i => nullChecks += ((Right(i), true)))
+        case IsNotNull(a) =>
+          // the conjunct Catalyst pushes for nearly every filter: an
+          // ALL-null file (nulls == rows) provably has no passing row
+          statIdx(a).foreach(i => nullChecks += ((Left(i), false)))
+          typedIdx(a).foreach(i => nullChecks += ((Right(i), false)))
         case _ => () // OR / cast / udf / unknown: no proof, no pruning
       }
       filters.foreach(walk)
@@ -1896,7 +2019,8 @@ object VersionedTable {
           (i, tlo.get(i), thi.get(i))
         },
         tins.result(),
-        eqs.result())
+        eqs.result(),
+        nullChecks.result())
     }
   }
 
@@ -2448,7 +2572,7 @@ object VersionedTable {
         s"${m0.statCols.mkString("[", ", ", "]")}; " +
         s"got ${probes.map(_._1).mkString("[", ", ", "]")}")
     deleteCore(spark, root, v0, m0,
-      hit = (boxes, _) => boxHit(boxes, probes, idx),
+      hit = (boxes, _, _, _) => boxHit(boxes, probes, idx),
       rowPred = boxPredicate(probes))
   }
 
@@ -2462,12 +2586,12 @@ object VersionedTable {
     */
   private def deleteCore(spark: SparkSession, root: String,
       v0: Long, m0: Manifest,
-      hit: (Seq[(Long, Long)], Seq[TBound]) => Boolean,
+      hit: (Seq[(Long, Long)], Seq[TBound], Int => Long, Long) => Boolean,
       rowPred: Column): Option[(Long, Long)] = {
     val candShards = m0.shards.filter(r =>
-      r.name.isEmpty || hit(r.boxes, r.tboxes))
+      r.name.isEmpty || hit(r.boxes, r.tboxes, r.nullsAt, r.rows))
     val touched = candShards.flatMap(r => m0.entriesOf(r))
-      .filter(e => hit(e.boxes, e.tboxes))
+      .filter(e => hit(e.boxes, e.tboxes, e.nullsAt, e.rows))
     if (touched.isEmpty) return Some((v0, 0L))
     val touchedNames = touched.map(_.name).toSet
     val touchedDf = readNamed(spark, root, m0, touched.map(_.name))
@@ -2505,7 +2629,7 @@ object VersionedTable {
         if (m0.legacy) { if (lv != v0) None else Some(Seq.empty[ShardRef]) }
         else if (lm.morDeletes.nonEmpty) None // a racing mor-delete landed
         else rebaseCarry(spark, root, m0, lm, candNames,
-          e => hit(e.boxes, e.tboxes))
+          e => hit(e.boxes, e.tboxes, e.nullsAt, e.rows))
       carriedOpt match {
         case None =>
           discard(spark, root, entries, replacements ++ survivorShard.toSeq)
@@ -2571,15 +2695,16 @@ object VersionedTable {
       sys.error(s"no versions at $root"))
     if (m0.morDeletes.nonEmpty) return None // wrapper materializes first
     val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
-    val (longs, typeds) = translateConjuncts(parsed, m0)
-    require(longs.nonEmpty || typeds.nonEmpty,
+    val (longs, typeds, nullcks) = translateConjuncts(parsed, m0)
+    require(longs.nonEmpty || typeds.nonEmpty || nullcks.nonEmpty,
       s"deleteWhere at $root: no conjunct of '$predicateSql' is " +
         s"stats-checkable against long stat columns " +
         s"${m0.statCols.mkString("[", ", ", "]")} or typed columns " +
         s"${m0.typedCols.map(_.name).mkString("[", ", ", "]")} — a " +
         "delete that cannot be stats-checked would rewrite the whole " +
         "table; request that explicitly by compacting instead")
-    def hit(boxes: Seq[(Long, Long)], tb: Seq[TBound]): Boolean =
+    def hit(boxes: Seq[(Long, Long)], tb: Seq[TBound],
+        nullsAt: Int => Long, rows: Long): Boolean =
       longs.forall { case (i, lo, hi) =>
         val (mn, mx) = boxes(i); !(hi < mn || lo > mx)
       } &&
@@ -2595,6 +2720,14 @@ object VersionedTable {
           tCompare(k, h, mn) >= 0 } &&
         lo.zip(tHi).forall { case (l, mx) =>
           tCompare(k, l, mx) <= 0 }
+      } &&
+      nullcks.forall { case (idx, isNull) =>
+        val i = idx match {
+          case Left(si) => si
+          case Right(ti) => m0.statCols.size + ti
+        }
+        val n = nullsAt(i)
+        if (isNull) n != 0L else n != rows // -1 unknown passes both
       }
     deleteCore(spark, root, v0, m0, hit, expr(predicateSql))
   }
@@ -2608,13 +2741,15 @@ object VersionedTable {
     */
   private def translateConjuncts(e0: org.apache.spark.sql.catalyst
       .expressions.Expression, m: Manifest)
-      : (Seq[(Int, Long, Long)], Seq[(Int, Option[String], Option[String])]) = {
+      : (Seq[(Int, Long, Long)], Seq[(Int, Option[String], Option[String])],
+        Seq[(Either[Int, Int], Boolean)]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     val lo = scala.collection.mutable.Map.empty[Int, Long]
     val hi = scala.collection.mutable.Map.empty[Int, Long]
     val tlo = scala.collection.mutable.Map.empty[Int, String]
     val thi = scala.collection.mutable.Map.empty[Int, String]
+    val nullChecks = Seq.newBuilder[(Either[Int, Int], Boolean)]
     def nameOf(x: Expression): Option[String] = x match {
       case u: UnresolvedAttribute if u.nameParts.size == 1 =>
         Some(u.nameParts.head)
@@ -2703,6 +2838,16 @@ object VersionedTable {
           (i, v) => { narrowLo(i, v); narrowHi(i, v) },
           (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) },
           (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) })
+      case IsNull(a) =>
+        // `DELETE WHERE c IS NULL`: only files with recorded nulls
+        // (or unknown counts) are candidates. scala.Left/Right
+        // explicitly — the catalyst wildcard import shadows them with
+        // the string functions of the same name
+        statIdx(a).foreach(i => nullChecks += ((scala.Left(i), true)))
+        typedIdx(a).foreach(i => nullChecks += ((scala.Right(i), true)))
+      case IsNotNull(a) =>
+        statIdx(a).foreach(i => nullChecks += ((scala.Left(i), false)))
+        typedIdx(a).foreach(i => nullChecks += ((scala.Right(i), false)))
       case _ => () // untranslated: widens candidacy only
     }
     walk(e0)
@@ -2711,7 +2856,8 @@ object VersionedTable {
     },
       (tlo.keySet ++ thi.keySet).toSeq.sorted.map { i =>
         (i, tlo.get(i), thi.get(i))
-      })
+      },
+      nullChecks.result())
   }
 
   /** When the update key set is small, the per-file candidate test a

@@ -635,17 +635,21 @@ class VersionedTableSpec extends AnyFunSuite {
       s"$root/manifests/v${VersionedTable.latestVersion(spark, root).get}")
     val shardLines = java.nio.file.Files.readAllLines(mPath)
       .toArray.map(_.toString).filter(_.startsWith("#shard\t")).toSeq
+    // line shape: head(4) + 2n boxes + minRows + n null counts (no
+    // typed columns here)
+    val n = Stats.size
     assert(shardLines.nonEmpty && shardLines.forall { l =>
       val f = l.split('\t')
-      f.length == 4 + 2 * Stats.size + 1 && f.last.toLong >= 0
-    }, "each shard line must carry its trailing minRows cell")
-    // degrade the manifest to the pre-minRows line shape (drop the
-    // trailing cell) and verify the pack still finds its candidates
-    // through the open-the-shard fallback
+      f.length == 4 + 2 * n + 1 + n && f(4 + 2 * n).toLong >= 0
+    }, "each shard line must carry its minRows cell before the null " +
+      "counts")
+    // degrade the manifest to the pre-minRows line shape (drop
+    // everything after the boxes) and verify the pack still finds its
+    // candidates through the open-the-shard fallback
     val degraded = java.nio.file.Files.readAllLines(mPath)
       .toArray.map(_.toString).map { l =>
         if (l.startsWith("#shard\t"))
-          l.split('\t').dropRight(1).mkString("\t")
+          l.split('\t').dropRight(1 + n).mkString("\t")
         else l
       }
     java.nio.file.Files.delete(mPath)
