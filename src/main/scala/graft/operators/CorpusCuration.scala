@@ -2375,6 +2375,79 @@ object CorpusCuration {
         CAST(boost_sum AS BIGINT) AS boost_sum
       FROM stages ORDER BY stage"""))
 
+  /** The DataSourceV2 catalog under the driver's oracle
+    * ([[graft.pipeline.VersionedCatalog]] — `spark.sql.catalog.*`):
+    * STANDARD SQL with no regex front-end creates a versioned table
+    * (`CREATE TABLE graftvt.…` with PARTITIONED BY becoming the
+    * cluster spec), two `INSERT INTO`s land as two optimistic-commit
+    * versions, `VERSION AS OF` serves the pinned first load, and a
+    * band filter flows through the V1 scan bridge into the pruning
+    * FileIndex. The oracle replays it declaratively — a catalog path
+    * that wrote/read anything differently from the API path breaks
+    * the hash.
+    */
+  val vtCatalog: Q = Q(
+    "pipe_vt_catalog",
+    (s, d) => {
+      import s.implicits._
+      val wh = scratchDir("vt-catalog-wh")
+      s.conf.set("spark.sql.catalog.graftvt",
+        "graft.pipeline.VersionedCatalog")
+      s.conf.set("spark.sql.catalog.graftvt.warehouse", wh)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+        .createOrReplaceTempView("graft_cat_src")
+      s.sql("""CREATE TABLE graftvt.events_cat
+        (event_id BIGINT, user_id BIGINT, ts_us BIGINT)
+        PARTITIONED BY (identity(user_id))
+        TBLPROPERTIES ('stats'='user_id,ts_us,event_id')""")
+      s.sql("""INSERT INTO graftvt.events_cat
+        SELECT event_id, user_id, ts_us FROM graft_cat_src""")
+      val mx = s.table("graft_cat_src").agg(max($"event_id"))
+        .head.getLong(0)
+      s.sql(s"""INSERT INTO graftvt.events_cat
+        SELECT event_id + $mx + 1, user_id + 1000000, ts_us
+        FROM graft_cat_src WHERE event_id % 11 = 0""")
+      val b = s.table("graft_cat_src")
+        .agg(min($"user_id"), max($"user_id")).head
+      val (mn, mxu) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) =
+        (mn + (mxu - mn) * 25 / 100, mn + (mxu - mn) * 75 / 100)
+      s.sql("""SELECT 'snapshot' AS stage, count(*) AS n_rows,
+            CAST(sum(user_id) AS BIGINT) AS user_sum
+          FROM graftvt.events_cat VERSION AS OF 2""")
+        .unionAll(s.sql("""SELECT 'final', count(*),
+            CAST(sum(user_id) AS BIGINT) FROM graftvt.events_cat"""))
+        .unionAll(s.sql(s"""SELECT 'band', count(*),
+            CAST(sum(user_id) AS BIGINT) FROM graftvt.events_cat
+            WHERE user_id BETWEEN $lo AND $hi"""))
+        .orderBy($"stage")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM src),
+      box AS (SELECT mn + (mx - mn) * 25 // 100 AS lo,
+                     mn + (mx - mn) * 75 // 100 AS hi FROM b),
+      extra AS (
+        SELECT user_id + 1000000 AS user_id FROM src
+        WHERE event_id % 11 = 0),
+      fin AS (
+        SELECT user_id FROM src UNION ALL SELECT user_id FROM extra),
+      stages AS (
+        SELECT 'snapshot' AS stage, count(*) AS n_rows,
+          sum(user_id) AS user_sum FROM src
+        UNION ALL
+        SELECT 'final', count(*), sum(user_id) FROM fin
+        UNION ALL
+        SELECT 'band', (SELECT count(*) FROM fin, box
+          WHERE user_id BETWEEN lo AND hi),
+          (SELECT sum(user_id) FROM fin, box
+           WHERE user_id BETWEEN lo AND hi))
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(user_sum AS BIGINT) AS user_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -2383,6 +2456,6 @@ object CorpusCuration {
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
     vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull, vtCdcStream,
-    vtCluster, vtAddColumns,
+    vtCluster, vtAddColumns, vtCatalog,
     manifestPrune)
 }

@@ -3723,6 +3723,15 @@ object VersionedTable {
       root: String): Seq[String] =
     latestManifest(spark, root).map(_._2.clusterSpec).getOrElse(Seq.empty)
 
+  /** (long stat columns, typed stat column names) — what an append
+    * must restate; the DSv2 catalog's INSERT path reads them here.
+    */
+  private[pipeline] def statColumnsOf(spark: SparkSession,
+      root: String): (Seq[String], Seq[String]) =
+    latestManifest(spark, root)
+      .map(m => (m._2.statCols, m._2.typedCols.map(_.name)))
+      .getOrElse(sys.error(s"no versions at $root"))
+
   /** Mor-delete marker count of version v — spec observable. */
   private[pipeline] def morDeleteCount(spark: SparkSession, root: String,
       v: Long): Int =
