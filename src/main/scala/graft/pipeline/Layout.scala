@@ -519,7 +519,7 @@ object Layout {
     * [[footerStats]].
     */
   private[pipeline] def bloomMayContain(spark: SparkSession,
-      files: Seq[String], c: String, value: Long,
+      files: Seq[String], c: String, value: Any,
       driverLoopLimit: Int = BloomDriverLoopLimit)
       : Seq[(String, Boolean)] = {
     if (files.isEmpty) return Seq.empty
@@ -553,9 +553,13 @@ object Layout {
   /** One file's bloom verdict — the shared body of the driver-loop and
     * distributed paths of [[bloomMayContain]].
     */
+  /** `value`: a Long (long stat columns) or an Array[Byte] of UTF-8
+    * bytes (string typed columns — hashed as parquet Binary, the same
+    * hash the writer used for the column's bloom).
+    */
   private def bloomCheckOne(f: String,
       conf: org.apache.hadoop.conf.Configuration,
-      c: String, value: Long): (String, Boolean) = {
+      c: String, value: Any): (String, Boolean) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(f), conf)
@@ -569,7 +573,16 @@ object Layout {
             case Some(cmd) =>
               val bloom =
                 reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
-              bloom == null || bloom.findHash(bloom.hash(value))
+              bloom == null || {
+                val h = value match {
+                  case l: Long => bloom.hash(l)
+                  case b: Array[Byte] => bloom.hash(
+                    org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
+                  case other => sys.error(
+                    s"unhashable bloom probe type: ${other.getClass}")
+                }
+                bloom.findHash(h)
+              }
           }
         }
       } finally reader.close()

@@ -307,11 +307,19 @@ object VersionedSql {
     -1
   }
 
-  /** One `WHEN [NOT] MATCHED [AND <cond>] THEN <action>` clause of a
-    * MERGE statement. Clause order is evaluation order within each
-    * match class: a row is claimed by the FIRST clause whose condition
-    * holds (SQL's MERGE semantics).
+  /** One `WHEN [NOT] MATCHED [BY SOURCE|BY TARGET] [AND <cond>] THEN
+    * <action>` clause of a MERGE statement. Clause order is evaluation
+    * order within each match class: a row is claimed by the FIRST
+    * clause whose condition holds (SQL's MERGE semantics). The three
+    * classes: MATCHED (target row with a source match — UPDATE/DELETE),
+    * NOT MATCHED [BY TARGET] (source row with no target match —
+    * INSERT), NOT MATCHED BY SOURCE (target row with no source match —
+    * UPDATE/DELETE over target columns only: the full-sync shape).
     */
+  private[pipeline] sealed trait MergeMatchKind
+  private[pipeline] case object Matched extends MergeMatchKind
+  private[pipeline] case object NotMatchedByTarget extends MergeMatchKind
+  private[pipeline] case object NotMatchedBySource extends MergeMatchKind
   private[pipeline] sealed trait MergeAction
   private[pipeline] case object MergeUpdateStar extends MergeAction
   private[pipeline] case class MergeUpdateSet(
@@ -320,7 +328,7 @@ object VersionedSql {
   private[pipeline] case object MergeInsertStar extends MergeAction
   private[pipeline] case class MergeInsertValues(cols: Seq[String],
       exprs: Seq[String]) extends MergeAction
-  private[pipeline] case class MergeClause(matched: Boolean,
+  private[pipeline] case class MergeClause(kind: MergeMatchKind,
       cond: Option[String], action: MergeAction)
 
   private[pipeline] case class ParsedMerge(sourceSql: String,
@@ -414,15 +422,26 @@ object VersionedSql {
     ParsedMerge(sourceSql, sourceAlias, onCond, clauses)
   }
 
-  private val MatchedHeadRe = """(?is)^(NOT\s+)?MATCHED\b([\s\S]*)$""".r
+  private val MatchedHeadRe =
+    """(?is)^(NOT\s+)?MATCHED(\s+BY\s+(SOURCE|TARGET))?\b([\s\S]*)$""".r
   private val UpdateSetRe = """(?is)^UPDATE\s+SET\s+([\s\S]*)$""".r
   private val InsertValuesRe =
     """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([\s\S]*)\)\s*$""".r
 
   private def parseMergeClause(table: String,
       clause: String): MergeClause = {
-    val MatchedHeadRe(notK, rest) = clause: @unchecked
-    val matched = notK == null
+    val MatchedHeadRe(notK, _, byK, rest) = clause: @unchecked
+    val kind: MergeMatchKind = (notK == null, Option(byK)) match {
+      case (true, None) => Matched
+      case (false, None) => NotMatchedByTarget
+      case (false, Some(b)) if b.equalsIgnoreCase("target") =>
+        NotMatchedByTarget
+      case (false, Some(b)) if b.equalsIgnoreCase("source") =>
+        NotMatchedBySource
+      case _ => throw new IllegalArgumentException(
+        s"MERGE INTO $table: MATCHED BY $byK is not a clause — BY " +
+          "SOURCE/TARGET qualifies NOT MATCHED only")
+    }
     val mask = topLevelMask(rest)
     val thenPos = findTopLevelWord(rest, mask, "then")
     require(thenPos >= 0,
@@ -438,16 +457,25 @@ object VersionedSql {
         Some(condPart.substring(3).trim)
       }
     val action = rest.substring(thenPos + 4).trim
-    val act: MergeAction =
-      if (matched) action match {
-        case UpdateSetRe(sets) =>
-          if (sets.trim == "*") MergeUpdateStar
-          else MergeUpdateSet(splitSetList(sets.trim))
-        case a if a.equalsIgnoreCase("delete") => MergeDelete
-        case other => throw new IllegalArgumentException(
-          s"MERGE INTO $table: WHEN MATCHED supports UPDATE SET …|* " +
-            s"and DELETE; got '$other'")
-      } else action match {
+    def updateOrDelete(what: String): MergeAction = action match {
+      case UpdateSetRe(sets) =>
+        if (sets.trim == "*") MergeUpdateStar
+        else MergeUpdateSet(splitSetList(sets.trim))
+      case a if a.equalsIgnoreCase("delete") => MergeDelete
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO $table: $what supports UPDATE SET …|* " +
+          s"and DELETE; got '$other'")
+    }
+    val act: MergeAction = kind match {
+      case Matched => updateOrDelete("WHEN MATCHED")
+      case NotMatchedBySource =>
+        val a = updateOrDelete("WHEN NOT MATCHED BY SOURCE")
+        require(a != MergeUpdateStar,
+          s"MERGE INTO $table: WHEN NOT MATCHED BY SOURCE has no " +
+            "source row — UPDATE SET * is meaningless; name the " +
+            "assignments")
+        a
+      case NotMatchedByTarget => action match {
         case a if a.replaceAll("\\s+", " ")
           .equalsIgnoreCase("insert *") => MergeInsertStar
         case InsertValuesRe(cols, exprs) =>
@@ -461,7 +489,8 @@ object VersionedSql {
           s"MERGE INTO $table: WHEN NOT MATCHED supports INSERT * and " +
             s"INSERT (cols) VALUES (exprs); got '$other'")
       }
-    MergeClause(matched, cond, act)
+    }
+    MergeClause(kind, cond, act)
   }
 
   /** Split on top-level commas (quote- and paren-aware). */
@@ -729,9 +758,15 @@ case class VersionedChangesViewCommand(view: String,
   * {{{
   *   MERGE INTO t [AS a] USING src|(<subquery>) [AS s] ON t.k = s.k
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET …|* | DELETE]...
-  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
+  *     [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * |
   *                                         INSERT (cols) VALUES (…)]...
+  *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+  *        UPDATE SET … | DELETE]...
   * }}}
+  * BY SOURCE clauses see target rows with NO source match (their
+  * expressions reference target columns only) — with `WHEN MATCHED
+  * UPDATE SET * / NOT MATCHED INSERT * / NOT MATCHED BY SOURCE DELETE`
+  * one statement makes target == source: the full-sync shape.
   * SQL MERGE semantics: each matched target row is claimed by the
   * FIRST matched clause whose condition holds (later clauses never
   * see it); unmatched source rows likewise by the first not-matched
@@ -791,7 +826,7 @@ case class VersionedMergeCommand(name: String,
       var remaining = joined
       val updates = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       val deletes = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-      clauses.filter(_.matched).foreach { cl =>
+      clauses.filter(_.kind == Matched).foreach { cl =>
         val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
           .getOrElse(lit(true))
         val claimed = remaining.filter(c)
@@ -815,11 +850,37 @@ case class VersionedMergeCommand(name: String,
             s"MERGE INTO $name: $other is not a MATCHED action")
         }
       }
+      // ——— target rows with NO source match (BY SOURCE): the
+      // full-sync clauses — expressions see target columns only
+      val bySource = tgt.join(source, on, "left_anti")
+      var rem3 = bySource
+      clauses.filter(_.kind == NotMatchedBySource).foreach { cl =>
+        val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
+          .getOrElse(lit(true))
+        val claimed = rem3.filter(c)
+        rem3 = rem3.filter(!c)
+        cl.action match {
+          case MergeUpdateSet(sets) =>
+            updates += claimed.select(tgtFields.map { f =>
+              sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, e)) =>
+                  expr(e).cast(f.dataType).as(f.name)
+                case None => col(s"$tA.${f.name}").as(f.name)
+              }
+            }: _*)
+          case MergeDelete =>
+            deletes += claimed.select(keyCols.map(k =>
+              col(s"$tA.$k").as(k)): _*)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: $other is not a NOT MATCHED BY " +
+              "SOURCE action")
+        }
+      }
       // ——— unmatched source rows
       val unmatched = source.join(tgt, on, "left_anti")
       var rem2 = unmatched
       val inserts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-      clauses.filterNot(_.matched).foreach { cl =>
+      clauses.filter(_.kind == NotMatchedByTarget).foreach { cl =>
         val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
           .getOrElse(lit(true))
         val claimed = rem2.filter(c)

@@ -1791,9 +1791,13 @@ object VersionedTable {
           .flatMap(r => m.entriesOf(r))
           .filter(e => boundsHit(e.boxes, e.tboxes, e.nullsAt, e.rows, ps))
           .map(_.name).filter(inUniverse)
-      // a pure equality (or small IN-list) probe on a LONG stat column
-      // gets the footer-bloom stage too — but only the driver-loop
-      // tier: query PLANNING must not launch jobs
+      // a pure equality (or small IN-list) probe on a LONG stat
+      // column — or an equality on a STRING typed column (the doc-id
+      // / language point lookup: blooms are written for typed columns
+      // too, and on a layout where the truncated bounds cannot prune,
+      // the bloom is the only footer-level stage that can) — gets the
+      // footer-bloom stage; driver-loop tier only: query PLANNING
+      // must not launch jobs
       val kept = ps.eqs.headOption match {
         case Some((c, v)) if kept0.size <= Layout.BloomDriverLoopLimit =>
           bloomSurvivors(spark, root, kept0, c, v)
@@ -1806,7 +1810,12 @@ object VersionedTable {
               bloomSurvivors(spark, root, kept0, c, v).toSet)
               .reduce(_ union _)
             kept0.filter(any)
-          case _ => kept0
+          case _ => ps.teqs.headOption match {
+            case Some((c, bytes))
+                if kept0.size <= Layout.BloomDriverLoopLimit =>
+              bloomSurvivors(spark, root, kept0, c, bytes)
+            case _ => kept0
+          }
         }
       }
       lastKeptFiles = kept.size
@@ -1829,7 +1838,8 @@ object VersionedTable {
         tranges: Seq[(Int, Option[String], Option[String])],
         tins: Seq[(Int, Seq[String])],
         eqs: Seq[(String, Long)],
-        nullChecks: Seq[(Either[Int, Int], Boolean)]) {
+        nullChecks: Seq[(Either[Int, Int], Boolean)],
+        teqs: Seq[(String, Array[Byte])]) {
       def isEmpty: Boolean =
         boxes.isEmpty && ins.isEmpty && tranges.isEmpty &&
           tins.isEmpty && nullChecks.isEmpty
@@ -1883,6 +1893,7 @@ object VersionedTable {
       val ins = Seq.newBuilder[(Int, Seq[Long])]
       val tins = Seq.newBuilder[(Int, Seq[String])]
       val nullChecks = Seq.newBuilder[(Either[Int, Int], Boolean)]
+      val teqs = Seq.newBuilder[(String, Array[Byte])]
       def statIdx(e: Expression): Option[Int] = e match {
         case a: AttributeReference if m.statCols.contains(a.name) =>
           Some(m.statCols.indexOf(a.name))
@@ -1985,6 +1996,19 @@ object VersionedTable {
           cmp(a, b, (_, _) => (), (_, _) => (),
             (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) },
             (i, v) => { tNarrowLo(i, v); tNarrowHi(i, v) })
+          // string-typed equality: keep the RAW bytes too — the
+          // footer-bloom stage hashes them as parquet Binary
+          def strBytes(x: Expression): Option[Array[Byte]] = x match {
+            case Literal(u: org.apache.spark.unsafe.types.UTF8String, t)
+                if t == org.apache.spark.sql.types.StringType =>
+              Some(u.getBytes.clone())
+            case _ => None
+          }
+          def addTeq(attr: Expression, value: Expression): Unit =
+            typedIdx(attr).filter(i => m.typedCols(i).kind == 's')
+              .foreach(i => strBytes(value).foreach(bs =>
+                teqs += ((m.typedCols(i).name, bs))))
+          addTeq(a, b); addTeq(b, a)
         case In(a, list) =>
           // WHERE id IN (…) — THE point-lookup batch shape: a union of
           // point probes, capped at InProbeCap (falls back to no
@@ -2020,7 +2044,8 @@ object VersionedTable {
         },
         tins.result(),
         eqs.result(),
-        nullChecks.result())
+        nullChecks.result(),
+        teqs.result())
     }
   }
 
@@ -3433,8 +3458,11 @@ object VersionedTable {
       }
   }
 
+  /** `value`: Long (stat columns) or Array[Byte] UTF-8 (string typed
+    * columns) — see [[Layout.bloomMayContain]].
+    */
   private def bloomSurvivors(spark: SparkSession, root: String,
-      candidates: Seq[String], c: String, value: Long): Seq[String] =
+      candidates: Seq[String], c: String, value: Any): Seq[String] =
     Layout.bloomMayContain(spark,
       candidates.map(n => s"${filesDir(root)}/$n"), c, value)
       .collect { case (name, true) => name }

@@ -148,6 +148,51 @@ class VersionedMergeFullSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("conjunction of key"))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: the full-sync MERGE makes target == source in one statement") {
+    val (name, root) = freshTable("graft-merge-sync", 100L)
+    // desired state: keys 50..119 with v = k*10, grp 'sync'
+    spark.range(50, 120)
+      .select($"id".as("k"), ($"id" * 10).as("v"), lit("sync").as("grp"))
+      .createOrReplaceTempView("merge_sync_src")
+    val r = spark.sql(
+      s"""MERGE INTO $name USING merge_sync_src AS s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""").head
+    // 50 matched updates, 20 inserts, 50 by-source deletes
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((50L, 50L, 20L)),
+      s"updated/deleted/inserted = $r")
+    val t = spark.table(name)
+    assert(t.count() == 70L)
+    val want = spark.table("merge_sync_src")
+    assert(t.exceptAll(want).isEmpty && want.exceptAll(t).isEmpty,
+      "after the sync MERGE the table must equal the source exactly")
+    // one atomic version for the whole sync
+    assert(VersionedTable.history(spark, root).map(_._3)
+      .count(_ == "upsert") == 1)
+    // conditional BY SOURCE UPDATE (archive instead of delete)
+    val (name2, _) = freshTable("graft-merge-sync2", 20L)
+    spark.range(0, 5)
+      .select($"id".as("k"), $"id".as("v"), lit("keep").as("grp"))
+      .createOrReplaceTempView("merge_sync2_src")
+    spark.sql(
+      s"""MERGE INTO $name2 USING merge_sync2_src AS s ON $name2.k = s.k
+          WHEN MATCHED THEN UPDATE SET grp = 'live'
+          WHEN NOT MATCHED BY SOURCE AND $name2.v >= 10 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = 'stale'""")
+    val t2 = spark.table(name2)
+    assert(t2.count() == 10L) // 5 live + 5 stale (v 5..9), v>=10 deleted
+    assert(t2.filter($"grp" === "live").count() == 5L)
+    assert(t2.filter($"grp" === "stale").count() == 5L)
+    // UPDATE SET * is meaningless without a source row
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name2 USING merge_sync2_src AS s
+        ON $name2.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""")
+    }
+    assert(e.getMessage.contains("no source row"))
+  }
+
   test("a MERGE with DELETE racing an append restarts from a fresh read, not a stale one") {
     val (name, root) = freshTable("graft-merge-race", 200L)
     // the racing append lands a NEW row for a key this MERGE deletes:

@@ -393,6 +393,41 @@ class VersionedTypedStatsSpec extends AnyFunSuite {
     assert(VersionedTable.fastCount(spark, root) == n - n / 4)
   }
 
+  test("string equality probes get the footer-bloom stage where truncated bounds cannot prune") {
+    val root = tmp("graft-vt-strbloom")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    // HASH-scattered sids: every file's [min,max] string band spans
+    // the whole sid space, so the bounds stage keeps everything — the
+    // per-file parquet BLOOM is the only footer stage that can prune
+    // the point lookup (each sid lives in exactly one file)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      VersionedTable.append(
+        spark.range(0, 20000)
+          .select($"id", format_string("doc_%05d", $"id").as("sid"))
+          .repartition(8, pmod(hash($"sid"), lit(8))),
+        root, Seq("id"), Seq("sid"))
+    } finally spark.conf.set(coalesceKey, prev)
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(spark, root, None)
+    df.createOrReplaceTempView("vt_strbloom")
+    val all = VersionedTable.entryNames(spark, root, 1L).size
+    assert(all >= 4, s"fixture needs several files, got $all")
+    val got = spark.sql(
+      "SELECT id FROM vt_strbloom WHERE sid = 'doc_00042'")
+      .head.getLong(0)
+    assert(got == 42L)
+    info(s"string bloom probe kept ${index.lastKeptFiles}/$all files")
+    assert(index.lastKeptFiles < all,
+      s"the bloom stage must prune where bounds cannot: " +
+        s"${index.lastKeptFiles}/$all")
+    // a value that exists nowhere: blooms prove absence (modulo FPs)
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_strbloom WHERE sid = 'doc_99999x'")
+      .head.getLong(0) == 0L)
+    assert(index.lastKeptFiles < all)
+  }
+
   test("concurrent typed-timestamp appends under INT96: the conf flip is refcounted, both writers get usable bounds") {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.get(key)
