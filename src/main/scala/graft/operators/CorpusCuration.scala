@@ -2448,6 +2448,63 @@ object CorpusCuration {
         CAST(user_sum AS BIGINT) AS user_sum
       FROM stages ORDER BY stage"""))
 
+  /** The FULL-SYNC MERGE under the driver's oracle — `WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE` alongside the star clauses makes
+    * one statement force target == source (the nightly
+    * reconcile-against-the-upstream-extract shape). The oracle IS the
+    * source restated, so any row the sync failed to delete, update, or
+    * keep breaks the hash; the per-clause counts pin which class
+    * claimed each row.
+    */
+  val vtMergeSync: Q = Q(
+    "pipe_vt_merge_sync",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      val root = scratchDir("vt-merge-sync")
+      graft.pipeline.VersionedTable.append(ev, root,
+        Seq("user_id", "ts_us", "event_id"))
+      s.sql(s"CREATE VERSIONED TABLE graft_vt_sync LOCATION '$root' " +
+        "KEYS(event_id)")
+      ev.filter(pmod($"event_id", lit(3L)) === 0)
+        .withColumn("user_id", $"user_id" + 1000000L)
+        .createOrReplaceTempView("graft_vt_sync_src")
+      val r = s.sql(
+        """MERGE INTO graft_vt_sync USING graft_vt_sync_src AS src
+           ON graft_vt_sync.event_id = src.event_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""").head
+      s.sql("""SELECT 'final' AS stage, count(*) AS n_rows,
+            CAST(sum(user_id) AS BIGINT) AS user_sum
+          FROM graft_vt_sync""")
+        .unionAll(Seq(
+          ("updated", r.getLong(1), 0L),
+          ("deleted", r.getLong(2), 0L),
+          ("inserted", r.getLong(3), 0L))
+          .toDF("stage", "n_rows", "user_sum"))
+        .orderBy($"stage")
+    },
+    Some("""WITH src AS (SELECT event_id, user_id FROM events),
+      want AS (
+        SELECT event_id, user_id + 1000000 AS user_id FROM src
+        WHERE event_id % 3 = 0),
+      stages AS (
+        SELECT 'final' AS stage, count(*) AS n_rows,
+          sum(user_id) AS user_sum FROM want
+        UNION ALL
+        SELECT 'updated', (SELECT count(*) FROM want), 0
+        UNION ALL
+        SELECT 'deleted', (SELECT count(*) FROM src
+          WHERE event_id % 3 <> 0), 0
+        UNION ALL
+        SELECT 'inserted', 0, 0)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(user_sum AS BIGINT) AS user_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -2456,6 +2513,6 @@ object CorpusCuration {
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
     vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull, vtCdcStream,
-    vtCluster, vtAddColumns, vtCatalog,
+    vtCluster, vtAddColumns, vtCatalog, vtMergeSync,
     manifestPrune)
 }
