@@ -255,32 +255,51 @@ object VersionedSql {
     walk(e)
   }
 
-  /** Positions in `s` that sit at paren depth 0 AND outside any SQL
-    * string literal — the only places a statement-structure token
-    * (',', '=', a keyword) may be recognized. Quote handling follows
-    * the SQL lexer: single quotes delimit strings with `''` as the
-    * escaped quote; double quotes delimit quoted identifiers.
+  /** Positions in `s` that sit at paren depth 0, outside any SQL
+    * string literal or quoted identifier, AND outside a CASE…END
+    * expression — the only places a statement-structure token (',',
+    * '=', a keyword) may be recognized. Quote handling follows the
+    * SQL lexer: single quotes delimit strings with `''` as the
+    * escaped quote; double quotes delimit quoted identifiers;
+    * BACKTICKS delimit Spark's quoted identifiers (with ```` as the
+    * escaped backtick), so a backticked name containing a keyword or
+    * comma never mis-parses. An unparenthesized `CASE WHEN … THEN …
+    * END` in an ON condition or a clause's AND condition is masked
+    * like a parenthesized region — its WHEN/THEN must not split the
+    * MERGE clause list.
     */
   private def topLevelMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(w: String, i: Int): Boolean =
+      lower.startsWith(w, i) &&
+        (i == 0 || !wordChar(lower.charAt(i - 1))) &&
+        (i + w.length >= s.length || !wordChar(lower.charAt(i + w.length)))
     var depth = 0
+    var caseDepth = 0
     var quote: Char = 0
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (quote != 0) {
         if (ch == quote) {
-          // '' inside a single-quoted literal is an escaped quote,
+          // '' (or ``) inside a quoted region is an escaped quote,
           // not a close-then-open
-          if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'')
+          if ((quote == '\'' || quote == '`') && i + 1 < s.length &&
+              s.charAt(i + 1) == quote)
             i += 1
           else quote = 0
         }
       } else ch match {
-        case '\'' | '"' => quote = ch
+        case '\'' | '"' | '`' => quote = ch
         case '(' => depth += 1
         case ')' => depth -= 1
-        case _ => mask(i) = depth == 0
+        case _ =>
+          if (wordAt("case", i)) { caseDepth += 1; i += 3 }
+          else if (caseDepth > 0 && wordAt("end", i)) {
+            caseDepth -= 1; i += 2
+          } else mask(i) = depth == 0 && caseDepth == 0
       }
       i += 1
     }
@@ -479,7 +498,8 @@ object VersionedSql {
         case a if a.replaceAll("\\s+", " ")
           .equalsIgnoreCase("insert *") => MergeInsertStar
         case InsertValuesRe(cols, exprs) =>
-          val cs = cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          val cs = cols.split(',').toSeq.map(unquoteIdent)
+            .filter(_.nonEmpty)
           val es = splitTopLevelCommas(exprs)
           require(cs.size == es.size,
             s"MERGE INTO $table: INSERT column list (${cs.size}) and " +
@@ -491,6 +511,16 @@ object VersionedSql {
       }
     }
     MergeClause(kind, cond, act)
+  }
+
+  /** A possibly-backtick-quoted identifier to its plain name
+    * (Spark's quoting: ```` escapes a literal backtick).
+    */
+  private[pipeline] def unquoteIdent(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '`' && t.last == '`')
+      t.substring(1, t.length - 1).replace("``", "`")
+    else t
   }
 
   /** Split on top-level commas (quote- and paren-aware). */
@@ -525,7 +555,7 @@ object VersionedSql {
       val eq = (0 until p.length).find(i => p.charAt(i) == '=' &&
         mask(off + i)).getOrElse(-1)
       require(eq > 0, s"SET clause piece is not <col> = <expr>: '$p'")
-      val r = (p.substring(0, eq).trim, p.substring(eq + 1).trim)
+      val r = (unquoteIdent(p.substring(0, eq)), p.substring(eq + 1).trim)
       off += p.length + 1
       r
     }
@@ -789,7 +819,8 @@ case class VersionedMergeCommand(name: String,
     extends LeafRunnableCommand {
   import VersionedSql._
   import org.apache.spark.sql.functions.{coalesce, col, count,
-    countDistinct, expr, lit}
+    countDistinct, expr, lit, monotonically_increasing_id, struct, sum,
+    when}
   override def output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("rows_updated", LongType, nullable = false)(),
@@ -807,130 +838,234 @@ case class VersionedMergeCommand(name: String,
     }
     val tA = targetAlias.getOrElse(name)
     val sA = sourceAlias.getOrElse("__merge_src")
+    // presence markers survive the outer join where every REAL column
+    // of the absent side is legitimately NULL — the only sound way to
+    // classify a joined row as matched / target-only / source-only
+    val tMark = "__merge_t_present__"
+    val sMark = "__merge_s_present__"
+    val claimCol = "__merge_claim__"
     var restarts = 0
     while (restarts < VersionedTable.MaxDmlRestarts) {
       VersionedTable.materializeDeletes(spark, reg.root)
       val v0 = VersionedTable.latestVersion(spark, reg.root).getOrElse(
         sys.error(s"MERGE INTO $name: no versions at ${reg.root}"))
       val target = VersionedTable.sqlRead(spark, reg.root, Some(v0))
-      val tgt = target.alias(tA)
-      val source = spark.sql(sourceSql).alias(sA)
-      val on = expr(onCond)
+      val tgt = target.withColumn(tMark, lit(true)).alias(tA)
+      val source0 = spark.sql(sourceSql)
+      val srcCols = source0.columns.toSeq
+      // a per-source-ROW id distinguishes "one source row claiming two
+      // raced target copies of a key" (legal — SQL deletes/updates each
+      // target row) from "two source rows claiming one target key"
+      // (the cardinality violation); assigned BEFORE the join and
+      // pinned by the checkpoint below
+      val sid = "__merge_sid__"
+      val source = source0.withColumn(sMark, lit(true))
+        .withColumn(sid, monotonically_increasing_id()).alias(sA)
       val tgtFields = target.schema.fields.toSeq
       def fieldType(c: String) =
         tgtFields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
           .getOrElse(throw new IllegalArgumentException(
             s"MERGE INTO $name: unknown target column '$c'"))
-      // ——— matched rows, claimed clause by clause in statement order
-      val joined = tgt.join(source, on, "inner")
-      var remaining = joined
-      val updates = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-      val deletes = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-      clauses.filter(_.kind == Matched).foreach { cl =>
-        val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
-          .getOrElse(lit(true))
-        val claimed = remaining.filter(c)
-        remaining = remaining.filter(!c)
-        cl.action match {
-          case MergeUpdateStar =>
-            updates += claimed.select(tgtFields.map(f =>
-              col(s"$sA.${f.name}").as(f.name)): _*)
-          case MergeUpdateSet(sets) =>
-            updates += claimed.select(tgtFields.map { f =>
-              sets.find(_._1.equalsIgnoreCase(f.name)) match {
-                case Some((_, e)) =>
-                  expr(e).cast(f.dataType).as(f.name)
-                case None => col(s"$tA.${f.name}").as(f.name)
-              }
-            }: _*)
-          case MergeDelete =>
-            deletes += claimed.select(keyCols.map(k =>
-              col(s"$tA.$k").as(k)): _*)
-          case other => throw new IllegalArgumentException(
-            s"MERGE INTO $name: $other is not a MATCHED action")
-        }
+      // ——— ONE join computes every match class; the type is the
+      // narrowest that preserves the classes the clause list actually
+      // uses (an insert-free MERGE never pays for unmatched source
+      // rows, a sync-free one never for unmatched target rows)
+      val hasInsert = clauses.exists(_.kind == NotMatchedByTarget)
+      val hasBySource = clauses.exists(_.kind == NotMatchedBySource)
+      val joinType = (hasInsert, hasBySource) match {
+        case (false, false) => "inner"
+        case (true, false) => "right_outer"
+        case (false, true) => "left_outer"
+        case (true, true) => "full_outer"
       }
-      // ——— target rows with NO source match (BY SOURCE): the
-      // full-sync clauses — expressions see target columns only
-      val bySource = tgt.join(source, on, "left_anti")
-      var rem3 = bySource
-      clauses.filter(_.kind == NotMatchedBySource).foreach { cl =>
-        val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
-          .getOrElse(lit(true))
-        val claimed = rem3.filter(c)
-        rem3 = rem3.filter(!c)
-        cl.action match {
-          case MergeUpdateSet(sets) =>
-            updates += claimed.select(tgtFields.map { f =>
-              sets.find(_._1.equalsIgnoreCase(f.name)) match {
-                case Some((_, e)) =>
-                  expr(e).cast(f.dataType).as(f.name)
-                case None => col(s"$tA.${f.name}").as(f.name)
-              }
-            }: _*)
-          case MergeDelete =>
-            deletes += claimed.select(keyCols.map(k =>
-              col(s"$tA.$k").as(k)): _*)
-          case other => throw new IllegalArgumentException(
-            s"MERGE INTO $name: $other is not a NOT MATCHED BY " +
-              "SOURCE action")
+      val joined = tgt.join(source, expr(onCond), joinType)
+      val isMatched = col(tMark).isNotNull && col(sMark).isNotNull
+      def classCol(k: MergeMatchKind): org.apache.spark.sql.Column =
+        k match {
+          case Matched => isMatched
+          case NotMatchedByTarget => col(tMark).isNull
+          case NotMatchedBySource => col(sMark).isNull
         }
+      // first-match-wins WITHIN each class falls out of one global
+      // when-cascade in statement order because the classes are
+      // disjoint; a clause condition that evaluates NULL claims
+      // nothing (coalesce false), matching SQL MERGE
+      val claim = clauses.zipWithIndex.foldRight(
+          lit(null).cast("int"): org.apache.spark.sql.Column) {
+        case ((cl, i), els) =>
+          val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
+            .getOrElse(lit(true))
+          when(classCol(cl.kind) && c, lit(i)).otherwise(els)
       }
-      // ——— unmatched source rows
-      val unmatched = source.join(tgt, on, "left_anti")
-      var rem2 = unmatched
-      val inserts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-      clauses.filter(_.kind == NotMatchedByTarget).foreach { cl =>
-        val c = cl.cond.map(x => coalesce(expr(x), lit(false)))
-          .getOrElse(lit(true))
-        val claimed = rem2.filter(c)
-        rem2 = rem2.filter(!c)
-        cl.action match {
+      // the CLAIMED key of every row, uniformly: the target key for
+      // matched / by-source claims, the clause's own insert key
+      // expression for by-target claims — one column set feeds the
+      // counts, the NULL-key guard, the cardinality guard AND the
+      // delete-key frame, so what is checked IS what is committed
+      def keyExprFor(cl: MergeClause,
+          k: String): org.apache.spark.sql.Column = cl.kind match {
+        case Matched | NotMatchedBySource => col(s"$tA.$k")
+        case NotMatchedByTarget => cl.action match {
           case MergeInsertStar =>
-            inserts += claimed.select(tgtFields
-              .filter(f => claimed.columns.contains(f.name))
-              .map(f => col(f.name).as(f.name)): _*)
+            srcCols.find(_.equalsIgnoreCase(k))
+              .map(sc => col(s"$sA.$sc")).getOrElse(lit(null))
           case MergeInsertValues(cols, exprs) =>
-            inserts += claimed.select(cols.zip(exprs).map {
-              case (cn, e) => expr(e).cast(fieldType(cn)).as(cn)
-            }: _*)
-          case other => throw new IllegalArgumentException(
-            s"MERGE INTO $name: $other is not a NOT MATCHED action")
+            cols.zip(exprs).collectFirst {
+              case (cn, e) if cn.equalsIgnoreCase(k) => expr(e)
+            }.getOrElse(lit(null))
+          case _ => lit(null)
+        }
+      }
+      def mk(j: Int) = s"__merge_k${j}__"
+      val withKeys = keyCols.zipWithIndex.foldLeft(
+          joined.withColumn(claimCol, claim)
+            .filter(col(claimCol).isNotNull)) { case (d, (k, j)) =>
+        d.withColumn(mk(j),
+          clauses.zipWithIndex.foldRight(
+              lit(null).cast(fieldType(k)): org.apache.spark.sql.Column) {
+            case ((cl, i), els) => when(col(claimCol) === i,
+              keyExprFor(cl, k).cast(fieldType(k))).otherwise(els)
+          })
+      }
+      // ONE eager materialization pins the claims (and through them
+      // the source snapshot): the guards below, the reported counts
+      // and the committed frames all read the SAME rows — a
+      // nondeterministic or concurrently-changing USING source cannot
+      // pass the guard on one evaluation and commit another, and a
+      // 3-clause MERGE costs one join, not one per clause count.
+      // localCheckpoint (not persist): eviction must FAIL the
+      // statement, not silently re-run the source.
+      val claims = withKeys.localCheckpoint(true)
+      // ——— every guard and every count from ONE aggregation pass
+      def isUpdate(a: MergeAction) = a match {
+        case MergeUpdateStar | MergeUpdateSet(_) => true
+        case _ => false
+      }
+      def isInsert(a: MergeAction) = a match {
+        case MergeInsertStar | MergeInsertValues(_, _) => true
+        case _ => false
+      }
+      val upsIdxs = clauses.zipWithIndex.collect {
+        case (cl, i) if isUpdate(cl.action) || isInsert(cl.action) => i
+      }
+      val keyStruct = struct(keyCols.indices.map(j => col(mk(j))): _*)
+      val upsClaim =
+        if (upsIdxs.isEmpty) lit(false)
+        else col(claimCol).isin(upsIdxs: _*)
+      val perClause = clauses.indices.flatMap { i =>
+        sum(when(col(claimCol) === i, 1L).otherwise(0L)).as(s"n$i") +:
+          keyCols.indices.map(j => sum(when(col(claimCol) === i &&
+            col(mk(j)).isNull, 1L).otherwise(0L)).as(s"nn${i}_$j"))
+      }
+      val aggs = count(lit(1)).as("total") +:
+        countDistinct(when(isMatched,
+          struct(keyStruct, col(sid)))).as("m_pairs") +:
+        countDistinct(when(isMatched, keyStruct)).as("m_keys") +:
+        countDistinct(when(upsClaim, keyStruct)).as("ups_keys") +:
+        perClause
+      val stats = claims.agg(aggs.head, aggs.tail: _*).head
+      val total = stats.getLong(0)
+      if (total == 0L) {
+        VersionedSql.refreshView(spark, name)
+        return Seq(Row(v0, 0L, 0L, 0L))
+      }
+      def nOf(i: Int): Long =
+        stats.getLong(4 + i * (1 + keyCols.size))
+      def nnOf(i: Int, j: Int): Long =
+        stats.getLong(4 + i * (1 + keyCols.size) + 1 + j)
+      // NULL checks FIRST: countDistinct excludes NULL tuples, so a
+      // NULL key would otherwise masquerade as a duplicate. This
+      // covers DELETE claims too — a NULL-key target row claimed by
+      // NOT MATCHED BY SOURCE THEN DELETE cannot be key-deleted, and
+      // silently surviving while being counted would be corruption.
+      clauses.zipWithIndex.foreach { case (cl, i) =>
+        val (kindSql, side) = cl.kind match {
+          case Matched => ("MATCHED", "source")
+          case NotMatchedByTarget => ("NOT MATCHED", "source")
+          case NotMatchedBySource => ("NOT MATCHED BY SOURCE", "target")
+        }
+        val actSql = cl.action match {
+          case MergeDelete => "DELETE"
+          case MergeUpdateStar | MergeUpdateSet(_) => "UPDATE"
+          case MergeInsertStar | MergeInsertValues(_, _) => "INSERT"
+        }
+        keyCols.zipWithIndex.foreach { case (k, j) =>
+          require(nnOf(i, j) == 0L,
+            s"MERGE INTO $name: NULL $side key '$k' — ${nnOf(i, j)} " +
+              s"rows claimed by WHEN $kindSql THEN $actSql carry a " +
+              "NULL key a keyed merge cannot address")
+        }
+      }
+      // cardinality, over updates, DELETES and inserts alike: a
+      // target KEY claimed by two distinct source rows is a violation
+      // whichever action claims it (SQL MERGE semantics) — while ONE
+      // source row legitimately claims every raced duplicate of its
+      // target key (distinct (key, source-row) pairs vs distinct keys
+      // tells the two apart)
+      require(stats.getLong(1) == stats.getLong(2),
+        s"MERGE INTO $name: ${stats.getLong(1) - stats.getLong(2)} " +
+          "extra source rows match an already-claimed target key — " +
+          "SQL MERGE cardinality violation (a target row matched by " +
+          "multiple source rows)")
+      val updatedN = clauses.zipWithIndex
+        .collect { case (cl, i) if isUpdate(cl.action) => nOf(i) }.sum
+      val deletedN = clauses.zipWithIndex
+        .collect { case (cl, i) if cl.action == MergeDelete => nOf(i) }
+        .sum
+      val insertedN = clauses.zipWithIndex
+        .collect { case (cl, i) if isInsert(cl.action) => nOf(i) }.sum
+      // the keyed commit lands exactly one row per upserted key:
+      // duplicate inserts of a key, or updates claiming raced
+      // duplicate copies of one, cannot be represented and reject
+      require(updatedN + insertedN == stats.getLong(3),
+        s"MERGE INTO $name: " +
+          s"${updatedN + insertedN - stats.getLong(3)} duplicate-key " +
+          "rows among the claimed updates/inserts — SQL MERGE " +
+          "cardinality violation")
+      // ——— per-clause output frames, all narrow reads of the pinned
+      // claims — zero join replays from here on
+      def updateProjection(sets: Seq[(String, String)],
+          claimed: org.apache.spark.sql.DataFrame) =
+        claimed.select(tgtFields.map { f =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(s"$tA.${f.name}").as(f.name)
+          }
+        }: _*)
+      val updates = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      val inserts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      val deleteIdx = Seq.newBuilder[Int]
+      clauses.zipWithIndex.foreach { case (cl, i) =>
+        if (nOf(i) > 0L) {
+          val claimed = claims.filter(col(claimCol) === i)
+          (cl.kind, cl.action) match {
+            case (_, MergeUpdateStar) =>
+              updates += claimed.select(tgtFields.map(f =>
+                col(s"$sA.${f.name}").as(f.name)): _*)
+            case (_, MergeUpdateSet(sets)) =>
+              updates += updateProjection(sets, claimed)
+            case (_, MergeDelete) => deleteIdx += i
+            case (_, MergeInsertStar) =>
+              inserts += claimed.select(tgtFields.flatMap(f =>
+                srcCols.find(_.equalsIgnoreCase(f.name))
+                  .map(sc => col(s"$sA.$sc").as(f.name))): _*)
+            case (_, MergeInsertValues(cols, exprs)) =>
+              inserts += claimed.select(cols.zip(exprs).map {
+                case (cn, e) => expr(e).cast(fieldType(cn)).as(cn)
+              }: _*)
+          }
         }
       }
       def unionAllByName(fs: Seq[org.apache.spark.sql.DataFrame]) =
         fs.reduceOption((a, b) =>
           a.unionByName(b, allowMissingColumns = true))
       val upserts = unionAllByName(updates.result() ++ inserts.result())
-      val delKeys = unionAllByName(deletes.result())
-        .getOrElse(target.select(keyCols.map(col): _*).limit(0))
-      val updatedN = updates.result().map(_.count()).sum
-      val deletedN = deletes.result().map(_.count()).sum
-      val insertedN = inserts.result().map(_.count()).sum
-      if (updatedN + deletedN + insertedN == 0L) {
-        VersionedSql.refreshView(spark, name)
-        return Seq(Row(v0, 0L, 0L, 0L))
-      }
-      // cardinality violation / NULL keys: two source rows claiming
-      // one target key (or a NULL key) would land as silent
-      // corruption — SQL MERGE rejects both
-      upserts.foreach { up =>
-        val aggs = count(lit(1)) +:
-          countDistinct(col(keyCols.head), keyCols.tail.map(col): _*) +:
-          keyCols.map(c => count(col(c)))
-        val r = up.agg(aggs.head, aggs.tail: _*).head
-        val total = r.getLong(0)
-        // NULL check FIRST: countDistinct excludes NULL tuples, so a
-        // NULL key would otherwise masquerade as a duplicate
-        keyCols.zipWithIndex.foreach { case (c, i) =>
-          require(r.getLong(2 + i) == total,
-            s"MERGE INTO $name: NULL source key '$c'")
-        }
-        require(r.getLong(1) == total,
-          s"MERGE INTO $name: ${total - r.getLong(1)} duplicate-key " +
-            "rows (a target row matched by multiple source rows, or " +
-            "duplicate inserts) — SQL MERGE cardinality violation")
-      }
+      val delIdxs = deleteIdx.result()
+      val delKeys =
+        if (delIdxs.isEmpty) target.select(keyCols.map(col): _*).limit(0)
+        else claims.filter(col(claimCol).isin(delIdxs: _*))
+          .select(keyCols.zipWithIndex.map { case (k, j) =>
+            col(mk(j)).as(k) }: _*)
       val res = upserts match {
         case Some(up) =>
           VersionedTable.applyKeyedChangesPinned(spark, reg.root, up,

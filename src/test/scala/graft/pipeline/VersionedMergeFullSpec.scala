@@ -215,4 +215,85 @@ class VersionedMergeFullSpec extends AnyFunSuite {
     assert(t.filter($"k" === 11L).select($"v").head.getLong(0) == 777L)
     assert(t.count() == 200L - 1)
   }
+
+  test("a NULL-key target row claimed by NOT MATCHED BY SOURCE DELETE fails loudly, never silently survives while counted") {
+    val root = tmp("graft-merge-nullkey")
+    VersionedTable.append(
+      Seq[(java.lang.Long, Long, String)]((1L, 1L, "a"), (2L, 2L, "b"),
+        (null, 3L, "c")).toDF("k", "v", "grp").coalesce(1),
+      root, Seq("k", "v"), Seq("grp"))
+    spark.sql(s"CREATE VERSIONED TABLE graft_merge_nullkey LOCATION " +
+      s"'$root' KEYS(k)")
+    Seq((1L, 10L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_nullkey_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO graft_merge_nullkey USING
+          merge_nullkey_src AS s ON graft_merge_nullkey.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e.getMessage.contains("NULL target key"))
+    // nothing landed: the statement failed whole, not partially
+    assert(spark.table("graft_merge_nullkey").count() == 3L)
+  }
+
+  test("two source rows claiming one target key with DELETE is a cardinality violation, not a silent dedup") {
+    val (name, _) = freshTable("graft-merge-deldup", 10L)
+    Seq((3L, 1L), (3L, 2L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_deldup_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING merge_deldup_src AS s
+        ON $name.k = s.k
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("cardinality"))
+    assert(spark.table(name).count() == 10L)
+  }
+
+  test("unparenthesized CASE WHEN ... THEN ... END in clause conditions and backticked identifiers parse correctly") {
+    val (name, _) = freshTable("graft-merge-case", 20L)
+    Seq((3L, 7L), (9999L, 1L)).toDF("k", "v")
+      .createOrReplaceTempView("merge_case_src")
+    spark.sql(
+      s"""MERGE INTO $name USING merge_case_src AS s ON $name.k = s.k
+          WHEN MATCHED AND CASE WHEN s.v = 7 THEN true ELSE false END
+            THEN UPDATE SET `v` = s.v + 1,
+              grp = CASE WHEN s.v = 7 THEN 'hi' ELSE 'lo' END
+          WHEN NOT MATCHED THEN INSERT (k, `v`) VALUES (s.k,
+            CASE WHEN s.v = 1 THEN 42 ELSE 0 END)""")
+    val t = spark.table(name)
+    assert(t.filter($"k" === 3L).select($"v", $"grp").head ==
+      org.apache.spark.sql.Row(8L, "hi"))
+    assert(t.filter($"k" === 9999L).select($"v").head.getLong(0) == 42L)
+  }
+
+  test("the USING source is planned ONCE: guards, counts and the committed rows all read one pinned snapshot") {
+    val (name, _) = freshTable("graft-merge-once", 10L)
+    MergeSourceEvalCounter.n.set(0L)
+    val tick = udf((k: Long) => {
+      MergeSourceEvalCounter.n.incrementAndGet(); k
+    }).asNondeterministic()
+    spark.range(0, 5).repartition(1)
+      .select(($"id" + 10000L).as("k"), tick($"id").as("v"))
+      .createOrReplaceTempView("merge_once_src")
+    val r = spark.sql(
+      s"""MERGE INTO $name USING merge_once_src AS s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN MATCHED AND s.v < 0 THEN DELETE
+          WHEN NOT MATCHED THEN INSERT *""").head
+    assert(r.getLong(3) == 5L)
+    assert(spark.table(name).filter($"k" >= 10000L).count() == 5L)
+    // one evaluation of the 5-row source — the old per-clause-count
+    // replanning evaluated it once per count and once for the commit
+    assert(MergeSourceEvalCounter.n.get() == 5L,
+      s"source evaluated ${MergeSourceEvalCounter.n.get()} row-times " +
+        "for a 5-row source: the claims frame is not pinned")
+  }
+}
+
+/** JVM-wide so the executor-side UDF closure and the driver-side
+  * assertion see one counter (local-mode tests share the JVM).
+  */
+object MergeSourceEvalCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong(0L)
 }
