@@ -121,13 +121,15 @@ class VersionedCatalog extends TableCatalog {
     val stats = listed("stats").getOrElse(
       schema.fields.filter(_.dataType ==
         org.apache.spark.sql.types.LongType).map(_.name).toSeq)
-    require(stats.nonEmpty,
-      s"CREATE TABLE $ident: a versioned table needs at least one " +
-        "LONG stat column — declare TBLPROPERTIES('stats'='col,…') " +
-        "or include a BIGINT column")
     val typed = listed("typed").getOrElse(
       schema.fields.filter(_.dataType ==
         org.apache.spark.sql.types.StringType).map(_.name).toSeq)
+    // an all-string corpus table is legal: typed bounds carry the
+    // pruning with no synthetic BIGINT column required
+    require(stats.nonEmpty || typed.nonEmpty,
+      s"CREATE TABLE $ident: a versioned table needs at least one " +
+        "stat column — declare TBLPROPERTIES('stats'='col,…' and/or " +
+        "'typed'='col,…') or include a BIGINT or STRING column")
     val clusterBy = partitions.toSeq.map(transformSpec)
     // creation IS the format's own: one empty append publishes v1
     // with the schema, stat columns and cluster spec — no side

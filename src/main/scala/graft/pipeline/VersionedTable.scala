@@ -321,8 +321,8 @@ object VersionedTable {
     val typed = e.tboxes.flatMap { case (lo, hi) =>
       Seq(tCell(lo), tCell(hi)) }
     val nulls = e.nulls.map(_.toString)
-    ((s"${e.name}\t${e.rows}\t${cells.mkString("\t")}\t${e.bytes}" +:
-      typed) ++ nulls).mkString("\t")
+    ((Seq(e.name, e.rows.toString) ++ cells.map(_.toString) ++
+      Seq(e.bytes.toString) ++ typed) ++ nulls).mkString("\t")
   }
 
   private def parseEntry(l: String, nCols: Int, nTyped: Int = 0): Entry = {
@@ -620,9 +620,10 @@ object VersionedTable {
         val typed = r.tboxes.flatMap { case (lo, hi) =>
           Seq(tCell(lo), tCell(hi)) }
         val nulls = r.nulls.map(_.toString)
-        val head = s"#shard\t${r.name}\t${r.files}\t${r.rows}\t" +
-          s"${cells.mkString("\t")}\t${r.minRows}"
-        out.write((((head +: typed) ++ nulls).mkString("\t") + "\n")
+        val head = Seq("#shard", r.name, r.files.toString,
+          r.rows.toString) ++ cells.map(_.toString) ++
+          Seq(r.minRows.toString)
+        out.write(((head ++ typed ++ nulls).mkString("\t") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -1066,7 +1067,12 @@ object VersionedTable {
       clusterBy: Seq[String] = Seq.empty)
       : (Long, Boolean) = {
     val spark = df.sparkSession
-    require(statCols.nonEmpty, "append needs at least one stat column")
+    // typed-only tables are legal: an all-string corpus needs no
+    // synthetic BIGINT — typed bounds carry the pruning alone (an
+    // existing table's append restates its manifest columns, so this
+    // also holds on every later append)
+    require(statCols.nonEmpty || typedStatCols.nonEmpty,
+      "append needs at least one stat column (long or typed)")
     var written: Seq[Entry] = null
     var writtenShard: Option[ShardRef] = None
     var merged: Option[(Set[String], ShardRef)] = None
@@ -1440,7 +1446,12 @@ object VersionedTable {
     val touchedNames = touched.map(_.name).toSet
     val totalRows = touched.map(_.rows).sum
     val nBins = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    val a = m0.statCols.head
+    // pack order: the first long stat column, or (typed-only table)
+    // the first typed one — both give range-partitioned packed files
+    // whose manifest bounds prune
+    val a = m0.statCols.headOption
+      .orElse(m0.typedCols.headOption.map(_.name))
+      .getOrElse(sys.error(s"table at $root declares no stat columns"))
     val entries = writeFiles(
       readNamed(spark, root, m0, touched.map(_.name)), root, m0.statCols,
       m0.typedCols,

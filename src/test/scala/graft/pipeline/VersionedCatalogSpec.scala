@@ -120,4 +120,37 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncate") ||
       e.getMessage.contains("INSERT OVERWRITE"))
   }
+
+  test("a string-only table needs no synthetic BIGINT: typed bounds carry the pruning alone") {
+    warehouse
+    // raw-text corpus shape: not one numeric column
+    spark.sql("CREATE TABLE vt.corpus (doc STRING, lang STRING)")
+    assert(VersionedTable.statColumnsOf(spark, s"$warehouse/corpus") ==
+      ((Seq.empty[String], Seq("doc", "lang"))))
+    // per-INSERT disjoint languages: each version's files carry
+    // disjoint typed bounds, so a lang probe can drop whole files
+    (0 until 4).foreach { g =>
+      spark.sql(s"""INSERT INTO vt.corpus
+        SELECT concat('text ', id) AS doc, 'lang_$g' AS lang
+        FROM range(${g * 100}, ${g * 100 + 100})""")
+    }
+    assert(spark.sql("SELECT count(*) FROM vt.corpus").head.getLong(0)
+      == 400L)
+    assert(spark.sql(
+      "SELECT count(*) FROM vt.corpus WHERE lang = 'lang_2'")
+      .head.getLong(0) == 100L)
+    // the probe must PRUNE on the typed bounds, not scan everything
+    val (df, Seq(index)) = VersionedTable.sqlReadWithIndexes(
+      spark, s"$warehouse/corpus", None)
+    df.createOrReplaceTempView("corpus_probe")
+    val all = index.inputFiles.length
+    assert(spark.sql(
+      "SELECT count(*) FROM corpus_probe WHERE lang = 'lang_1'")
+      .head.getLong(0) == 100L)
+    assert(index.lastKeptFiles < all,
+      s"typed-only table: lang probe kept ${index.lastKeptFiles}/$all")
+    // and the lifecycle verbs still work without a long stat column
+    spark.sql("ALTER TABLE vt.corpus ADD COLUMNS (note STRING)")
+    assert(spark.read.table("vt.corpus").columns.contains("note"))
+  }
 }

@@ -336,7 +336,10 @@ class VersionedTypedStatsSpec extends AnyFunSuite {
     assert(got2 == got)
     info(s"post-compactClustered lang probe kept " +
       s"${index2.lastKeptFiles}/10 files")
-    assert(index2.lastKeptFiles <= 2,
+    // ≤3, not ≤2: repartitionByRange samples with an RDD-id-seeded
+    // RNG, so a lang boundary can straddle one extra file depending
+    // on session history — the design claim is "a handful, not all"
+    assert(index2.lastKeptFiles <= 3,
       s"a lang-clustered rewrite must restore tight pruning: " +
         s"${index2.lastKeptFiles}/10")
     // typed columns are fixed at creation
