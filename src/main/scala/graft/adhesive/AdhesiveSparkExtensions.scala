@@ -69,6 +69,11 @@ class AdhesiveSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) =>
       new AdhesiveSqlParser(() => session, delegate))
+    // UPDATE/MERGE over vt.* catalog identifiers → the versioned
+    // table's pinned DML commands (post-hoc: the statements must be
+    // fully resolved before their expressions can be re-rendered)
+    ext.injectPostHocResolutionRule(session =>
+      new graft.pipeline.VersionedCatalogDmlRule(session))
     // runs in the user-provided-rules batch, after Spark's own constant
     // folding has turned literal-valued subtrees into Literals
     ext.injectOptimizerRule(_ => AdhesiveConstantFolding)

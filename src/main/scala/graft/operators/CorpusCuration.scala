@@ -2505,6 +2505,107 @@ object CorpusCuration {
         CAST(user_sum AS BIGINT) AS user_sum
       FROM stages ORDER BY stage"""))
 
+  /** Row-level DML through the DataSourceV2 catalog under the
+    * driver's oracle: `DELETE FROM graftvtd.t` plans through the
+    * table's `SupportsDelete` (Spark translates the range condition
+    * to source filters, the table re-enters the shared delete
+    * dispatch), and `UPDATE`/`MERGE INTO` on the catalog identifier
+    * are rewritten by [[graft.pipeline.VersionedCatalogDmlRule]] onto
+    * the same pinned commands the regex front-end runs — the
+    * statements users type first now work on BOTH spellings. The
+    * oracle replays delete → keyed update → three-clause merge
+    * declaratively; the three `VERSION AS OF` stages pin each
+    * statement's exact committed state, so a wrong count, a lost
+    * update, or a mis-claimed merge row breaks the hash.
+    */
+  val vtCatalogDml: Q = Q(
+    "pipe_vt_catalog_dml",
+    (s, d) => {
+      import s.implicits._
+      val wh = scratchDir("vt-catalog-dml-wh")
+      s.conf.set("spark.sql.catalog.graftvtd",
+        "graft.pipeline.VersionedCatalog")
+      s.conf.set("spark.sql.catalog.graftvtd.warehouse", wh)
+      val src = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          expr(Tables.fldivExpr("ts", 1000L)).as("ts_us"))
+      src.createOrReplaceTempView("graft_catdml_src")
+      s.sql("""CREATE TABLE graftvtd.ev_dml
+        (event_id BIGINT, user_id BIGINT, ts_us BIGINT)
+        TBLPROPERTIES ('stats'='user_id,ts_us,event_id',
+                       'keys'='event_id')""")                      // v1
+      s.sql("""INSERT INTO graftvtd.ev_dml
+        SELECT event_id, user_id, ts_us FROM graft_catdml_src""")  // v2
+      val b = src.agg(min($"event_id"), max($"event_id"),
+        min($"user_id"), max($"user_id")).head
+      val cut = b.getLong(1) - (b.getLong(1) - b.getLong(0)) / 5
+      val mid = (b.getLong(2) + b.getLong(3)) / 2
+      // standard DELETE on the catalog identifier → SupportsDelete
+      s.sql(s"DELETE FROM graftvtd.ev_dml WHERE event_id >= $cut") // v3
+      // standard UPDATE → the post-hoc rewrite onto the pinned command
+      s.sql(s"""UPDATE graftvtd.ev_dml SET user_id = user_id + 1000000
+        WHERE user_id <= $mid""")                                  // v4
+      s.sql("""SELECT event_id, user_id + 5 AS user_id, ts_us
+        FROM graft_catdml_src WHERE event_id % 7 = 0""")
+        .createOrReplaceTempView("graft_catdml_merge_src")
+      // standard three-clause MERGE, conditions and all
+      s.sql("""MERGE INTO graftvtd.ev_dml t
+        USING graft_catdml_merge_src s ON t.event_id = s.event_id
+        WHEN MATCHED AND t.user_id >= 1000000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET user_id = s.user_id,
+                                     ts_us = s.ts_us
+        WHEN NOT MATCHED THEN INSERT *""")                         // v5
+      s.sql("""SELECT 'after_delete' AS stage, count(*) AS n_rows,
+          CAST(sum(user_id) AS BIGINT) AS user_sum
+        FROM graftvtd.ev_dml VERSION AS OF 3""")
+        .unionAll(s.sql("""SELECT 'after_update', count(*),
+          CAST(sum(user_id) AS BIGINT)
+          FROM graftvtd.ev_dml VERSION AS OF 4"""))
+        .unionAll(s.sql("""SELECT 'final', count(*),
+          CAST(sum(user_id) AS BIGINT) FROM graftvtd.ev_dml"""))
+        .orderBy($"stage")
+    },
+    Some("""WITH src AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (SELECT min(event_id) AS emn, max(event_id) AS emx,
+                   min(user_id) AS umn, max(user_id) AS umx FROM src),
+      cutv AS (SELECT emx - (emx - emn) // 5 AS cut,
+                      (umn + umx) // 2 AS mid FROM b),
+      after_del AS (
+        SELECT event_id, user_id, ts_us FROM src, cutv
+        WHERE event_id < cut),
+      after_upd AS (
+        SELECT event_id,
+          CASE WHEN user_id <= (SELECT mid FROM cutv)
+            THEN user_id + 1000000 ELSE user_id END AS user_id,
+          ts_us
+        FROM after_del),
+      mrg AS (
+        SELECT event_id, user_id + 5 AS user_id, ts_us FROM src
+        WHERE event_id % 7 = 0),
+      final AS (
+        SELECT t.event_id, t.user_id, t.ts_us FROM after_upd t
+        WHERE NOT EXISTS (SELECT 1 FROM mrg s
+          WHERE s.event_id = t.event_id)
+        UNION ALL
+        SELECT s.event_id, s.user_id, s.ts_us
+        FROM after_upd t JOIN mrg s ON t.event_id = s.event_id
+        WHERE t.user_id < 1000000
+        UNION ALL
+        SELECT s.event_id, s.user_id, s.ts_us FROM mrg s
+        WHERE NOT EXISTS (SELECT 1 FROM after_upd t
+          WHERE t.event_id = s.event_id)),
+      stages AS (
+        SELECT 'after_delete' AS stage, count(*) AS n_rows,
+          sum(user_id) AS user_sum FROM after_del
+        UNION ALL
+        SELECT 'after_update', count(*), sum(user_id) FROM after_upd
+        UNION ALL
+        SELECT 'final', count(*), sum(user_id) FROM final)
+      SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(user_sum AS BIGINT) AS user_sum
+      FROM stages ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(curate, hashSample, decontaminate, tokenPacking,
     tokenPackingBpe, tokenPackingBytes, splitCounts, quotaSample,
     weightedSample, temperatureMix,
@@ -2513,6 +2614,6 @@ object CorpusCuration {
     manifestPrune3, versionedTable, pointLookup, versionedCdc,
     versionedMor, versionedMorKeys, vtSql, vtStringPrune, vtSqlIn, vtSqlDml,
     vtCdcMirror, vtDeleteWhere, vtKeysTyped, vtMergeFull, vtCdcStream,
-    vtCluster, vtAddColumns, vtCatalog, vtMergeSync,
+    vtCluster, vtAddColumns, vtCatalog, vtMergeSync, vtCatalogDml,
     manifestPrune)
 }

@@ -131,11 +131,17 @@ class VersionedCatalog extends TableCatalog {
         "stat column — declare TBLPROPERTIES('stats'='col,…' and/or " +
         "'typed'='col,…') or include a BIGINT or STRING column")
     val clusterBy = partitions.toSeq.map(transformSpec)
+    // TBLPROPERTIES('keys'='id,…') declares the UPDATE/MERGE key
+    // columns, stamped into the stored schema's field metadata so
+    // every later version carries them (the catalog twin of the regex
+    // front-end's KEYS(...) registration)
+    val keyed = listed("keys").map(ks =>
+      VersionedTable.withKeyMetadata(schema, ks)).getOrElse(schema)
     // creation IS the format's own: one empty append publishes v1
     // with the schema, stat columns and cluster spec — no side
     // metadata store to drift from the table
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
+      spark.sparkContext.emptyRDD[Row], keyed)
     VersionedTable.append(empty, rootOf(ident), stats, typed, clusterBy)
     loadTable(ident)
   }
@@ -200,13 +206,29 @@ class VersionedCatalog extends TableCatalog {
 /** One versioned table (optionally pinned to a version) as a DSv2
   * [[Table]]: reads via a [[V1Scan]] over the pruning
   * [[VersionedTable.sqlRead]] plan, writes via a [[V1Write]] whose
-  * insert is [[VersionedTable.append]].
+  * insert is [[VersionedTable.append]]. Row-level SQL works on the
+  * catalog identifier too: `DELETE FROM vt.t WHERE …` plans through
+  * [[SupportsDelete]] (Spark translates the condition to source
+  * filters, this table renders them back to the shared
+  * [[VersionedSql.runDelete]] dispatch — long boxes take
+  * `deleteRange`, typed predicates the stats-checked `deleteWhere`);
+  * UPDATE/MERGE are rewritten by [[VersionedCatalogDmlRule]] onto the
+  * same pinned commands the regex front-end runs.
   */
 private[pipeline] class VersionedV2Table(ident: String, root: String,
     version: Option[Long]) extends Table with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** The physical root — what the DML rewrite rule dispatches on. */
+  private[pipeline] def tableRoot: String = root
+
+  /** Some(v) when this handle is a `VERSION AS OF` pin — DML on a
+    * time-travel snapshot is refused.
+    */
+  private[pipeline] def pinnedVersion: Option[Long] = version
 
   override def name(): String = ident
 
@@ -215,6 +237,89 @@ private[pipeline] class VersionedV2Table(ident: String, root: String,
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+
+  // ——— SupportsDelete: `DELETE FROM vt.t WHERE …` with a
+  // filter-convertible condition. Spark only plans DeleteFromTableExec
+  // when every conjunct translated, so the render below is total over
+  // what arrives; the WHERE string re-enters the same dispatch as the
+  // regex front-end (box probes → deleteRange, else stats-checked
+  // deleteWhere — which still rejects an unprunable predicate loudly
+  // rather than silently rewriting the whole table).
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => filterSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty,
+      s"cannot DELETE from a time-travel snapshot of $ident")
+    // a no-WHERE delete arrives as AlwaysTrue (or an empty list,
+    // depending on the planning path) — both mean "everything"
+    val where = filters.toSeq.flatMap(filterSql)
+        .filterNot(_ == "true") match {
+      case Seq() =>
+        // DELETE FROM t / TRUNCATE: everything goes. Render as a
+        // full-range box over the first long stat column when one
+        // exists (the fast deleteRange path); a typed-only table
+        // truncates via an always-true COW rewrite.
+        val (stats, _) = VersionedTable.statColumnsOf(spark, root)
+        stats.headOption.map(c =>
+          s"`$c` >= ${Long.MinValue} AND `$c` <= ${Long.MaxValue}")
+          .getOrElse("true")
+      case parts => parts.mkString(" AND ")
+    }
+    VersionedSql.runDelete(spark, ident, root, morDeletes = false, where)
+    ()
+  }
+
+  /** A V1 source filter as WHERE-clause SQL; None = untranslatable
+    * (Spark then reports the DELETE unsupported instead of planning
+    * it). AlwaysTrue renders as None inside a conjunction-free list —
+    * handled above.
+    */
+  private def filterSql(f: Filter): Option[String] = f match {
+    case sources.AlwaysTrue() => Some("true")
+    case sources.EqualTo(a, v) => litSql(v).map(l => s"${identSql(a)} = $l")
+    case sources.GreaterThan(a, v) =>
+      litSql(v).map(l => s"${identSql(a)} > $l")
+    case sources.GreaterThanOrEqual(a, v) =>
+      litSql(v).map(l => s"${identSql(a)} >= $l")
+    case sources.LessThan(a, v) => litSql(v).map(l => s"${identSql(a)} < $l")
+    case sources.LessThanOrEqual(a, v) =>
+      litSql(v).map(l => s"${identSql(a)} <= $l")
+    case sources.In(a, vs) =>
+      val ls = vs.toSeq.map(litSql)
+      if (ls.exists(_.isEmpty) || ls.isEmpty) None
+      else Some(s"${identSql(a)} IN (${ls.flatten.mkString(", ")})")
+    case sources.IsNull(a) => Some(s"${identSql(a)} IS NULL")
+    case sources.IsNotNull(a) => Some(s"${identSql(a)} IS NOT NULL")
+    case sources.And(l, r) =>
+      for { ls <- filterSql(l); rs <- filterSql(r) }
+        yield s"($ls AND $rs)"
+    case _ => None // OR / NOT / StringStartsWith…: residual-only shapes
+  }
+
+  private def identSql(a: String): String = "`" + a.replace("`", "``") + "`"
+
+  private def litSql(v: Any): Option[String] = v match {
+    case null => None // `c = NULL` is never true; refuse the translation
+    case s: String => Some("'" + s.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'")
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      litSql(s.toString)
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case t: java.time.Instant => Some(s"TIMESTAMP '$t'")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: scala.math.BigDecimal => Some(d.underlying.toPlainString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) =>
+      Some(n.toString + "L")
+    case n @ (_: java.lang.Double | _: java.lang.Float) =>
+      Some(s"CAST(${n.toString} AS DOUBLE)")
+    case _ => None
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =

@@ -162,6 +162,34 @@ object VersionedSql {
     case _ => None
   }
 
+  /** The DELETE dispatch both SQL front-ends share (the regex
+    * [[VersionedDeleteCommand]] and the DSv2 catalog's
+    * `SupportsDelete`): a long-box WHERE takes the fast
+    * [[VersionedTable.deleteRange]] path (MOR marker when the table
+    * is registered `MOR DELETES`), anything else the COW
+    * [[VersionedTable.deleteWhere]] path, which demands at least one
+    * stats-checkable conjunct and rejects loudly otherwise.
+    */
+  private[pipeline] def runDelete(spark: SparkSession, name: String,
+      root: String, morDeletes: Boolean, where: String): (Long, Long) = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(where)
+    val longProbes =
+      try Some(boxProbes(parsed, name))
+      catch { case _: IllegalArgumentException => None }
+    longProbes match {
+      case Some(probes) if morDeletes =>
+        VersionedTable.deleteRangeMor(spark, root, probes)
+      case Some(probes) =>
+        VersionedTable.deleteRange(spark, root, probes)
+      case None =>
+        require(!morDeletes,
+          s"DELETE FROM $name: MOR DELETES supports long-box WHERE " +
+            "only; this predicate needs the copy-on-write path — " +
+            "re-register without MOR DELETES or use the API")
+        VersionedTable.deleteWhere(spark, root, where)
+    }
+  }
+
   /** WHERE → box probes, LOUD on anything the box algebra cannot
     * express exactly (OR, functions, non-long literals, unknown
     * shapes). BETWEEN arrives pre-lowered to >= AND <= by the parser.
@@ -612,22 +640,8 @@ case class VersionedDeleteCommand(name: String,
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("rows_affected", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val parsed = spark.sessionState.sqlParser.parseExpression(where)
-    val longProbes =
-      try Some(VersionedSql.boxProbes(parsed, name))
-      catch { case _: IllegalArgumentException => None }
-    val (v, n) = longProbes match {
-      case Some(probes) if reg.morDeletes =>
-        VersionedTable.deleteRangeMor(spark, reg.root, probes)
-      case Some(probes) =>
-        VersionedTable.deleteRange(spark, reg.root, probes)
-      case None =>
-        require(!reg.morDeletes,
-          s"DELETE FROM $name: MOR DELETES supports long-box WHERE " +
-            "only; this predicate needs the copy-on-write path — " +
-            "re-register without MOR DELETES or use the API")
-        VersionedTable.deleteWhere(spark, reg.root, where)
-    }
+    val (v, n) = VersionedSql.runDelete(spark, name, reg.root,
+      reg.morDeletes, where)
     VersionedSql.refreshView(spark, name)
     Seq(Row(v, n))
   }
@@ -815,7 +829,8 @@ case class VersionedChangesViewCommand(view: String,
 case class VersionedMergeCommand(name: String,
     reg: VersionedSql.Registration, targetAlias: Option[String],
     sourceSql: String, sourceAlias: Option[String], onCond: String,
-    keyCols: Seq[String], clauses: Seq[VersionedSql.MergeClause])
+    keyCols: Seq[String], clauses: Seq[VersionedSql.MergeClause],
+    sourcePlan: Option[LogicalPlan] = None)
     extends LeafRunnableCommand {
   import VersionedSql._
   import org.apache.spark.sql.functions.{coalesce, col, count,
@@ -851,7 +866,13 @@ case class VersionedMergeCommand(name: String,
         sys.error(s"MERGE INTO $name: no versions at ${reg.root}"))
       val target = VersionedTable.sqlRead(spark, reg.root, Some(v0))
       val tgt = target.withColumn(tMark, lit(true)).alias(tA)
-      val source0 = spark.sql(sourceSql)
+      // the catalog's MERGE rewrite hands the already-analyzed source
+      // PLAN (its USING clause is arbitrary SQL Spark parsed, not a
+      // string this grammar saw); the regex front-end hands SQL text
+      val source0 = sourcePlan
+        .map(org.apache.spark.sql.graftbridge.DatasetBridge
+          .ofRows(spark, _))
+        .getOrElse(spark.sql(sourceSql))
       val srcCols = source0.columns.toSeq
       // a per-source-ROW id distinguishes "one source row claiming two
       // raced target copies of a key" (legal — SQL deletes/updates each

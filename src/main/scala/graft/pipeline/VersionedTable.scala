@@ -3762,6 +3762,48 @@ object VersionedTable {
       root: String): Seq[String] =
     latestManifest(spark, root).map(_._2.clusterSpec).getOrElse(Seq.empty)
 
+  /** StructField-metadata flag marking a DECLARED KEY column. Keys
+    * ride in the manifest-stored schema (not a side file) so every
+    * publish path carries them for free: [[mergedSchema]] keeps the
+    * OLD field — metadata included — for shared names, and
+    * [[addColumns]]/DML republish the stored schema verbatim. The
+    * DSv2 catalog writes the flag at CREATE TABLE
+    * (`TBLPROPERTIES('keys'='id,…')`); catalog UPDATE/MERGE read it
+    * back as the upsert key set, the role the regex front-end's
+    * session registry `KEYS(...)` plays.
+    */
+  private[pipeline] val KeyColMeta = "graft.key"
+
+  /** The table's declared key columns (empty = none declared) — read
+    * from the latest manifest's stored schema field metadata.
+    */
+  private[pipeline] def keyColsOf(spark: SparkSession,
+      root: String): Seq[String] =
+    latestManifest(spark, root).flatMap(_._2.schema).map(_.fields.toSeq
+      .filter(f => f.metadata.contains(KeyColMeta) &&
+        f.metadata.getBoolean(KeyColMeta))
+      .map(_.name)).getOrElse(Seq.empty)
+
+  /** `schema` with [[KeyColMeta]] set on `keys` — what the catalog's
+    * CREATE TABLE stamps onto its empty creation append. Unknown key
+    * names reject loudly.
+    */
+  private[pipeline] def withKeyMetadata(
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val unknown = keys.filterNot(k =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    require(unknown.isEmpty,
+      s"declared key column(s) ${unknown.mkString(", ")} not in schema " +
+        schema.fieldNames.mkString("[", ", ", "]"))
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (keys.exists(_.equalsIgnoreCase(f.name)))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putBoolean(KeyColMeta, true).build())
+      else f
+    })
+  }
+
   /** (long stat columns, typed stat column names) — what an append
     * must restate; the DSv2 catalog's INSERT path reads them here.
     */

@@ -15,3 +15,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge into `Dataset.ofRows` (also `private[sql]` in Spark 4): the
+  * catalog DML rewrite holds the MERGE source as the LogicalPlan
+  * Spark's parser produced, and must re-wrap it as a DataFrame at
+  * execution — exactly what every internal command does via `ofRows`.
+  */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
