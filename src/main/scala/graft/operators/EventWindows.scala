@@ -46,8 +46,16 @@ object EventWindows {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val GapMs = 1800000L
-      val ev = Tables.events(s, d)
-        .select($"user_id", $"event_id", Tables.fdiv("ts", 1000000L).as("ts_ms"))
+      // Range-spread on user_id up front: one exchange serves the two
+      // window passes, the session aggregate AND the final orderBy
+      // (prefix rule), where the naive plan pays a hash exchange that
+      // AQE coalesces to ONE partition (1.3 MB of shuffle bytes) — the
+      // profiled plan ran lag/cumsum/aggregate as three sequential
+      // 1-task stages. Explicit range partitioning keeps the CPU-dense
+      // window work on all cores and drops the second exchange.
+      val ev = Tables.spreadRange(Tables.events(s, d)
+        .select($"user_id", $"event_id", Tables.fdiv("ts", 1000000L).as("ts_ms")),
+        $"user_id")
       val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
       val flagged = ev.withColumn("new_session",
         when(lag($"ts_ms", 1).over(byTime).isNull ||

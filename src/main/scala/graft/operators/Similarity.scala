@@ -40,7 +40,12 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val cands = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+      // spread the candidate side: 5k × 10 cosine kernels over dim-64
+      // vectors ran inside the 1-task scan of the single-file embeddings
+      // table (profiled 0.20 s serial); hash-distributing candidates puts
+      // the kernel on all cores while the query side stays broadcast.
+      val cands = Tables.spread(emb, "vec_id")
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
       val scored = cands.crossJoin(broadcast(queries))
         .filter($"qid" =!= $"cid")
         .select($"qid", $"cid",

@@ -63,7 +63,13 @@ object TextAnalysis {
     "ta_quality_score",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      // Range-spread on the sort key before the regex/split work: the
+      // single-file scan otherwise evaluates BOTH the range-sampling pass
+      // and the real pass on one core (profiled: 2 × ~0.17 s serial).
+      // With the exchange first, sampling reads only (doc_id, text) and
+      // the tokenization runs post-exchange on all cores; the final
+      // orderBy is satisfied by the partitioning (local sort only).
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id", split(trim($"text"), "\\s+").as("w"),
           length(regexp_replace($"text", "\\s+", "")).cast(LongType).as("n_letters"))
         .select($"doc_id",

@@ -49,7 +49,14 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, MulDdl)
-      Tables.lineitem(s, d)
+      // Range-exchange BEFORE the UDF projection: the UDF is volatile
+      // (reference parity), so Catalyst keeps it below the final sort's
+      // exchange — one task on the single-row-group file ran all 600k
+      // row-struct invocations serially (profiled 0.33 s). Pre-partitioning
+      // on the sort key moves the UDF above the exchange (all cores) and
+      // the orderBy is satisfied by the alias-mapped range partitioning —
+      // same single-shuffle plan, parallel UDF (guide §2.4).
+      Tables.spreadRange(Tables.lineitem(s, d), $"l_orderkey", $"l_partkey")
         .select($"l_orderkey".as("a"), $"l_partkey".as("b"),
           call_function("graft_mul", $"l_orderkey", $"l_partkey").as("product"))
         .orderBy($"a", $"b")

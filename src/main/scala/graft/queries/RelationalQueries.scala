@@ -29,8 +29,16 @@ object RelationalQueries {
     "q1_pricing_summary",
     (s, d) => {
       import s.implicits._
-      lineitem(s, d)
-        .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      // spread before the aggregation: the harness lineitem file is a
+      // single parquet row group, so the scan (and with it the whole
+      // partial aggregate — profiled 1.05 s of the 1.3 s wall) runs as
+      // ONE task; hash-distributing on the high-cardinality order key
+      // parallelizes the decimal sums across the session's cores (guide
+      // §2.5 "input skew: one huge unsplittable file — repartition
+      // immediately after the read"). Filter + pruning still push below
+      // the exchange into the scan.
+      spread(lineitem(s, d)
+        .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02"))), "l_orderkey")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"),
@@ -208,7 +216,17 @@ object RelationalQueries {
       val w = Window.partitionBy($"l_orderkey")
         .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      lineitem(s, d)
+      // One exchange instead of two (guide §2.4): range-partitioning on
+      // l_orderkey up front satisfies BOTH the window's clustering
+      // (equal keys never split across range partitions) AND the final
+      // global sort (RangePartitioning on a key prefix satisfies
+      // OrderedDistribution), and the window's partition sort already
+      // produces the full output order — so the hash exchange + second
+      // range exchange + final sort of the naive plan all disappear.
+      // Before: Exchange hash(l_orderkey) → Sort+Window → Exchange
+      // range(5 cols) → Sort. After: Exchange range(l_orderkey) →
+      // Sort+Window.
+      spreadRange(lineitem(s, d), $"l_orderkey")
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
           $"l_quantity",
           asDec(sum(dec2($"l_quantity")).over(w), 2).as("running_qty"))
@@ -291,7 +309,13 @@ object RelationalQueries {
     "q_distinct_agg",
     (s, d) => {
       import s.implicits._
-      lineitem(s, d)
+      // spread before the multi-distinct aggregate: Catalyst plans three
+      // COUNT(DISTINCT ...) as an Expand (×4 row multiplier) feeding the
+      // first-level dedup aggregate, all INSIDE the scan stage — which is
+      // one task on the single-row-group harness file (profiled: 1.49 s
+      // serial of the 2.3 s wall). Distributing on the order key first
+      // runs Expand + partial dedup on all cores (guide §2.5).
+      spread(lineitem(s, d), "l_orderkey")
         .groupBy($"l_returnflag")
         .agg(countDistinct($"l_orderkey").as("n_orders"),
           countDistinct($"l_partkey").as("n_parts"),

@@ -22,8 +22,27 @@ import org.apache.spark.sql.{Column, functions => F}
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Schema memo per parquet path (metadata only, never data): without it
+  // every `spark.read.parquet` call pays schema inference — a driver-side
+  // footer read Spark 4 runs as a 1-task JOB — once per table REFERENCE
+  // per query run (profiled r20: q5 launches six such jobs per pass,
+  // ~0.2 s of its 1.1 s wall; the suite references tables ~500 times per
+  // bench pass). Supplying the inferred schema back to the reader skips
+  // inference while every byte of data is still read from parquet at
+  // execution time. Same category as Spark's own FileStatusCache /
+  // `filesourcePartitionFileCacheSize` (optimization guide §6) and the
+  // existing [[graft.sources.Catalog]] same-dir view memo. The harness
+  // testdata dirs are immutable within a JVM run; anything that rewrites
+  // a parquet path mid-JVM must not route through this helper.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
@@ -127,4 +146,25 @@ object Tables {
     */
   def spread(df: DataFrame, key: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+
+  /** Range-partitioning twin of [[spread]], for pipelines that END in a
+    * global sort: placing the sort's range exchange BEFORE the CPU-dense
+    * per-row work (regex, UDFs, window functions) parallelizes that work
+    * without adding a shuffle — the final `orderBy` is then satisfied by
+    * this partitioning (Spark's prefix rule: RangePartitioning on a key
+    * prefix satisfies OrderedDistribution) and plans as a local sort or
+    * disappears entirely when a window's sort already produced the order.
+    * Profiled r20: the small single-row-group harness files give the scan
+    * ONE effective task, and AQE's byte-based coalescing keeps small
+    * post-shuffle stages at one partition too, so without an explicit
+    * repartition every per-row stage of a small-bytes query serializes on
+    * one core (ev_sessionize ran as three sequential 1-task stages). The
+    * explicit partition count (defaultParallelism = session cores; NOT a
+    * tuned constant) opts out of AQE coalescing, which optimizes bytes,
+    * not CPU density. Equal keys never split across range partitions, so
+    * window partitionBy(prefix) and groupBy(prefix, ...) stay correct.
+    */
+  def spreadRange(df: DataFrame, cols: Column*): DataFrame =
+    df.repartitionByRange(
+      df.sparkSession.sparkContext.defaultParallelism, cols: _*)
 }
