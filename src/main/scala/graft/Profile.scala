@@ -40,9 +40,10 @@ object Profile {
       case r                  => (2, r)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleP)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.adhesive.AdhesiveSparkExtensions")
@@ -94,6 +95,27 @@ object Profile {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // --stacks: sample executor-task threads during the last run and
+    // print the hottest frames (poor-man's profiler for lock hunts)
+    val sampled = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+              val key = st.take(6).mkString(" <- ")
+              sampled.merge(key, 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(20)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     val targets = if (names.isEmpty) Bench.Headline else names
     targets.foreach { n =>
       val fn = SparkEntry.queries(n)
@@ -103,10 +125,19 @@ object Profile {
         spark.catalog.clearCache()
         System.gc()
         val attach = i == runs
-        if (attach) { stages.clear(); jobWall.clear(); spark.sparkContext.addSparkListener(listener) }
+        if (attach) { stages.clear(); jobWall.clear(); sampled.clear(); sampling = true; spark.sparkContext.addSparkListener(listener) }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (attach) {
+          sampling = false
+          import scala.jdk.CollectionConverters._
+          val top = sampled.asScala.toSeq.sortBy(-_._2).take(12)
+          if (top.nonEmpty) {
+            println(s"--- hottest task-thread stacks ($n):")
+            top.foreach { case (k, c) => println(f"  $c%5d  $k") }
+          }
+        }
         if (attach) {
           Thread.sleep(400) // listener events drain asynchronously
           spark.sparkContext.removeSparkListener(listener)

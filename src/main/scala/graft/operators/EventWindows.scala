@@ -14,6 +14,16 @@ object EventWindows {
 
   private val HourUs = 3600L * 1000000L
 
+  /** Source bytes per streaming state partition (guide §2.2: size
+    * shuffle partitions in the tens-to-hundreds-of-MB range rather
+    * than by core count). Used by [[drainEvents]] to derive the
+    * state-store instance count from the drained input's size — the
+    * count grows with data volume and is 1 for the KB-to-MB harness
+    * drains, where extra instances are pure fixed cost + provider-init
+    * lock contention.
+    */
+  private val StatePartitionBytes = 32L * 1024 * 1024
+
   val hourly: Q = Q(
     "ev_window_hourly",
     (s, d) => {
@@ -839,12 +849,29 @@ object EventWindows {
           }
         }
       }
-      q = pipeline(graft.streaming.EventStreamPipeline
-          .readEvents(s, srcDir.toString, maxFilesPerTrigger))
-        .writeStream.outputMode(outputMode)
-        .format("memory").queryName(sink)
-        .start()
-      q.processAllAvailable()
+      // State-store instances (= shuffle partitions at checkpoint
+      // creation) are sized to the SOURCE VOLUME, not the session core
+      // count (guide §2.2 partition sizing, "derive from input size"):
+      // every instance pays a fixed per-batch load/commit cost, and
+      // Spark 4 serializes provider initialization on the global
+      // loadedProviders lock — profiled at 32 partitions the two join
+      // micro-batch stages spent 147 s of task time blocked there
+      // (every task's runtime ≈ the stage wall) vs 9.3 s at 8. A fresh
+      // checkpoint per entry makes the setting per-drain; the session
+      // value is restored before the finally's teardown.
+      val srcBytes = copied.map(java.nio.file.Files.size(_)).sum
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val stateParts = math.max(1L, (srcBytes + StatePartitionBytes - 1) /
+        StatePartitionBytes)
+      s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      try {
+        q = pipeline(graft.streaming.EventStreamPipeline
+            .readEvents(s, srcDir.toString, maxFilesPerTrigger))
+          .writeStream.outputMode(outputMode)
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       if (minDataBatches > 0 || maxDataBatches < Int.MaxValue) {
         // the oracle's batching assumption must hold for REAL, not by
         // luck (round-13 ADVICE on ev_stream_running_distinct): a

@@ -483,6 +483,21 @@ object Layout {
       files: Seq[String],
       cols: Seq[String]): Seq[(String, Long, Option[Seq[(Long, Long)]])] = {
     if (files.isEmpty) return Seq.empty
+    if (files.size <= BloomDriverLoopLimit) {
+      // small file sets (the common per-commit case: one write lands a
+      // handful of files) read on the DRIVER, same latency argument and
+      // same threshold as [[bloomMayContain]] — per-job scheduling
+      // overhead dominates a couple of footer reads (profiled r20:
+      // pipe_vt_cdc_mirror launches one such job per commit)
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      return files.asJava.parallelStream()
+        .map[(String, Long, Option[Seq[(Long, Long)]])](f =>
+          longStatsOf(f, conf, cols))
+        .collect(java.util.stream.Collectors
+          .toList[(String, Long, Option[Seq[(Long, Long)]])])
+        .asScala.toSeq
+    }
     val confBytes = {
       // Hadoop Configuration is not serializable as-is; ship the XML
       val baos = new java.io.ByteArrayOutputStream()
@@ -642,6 +657,22 @@ object Layout {
       : Seq[(String, Long, Option[Seq[(Long, Long)]],
         Seq[(Option[String], Option[String])], Seq[Long])] = {
     if (files.isEmpty) return Seq.empty
+    if (files.size <= BloomDriverLoopLimit) {
+      // driver-loop tier, same rationale and threshold as
+      // [[bloomMayContain]] / [[footerStats]]: every commit calls this
+      // for the handful of files it just wrote, and the Spark-job
+      // machinery costs more than the footer reads themselves
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      return files.asJava.parallelStream()
+        .map[(String, Long, Option[Seq[(Long, Long)]],
+          Seq[(Option[String], Option[String])], Seq[Long])](f =>
+          typedStatsOne(f, conf, cols, typedCols))
+        .collect(java.util.stream.Collectors
+          .toList[(String, Long, Option[Seq[(Long, Long)]],
+            Seq[(Option[String], Option[String])], Seq[Long])])
+        .asScala.toSeq
+    }
     val confBytes = {
       val baos = new java.io.ByteArrayOutputStream()
       spark.sparkContext.hadoopConfiguration.writeXml(baos)
@@ -652,15 +683,29 @@ object Layout {
       .map { f =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         conf.addResource(new java.io.ByteArrayInputStream(confBytes))
-        val (n, rows, boxes) = longStatsOf(f, conf, cols)
-        val tb =
-          if (typedCols.isEmpty)
-            Seq.empty[(Option[String], Option[String])]
-          else typedStatsOf(f, conf, typedCols)
-        (n, rows, boxes, tb, nullStatsOf(f, conf,
-          cols ++ typedCols.map(_._1), rows))
+        typedStatsOne(f, conf, cols, typedCols)
       }
       .collect().toSeq
+  }
+
+  /** One file's long boxes + typed bounds + null counts — the shared
+    * body of [[footerStatsTyped]]'s driver-loop and distributed tiers.
+    * An OBJECT method on purpose: the distributed tier's task closure
+    * calls it through the static MODULE$ reference (a local `def` would
+    * capture the non-serializable enclosing instance).
+    */
+  private def typedStatsOne(f: String,
+      conf: org.apache.hadoop.conf.Configuration, cols: Seq[String],
+      typedCols: Seq[(String, Char)])
+      : (String, Long, Option[Seq[(Long, Long)]],
+        Seq[(Option[String], Option[String])], Seq[Long]) = {
+    val (n, rows, boxes) = longStatsOf(f, conf, cols)
+    val tb =
+      if (typedCols.isEmpty)
+        Seq.empty[(Option[String], Option[String])]
+      else typedStatsOf(f, conf, typedCols)
+    (n, rows, boxes, tb, nullStatsOf(f, conf,
+      cols ++ typedCols.map(_._1), rows))
   }
 
   /** One file's per-column null counts from its footer (see
