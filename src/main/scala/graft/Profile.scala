@@ -104,8 +104,10 @@ object Profile {
         if (sampling) {
           import scala.jdk.CollectionConverters._
           Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
-            if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
-              val key = st.take(6).mkString(" <- ")
+            if ((t.getName.startsWith("Executor task launch") ||
+                t.getName == "main") && st.nonEmpty) {
+              val tag = if (t.getName == "main") "[driver] " else ""
+              val key = tag + st.take(6).mkString(" <- ")
               sampled.merge(key, 1, (a, b) => a + b)
             }
           }

@@ -25,7 +25,11 @@ object Multimodal {
     */
   def mediaDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(
+    // range-spread the payload view once for every mm_* consumer: the
+    // decode/feature mapPartitions otherwise run inside the 1-task scan
+    // of the single-file corpus, and four of the five entries end in an
+    // ORDER BY doc_id this partitioning already satisfies
+    Tables.spreadRange(Tables.documents(s, d), $"doc_id").select(
       $"doc_id",
       encode($"text", "UTF-8").as("payload"),
       struct(

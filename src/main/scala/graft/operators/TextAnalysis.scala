@@ -39,7 +39,10 @@ object TextAnalysis {
     "ta_token_count",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      // range-spread off the 1-task scan (same story as
+      // ta_quality_score: the regex work parallelizes on the sort
+      // exchange the query pays anyway)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           size(split(trim($"text"), "\\s+")).cast(LongType).as("n_tokens"),
           // BPE-ish pre-tokenization: word runs + single punctuation marks
@@ -105,7 +108,7 @@ object TextAnalysis {
     "ta_lang_id",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id", $"lang", lower(trim($"text")).as("trimmed"))
         .select($"doc_id", $"lang", $"trimmed",
           split($"trimmed", "\\s+").as("w"))
@@ -143,7 +146,7 @@ object TextAnalysis {
     "ta_fingerprint",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id", md5(expr(normSpark)).as("fp"))
         .orderBy($"doc_id")
     },
@@ -164,7 +167,7 @@ object TextAnalysis {
     (s, d) => {
       import graft.functions.RollingHash.rolling_hash
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id", rolling_hash(expr(normSpark)).as("rfp"))
         .orderBy($"doc_id")
     },
@@ -266,7 +269,7 @@ object TextAnalysis {
     (s, d) => {
       import s.implicits._
       val pat = "\\\\b(customer|value)\\\\b"
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           expr(s"regexp_count(text, '$pat')").cast(LongType).as("n_hits"),
           length(expr(s"regexp_replace(text, '$pat', '[TERM]')"))
@@ -314,7 +317,7 @@ object TextAnalysis {
         // every third doc carries a second address, so the counts VARY
         // and a miscounting engine can't pass on constants
         when($"doc_id" % 3 === 0, lit(" cc admin@corp.io")).otherwise(lit("")))
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           regexp_count(aug, lit(EmailPat)).cast(LongType).as("n_emails"),
           regexp_count(aug, lit(IpPat)).cast(LongType).as("n_ips"),
@@ -378,7 +381,7 @@ object TextAnalysis {
     "ta_length_histogram",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d), "doc_id")
         .groupBy(expr("length(text) div 100").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(length($"text").cast(LongType)).as("min_chars"),
@@ -637,7 +640,7 @@ object TextAnalysis {
     (s, d) => {
       import graft.functions.UnicodeNormalize.unicode_normalize
       import s.implicits._
-      val deco = Tables.documents(s, d)
+      val deco = Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           regexp_replace(substring($"text", 1, 80), "a",
             "a" + Character.toString(0x30A)).as("t"))
@@ -683,8 +686,8 @@ object TextAnalysis {
         // (load-bearing — see the scaladoc at its one definition) lives
         // in BpeTokenizer next to the merge tables
         val encodeUdf = graft.functions.BpeTokenizer.encodeUdf(merges)
-        val words = Tables.documents(s, d)
-          .filter($"doc_id" % 10 === 0)
+        val words = Tables.spreadRange(
+            Tables.documents(s, d).filter($"doc_id" % 10 === 0), $"doc_id")
           .select($"doc_id",
             posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
               .as(Seq("wp0", "w")))
@@ -769,8 +772,8 @@ object TextAnalysis {
         // calls would run the merge replay twice per distinct word
         val encodeBoth =
           graft.functions.BpeTokenizer.encodeBytesWithIdsUdf(merges)
-        val words = Tables.documents(s, d)
-          .filter($"doc_id" % 10 === 0)
+        val words = Tables.spreadRange(
+            Tables.documents(s, d).filter($"doc_id" % 10 === 0), $"doc_id")
           .select($"doc_id",
             posexplode(expr(
               s"regexp_extract_all($ByteRichExpr, '\\\\S+', 0)"))
@@ -814,7 +817,7 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val encodeUdf = graft.functions.BpeTokenizer.encodeIdsUdf(merges)
-        val words = Tables.documents(s, d)
+        val words = Tables.spreadRange(Tables.documents(s, d), $"doc_id")
           .select($"doc_id",
             explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
               .as("w"))

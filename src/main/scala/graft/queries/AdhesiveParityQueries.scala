@@ -70,7 +70,10 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, AddClassDdl)
-      Tables.orders(s, d)
+      // range-exchange before the volatile UDF (same rationale as
+      // aq_mul_java: parallelize the 1-task scan's UDF work on the sort
+      // exchange the query pays anyway)
+      Tables.spreadRange(Tables.orders(s, d), $"o_orderkey")
         .select($"o_orderkey".as("a"), $"o_custkey".as("b"),
           call_function("graft_add", $"o_orderkey", $"o_custkey").as("total"))
         .orderBy($"a")
@@ -86,7 +89,8 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, NullCaseDdl)
-      Tables.lineitem(s, d)
+      Tables.spreadRange(Tables.lineitem(s, d),
+          $"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           call_function("graft_nullcase", $"l_suppkey", $"l_orderkey").as("v"))
         .orderBy($"l_orderkey", $"l_linenumber")
@@ -153,7 +157,7 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, NormalizeDdl)
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           call_function("graft_norm", $"text").as("norm_text"))
         .orderBy($"doc_id")
@@ -181,7 +185,7 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, FlagDdl)
-      Tables.orders(s, d)
+      Tables.spreadRange(Tables.orders(s, d), $"o_orderkey")
         .select($"o_orderkey",
           call_function("graft_urgent", $"o_orderpriority", $"o_custkey")
             .as("is_urgent"))
@@ -214,7 +218,8 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, CentsDdl)
-      Tables.lineitem(s, d)
+      Tables.spreadRange(Tables.lineitem(s, d),
+          $"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           call_function("graft_cents",
             $"l_extendedprice".cast("decimal(12,2)")).as("cents"))
@@ -246,7 +251,7 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, PosDimsDdl)
-      Tables.embeddings(s, d)
+      Tables.spreadRange(Tables.embeddings(s, d), $"vec_id")
         .select($"vec_id",
           call_function("graft_pos_dims", $"embedding").as("pos_dims"))
         .orderBy($"vec_id")
@@ -284,7 +289,10 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, RevenueAggDdl)
-      Tables.lineitem(s, d)
+      // hash-spread before the typed-Aggregator partial fold (the
+      // 1-task-scan story of q1_pricing_summary; the partial state is
+      // tiny, so the post-spread exchange on the flag stays cheap)
+      Tables.spread(Tables.lineitem(s, d), "l_orderkey")
         .select($"l_returnflag",
           $"l_extendedprice".cast("decimal(12,2)").as("price"),
           $"l_discount".cast("decimal(3,2)").as("disc"))
@@ -328,6 +336,12 @@ object AdhesiveParityQueries {
     (s, d) => {
       AdhesiveDdl.execute(s, TokensDdl)
       graft.sources.Catalog.registerAll(s, d)
+      // NOT spread (r20): GenerateExec does not preserve child
+      // partitioning (UnknownPartitioning), so a pre-generate range
+      // exchange cannot satisfy the presentation sort and would ADD a
+      // shuffle of the narrow rows while the sort still shuffles the
+      // fan-out — strictly worse than the in-scan-stage generator the
+      // plan pin protects.
       s.sql("""SELECT d.doc_id, tk.pos, tk.token
         FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ') AS t
               FROM documents) d,
@@ -382,6 +396,8 @@ object AdhesiveParityQueries {
     (s, d) => {
       AdhesiveDdl.execute(s, UnwindDdl)
       graft.sources.Catalog.registerAll(s, d)
+      // not spread — same GenerateExec partitioning story as
+      // aq_table_java
       s.sql("""SELECT d.doc_id, u.pos, u.v, u.run
         FROM (SELECT doc_id,
                 transform(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '),
@@ -432,7 +448,8 @@ object AdhesiveParityQueries {
       // decimal column as Decimal('…') on the Spark side but float64 on
       // the DuckDB side — both engines render the scale-4 decimal as the
       // same full-scale string ('43683.0600'), so the compare is exact
-      Tables.lineitem(s, d)
+      Tables.spreadRange(Tables.lineitem(s, d),
+          $"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           call_function("graft_net",
             $"l_extendedprice".cast("decimal(12,2)"),
@@ -477,7 +494,7 @@ object AdhesiveParityQueries {
       // canonical string — a list-typed result column breaks the
       // driver's pandas row sort (unhashable ndarray cells), and the
       // suite convention is scalar output columns
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           array_join(
             call_function("graft_word_lens",
@@ -522,7 +539,7 @@ object AdhesiveParityQueries {
       import s.implicits._
       AdhesiveDdl.execute(s, FeatScoreDdl)
       val norm = regexp_replace(trim($"text"), "\\s+", " ")
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           call_function("graft_feat_score",
             map(lit("chars"), length(norm).cast("long"),
@@ -559,7 +576,8 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, MonthStartDdl)
-      Tables.lineitem(s, d)
+      Tables.spreadRange(Tables.lineitem(s, d),
+          $"l_orderkey", $"l_linenumber")
         .select($"l_orderkey", $"l_linenumber",
           call_function("graft_month_start", to_date($"l_shipdate"))
             .as("ship_month"))
@@ -593,7 +611,7 @@ object AdhesiveParityQueries {
       AdhesiveDdl.execute(s, HourFloorDdl)
       // Tables.events normalizes ts to epoch NANOS (LONG); rebuild the
       // TIMESTAMP instant for the typed argument
-      Tables.events(s, d)
+      Tables.spreadRange(Tables.events(s, d), $"event_id")
         .select($"event_id",
           call_function("graft_hour_floor",
             expr("timestamp_micros(ts div 1000)")).as("hour_bucket"))
@@ -629,7 +647,7 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, PrioScoreDdl)
-      Tables.orders(s, d)
+      Tables.spreadRange(Tables.orders(s, d), $"o_orderkey")
         .select($"o_orderkey",
           call_function("graft_prio_score",
             struct($"o_orderpriority".as("prio"), $"o_totalprice".as("price")))
@@ -679,7 +697,7 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, MeanQtyDdl)
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d), "l_orderkey")
         .select($"l_returnflag", $"l_quantity".cast("bigint").as("qty"))
         .groupBy($"l_returnflag")
         .agg(call_function("graft_mean_qty", $"qty").as("mean_qty"))
@@ -714,7 +732,7 @@ object AdhesiveParityQueries {
     (s, d) => {
       import s.implicits._
       AdhesiveDdl.execute(s, TextStatsDdl)
-      Tables.documents(s, d)
+      Tables.spreadRange(Tables.documents(s, d), $"doc_id")
         .select($"doc_id",
           call_function("graft_text_stats",
             regexp_replace(trim($"text"), "\\s+", " ")).as("st"))
@@ -751,9 +769,13 @@ object AdhesiveParityQueries {
       import s.implicits._
       AdhesiveDdl.execute(s, LongSumDdl)
       graft.sources.Catalog.registerAll(s, d)
-      s.sql("""SELECT l_returnflag,
+      // inner REPARTITION: the Expand + partial-distinct fold otherwise
+      // runs inside the 1-task scan (q_distinct_agg story)
+      s.sql(s"""SELECT l_returnflag,
         graft_lsum(DISTINCT CAST(l_quantity AS BIGINT)) AS distinct_qty_sum
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+        FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}, l_orderkey) */ *
+              FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
       CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -769,10 +791,12 @@ object AdhesiveParityQueries {
       import s.implicits._
       AdhesiveDdl.execute(s, LongSumDdl)
       graft.sources.Catalog.registerAll(s, d)
-      s.sql("""SELECT l_returnflag,
+      s.sql(s"""SELECT l_returnflag,
         graft_lsum(CAST(l_quantity AS BIGINT))
           FILTER (WHERE l_extendedprice > 30000) AS big_qty_sum
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+        FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}, l_orderkey) */ *
+              FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
       CAST(SUM(CAST(l_quantity AS BIGINT))

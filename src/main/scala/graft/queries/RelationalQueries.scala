@@ -260,7 +260,9 @@ object RelationalQueries {
     "q_rollup",
     (s, d) => {
       import s.implicits._
-      lineitem(s, d)
+      // spread before Expand (rollup = x3 row multiplier inside the
+      // 1-task scan otherwise; q1/q_distinct_agg story)
+      spread(lineitem(s, d), "l_orderkey")
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n"),
           asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"))
@@ -554,7 +556,8 @@ object RelationalQueries {
     "q_percentiles",
     (s, d) => {
       import s.implicits._
-      lineitem(s, d)
+      // spread before the sort-buffer percentile partials (1-task scan)
+      spread(lineitem(s, d), "l_orderkey")
         .groupBy($"l_returnflag")
         .agg(expr("percentile(l_quantity, 0.5)").as("qty_p50"),
           expr("percentile(l_quantity, 0.9)").as("qty_p90"),
@@ -796,7 +799,7 @@ object RelationalQueries {
       import s.implicits._
       // top-k surfaced as rank columns, not an array (see q_array_agg on
       // why the driver compare needs scalar cells)
-      lineitem(s, d)
+      spread(lineitem(s, d), "l_orderkey")
         .groupBy($"l_returnflag")
         .agg(top_k(3)($"l_extendedprice").as("top3"))
         .select($"l_returnflag",
