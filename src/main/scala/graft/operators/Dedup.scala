@@ -88,12 +88,11 @@ object Dedup {
     "dd_exact",
     (s, d) => {
       import s.implicits._
-      // spread before hashing: normalization regex + md5 + the partial
-      // aggregate otherwise run inside the 1-task scan of the single-file
-      // corpus (profiled 0.16 s serial); doc_id-hash distribution runs
-      // them on all cores, and the partial aggregate still collapses
-      // duplicates before the (tiny) exchange on content_hash.
-      Tables.spread(Tables.documents(s, d), "doc_id")
+      // NOT spread (r20): measured flat-to-negative (0.52 -> 0.62 s
+      // bench best) — the md5 partial collapses to ~distinct hashes
+      // map-side, so the spread exchange buys nothing the content_hash
+      // exchange wasn't already paying
+      Tables.documents(s, d)
         .groupBy(md5(expr(Norm)).as("content_hash"))
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
         .orderBy($"content_hash")

@@ -1172,10 +1172,23 @@ object Similarity {
 
   private[graft] def ivfPqServe(s: SparkSession, d: String, serveAll: Boolean,
       nprobe: Int = 1): DataFrame = {
-    import s.implicits._
     val emb = embDouble(s, d)
     val centroids = kmeansCodebook(s, d)
     val cells = ivfCells(s, emb, centroids).cache()
+    ivfPqServeBuilt(s, emb, centroids, cells, serveAll, nprobe)
+  }
+
+  /** [[ivfPqServe]] over an ALREADY-BUILT index (`cells` assignment,
+    * typically cached): lets a consumer that serves the same index
+    * several ways — [[ivfPqRecall]] runs nprobe=1 AND nprobe=2 —
+    * assign cells and derive the codes ONCE instead of rebuilding the
+    * whole index per serve (r20: the recall entry ran the k-means
+    * codebook + assignment + PQ coding twice for one answer).
+    */
+  private[graft] def ivfPqServeBuilt(s: SparkSession, emb: DataFrame,
+      centroids: DataFrame, cells: DataFrame, serveAll: Boolean,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
     val rcb = residualCodebook(cells)
     val codes = pqCodesFrame(cells, rcb)
     val queries =
@@ -1449,8 +1462,21 @@ object Similarity {
       def hits(df: DataFrame, col: String): DataFrame =
         truth.join(df.select($"qid", $"cid"), Seq("qid", "cid"))
           .groupBy($"qid").agg(count(lit(1)).as(col))
-      val np1 = hits(ivfPqServe(s, d, serveAll = false, nprobe = 1), "h1")
-      val np2 = hits(ivfPqServe(s, d, serveAll = false, nprobe = 2), "h2")
+      // ONE index build serves both probe settings (r20): the codebook,
+      // cell assignment AND the PQ codes table are identical for nprobe
+      // 1 and 2 — only the query-side residuals differ, so the codes
+      // frame is cached and fed to both ADC serves directly
+      val embD = embDouble(s, d)
+      val centroids = kmeansCodebook(s, d)
+      val cells = ivfCells(s, embD, centroids).cache()
+      val rcb = residualCodebook(cells)
+      val codes = pqCodesFrame(cells, rcb).cache()
+      val q1 = cells.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"cell".as("qcell"), $"r".as("qr"))
+      val q2 = probeResiduals(s, embD, centroids, serveAll = false,
+        nprobe = 2)
+      val np1 = hits(adcTopK(codes, rcb, q1, serveAll = false), "h1")
+      val np2 = hits(adcTopK(codes, rcb, q2, serveAll = false), "h2")
       probes.select($"qid")
         .join(np1, Seq("qid"), "left").join(np2, Seq("qid"), "left")
         .select($"qid",

@@ -769,13 +769,13 @@ object AdhesiveParityQueries {
       import s.implicits._
       AdhesiveDdl.execute(s, LongSumDdl)
       graft.sources.Catalog.registerAll(s, d)
-      // inner REPARTITION: the Expand + partial-distinct fold otherwise
-      // runs inside the 1-task scan (q_distinct_agg story)
-      s.sql(s"""SELECT l_returnflag,
+      // NOT spread (r20): measured 0.46 -> 1.22 s with an inner
+      // REPARTITION hint — the distinct fold over (flag, qty) collapses
+      // to ~150 distinct tuples map-side, so the added full-row shuffle
+      // costs more than the 1-task partial it parallelizes
+      s.sql("""SELECT l_returnflag,
         graft_lsum(DISTINCT CAST(l_quantity AS BIGINT)) AS distinct_qty_sum
-        FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}, l_orderkey) */ *
-              FROM lineitem)
-        GROUP BY l_returnflag ORDER BY l_returnflag""")
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
       CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -791,12 +791,13 @@ object AdhesiveParityQueries {
       import s.implicits._
       AdhesiveDdl.execute(s, LongSumDdl)
       graft.sources.Catalog.registerAll(s, d)
-      s.sql(s"""SELECT l_returnflag,
+      // NOT spread (r20): measured 0.41 -> 0.79 s with the hint — the
+      // filtered sum partial is a trivial per-row fold into 3 groups;
+      // the added shuffle dominates (same story as aq_agg_distinct)
+      s.sql("""SELECT l_returnflag,
         graft_lsum(CAST(l_quantity AS BIGINT))
           FILTER (WHERE l_extendedprice > 30000) AS big_qty_sum
-        FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}, l_orderkey) */ *
-              FROM lineitem)
-        GROUP BY l_returnflag ORDER BY l_returnflag""")
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
       CAST(SUM(CAST(l_quantity AS BIGINT))
