@@ -50,6 +50,11 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // dev A/B knob: force the SortShuffleWriter (2 files/map task)
+      // below the given reduce count instead of the bypass writer
+      // (R files/map task) — for measuring shuffle-file-op overhead
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
