@@ -2376,13 +2376,17 @@ object VersionedTable {
         s"deleteKeysMor: '$keyCol' is a string typed column but the " +
           s"key frame is $ft")
     }
-    val n = kf.count()
+    // ONE job: count + dense bounds together (guide §1 — a separate
+    // count() is a full extra pass over the key frame)
+    val kst = kf.agg(count(lit(1)), min(col("k")), max(col("k"))).head
+    val n = kst.getLong(0)
     if (n == 0L) return Some((v0, 0L))
     // sparse-key refinement, as in upsertByKey: few keys test files
     // against the actual values, not one global box; string keys test
     // against the typed truncated bounds
     val hit = keyedCandidateTest(m0, Seq(keyCol),
-      kf.select(col("k").as(keyCol)), n, "deleteKeysMor")
+      kf.select(col("k").as(keyCol)), n, "deleteKeysMor",
+      Some(Seq((kst.get(1), kst.get(2)))))
     val candShards = m0.shards.filter(r =>
       r.name.isEmpty || hit(r.boxes, r.tboxes))
     val touched = candShards.flatMap(r => m0.entriesOf(r))
@@ -2952,7 +2956,8 @@ object VersionedTable {
     * with `keyCols`.
     */
   private def keyedCandidateTest(m: Manifest, keyCols: Seq[String],
-      keyFrame: DataFrame, total: Long, what: String)
+      keyFrame: DataFrame, total: Long, what: String,
+      precomputedBounds: Option[Seq[(Any, Any)]] = None)
       : (Seq[(Long, Long)], Seq[TBound]) => Boolean = {
     val idx = keyCols.map(c => keyIndex(m, c, what))
     val keyTuples: Option[Seq[Seq[Any]]] =
@@ -2963,17 +2968,25 @@ object VersionedTable {
             case (Right(_), p) => encodeStrKey(row.getString(p))
           }))
       else None
-    // dense bounds: computed ONLY when the sparse set is too large
-    // (the extra aggregate is one bounded job on the key frame)
-    lazy val dense: Seq[(Any, Any)] = {
-      val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-      val st = keyFrame.agg(aggs.head, aggs.tail: _*).head
-      idx.zipWithIndex.map {
-        case (Left(_), p) => (st.getLong(2 * p), st.getLong(2 * p + 1))
-        case (Right(_), p) =>
-          (encodeStrKey(st.getString(2 * p)),
-            encodeStrKey(st.getString(2 * p + 1)))
+    // dense bounds: taken from the caller when its counting aggregate
+    // already carried min/max (one fused job instead of count + bounds),
+    // otherwise computed ONLY when the sparse set is too large
+    lazy val dense: Seq[(Any, Any)] = precomputedBounds match {
+      case Some(bs) => idx.zip(bs).map {
+        case (Left(_), (lo, hi)) => (lo, hi)
+        case (Right(_), (lo, hi)) =>
+          (encodeStrKey(lo.asInstanceOf[String]),
+            encodeStrKey(hi.asInstanceOf[String]))
       }
+      case None =>
+        val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val st = keyFrame.agg(aggs.head, aggs.tail: _*).head
+        idx.zipWithIndex.map {
+          case (Left(_), p) => (st.getLong(2 * p), st.getLong(2 * p + 1))
+          case (Right(_), p) =>
+            (encodeStrKey(st.getString(2 * p)),
+              encodeStrKey(st.getString(2 * p + 1)))
+        }
     }
     // may [lo, hi] (encoded) intersect typed bound ti? Absent bounds
     // (legacy pseudo-shard, unprovable side) never prune.
@@ -3101,12 +3114,20 @@ object VersionedTable {
     // replaceable — it would duplicate on every repeated upsert.
     // countDistinct over the key tuple proves KEY-UNIQUENESS: two
     // update rows with one key would both land.
-    val aggs = count(lit(1)) +:
+    // min/max per key ride in the SAME validation job: the dense
+    // candidate bounds below come for free instead of a second pass
+    // (keys are unique per update row, so the updates' bounds ARE the
+    // distinct key frame's bounds)
+    val aggs = (count(lit(1)) +:
       countDistinct(col(keyCols.head), keyCols.tail.map(col): _*) +:
-      keyCols.map(c => count(col(c)))
+      keyCols.map(c => count(col(c)))) ++
+      keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
     val r = pinned.agg(aggs.head, aggs.tail: _*).head
     val total = r.getLong(0)
     val distinctKeys = r.getLong(1)
+    val boundsBase = 2 + keyCols.size
+    val keyBounds: Seq[(Any, Any)] = keyCols.indices.map(p =>
+      (r.get(boundsBase + 2 * p), r.get(boundsBase + 2 * p + 1)))
     require(total > 0, "upsertByKey: empty updates")
     keyCols.zipWithIndex.foreach { case (c, i) =>
       require(r.getLong(2 + i) == total,
@@ -3127,7 +3148,7 @@ object VersionedTable {
     // full-table rewrite. Long keys probe the boxes, string keys the
     // typed truncated bounds.
     val mayHoldKeys = keyedCandidateTest(m, keyCols, keyFrame, total,
-      "upsertByKey")
+      "upsertByKey", Some(keyBounds))
     val candShards = m.shards.filter(r =>
       r.name.isEmpty || mayHoldKeys(r.boxes, r.tboxes))
     val touched = candShards.flatMap(r => m.entriesOf(r))
@@ -3311,7 +3332,17 @@ object VersionedTable {
     if (m.morDeletes.nonEmpty) return None // wrapper materializes first
     val merged = mergedSchema(tableSchema(spark, root, Some(m)),
       upserts.schema)
-    val total = keyFrame.count()
+    // ONE job materializes the pinned key frame AND carries the dense
+    // candidate bounds (guide §1: the separate count() was a full extra
+    // pass over the key frame's CDC lineage per applied batch)
+    val keyAggs = count(lit(1)) +:
+      keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val keyStats = keyFrame.agg(keyAggs.head, keyAggs.tail: _*).head
+    val total = keyStats.getLong(0)
+    val keyBounds: Option[Seq[(Any, Any)]] =
+      if (total == 0L) None
+      else Some(keyCols.indices.map(p =>
+        (keyStats.get(1 + 2 * p), keyStats.get(2 + 2 * p))))
     if (total == 0L && upserts.isEmpty) {
       val sv = frontier.getOrElse(
         // no frontier, no changes: a MERGE that matched nothing —
@@ -3334,7 +3365,7 @@ object VersionedTable {
       }
     }
     val mayHoldKeys = keyedCandidateTest(m, keyCols, keyFrame, total,
-      "applyCdcBatch")
+      "applyCdcBatch", keyBounds)
     val candShards = m.shards.filter(r =>
       r.name.isEmpty || mayHoldKeys(r.boxes, r.tboxes))
     val touched = candShards.flatMap(r => m.entriesOf(r))
