@@ -14,15 +14,36 @@ object EventWindows {
 
   private val HourUs = 3600L * 1000000L
 
-  /** Source bytes per streaming state partition (guide §2.2: size
-    * shuffle partitions in the tens-to-hundreds-of-MB range rather
-    * than by core count). Used by [[drainEvents]] to derive the
-    * state-store instance count from the drained input's size — the
-    * count grows with data volume and is 1 for the KB-to-MB harness
-    * drains, where extra instances are pure fixed cost + provider-init
-    * lock contention.
+  /** Source bytes per streaming state-store instance. r20 used 32 MB
+    * (sized against per-store fixed cost: per-batch load/commit plus
+    * Spark 4's global provider-init lock); r21 re-measured with the
+    * STATEFUL per-row compute in the balance — a transformWithState
+    * or RocksDB drain does far more work per input byte than a shuffle
+    * consumer, so the optimum sits much lower. Measured at sf0.1
+    * (~11 MB drained source): 32 MB → 1 store serialized
+    * ev_stream_running_distinct's whole update on one task (3.4 s
+    * steady-state); 4 MB → 3 stores, 3.4 s; 1 MB → 11 stores, 2.1 s;
+    * r20's 32-store baseline was the lock-contention pathology. The
+    * divisor only governs the ramp — at scale the [[statePartitions]]
+    * cap dominates regardless.
     */
-  private val StatePartitionBytes = 32L * 1024 * 1024
+  private val StatePartitionBytes = 1L * 1024 * 1024
+
+  /** The [[drainEvents]] state-store instance count for a drain of
+    * `srcBytes` input on a `cores`-core session: grows with data
+    * (`ceil(bytes / StatePartitionBytes)`, floor 1 for the KB harness
+    * drains) and is CLAMPED at `max(cores × 4, 4096)` — uncapped, a
+    * 100 TB drained source would ask for millions of state-store
+    * instances, far past practical task-launch and per-batch store
+    * load/commit overhead; the cap keeps the count within a small
+    * factor of the cluster's parallelism while the floor keeps tiny
+    * drains at one store.
+    */
+  private[operators] def statePartitions(srcBytes: Long, cores: Int): Long = {
+    val raw = (srcBytes + StatePartitionBytes - 1) / StatePartitionBytes
+    val cap = math.max(cores.toLong * 4L, 4096L)
+    math.min(math.max(1L, raw), cap)
+  }
 
   val hourly: Q = Q(
     "ev_window_hourly",
@@ -861,8 +882,8 @@ object EventWindows {
       // value is restored before the finally's teardown.
       val srcBytes = copied.map(java.nio.file.Files.size(_)).sum
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val stateParts = math.max(1L, (srcBytes + StatePartitionBytes - 1) /
-        StatePartitionBytes)
+      val stateParts =
+        statePartitions(srcBytes, s.sparkContext.defaultParallelism)
       s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       try {
         q = pipeline(graft.streaming.EventStreamPipeline
