@@ -120,7 +120,16 @@ object Dedup {
       maxShingleDf: Option[Long] = None,
       verifyWithFullSets: Boolean = true,
       bandBounds: Boolean = true): DataFrame = {
-    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // the per-doc shingle count rides with every exploded row: the
+    // capped branch's self-join applies the EXACT size-ratio test
+    // (J >= tau forces min(|A|,|B|) >= tau * max(|A|,|B|)) inside the
+    // join condition, so non-qualifying pairs never reach the pair
+    // aggregation (guide §3.2 pre-join reduction; profiled r21: the
+    // chargram candidate join + hash aggregate was 72 s of task time
+    // over ~46M joined rows). Catalyst prunes the column wherever it
+    // is unused (df counts, over-cap explode).
+    val exAll = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     def withSizes(pairs: DataFrame): DataFrame = pairs
       .join(sizes.withColumnRenamed("doc_id", "a_id")
@@ -178,16 +187,20 @@ object Dedup {
         // needed just for the (typically empty) undecided band
         val overCnt = exOver
           .groupBy(col("doc_id")).agg(count(lit(1)).as("oc"))
+        // The size-ratio test sits IN the join condition — same exact
+        // predicate the post-join filter applied (so the pair set is
+        // unchanged), evaluated before the joined rows hit the pair
+        // aggregation's hash map.
         val counted = exRare.as("x")
           .join(exRare.as("y"),
-            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id")
+              && (least(col("x.n"), col("y.n")).cast(DoubleType) /
+                greatest(col("x.n"), col("y.n"))) >= tau)
           .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .agg(count(lit(1)).as("ni_rare"))
-        // Exact size-ratio prefilter first: J >= tau forces
-        // min(|A|,|B|)/max(|A|,|B|) >= tau and costs two ints.
+        // sizes still attach here (na/nb feed the Jaccard bounds); the
+        // ratio filter is already proven by the join condition
         val sizeOk = withSizes(counted)
-          .filter((least(col("na"), col("nb")).cast(DoubleType) /
-            greatest(col("na"), col("nb"))) >= tau)
         if (!bandBounds) {
           // Degenerate-corpus escape hatch (measured: chargrams on the
           // tiny-vocab corpus — over-cap shingles dominate every doc, so
